@@ -1,0 +1,10 @@
+"""dbimport_ray — a Ray-Data-native CDC / incremental-ingest engine.
+
+A from-scratch reimplementation of the query & data-processing capabilities
+of Middlecon/DBImport (reference at /root/reference, cited per-module as
+file:line) on idiomatic Ray Data: Dataset pipelines, zero-copy Arrow
+batches, actor pools for stateful merge, explicit hash partitioning, and an
+exactly-once two-phase-commit manifest lake.
+"""
+from .config import TableConfig, repo_files_config  # noqa: F401
+from .pipelines.cdc import CDCEngine  # noqa: F401

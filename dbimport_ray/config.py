@@ -1,0 +1,90 @@
+"""Table configuration — the Ray-native analogue of DBImport's ``import_tables``
+row (reference: bin/DBImportConfig/configSchema.py:686 and
+import_config.py:341 ``getImportConfig``).
+
+One ``TableConfig`` instance describes one lake table: its primary key,
+partitioning, merge mode, soft-delete behavior, and the names of the system
+columns DBImport injects (reference: import_operations.py:2105
+``addHiveDBImportColumns``; names configurable via ``import_columnname_*``
+config keys).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# Merge modes — the importPhase × etlPhase combinations that matter for the
+# data plane (reference: import_config.py:560-602 valid-combo matrix).
+MODE_CDC = "cdc"  # incr + merge: explicit I/U/D events (INCR+MERGE_HISTORY_AUDIT)
+MODE_FULL = "full"  # full snapshot + merge: anti-join detects deletes (FULL+MERGE)
+MODE_APPEND = "append"  # insert without dedup (FULL/INCR + INSERT)
+MODE_TRUNCATE_INSERT = "truncate_insert"  # replace-all (FULL+TRUNCATE_INSERT)
+
+
+@dataclass
+class TableConfig:
+    name: str
+    pk: list[str]
+    value_columns: list[str]
+    sequence_col: str = "sequence_id"
+    op_col: str = "op"
+    mode: str = MODE_CDC
+    # Fixed partition count — partition files are stable across batches, so P
+    # must not change for the life of the table. At 100 TB scale pick P so a
+    # partition is a few hundred MB (SURVEY.md §4.2); tests use small P.
+    num_partitions: int = 16
+    soft_delete: bool = True
+    history: bool = True
+    source_tag: str = "dbimport_ray"
+    # validateRowCount override (reference: configSchema.py:714
+    # ``validate_diff_allowed``); None → the sqrt(n) band.
+    validate_diff_allowed: int | None = None
+    # System-column names (reference defaults, import_operations.py:2105).
+    col_iud: str = "datalake_iud"
+    col_insert: str = "datalake_insert"
+    col_update: str = "datalake_update"
+    col_delete: str = "datalake_delete"
+    col_source: str = "datalake_source"
+    col_timestamp: str = "datalake_timestamp"  # history event time
+    # Anonymization per column: {column: "hash"|"mask"|"first4"} mirroring
+    # import_columns.anonymization_function (configSchema.py:916-947).
+    anonymize: dict[str, str] = field(default_factory=dict)
+    anonymization_seed: str = "dbimport-ray-seed"
+
+    @property
+    def system_columns(self) -> list[str]:
+        return [
+            self.col_iud,
+            self.col_insert,
+            self.col_update,
+            self.col_delete,
+            self.col_source,
+        ]
+
+    @property
+    def target_columns(self) -> list[str]:
+        return self.pk + self.value_columns + self.system_columns
+
+    def validate(self) -> None:
+        # A PK-only table is a config error (reference:
+        # etl_operations.py:223-227 raises when no non-PK columns exist).
+        if not self.value_columns:
+            raise ValueError(
+                f"table {self.name}: merge requires at least one non-PK column "
+                "(reference etl_operations.py:223-227)"
+            )
+        overlap = set(self.pk) & set(self.value_columns)
+        if overlap:
+            raise ValueError(f"columns both PK and value: {overlap}")
+
+
+# The input_hint table (BASELINE.json): source-code repository files.
+def repo_files_config(**overrides) -> TableConfig:
+    defaults = dict(
+        name="repo_files",
+        pk=["repo", "path"],
+        value_columns=["commit", "lang", "content"],
+    )
+    defaults.update(overrides)
+    return TableConfig(**defaults)

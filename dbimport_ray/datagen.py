@@ -1,0 +1,220 @@
+"""Deterministic synthetic CDC event generator (FIXTURES.md F1/F2).
+
+Generates a totally-ordered change-event stream over the input_hint table
+``(repo, path, commit, lang, content)`` keyed by (repo, path):
+
+- ``sequence_id`` dense, unique, monotone (the watermark column — plays
+  DBImport's ``incr_column`` role, mode "append": import_config.py:2087).
+- ``op`` ∈ {I, U, D}; every key's history is ``I (U|D)*`` with re-insert
+  after delete (exercises soft-delete repair, etl_operations.py:300-316).
+- op='D' events carry NULL commit/lang/content (key-only deletes, the
+  MSSQL-CT shape, import_config.py:2519).
+- Zipf-ish hot keys (a head slice of keys absorbs extra traffic) exercise
+  LWW dedup + skew handling.
+
+Everything derives from splitmix64-style integer hashing of (seed, key,
+occurrence) — fully vectorized in numpy, stable across library versions, no
+RNG state to carry. The op chain is computable without a per-key scan:
+an event is a delete iff its hash bit is set AND the previous occurrence's
+hash bit is not (no two consecutive delete-candidates), so "previous op was
+D" is itself a pure hash predicate.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+LANG_BY_EXT = {
+    "py": "python",
+    "java": "java",
+    "go": "go",
+    "rs": "rust",
+    "ts": "ts",
+    "md": "md",
+}
+_EXTS = list(LANG_BY_EXT)
+
+EVENT_SCHEMA = pa.schema(
+    [
+        ("sequence_id", pa.int64()),
+        ("op", pa.string()),
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("commit", pa.string()),
+        ("lang", pa.string()),
+        ("content", pa.string()),
+    ]
+)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — deterministic vectorized uint64 hash."""
+    x = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x += np.uint64(0x9E3779B97F4A7C15)
+        z = x
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+    return z
+
+
+def _hash2(a: np.ndarray, b: np.ndarray | int, seed: int) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        h = _mix64(a.astype(np.uint64) + np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15))
+        h = _mix64(h ^ _mix64(np.asarray(b, dtype=np.uint64)))
+    return h
+
+
+def _key_strings(num_keys: int, seed: int):
+    """Key universe: repo/path/lang string pools indexed by key id."""
+    paths_per_repo = 50
+    key_ids = np.arange(num_keys, dtype=np.uint64)
+    repo_idx = (key_ids // paths_per_repo).astype(np.int64)
+    file_idx = (key_ids % paths_per_repo).astype(np.int64)
+    ext_pick = (_hash2(key_ids, 7, seed) % np.uint64(len(_EXTS))).astype(np.int64)
+    repos = np.array([f"org{r % 17}/repo{r}" for r in range(int(repo_idx.max()) + 1 if num_keys else 1)])
+    exts = np.array(_EXTS)
+    langs_arr = np.array([LANG_BY_EXT[e] for e in _EXTS])
+    repo_s = repos[repo_idx]
+    ext_s = exts[ext_pick]
+    path_s = np.array(
+        [f"src/d{int(f) % 10}/f{int(k)}.{e}" for k, f, e in zip(key_ids, file_idx, ext_s)]
+    )
+    lang_s = langs_arr[ext_pick]
+    return repo_s, path_s, lang_s
+
+
+_POOL_SIZE = 256
+
+
+def _content_pool(seed: int, line_len: int = 64) -> list[str]:
+    rng = np.random.default_rng(seed)
+    words = [
+        "def", "return", "import", "class", "for", "while", "if", "else",
+        "lambda", "yield", "assert", "self", "value", "result", "index",
+        "buffer", "stream", "merge", "batch", "partition", "commit",
+    ]
+    pool = []
+    for _ in range(_POOL_SIZE):
+        n = rng.integers(6, 14)
+        pool.append(" ".join(rng.choice(words, n)))
+    return pool
+
+
+def generate_events(
+    out_path: str,
+    num_keys: int,
+    num_events: int,
+    seed: int = 42,
+    content_repeat_mean: int = 4,
+    hot_key_fraction: float = 0.02,
+    hot_traffic_fraction: float = 0.3,
+    rows_per_batch: int = 200_000,
+) -> str:
+    """Write the event stream as Parquet (row groups of ``rows_per_batch``).
+
+    Deterministic in all parameters; cached output can be reused by callers
+    that key the path on the parameters.
+    """
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    repo_s, path_s, lang_s = _key_strings(num_keys, seed)
+    pool = _content_pool(seed)
+
+    seq = np.arange(num_events, dtype=np.int64)
+    # --- key choice: mostly uniform, a hot head absorbing extra traffic ----
+    h_key = _hash2(seq.astype(np.uint64), 1, seed)
+    hot = (_hash2(seq.astype(np.uint64), 2, seed) % np.uint64(1000)) < np.uint64(
+        int(hot_traffic_fraction * 1000)
+    )
+    n_hot = max(1, int(num_keys * hot_key_fraction))
+    key_id = np.where(
+        hot,
+        (h_key % np.uint64(n_hot)),
+        (h_key % np.uint64(num_keys)),
+    ).astype(np.int64)
+
+    # --- per-key occurrence index (rank of this event within its key) ------
+    order = np.argsort(key_id, kind="stable")
+    sk = key_id[order]
+    first = np.r_[True, sk[1:] != sk[:-1]]
+    grp_start = np.maximum.accumulate(np.where(first, np.arange(num_events), 0))
+    occ_sorted = np.arange(num_events) - grp_start
+    occ = np.empty(num_events, dtype=np.int64)
+    occ[order] = occ_sorted
+
+    # --- op chain from pure hashes (no scan; see module docstring) ---------
+    def dbit(o: np.ndarray) -> np.ndarray:
+        return (_hash2(key_id.astype(np.uint64), o.astype(np.uint64) + np.uint64(3), seed) % np.uint64(1000)) < np.uint64(150)
+
+    d_i = dbit(occ)
+    d_prev = np.where(occ >= 1, dbit(occ - 1), False)
+    d_prev2 = np.where(occ >= 2, dbit(occ - 2), False)
+    is_delete = d_i & ~d_prev & (occ > 0)
+    prev_was_delete = (occ > 0) & d_prev & ~np.where(occ >= 2, d_prev2, False) & (occ - 1 > 0)
+    op = np.where(occ == 0, "I", np.where(is_delete, "D", np.where(prev_was_delete, "I", "U")))
+
+    # --- payload ------------------------------------------------------------
+    commit_h1 = _hash2(key_id.astype(np.uint64), occ + 100, seed)
+    commit_h2 = _hash2(key_id.astype(np.uint64), occ + 200, seed)
+    rep = (
+        _hash2(key_id.astype(np.uint64), occ + 300, seed) % np.uint64(2 * content_repeat_mean)
+    ).astype(np.int64) + 1
+    pool_pick = (_hash2(key_id.astype(np.uint64), occ + 400, seed) % np.uint64(_POOL_SIZE)).astype(np.int64)
+
+    writer = pq.ParquetWriter(out_path, EVENT_SCHEMA, compression="snappy")
+    try:
+        for lo in range(0, num_events, rows_per_batch):
+            hi = min(lo + rows_per_batch, num_events)
+            sl = slice(lo, hi)
+            kid = key_id[sl]
+            is_d = op[sl] == "D"
+            commits = [
+                None if d else f"{int(a):016x}{int(b):016x}{int(a) & 0xFF:08x}"
+                for d, a, b in zip(is_d, commit_h1[sl], commit_h2[sl])
+            ]
+            contents = [
+                None
+                if d
+                else f"// {r}/{p}@{c}\n" + "\n".join([pool[int(pp)]] * int(rr))
+                for d, r, p, c, pp, rr in zip(
+                    is_d, repo_s[kid], path_s[kid], commits, pool_pick[sl], rep[sl]
+                )
+            ]
+            batch = pa.table(
+                {
+                    "sequence_id": pa.array(seq[sl]),
+                    "op": pa.array(op[sl]),
+                    "repo": pa.array(repo_s[kid]),
+                    "path": pa.array(path_s[kid]),
+                    "commit": pa.array(commits, type=pa.string()),
+                    "lang": pa.array(
+                        [None if d else l for d, l in zip(is_d, lang_s[kid])],
+                        type=pa.string(),
+                    ),
+                    "content": pa.array(contents, type=pa.string()),
+                },
+                schema=EVENT_SCHEMA,
+            )
+            writer.write_table(batch)
+    finally:
+        writer.close()
+    return out_path
+
+
+def cached_events(
+    tmp_root: str, num_keys: int, num_events: int, seed: int = 42, **kw
+) -> str:
+    """Generate once per parameter set, reuse across runs/processes."""
+    tag = f"events-k{num_keys}-n{num_events}-s{seed}"
+    path = os.path.join(tmp_root, tag, "events.parquet")
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".gen"
+        generate_events(tmp, num_keys, num_events, seed=seed, **kw)
+        os.replace(tmp, path)
+    return path

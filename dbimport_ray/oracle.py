@@ -1,0 +1,122 @@
+"""Sequential single-process oracle — the conformance reference.
+
+Applies change-event batches to an in-memory dict with DBImport's exact
+merge semantics (SURVEY.md §7.1; etl_operations.py:100-640), but *batch-wise*
+like the reference does: staging is deduped to last-writer-wins per key
+BEFORE the merge (import_config.py:3218-3247), so an I followed by a U of a
+brand-new key inside one batch lands as a single INSERT with iud='I' — not
+an insert-then-update. Engine runs must use the same batch boundaries and
+merge timestamps to compare equal.
+
+This module is deliberately naive (python dict, row loop) — it is the test
+oracle, never the data plane.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pyarrow as pa
+
+from .config import MODE_CDC, MODE_FULL, TableConfig
+
+
+class SequentialOracle:
+    def __init__(self, cfg: TableConfig):
+        self.cfg = cfg
+        self.state: dict[tuple, dict] = {}
+        self.history: list[dict] = []
+
+    def apply_batch(self, events: pa.Table, merge_ts: datetime) -> None:
+        cfg = self.cfg
+        rows = events.sort_by(cfg.sequence_col).to_pylist()
+        # LWW dedup within the batch
+        last: dict[tuple, dict] = {}
+        for r in rows:
+            last[tuple(r[k] for k in cfg.pk)] = r
+        if cfg.mode == MODE_FULL:
+            snapshot_keys = set(last)
+        for key, ev in last.items():
+            op = ev.get(cfg.op_col, "I") if cfg.mode == MODE_CDC else "I"
+            cur = self.state.get(key)
+            if op == "D":
+                if cur is None:
+                    continue
+                cur = dict(cur)
+                cur[cfg.col_iud] = "D"
+                cur[cfg.col_delete] = merge_ts
+                if cfg.soft_delete:
+                    self.state[key] = cur
+                else:
+                    del self.state[key]
+                self.history.append(self._hist(cur, "D", merge_ts))
+                continue
+            values = {c: ev[c] for c in cfg.value_columns}
+            if cur is None:
+                row = dict(zip(cfg.pk, key))
+                row.update(values)
+                row[cfg.col_iud] = "I"
+                row[cfg.col_insert] = merge_ts
+                row[cfg.col_update] = None
+                row[cfg.col_delete] = None
+                row[cfg.col_source] = cfg.source_tag
+                self.state[key] = row
+                self.history.append(self._hist(row, "I", merge_ts))
+            else:
+                was_soft_deleted = cur[cfg.col_iud] == "D"
+                if cfg.mode == MODE_FULL:
+                    differs = any(cur[c] != values[c] for c in cfg.value_columns)
+                    if not (differs or was_soft_deleted):
+                        continue  # unchanged row, skipped (etl_operations.py:238)
+                row = dict(cur)
+                row.update(values)
+                if was_soft_deleted:
+                    # reinsert repair (etl_operations.py:300-316)
+                    row[cfg.col_iud] = "I"
+                    row[cfg.col_insert] = merge_ts
+                    row[cfg.col_update] = None
+                    row[cfg.col_delete] = None
+                else:
+                    row[cfg.col_iud] = "U"
+                    row[cfg.col_update] = merge_ts
+                    row[cfg.col_delete] = None
+                row[cfg.col_source] = cfg.source_tag
+                self.state[key] = row
+                self.history.append(self._hist(row, row[cfg.col_iud], merge_ts))
+        if cfg.mode == MODE_FULL:
+            # anti-join deletes (etl_operations.py:362-393)
+            for key in list(self.state):
+                if key in snapshot_keys:
+                    continue
+                cur = self.state[key]
+                if cur[cfg.col_iud] == "D":
+                    continue
+                cur = dict(cur)
+                cur[cfg.col_iud] = "D"
+                cur[cfg.col_delete] = merge_ts
+                if cfg.soft_delete:
+                    self.state[key] = cur
+                else:
+                    del self.state[key]
+                self.history.append(self._hist(cur, "D", merge_ts))
+
+    def _hist(self, row: dict, op: str, ts: datetime) -> dict:
+        cfg = self.cfg
+        h = {c: row.get(c) for c in cfg.pk + cfg.value_columns}
+        h[cfg.col_source] = cfg.source_tag
+        h[cfg.col_iud] = op
+        h[cfg.col_timestamp] = ts
+        return h
+
+    def table(self) -> pa.Table:
+        cfg = self.cfg
+        cols = cfg.target_columns
+        if not self.state:
+            return pa.table({c: [] for c in cols})
+        rows = sorted(self.state.values(), key=lambda r: tuple(r[k] for k in cfg.pk))
+        return pa.table({c: [r.get(c) for r in rows] for c in cols})
+
+    def history_table(self) -> pa.Table:
+        cfg = self.cfg
+        cols = cfg.pk + cfg.value_columns + [cfg.col_source, cfg.col_iud, cfg.col_timestamp]
+        return pa.table({c: [r.get(c) for r in self.history] for c in cols})

@@ -1,0 +1,397 @@
+"""CDC replay pipeline — the engine's flagship (SURVEY.md §7.2).
+
+One ``replay()`` call = one DBImport import run (bin/import stages 1010→9999)
+over the event range ``(committed_seq, pending_seq]``::
+
+    read_parquet(events, filter: committed < seq ≤ pending)   [stateless tasks]
+      → map_batches(NormalizeBatch)     schema-align + stamp _pid
+      → map_batches(lww pre-reduce)     per-block LWW combine (skew shield)
+      → groupby(_pid)                   THE one shuffle, key = hash(pk) % P
+      → map_groups(MergeGroup actors)   per-partition Arrow merge → new file
+      → driver: ledger validation → stage manifest → atomic commit
+                → promote watermark → metrics JSONL
+
+Exactly-once: partition files are written tmp→rename, a per-partition done
+marker makes task retries and mid-batch resume idempotent, and the manifest
+rename is the single commit point (state/manifest.py). A crash anywhere
+before the manifest commit leaves the committed table untouched; rerunning
+``replay()`` resumes the pending batch (COALESCE(pending, committed)
+watermark, import_config.py:2204-2208) and skips finished partitions.
+
+Scale notes (100 TB / 10^10 events): batch IO is proportional to the event
+range + touched partitions, never the table size; the LWW pre-reduce keeps
+superseded wide ``content`` payloads out of the shuffle; P is fixed per
+table and sized so a partition is a few hundred MB; merge actors hold one
+partition at a time (old file + deltas), so peak worker memory is bounded by
+partition size, not table size.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import asdict, replace
+from datetime import datetime, timedelta, timezone
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from ..config import MODE_CDC, MODE_FULL, TableConfig
+from ..sources.events import max_sequence, read_events
+from ..state.checkpoint import (
+    STAGE_MERGED,
+    STAGE_VALIDATED,
+    CheckpointStore,
+)
+from ..state.manifest import (
+    Manifest,
+    TableStore,
+    schema_from_json,
+    schema_to_json,
+)
+from ..state.schema_evolution import align_to_schema, plan_evolution
+from ..stages.lww import lww_dedup, make_lww_prereduce
+from ..stages.merge import merge_partition, target_schema
+from ..stages.normalize import NormalizeBatch
+from ..stages.partitioning import PID_COL
+from ..stages.validate import validate_exact
+
+_MARKER_OP = "_MARKER_"
+_EPOCH = datetime(2026, 1, 1)
+
+METRICS_SCHEMA = pa.schema(
+    [
+        ("pid", pa.int64()),
+        ("rows", pa.int64()),
+        ("events_in", pa.int64()),
+        ("inserts", pa.int64()),
+        ("updates", pa.int64()),
+        ("deletes", pa.int64()),
+        ("unchanged", pa.int64()),
+        ("bytes", pa.int64()),
+        ("max_seq", pa.int64()),
+        ("duration_s", pa.float64()),
+        ("file", pa.string()),
+        ("hist_file", pa.string()),
+        ("hist_rows", pa.int64()),
+        ("resumed", pa.bool_()),
+    ]
+)
+
+
+def deterministic_merge_ts(pending_seq: int) -> datetime:
+    """Merge time is a *parameter* of the merge in the reference
+    (etl_operations.py:100 mergeHiveTables(mergeTime)); deriving it from the
+    watermark makes the whole lake bit-deterministic for the oracle."""
+    return _EPOCH + timedelta(seconds=int(pending_seq) % 10**9)
+
+
+class MergeGroup:
+    """Actor-pool callable for ``groupby(_pid).map_groups``.
+
+    One call = one partition's merge. Constructor (once per actor) rebuilds
+    schemas and config; ``__call__`` (per partition) reads the partition's
+    old file, LWW-dedups the group, runs the Arrow merge kernel, writes the
+    new partition + history files (tmp→rename), drops a done marker, and
+    returns a one-row metrics table (import_statistics analogue,
+    configSchema.py:489).
+    """
+
+    def __init__(
+        self,
+        table_root: str,
+        table: str,
+        cfg_dict: dict,
+        partitions: dict[str, dict],
+        renames: dict[str, str],
+        schema_json: list[dict],
+        version: int,
+        merge_ts_iso: str,
+    ):
+        self.store = TableStore(os.path.dirname(table_root), table)
+        self.cfg = TableConfig(**cfg_dict)
+        self.partitions = partitions
+        self.renames = renames
+        self.schema = schema_from_json(schema_json)
+        self.vtypes = {f.name: f.type for f in self.schema}
+        self.tgt_schema = target_schema(self.cfg, self.vtypes)
+        self.version = version
+        self.merge_ts = datetime.fromisoformat(merge_ts_iso)
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        t0 = time.monotonic()
+        pid = int(group[PID_COL][0].as_py())
+        # idempotent re-entry: task retry or mid-batch resume
+        marker = self.store.read_marker(self.version, pid)
+        if marker is not None:
+            marker["resumed"] = True
+            return self._metrics_row(marker)
+
+        # drop full-load group markers; they only force group emission
+        mask = pa.compute.not_equal(group[self.cfg.op_col], _MARKER_OP)
+        events = group.filter(mask)
+        events_in = events.num_rows
+        max_seq = (
+            int(pa.compute.max(events[self.cfg.sequence_col]).as_py())
+            if events_in
+            else -1
+        )
+        # cross-block LWW (map-side pre-reduce handled within-block dups)
+        events = lww_dedup(events, self.cfg.pk, self.cfg.sequence_col)
+
+        old = None
+        entry = self.partitions.get(str(pid))
+        if entry is not None:
+            old = pq.read_table(self.store.abs_path(entry["file"]))
+            old = align_to_schema(
+                old, self.tgt_schema, self.renames
+            )  # old file may predate adds/renames/widens
+
+        res = merge_partition(old, events, self.cfg, self.merge_ts)
+
+        rel_file, nbytes = "", 0
+        if res.table.num_rows:
+            rel_file = self.store.part_file(pid, self.version)
+            nbytes = self._write(res.table, rel_file)
+        rel_hist, hist_rows = "", res.history.num_rows
+        if self.cfg.history and hist_rows:
+            rel_hist = self.store.history_file(pid, self.version)
+            self._write(res.history, rel_hist)
+
+        m = {
+            "pid": pid,
+            "rows": res.table.num_rows,
+            "events_in": events_in,
+            "inserts": res.inserts,
+            "updates": res.updates,
+            "deletes": res.deletes,
+            "unchanged": res.unchanged,
+            "bytes": nbytes,
+            "max_seq": max_seq,
+            "duration_s": round(time.monotonic() - t0, 4),
+            "file": rel_file,
+            "hist_file": rel_hist,
+            "hist_rows": hist_rows,
+            "resumed": False,
+        }
+        self.store.write_marker(self.version, pid, m)
+        return self._metrics_row(m)
+
+    def _write(self, table: pa.Table, rel: str) -> int:
+        abs_path = self.store.abs_path(rel)
+        tmp = abs_path + f".attempt-{os.getpid()}"
+        pq.write_table(table, tmp, compression="zstd")
+        os.replace(tmp, abs_path)  # atomic on same fs → retry-safe
+        return os.path.getsize(abs_path)
+
+    def _metrics_row(self, m: dict) -> pa.Table:
+        return pa.table(
+            {f.name: [m.get(f.name)] for f in METRICS_SCHEMA}, schema=METRICS_SCHEMA
+        )
+
+
+class CDCEngine:
+    """One lake table's ingest engine: replay event ranges, maintain the
+    manifest/checkpoint, expose readers. The class is driver-side only —
+    all heavy work happens in Ray Data stages."""
+
+    def __init__(self, lake_root: str, cfg: TableConfig):
+        cfg.validate()
+        self.lake_root = lake_root
+        self.cfg = cfg
+        self.store = TableStore(lake_root, cfg.name)
+        self.ckpt = CheckpointStore(self.store.root, cfg.name)
+
+    # ------------------------------------------------------------------
+    def replay(
+        self,
+        events_path: str | list[str],
+        upto_seq: int | None = None,
+        merge_ts: datetime | None = None,
+        merge_concurrency: int | None = None,
+        override_num_blocks: int | None = None,
+        fail_before_commit: bool = False,
+    ) -> dict:
+        """Apply one micro-batch of change events; returns batch metrics."""
+        manifest = self.store.load_manifest()
+        cp = self.ckpt.load()
+
+        if cp.pending_seq is not None:
+            pending, version = cp.pending_seq, cp.pending_version
+        else:
+            pending = upto_seq if upto_seq is not None else max_sequence(
+                events_path, self.cfg.sequence_col
+            )
+            if pending <= cp.committed_seq:
+                return {"status": "noop", "committed_seq": cp.committed_seq}
+            version = manifest.version + 1
+            self.ckpt.begin_batch(pending, version)
+
+        ts = merge_ts or deterministic_merge_ts(pending)
+
+        # --- schema evolution (driver-side pre-stage, SURVEY.md §7.2) ------
+        incoming_full = (
+            pq.read_schema(events_path)
+            if isinstance(events_path, str)
+            else pq.read_schema(events_path[0])
+        )
+        drop = {self.cfg.op_col, self.cfg.sequence_col}
+        incoming = pa.schema([f for f in incoming_full if f.name not in drop])
+        renames = dict(manifest.renames)
+        if manifest.schema:
+            plan = plan_evolution(manifest.arrow_schema(), incoming, self.cfg.pk)
+            unified = plan.unified
+            renames.update(plan.renamed)
+        else:
+            # first batch fixes the schema: PK columns first
+            fields = [incoming.field(k) for k in self.cfg.pk] + [
+                f for f in incoming if f.name not in self.cfg.pk
+            ]
+            unified = pa.schema(fields)
+        eff_cfg = replace(
+            self.cfg,
+            value_columns=[n for n in unified.names if n not in self.cfg.pk],
+        )
+
+        # --- the dataset pipeline ------------------------------------------
+        ds = read_events(
+            events_path,
+            self.cfg.sequence_col,
+            after_seq=cp.committed_seq,
+            upto_seq=pending,
+            override_num_blocks=override_num_blocks,
+        )
+        ds = ds.map_batches(
+            NormalizeBatch(
+                unified,
+                renames,
+                [self.cfg.op_col, self.cfg.sequence_col],
+                self.cfg.pk,
+                self.cfg.num_partitions,
+            ),
+            batch_format="pyarrow",
+        )
+        ds = ds.map_batches(
+            make_lww_prereduce(self.cfg.pk, self.cfg.sequence_col),
+            batch_format="pyarrow",
+        )
+        if self.cfg.mode == MODE_FULL and manifest.partitions:
+            ds = ds.union(self._full_load_markers(unified, manifest))
+
+        # Leave CPUs for the read/normalize/shuffle stages — an actor pool
+        # that reserves every CPU starves upstream tasks and the pipeline
+        # deadlocks (ray_guide.md "a pool that reserves every CPU").
+        ncpu = int(ray.cluster_resources().get("CPU", 4))
+        conc = merge_concurrency or max(1, min(self.cfg.num_partitions, ncpu - 1))
+        grouped = ds.groupby(PID_COL).map_groups(
+            MergeGroup,
+            fn_constructor_kwargs=dict(
+                table_root=self.store.root,
+                table=self.cfg.name,
+                cfg_dict=asdict(eff_cfg),
+                partitions=manifest.partitions,
+                renames=renames,
+                schema_json=schema_to_json(unified),
+                version=version,
+                merge_ts_iso=ts.isoformat(),
+            ),
+            batch_format="pyarrow",
+            concurrency=conc,
+            num_cpus=1,
+        )
+        metrics = grouped.take_all()  # ≤ P rows — small by construction
+        self.ckpt.set_stage(STAGE_MERGED)
+
+        # --- assemble + validate next manifest -----------------------------
+        new_m = Manifest(
+            table=self.cfg.name,
+            version=version,
+            committed_seq=pending,
+            schema=schema_to_json(unified),
+            renames=renames,
+            partitions=dict(manifest.partitions),
+            history_files=list(manifest.history_files),
+            num_partitions=self.cfg.num_partitions,
+        )
+        totals = {k: 0 for k in ("rows", "events_in", "inserts", "updates", "deletes", "unchanged", "bytes", "hist_rows")}
+        for m in metrics:
+            pid = str(m["pid"])
+            old_rows = manifest.partitions.get(pid, {}).get("rows", 0)
+            expected = old_rows + m["inserts"] - (
+                0 if self.cfg.soft_delete else m["deletes"]
+            )
+            validate_exact(expected, m["rows"], f"partition {pid} ledger")
+            if m["rows"] > 0:
+                new_m.partitions[pid] = {
+                    "file": m["file"],
+                    "rows": int(m["rows"]),
+                    "bytes": int(m["bytes"]),
+                    "version": version,
+                }
+            else:
+                new_m.partitions.pop(pid, None)
+            if m["hist_file"]:
+                new_m.history_files.append(m["hist_file"])
+            for k in totals:
+                totals[k] += int(m[k])
+        self.ckpt.set_stage(STAGE_VALIDATED)
+
+        # --- two-phase commit ----------------------------------------------
+        self.store.stage_manifest(new_m)
+        if fail_before_commit:
+            raise RuntimeError("injected failure before manifest commit")
+        self.store.commit_manifest()
+        self.ckpt.commit_batch()
+        self.store.append_metrics(
+            {
+                "version": version,
+                "pending_seq": pending,
+                "merge_ts": ts.isoformat(),
+                "partitions_touched": len(metrics),
+                **totals,
+            }
+        )
+        self.store.clear_markers(version)
+        self.store.purge_old_versions(keep_versions=2)
+        return {
+            "status": "committed",
+            "version": version,
+            "committed_seq": pending,
+            **totals,
+        }
+
+    # ------------------------------------------------------------------
+    def _full_load_markers(self, unified: pa.Schema, manifest: Manifest) -> rd.Dataset:
+        """Zero-event partitions must still run their anti-join deletes on a
+        full load — one marker row per existing pid forces group emission
+        (dropped inside MergeGroup before merging)."""
+        pids = [int(p) for p in manifest.partitions]
+        n = len(pids)
+        cols: dict[str, pa.Array] = {}
+        for f in unified:
+            if f.name in self.cfg.pk:
+                cols[f.name] = pa.array(["\x00marker"] * n, type=f.type)
+            else:
+                cols[f.name] = pa.nulls(n, type=f.type)
+        cols[self.cfg.op_col] = pa.array([_MARKER_OP] * n)
+        cols[self.cfg.sequence_col] = pa.array([-1] * n, type=pa.int64())
+        cols[PID_COL] = pa.array(pids, type=pa.int32())
+        return rd.from_arrow(pa.table(cols))
+
+    # ------------------------------------------------------------------
+    def dataset(self, columns: list[str] | None = None) -> rd.Dataset:
+        from ..sources.lake import read_lake
+
+        return read_lake(self.store, self.cfg, columns=columns)
+
+    def arrow(self) -> pa.Table:
+        from ..sources.lake import read_lake_arrow
+
+        return read_lake_arrow(self.store, self.cfg)
+
+    def history(self) -> pa.Table:
+        from ..sources.lake import read_history_arrow
+
+        return read_history_arrow(self.store)

@@ -1,0 +1,54 @@
+"""Change-event source — watermark-bounded Parquet tail read.
+
+The Ray-native analogue of DBImport's incremental source read: the
+watermark predicate ``incr_column > last AND incr_column <= pending_max``
+(import_config.py:2087-2255 ``getIncrWhereStatement``) becomes a pyarrow
+dataset filter pushed into ``ray.data.read_parquet`` — row groups whose
+sequence statistics fall outside the range never leave storage, the
+file-parallel scan replaces sqoop/Spark range sharding
+(import_operations.py:1358-1380).
+"""
+
+from __future__ import annotations
+
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+import ray.data as rd
+
+
+def max_sequence(paths: str | list[str], seq_col: str = "sequence_id") -> int:
+    """Watermark probe — ``select max(incr_column)``
+    (common_config.py:1555 ``getJDBCcolumnMaxValue``) from Parquet row-group
+    statistics only; no data read."""
+    if isinstance(paths, str):
+        paths = [paths]
+    mx = None
+    for p in paths:
+        md = pq.read_metadata(p)
+        idx = md.schema.to_arrow_schema().get_field_index(seq_col)
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is not None and st.has_min_max:
+                mx = st.max if mx is None else max(mx, st.max)
+    if mx is None:  # no stats — fall back to a scan of just the column
+        ds = pads.dataset(paths)
+        mx = pc.max(ds.to_table(columns=[seq_col])[seq_col]).as_py()
+    return int(mx) if mx is not None else -1
+
+
+def read_events(
+    paths: str | list[str],
+    seq_col: str,
+    after_seq: int,
+    upto_seq: int,
+    columns: list[str] | None = None,
+    override_num_blocks: int | None = None,
+) -> rd.Dataset:
+    """``read_parquet`` with the watermark range pushed down as a dataset
+    filter (row-group pruning + late row filtering inside the scan)."""
+    flt = (pc.field(seq_col) > after_seq) & (pc.field(seq_col) <= upto_seq)
+    kwargs = {}
+    if override_num_blocks:
+        kwargs["override_num_blocks"] = override_num_blocks
+    return rd.read_parquet(paths, columns=columns, filter=flt, **kwargs)

@@ -1,0 +1,79 @@
+"""Manifest-driven lake reader.
+
+Readers never list directories — they follow ``_manifest.json`` only
+(the commit point, state/manifest.py), so an in-flight batch's staged files
+are invisible until the atomic manifest rename. This is the external-table
+analogue (import_operations.py:1962 ``createExternalTable``) without DDL:
+a Dataset over the committed file set *is* the table.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from ..config import TableConfig
+from ..state.manifest import Manifest, TableStore
+from ..state.schema_evolution import align_to_schema
+from ..stages.merge import target_schema
+
+
+def _committed_files(store: TableStore, m: Manifest | None = None) -> list[str]:
+    m = m or store.load_manifest()
+    return [store.abs_path(p["file"]) for p in sorted(m.partitions.values(), key=lambda e: e["file"])]
+
+
+def read_lake(store: TableStore, cfg: TableConfig, columns: list[str] | None = None) -> rd.Dataset:
+    """The committed table as a streaming Dataset (one block ≥ one partition
+    file). Old-schema files are aligned per batch."""
+    m = store.load_manifest()
+    files = _committed_files(store, m)
+    if not files:
+        return rd.from_arrow(_empty(store, cfg))
+    schema = m.arrow_schema()
+    vtypes = {f.name: f.type for f in schema}
+    tgt = target_schema(cfg_with_schema(cfg, schema), vtypes)
+    renames = m.renames
+    ds = rd.read_parquet(files, columns=columns)
+    if columns is None:
+        ds = ds.map_batches(
+            lambda t: align_to_schema(t, tgt, renames), batch_format="pyarrow"
+        )
+    return ds
+
+
+def read_lake_arrow(store: TableStore, cfg: TableConfig) -> pa.Table:
+    """Whole table as one Arrow table — tests/small results only."""
+    m = store.load_manifest()
+    files = _committed_files(store, m)
+    if not files:
+        return _empty(store, cfg)
+    schema = m.arrow_schema()
+    vtypes = {f.name: f.type for f in schema}
+    tgt = target_schema(cfg_with_schema(cfg, schema), vtypes)
+    tables = [align_to_schema(pq.read_table(f), tgt, m.renames) for f in files]
+    return pa.concat_tables(tables)
+
+
+def read_history_arrow(store: TableStore) -> pa.Table:
+    m = store.load_manifest()
+    files = [store.abs_path(f) for f in m.history_files]
+    if not files:
+        return pa.table({})
+    return pa.concat_tables([pq.read_table(f) for f in files], promote_options="permissive")
+
+
+def cfg_with_schema(cfg: TableConfig, schema: pa.Schema) -> TableConfig:
+    """Effective config whose value_columns follow the evolved schema."""
+    from dataclasses import replace
+
+    vals = [n for n in schema.names if n not in cfg.pk]
+    return replace(cfg, value_columns=vals)
+
+
+def _empty(store: TableStore, cfg: TableConfig) -> pa.Table:
+    vtypes = {c: pa.string() for c in cfg.pk + cfg.value_columns}
+    from ..stages.merge import empty_target
+
+    return empty_target(cfg, vtypes)

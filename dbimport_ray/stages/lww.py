@@ -1,0 +1,49 @@
+"""Last-writer-wins dedup per primary key.
+
+Reference semantics: DBImport dedupes the staging table to one row per PK —
+the one with the highest change-sequence — before merging:
+- Oracle flashback: ``S INNER JOIN (select pk, max(startscn) .. group by pk)``
+  (bin/DBImportConfig/import_config.py:3218-3247, ``getSelectForImportView``).
+- MSSQL Change Tracking: CHANGETABLE already returns net changes per key
+  (import_config.py:2519).
+
+Ray-native shape: a *map-side pre-reduce* inside ``map_batches`` collapses
+duplicates within each block BEFORE the partition shuffle (so superseded
+wide ``content`` payloads never move — SURVEY.md §7.5 "wide-record shuffle
+cost"), then the same kernel runs once more inside each partition group for
+the cross-block duplicates. This two-level combine is also the hot-key
+mitigation: a key with 10k events in a batch ships at most
+``num_input_blocks`` rows through the shuffle.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def lww_dedup(events: pa.Table, pk: list[str], seq_col: str) -> pa.Table:
+    """Keep, per PK tuple, only the row with the maximum sequence id.
+
+    Sequence ids are globally unique (the event log is totally ordered,
+    SURVEY.md §2.9), so the (pk..., max seq) inner join selects exactly one
+    row per key. Vectorized: pyarrow group_by + acero hash join.
+    """
+    if events.num_rows == 0:
+        return events
+    winners = events.select(pk + [seq_col]).group_by(pk).aggregate(
+        [(seq_col, "max")]
+    )
+    winners = winners.rename_columns(pk + [seq_col])
+    if winners.num_rows == events.num_rows:
+        return events  # already unique per key
+    return events.join(winners, keys=pk + [seq_col], join_type="inner")
+
+
+def make_lww_prereduce(pk: list[str], seq_col: str):
+    """A ``map_batches(fn, batch_format='pyarrow')`` stage body."""
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        return lww_dedup(batch, pk, seq_col)
+
+    return _fn

@@ -1,0 +1,280 @@
+"""Per-partition merge kernel — DBImport's MERGE re-expressed in Arrow.
+
+Reference semantics (bin/DBImportOperation/etl_operations.py):
+- ``mergeHiveTables`` :148-298 — upsert by PK; WHEN MATCHED (and, for full
+  loads, any non-PK column differs OR the row was soft-deleted) → UPDATE with
+  ``datalake_iud='U'``, ``datalake_update=mergeTime``; WHEN NOT MATCHED →
+  INSERT with ``datalake_iud='I'``, ``datalake_insert=mergeTime``.
+- Reinsert-after-soft-delete repair :300-316 — a matched row whose current
+  ``datalake_iud='D'`` is revived: ``iud='I'``, ``datalake_insert=mergeTime``,
+  ``datalake_delete=NULL``.
+- Anti-join delete detection for full loads :362-393; delete application
+  :591-640 — hard delete drops the row, soft delete keeps it with
+  ``iud='D'``, ``datalake_delete=mergeTime``.
+- History audit :318-360 and :544-589 — every changed row-image appended with
+  its op and ``datalake_timestamp=mergeTime``; deleted rows contribute their
+  OLD row image (key-only delete events carry no values, import_config.py:2519).
+
+All operations are vectorized pyarrow (acero hash joins + compute kernels);
+there is no per-row Python. The kernel is pure (Table in → Tables out) so it
+can run inside ``groupby(_pid).map_groups`` zero-copy, and be unit-tested
+without Ray.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import MODE_CDC, MODE_FULL, TableConfig
+
+_EXISTS = "__exists"
+_OLD = "__old"
+
+
+@dataclass
+class MergeResult:
+    table: pa.Table  # new partition content
+    history: pa.Table  # row-images of changes (op + datalake_timestamp)
+    inserts: int
+    updates: int
+    deletes: int
+    unchanged: int
+
+
+def target_schema(cfg: TableConfig, value_types: dict[str, pa.DataType]) -> pa.Schema:
+    """Canonical target-table schema: PK + value columns + system columns
+    (reference: import_operations.py:2105 addHiveDBImportColumns)."""
+    fields = []
+    for c in cfg.pk + cfg.value_columns:
+        fields.append(pa.field(c, value_types[c]))
+    fields += [
+        pa.field(cfg.col_iud, pa.string()),
+        pa.field(cfg.col_insert, pa.timestamp("us")),
+        pa.field(cfg.col_update, pa.timestamp("us")),
+        pa.field(cfg.col_delete, pa.timestamp("us")),
+        pa.field(cfg.col_source, pa.string()),
+    ]
+    return pa.schema(fields)
+
+
+def empty_target(cfg: TableConfig, value_types: dict[str, pa.DataType]) -> pa.Table:
+    return pa.Table.from_pydict(
+        {f.name: [] for f in target_schema(cfg, value_types)},
+        schema=target_schema(cfg, value_types),
+    )
+
+
+def _differs(a: pa.ChunkedArray, b: pa.ChunkedArray) -> pa.ChunkedArray:
+    """Null-safe column inequality: differs when values differ, or exactly
+    one side is null (mirrors the generated ``<=>``-style predicates in
+    etl_operations.py:238-276)."""
+    neq = pc.fill_null(pc.not_equal(a, b), False)
+    return pc.or_(neq, pc.xor(pc.is_null(a), pc.is_null(b)))
+
+
+def _any_value_differs(j: pa.Table, value_cols: list[str]) -> pa.ChunkedArray:
+    acc = None
+    for c in value_cols:
+        d = _differs(j[c], j[c + _OLD])
+        acc = d if acc is None else pc.or_(acc, d)
+    return acc
+
+
+def _ts_scalar(merge_ts) -> pa.Scalar:
+    return pa.scalar(merge_ts, type=pa.timestamp("us"))
+
+
+def _const(n: int, scalar: pa.Scalar) -> pa.Array:
+    return pa.repeat(scalar, n)
+
+
+def _nulls(n: int, typ: pa.DataType) -> pa.Array:
+    return pa.nulls(n, type=typ)
+
+
+def merge_partition(
+    old: pa.Table | None,
+    events: pa.Table,
+    cfg: TableConfig,
+    merge_ts,
+) -> MergeResult:
+    """Apply one batch of (LWW-deduped) change events to one partition.
+
+    ``events`` columns: pk + value columns + ``op`` ('I'/'U'/'D') +
+    ``sequence_id``. For op='D' the value columns may be null (key-only
+    deletes, MSSQL-CT shape). ``old`` is the partition's current content in
+    target schema (or None for a new partition).
+
+    Mode semantics:
+    - MODE_CDC: ops are explicit; every matched I/U event updates.
+    - MODE_FULL: events are the full snapshot slice for this partition
+      (op forced to upsert); matched rows update only when a value column
+      differs or the row was soft-deleted; old keys absent from the snapshot
+      are deletes (the anti-join, etl_operations.py:362-393).
+    """
+    ts = _ts_scalar(merge_ts)
+    value_cols = cfg.value_columns
+    vtypes = {c: events.schema.field(c).type for c in cfg.pk + value_cols}
+    if old is None or old.num_rows == 0:
+        old = empty_target(cfg, vtypes)
+    # Drop partition/salt bookkeeping columns if present.
+    keep = cfg.pk + value_cols + [cfg.op_col, cfg.sequence_col]
+    events = events.select([c for c in keep if c in events.column_names])
+
+    old2 = old.rename_columns([c + _OLD if c in value_cols or c in cfg.system_columns else c for c in old.column_names])
+    old2 = old2.append_column(_EXISTS, _const(old2.num_rows, pa.scalar(True)))
+
+    j = events.join(old2, keys=cfg.pk, join_type="left outer")
+    exists = pc.fill_null(j[_EXISTS], False)
+    if cfg.mode == MODE_FULL:
+        is_del = _const(j.num_rows, pa.scalar(False, pa.bool_()))
+    else:
+        is_del = pc.equal(j[cfg.op_col], "D")
+    old_soft = pc.fill_null(pc.equal(j[cfg.col_iud + _OLD], "D"), False)
+
+    ins_mask = pc.and_(pc.invert(exists), pc.invert(is_del))
+    upd_mask = pc.and_(exists, pc.invert(is_del))
+    if cfg.mode == MODE_FULL:
+        # update only when any value column differs or row was soft-deleted
+        changed = pc.or_(_any_value_differs(j, value_cols), old_soft)
+        unchanged_mask = pc.and_(upd_mask, pc.invert(changed))
+        upd_mask = pc.and_(upd_mask, changed)
+    else:
+        unchanged_mask = _const(j.num_rows, pa.scalar(False, pa.bool_()))
+    del_mask = pc.and_(exists, is_del)  # delete of unknown key is a no-op
+
+    tgt_schema = target_schema(cfg, vtypes)
+    src = pa.scalar(cfg.source_tag)
+    null_ts = pa.scalar(None, type=pa.timestamp("us"))
+
+    def emit(part: pa.Table, cols: dict[str, pa.Array | pa.ChunkedArray]) -> pa.Table:
+        arrays = []
+        for f in tgt_schema:
+            a = cols[f.name]
+            if isinstance(a, pa.ChunkedArray):
+                a = a.combine_chunks()
+            arrays.append(a.cast(f.type) if a.type != f.type else a)
+        return pa.Table.from_arrays(arrays, schema=tgt_schema)
+
+    parts: list[pa.Table] = []
+    hist_parts: list[pa.Table] = []
+
+    # --- inserts -----------------------------------------------------------
+    ins = j.filter(ins_mask)
+    if ins.num_rows:
+        cols = {c: ins[c] for c in cfg.pk + value_cols}
+        cols[cfg.col_iud] = _const(ins.num_rows, pa.scalar("I"))
+        cols[cfg.col_insert] = _const(ins.num_rows, ts)
+        cols[cfg.col_update] = _nulls(ins.num_rows, pa.timestamp("us"))
+        cols[cfg.col_delete] = _nulls(ins.num_rows, pa.timestamp("us"))
+        cols[cfg.col_source] = _const(ins.num_rows, src)
+        ins_out = emit(ins, cols)
+        parts.append(ins_out)
+        hist_parts.append(ins_out)
+
+    # --- updates (incl. reinsert-after-soft-delete repair) -----------------
+    upd = j.filter(upd_mask)
+    if upd.num_rows:
+        soft = pc.fill_null(pc.equal(upd[cfg.col_iud + _OLD], "D"), False)
+        cols = {c: upd[c] for c in cfg.pk + value_cols}
+        cols[cfg.col_iud] = pc.if_else(soft, pa.scalar("I"), pa.scalar("U"))
+        cols[cfg.col_insert] = pc.if_else(soft, ts, upd[cfg.col_insert + _OLD])
+        cols[cfg.col_update] = pc.if_else(soft, null_ts, ts)
+        cols[cfg.col_delete] = _nulls(upd.num_rows, pa.timestamp("us"))
+        cols[cfg.col_source] = _const(upd.num_rows, src)
+        upd_out = emit(upd, cols)
+        parts.append(upd_out)
+        hist_parts.append(upd_out)
+
+    # --- explicit deletes (CDC) -------------------------------------------
+    dels = j.filter(del_mask)
+    if dels.num_rows:
+        # key-only delete events: row image comes from the OLD side
+        # (etl_operations.py:544-589 recovers old images for history).
+        cols = {c: dels[c] for c in cfg.pk}
+        for c in value_cols:
+            cols[c] = dels[c + _OLD]
+        cols[cfg.col_iud] = _const(dels.num_rows, pa.scalar("D"))
+        cols[cfg.col_insert] = dels[cfg.col_insert + _OLD]
+        cols[cfg.col_update] = dels[cfg.col_update + _OLD]
+        cols[cfg.col_delete] = _const(dels.num_rows, ts)
+        cols[cfg.col_source] = _const(dels.num_rows, src)
+        deleted_tbl = emit(dels, cols)
+        if cfg.soft_delete:
+            parts.append(deleted_tbl)
+        hist_parts.append(deleted_tbl)  # history keeps the old image w/ 'D'
+
+    # --- unchanged matched rows (full load) pass through unmodified --------
+    unchanged = j.filter(unchanged_mask)
+    if unchanged.num_rows:
+        cols = {c: unchanged[c] for c in cfg.pk}
+        for c in value_cols + cfg.system_columns:
+            cols[c] = unchanged[c + _OLD]
+        parts.append(emit(unchanged, cols))
+
+    # --- untouched old rows (keys not in this batch) -----------------------
+    untouched = old.join(events.select(cfg.pk), keys=cfg.pk, join_type="left anti")
+    if cfg.mode == MODE_FULL and untouched.num_rows:
+        # full-load anti-join deletes: present in target, absent from snapshot
+        # (etl_operations.py:362-393). Already-soft-deleted rows stay as-is.
+        live = pc.fill_null(pc.not_equal(untouched[cfg.col_iud], "D"), True)
+        newly_deleted = untouched.filter(live)
+        still = untouched.filter(pc.invert(live))
+        if newly_deleted.num_rows:
+            nd = newly_deleted.set_column(
+                newly_deleted.column_names.index(cfg.col_iud),
+                cfg.col_iud,
+                _const(newly_deleted.num_rows, pa.scalar("D")),
+            )
+            nd = nd.set_column(
+                nd.column_names.index(cfg.col_delete),
+                cfg.col_delete,
+                _const(nd.num_rows, ts),
+            )
+            hist_parts.append(nd.select(tgt_schema.names).cast(tgt_schema))
+            if cfg.soft_delete:
+                parts.append(nd.select(tgt_schema.names).cast(tgt_schema))
+            n_full_deletes = nd.num_rows
+        else:
+            n_full_deletes = 0
+        if still.num_rows:
+            parts.append(still.select(tgt_schema.names).cast(tgt_schema))
+    else:
+        n_full_deletes = 0
+        if untouched.num_rows:
+            parts.append(untouched.select(tgt_schema.names).cast(tgt_schema))
+
+    new_table = (
+        pa.concat_tables(parts) if parts else empty_target(cfg, vtypes)
+    )
+
+    # --- history: changed row-images + op + merge timestamp ----------------
+    # (etl_operations.py:318-360; history columns per import_operations.py:2393)
+    if hist_parts:
+        hist = pa.concat_tables([h.select(tgt_schema.names).cast(tgt_schema) for h in hist_parts])
+        hist = hist.select(cfg.pk + value_cols + [cfg.col_source, cfg.col_iud])
+        hist = hist.append_column(cfg.col_timestamp, _const(hist.num_rows, ts))
+    else:
+        hist = pa.Table.from_pydict(
+            {c: [] for c in cfg.pk + value_cols + [cfg.col_source, cfg.col_iud, cfg.col_timestamp]},
+            schema=pa.schema(
+                [pa.field(c, vtypes[c]) for c in cfg.pk + value_cols]
+                + [
+                    pa.field(cfg.col_source, pa.string()),
+                    pa.field(cfg.col_iud, pa.string()),
+                    pa.field(cfg.col_timestamp, pa.timestamp("us")),
+                ]
+            ),
+        )
+
+    return MergeResult(
+        table=new_table,
+        history=hist,
+        inserts=ins.num_rows,
+        updates=upd.num_rows,
+        deletes=dels.num_rows + n_full_deletes,
+        unchanged=unchanged.num_rows,
+    )

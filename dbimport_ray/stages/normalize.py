@@ -1,0 +1,74 @@
+"""Event-batch normalizer — projection, rename, cast, sanitize, partition.
+
+The Ray-native analogue of DBImport's generated select-view over the import
+table: column projection + rename (import_config.py:2566
+``getSQLtoReadFromSource``), type-cast view (import_config.py:3188
+``getSelectForImportView``), and column-name sanitation
+(common_operations.py:680-711). Runs as a single stateless
+``map_batches(batch_format='pyarrow')`` stage: align the batch to the
+unified (evolved) schema, then stamp the stable partition id.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+from ..state.schema_evolution import align_to_schema
+from .partitioning import add_partition_id
+
+# --- column-name sanitizer (common_operations.py:680-711) -------------------
+_SANITIZE_RULES = [
+    (r"\s", "_"),
+    (r"%", "pct"),
+    (r"[()]", "_"),
+    (r"#", "hash"),
+    (r"å", "a"),
+    (r"ä", "a"),
+    (r"ö", "o"),
+    (r"Å", "A"),
+    (r"Ä", "A"),
+    (r"Ö", "O"),
+]
+
+
+def sanitize_column_name(name: str) -> str:
+    for pat, rep in _SANITIZE_RULES:
+        name = re.sub(pat, rep, name)
+    if name.startswith("_"):
+        name = "underscore" + name
+    return name.lower()
+
+
+def sanitize_schema(table: pa.Table) -> pa.Table:
+    return table.rename_columns([sanitize_column_name(c) for c in table.column_names])
+
+
+class NormalizeBatch:
+    """Callable for ``map_batches`` — stateless, cheap to pickle.
+
+    ``unified`` is the evolved PK+value schema for this batch,
+    ``renames`` the cumulative rename history (manifest), ``passthrough``
+    the op/sequence columns to keep.
+    """
+
+    def __init__(
+        self,
+        unified: pa.Schema,
+        renames: dict[str, str],
+        passthrough: list[str],
+        pk: list[str],
+        num_partitions: int,
+    ):
+        self.unified = unified
+        self.renames = dict(renames)
+        self.passthrough = list(passthrough)
+        self.pk = list(pk)
+        self.num_partitions = num_partitions
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = align_to_schema(
+            batch, self.unified, self.renames, keep_extra=self.passthrough
+        )
+        return add_partition_id(out, self.pk, self.num_partitions)

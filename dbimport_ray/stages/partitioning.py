@@ -1,0 +1,61 @@
+"""Key partitioning — stable hash of the PK onto a fixed partition space.
+
+DBImport shards source reads by uniform ranges of a split column
+(reference: import_config.py:2988 ``generateSqoopSplitBy``, :3054
+``getMinMaxBoundaryValues``) which skews on non-uniform keys. We instead
+hash-partition on the full PK tuple — ``pid = hash(repo, path) % P`` — which
+spreads a hot repo across partitions by path (SURVEY.md §4.2 "skew").
+
+The hash MUST be stable across runs and library versions because partition
+files persist across batches: we use pandas' SipHash-based ``hash_array``
+with a pinned hash key (deterministic, vectorized in C, and independent of
+PYTHONHASHSEED).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+PID_COL = "_pid"
+_HASH_KEY = "dbimport_ray_p16"  # exactly 16 bytes; pinned forever
+
+
+def key_hash(table: pa.Table, pk: list[str]) -> np.ndarray:
+    """Vectorized stable 64-bit hash of the PK tuple per row."""
+    joined = pc.binary_join_element_wise(
+        *[pc.cast(table[c], pa.string()) for c in pk], "\x1f"
+    )
+    arr = joined.to_numpy(zero_copy_only=False)
+    return pd.util.hash_array(arr, hash_key=_HASH_KEY)
+
+
+def add_partition_id(table: pa.Table, pk: list[str], num_partitions: int) -> pa.Table:
+    """map_batches stage: append ``_pid = hash(pk) % P`` (int32)."""
+    pid = (key_hash(table, pk) % np.uint64(num_partitions)).astype(np.int32)
+    if PID_COL in table.column_names:
+        table = table.drop_columns([PID_COL])
+    return table.append_column(PID_COL, pa.array(pid, type=pa.int32()))
+
+
+def add_salted_partition_id(
+    table: pa.Table,
+    pk: list[str],
+    num_partitions: int,
+    salt: int,
+    sequence_col: str,
+) -> pa.Table:
+    """Salted variant for hot-key batches: spread one (key) across ``salt``
+    sub-groups by sequence so a first-stage LWW pre-reduce can run in
+    parallel, then a second stage combines (SURVEY.md §7.4; north_rule
+    "skewed repos are salted and split"). The salt is derived from the
+    sequence id so it is deterministic.
+    """
+    base = key_hash(table, pk) % np.uint64(num_partitions)
+    seq = table[sequence_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    salted = base * np.uint64(salt) + (seq.astype(np.uint64) % np.uint64(salt))
+    if PID_COL in table.column_names:
+        table = table.drop_columns([PID_COL])
+    return table.append_column(PID_COL, pa.array(salted.astype(np.int64), type=pa.int64()))

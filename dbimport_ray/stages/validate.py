@@ -1,0 +1,49 @@
+"""Row-count validation with DBImport's sqrt-n tolerance band.
+
+Reference: ``validateRowCount`` (bin/DBImportConfig/import_config.py:2728)
+compares source vs import vs target counts; the allowed drift is
+``rows * 50 / (100 * sqrt(rows))`` (import_config.py:2807), overridable per
+table via ``validate_diff_allowed`` (configSchema.py:714). Validation
+failure blocks the watermark commit and rolls the stage back (bin/import
+failure-recovery maps, SURVEY.md §3.1).
+"""
+
+from __future__ import annotations
+
+import math
+
+
+class ValidationError(RuntimeError):
+    pass
+
+
+def allowed_diff(rows: int, override: int | None = None) -> int:
+    """The sqrt-n band (import_config.py:2807)."""
+    if override is not None:
+        return int(override)
+    if rows <= 0:
+        return 0
+    return int(rows * 50 / (100 * math.sqrt(rows)))
+
+
+def validate_row_count(
+    source_rows: int,
+    target_rows: int,
+    override: int | None = None,
+    what: str = "target",
+) -> None:
+    band = allowed_diff(source_rows, override)
+    if abs(source_rows - target_rows) > band:
+        raise ValidationError(
+            f"{what} row-count validation failed: source={source_rows} "
+            f"{what}={target_rows} allowed_diff={band} "
+            "(import_config.py:2728 validateRowCount)"
+        )
+
+
+def validate_exact(expected: int, actual: int, what: str) -> None:
+    """The engine's internal ledger check: manifest row counts must equal
+    old + inserts − hard-deletes exactly; any drift is a merge bug, so no
+    band applies."""
+    if expected != actual:
+        raise ValidationError(f"{what}: expected {expected} rows, got {actual}")

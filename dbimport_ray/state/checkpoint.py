@@ -1,0 +1,108 @@
+"""Watermark + stage checkpoint — DBImport's pending/committed protocol.
+
+Reference semantics:
+- The incremental watermark pair ``incr_minvalue/maxvalue`` plus their
+  ``*_pending`` twins live in ``import_tables``
+  (bin/DBImportConfig/configSchema.py:728-731).
+- Pending values are written BEFORE the load starts
+  (import_config.py:2191-2196 inside ``getIncrWhereStatement``), and promoted
+  to committed only after validation succeeds (``saveIncrPendingValues``
+  import_config.py:1086-1109).
+- On crash-resume, the effective watermark is COALESCE(pending, committed)
+  so re-validation sees the in-flight range (import_config.py:2204-2208).
+- The stage number makes every pipeline step idempotently re-enterable
+  (import_stage.py:906 ``setStage`` / :850 ``getStage``).
+
+Here the checkpoint is one JSON file per table, written atomically.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict, dataclass
+
+from .manifest import _atomic_write_json
+
+# Stage numbers loosely mirror bin/import's stage space (SURVEY.md §3.1).
+STAGE_IDLE = 0
+STAGE_LOADING = 1010  # events being read/merged (import phase)
+STAGE_MERGED = 3208  # all partitions merged, manifest staged
+STAGE_VALIDATED = 3210  # validation passed
+STAGE_DONE = 9999
+
+
+@dataclass
+class Checkpoint:
+    table: str
+    committed_seq: int = -1
+    pending_seq: int | None = None
+    pending_version: int | None = None
+    stage: int = STAGE_IDLE
+    retries: int = 0
+
+    @property
+    def effective_seq(self) -> int:
+        """COALESCE(pending, committed) — import_config.py:2204-2208."""
+        return self.pending_seq if self.pending_seq is not None else self.committed_seq
+
+
+class CheckpointStore:
+    def __init__(self, table_root: str, table: str):
+        self.path = os.path.join(table_root, "_checkpoint.json")
+        self.table = table
+
+    def load(self) -> Checkpoint:
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                return Checkpoint(**json.load(f))
+        return Checkpoint(table=self.table)
+
+    def save(self, cp: Checkpoint) -> None:
+        _atomic_write_json(self.path, asdict(cp))
+
+    def begin_batch(self, pending_seq: int, pending_version: int) -> Checkpoint:
+        """Write pending watermark BEFORE loading (import_config.py:2191)."""
+        cp = self.load()
+        if cp.pending_seq is not None and cp.pending_seq != pending_seq:
+            raise RuntimeError(
+                f"in-flight batch exists (pending_seq={cp.pending_seq}); "
+                "resume or abort it before starting a new range"
+            )
+        cp.pending_seq = pending_seq
+        cp.pending_version = pending_version
+        cp.stage = STAGE_LOADING
+        cp.retries = cp.retries + (1 if cp.stage == STAGE_LOADING else 0)
+        self.save(cp)
+        return cp
+
+    def set_stage(self, stage: int) -> Checkpoint:
+        cp = self.load()
+        cp.stage = stage
+        self.save(cp)
+        return cp
+
+    def commit_batch(self) -> Checkpoint:
+        """Promote pending → committed AFTER validation
+        (saveIncrPendingValues, import_config.py:1086-1109)."""
+        cp = self.load()
+        if cp.pending_seq is None:
+            raise RuntimeError("no pending batch to commit")
+        cp.committed_seq = cp.pending_seq
+        cp.pending_seq = None
+        cp.pending_version = None
+        cp.stage = STAGE_DONE
+        cp.retries = 0
+        self.save(cp)
+        return cp
+
+    def reset_incremental(self, to_seq: int) -> Checkpoint:
+        """manage --resetIncrementalImport analogue
+        (import_operations.py:3276): re-point the watermark."""
+        cp = self.load()
+        cp.committed_seq = to_seq
+        cp.pending_seq = None
+        cp.pending_version = None
+        cp.stage = STAGE_IDLE
+        self.save(cp)
+        return cp

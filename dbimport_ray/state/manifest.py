@@ -1,0 +1,220 @@
+"""Lake-table manifest — the commit point of the engine.
+
+Replaces DBImport's Hive metastore + ACID/Iceberg table state: readers only
+ever follow ``_manifest.json``; writers stage everything (partition files,
+history files, per-partition done-markers) and then atomically rename a
+pending manifest over the committed one. That rename is the single commit
+point, making the whole batch exactly-once under task retries (SURVEY.md
+§4.2 "exactly-once commit"; analogue of DBImport's staging-overwrite +
+post-validation watermark promotion, import_operations.py:1404 and
+import_config.py:1086).
+
+Layout of one table under ``lake_root/<table>/``::
+
+    _manifest.json          # committed state (version, schema, partitions)
+    _manifest.pending.json  # staged next version (2PC phase 1)
+    _checkpoint.json        # watermarks (see checkpoint.py)
+    _pending/v<ver>/pid-<pid>.json   # per-partition done markers (resume)
+    data/part-<pid>-v<ver>.parquet   # one file per partition per version
+    history/hist-<pid>-v<ver>.parquet
+    _metrics.jsonl          # import_statistics analogue, one line per batch
+
+Partition files are immutable; a new batch writes new versions only for the
+partitions it touches and carries forward the untouched entries — at 100 TB
+this means a batch's IO is proportional to the touched key-space, not the
+table size.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict, dataclass, field
+from typing import Any
+
+import pyarrow as pa
+
+
+def _atomic_write_json(path: str, obj: Any) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def schema_to_json(schema: pa.Schema) -> list[dict]:
+    return [{"name": f.name, "type": str(f.type)} for f in schema]
+
+
+def schema_from_json(fields: list[dict]) -> pa.Schema:
+    # str(type) round-trips for the scalar vocabulary we support
+    import pyarrow as pa
+
+    lookup = {
+        "string": pa.string(),
+        "large_string": pa.large_string(),
+        "binary": pa.binary(),
+        "bool": pa.bool_(),
+        "int8": pa.int8(),
+        "int16": pa.int16(),
+        "int32": pa.int32(),
+        "int64": pa.int64(),
+        "float": pa.float32(),
+        "double": pa.float64(),
+        "date32[day]": pa.date32(),
+        "timestamp[us]": pa.timestamp("us"),
+    }
+
+    def parse(t: str) -> pa.DataType:
+        if t in lookup:
+            return lookup[t]
+        if t.startswith("decimal128"):
+            inner = t[t.index("(") + 1 : t.index(")")]
+            p, s = (int(x) for x in inner.split(","))
+            return pa.decimal128(p, s)
+        raise ValueError(f"unsupported manifest type {t!r}")
+
+    return pa.schema([pa.field(f["name"], parse(f["type"])) for f in fields])
+
+
+@dataclass
+class PartitionEntry:
+    file: str  # relative to table root
+    rows: int
+    bytes: int
+    version: int  # version that last rewrote this partition
+
+
+@dataclass
+class Manifest:
+    table: str
+    version: int = 0
+    committed_seq: int = -1
+    schema: list[dict] = field(default_factory=list)  # value+pk columns only
+    # cumulative rename history {old_name: new_name} so files written under
+    # any prior schema can be aligned on read (schema_evolution.py)
+    renames: dict[str, str] = field(default_factory=dict)
+    partitions: dict[str, dict] = field(default_factory=dict)  # pid -> PartitionEntry dict
+    history_files: list[str] = field(default_factory=list)
+    num_partitions: int = 0
+
+    def arrow_schema(self) -> pa.Schema | None:
+        return schema_from_json(self.schema) if self.schema else None
+
+    def total_rows(self) -> int:
+        return sum(p["rows"] for p in self.partitions.values())
+
+
+class TableStore:
+    """Filesystem layout + 2PC commit protocol for one lake table."""
+
+    def __init__(self, lake_root: str, table: str):
+        self.root = os.path.join(lake_root, table)
+        self.table = table
+        os.makedirs(os.path.join(self.root, "data"), exist_ok=True)
+        os.makedirs(os.path.join(self.root, "history"), exist_ok=True)
+
+    # --- paths -------------------------------------------------------------
+    @property
+    def manifest_path(self) -> str:
+        return os.path.join(self.root, "_manifest.json")
+
+    @property
+    def pending_manifest_path(self) -> str:
+        return os.path.join(self.root, "_manifest.pending.json")
+
+    def part_file(self, pid: int, version: int) -> str:
+        return f"data/part-{pid:05d}-v{version:06d}.parquet"
+
+    def history_file(self, pid: int, version: int) -> str:
+        return f"history/hist-{pid:05d}-v{version:06d}.parquet"
+
+    def marker_dir(self, version: int) -> str:
+        return os.path.join(self.root, "_pending", f"v{version:06d}")
+
+    def marker_path(self, version: int, pid: int) -> str:
+        return os.path.join(self.marker_dir(version), f"pid-{pid:05d}.json")
+
+    def abs_path(self, rel: str) -> str:
+        return os.path.join(self.root, rel)
+
+    # --- manifest I/O ------------------------------------------------------
+    def load_manifest(self) -> Manifest:
+        if os.path.exists(self.manifest_path):
+            with open(self.manifest_path) as f:
+                d = json.load(f)
+            return Manifest(**d)
+        return Manifest(table=self.table)
+
+    def load_pending_manifest(self) -> Manifest | None:
+        if os.path.exists(self.pending_manifest_path):
+            with open(self.pending_manifest_path) as f:
+                return Manifest(**json.load(f))
+        return None
+
+    def stage_manifest(self, m: Manifest) -> None:
+        """2PC phase 1: stage the next version."""
+        _atomic_write_json(self.pending_manifest_path, asdict(m))
+
+    def commit_manifest(self) -> Manifest:
+        """2PC phase 2: atomic rename pending → committed."""
+        os.replace(self.pending_manifest_path, self.manifest_path)
+        return self.load_manifest()
+
+    def abort_pending(self) -> None:
+        if os.path.exists(self.pending_manifest_path):
+            os.remove(self.pending_manifest_path)
+
+    # --- per-partition done markers (mid-batch resume granularity) ---------
+    def write_marker(self, version: int, pid: int, metrics: dict) -> None:
+        os.makedirs(self.marker_dir(version), exist_ok=True)
+        _atomic_write_json(self.marker_path(version, pid), metrics)
+
+    def read_marker(self, version: int, pid: int) -> dict | None:
+        p = self.marker_path(version, pid)
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return None
+
+    def clear_markers(self, version: int) -> None:
+        d = self.marker_dir(version)
+        if os.path.isdir(d):
+            for fn in os.listdir(d):
+                os.remove(os.path.join(d, fn))
+            os.rmdir(d)
+
+    # --- metrics (import_statistics analogue, configSchema.py:489) ---------
+    def append_metrics(self, record: dict) -> None:
+        with open(os.path.join(self.root, "_metrics.jsonl"), "a") as f:
+            f.write(json.dumps(record, sort_keys=True) + "\n")
+
+    def read_metrics(self) -> list[dict]:
+        p = os.path.join(self.root, "_metrics.jsonl")
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    # --- version GC (purgeIcebergVersions analogue,
+    #     import_operations.py:1513) ---------------------------------------
+    def purge_old_versions(self, keep_versions: int = 2) -> list[str]:
+        m = self.load_manifest()
+        live = {p["file"] for p in m.partitions.values()}
+        removed = []
+        cutoff = m.version - keep_versions
+        data_dir = os.path.join(self.root, "data")
+        for fn in os.listdir(data_dir):
+            rel = f"data/{fn}"
+            if rel in live:
+                continue
+            try:
+                ver = int(fn.split("-v")[1].split(".")[0])
+            except (IndexError, ValueError):
+                continue
+            if ver <= cutoff:
+                os.remove(os.path.join(data_dir, fn))
+                removed.append(rel)
+        return removed

@@ -1,0 +1,183 @@
+"""Hive-style schema evolution, manifest-native.
+
+Reference: ``updateHiveTable`` → ``updateHiveTableColumns``
+(bin/DBImportOperation/import_operations.py:2661-2960), which reconciles the
+freshly-read source schema against the live Hive table each run:
+
+- **add** (:2810-2830): source columns missing from the target are ADDed.
+- **rename by position** (:2737-2806): when the column COUNTS match and some
+  names differ, columns are matched by position and renamed; when exactly one
+  column differs on each side, it is renamed (and possibly retyped) even if
+  counts differ — the "single-column fallback".
+- **widen / type change** (:2871-2930): column type changed → ALTER CHANGE
+  when the engine supports it. We allow lossless widenings only
+  (int8→int16→int32→int64, float32→float64, int→float64, any→string is NOT
+  automatic); anything else raises, mirroring the reference's restriction
+  that destructive changes need a full reload.
+
+Instead of ALTER statements, evolution here = compute a new unified
+``pyarrow.Schema`` + a rename map, store both in the manifest, and align old
+partition files to the current schema on read (``align_to_schema``): missing
+columns are null-filled, renamed columns are mapped through the cumulative
+rename history, widened columns are cast. Old files are never rewritten
+until their partition is next touched by a merge.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_WIDEN_ORDER = {
+    pa.int8(): 0,
+    pa.int16(): 1,
+    pa.int32(): 2,
+    pa.int64(): 3,
+}
+_FLOAT_ORDER = {pa.float32(): 0, pa.float64(): 1}
+
+
+def can_widen(src: pa.DataType, dst: pa.DataType) -> bool:
+    if src == dst:
+        return True
+    if src in _WIDEN_ORDER and dst in _WIDEN_ORDER:
+        return _WIDEN_ORDER[src] < _WIDEN_ORDER[dst]
+    if src in _FLOAT_ORDER and dst in _FLOAT_ORDER:
+        return _FLOAT_ORDER[src] < _FLOAT_ORDER[dst]
+    if src in _WIDEN_ORDER and dst == pa.float64():
+        return True
+    return False
+
+
+def widened(a: pa.DataType, b: pa.DataType) -> pa.DataType:
+    if can_widen(a, b):
+        return b
+    if can_widen(b, a):
+        return a
+    raise TypeError(f"incompatible type change {a} → {b} (needs full reload, "
+                    "reference import_operations.py:2871-2930)")
+
+
+@dataclass
+class EvolutionPlan:
+    added: list[str] = field(default_factory=list)
+    renamed: dict[str, str] = field(default_factory=dict)  # old -> new
+    widened: dict[str, str] = field(default_factory=dict)  # col -> new type str
+    unified: pa.Schema | None = None
+
+    @property
+    def changed(self) -> bool:
+        return bool(self.added or self.renamed or self.widened)
+
+
+def plan_evolution(
+    current: pa.Schema, incoming: pa.Schema, pk: list[str]
+) -> EvolutionPlan:
+    """Diff the live (manifest) schema against this batch's event schema.
+
+    ``current``/``incoming`` cover PK + value columns only (no system/op/seq
+    columns). PK columns must never change.
+    """
+    plan = EvolutionPlan()
+    cur_names = list(current.names)
+    inc_names = list(incoming.names)
+    for k in pk:
+        if k not in inc_names:
+            raise ValueError(f"incoming batch lost PK column {k!r}")
+
+    cur_set, inc_set = set(cur_names), set(inc_names)
+    renames: dict[str, str] = {}
+    if cur_set != inc_set:
+        missing_from_inc = [c for c in cur_names if c not in inc_set]
+        new_in_inc = [c for c in inc_names if c not in cur_set]
+        if len(cur_names) == len(inc_names) and missing_from_inc:
+            # counts equal → positional rename (import_operations.py:2737-2774)
+            for pos, (old_n, new_n) in enumerate(zip(cur_names, inc_names)):
+                if old_n != new_n:
+                    if old_n in inc_set or new_n in cur_set:
+                        raise ValueError(
+                            f"ambiguous rename at position {pos}: {old_n}→{new_n}"
+                        )
+                    renames[old_n] = new_n
+        elif len(missing_from_inc) == 1 and len(new_in_inc) == 1:
+            # single-column fallback (:2774-2801): one disappeared, one
+            # appeared → treat as rename (+ possible retype) regardless of
+            # position.
+            renames[missing_from_inc[0]] = new_in_inc[0]
+        else:
+            # pure adds (:2810-2830); columns never get dropped from the lake
+            if missing_from_inc:
+                remaining = [c for c in missing_from_inc]
+                if remaining and not new_in_inc:
+                    # incoming batch simply lacks some columns → they stay,
+                    # null-filled for new rows (no plan entry needed)
+                    pass
+                elif remaining:
+                    raise ValueError(
+                        f"cannot reconcile schemas: target-only={missing_from_inc} "
+                        f"incoming-only={new_in_inc}"
+                    )
+            plan.added = new_in_inc
+
+    plan.renamed = renames
+
+    # unified schema: current order with renames applied, types widened,
+    # then added columns appended
+    fields: list[pa.Field] = []
+    for f in current:
+        name = renames.get(f.name, f.name)
+        if name in incoming.names:
+            new_t = widened(f.type, incoming.field(name).type)
+            if new_t != f.type:
+                plan.widened[name] = str(new_t)
+            fields.append(pa.field(name, new_t))
+        else:
+            fields.append(pa.field(name, f.type))
+    present = {f.name for f in fields}
+    for c in plan.added:
+        fields.append(pa.field(c, incoming.field(c).type))
+        present.add(c)
+    plan.unified = pa.schema(fields)
+    return plan
+
+
+def align_to_schema(
+    table: pa.Table,
+    target: pa.Schema,
+    renames: dict[str, str],
+    keep_extra: list[str] = (),
+) -> pa.Table:
+    """Cast a table (possibly written under an older schema version) to the
+    current schema: apply the cumulative rename history, cast widened
+    columns, null-fill added columns. ``keep_extra`` columns (system columns
+    of target files, op/seq of event batches) pass through untouched."""
+    # apply rename chain old→...→current
+    flat: dict[str, str] = {}
+    for old, new in renames.items():
+        final = new
+        while final in renames:  # chains from successive renames
+            nxt = renames[final]
+            if nxt == final:
+                break
+            final = nxt
+        flat[old] = final
+    cols = {}
+    have = set(table.column_names)
+    for name in table.column_names:
+        cols[flat.get(name, name)] = table[name]
+    arrays, names = [], []
+    n = table.num_rows
+    for f in target:
+        if f.name in cols:
+            a = cols[f.name]
+            arrays.append(a.cast(f.type) if a.type != f.type else a)
+        else:
+            arrays.append(pa.nulls(n, type=f.type))
+        names.append(f.name)
+    for extra in keep_extra:
+        if extra in have and extra not in names:
+            arrays.append(table[extra])
+            names.append(extra)
+    return pa.table(dict(zip(names, arrays)))

@@ -1,0 +1,126 @@
+"""End-to-end conformance: engine replay vs sequential oracle.
+
+The correctness gate from BASELINE.json input_hint: after full replay the
+engine's final table state must match the reference semantics per-row —
+verified as key-sorted sha256(content) equality plus system-column equality
+(FIXTURES.md F6 oracle description).
+"""
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from dbimport_ray import CDCEngine, repo_files_config
+from dbimport_ray.datagen import generate_events
+from dbimport_ray.oracle import SequentialOracle
+from dbimport_ray.pipelines.cdc import deterministic_merge_ts
+
+
+def _row_digest(table: pa.Table, pk: list[str]) -> dict[tuple, str]:
+    out = {}
+    for r in table.to_pylist():
+        key = tuple(r[k] for k in pk)
+        content = r.get("content")
+        out[key] = (
+            hashlib.sha256((content or "\x00NULL").encode()).hexdigest(),
+            r.get("datalake_iud"),
+            r.get("datalake_insert"),
+            r.get("datalake_update"),
+            r.get("datalake_delete"),
+        )
+    return out
+
+
+def _assert_equivalent(engine_tbl, oracle_tbl, pk):
+    got = _row_digest(engine_tbl, pk)
+    want = _row_digest(oracle_tbl, pk)
+    assert len(got) == len(want), f"row count {len(got)} != oracle {len(want)}"
+    mismatches = [k for k in want if got.get(k) != want[k]]
+    assert not mismatches, f"{len(mismatches)} mismatched keys, e.g. {mismatches[:3]}: got {got[mismatches[0]]} want {want[mismatches[0]]}"
+
+
+@pytest.fixture(scope="module")
+def events_file(tmp_path_factory):
+    p = tmp_path_factory.mktemp("cdc") / "events.parquet"
+    generate_events(str(p), num_keys=1000, num_events=5000, seed=42)
+    return str(p)
+
+
+def _oracle_upto(cfg, events_file, boundaries):
+    ora = SequentialOracle(cfg)
+    full = pq.read_table(events_file)
+    lo = -1
+    for hi in boundaries:
+        mask = pa.compute.and_(
+            pa.compute.greater(full["sequence_id"], lo),
+            pa.compute.less_equal(full["sequence_id"], hi),
+        )
+        ora.apply_batch(full.filter(mask), deterministic_merge_ts(hi))
+        lo = hi
+    return ora
+
+
+def test_single_batch_replay_matches_oracle(events_file, tmp_path):
+    cfg = repo_files_config(num_partitions=8)
+    eng = CDCEngine(str(tmp_path / "lake"), cfg)
+    res = eng.replay(events_file)
+    assert res["status"] == "committed"
+    ora = _oracle_upto(cfg, events_file, [4999])
+    _assert_equivalent(eng.arrow(), ora.table(), cfg.pk)
+
+
+def test_multi_batch_replay_matches_oracle(events_file, tmp_path):
+    cfg = repo_files_config(num_partitions=8)
+    eng = CDCEngine(str(tmp_path / "lake"), cfg)
+    boundaries = [999, 2499, 4999]
+    for b in boundaries:
+        res = eng.replay(events_file, upto_seq=b)
+        assert res["status"] == "committed"
+    ora = _oracle_upto(cfg, events_file, boundaries)
+    _assert_equivalent(eng.arrow(), ora.table(), cfg.pk)
+    # watermark advanced & replay of consumed range is a no-op
+    assert eng.replay(events_file, upto_seq=4999)["status"] == "noop"
+
+
+def test_history_audit_matches_oracle(events_file, tmp_path):
+    cfg = repo_files_config(num_partitions=4)
+    eng = CDCEngine(str(tmp_path / "lake"), cfg)
+    eng.replay(events_file, upto_seq=2000)
+    eng.replay(events_file, upto_seq=4999)
+    ora = _oracle_upto(cfg, events_file, [2000, 4999])
+    hist = eng.history()
+    want = ora.history_table()
+    assert hist.num_rows == want.num_rows
+    # history is an append-only multiset of (key, op, ts, content-hash)
+    def hset(t):
+        return sorted(
+            (
+                r["repo"],
+                r["path"],
+                r["datalake_iud"],
+                r["datalake_timestamp"],
+                hashlib.sha256((r.get("content") or "\x00NULL").encode()).hexdigest(),
+            )
+            for r in t.to_pylist()
+        )
+
+    assert hset(hist) == hset(want)
+
+
+def test_hard_delete_mode(events_file, tmp_path):
+    cfg = repo_files_config(num_partitions=4, soft_delete=False, history=False)
+    eng = CDCEngine(str(tmp_path / "lake"), cfg)
+    eng.replay(events_file)
+    ora = SequentialOracle(cfg)
+    full = pq.read_table(events_file)
+    ora.apply_batch(full, deterministic_merge_ts(4999))
+    _assert_equivalent(eng.arrow(), ora.table(), cfg.pk)
+    tbl = eng.arrow()
+    assert (
+        pa.compute.sum(
+            pa.compute.cast(pa.compute.equal(tbl["datalake_iud"], "D"), pa.int64())
+        ).as_py()
+        or 0
+    ) == 0
