@@ -1,0 +1,118 @@
+"""Anonymization kernels — DBImport's three column anonymization functions
+(reference: bin/common/sparkUDF2.py) re-expressed as vectorized batch
+kernels for ``map_batches(batch_format='pyarrow')``.
+
+- ``hash_column``      — seeded hex digest of the value (sparkUDF2.py:78-87
+  ``hashColumn``; reference uses seeded blake2b-32; we default to
+  sha256(seed||value) so the result is reproducible by any SQL engine, and
+  keep blake2b as an option for byte-parity with the reference).
+- ``mask_column``      — every non-space char → ``*`` (sparkUDF2.py:89-100).
+- ``first4_column``    — keep the first 4 chars, star the rest
+  (sparkUDF2.py:102-113).
+
+Applied per column according to ``TableConfig.anonymize``
+({column: "hash"|"mask"|"first4"}), mirroring
+``import_columns.anonymization_function`` (configSchema.py:916-947) applied
+during the spark import (import_operations.py:1383-1399).
+
+All kernels are null-preserving and vectorized (pyarrow.compute / hashlib
+over a numpy object array — no per-row Python in the Arrow paths; the hash
+kernel's digest loop is C-backed hashlib over encoded bytes).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _as_chunked(col: pa.Array | pa.ChunkedArray) -> pa.ChunkedArray:
+    if isinstance(col, pa.Array):
+        return pa.chunked_array([col])
+    return col
+
+
+def hash_column(
+    col: pa.Array | pa.ChunkedArray,
+    seed: str = "",
+    algo: str = "sha256",
+) -> pa.ChunkedArray:
+    """Seeded hex-digest of each value. ``algo='blake2b'`` gives the
+    reference's blake2b(digest_size=32) behavior (sparkUDF2.py:78-87);
+    ``sha256`` (default) is SQL-reproducible (DuckDB ``sha256()``)."""
+    out_chunks = []
+    seed_b = seed.encode()
+    for chunk in _as_chunked(col).chunks:
+        s = pc.cast(chunk, pa.string())
+        vals = s.to_numpy(zero_copy_only=False)
+        res = np.empty(len(vals), dtype=object)
+        if algo == "blake2b":
+            for i, v in enumerate(vals):
+                res[i] = (
+                    None
+                    if v is None
+                    else hashlib.blake2b((seed + v).encode(), digest_size=32).hexdigest()
+                )
+        else:
+            for i, v in enumerate(vals):
+                res[i] = (
+                    None
+                    if v is None
+                    else hashlib.sha256(seed_b + v.encode()).hexdigest()
+                )
+        out_chunks.append(pa.array(res, type=pa.string()))
+    return pa.chunked_array(out_chunks)
+
+
+def mask_column(col: pa.Array | pa.ChunkedArray) -> pa.ChunkedArray:
+    """Every non-space character → ``*`` (sparkUDF2.py:89-100). Pure
+    pyarrow.compute — zero Python per row."""
+    s = pc.cast(_as_chunked(col), pa.string())
+    return pc.replace_substring_regex(s, r"\S", "*")
+
+
+def first4_column(col: pa.Array | pa.ChunkedArray) -> pa.ChunkedArray:
+    """Keep the first 4 characters, star the rest (sparkUDF2.py:102-113)."""
+    s = pc.cast(_as_chunked(col), pa.string())
+    head = pc.utf8_slice_codeunits(s, 0, 4)
+    tail = pc.utf8_slice_codeunits(s, 4, 2**31 - 1)
+    starred = pc.replace_substring_regex(tail, r".", "*")
+    return pc.binary_join_element_wise(head, starred, "")
+
+
+KERNELS = {
+    "hash": hash_column,
+    "mask": lambda col, seed="", algo=None: mask_column(col),
+    "first4": lambda col, seed="", algo=None: first4_column(col),
+}
+
+
+def apply_anonymization(
+    table: pa.Table,
+    spec: dict[str, str],
+    seed: str = "",
+    hash_algo: str = "sha256",
+) -> pa.Table:
+    """map_batches stage body: apply per-column anonymization spec
+    ({column: "hash"|"mask"|"first4"})."""
+    for col_name, fn_name in spec.items():
+        if col_name not in table.column_names:
+            continue
+        fn = KERNELS[fn_name]
+        new = fn(table[col_name], seed=seed, algo=hash_algo)
+        table = table.set_column(
+            table.column_names.index(col_name), col_name, new
+        )
+    return table
+
+
+def make_anonymize_stage(spec: dict[str, str], seed: str = "", hash_algo: str = "sha256"):
+    """Returns a ``map_batches(fn, batch_format='pyarrow')`` stage body."""
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        return apply_anonymization(batch, spec, seed=seed, hash_algo=hash_algo)
+
+    return _fn

@@ -1,0 +1,208 @@
+"""Text-analysis kernels for large-scale training-data pipelines.
+
+These go beyond the reference's operator set (DBImport has no text plane —
+its scalar surface is type normalization + 3 anonymization UDFs,
+SURVEY.md §2.8); they are the text-quality operations a 100 TB
+document-processing pipeline needs, built the same way as every other stage
+here: vectorized pyarrow.compute kernels inside
+``map_batches(batch_format='pyarrow')``, no per-row Python in hot paths.
+
+Kernels:
+- ``token_count``        — whitespace tokens (``\\S+`` match count).
+- ``bpe_token_count``    — BPE-ish sub-token count via an RE2-compatible
+                           pattern (letters-run | digit | punctuation).
+- ``quality_metrics``    — n_chars / n_tokens / punct ratio / stopword
+                           ratio / mean token length.
+- ``lang_id``            — n-gram/stopword-profile language heuristic
+                           (stateful profile → actor-pool stage).
+- ``fingerprint64``      — 64-bit polynomial rolling-hash document
+                           fingerprint over normalized tokens.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# RE2-compatible (no lookahead) so the same pattern runs in Arrow and DuckDB.
+TOKEN_RE = r"\S+"
+BPE_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+PUNCT_RE = r"[^\w\s]"
+
+STOPWORDS = (
+    "the a an and or of to in is are was be for on with as at by it this that "
+    "from not have has had but".split()
+)
+
+
+def token_count(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
+    """Whitespace-token count, vectorized: count of ``\\S+`` matches."""
+    return pc.count_substring_regex(pc.cast(col, pa.string()), TOKEN_RE)
+
+
+def bpe_token_count(col: pa.ChunkedArray | pa.Array):
+    """Sub-token count under a BPE-ish split (letter runs / digits / punct)."""
+    return pc.count_substring_regex(pc.cast(col, pa.string()), BPE_RE)
+
+
+def _stopword_count(s) -> pa.ChunkedArray:
+    # \b word-boundary works in RE2; alternation over the fixed list.
+    pat = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    return pc.count_substring_regex(s, pat)
+
+
+def quality_metrics(table: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append quality-score columns (all vectorized):
+
+    - ``n_chars_calc``   — utf8 length
+    - ``n_tokens``       — whitespace tokens
+    - ``punct_ratio``    — punctuation chars / chars
+    - ``stopword_ratio`` — stopword tokens / tokens
+    - ``mean_token_len`` — (chars - whitespace) / tokens
+    - ``quality_score``  — a simple composite in [0,1]
+
+    The composite mirrors common quality-filter recipes (length bounds +
+    stopword presence + punctuation sanity) — each component is
+    reproducible in SQL for the oracle check.
+    """
+    s = pc.cast(table[text_col], pa.string())
+    n_chars = pc.utf8_length(s)
+    n_tokens = token_count(s)
+    n_punct = pc.count_substring_regex(s, PUNCT_RE)
+    n_stop = _stopword_count(s)
+    n_ws = pc.count_substring_regex(s, r"\s")
+
+    f_chars = pc.cast(n_chars, pa.float64())
+    f_tokens = pc.cast(n_tokens, pa.float64())
+    safe_chars = pc.max_element_wise(f_chars, 1.0)
+    safe_tokens = pc.max_element_wise(f_tokens, 1.0)
+
+    punct_ratio = pc.divide(pc.cast(n_punct, pa.float64()), safe_chars)
+    stop_ratio = pc.divide(pc.cast(n_stop, pa.float64()), safe_tokens)
+    mean_tok = pc.divide(
+        pc.subtract(f_chars, pc.cast(n_ws, pa.float64())), safe_tokens
+    )
+
+    # composite: clamp(tokens/100) * (1 - punct_ratio) * clamp(4*stop_ratio)
+    len_term = pc.min_element_wise(pc.divide(f_tokens, 100.0), 1.0)
+    stop_term = pc.min_element_wise(pc.multiply(stop_ratio, 4.0), 1.0)
+    score = pc.multiply(
+        pc.multiply(len_term, pc.subtract(1.0, punct_ratio)), stop_term
+    )
+
+    for name, arr in [
+        ("n_chars_calc", n_chars),
+        ("n_tokens", n_tokens),
+        ("punct_ratio", punct_ratio),
+        ("stopword_ratio", stop_ratio),
+        ("mean_token_len", mean_tok),
+        ("quality_score", score),
+    ]:
+        table = table.append_column(name, arr)
+    return table
+
+
+# ---------------------------------------------------------------------------
+# Language ID — stateful profile, actor-pool stage
+# ---------------------------------------------------------------------------
+
+# Tiny per-language stopword profiles (public common-word lists). Real
+# deployments load fastText/CLD3 models in __init__ — the *shape* (profile
+# build once per actor, vectorized scoring per batch) is what matters here.
+_LANG_PROFILES = {
+    "en": "the and of to in is you that it he was for on are with as i at be this have from or one had by word but not what all were we when your can said there use an each which she do how their if",
+    "de": "der die und in den von zu das mit sich des auf ist im dem nicht ein eine als auch es an werden aus er hat dass sie nach wird bei einer um am sind noch wie einem über einen so zum war",
+    "es": "de la que el en y a los del se las por un para con no una su al lo como mas pero sus le ya o este si porque esta entre cuando muy sin sobre tambien me hasta hay donde quien desde todo nos",
+    "fr": "de la le et les des en un du une que est pour qui dans a par plus pas au sur ne se ce il sont la mais comme ou si leur y ont ete cette aux votre tout nous sans autre apres",
+    "it": "di e il la che in a per un e del con non sono da si le dei nel alla lo piu una dell degli questo ha loro gli anche come della ma se ci io suo sulla essere",
+}
+
+
+class LangIdBatch:
+    """Actor-pool callable: ``map_batches(LangIdBatch, concurrency=N)``.
+
+    __init__ (once per actor) builds the vocabulary → language score matrix;
+    __call__ (per batch) tokenizes vectorized and scores via numpy matmul —
+    the canonical "load model once, score batches" stage shape.
+    Appends ``lang_pred`` (argmax language, 'und' when nothing matched).
+    """
+
+    def __init__(self, text_col: str = "text", profiles: dict[str, str] | None = None):
+        self.text_col = text_col
+        profiles = profiles or _LANG_PROFILES
+        self.langs = list(profiles)
+        vocab: dict[str, int] = {}
+        rows = []
+        for li, lang in enumerate(self.langs):
+            for w in profiles[lang].split():
+                vocab.setdefault(w, len(vocab))
+                rows.append((vocab[w], li))
+        self.vocab = vocab
+        self.matrix = np.zeros((len(vocab), len(self.langs)), dtype=np.float32)
+        for wi, li in rows:
+            self.matrix[wi, li] = 1.0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        s = pc.utf8_lower(pc.cast(batch[self.text_col], pa.string()))
+        tokens = pc.split_pattern_regex(s, r"[^a-zA-Z]+")
+        # flatten list<string> → (doc_index, token) vectorized
+        flat = pc.list_flatten(tokens)
+        parent = pc.list_parent_indices(tokens)
+        tok_np = flat.to_numpy(zero_copy_only=False)
+        par_np = parent.to_numpy(zero_copy_only=False)
+        ids = np.array([self.vocab.get(t, -1) for t in tok_np], dtype=np.int64)
+        keep = ids >= 0
+        counts = np.zeros((batch.num_rows, len(self.langs)), dtype=np.float32)
+        if keep.any():
+            np.add.at(counts, par_np[keep], self.matrix[ids[keep]])
+        best = counts.argmax(axis=1)
+        none = counts.max(axis=1) == 0
+        preds = np.array(self.langs, dtype=object)[best]
+        preds[none] = "und"
+        return batch.append_column("lang_pred", pa.array(preds, type=pa.string()))
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprint — 64-bit polynomial rolling hash over tokens
+# ---------------------------------------------------------------------------
+
+_FP_BASE = np.uint64(1099511628211)  # FNV prime, reused as polynomial base
+_POW_CACHE = np.array([1], dtype=np.uint64)
+
+
+def _powers(n: int) -> np.ndarray:
+    """B^0..B^(n-1) mod 2^64, cached and grown on demand."""
+    global _POW_CACHE
+    if len(_POW_CACHE) < n:
+        m = len(_POW_CACHE)
+        ext = np.empty(n, dtype=np.uint64)
+        ext[:m] = _POW_CACHE
+        with np.errstate(over="ignore"):
+            for i in range(m, n):
+                ext[i] = ext[i - 1] * _FP_BASE
+        _POW_CACHE = ext
+    return _POW_CACHE
+
+
+def fingerprint64(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Order-sensitive 64-bit document fingerprint: polynomial rolling hash
+    (Rabin-Karp, base = FNV prime, mod 2^64) over whitespace-normalized
+    utf-8 bytes. Per-document work is pure numpy (byte view × precomputed
+    power table → wrap-around dot product); no per-character Python."""
+    s = pc.replace_substring_regex(pc.cast(col, pa.string()), r"\s+", " ")
+    s = pc.utf8_trim_whitespace(s)
+    vals = s.to_numpy(zero_copy_only=False)
+    out = np.zeros(len(vals), dtype=np.uint64)
+    if len(vals):
+        enc = [None if v is None else v.encode() for v in vals]
+        maxlen = max((len(b) for b in enc if b is not None), default=0)
+        pows = _powers(maxlen) if maxlen else _POW_CACHE
+        with np.errstate(over="ignore"):
+            for i, b in enumerate(enc):
+                if b is None or not b:
+                    continue
+                arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
+                # h = Σ byte_j · B^(n-1-j)  (mod 2^64): wrapping dot product
+                out[i] = np.sum(arr * pows[len(arr) - 1 :: -1][: len(arr)], dtype=np.uint64)
+    return pa.array(out, type=pa.uint64())

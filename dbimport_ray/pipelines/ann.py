@@ -1,0 +1,192 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k — one numpy matmul per batch against a
+query matrix broadcast once per actor (constructor arg → shipped once via
+Ray's zero-copy plasma serialization, never per batch). Scale path: IVF —
+a k-means coarse quantizer fit on a sample, batches assigned to cells, and
+queries probe only the ``nprobe`` nearest cells.
+
+Shapes:
+- ``brute_force_topk(ds, queries, k)``: Dataset[(query_id, vec_id, score)]
+  of the exact top-k per query. Per-batch partial top-k (k rows per query
+  per block) → tiny groupby(query_id) final reduce; the full score matrix
+  never materializes.
+- ``IVFIndex.build(ds, ...)`` / ``.search(queries, k, nprobe)``: cell-
+  partitioned Parquet index on disk; search reads only probed cells.
+
+All distances are float64 cosine similarity (vectors L2-normalized once).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+
+def _to_matrix(col, dtype=np.float64) -> np.ndarray:
+    """list<float> arrow column → (n, d) ndarray (zero-copy when possible)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.ListArray) or isinstance(col, pa.FixedSizeListArray):
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        n = len(col)
+        return flat.reshape(n, -1).astype(dtype, copy=False)
+    return np.asarray(col.to_pylist(), dtype=dtype)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class BatchTopK:
+    """Actor-pool stage: per-batch exact top-k against the broadcast query
+    matrix. Queries are normalized once in __init__ (per actor);
+    __call__ = one matmul + argpartition per batch."""
+
+    def __init__(self, queries: np.ndarray, k: int, emb_col: str, id_col: str, normalize: bool = True):
+        q = np.asarray(queries, dtype=np.float64)
+        self.q = _normalize(q) if normalize else q
+        self.k = k
+        self.emb_col = emb_col
+        self.id_col = id_col
+        self.normalize = normalize
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        embs = _to_matrix(batch[self.emb_col])
+        if self.normalize:
+            embs = _normalize(embs)
+        ids = pc.cast(batch[self.id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        sims = embs @ self.q.T  # (n, nq)
+        k = min(self.k, sims.shape[0])
+        part = np.argpartition(-sims, k - 1, axis=0)[:k]  # (k, nq)
+        nq = sims.shape[1]
+        qid = np.repeat(np.arange(nq, dtype=np.int64)[None, :], k, axis=0)
+        return pa.table(
+            {
+                "query_id": pa.array(qid.reshape(-1)),
+                self.id_col: pa.array(ids[part.reshape(-1)]),
+                "score": pa.array(sims[part.reshape(-1), qid.reshape(-1)]),
+            }
+        )
+
+
+def _final_topk(group: pa.Table, k: int, id_col: str) -> pa.Table:
+    scores = group["score"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((group[id_col].to_numpy(zero_copy_only=False), -scores))[:k]
+    return group.take(pa.array(order))
+
+
+def brute_force_topk(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    k: int,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """Exact cosine top-k for each query row in ``queries`` (nq, d).
+
+    Result: (query_id, vec_id, score) — k rows per query, ties broken by
+    smaller id (deterministic)."""
+    partial = ds.map_batches(
+        BatchTopK(queries, k, emb_col, id_col),
+        batch_format="pyarrow",
+    )
+    return partial.groupby("query_id").map_groups(
+        lambda g: _final_topk(g, k, id_col), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF — coarse-quantized index for the 100 TB path
+# ---------------------------------------------------------------------------
+
+def _kmeans_fit(sample: np.ndarray, n_cells: int, iters: int = 10, seed: int = 7) -> np.ndarray:
+    """Plain Lloyd's on the (normalized) sample — numpy only, driver-side
+    on a bounded sample; centroids then broadcast to assignment actors."""
+    rng = np.random.default_rng(seed)
+    sample = _normalize(sample)
+    cents = sample[rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)]
+    for _ in range(iters):
+        sims = sample @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    return cents
+
+
+class _AssignCell:
+    def __init__(self, centroids: np.ndarray, emb_col: str):
+        self.cents = centroids
+        self.emb_col = emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        embs = _normalize(_to_matrix(batch[self.emb_col]))
+        cell = (embs @ self.cents.T).argmax(axis=1).astype(np.int32)
+        return batch.append_column("ivf_cell", pa.array(cell))
+
+
+class IVFIndex:
+    """Cell-partitioned on-disk ANN index.
+
+    ``build``: sample → k-means centroids (driver) → assign cells
+    (map_batches, centroid matrix shipped once per actor) → write Parquet
+    partitioned by cell. ``search``: score query × centroids, read only the
+    ``nprobe`` best cells' files (column-pruned), brute-force within.
+    """
+
+    def __init__(self, root: str, centroids: np.ndarray, emb_col: str, id_col: str):
+        self.root = root
+        self.centroids = centroids
+        self.emb_col = emb_col
+        self.id_col = id_col
+
+    @classmethod
+    def build(
+        cls,
+        ds: rd.Dataset,
+        root: str,
+        n_cells: int = 16,
+        emb_col: str = "embedding",
+        id_col: str = "vec_id",
+        sample_rows: int = 10_000,
+        seed: int = 7,
+    ) -> "IVFIndex":
+        import os
+
+        sample_tbl = ds.limit(sample_rows).to_arrow_refs()
+        import ray as _ray
+
+        sample = np.concatenate(
+            [_to_matrix(t[emb_col]) for t in _ray.get(sample_tbl) if t.num_rows]
+        )
+        cents = _kmeans_fit(sample, n_cells, seed=seed)
+        assigned = ds.map_batches(_AssignCell(cents, emb_col), batch_format="pyarrow")
+        os.makedirs(root, exist_ok=True)
+        assigned.write_parquet(root, partition_cols=["ivf_cell"])
+        np.save(os.path.join(root, "_centroids.npy"), cents)
+        return cls(root, cents, emb_col, id_col)
+
+    @classmethod
+    def load(cls, root: str, emb_col: str = "embedding", id_col: str = "vec_id") -> "IVFIndex":
+        import os
+
+        cents = np.load(os.path.join(root, "_centroids.npy"))
+        return cls(root, cents, emb_col, id_col)
+
+    def search(self, queries: np.ndarray, k: int, nprobe: int = 4) -> rd.Dataset:
+        q = _normalize(np.asarray(queries, dtype=np.float64))
+        cell_scores = q @ self.centroids.T  # (nq, n_cells)
+        probe = np.argsort(-cell_scores, axis=1)[:, :nprobe]
+        cells = sorted(set(probe.reshape(-1).tolist()))
+        paths = [f"{self.root}/ivf_cell={c}" for c in cells]
+        ds = rd.read_parquet(paths, columns=[self.id_col, self.emb_col])
+        return brute_force_topk(ds, q, k, emb_col=self.emb_col, id_col=self.id_col)

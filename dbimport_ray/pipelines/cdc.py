@@ -371,10 +371,9 @@ class CDCEngine:
         n = len(pids)
         cols: dict[str, pa.Array] = {}
         for f in unified:
-            if f.name in self.cfg.pk:
-                cols[f.name] = pa.array(["\x00marker"] * n, type=f.type)
-            else:
-                cols[f.name] = pa.nulls(n, type=f.type)
+            # marker rows are dropped inside MergeGroup before any key
+            # logic runs, so even PK columns can be null here
+            cols[f.name] = pa.nulls(n, type=f.type)
         cols[self.cfg.op_col] = pa.array([_MARKER_OP] * n)
         cols[self.cfg.sequence_col] = pa.array([-1] * n, type=pa.int64())
         cols[PID_COL] = pa.array(pids, type=pa.int32())

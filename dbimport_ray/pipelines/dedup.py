@@ -1,0 +1,419 @@
+"""Deduplication pipelines for large-scale training-data processing.
+
+Beyond the reference's exact LWW dedup (SURVEY.md §2.7 — DBImport has no
+near-dedup anywhere), these are the dedup family a 100 TB document pipeline
+needs, each expressed Ray-Data-first:
+
+- ``exact_dedup``            — hash-partition + per-group first (min id).
+- ``minhash_lsh_dedup``      — shingle → minhash → band → bucket groupby;
+                               near-duplicate clusters by min-representative.
+- ``simhash_dedup``          — 64-bit simhash, hamming-band buckets.
+- ``ngram_jaccard``          — exact n-gram Jaccard verification kernel.
+- ``embedding_dedup``        — cosine near-dup via random-hyperplane LSH
+                               buckets + within-bucket verification.
+
+Scale notes: every pipeline shuffles only *narrow* columns (ids, hashes,
+signatures); full text/content never moves through a groupby. Signature
+computation is a stateless ``map_batches`` stage with vectorized numpy
+(token hashing via pandas' SipHash, affine universal hashing for the H
+minhash permutations). Duplicate *clustering* uses the single-pass
+min-representative rule (a doc joins the cluster of the smallest doc id it
+shares a bucket with) — the standard one-round approximation of connected
+components; iterating it to a fixpoint is a driver loop over the same
+narrow (doc_id, rep) relation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Min
+
+_HASH_KEY = "dbimport_ray_dedup!"[:16]
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _hash_strings(arr: np.ndarray) -> np.ndarray:
+    """Stable vectorized 64-bit hash of a string ndarray."""
+    return pd.util.hash_array(arr, hash_key=_HASH_KEY)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def add_content_hash(
+    batch: pa.Table, text_col: str, out_col: str = "content_hash"
+) -> pa.Table:
+    """map_batches stage: append a stable hash of the text column."""
+    vals = pc.cast(batch[text_col], pa.string()).to_numpy(zero_copy_only=False)
+    h = _hash_strings(vals)
+    return batch.append_column(out_col, pa.array(h.astype(np.int64)))
+
+
+def exact_dedup(
+    ds: rd.Dataset,
+    text_col: str,
+    id_col: str,
+    keep_cols: list[str] | None = None,
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Exact dedup: one survivor (min id) per distinct text.
+
+    Two-phase so wide text never shuffles twice: (1) narrow
+    (content_hash, id) groupby-min picks winners — the only all-to-all is
+    over 16 bytes/row; (2) an inner join on id restores the full rows.
+    """
+    hashed = ds.map_batches(
+        lambda t: add_content_hash(t, text_col), batch_format="pyarrow"
+    )
+    winners = (
+        hashed.select_columns(["content_hash", id_col])
+        .groupby("content_hash")
+        .aggregate(Min(id_col, alias_name="keep_id"))
+        .select_columns(["keep_id"])
+    )
+    out = ds.join(
+        winners,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(id_col,),
+        right_on=("keep_id",),
+    )
+    if keep_cols:
+        out = out.select_columns(keep_cols)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+class MinHashSignatures:
+    """Stateless-per-batch, stateful-per-actor signature stage.
+
+    __init__ draws the H affine permutations once per actor (seeded);
+    __call__ computes, per document: token shingles → base hash → H
+    universal hashes → columnwise min. Everything numpy; the only per-doc
+    Python is the segmented reduce boundary bookkeeping.
+    Emits narrow rows: (id, band_idx, band_hash) × B bands per doc.
+    """
+
+    def __init__(
+        self,
+        text_col: str,
+        id_col: str,
+        num_hashes: int = 64,
+        num_bands: int = 16,
+        shingle_k: int = 3,
+        seed: int = 1234,
+    ):
+        assert num_hashes % num_bands == 0
+        self.text_col = text_col
+        self.id_col = id_col
+        self.H = num_hashes
+        self.B = num_bands
+        self.R = num_hashes // num_bands
+        self.k = shingle_k
+        rng = np.random.default_rng(seed)
+        # affine universal hashing over the Mersenne prime 2^61-1
+        self.a = rng.integers(1, int(_MERSENNE), size=self.H, dtype=np.uint64)
+        self.b = rng.integers(0, int(_MERSENNE), size=self.H, dtype=np.uint64)
+
+    def shingle_hashes(self, texts: pa.ChunkedArray | pa.Array):
+        """token k-shingles per doc → (uint64 hashes, doc parent index)."""
+        s = pc.utf8_lower(pc.cast(texts, pa.string()))
+        tokens = pc.split_pattern_regex(s, r"\W+")
+        flat = pc.list_flatten(tokens).to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(tokens).to_numpy(zero_copy_only=False)
+        keep = np.array([t != "" for t in flat], dtype=bool)
+        flat, parent = flat[keep], parent[keep]
+        if self.k > 1 and len(flat):
+            # shingle = k consecutive tokens within the same doc
+            n = len(flat)
+            idx = np.arange(n - self.k + 1)
+            same_doc = parent[idx] == parent[idx + self.k - 1]
+            idx = idx[same_doc]
+            joined = np.array(
+                [" ".join(flat[i : i + self.k]) for i in idx], dtype=object
+            )
+            parent = parent[idx]
+            flat = joined
+        return _hash_strings(flat), parent
+
+    def signatures(self, texts) -> np.ndarray:
+        """(n_docs, H) minhash signature matrix."""
+        base, parent = self.shingle_hashes(texts)
+        n_docs = len(texts)
+        sig = np.full((n_docs, self.H), np.iinfo(np.uint64).max, dtype=np.uint64)
+        if len(base):
+            with np.errstate(over="ignore"):
+                # (n_shingles, H) universal hashes, then segmented min by doc
+                hv = (base[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
+            np.minimum.at(sig, parent, hv)
+        return sig
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sig = self.signatures(batch[self.text_col])
+        n = len(sig)
+        # band hash = hash of the R-row slice, vectorized per band
+        bands = sig.reshape(n, self.B, self.R)
+        with np.errstate(over="ignore"):
+            acc = np.zeros((n, self.B), dtype=np.uint64)
+            for r in range(self.R):
+                acc = acc * np.uint64(1099511628211) + bands[:, :, r]
+        ids = pc.cast(batch[self.id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                self.id_col: pa.array(np.repeat(ids, self.B)),
+                "band_idx": pa.array(np.tile(np.arange(self.B, dtype=np.int32), n)),
+                "band_hash": pa.array(acc.reshape(-1).astype(np.int64)),
+            }
+        )
+
+
+def _min_rep_per_bucket(batch: pa.Table, id_col: str) -> pa.Table:
+    """Within one (band_idx, band_hash) arrow batch already grouped:
+    representative = min id."""
+    rep = pc.min(batch[id_col])
+    n = batch.num_rows
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "rep": pa.array(np.full(n, rep.as_py(), dtype=np.int64)),
+        }
+    )
+
+
+def minhash_lsh_clusters(
+    ds: rd.Dataset,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 1234,
+) -> rd.Dataset:
+    """(id, rep) cluster assignment: rep = smallest doc id sharing any LSH
+    band bucket (one-round min-representative). Docs with rep == id are the
+    dedup survivors. Shuffles only (id, band_idx, band_hash)."""
+    bands = ds.map_batches(
+        MinHashSignatures(
+            text_col, id_col, num_hashes=num_hashes, num_bands=num_bands,
+            shingle_k=shingle_k, seed=seed,
+        ),
+        batch_format="pyarrow",
+    )
+    per_bucket = bands.groupby(["band_idx", "band_hash"]).map_groups(
+        lambda g: _min_rep_per_bucket(g, id_col), batch_format="pyarrow"
+    )
+    return (
+        per_bucket.groupby(id_col)
+        .aggregate(Min("rep", alias_name="rep"))
+    )
+
+
+def minhash_lsh_dedup(
+    ds: rd.Dataset, text_col: str, id_col: str, num_partitions: int = 16, **kw
+) -> rd.Dataset:
+    """Near-dedup: keep one doc (the min-id representative) per LSH cluster."""
+    clusters = minhash_lsh_clusters(ds, text_col, id_col, **kw)
+    survivors = clusters.filter(
+        expr=f"{id_col} == rep"
+    ).select_columns([id_col])
+    npart = num_partitions
+    return ds.join(
+        survivors.rename_columns({id_col: "__keep_id"}),
+        join_type="inner",
+        num_partitions=npart,
+        on=(id_col,),
+        right_on=("__keep_id",),
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact verification kernel)
+# ---------------------------------------------------------------------------
+
+def ngram_set(text: str, k: int = 3) -> set:
+    toks = [t for t in _tokenize(text)]
+    if len(toks) < k:
+        return {tuple(toks)} if toks else set()
+    return {tuple(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def _tokenize(text: str) -> list[str]:
+    import re
+
+    return [t for t in re.split(r"\W+", text.lower()) if t]
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter)
+
+
+def verify_pairs_jaccard(
+    pairs: pa.Table, texts_by_id: dict, k: int = 3, threshold: float = 0.7
+) -> pa.Table:
+    """Exact n-gram Jaccard over candidate (id, rep) pairs. Used as the
+    verification stage after LSH (driver- or map_groups-side on candidate
+    groups, which are small by construction)."""
+    ids = pairs["doc_id"].to_pylist() if "doc_id" in pairs.column_names else pairs.column(0).to_pylist()
+    reps = pairs["rep"].to_pylist()
+    sims = [
+        jaccard(ngram_set(texts_by_id[i], k), ngram_set(texts_by_id[r], k))
+        for i, r in zip(ids, reps)
+    ]
+    out = pairs.append_column("jaccard_sim", pa.array(sims, type=pa.float64()))
+    return out.filter(pc.greater_equal(out["jaccard_sim"], threshold))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(texts: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """64-bit simhash per doc: sign of the per-bit vote sum over token
+    hashes. Fully vectorized: token hash → 64-bit unpack → segmented sum."""
+    s = pc.utf8_lower(pc.cast(texts, pa.string()))
+    tokens = pc.split_pattern_regex(s, r"\W+")
+    flat = pc.list_flatten(tokens).to_numpy(zero_copy_only=False)
+    parent = pc.list_parent_indices(tokens).to_numpy(zero_copy_only=False)
+    keep = np.array([t != "" for t in flat], dtype=bool)
+    flat, parent = flat[keep], parent[keep]
+    n_docs = len(s)
+    votes = np.zeros((n_docs, 64), dtype=np.int64)
+    if len(flat):
+        h = _hash_strings(flat)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+        np.add.at(votes, parent, bits * 2 - 1)
+    sig = (votes > 0).astype(np.uint64)
+    return (sig << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
+
+
+class SimHashBands:
+    """map_batches stage: emit (id, band_idx, band_value) rows — 4 bands of
+    16 bits ⇒ two docs within hamming distance 3 share ≥1 identical band
+    (pigeonhole). Bucket-groupby then finds hamming-≤3 candidates."""
+
+    def __init__(self, text_col: str, id_col: str, num_bands: int = 4):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.B = num_bands
+        self.bits = 64 // num_bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sig = simhash64(batch[self.text_col])
+        n = len(sig)
+        shifts = (np.arange(self.B, dtype=np.uint64) * np.uint64(self.bits))
+        mask = np.uint64((1 << self.bits) - 1)
+        bands = ((sig[:, None] >> shifts[None, :]) & mask).astype(np.int64)
+        ids = pc.cast(batch[self.id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                self.id_col: pa.array(np.repeat(ids, self.B)),
+                "band_idx": pa.array(np.tile(np.arange(self.B, dtype=np.int32), n)),
+                "band_value": pa.array(bands.reshape(-1)),
+                "simhash": pa.array(np.repeat(sig.astype(np.int64), self.B)),
+            }
+        )
+
+
+def _simhash_bucket_reps(batch: pa.Table, id_col: str, max_hamming: int) -> pa.Table:
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    sigs = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    order = np.argsort(ids)
+    ids, sigs = ids[order], sigs[order]
+    # verify true hamming distance against the bucket's min-id doc
+    x = sigs ^ sigs[0]
+    ham = np.zeros(len(sigs), dtype=np.int64)
+    for _ in range(64):
+        ham += (x & np.uint64(1)).astype(np.int64)
+        x = x >> np.uint64(1)
+    rep = np.where(ham <= max_hamming, ids[0], ids)
+    return pa.table({id_col: pa.array(ids), "rep": pa.array(rep)})
+
+
+def simhash_dedup_clusters(
+    ds: rd.Dataset, text_col: str, id_col: str, max_hamming: int = 3
+) -> rd.Dataset:
+    """(id, rep) assignment: docs whose simhash is within ``max_hamming``
+    of a bucket-mate's get that mate's min id as representative."""
+    bands = ds.map_batches(
+        SimHashBands(text_col, id_col), batch_format="pyarrow"
+    )
+    per_bucket = bands.groupby(["band_idx", "band_value"]).map_groups(
+        lambda g: _simhash_bucket_reps(g, id_col, max_hamming),
+        batch_format="pyarrow",
+    )
+    return per_bucket.groupby(id_col).aggregate(Min("rep", alias_name="rep"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+class HyperplaneLSH:
+    """map_batches stage: random-hyperplane signature buckets for cosine
+    near-dup. __init__ draws the projection matrix once per actor; __call__
+    is one matmul per batch. Emits (id, bucket, embedding) — embedding rides
+    along so within-bucket verification needs no second join; for very wide
+    embeddings swap to (id, bucket) + a join, same as minhash."""
+
+    def __init__(self, emb_col: str, id_col: str, dim: int, num_planes: int = 16, seed: int = 99):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, num_planes)).astype(np.float64)
+        self.emb_col = emb_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        embs = np.asarray(batch[self.emb_col].to_pylist(), dtype=np.float64)
+        proj = embs @ self.planes
+        bits = (proj > 0).astype(np.uint64)
+        bucket = (bits << np.arange(bits.shape[1], dtype=np.uint64)[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        return batch.append_column("bucket", pa.array(bucket.astype(np.int64)))
+
+
+def _cosine_bucket_reps(
+    batch: pa.Table, emb_col: str, id_col: str, threshold: float
+) -> pa.Table:
+    ids = pc.cast(batch[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+    order = np.argsort(ids)
+    ids = ids[order]
+    embs = np.asarray(batch[emb_col].to_pylist(), dtype=np.float64)[order]
+    norms = np.linalg.norm(embs, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = embs / norms
+    sims = unit @ unit[0]
+    rep = np.where(sims >= threshold, ids[0], ids)
+    return pa.table({id_col: pa.array(ids), "rep": pa.array(rep)})
+
+
+def embedding_dedup_clusters(
+    ds: rd.Dataset,
+    emb_col: str,
+    id_col: str,
+    dim: int,
+    threshold: float = 0.95,
+    num_planes: int = 16,
+    seed: int = 99,
+) -> rd.Dataset:
+    """(id, rep): cosine-near-duplicates (sim ≥ threshold to a bucket's
+    min-id doc) collapse onto that doc."""
+    buckets = ds.map_batches(
+        HyperplaneLSH(emb_col, id_col, dim, num_planes=num_planes, seed=seed),
+        batch_format="pyarrow",
+    )
+    per_bucket = buckets.groupby("bucket").map_groups(
+        lambda g: _cosine_bucket_reps(g, emb_col, id_col, threshold),
+        batch_format="pyarrow",
+    )
+    return per_bucket.groupby(id_col).aggregate(Min("rep", alias_name="rep"))

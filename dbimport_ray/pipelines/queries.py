@@ -1,0 +1,601 @@
+"""Driver-contract query implementations.
+
+Each ``q_*`` function takes ``sf_dir`` (a directory of the standard test
+parquet tables) and returns a Dataset / pyarrow Table. ``ORACLES`` holds
+the ANSI-SQL equivalent (DuckDB, tables pre-registered as views) for every
+SQL-expressible query; the driver compares row counts, schemas and
+order-insensitive value hashes — so column NAMES and types here must match
+the SQL exactly.
+
+CDC queries derive a change stream from the ``events`` table
+(sequence = ``event_id`` — dense & unique; key = ``user_id``;
+op: signup→I, error→D, else→U; payload = event_type, value) and replay it
+through the real engine into a /tmp lake, then read back the committed
+table. The oracle reproduces DBImport's batch-wise merge semantics
+(SURVEY.md §7.1) in window SQL.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..config import MODE_FULL, TableConfig
+from ..functions.anonymize import first4_column, hash_column, mask_column
+from ..functions.text import (
+    BPE_RE,
+    PUNCT_RE,
+    STOPWORDS,
+    LangIdBatch,
+    bpe_token_count,
+    fingerprint64,
+    quality_metrics,
+    token_count,
+)
+from ..sources.events import max_sequence, read_events
+from ..stages.joins import broadcast_anti_join
+from ..stages.lww import lww_dedup, make_lww_prereduce
+from ..stages.validate import allowed_diff
+from .ann import brute_force_topk
+from .cdc import CDCEngine
+from .dedup import (
+    SimHashBands,
+    embedding_dedup_clusters,
+    exact_dedup,
+    minhash_lsh_dedup,
+    simhash64,
+)
+
+ANON_SEED = "dbimport-ray-seed"
+EMB_DIM = 64
+
+
+def _p(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _scratch(tag: str) -> str:
+    return tempfile.mkdtemp(prefix=f"dbimport_ray_{tag}_", dir="/tmp")
+
+
+# ---------------------------------------------------------------------------
+# CDC replay queries (the engine core)
+# ---------------------------------------------------------------------------
+
+_CDC_VIEW = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, value,
+         CASE WHEN event_type = 'signup' THEN 'I'
+              WHEN event_type = 'error'  THEN 'D'
+              ELSE 'U' END AS op,
+         event_id <= (SELECT max(event_id) // 2 FROM events) AS b1
+  FROM events
+),
+l1 AS (SELECT * FROM ev WHERE b1
+       QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1),
+l2 AS (SELECT * FROM ev WHERE NOT b1
+       QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1),
+s1 AS (SELECT user_id, event_type, value FROM l1 WHERE op <> 'D')
+"""
+
+
+def _derive_cdc_stream(sf_dir: str, out_dir: str) -> str:
+    """events table → change-event parquet of the engine's input shape."""
+
+    def derive(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"]
+        op = pc.if_else(
+            pc.equal(et, "signup"),
+            pa.scalar("I"),
+            pc.if_else(pc.equal(et, "error"), pa.scalar("D"), pa.scalar("U")),
+        )
+        is_d = pc.equal(op, "D")
+        # key-only deletes: null payload (MSSQL-CT shape, import_config.py:2519)
+        return pa.table(
+            {
+                "sequence_id": batch["event_id"],
+                "op": op,
+                "user_id": batch["user_id"],
+                "event_type": pc.if_else(is_d, pa.scalar(None, pa.string()), et),
+                "value": pc.if_else(is_d, pa.scalar(None, pa.float64()), batch["value"]),
+            }
+        )
+
+    import glob
+
+    out = os.path.join(out_dir, "stream")
+    rd.read_parquet(_p(sf_dir, "events")).map_batches(
+        derive, batch_format="pyarrow"
+    ).write_parquet(out)
+    return sorted(glob.glob(os.path.join(out, "*.parquet")))
+
+
+def _cdc_replay(sf_dir: str, soft_delete: bool) -> pa.Table:
+    root = _scratch("cdc")
+    stream = _derive_cdc_stream(sf_dir, root)
+    cfg = TableConfig(
+        name="user_state",
+        pk=["user_id"],
+        value_columns=["event_type", "value"],
+        num_partitions=8,
+        soft_delete=soft_delete,
+    )
+    eng = CDCEngine(os.path.join(root, "lake"), cfg)
+    mx = max_sequence(stream)
+    eng.replay(stream, upto_seq=mx // 2)  # batch 1
+    eng.replay(stream, upto_seq=mx)  # batch 2
+    tbl = eng.arrow()
+    return tbl.select(["user_id", "event_type", "value", cfg.col_iud]).rename_columns(
+        ["user_id", "event_type", "value", "datalake_iud"]
+    )
+
+
+def q_cdc_merge_soft(sf_dir: str) -> pa.Table:
+    """Two-batch CDC replay with soft-delete tombstones (flagship)."""
+    return _cdc_replay(sf_dir, soft_delete=True)
+
+
+def q_cdc_merge_hard(sf_dir: str) -> pa.Table:
+    """Two-batch CDC replay with hard deletes."""
+    return _cdc_replay(sf_dir, soft_delete=False)
+
+
+def q_cdc_full_load(sf_dir: str) -> pa.Table:
+    """FULL+MERGE over two customer snapshots: changed rows update, missing
+    rows soft-delete via the anti-join (etl_operations.py:362-393)."""
+    root = _scratch("full")
+    cust = pq.read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_name", "c_acctbal"])
+    key_np = pc.cast(cust["c_custkey"], pa.int64()).to_numpy().astype(np.int64)
+    maxkey = int(key_np.max())
+
+    def snap(tbl: pa.Table, seq_off: int) -> pa.Table:
+        return pa.table(
+            {
+                "sequence_id": pc.add(pc.cast(tbl["c_custkey"], pa.int64()), seq_off),
+                "op": pa.array(["I"] * tbl.num_rows),
+                "c_custkey": tbl["c_custkey"],
+                "c_name": tbl["c_name"],
+                "c_acctbal": tbl["c_acctbal"],
+            }
+        )
+
+    snap_a = snap(cust, 0)
+    keep = pa.array(key_np % 7 != 0)
+    b = cust.filter(keep)
+    b_key = pc.cast(b["c_custkey"], pa.int64()).to_numpy().astype(np.int64)
+    bump = pa.array(b_key % 3 == 0)
+    b = b.set_column(
+        b.column_names.index("c_acctbal"),
+        "c_acctbal",
+        pc.if_else(bump, pc.add(b["c_acctbal"], 100.0), b["c_acctbal"]),
+    )
+    snap_b = snap(b, maxkey + 1)
+    pa_dir = os.path.join(root, "snaps")
+    os.makedirs(pa_dir)
+    pq.write_table(snap_a, os.path.join(pa_dir, "a.parquet"))
+    pq.write_table(snap_b, os.path.join(pa_dir, "b.parquet"))
+
+    cfg = TableConfig(
+        name="customers",
+        pk=["c_custkey"],
+        value_columns=["c_name", "c_acctbal"],
+        mode=MODE_FULL,
+        num_partitions=4,
+        soft_delete=True,
+    )
+    eng = CDCEngine(os.path.join(root, "lake"), cfg)
+    eng.replay(os.path.join(pa_dir, "a.parquet"))
+    eng.replay(os.path.join(pa_dir, "b.parquet"))
+    tbl = eng.arrow()
+    return tbl.select(["c_custkey", "c_name", "c_acctbal", cfg.col_iud]).rename_columns(
+        ["c_custkey", "c_name", "c_acctbal", "datalake_iud"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Operator-level queries
+# ---------------------------------------------------------------------------
+
+def q_lww_dedup(sf_dir: str) -> rd.Dataset:
+    """Last-writer-wins row per key (J5/A4: import_config.py:3218-3247)."""
+    ds = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "value"]
+    )
+    ds = ds.map_batches(make_lww_prereduce(["user_id"], "event_id"), batch_format="pyarrow")
+    out = ds.groupby("user_id").map_groups(
+        lambda g: lww_dedup(g, ["user_id"], "event_id"), batch_format="pyarrow"
+    )
+    return out.rename_columns(
+        {"event_id": "last_seq", "event_type": "last_event_type", "value": "last_value"}
+    )
+
+
+def q_watermark_filter(sf_dir: str) -> rd.Dataset:
+    """Incremental watermark read (M5: import_config.py:2087-2255) — the
+    (committed, pending] range pushed down into the parquet scan."""
+    path = _p(sf_dir, "events")
+    mx = max_sequence(path, "event_id")
+    lo, hi = mx // 3, (2 * mx) // 3
+    return read_events(path, "event_id", after_seq=lo, upto_seq=hi,
+                       columns=["event_id", "user_id", "event_type", "value"])
+
+
+def q_max_watermark(sf_dir: str) -> pa.Table:
+    """Watermark probe (A2: common_config.py:1555) from parquet stats only."""
+    mx = max_sequence(_p(sf_dir, "events"), "event_id")
+    return pa.table({"max_seq": pa.array([mx], type=pa.int64())})
+
+
+def q_rowcount_validation(sf_dir: str) -> pa.Table:
+    """3-point validation counts + sqrt-n band (import_config.py:2807)."""
+    n = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id"]).count()
+    return pa.table(
+        {
+            "source_rows": pa.array([n], type=pa.int64()),
+            "allowed_diff": pa.array([allowed_diff(n)], type=pa.int64()),
+        }
+    )
+
+
+def q_project_rename_cast(sf_dir: str) -> rd.Dataset:
+    """M1+M3: column projection/rename + cast + computed column, with
+    column pruning at the read."""
+    ds = rd.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+
+    def xf(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "order_key": t["l_orderkey"],
+                "line_no": pc.cast(t["l_linenumber"], pa.int64()),
+                "return_flag": t["l_returnflag"],
+                "revenue": pc.multiply(
+                    t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+                ),
+            }
+        )
+
+    return ds.map_batches(xf, batch_format="pyarrow")
+
+
+def q_static_filter(sf_dir: str) -> rd.Dataset:
+    """M4: static predicate pushdown (sqoop_sql_where_addition)."""
+    flt = (pc.field("o_totalprice") > 100000.0) & (pc.field("o_orderstatus") == "O")
+    return rd.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        filter=flt,
+    )
+
+
+def _anon(sf_dir: str, kind: str) -> rd.Dataset:
+    ds = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+
+    def xf(t: pa.Table) -> pa.Table:
+        if kind == "hash":
+            out = hash_column(t["c_name"], seed=ANON_SEED)
+        elif kind == "mask":
+            out = mask_column(t["c_name"])
+        else:
+            out = first4_column(t["c_name"])
+        return pa.table({"c_custkey": t["c_custkey"], "c_name_anon": out})
+
+    return ds.map_batches(xf, batch_format="pyarrow")
+
+
+def q_anonymize_hash(sf_dir: str) -> rd.Dataset:
+    """M6: seeded hash anonymization (sparkUDF2.py:78-87)."""
+    return _anon(sf_dir, "hash")
+
+
+def q_anonymize_mask(sf_dir: str) -> rd.Dataset:
+    """M7: star-mask (sparkUDF2.py:89-100)."""
+    return _anon(sf_dir, "mask")
+
+
+def q_anonymize_first4(sf_dir: str) -> rd.Dataset:
+    """M8: keep-first-4 (sparkUDF2.py:102-113)."""
+    return _anon(sf_dir, "first4")
+
+
+def q_groupby_pk_max(sf_dir: str) -> rd.Dataset:
+    """A4: per-key max sequence + event count."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_id"])
+    return ds.groupby("user_id").aggregate(
+        Max("event_id", alias_name="max_seq"), Count(alias_name="n_events")
+    )
+
+
+def q_agg_lineitem(sf_dir: str) -> rd.Dataset:
+    """A1/A7-style grouped validation aggregate over lineitem (order-robust
+    aggregates only: integral sums, count, min/max)."""
+    ds = rd.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+    return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Count(alias_name="count_order"),
+        Min("l_extendedprice", alias_name="min_price"),
+        Max("l_extendedprice", alias_name="max_price"),
+    )
+
+
+def q_antijoin_deletes(sf_dir: str) -> rd.Dataset:
+    """J2 shape: keys present in target, absent from snapshot — here:
+    customers with no orders, via broadcast anti-join (no shuffle)."""
+    cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey"])
+    orders = rd.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_custkey"],
+        filter=pc.field("o_totalprice") > 200000.0,
+    )
+    return broadcast_anti_join(
+        cust, orders.rename_columns({"o_custkey": "c_custkey"}), ["c_custkey"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline queries (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup_docs(sf_dir: str) -> rd.Dataset:
+    """Exact dedup on documents.text — survivor = min doc_id per text."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return exact_dedup(ds, "text", "doc_id").select_columns(["doc_id"])
+
+
+def q_token_count_docs(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def xf(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pc.cast(token_count(t["text"]), pa.int64()),
+                "n_bpe_tokens": pc.cast(bpe_token_count(t["text"]), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(xf, batch_format="pyarrow")
+
+
+def q_quality_docs(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: quality_metrics(t, "text").select(
+            ["doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "quality_score"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_minhash_dedup_docs(sf_dir: str) -> rd.Dataset:
+    """MinHash+LSH near-dedup survivors over documents (rows-only check)."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return minhash_lsh_dedup(ds, "text", "doc_id").select_columns(["doc_id"])
+
+
+def q_simhash_docs(sf_dir: str) -> rd.Dataset:
+    """64-bit simhash per document (rows-only check)."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def xf(t: pa.Table) -> pa.Table:
+        sig = simhash64(t["text"])
+        return pa.table(
+            {"doc_id": t["doc_id"], "simhash": pa.array(sig.astype(np.int64))}
+        )
+
+    return ds.map_batches(xf, batch_format="pyarrow")
+
+
+def q_embedding_dedup(sf_dir: str) -> rd.Dataset:
+    """Cosine near-dup clusters over embeddings (rows-only check)."""
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return embedding_dedup_clusters(ds, "embedding", "vec_id", dim=EMB_DIM, threshold=0.99)
+
+
+def q_lang_id_docs(sf_dir: str) -> rd.Dataset:
+    """Stopword-profile language ID (actor-pool stage; rows-only check)."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(
+        LangIdBatch,
+        fn_constructor_kwargs={"text_col": "text"},
+        batch_format="pyarrow",
+        concurrency=2,
+    ).select_columns(["doc_id", "lang_pred"])
+
+
+def q_fingerprint_docs(sf_dir: str) -> rd.Dataset:
+    """Rolling-hash document fingerprint (rows-only check)."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def xf(t: pa.Table) -> pa.Table:
+        fp = fingerprint64(t["text"])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "fingerprint": pc.cast(fp, pa.int64(), safe=False),
+            }
+        )
+
+    return ds.map_batches(xf, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL
+# ---------------------------------------------------------------------------
+
+_STOP_PAT = r"\b(" + "|".join(STOPWORDS) + r")\b"
+_ONES = "[" + ",".join(["1.0"] * EMB_DIM) + "]"
+
+ORACLES: dict[str, str] = {
+    "cdc_merge_soft": _CDC_VIEW
+    + """
+SELECT COALESCE(s1.user_id, l2.user_id) AS user_id,
+       CASE WHEN l2.user_id IS NULL OR l2.op = 'D' THEN s1.event_type
+            ELSE l2.event_type END AS event_type,
+       CASE WHEN l2.user_id IS NULL OR l2.op = 'D' THEN s1.value
+            ELSE l2.value END AS value,
+       CASE WHEN l2.user_id IS NULL THEN 'I'
+            WHEN l2.op = 'D' THEN 'D'
+            WHEN s1.user_id IS NULL THEN 'I'
+            ELSE 'U' END AS datalake_iud
+FROM s1 FULL OUTER JOIN l2 ON s1.user_id = l2.user_id
+WHERE NOT (l2.op = 'D' AND s1.user_id IS NULL)
+""",
+    "cdc_merge_hard": _CDC_VIEW
+    + """
+SELECT COALESCE(s1.user_id, l2.user_id) AS user_id,
+       CASE WHEN l2.user_id IS NULL THEN s1.event_type
+            ELSE l2.event_type END AS event_type,
+       CASE WHEN l2.user_id IS NULL THEN s1.value ELSE l2.value END AS value,
+       CASE WHEN l2.user_id IS NULL THEN 'I'
+            WHEN s1.user_id IS NULL THEN 'I'
+            ELSE 'U' END AS datalake_iud
+FROM s1 FULL OUTER JOIN l2 ON s1.user_id = l2.user_id
+WHERE l2.op IS NULL OR l2.op <> 'D'
+""",
+    "cdc_full_load": """
+SELECT c_custkey, c_name,
+       CASE WHEN c_custkey % 7 <> 0 AND c_custkey % 3 = 0
+            THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+       CASE WHEN c_custkey % 7 = 0 THEN 'D'
+            WHEN c_custkey % 3 = 0 THEN 'U'
+            ELSE 'I' END AS datalake_iud
+FROM customer
+""",
+    "lww_dedup": """
+SELECT user_id, event_id AS last_seq, event_type AS last_event_type,
+       value AS last_value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+""",
+    "watermark_filter": """
+SELECT event_id, user_id, event_type, value FROM events
+WHERE event_id > (SELECT max(event_id) // 3 FROM events)
+  AND event_id <= (SELECT 2 * max(event_id) // 3 FROM events)
+""",
+    "max_watermark": "SELECT max(event_id) AS max_seq FROM events",
+    "rowcount_validation": """
+SELECT count(*) AS source_rows,
+       CAST(floor(count(*) * 50 / (100 * sqrt(count(*)))) AS BIGINT) AS allowed_diff
+FROM events
+""",
+    "project_rename_cast": """
+SELECT l_orderkey AS order_key, CAST(l_linenumber AS BIGINT) AS line_no,
+       l_returnflag AS return_flag,
+       l_extendedprice * (1.0 - l_discount) AS revenue
+FROM lineitem
+""",
+    "static_filter": """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_totalprice > 100000.0 AND o_orderstatus = 'O'
+""",
+    "anonymize_hash": f"""
+SELECT c_custkey, sha256(concat('{ANON_SEED}', c_name)) AS c_name_anon
+FROM customer
+""",
+    "anonymize_mask": r"""
+SELECT c_custkey, regexp_replace(c_name, '\S', '*', 'g') AS c_name_anon
+FROM customer
+""",
+    "anonymize_first4": r"""
+SELECT c_custkey,
+       concat(substr(c_name, 1, 4),
+              regexp_replace(substr(c_name, 5), '.', '*', 'g')) AS c_name_anon
+FROM customer
+""",
+    "groupby_pk_max": """
+SELECT user_id, max(event_id) AS max_seq, count(*) AS n_events
+FROM events GROUP BY user_id
+""",
+    "agg_lineitem": """
+SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+       count(*) AS count_order, min(l_extendedprice) AS min_price,
+       max(l_extendedprice) AS max_price
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+    "antijoin_deletes": """
+SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0)
+""",
+    "exact_dedup_docs": """
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+""",
+    "token_count_docs": r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+""",
+    "quality_docs": rf"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) AS n_punct,
+         CAST(len(regexp_extract_all(text, '{_STOP_PAT}')) AS DOUBLE) AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       n_punct / greatest(n_chars, 1.0) AS punct_ratio,
+       n_stop / greatest(n_tokens, 1.0) AS stopword_ratio,
+       (least(n_tokens / 100.0, 1.0) * (1.0 - n_punct / greatest(n_chars, 1.0)))
+         * least((n_stop / greatest(n_tokens, 1.0)) * 4.0, 1.0) AS quality_score
+FROM m
+""",
+    "ann_topk": f"""
+SELECT CAST(0 AS BIGINT) AS query_id, vec_id FROM embeddings
+ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), {_ONES}) DESC, vec_id
+LIMIT 10
+""",
+}
+
+
+def q_ann_topk(sf_dir: str) -> rd.Dataset:
+    """Brute-force cosine top-10 against the all-ones probe vector
+    (exact baseline of the similarity-search family)."""
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    q = np.ones((1, EMB_DIM), dtype=np.float64)
+    res = brute_force_topk(ds, q, 10, emb_col="embedding", id_col="vec_id")
+    return res.select_columns(["query_id", "vec_id"])
+
+
+QUERIES = {
+    "cdc_merge_soft": q_cdc_merge_soft,
+    "cdc_merge_hard": q_cdc_merge_hard,
+    "cdc_full_load": q_cdc_full_load,
+    "lww_dedup": q_lww_dedup,
+    "watermark_filter": q_watermark_filter,
+    "max_watermark": q_max_watermark,
+    "rowcount_validation": q_rowcount_validation,
+    "project_rename_cast": q_project_rename_cast,
+    "static_filter": q_static_filter,
+    "anonymize_hash": q_anonymize_hash,
+    "anonymize_mask": q_anonymize_mask,
+    "anonymize_first4": q_anonymize_first4,
+    "groupby_pk_max": q_groupby_pk_max,
+    "agg_lineitem": q_agg_lineitem,
+    "antijoin_deletes": q_antijoin_deletes,
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "token_count_docs": q_token_count_docs,
+    "quality_docs": q_quality_docs,
+    "ann_topk": q_ann_topk,
+    # rows-only (no SQL-expressible oracle):
+    "minhash_dedup_docs": q_minhash_dedup_docs,
+    "simhash_docs": q_simhash_docs,
+    "embedding_dedup": q_embedding_dedup,
+    "lang_id_docs": q_lang_id_docs,
+    "fingerprint_docs": q_fingerprint_docs,
+}

@@ -1,0 +1,89 @@
+"""Broadcast semi/anti joins — the shuffle-free small-side join pattern.
+
+DBImport's delete detection is an anti-join pushed down to Hive
+(etl_operations.py:362-393 ``T LEFT OUTER JOIN S ON pk WHERE S.pk IS
+NULL``). At Ray scale the right pattern for a *small* side is a broadcast:
+``ray.put`` the key set once, every map task reads it zero-copy from the
+object store, and membership is a vectorized ``np.isin`` inside
+``map_batches`` — no all-to-all exchange (SURVEY.md §4.2 "broadcast small
+sides"). For two *large* sides use ``Dataset.join`` (hash shuffle) instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+
+def _key_array(table: pa.Table, keys: list[str]) -> np.ndarray:
+    if len(keys) == 1:
+        return pc.cast(table[keys[0]], pa.string()).to_numpy(zero_copy_only=False)
+    joined = pc.binary_join_element_wise(
+        *[pc.cast(table[k], pa.string()) for k in keys], "\x1f"
+    )
+    return joined.to_numpy(zero_copy_only=False)
+
+
+class _BroadcastMembership:
+    """Actor-pool filter: the broadcast key set is fetched from plasma once
+    per actor (constructor ObjectRef), each batch is one sorted-array
+    membership probe."""
+
+    def __init__(self, keys_ref, join_keys: list[str], keep_matches: bool):
+        keys = ray.get(keys_ref) if isinstance(keys_ref, ray.ObjectRef) else keys_ref
+        self.sorted_keys = np.sort(np.asarray(keys))
+        self.join_keys = join_keys
+        self.keep = keep_matches
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        probe = _key_array(batch, self.join_keys)
+        idx = np.searchsorted(self.sorted_keys, probe)
+        idx_clip = np.minimum(idx, len(self.sorted_keys) - 1) if len(self.sorted_keys) else idx
+        found = (
+            (self.sorted_keys[idx_clip] == probe)
+            if len(self.sorted_keys)
+            else np.zeros(len(probe), dtype=bool)
+        )
+        mask = found if self.keep else ~found
+        return batch.filter(pa.array(mask))
+
+
+def _collect_keys(small: rd.Dataset | pa.Table, keys: list[str]) -> np.ndarray:
+    if isinstance(small, rd.Dataset):
+        tbl = pa.concat_tables(
+            ray.get(small.select_columns(keys).to_arrow_refs()),
+            promote_options="permissive",
+        )
+    else:
+        tbl = small
+    return np.unique(_key_array(tbl, keys))
+
+
+def broadcast_semi_join(
+    big: rd.Dataset, small: rd.Dataset | pa.Table, keys: list[str], concurrency=None
+) -> rd.Dataset:
+    """Rows of ``big`` whose key exists in ``small`` (no shuffle of big)."""
+    ref = ray.put(_collect_keys(small, keys))
+    return big.map_batches(
+        _BroadcastMembership,
+        fn_constructor_kwargs=dict(keys_ref=ref, join_keys=keys, keep_matches=True),
+        batch_format="pyarrow",
+        concurrency=concurrency or 4,
+    )
+
+
+def broadcast_anti_join(
+    big: rd.Dataset, small: rd.Dataset | pa.Table, keys: list[str], concurrency=None
+) -> rd.Dataset:
+    """Rows of ``big`` whose key does NOT exist in ``small`` — the
+    delete-detection anti-join shape (etl_operations.py:362-393)."""
+    ref = ray.put(_collect_keys(small, keys))
+    return big.map_batches(
+        _BroadcastMembership,
+        fn_constructor_kwargs=dict(keys_ref=ref, join_keys=keys, keep_matches=False),
+        batch_format="pyarrow",
+        concurrency=concurrency or 4,
+    )

@@ -1,0 +1,139 @@
+"""Multimodal (image/audio/video) columns as opaque binary + typed metadata.
+
+The image/audio codec libraries are not available in this environment, so
+the *decode* step is stubbed (deterministic fake or NotImplementedError) —
+but all the Ray-side plumbing is real and tested: schema contracts, small
+batch sizes for large payloads, actor-pool stage signatures, and output
+layout. A deployment swaps ``FakeImageDecoder`` for a PIL/ffmpeg-backed
+class with the identical ``__call__`` contract.
+
+Schema contract for a multimodal table::
+
+    media_id: int64
+    payload:  binary          (opaque encoded bytes)
+    media_type: string        ('image' | 'audio' | 'video')
+    width/height/duration_ms: int32 metadata (nullable, modality-specific)
+
+Scale notes: payloads are wide → stages must run with small ``batch_size``
+(``map_batches(..., batch_size=32)``) so batch × concurrency fits worker
+heaps; decode output (pixel arrays / frames) is larger still, so decode
+fuses with the feature extractor inside one actor rather than shipping raw
+pixels through the object store.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("payload", pa.binary()),
+        ("media_type", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("duration_ms", pa.int32()),
+    ]
+)
+
+
+def synthesize_media_table(n: int, seed: int = 5) -> pa.Table:
+    """Deterministic fake media rows for plumbing tests (no external data)."""
+    rng = np.random.default_rng(seed)
+    payloads = [rng.integers(0, 256, size=int(64 + (i * 37) % 256), dtype=np.uint8).tobytes() for i in range(n)]
+    types = [("image", "audio", "video")[i % 3] for i in range(n)]
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "media_type": pa.array(types),
+            "width": pa.array([64 + i % 32 if t == "image" else None for i, t in enumerate(types)], type=pa.int32()),
+            "height": pa.array([48 + i % 16 if t == "image" else None for i, t in enumerate(types)], type=pa.int32()),
+            "duration_ms": pa.array([1000 + i * 10 if t != "image" else None for i, t in enumerate(types)], type=pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+class ImageDecodeFeatureStage:
+    """Actor-pool stage: decode image payloads and emit a feature vector.
+
+    Real deployments load the codec/model in ``__init__`` (once per actor).
+    Here the decoder is pluggable; the default raises NotImplementedError —
+    pass ``fake=True`` for the deterministic stand-in used by tests.
+
+    Usage::
+
+        ds.map_batches(ImageDecodeFeatureStage, fn_constructor_kwargs={"fake": True},
+                       concurrency=4, batch_size=32, batch_format="pyarrow")
+    """
+
+    def __init__(self, feature_dim: int = 16, fake: bool = False):
+        self.feature_dim = feature_dim
+        self.fake = fake
+        # real impl: self.model = load_model(...); self.codec = PIL/ffmpeg
+
+    def _decode(self, payload: bytes) -> np.ndarray:
+        if not self.fake:
+            raise NotImplementedError(
+                "image codec not available in this environment; construct "
+                "with fake=True for the deterministic stand-in"
+            )
+        # deterministic fake: sha256(payload) expanded to feature_dim floats
+        h = hashlib.sha256(payload).digest()
+        raw = np.frombuffer((h * (self.feature_dim * 4 // len(h) + 1))[: self.feature_dim * 4], dtype=np.uint32)
+        return (raw % 1000).astype(np.float32) / 1000.0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mask = np.array([t == "image" for t in batch["media_type"].to_pylist()])
+        payloads = batch["payload"].to_pylist()
+        feats = np.zeros((batch.num_rows, self.feature_dim), dtype=np.float32)
+        for i, (m, p) in enumerate(zip(mask, payloads)):
+            if m and p is not None:
+                feats[i] = self._decode(p)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "features": pa.array(list(feats), type=pa.list_(pa.float32())),
+                "decoded": pa.array(mask),
+            }
+        )
+
+
+class FrameSampleStage:
+    """Actor-pool stage contract for video frame sampling: emits one row
+    per sampled frame (flat_map shape). Decode is stubbed; the sampling
+    *schedule* (deterministic every-nth-ms) and output layout are real."""
+
+    def __init__(self, every_ms: int = 500, fake: bool = False):
+        self.every_ms = every_ms
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frame_ts, frame_hash = [], [], []
+        for mid, mtype, dur, payload in zip(
+            batch["media_id"].to_pylist(),
+            batch["media_type"].to_pylist(),
+            batch["duration_ms"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            if mtype != "video" or dur is None:
+                continue
+            if not self.fake:
+                raise NotImplementedError("video codec not available; use fake=True")
+            for ts in range(0, dur, self.every_ms):
+                ids.append(mid)
+                frame_ts.append(ts)
+                frame_hash.append(
+                    hashlib.sha256(payload + ts.to_bytes(4, "little")).hexdigest()[:16]
+                )
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "frame_ts_ms": pa.array(frame_ts, type=pa.int32()),
+                "frame_hash": pa.array(frame_hash, type=pa.string()),
+            }
+        )

@@ -1,0 +1,102 @@
+"""Local stand-in for the driver's correctness gate: run every queries()
+entry at a given sf and compare with oracle_sql() via DuckDB the same way
+(row count + sorted-column value comparison). Run directly:
+
+    python tests/harness_check.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+
+def to_pandas(res) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data as rd
+
+    if isinstance(res, rd.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> str:
+    if len(ray_df) != len(sql_df):
+        return f"ROWS ray={len(ray_df)} sql={len(sql_df)}"
+    a, b = canon(ray_df), canon(sql_df)
+    if list(a.columns) != list(b.columns):
+        return f"COLS ray={list(a.columns)} sql={list(b.columns)}"
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if np.issubdtype(a[c].dtype, np.floating):
+            if not np.allclose(av.astype(float), bv.astype(float), rtol=1e-9, atol=1e-12, equal_nan=True):
+                bad = np.where(~np.isclose(av.astype(float), bv.astype(float), rtol=1e-9, atol=1e-12, equal_nan=True))[0][:3]
+                return f"VALUES col={c} rows={bad.tolist()} ray={av[bad]} sql={bv[bad]}"
+        else:
+            if not (pd.Series(av).fillna("§") == pd.Series(bv).fillna("§")).all():
+                neq = np.where(pd.Series(av).fillna("§").to_numpy() != pd.Series(bv).fillna("§").to_numpy())[0][:3]
+                return f"VALUES col={c} rows={neq.tolist()} ray={av[neq]} sql={bv[neq]}"
+    return "OK"
+
+
+def main(sf_dir: str, only: list[str] | None = None) -> int:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, ".")
+    import __ray_entry__ as e
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    con = duckdb.connect()
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            ray_df = to_pandas(fn(sf_dir))
+        except Exception as ex:
+            print(f"{name:24s} RAY-ERROR {type(ex).__name__}: {ex}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"{name:24s} rows-only: {len(ray_df)} rows, cols={list(ray_df.columns)}")
+            continue
+        try:
+            sql_df = con.sql(oracles[name]).df()
+        except Exception as ex:
+            print(f"{name:24s} SQL-ERROR {type(ex).__name__}: {ex}")
+            failures += 1
+            continue
+        verdict = compare(name, ray_df, sql_df)
+        print(f"{name:24s} {verdict}")
+        if verdict != "OK":
+            failures += 1
+    return failures
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    rc = main(sf, only)
+    sys.exit(1 if rc else 0)
