@@ -121,7 +121,13 @@ def generate_events(
     Deterministic in all parameters; cached output can be reused by callers
     that key the path on the parameters.
     """
-    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    single_file = out_path.endswith(".parquet")
+    if single_file:
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    else:
+        # directory-of-shards: one file per rows_per_batch chunk → parallel
+        # source reads (a single parquet file reads in ONE Ray task)
+        os.makedirs(out_path, exist_ok=True)
     repo_s, path_s, lang_s = _key_strings(num_keys, seed)
     pool = _content_pool(seed)
 
@@ -166,7 +172,11 @@ def generate_events(
     ).astype(np.int64) + 1
     pool_pick = (_hash2(key_id.astype(np.uint64), occ + 400, seed) % np.uint64(_POOL_SIZE)).astype(np.int64)
 
-    writer = pq.ParquetWriter(out_path, EVENT_SCHEMA, compression="snappy")
+    writer = (
+        pq.ParquetWriter(out_path, EVENT_SCHEMA, compression="snappy")
+        if single_file
+        else None
+    )
     try:
         for lo in range(0, num_events, rows_per_batch):
             hi = min(lo + rows_per_batch, num_events)
@@ -200,9 +210,18 @@ def generate_events(
                 },
                 schema=EVENT_SCHEMA,
             )
-            writer.write_table(batch)
+            if writer is not None:
+                writer.write_table(batch)
+            else:
+                pq.write_table(
+                    batch,
+                    os.path.join(out_path, f"events-{lo // rows_per_batch:05d}.parquet"),
+                    compression="snappy",
+                    row_group_size=max(8192, rows_per_batch // 4),
+                )
     finally:
-        writer.close()
+        if writer is not None:
+            writer.close()
     return out_path
 
 
@@ -210,8 +229,9 @@ def cached_events(
     tmp_root: str, num_keys: int, num_events: int, seed: int = 42, **kw
 ) -> str:
     """Generate once per parameter set, reuse across runs/processes."""
-    tag = f"events-k{num_keys}-n{num_events}-s{seed}"
-    path = os.path.join(tmp_root, tag, "events.parquet")
+    extra = "".join(f"-{k[:3]}{v}" for k, v in sorted(kw.items()))
+    tag = f"events-k{num_keys}-n{num_events}-s{seed}{extra}"
+    path = os.path.join(tmp_root, tag, "events")
     if not os.path.exists(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + ".gen"

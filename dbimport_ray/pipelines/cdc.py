@@ -3,24 +3,40 @@
 One ``replay()`` call = one DBImport import run (bin/import stages 1010→9999)
 over the event range ``(committed_seq, pending_seq]``::
 
-    read_parquet(events, filter: committed < seq ≤ pending)   [stateless tasks]
-      → map_batches(NormalizeBatch)     schema-align + stamp _pid
-      → map_batches(lww pre-reduce)     per-block LWW combine (skew shield)
-      → groupby(_pid)                   THE one shuffle, key = hash(pk) % P
-      → map_groups(MergeGroup actors)   per-partition Arrow merge → new file
+    IMPORT PHASE (stage 1010-1049):
+      read_parquet(events, filter: committed < seq ≤ pending) [stateless tasks]
+        → map_batches(NormalizeBatch)   schema-align + stamp _pid
+        → map_batches(lww pre-reduce)   per-block LWW combine (skew shield)
+        → write_parquet(partition_cols=[_pid])   hive-partitioned STAGING
+    ETL PHASE (stage 3050-3208):
+      one work item per touched partition (biggest first — straggler
+      mitigation, Airflow.py:697-700 priority_weight analogue)
+        → map_batches(MergeGroup actor pool): read own staged slice +
+          old partition file → Arrow merge → new file + done marker
       → driver: ledger validation → stage manifest → atomic commit
                 → promote watermark → metrics JSONL
 
+The partition exchange is the staged write, not an object-store
+all-to-all: every normalize task appends to at most P hive dirs, every
+merge actor reads exactly its own pid's files. This is DBImport's
+staging-table design (import phase lands data, ETL phase merges —
+docs/concept.rst) made Ray-native, and it sidesteps the sort-based
+``groupby().map_groups`` shuffle whose sampling/sort barrier dominated
+wall-time at small batch sizes — staging cost scales with the batch, not
+the table, and on a cluster the staging dir lives on shared storage.
+
 Exactly-once: partition files are written tmp→rename, a per-partition done
 marker makes task retries and mid-batch resume idempotent, and the manifest
-rename is the single commit point (state/manifest.py). A crash anywhere
-before the manifest commit leaves the committed table untouched; rerunning
-``replay()`` resumes the pending batch (COALESCE(pending, committed)
-watermark, import_config.py:2204-2208) and skips finished partitions.
+rename is the single commit point (state/manifest.py). Staging is
+re-entrant: a ``_STAGED`` flag gates it, a partial staging dir from a crash
+is wiped and rebuilt. A crash anywhere before the manifest commit leaves
+the committed table untouched; rerunning ``replay()`` resumes the pending
+batch (COALESCE(pending, committed) watermark, import_config.py:2204-2208)
+and skips finished partitions.
 
 Scale notes (100 TB / 10^10 events): batch IO is proportional to the event
 range + touched partitions, never the table size; the LWW pre-reduce keeps
-superseded wide ``content`` payloads out of the shuffle; P is fixed per
+superseded wide ``content`` payloads off the staging disk; P is fixed per
 table and sized so a partition is a few hundred MB; merge actors hold one
 partition at a time (old file + deltas), so peak worker memory is bounded by
 partition size, not table size.
@@ -42,6 +58,7 @@ from ..config import MODE_CDC, MODE_FULL, TableConfig
 from ..sources.events import max_sequence, read_events
 from ..state.checkpoint import (
     STAGE_MERGED,
+    STAGE_STAGED,
     STAGE_VALIDATED,
     CheckpointStore,
 )
@@ -58,7 +75,6 @@ from ..stages.normalize import NormalizeBatch
 from ..stages.partitioning import PID_COL
 from ..stages.validate import validate_exact
 
-_MARKER_OP = "_MARKER_"
 _EPOCH = datetime(2026, 1, 1)
 
 METRICS_SCHEMA = pa.schema(
@@ -89,14 +105,14 @@ def deterministic_merge_ts(pending_seq: int) -> datetime:
 
 
 class MergeGroup:
-    """Actor-pool callable for ``groupby(_pid).map_groups``.
+    """Actor-pool callable: one ``__call__`` = one partition's merge.
 
-    One call = one partition's merge. Constructor (once per actor) rebuilds
-    schemas and config; ``__call__`` (per partition) reads the partition's
-    old file, LWW-dedups the group, runs the Arrow merge kernel, writes the
-    new partition + history files (tmp→rename), drops a done marker, and
-    returns a one-row metrics table (import_statistics analogue,
-    configSchema.py:489).
+    Constructor (once per actor) rebuilds schemas and config; ``__call__``
+    receives a one-row work item ``(pid, staged_bytes)``, reads the pid's
+    staged event files + the partition's old file, LWW-dedups, runs the
+    Arrow merge kernel, writes the new partition + history files
+    (tmp→rename), drops a done marker, and returns a one-row metrics table
+    (import_statistics analogue, configSchema.py:489).
     """
 
     def __init__(
@@ -120,18 +136,27 @@ class MergeGroup:
         self.version = version
         self.merge_ts = datetime.fromisoformat(merge_ts_iso)
 
-    def __call__(self, group: pa.Table) -> pa.Table:
+    def _read_staged(self, pid: int, files: list[str]) -> pa.Table:
+        from ..stages.staging import read_staged_pid
+
+        if not files:
+            cols = {f.name: pa.nulls(0, f.type) for f in self.schema}
+            cols[self.cfg.op_col] = pa.nulls(0, pa.string())
+            cols[self.cfg.sequence_col] = pa.nulls(0, pa.int64())
+            return pa.table(cols)
+        return read_staged_pid(self.store.staging_dir(self.version), files, pid)
+
+    def __call__(self, item: pa.Table) -> pa.Table:
         t0 = time.monotonic()
-        pid = int(group[PID_COL][0].as_py())
+        pid = int(item["pid"][0].as_py())
+        files = item["files"][0].as_py() if "files" in item.column_names else []
         # idempotent re-entry: task retry or mid-batch resume
         marker = self.store.read_marker(self.version, pid)
         if marker is not None:
             marker["resumed"] = True
             return self._metrics_row(marker)
 
-        # drop full-load group markers; they only force group emission
-        mask = pa.compute.not_equal(group[self.cfg.op_col], _MARKER_OP)
-        events = group.filter(mask)
+        events = self._read_staged(pid, files)
         events_in = events.num_rows
         max_seq = (
             int(pa.compute.max(events[self.cfg.sequence_col]).as_py())
@@ -210,7 +235,6 @@ class CDCEngine:
         events_path: str | list[str],
         upto_seq: int | None = None,
         merge_ts: datetime | None = None,
-        merge_concurrency: int | None = None,
         override_num_blocks: int | None = None,
         fail_before_commit: bool = False,
     ) -> dict:
@@ -232,11 +256,9 @@ class CDCEngine:
         ts = merge_ts or deterministic_merge_ts(pending)
 
         # --- schema evolution (driver-side pre-stage, SURVEY.md §7.2) ------
-        incoming_full = (
-            pq.read_schema(events_path)
-            if isinstance(events_path, str)
-            else pq.read_schema(events_path[0])
-        )
+        import pyarrow.dataset as pads
+
+        incoming_full = pads.dataset(events_path).schema
         drop = {self.cfg.op_col, self.cfg.sequence_col}
         incoming = pa.schema([f for f in incoming_full if f.name not in drop])
         renames = dict(manifest.renames)
@@ -255,39 +277,90 @@ class CDCEngine:
             value_columns=[n for n in unified.names if n not in self.cfg.pk],
         )
 
-        # --- the dataset pipeline ------------------------------------------
-        ds = read_events(
-            events_path,
-            self.cfg.sequence_col,
-            after_seq=cp.committed_seq,
-            upto_seq=pending,
-            override_num_blocks=override_num_blocks,
-        )
-        ds = ds.map_batches(
-            NormalizeBatch(
-                unified,
-                renames,
-                [self.cfg.op_col, self.cfg.sequence_col],
-                self.cfg.pk,
-                self.cfg.num_partitions,
-            ),
-            batch_format="pyarrow",
-        )
-        ds = ds.map_batches(
-            make_lww_prereduce(self.cfg.pk, self.cfg.sequence_col),
-            batch_format="pyarrow",
-        )
-        if self.cfg.mode == MODE_FULL and manifest.partitions:
-            ds = ds.union(self._full_load_markers(unified, manifest))
+        # --- IMPORT PHASE: stage events as pid-sorted parquet --------------
+        import json as _json
 
-        # Leave CPUs for the read/normalize/shuffle stages — an actor pool
-        # that reserves every CPU starves upstream tasks and the pipeline
-        # deadlocks (ray_guide.md "a pool that reserves every CPU").
-        ncpu = int(ray.cluster_resources().get("CPU", 4))
-        conc = merge_concurrency or max(1, min(self.cfg.num_partitions, ncpu - 1))
-        grouped = ds.groupby(PID_COL).map_groups(
-            MergeGroup,
-            fn_constructor_kwargs=dict(
+        from ..stages.staging import make_stage_writer
+
+        _t_phase = time.monotonic()
+        staging = self.store.staging_dir(version)
+        staged_flag = self.store.staging_flag(version)
+        stage_manifest_path = os.path.join(staging, "_stage_manifest.json")
+        if os.path.exists(staged_flag):
+            with open(stage_manifest_path) as f:
+                frags = _json.load(f)
+        else:
+            # partial staging from a crash → wipe and restage (staging is
+            # always overwritten, import_operations.py:1404)
+            self.store.clear_staging(version)
+            os.makedirs(staging, exist_ok=True)
+            ds = read_events(
+                events_path,
+                self.cfg.sequence_col,
+                after_seq=cp.committed_seq,
+                upto_seq=pending,
+                override_num_blocks=override_num_blocks,
+            )
+            ds = ds.map_batches(
+                NormalizeBatch(
+                    unified,
+                    renames,
+                    [self.cfg.op_col, self.cfg.sequence_col],
+                    self.cfg.pk,
+                    self.cfg.num_partitions,
+                ),
+                batch_format="pyarrow",
+            )
+            ds = ds.map_batches(
+                make_lww_prereduce(self.cfg.pk, self.cfg.sequence_col),
+                batch_format="pyarrow",
+            )
+            frags = ds.map_batches(
+                make_stage_writer(staging), batch_format="pyarrow"
+            ).take_all()
+            frags = [
+                {k: (int(v) if k != "file" else v) for k, v in r.items()}
+                for r in frags
+            ]
+            with open(stage_manifest_path, "w") as f:
+                _json.dump(frags, f)
+            with open(staged_flag, "w") as f:
+                f.write("staged")
+        self.ckpt.set_stage(STAGE_STAGED)
+        if os.environ.get("DBIMPORT_RAY_STATS"):
+            print(f"[phase] staging {time.monotonic() - _t_phase:.2f}s")
+            _t_phase = time.monotonic()
+
+        # --- ETL PHASE: per-partition merges over the staged slices --------
+        staged_bytes: dict[int, int] = {}
+        staged_files: dict[int, list[str]] = {}
+        for r in frags:
+            p = int(r["pid"])
+            staged_bytes[p] = staged_bytes.get(p, 0) + int(r["bytes"])
+            staged_files.setdefault(p, []).append(r["file"])
+        pids = set(staged_files)
+        if self.cfg.mode == MODE_FULL:
+            # zero-event partitions still run their anti-join deletes
+            pids |= {int(p) for p in manifest.partitions}
+        # biggest partition first — straggler mitigation (the Airflow
+        # priority_weight trick, Schedule/Airflow.py:697-700)
+        items = [
+            {
+                "pid": p,
+                "staged_bytes": staged_bytes.get(p, 0),
+                "files": staged_files.get(p, []),
+            }
+            for p in sorted(pids, key=lambda p: -staged_bytes.get(p, 0))
+        ]
+
+        if items:
+            # Task pool, not actor pool: the merge holds no cross-call
+            # state (config travels in the closure; partition state lives
+            # on disk), so plain tasks reuse warm Ray workers and skip
+            # per-batch actor-pool startup. Stateful variants (e.g. a
+            # pinned PK index cache) would switch this to
+            # map_batches(MergeGroup, concurrency=...).
+            merge_kwargs = dict(
                 table_root=self.store.root,
                 table=self.cfg.name,
                 cfg_dict=asdict(eff_cfg),
@@ -296,12 +369,23 @@ class CDCEngine:
                 schema_json=schema_to_json(unified),
                 version=version,
                 merge_ts_iso=ts.isoformat(),
-            ),
-            batch_format="pyarrow",
-            concurrency=conc,
-            num_cpus=1,
-        )
-        metrics = grouped.take_all()  # ≤ P rows — small by construction
+            )
+
+            def merge_item(batch: pa.Table) -> pa.Table:
+                return MergeGroup(**merge_kwargs)(batch)
+
+            work = rd.from_items(items, override_num_blocks=len(items))
+            merged = work.map_batches(
+                merge_item,
+                batch_format="pyarrow",
+                batch_size=None,
+                num_cpus=1,
+            )
+            metrics = merged.take_all()  # ≤ P rows — small by construction
+            if os.environ.get("DBIMPORT_RAY_STATS"):
+                print(f"[phase] merge {time.monotonic() - _t_phase:.2f}s")
+        else:
+            metrics = []
         self.ckpt.set_stage(STAGE_MERGED)
 
         # --- assemble + validate next manifest -----------------------------
@@ -354,6 +438,7 @@ class CDCEngine:
             }
         )
         self.store.clear_markers(version)
+        self.store.clear_staging(version)
         self.store.purge_old_versions(keep_versions=2)
         return {
             "status": "committed",
@@ -361,23 +446,6 @@ class CDCEngine:
             "committed_seq": pending,
             **totals,
         }
-
-    # ------------------------------------------------------------------
-    def _full_load_markers(self, unified: pa.Schema, manifest: Manifest) -> rd.Dataset:
-        """Zero-event partitions must still run their anti-join deletes on a
-        full load — one marker row per existing pid forces group emission
-        (dropped inside MergeGroup before merging)."""
-        pids = [int(p) for p in manifest.partitions]
-        n = len(pids)
-        cols: dict[str, pa.Array] = {}
-        for f in unified:
-            # marker rows are dropped inside MergeGroup before any key
-            # logic runs, so even PK columns can be null here
-            cols[f.name] = pa.nulls(n, type=f.type)
-        cols[self.cfg.op_col] = pa.array([_MARKER_OP] * n)
-        cols[self.cfg.sequence_col] = pa.array([-1] * n, type=pa.int64())
-        cols[PID_COL] = pa.array(pids, type=pa.int32())
-        return rd.from_arrow(pa.table(cols))
 
     # ------------------------------------------------------------------
     def dataset(self, columns: list[str] | None = None) -> rd.Dataset:

@@ -21,8 +21,18 @@ def max_sequence(paths: str | list[str], seq_col: str = "sequence_id") -> int:
     """Watermark probe — ``select max(incr_column)``
     (common_config.py:1555 ``getJDBCcolumnMaxValue``) from Parquet row-group
     statistics only; no data read."""
+    import glob
+    import os
+
     if isinstance(paths, str):
         paths = [paths]
+    expanded: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            expanded.extend(sorted(glob.glob(os.path.join(p, "*.parquet"))))
+        else:
+            expanded.append(p)
+    paths = expanded
     mx = None
     for p in paths:
         md = pq.read_metadata(p)

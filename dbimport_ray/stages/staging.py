@@ -1,0 +1,94 @@
+"""Staged partition exchange — pid-aligned row groups instead of a shuffle.
+
+The import phase lands normalized events on (shared) storage so the merge
+phase can read per-partition slices without an object-store all-to-all
+(DBImport's staging table, docs/concept.rst "Import phase"). A naive
+hive-partitioned write (``partition_cols=[_pid]``) creates blocks × P small
+files and serializes on directory metadata; instead every staging task
+writes ONE parquet file with its rows sorted by ``_pid`` and one row group
+per pid, and returns a staging-manifest fragment ``(pid, file, rows,
+bytes)``. Merge tasks then open only the files that contain their pid and
+scan with a ``_pid == p`` filter — parquet row-group statistics prune
+everything else, so read amplification is just the file footers.
+
+Written tmp→rename with a uuid per attempt; only files recorded in the
+returned manifest fragments are ever read, so a retried task's orphan file
+is inert (and swept with the staging dir at commit).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .partitioning import PID_COL
+
+STAGE_META_COLS = ("pid", "file", "rows", "bytes")
+
+
+def make_stage_writer(staging_dir: str):
+    """map_batches task body: write one pid-sorted file per block, emit
+    manifest rows."""
+
+    def _write(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "pid": pa.array([], pa.int32()),
+                    "file": pa.array([], pa.string()),
+                    "rows": pa.array([], pa.int64()),
+                    "bytes": pa.array([], pa.int64()),
+                }
+            )
+        pid_np = batch[PID_COL].to_numpy(zero_copy_only=False)
+        order = np.argsort(pid_np, kind="stable")
+        batch = batch.take(pa.array(order))
+        pid_sorted = pid_np[order]
+        # row-group boundaries = pid runs
+        change = np.flatnonzero(np.r_[True, pid_sorted[1:] != pid_sorted[:-1]])
+        bounds = np.r_[change, len(pid_sorted)]
+
+        name = f"stage-{uuid.uuid4().hex}.parquet"
+        final = os.path.join(staging_dir, name)
+        tmp = final + ".tmp"
+        pids, rows = [], []
+        writer = pq.ParquetWriter(tmp, batch.schema, compression="snappy")
+        try:
+            for i in range(len(bounds) - 1):
+                lo, hi = int(bounds[i]), int(bounds[i + 1])
+                writer.write_table(batch.slice(lo, hi - lo))
+                pids.append(int(pid_sorted[lo]))
+                rows.append(hi - lo)
+        finally:
+            writer.close()
+        os.replace(tmp, final)
+        total = os.path.getsize(final)
+        nb = [int(total * r / batch.num_rows) for r in rows]  # pro-rata bytes
+        return pa.table(
+            {
+                "pid": pa.array(pids, pa.int32()),
+                "file": pa.array([name] * len(pids), pa.string()),
+                "rows": pa.array(rows, pa.int64()),
+                "bytes": pa.array(nb, pa.int64()),
+            }
+        )
+
+    return _write
+
+
+def read_staged_pid(
+    staging_dir: str, files: list[str], pid: int
+) -> pa.Table:
+    """Merge-side read: only row groups whose ``_pid`` stats cover ``pid``."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    if not files:
+        raise ValueError("no staged files for pid read")
+    paths = [os.path.join(staging_dir, f) for f in files]
+    ds = pads.dataset(paths)
+    return ds.to_table(filter=pc.field(PID_COL) == pid)

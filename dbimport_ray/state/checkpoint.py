@@ -26,7 +26,8 @@ from .manifest import _atomic_write_json
 
 # Stage numbers loosely mirror bin/import's stage space (SURVEY.md §3.1).
 STAGE_IDLE = 0
-STAGE_LOADING = 1010  # events being read/merged (import phase)
+STAGE_LOADING = 1010  # events being read + staged (import phase)
+STAGE_STAGED = 1049  # staging complete ("Import Phase Completed", bin/import)
 STAGE_MERGED = 3208  # all partitions merged, manifest staged
 STAGE_VALIDATED = 3210  # validation passed
 STAGE_DONE = 9999

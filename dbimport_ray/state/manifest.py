@@ -131,6 +131,43 @@ class TableStore:
     def history_file(self, pid: int, version: int) -> str:
         return f"history/hist-{pid:05d}-v{version:06d}.parquet"
 
+    def staging_dir(self, version: int) -> str:
+        """Per-batch hive-partitioned event staging (the import-phase
+        landing zone — DBImport's Import/staging table, concept.rst
+        'Different Table types'). Events land as
+        ``_staging/vNNN/_pid=<pid>/*.parquet``; merge actors read only
+        their own pid's files, so no object-store all-to-all is needed."""
+        return os.path.join(self.root, "_staging", f"v{version:06d}")
+
+    def staging_flag(self, version: int) -> str:
+        return os.path.join(self.staging_dir(version), "_STAGED")
+
+    def staged_partitions(self, version: int) -> dict[int, int]:
+        """{pid: staged_bytes} from the staging dir layout."""
+        out: dict[int, int] = {}
+        root = self.staging_dir(version)
+        if not os.path.isdir(root):
+            return out
+        for d in os.listdir(root):
+            if not d.startswith("_pid="):
+                continue
+            pid = int(d.split("=", 1)[1])
+            full = os.path.join(root, d)
+            out[pid] = sum(
+                os.path.getsize(os.path.join(full, f))
+                for f in os.listdir(full)
+                if f.endswith(".parquet")
+            )
+        return out
+
+    def clear_staging(self, version: int | None = None) -> None:
+        import shutil
+
+        root = os.path.join(self.root, "_staging")
+        target = self.staging_dir(version) if version is not None else root
+        if os.path.isdir(target):
+            shutil.rmtree(target)
+
     def marker_dir(self, version: int) -> str:
         return os.path.join(self.root, "_pending", f"v{version:06d}")
 
