@@ -186,7 +186,12 @@ class IVFIndex:
         q = _normalize(np.asarray(queries, dtype=np.float64))
         cell_scores = q @ self.centroids.T  # (nq, n_cells)
         probe = np.argsort(-cell_scores, axis=1)[:, :nprobe]
+        import glob
+        import os
+
         cells = sorted(set(probe.reshape(-1).tolist()))
-        paths = [f"{self.root}/ivf_cell={c}" for c in cells]
+        paths = []
+        for c in cells:  # empty cells have no dir; expand to concrete files
+            paths.extend(sorted(glob.glob(f"{self.root}/ivf_cell={c}/*.parquet")))
         ds = rd.read_parquet(paths, columns=[self.id_col, self.emb_col])
         return brute_force_topk(ds, q, k, emb_col=self.emb_col, id_col=self.id_col)

@@ -54,7 +54,13 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
-from ..config import MODE_CDC, MODE_FULL, TableConfig
+from ..config import (
+    MODE_APPEND,
+    MODE_CDC,
+    MODE_FULL,
+    MODE_TRUNCATE_INSERT,
+    TableConfig,
+)
 from ..sources.events import max_sequence, read_events
 from ..state.checkpoint import (
     STAGE_MERGED,
@@ -147,14 +153,17 @@ class MergeGroup:
         return read_staged_pid(self.store.staging_dir(self.version), files, pid)
 
     def __call__(self, item: pa.Table) -> pa.Table:
-        t0 = time.monotonic()
         pid = int(item["pid"][0].as_py())
         files = item["files"][0].as_py() if "files" in item.column_names else []
+        return self._metrics_row(self.merge_one(pid, files))
+
+    def merge_one(self, pid: int, files: list[str]) -> dict:
+        t0 = time.monotonic()
         # idempotent re-entry: task retry or mid-batch resume
         marker = self.store.read_marker(self.version, pid)
         if marker is not None:
             marker["resumed"] = True
-            return self._metrics_row(marker)
+            return marker
 
         events = self._read_staged(pid, files)
         events_in = events.num_rows
@@ -163,11 +172,16 @@ class MergeGroup:
             if events_in
             else -1
         )
-        # cross-block LWW (map-side pre-reduce handled within-block dups)
-        events = lww_dedup(events, self.cfg.pk, self.cfg.sequence_col)
+        if self.cfg.mode in (MODE_CDC, MODE_FULL):
+            # cross-block LWW (map-side pre-reduce handled within-block dups)
+            events = lww_dedup(events, self.cfg.pk, self.cfg.sequence_col)
 
         old = None
-        entry = self.partitions.get(str(pid))
+        entry = (
+            None
+            if self.cfg.mode == MODE_TRUNCATE_INSERT  # replace-all: old is dead weight
+            else self.partitions.get(str(pid))
+        )
         if entry is not None:
             old = pq.read_table(self.store.abs_path(entry["file"]))
             old = align_to_schema(
@@ -202,7 +216,7 @@ class MergeGroup:
             "resumed": False,
         }
         self.store.write_marker(self.version, pid, m)
-        return self._metrics_row(m)
+        return m
 
     def _write(self, table: pa.Table, rel: str) -> int:
         abs_path = self.store.abs_path(rel)
@@ -255,77 +269,23 @@ class CDCEngine:
 
         ts = merge_ts or deterministic_merge_ts(pending)
 
-        # --- schema evolution (driver-side pre-stage, SURVEY.md §7.2) ------
-        import pyarrow.dataset as pads
-
-        incoming_full = pads.dataset(events_path).schema
-        drop = {self.cfg.op_col, self.cfg.sequence_col}
-        incoming = pa.schema([f for f in incoming_full if f.name not in drop])
-        renames = dict(manifest.renames)
-        if manifest.schema:
-            plan = plan_evolution(manifest.arrow_schema(), incoming, self.cfg.pk)
-            unified = plan.unified
-            renames.update(plan.renamed)
-        else:
-            # first batch fixes the schema: PK columns first
-            fields = [incoming.field(k) for k in self.cfg.pk] + [
-                f for f in incoming if f.name not in self.cfg.pk
-            ]
-            unified = pa.schema(fields)
+        unified, renames = self._plan_schema(manifest, events_path)
         eff_cfg = replace(
             self.cfg,
             value_columns=[n for n in unified.names if n not in self.cfg.pk],
         )
 
         # --- IMPORT PHASE: stage events as pid-sorted parquet --------------
-        import json as _json
-
-        from ..stages.staging import make_stage_writer
-
         _t_phase = time.monotonic()
-        staging = self.store.staging_dir(version)
-        staged_flag = self.store.staging_flag(version)
-        stage_manifest_path = os.path.join(staging, "_stage_manifest.json")
-        if os.path.exists(staged_flag):
-            with open(stage_manifest_path) as f:
-                frags = _json.load(f)
-        else:
-            # partial staging from a crash → wipe and restage (staging is
-            # always overwritten, import_operations.py:1404)
-            self.store.clear_staging(version)
-            os.makedirs(staging, exist_ok=True)
-            ds = read_events(
-                events_path,
-                self.cfg.sequence_col,
-                after_seq=cp.committed_seq,
-                upto_seq=pending,
-                override_num_blocks=override_num_blocks,
-            )
-            ds = ds.map_batches(
-                NormalizeBatch(
-                    unified,
-                    renames,
-                    [self.cfg.op_col, self.cfg.sequence_col],
-                    self.cfg.pk,
-                    self.cfg.num_partitions,
-                ),
-                batch_format="pyarrow",
-            )
-            ds = ds.map_batches(
-                make_lww_prereduce(self.cfg.pk, self.cfg.sequence_col),
-                batch_format="pyarrow",
-            )
-            frags = ds.map_batches(
-                make_stage_writer(staging), batch_format="pyarrow"
-            ).take_all()
-            frags = [
-                {k: (int(v) if k != "file" else v) for k, v in r.items()}
-                for r in frags
-            ]
-            with open(stage_manifest_path, "w") as f:
-                _json.dump(frags, f)
-            with open(staged_flag, "w") as f:
-                f.write("staged")
+        frags = self._stage(
+            events_path,
+            after_seq=cp.committed_seq,
+            upto_seq=pending,
+            version=version,
+            unified=unified,
+            renames=renames,
+            override_num_blocks=override_num_blocks,
+        )
         self.ckpt.set_stage(STAGE_STAGED)
         if os.environ.get("DBIMPORT_RAY_STATS"):
             print(f"[phase] staging {time.monotonic() - _t_phase:.2f}s")
@@ -337,7 +297,7 @@ class CDCEngine:
         for r in frags:
             p = int(r["pid"])
             staged_bytes[p] = staged_bytes.get(p, 0) + int(r["bytes"])
-            staged_files.setdefault(p, []).append(r["file"])
+            staged_files.setdefault(p, []).append(f"{r['file']}#{r['rg']}")
         pids = set(staged_files)
         if self.cfg.mode == MODE_FULL:
             # zero-event partitions still run their anti-join deletes
@@ -354,34 +314,33 @@ class CDCEngine:
         ]
 
         if items:
-            # Task pool, not actor pool: the merge holds no cross-call
-            # state (config travels in the closure; partition state lives
-            # on disk), so plain tasks reuse warm Ray workers and skip
-            # per-batch actor-pool startup. Stateful variants (e.g. a
-            # pinned PK index cache) would switch this to
-            # map_batches(MergeGroup, concurrency=...).
-            merge_kwargs = dict(
-                table_root=self.store.root,
-                table=self.cfg.name,
-                cfg_dict=asdict(eff_cfg),
-                partitions=manifest.partitions,
-                renames=renames,
-                schema_json=schema_to_json(unified),
-                version=version,
-                merge_ts_iso=ts.isoformat(),
+            # Raw Ray tasks, deliberately NOT a Dataset here: the work list
+            # is ≤ P tiny dicts known up front — a per-batch streaming
+            # executor launch would cost more than the scheduling it buys.
+            # Tasks reuse warm workers; the merge holds no cross-call state
+            # (config ships once via ray.put; partition state lives on
+            # disk), and per-partition done markers keep retries
+            # idempotent.
+            merge_kwargs_ref = ray.put(
+                dict(
+                    table_root=self.store.root,
+                    table=self.cfg.name,
+                    cfg_dict=asdict(eff_cfg),
+                    partitions=manifest.partitions,
+                    renames=renames,
+                    schema_json=schema_to_json(unified),
+                    version=version,
+                    merge_ts_iso=ts.isoformat(),
+                )
             )
 
-            def merge_item(batch: pa.Table) -> pa.Table:
-                return MergeGroup(**merge_kwargs)(batch)
+            @ray.remote(num_cpus=1)
+            def _merge_task(item: dict, kw: dict) -> dict:
+                return MergeGroup(**kw).merge_one(item["pid"], item["files"])
 
-            work = rd.from_items(items, override_num_blocks=len(items))
-            merged = work.map_batches(
-                merge_item,
-                batch_format="pyarrow",
-                batch_size=None,
-                num_cpus=1,
+            metrics = ray.get(
+                [_merge_task.remote(it, merge_kwargs_ref) for it in items]
             )
-            metrics = merged.take_all()  # ≤ P rows — small by construction
             if os.environ.get("DBIMPORT_RAY_STATS"):
                 print(f"[phase] merge {time.monotonic() - _t_phase:.2f}s")
         else:
@@ -389,20 +348,23 @@ class CDCEngine:
         self.ckpt.set_stage(STAGE_MERGED)
 
         # --- assemble + validate next manifest -----------------------------
+        truncate = self.cfg.mode == MODE_TRUNCATE_INSERT
         new_m = Manifest(
             table=self.cfg.name,
             version=version,
             committed_seq=pending,
             schema=schema_to_json(unified),
             renames=renames,
-            partitions=dict(manifest.partitions),
+            # truncate-insert replaces the whole table: untouched old
+            # partitions drop out of the manifest (files GC'd later)
+            partitions={} if truncate else dict(manifest.partitions),
             history_files=list(manifest.history_files),
             num_partitions=self.cfg.num_partitions,
         )
         totals = {k: 0 for k in ("rows", "events_in", "inserts", "updates", "deletes", "unchanged", "bytes", "hist_rows")}
         for m in metrics:
             pid = str(m["pid"])
-            old_rows = manifest.partitions.get(pid, {}).get("rows", 0)
+            old_rows = 0 if truncate else manifest.partitions.get(pid, {}).get("rows", 0)
             expected = old_rows + m["inserts"] - (
                 0 if self.cfg.soft_delete else m["deletes"]
             )
@@ -446,6 +408,149 @@ class CDCEngine:
             "committed_seq": pending,
             **totals,
         }
+
+    # ------------------------------------------------------------------
+    def _plan_schema(self, manifest: Manifest, events_path) -> tuple[pa.Schema, dict]:
+        """Schema evolution, driver-side pre-stage (SURVEY.md §7.2)."""
+        import pyarrow.dataset as pads
+
+        incoming_full = pads.dataset(events_path).schema
+        drop = {self.cfg.op_col, self.cfg.sequence_col}
+        incoming = pa.schema([f for f in incoming_full if f.name not in drop])
+        renames = dict(manifest.renames)
+        if manifest.schema:
+            plan = plan_evolution(manifest.arrow_schema(), incoming, self.cfg.pk)
+            unified = plan.unified
+            renames.update(plan.renamed)
+        else:
+            # first batch fixes the schema: PK columns first
+            fields = [incoming.field(k) for k in self.cfg.pk] + [
+                f for f in incoming if f.name not in self.cfg.pk
+            ]
+            unified = pa.schema(fields)
+        return unified, renames
+
+    def _stage(
+        self,
+        events_path,
+        after_seq: int,
+        upto_seq: int,
+        version: int,
+        unified: pa.Schema,
+        renames: dict,
+        override_num_blocks: int | None,
+    ) -> list[dict]:
+        """Import phase: land the event range as pid-sorted parquet.
+        Idempotent: gated on the _STAGED flag; a partial dir from a crash
+        is wiped and rebuilt (staging is always overwritten,
+        import_operations.py:1404)."""
+        import json as _json
+
+        from ..stages.staging import make_stage_writer
+
+        staging = self.store.staging_dir(version)
+        staged_flag = self.store.staging_flag(version)
+        stage_manifest_path = os.path.join(staging, "_stage_manifest.json")
+        if os.path.exists(staged_flag):
+            with open(stage_manifest_path) as f:
+                return _json.load(f)
+        self.store.clear_staging(version)
+        os.makedirs(staging, exist_ok=True)
+        ds = read_events(
+            events_path,
+            self.cfg.sequence_col,
+            after_seq=after_seq,
+            upto_seq=upto_seq,
+            override_num_blocks=override_num_blocks,
+        )
+        ds = ds.map_batches(
+            NormalizeBatch(
+                unified,
+                renames,
+                [self.cfg.op_col, self.cfg.sequence_col],
+                self.cfg.pk,
+                self.cfg.num_partitions,
+            ),
+            batch_format="pyarrow",
+        )
+        if self.cfg.mode in (MODE_CDC, MODE_FULL):
+            ds = ds.map_batches(
+                make_lww_prereduce(self.cfg.pk, self.cfg.sequence_col),
+                batch_format="pyarrow",
+            )
+        frags = ds.map_batches(
+            make_stage_writer(staging), batch_format="pyarrow"
+        ).take_all()
+        frags = [
+            {k: (int(v) if k != "file" else v) for k, v in r.items()} for r in frags
+        ]
+        with open(stage_manifest_path, "w") as f:
+            _json.dump(frags, f)
+        with open(staged_flag, "w") as f:
+            f.write("staged")
+        return frags
+
+    # ------------------------------------------------------------------
+    def replay_stream(
+        self,
+        events_path: str | list[str],
+        boundaries: list[int],
+        override_num_blocks: int | None = None,
+    ) -> list[dict]:
+        """Replay a sequence of micro-batches with pipelined staging: while
+        batch i merges+commits, batch i+1's import phase runs concurrently
+        (a second Ray Data execution — the streaming executor interleaves
+        both). Safe because staging for version v is flag-gated and touches
+        only ``_staging/v``; the checkpoint/pending protocol still advances
+        strictly one batch at a time, and prestaging is skipped whenever
+        the incoming schema differs from the live one (schema evolution
+        must see the post-commit manifest)."""
+        import threading
+
+        manifest = self.store.load_manifest()
+        cp = self.ckpt.load()
+        if cp.pending_seq is not None:
+            # in-flight batch: finish it sequentially first
+            self.replay(events_path, override_num_blocks=override_num_blocks)
+            return self.replay_stream(events_path, boundaries, override_num_blocks)
+
+        bounds = [b for b in boundaries if b > cp.committed_seq]
+        results: list[dict] = []
+        version0 = manifest.version
+        unified0, renames0 = self._plan_schema(manifest, events_path)
+        can_prestage = manifest.schema is None or (
+            manifest.arrow_schema() == unified0 and not renames0
+        ) or manifest.schema == []
+
+        prestage_thread: threading.Thread | None = None
+        for i, upto in enumerate(bounds):
+            if prestage_thread is not None:
+                prestage_thread.join()
+                prestage_thread = None
+            if can_prestage and i + 1 < len(bounds):
+                nxt = threading.Thread(
+                    target=self._stage,
+                    kwargs=dict(
+                        events_path=events_path,
+                        after_seq=upto,
+                        upto_seq=bounds[i + 1],
+                        version=version0 + i + 2,
+                        unified=unified0,
+                        renames=renames0,
+                        override_num_blocks=override_num_blocks,
+                    ),
+                    daemon=True,
+                )
+                nxt.start()
+                prestage_thread = nxt
+            results.append(
+                self.replay(
+                    events_path, upto_seq=upto, override_num_blocks=override_num_blocks
+                )
+            )
+        if prestage_thread is not None:
+            prestage_thread.join()
+        return results
 
     # ------------------------------------------------------------------
     def dataset(self, columns: list[str] | None = None) -> rd.Dataset:

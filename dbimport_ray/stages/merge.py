@@ -28,7 +28,7 @@ from dataclasses import dataclass
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..config import MODE_CDC, MODE_FULL, TableConfig
+from ..config import MODE_APPEND, MODE_CDC, MODE_FULL, MODE_TRUNCATE_INSERT, TableConfig
 
 _EXISTS = "__exists"
 _OLD = "__old"
@@ -123,6 +123,51 @@ def merge_partition(
     # Drop partition/salt bookkeeping columns if present.
     keep = cfg.pk + value_cols + [cfg.op_col, cfg.sequence_col]
     events = events.select([c for c in keep if c in events.column_names])
+
+    if cfg.mode in (MODE_APPEND, MODE_TRUNCATE_INSERT):
+        # INSERT-only loads: no dedup, no PK matching, duplicates allowed
+        # (docs/import_methods.rst "Insert" warning; bin/import:856-953).
+        # Truncate-insert replaces the partition wholesale
+        # (truncateTargetTable import_operations.py:3156 + load :3176).
+        tgt_schema = target_schema(cfg, vtypes)
+        n = events.num_rows
+        cols: dict = {c: events[c] for c in cfg.pk + value_cols}
+        cols[cfg.col_iud] = _const(n, pa.scalar("I"))
+        cols[cfg.col_insert] = _const(n, ts)
+        cols[cfg.col_update] = _nulls(n, pa.timestamp("us"))
+        cols[cfg.col_delete] = _nulls(n, pa.timestamp("us"))
+        cols[cfg.col_source] = _const(n, pa.scalar(cfg.source_tag))
+        arrays = []
+        for f in tgt_schema:
+            a = cols[f.name]
+            if isinstance(a, pa.ChunkedArray):
+                a = a.combine_chunks()
+            arrays.append(a.cast(f.type) if a.type != f.type else a)
+        ins_tbl = pa.Table.from_arrays(arrays, schema=tgt_schema)
+        if cfg.mode == MODE_APPEND and old.num_rows:
+            new_tbl = pa.concat_tables(
+                [old.select(tgt_schema.names).cast(tgt_schema), ins_tbl]
+            )
+        else:
+            new_tbl = ins_tbl
+        if cfg.history and n:
+            hist = ins_tbl.select(cfg.pk + value_cols + [cfg.col_source, cfg.col_iud])
+            hist = hist.append_column(cfg.col_timestamp, _const(n, ts))
+        else:
+            hist = pa.Table.from_pydict(
+                {c: [] for c in cfg.pk + value_cols + [cfg.col_source, cfg.col_iud, cfg.col_timestamp]},
+                schema=pa.schema(
+                    [pa.field(c, vtypes[c]) for c in cfg.pk + value_cols]
+                    + [
+                        pa.field(cfg.col_source, pa.string()),
+                        pa.field(cfg.col_iud, pa.string()),
+                        pa.field(cfg.col_timestamp, pa.timestamp("us")),
+                    ]
+                ),
+            )
+        return MergeResult(
+            table=new_tbl, history=hist, inserts=n, updates=0, deletes=0, unchanged=0
+        )
 
     old2 = old.rename_columns([c + _OLD if c in value_cols or c in cfg.system_columns else c for c in old.column_names])
     old2 = old2.append_column(_EXISTS, _const(old2.num_rows, pa.scalar(True)))

@@ -40,6 +40,7 @@ def make_stage_writer(staging_dir: str):
                 {
                     "pid": pa.array([], pa.int32()),
                     "file": pa.array([], pa.string()),
+                    "rg": pa.array([], pa.int32()),
                     "rows": pa.array([], pa.int64()),
                     "bytes": pa.array([], pa.int64()),
                 }
@@ -72,6 +73,10 @@ def make_stage_writer(staging_dir: str):
             {
                 "pid": pa.array(pids, pa.int32()),
                 "file": pa.array([name] * len(pids), pa.string()),
+                # one write_table call per pid slice ⇒ row group i belongs
+                # to the i-th pid run — recorded so merge readers jump
+                # straight to their row groups (no footer-stats scan)
+                "rg": pa.array(list(range(len(pids))), pa.int32()),
                 "rows": pa.array(rows, pa.int64()),
                 "bytes": pa.array(nb, pa.int64()),
             }
@@ -80,15 +85,17 @@ def make_stage_writer(staging_dir: str):
     return _write
 
 
-def read_staged_pid(
-    staging_dir: str, files: list[str], pid: int
-) -> pa.Table:
-    """Merge-side read: only row groups whose ``_pid`` stats cover ``pid``."""
-    import pyarrow.compute as pc
-    import pyarrow.dataset as pads
-
-    if not files:
-        raise ValueError("no staged files for pid read")
-    paths = [os.path.join(staging_dir, f) for f in files]
-    ds = pads.dataset(paths)
-    return ds.to_table(filter=pc.field(PID_COL) == pid)
+def read_staged_pid(staging_dir: str, refs: list[str], pid: int) -> pa.Table:
+    """Merge-side read of ``file#rg`` refs: direct row-group reads, no
+    dataset scan or statistics filtering."""
+    if not refs:
+        raise ValueError("no staged refs for pid read")
+    by_file: dict[str, list[int]] = {}
+    for ref in refs:
+        f, rg = ref.rsplit("#", 1)
+        by_file.setdefault(f, []).append(int(rg))
+    parts = []
+    for f, rgs in sorted(by_file.items()):
+        pf = pq.ParquetFile(os.path.join(staging_dir, f))
+        parts.append(pf.read_row_groups(sorted(rgs), use_threads=False))
+    return pa.concat_tables(parts)

@@ -1,0 +1,151 @@
+"""Load modes (append / truncate-insert / full) + crash-resume semantics."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from dbimport_ray import CDCEngine
+from dbimport_ray.config import (
+    MODE_APPEND,
+    MODE_FULL,
+    MODE_TRUNCATE_INSERT,
+    TableConfig,
+)
+from dbimport_ray.datagen import generate_events
+
+
+def _write(tmp_path, name, seqs, ops, keys, vals):
+    t = pa.table(
+        {
+            "sequence_id": pa.array(seqs, pa.int64()),
+            "op": pa.array(ops),
+            "k": pa.array(keys),
+            "v": pa.array(vals, pa.float64()),
+        }
+    )
+    p = str(tmp_path / name)
+    pq.write_table(t, p)
+    return p
+
+
+def test_append_mode_keeps_duplicates(tmp_path):
+    b1 = _write(tmp_path, "b1.parquet", [1, 2, 3], ["I"] * 3, ["a", "b", "a"], [1, 2, 3])
+    b2 = _write(tmp_path, "b2.parquet", [4, 5], ["I"] * 2, ["a", "c"], [4, 5])
+    cfg = TableConfig(name="t", pk=["k"], value_columns=["v"], mode=MODE_APPEND, num_partitions=4)
+    eng = CDCEngine(str(tmp_path / "lake"), cfg)
+    eng.replay(b1, upto_seq=3)
+    eng.replay([b1, b2], upto_seq=5)
+    tbl = eng.arrow()
+    assert tbl.num_rows == 5  # duplicates by PK allowed
+    assert sorted(tbl["k"].to_pylist()) == ["a", "a", "a", "b", "c"]
+    assert set(tbl["datalake_iud"].to_pylist()) == {"I"}
+
+
+def test_truncate_insert_replaces_all(tmp_path):
+    b1 = _write(tmp_path, "b1.parquet", [1, 2, 3], ["I"] * 3, ["a", "b", "a"], [1, 2, 3])
+    b2 = _write(tmp_path, "b2.parquet", [4, 5], ["I"] * 2, ["a", "c"], [4, 5])
+    cfg = TableConfig(
+        name="t", pk=["k"], value_columns=["v"], mode=MODE_TRUNCATE_INSERT, num_partitions=4
+    )
+    eng = CDCEngine(str(tmp_path / "lake"), cfg)
+    eng.replay(b1, upto_seq=3)
+    assert eng.arrow().num_rows == 3
+    eng.replay([b1, b2], upto_seq=5)
+    tbl = eng.arrow()
+    assert sorted(zip(tbl["k"].to_pylist(), tbl["v"].to_pylist())) == [("a", 4.0), ("c", 5.0)]
+
+
+def test_full_load_anti_join_soft_delete_and_reinsert(tmp_path):
+    # snapshot1: a,b,c ; snapshot2: a(changed),c(same) → b soft-deleted;
+    # snapshot3: b returns → reinsert repair (etl_operations.py:300-316)
+    s1 = _write(tmp_path, "s1.parquet", [1, 2, 3], ["I"] * 3, ["a", "b", "c"], [1, 2, 3])
+    s2 = _write(tmp_path, "s2.parquet", [4, 5], ["I"] * 2, ["a", "c"], [10, 3])
+    s3 = _write(tmp_path, "s3.parquet", [6, 7, 8], ["I"] * 3, ["a", "b", "c"], [10, 20, 3])
+    cfg = TableConfig(name="t", pk=["k"], value_columns=["v"], mode=MODE_FULL, num_partitions=2)
+    eng = CDCEngine(str(tmp_path / "lake"), cfg)
+    eng.replay(s1, upto_seq=3)
+    eng.replay([s1, s2], upto_seq=5)
+    by_key = {r["k"]: r for r in eng.arrow().to_pylist()}
+    assert by_key["a"]["datalake_iud"] == "U" and by_key["a"]["v"] == 10
+    assert by_key["b"]["datalake_iud"] == "D" and by_key["b"]["datalake_delete"] is not None
+    assert by_key["c"]["datalake_iud"] == "I"  # unchanged row untouched
+    eng.replay([s1, s2, s3], upto_seq=8)
+    by_key = {r["k"]: r for r in eng.arrow().to_pylist()}
+    assert by_key["b"]["datalake_iud"] == "I"  # revived
+    assert by_key["b"]["datalake_delete"] is None
+    assert by_key["b"]["v"] == 20
+
+
+@pytest.fixture(scope="module")
+def gen_events(tmp_path_factory):
+    p = tmp_path_factory.mktemp("resume") / "events.parquet"
+    generate_events(str(p), num_keys=500, num_events=3000, seed=11)
+    return str(p)
+
+
+def test_crash_before_commit_then_resume(gen_events, tmp_path):
+    from dbimport_ray import repo_files_config
+
+    cfg = repo_files_config(num_partitions=4)
+    lake = str(tmp_path / "lake")
+    eng = CDCEngine(lake, cfg)
+    eng.replay(gen_events, upto_seq=1499)
+    manifest_v1 = json.load(open(os.path.join(lake, "repo_files", "_manifest.json")))
+    with pytest.raises(RuntimeError, match="injected failure"):
+        eng.replay(gen_events, fail_before_commit=True)
+    # 2PC: committed manifest untouched by the crashed batch
+    manifest_after = json.load(open(os.path.join(lake, "repo_files", "_manifest.json")))
+    assert manifest_after["version"] == manifest_v1["version"] == 1
+    # checkpoint still holds the pending watermark → resume completes it
+    res = eng.replay(gen_events)
+    assert res["status"] == "committed"
+    assert res["committed_seq"] == 2999
+    # resumed partitions came from done markers, not re-merges
+    assert eng.replay(gen_events)["status"] == "noop"
+
+    # final state equals a clean two-batch replay
+    eng2 = CDCEngine(str(tmp_path / "lake2"), cfg)
+    eng2.replay(gen_events, upto_seq=1499)
+    eng2.replay(gen_events, upto_seq=2999)
+    a = eng.arrow().sort_by([("repo", "ascending"), ("path", "ascending")])
+    b = eng2.arrow().sort_by([("repo", "ascending"), ("path", "ascending")])
+    assert a.equals(b)
+
+
+def test_replay_stream_equals_sequential(gen_events, tmp_path):
+    """Pipelined staging (batch i+1 stages while batch i merges) must be
+    bit-identical to sequential per-batch replay at the same boundaries."""
+    from dbimport_ray import repo_files_config
+
+    cfg = repo_files_config(num_partitions=4)
+    bounds = [799, 1599, 2399, 2999]
+    seq = CDCEngine(str(tmp_path / "seq"), cfg)
+    for b in bounds:
+        seq.replay(gen_events, upto_seq=b)
+    piped = CDCEngine(str(tmp_path / "piped"), cfg)
+    rs = piped.replay_stream(gen_events, bounds)
+    assert [r["status"] for r in rs] == ["committed"] * 4
+    order = [("repo", "ascending"), ("path", "ascending")]
+    assert seq.arrow().sort_by(order).equals(piped.arrow().sort_by(order))
+
+
+def test_metrics_and_lineage_recorded(gen_events, tmp_path):
+    from dbimport_ray import repo_files_config
+
+    cfg = repo_files_config(num_partitions=4)
+    lake = str(tmp_path / "lake")
+    eng = CDCEngine(lake, cfg)
+    res = eng.replay(gen_events)
+    mets = eng.store.read_metrics()
+    assert len(mets) == 1
+    m = mets[0]
+    # import_statistics analogue: rows/inserts/updates/deletes/bytes per run
+    assert m["version"] == 1 and m["pending_seq"] == 2999
+    assert m["inserts"] + m["updates"] + m["deletes"] > 0
+    # events_in counts post-prereduce staged events: ≥ distinct keys seen,
+    # ≤ raw event count (the map-side LWW collapses within-block dups)
+    assert 500 <= m["events_in"] <= 3000
+    assert res["inserts"] == m["inserts"]

@@ -1,0 +1,262 @@
+"""Unit + small-Ray tests for the operator surface: anonymization, text
+kernels, dedup family, ANN, broadcast joins, multimodal plumbing,
+validation bands."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from dbimport_ray.functions.anonymize import (
+    apply_anonymization,
+    first4_column,
+    hash_column,
+    mask_column,
+)
+from dbimport_ray.functions.text import (
+    LangIdBatch,
+    bpe_token_count,
+    fingerprint64,
+    quality_metrics,
+    token_count,
+)
+from dbimport_ray.pipelines.ann import IVFIndex, brute_force_topk
+from dbimport_ray.pipelines.dedup import (
+    exact_dedup,
+    jaccard,
+    minhash_lsh_clusters,
+    ngram_set,
+    simhash64,
+    simhash_dedup_clusters,
+)
+from dbimport_ray.stages.joins import broadcast_anti_join, broadcast_semi_join
+from dbimport_ray.stages.multimodal import (
+    FrameSampleStage,
+    ImageDecodeFeatureStage,
+    synthesize_media_table,
+)
+from dbimport_ray.stages.validate import ValidationError, allowed_diff, validate_row_count
+
+
+# --- anonymization (sparkUDF2.py) ------------------------------------------
+
+def test_hash_column_sha256_and_blake2b():
+    col = pa.array(["alice", "bob", None])
+    out = hash_column(col, seed="s3").to_pylist()
+    assert out[0] == hashlib.sha256(b"s3alice").hexdigest()
+    assert out[2] is None
+    out_b = hash_column(col, seed="s3", algo="blake2b").to_pylist()
+    assert out_b[1] == hashlib.blake2b(b"s3bob", digest_size=32).hexdigest()
+
+
+def test_mask_and_first4():
+    col = pa.array(["John Smith", "ab", None])
+    assert mask_column(col).to_pylist() == ["**** *****", "**", None]
+    assert first4_column(col).to_pylist() == ["John******", "ab", None]
+
+
+def test_apply_anonymization_spec():
+    t = pa.table({"a": ["x"], "b": ["secret name"], "c": [1]})
+    out = apply_anonymization(t, {"b": "mask"}, seed="")
+    assert out["b"].to_pylist() == ["****** ****"]
+    assert out["a"].to_pylist() == ["x"]
+
+
+# --- text kernels ----------------------------------------------------------
+
+def test_token_counts():
+    col = pa.array(["one  two three", "", "a,b c!"])
+    assert token_count(col).to_pylist() == [3, 0, 2]
+    # BPE-ish: ["a" "," "b"] + ["c" "!"] = 5
+    assert bpe_token_count(col).to_pylist()[2] == 5
+
+
+def test_quality_metrics_columns():
+    t = pa.table({"doc_id": [1], "text": ["the quick brown fox. it is fast!"]})
+    out = quality_metrics(t, "text")
+    r = out.to_pylist()[0]
+    assert r["n_tokens"] == 7
+    assert 0 < r["punct_ratio"] < 0.2
+    assert r["stopword_ratio"] > 0  # "the", "it", "is"
+    assert 0 <= r["quality_score"] <= 1
+
+
+def test_lang_id_heuristic():
+    stage = LangIdBatch(text_col="text")
+    t = pa.table(
+        {
+            "text": [
+                "the cat and the dog were in the house with all of their friends",
+                "der Hund und die Katze sind nicht im Haus mit einer Maus",
+                "el perro y el gato no la casa de los amigos para una persona",
+                "zzzz qqqq xxxx",
+            ]
+        }
+    )
+    preds = stage(t)["lang_pred"].to_pylist()
+    assert preds[:3] == ["en", "de", "es"]
+    assert preds[3] == "und"
+
+
+def test_fingerprint_normalizes_whitespace():
+    col = pa.array(["a  b\tc", "a b c", "a b d"])
+    fp = fingerprint64(col).to_pylist()
+    assert fp[0] == fp[1] != fp[2]
+
+
+# --- dedup family ----------------------------------------------------------
+
+def _docs_with_dups(n=60):
+    base = [
+        "the quick brown fox jumps over the lazy dog and runs far away home",
+        "pack my box with five dozen liquor jugs before the night ends now",
+        "how vexingly quick daft zebras jump over fences in the summer rain",
+    ]
+    texts, ids = [], []
+    for i in range(n):
+        t = base[i % 3]
+        if i >= n - 6:  # near-duplicates: one word changed
+            t = t.replace("the", "that", 1) + f" tail{i % 3}"
+        texts.append(t)
+        ids.append(i)
+    return pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+
+
+def test_exact_dedup(ray_session):
+    t = _docs_with_dups()
+    ds = rd.from_arrow(t)
+    out = exact_dedup(ds, "text", "doc_id").to_pandas()
+    # 3 base texts + 3 distinct modified tails = 6 survivors, all min-ids
+    assert len(out) == 6
+    assert set(out["doc_id"]) >= {0, 1, 2}
+
+
+def test_minhash_lsh_finds_near_duplicates(ray_session):
+    t = _docs_with_dups()
+    clusters = minhash_lsh_clusters(
+        rd.from_arrow(t), "text", "doc_id", num_hashes=64, num_bands=16, shingle_k=2
+    ).to_pandas()
+    rep = dict(zip(clusters["doc_id"], clusters["rep"]))
+    # exact copies collapse onto doc 0/1/2
+    assert rep[3] == 0 and rep[4] == 1 and rep[5] == 2
+    # near-duplicates (1 word changed) share bands with their base text
+    n = len(t)
+    assert rep[n - 6] in (0, 1, 2) or rep[n - 3] in (0, 1, 2)
+
+
+def test_simhash_dedup(ray_session):
+    t = _docs_with_dups()
+    sig = simhash64(t["text"])
+    assert sig[0] == sig[3]  # identical docs, identical simhash
+    clusters = simhash_dedup_clusters(rd.from_arrow(t), "text", "doc_id").to_pandas()
+    rep = dict(zip(clusters["doc_id"], clusters["rep"]))
+    assert rep[3] == 0 and rep[4] == 1
+
+
+def test_ngram_jaccard():
+    a = ngram_set("the quick brown fox jumps", 2)
+    b = ngram_set("the quick brown fox leaps", 2)
+    assert 0.4 < jaccard(a, b) < 0.8
+    assert jaccard(a, a) == 1.0
+
+
+# --- ANN -------------------------------------------------------------------
+
+def _vec_table(n=200, d=16, seed=3):
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, d)).astype(np.float32)
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(m), type=pa.list_(pa.float32())),
+        }
+    ), m
+
+
+def test_brute_force_topk_matches_numpy(ray_session):
+    t, m = _vec_table()
+    q = m[:2].astype(np.float64)
+    res = brute_force_topk(rd.from_arrow(t), q, 5, "embedding", "vec_id").to_pandas()
+    mn = m.astype(np.float64) / np.linalg.norm(m, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    for qid in (0, 1):
+        want = np.argsort(-(mn @ qn[qid]))[:5].tolist()
+        got = res[res.query_id == qid].sort_values("score", ascending=False)["vec_id"].tolist()
+        assert got == want
+        assert got[0] == qid  # self is nearest
+
+
+def test_ivf_search_recall(ray_session, tmp_path):
+    t, m = _vec_table(n=400)
+    idx = IVFIndex.build(rd.from_arrow(t), str(tmp_path / "ivf"), n_cells=8)
+    q = m[:3].astype(np.float64)
+    res = idx.search(q, 5, nprobe=4).to_pandas()
+    mn = m.astype(np.float64) / np.linalg.norm(m, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    hits = 0
+    for qid in range(3):
+        want = set(np.argsort(-(mn @ qn[qid]))[:5].tolist())
+        got = set(res[res.query_id == qid]["vec_id"].tolist())
+        hits += len(want & got)
+    assert hits >= 9  # ≥60% recall@5 with nprobe=4 of 8 cells
+
+
+# --- broadcast joins -------------------------------------------------------
+
+def test_broadcast_joins(ray_session):
+    big = rd.from_arrow(pa.table({"k": ["a", "b", "c", "d"], "v": [1, 2, 3, 4]}))
+    small = pa.table({"k": ["b", "d"]})
+    semi = broadcast_semi_join(big, small, ["k"]).to_pandas()
+    anti = broadcast_anti_join(big, small, ["k"]).to_pandas()
+    assert sorted(semi["k"]) == ["b", "d"]
+    assert sorted(anti["k"]) == ["a", "c"]
+
+
+# --- multimodal plumbing ---------------------------------------------------
+
+def test_media_decode_plumbing(ray_session):
+    t = synthesize_media_table(30)
+    ds = rd.from_arrow(t)
+    out = ds.map_batches(
+        ImageDecodeFeatureStage,
+        fn_constructor_kwargs={"fake": True, "feature_dim": 8},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=2,
+    ).to_pandas()
+    assert len(out) == 30
+    decoded = out[out.decoded]
+    assert len(decoded) == 10  # every 3rd row is an image
+    assert all(len(f) == 8 for f in decoded["features"])
+    # deterministic: same payload → same features
+    again = ImageDecodeFeatureStage(feature_dim=8, fake=True)(t.slice(0, 3))
+    assert list(again["features"][0].as_py()) == list(
+        out[out.media_id == 0]["features"].iloc[0]
+    )
+
+
+def test_media_decode_stub_raises_without_fake():
+    t = synthesize_media_table(3)
+    with pytest.raises(NotImplementedError):
+        ImageDecodeFeatureStage()(t)
+
+
+def test_frame_sampling(ray_session):
+    t = synthesize_media_table(9)
+    out = FrameSampleStage(every_ms=400, fake=True)(t)
+    vids = t.filter(pa.compute.equal(t["media_type"], "video")).to_pylist()
+    expect = sum(len(range(0, v["duration_ms"], 400)) for v in vids)
+    assert out.num_rows == expect
+
+
+# --- validation band (import_config.py:2807) -------------------------------
+
+def test_allowed_diff_sqrt_band():
+    assert allowed_diff(0) == 0
+    assert allowed_diff(10000) == int(10000 * 50 / (100 * 100))  # = 50
+    assert allowed_diff(10000, override=3) == 3
+    validate_row_count(10000, 10049)  # inside band
+    with pytest.raises(ValidationError):
+        validate_row_count(10000, 9000)

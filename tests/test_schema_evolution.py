@@ -1,0 +1,107 @@
+"""Hive-style schema evolution across replay batches
+(add / rename-by-position / widen — import_operations.py:2661-2960)."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from dbimport_ray import CDCEngine
+from dbimport_ray.config import TableConfig
+from dbimport_ray.state.schema_evolution import can_widen, plan_evolution
+
+
+def _write(tmp_path, name, cols: dict):
+    p = str(tmp_path / name)
+    pq.write_table(pa.table(cols), p)
+    return p
+
+
+def _cfg(**kw):
+    d = dict(name="t", pk=["k"], value_columns=["v"], num_partitions=2, history=False)
+    d.update(kw)
+    return TableConfig(**d)
+
+
+def test_add_column_across_batches(tmp_path):
+    b1 = _write(tmp_path, "b1.parquet", {
+        "sequence_id": pa.array([1, 2], pa.int64()), "op": ["I", "I"],
+        "k": ["a", "b"], "v": pa.array([1.0, 2.0]),
+    })
+    b2 = _write(tmp_path, "b2.parquet", {
+        "sequence_id": pa.array([3], pa.int64()), "op": ["U"],
+        "k": ["a"], "v": pa.array([9.0]), "extra": ["hello"],
+    })
+    eng = CDCEngine(str(tmp_path / "lake"), _cfg())
+    eng.replay(b1, upto_seq=2)
+    eng.replay(b2, upto_seq=3)
+    tbl = eng.arrow()
+    by_key = {r["k"]: r for r in tbl.to_pylist()}
+    assert "extra" in tbl.column_names
+    assert by_key["a"]["extra"] == "hello"
+    assert by_key["b"]["extra"] is None  # old rows null-filled
+
+
+def test_widen_int32_to_int64(tmp_path):
+    b1 = _write(tmp_path, "b1.parquet", {
+        "sequence_id": pa.array([1], pa.int64()), "op": ["I"],
+        "k": ["a"], "v": pa.array([7], pa.int32()),
+    })
+    b2 = _write(tmp_path, "b2.parquet", {
+        "sequence_id": pa.array([2], pa.int64()), "op": ["I"],
+        "k": ["b"], "v": pa.array([2**40], pa.int64()),
+    })
+    eng = CDCEngine(str(tmp_path / "lake"), _cfg())
+    eng.replay(b1, upto_seq=1)
+    eng.replay(b2, upto_seq=2)
+    tbl = eng.arrow()
+    assert tbl.schema.field("v").type == pa.int64()
+    assert sorted(tbl["v"].to_pylist()) == [7, 2**40]
+
+
+def test_rename_by_position(tmp_path):
+    b1 = _write(tmp_path, "b1.parquet", {
+        "sequence_id": pa.array([1], pa.int64()), "op": ["I"],
+        "k": ["a"], "v": pa.array([1.0]), "w": pa.array([5.0]),
+    })
+    # same column count, w → w_renamed at the same position
+    b2 = _write(tmp_path, "b2.parquet", {
+        "sequence_id": pa.array([2], pa.int64()), "op": ["I"],
+        "k": ["b"], "v": pa.array([2.0]), "w_renamed": pa.array([6.0]),
+    })
+    eng = CDCEngine(str(tmp_path / "lake"), _cfg(value_columns=["v", "w"]))
+    eng.replay(b1, upto_seq=1)
+    eng.replay(b2, upto_seq=2)
+    tbl = eng.arrow()
+    assert "w_renamed" in tbl.column_names and "w" not in tbl.column_names
+    by_key = {r["k"]: r for r in tbl.to_pylist()}
+    assert by_key["a"]["w_renamed"] == 5.0  # old data visible under new name
+    assert by_key["b"]["w_renamed"] == 6.0
+
+
+def test_incompatible_type_change_rejected(tmp_path):
+    b1 = _write(tmp_path, "b1.parquet", {
+        "sequence_id": pa.array([1], pa.int64()), "op": ["I"],
+        "k": ["a"], "v": pa.array([1.0], pa.float64()),
+    })
+    b2 = _write(tmp_path, "b2.parquet", {
+        "sequence_id": pa.array([2], pa.int64()), "op": ["I"],
+        "k": ["b"], "v": pa.array([True], pa.bool_()),
+    })
+    eng = CDCEngine(str(tmp_path / "lake"), _cfg())
+    eng.replay(b1, upto_seq=1)
+    with pytest.raises(TypeError, match="incompatible type change"):
+        eng.replay(b2, upto_seq=2)
+
+
+def test_plan_evolution_unit():
+    cur = pa.schema([("k", pa.string()), ("a", pa.int32()), ("b", pa.string())])
+    inc = pa.schema([("k", pa.string()), ("a", pa.int64()), ("b", pa.string()), ("c", pa.float64())])
+    plan = plan_evolution(cur, inc, ["k"])
+    assert plan.added == ["c"]
+    assert plan.widened == {"a": "int64"}
+    assert plan.unified.names == ["k", "a", "b", "c"]
+    assert can_widen(pa.int8(), pa.int64()) and not can_widen(pa.int64(), pa.int8())
+    # single-column fallback: one out, one in → rename even off-position
+    inc2 = pa.schema([("k", pa.string()), ("a", pa.int32()), ("b2", pa.string())])
+    plan2 = plan_evolution(cur, inc2, ["k"])
+    assert plan2.renamed == {"b": "b2"}
