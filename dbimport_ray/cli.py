@@ -1,0 +1,148 @@
+"""Operational CLI — the ``bin/import`` / ``bin/export`` / ``bin/manage``
+verbs (SURVEY.md §3) over the Ray-native engine.
+
+    python -m dbimport_ray replay  --lake L --table T --pk k --values a,b --events E [--upto N]
+    python -m dbimport_ray stream  --lake L ... --events E --boundaries 999,1999
+    python -m dbimport_ray export  --lake L --table T --pk k --values a,b --target DIR [--incremental]
+    python -m dbimport_ray status  --lake L --table T         (getStage / watermarks)
+    python -m dbimport_ray metrics --lake L --table T         (import_statistics)
+    python -m dbimport_ray reset-watermark --lake L --table T --to N
+                                      (manage --resetIncrementalImport,
+                                       import_operations.py:3276)
+    python -m dbimport_ray clear-stage --lake L --table T
+                                      (manage --clearImportStage)
+
+Owns its Ray session (guarded init) — library code never calls ray.init.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _engine(args):
+    from .config import TableConfig
+    from .pipelines.cdc import CDCEngine
+
+    cfg = TableConfig(
+        name=args.table,
+        pk=args.pk.split(","),
+        value_columns=args.values.split(",") if args.values else [],
+        mode=args.mode,
+        num_partitions=args.partitions,
+        soft_delete=not args.hard_delete,
+    )
+    return CDCEngine(args.lake, cfg)
+
+
+def _init_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="dbimport_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp, data_plane=True):
+        sp.add_argument("--lake", required=True)
+        sp.add_argument("--table", required=True)
+        if data_plane:
+            sp.add_argument("--pk", required=True, help="comma-separated PK columns")
+            sp.add_argument("--values", default="", help="comma-separated value columns")
+            sp.add_argument("--mode", default="cdc", choices=["cdc", "full", "append", "truncate_insert"])
+            sp.add_argument("--partitions", type=int, default=16)
+            sp.add_argument("--hard-delete", action="store_true")
+
+    sp = sub.add_parser("replay", help="apply one event micro-batch")
+    common(sp)
+    sp.add_argument("--events", required=True)
+    sp.add_argument("--upto", type=int, default=None)
+    sp = sub.add_parser("stream", help="pipelined multi-batch replay")
+    common(sp)
+    sp.add_argument("--events", required=True)
+    sp.add_argument("--boundaries", required=True, help="comma-separated upto_seq per batch")
+    sp = sub.add_parser("export", help="export lake table to parquet")
+    common(sp)
+    sp.add_argument("--target", required=True)
+    sp.add_argument("--incremental", action="store_true")
+    sp.add_argument("--include-deleted", action="store_true")
+    sp = sub.add_parser("status")
+    common(sp, data_plane=False)
+    sp = sub.add_parser("metrics")
+    common(sp, data_plane=False)
+    sp = sub.add_parser("reset-watermark")
+    common(sp, data_plane=False)
+    sp.add_argument("--to", type=int, required=True)
+    sp = sub.add_parser("clear-stage")
+    common(sp, data_plane=False)
+
+    args = p.parse_args(argv)
+
+    if args.cmd in ("status", "metrics", "reset-watermark", "clear-stage"):
+        import os
+
+        from .state.checkpoint import CheckpointStore
+        from .state.manifest import TableStore
+
+        store = TableStore(args.lake, args.table)
+        ckpt = CheckpointStore(store.root, args.table)
+        if args.cmd == "status":
+            cp = ckpt.load()
+            m = store.load_manifest()
+            print(json.dumps({
+                "table": args.table, "stage": cp.stage,
+                "committed_seq": cp.committed_seq, "pending_seq": cp.pending_seq,
+                "version": m.version, "rows": m.total_rows(),
+                "partitions": len(m.partitions),
+                "schema": [f["name"] for f in m.schema or []],
+            }))
+        elif args.cmd == "metrics":
+            for rec in store.read_metrics():
+                print(json.dumps(rec, sort_keys=True))
+        elif args.cmd == "reset-watermark":
+            cp = ckpt.reset_incremental(args.to)
+            store.abort_pending()
+            print(json.dumps({"committed_seq": cp.committed_seq, "stage": cp.stage}))
+        elif args.cmd == "clear-stage":
+            cp = ckpt.load()
+            if cp.pending_version is not None:
+                store.clear_markers(cp.pending_version)
+                store.clear_staging(cp.pending_version)
+            store.abort_pending()
+            cp.pending_seq = None
+            cp.pending_version = None
+            cp.stage = 0
+            ckpt.save(cp)
+            print(json.dumps({"cleared": True, "committed_seq": cp.committed_seq}))
+        return 0
+
+    _init_ray()
+    eng = _engine(args)
+    if args.cmd == "replay":
+        print(json.dumps(eng.replay(args.events, upto_seq=args.upto)))
+    elif args.cmd == "stream":
+        bounds = [int(b) for b in args.boundaries.split(",")]
+        print(json.dumps(eng.replay_stream(args.events, bounds)))
+    elif args.cmd == "export":
+        from .pipelines.export import export_table
+
+        print(json.dumps(export_table(
+            eng, args.target, incremental=args.incremental,
+            include_deleted=args.include_deleted,
+        )))
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

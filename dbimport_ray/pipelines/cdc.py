@@ -470,6 +470,8 @@ class CDCEngine:
                 [self.cfg.op_col, self.cfg.sequence_col],
                 self.cfg.pk,
                 self.cfg.num_partitions,
+                anonymize=self.cfg.anonymize,
+                anonymization_seed=self.cfg.anonymization_seed,
             ),
             batch_format="pyarrow",
         )

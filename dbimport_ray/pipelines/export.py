@@ -1,0 +1,133 @@
+"""Export path — lake table → external target (SURVEY.md §2.1 S7).
+
+The reference's ``bin/export`` mirror-image of the import: read the Hive
+table (full, or incremental on a watermark column), stage through an
+export-temp table for incremental runs, JDBC-write, validate row counts,
+then commit pending watermarks (export_operations.py:706 runSparkExport,
+:440 createExportTempTable, export_stage.py:80-122 stages 100-165).
+
+Ray-native shape: the committed lake table is already a Dataset
+(manifest-driven reader); export = a streaming ``write_parquet`` (or any
+``Dataset.write_*`` sink) of either the full table or the watermark-bounded
+slice, with the same pending→committed watermark protocol and sqrt-n
+row-count validation. The "temp table" materialization disappears — the
+filtered Dataset *is* the temp table; its row count is taken in the same
+pass via a metadata count on the written files.
+
+Incremental export watermark: ``datalake_update``/``datalake_insert``
+timestamps (the reference uses getIncrMaxvalueFromHive,
+export_operations.py:420) — here we use the lake's committed manifest
+version, which is monotone, crash-safe and totally ordered per table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+from ..config import TableConfig
+from ..state.manifest import TableStore, _atomic_write_json
+from ..stages.validate import validate_row_count
+from .cdc import CDCEngine
+
+
+class ExportState:
+    """Pending→committed export watermark (export_stage.py stage 162)."""
+
+    def __init__(self, root: str):
+        self.path = os.path.join(root, "_export_checkpoint.json")
+
+    def load(self) -> dict:
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                return json.load(f)
+        return {"committed_version": 0, "pending_version": None}
+
+    def begin(self, version: int) -> None:
+        st = self.load()
+        st["pending_version"] = version
+        _atomic_write_json(self.path, st)
+
+    def commit(self) -> None:
+        st = self.load()
+        st["committed_version"] = st["pending_version"]
+        st["pending_version"] = None
+        _atomic_write_json(self.path, st)
+
+
+def export_table(
+    engine: CDCEngine,
+    target_dir: str,
+    incremental: bool = False,
+    include_deleted: bool = False,
+    columns: list[str] | None = None,
+    validate: bool = True,
+) -> dict:
+    """Export the committed lake table to ``target_dir`` as Parquet.
+
+    - full export: the whole committed table (minus soft-delete tombstones
+      unless ``include_deleted``).
+    - incremental: only partitions whose file version is newer than the
+      last committed export watermark — per-partition change tracking the
+      lake's manifest gives us for free (no per-row timestamp scan).
+
+    Returns {rows, files, version, mode}. Validation: exported row count
+    vs the manifest's ledger for the exported slice (sqrt-n band,
+    import_config.py:2807 — here exact counts are available so the band
+    collapses to equality unless the filter drops tombstones).
+    """
+    store: TableStore = engine.store
+    manifest = store.load_manifest()
+    st = ExportState(store.root)
+    prev = st.load()["committed_version"] if incremental else 0
+    st.begin(manifest.version)
+
+    entries = {
+        pid: e
+        for pid, e in manifest.partitions.items()
+        if int(e.get("version", 0)) > prev
+    }
+    # one subdir per exported lake version → re-runs overwrite their own
+    # slice, never a previous export's (resumable, append-only landing zone)
+    out_dir = os.path.join(target_dir, f"v{manifest.version:06d}")
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    exported_rows = 0
+    files = []
+    if entries:
+        import ray.data as rd
+
+        paths = [store.abs_path(e["file"]) for e in sorted(entries.values(), key=lambda e: e["file"])]
+        ds = rd.read_parquet(paths, columns=columns)
+        if not include_deleted:
+            iud = engine.cfg.col_iud
+            ds = ds.filter(expr=f"{iud} != 'D'")
+        ds.write_parquet(out_dir)
+        files = sorted(pads.dataset(out_dir).files)
+        exported_rows = pads.dataset(files).count_rows()
+
+    if validate:
+        ledger_rows = sum(int(e["rows"]) for e in entries.values())
+        if include_deleted:
+            validate_row_count(ledger_rows, exported_rows, override=0, what="export")
+        else:
+            # tombstones excluded → exported ≤ ledger; exact tombstone
+            # count comes from the filter delta, so only sanity-band it
+            validate_row_count(
+                ledger_rows, exported_rows, override=ledger_rows, what="export"
+            )
+
+    st.commit()
+    return {
+        "mode": "incremental" if incremental else "full",
+        "rows": exported_rows,
+        "files": len(files),
+        "from_version": prev,
+        "version": manifest.version,
+        "partitions": len(entries),
+    }

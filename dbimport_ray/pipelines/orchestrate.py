@@ -1,0 +1,68 @@
+"""Multi-table orchestration — the Airflow-DAG analogue (SURVEY.md §2.10).
+
+The reference schedules one import task pair per table through Airflow,
+throttled by pools and ordered by ``priority_weight = last mapper count``
+(Schedule/Airflow.py:582-900, :697-700) so big tables start first and
+stragglers don't trail the DAG. Here the same policy is a driver-side
+thread pool over ``CDCEngine.replay`` calls: each replay is itself fully
+parallel inside Ray, so ``table_concurrency`` plays the role of the
+Airflow pool size (how many tables' pipelines share the cluster), and
+priority comes from each table's last recorded metrics row.
+
+Failures are isolated per table (a failed table reports its error and
+leaves its pending checkpoint for the next run's resume; others proceed) —
+matching Airflow's per-task retry/resume unit.
+"""
+
+from __future__ import annotations
+
+import time
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+from .cdc import CDCEngine
+
+
+@dataclass
+class TableJob:
+    engine: CDCEngine
+    events_path: str | list[str]
+    upto_seq: int | None = None
+    override_num_blocks: int | None = None
+
+
+@dataclass
+class JobResult:
+    table: str
+    status: str
+    duration_s: float
+    detail: dict = field(default_factory=dict)
+    error: str | None = None
+
+
+def _last_size(engine: CDCEngine) -> int:
+    mets = engine.store.read_metrics()
+    return int(mets[-1].get("bytes", 0)) if mets else 0
+
+
+def run_tables(jobs: list[TableJob], table_concurrency: int = 4) -> list[JobResult]:
+    """Replay one micro-batch for every table, biggest-last-run first."""
+    ordered = sorted(jobs, key=lambda j: -_last_size(j.engine))
+
+    def _run(job: TableJob) -> JobResult:
+        t0 = time.monotonic()
+        name = job.engine.cfg.name
+        try:
+            res = job.engine.replay(
+                job.events_path,
+                upto_seq=job.upto_seq,
+                override_num_blocks=job.override_num_blocks,
+            )
+            return JobResult(name, res.get("status", "?"), round(time.monotonic() - t0, 3), res)
+        except Exception as e:  # isolate per-table failures (Airflow task unit)
+            return JobResult(
+                name, "failed", round(time.monotonic() - t0, 3), error=f"{type(e).__name__}: {e}"
+            )
+
+    with ThreadPoolExecutor(max_workers=max(1, table_concurrency)) as pool:
+        return list(pool.map(_run, ordered))

@@ -50,7 +50,9 @@ class NormalizeBatch:
 
     ``unified`` is the evolved PK+value schema for this batch,
     ``renames`` the cumulative rename history (manifest), ``passthrough``
-    the op/sequence columns to keep.
+    the op/sequence columns to keep. ``anonymize`` applies the per-column
+    anonymization spec during import, exactly where the reference applies
+    its spark UDFs (import_operations.py:1383-1399).
     """
 
     def __init__(
@@ -60,15 +62,23 @@ class NormalizeBatch:
         passthrough: list[str],
         pk: list[str],
         num_partitions: int,
+        anonymize: dict[str, str] | None = None,
+        anonymization_seed: str = "",
     ):
         self.unified = unified
         self.renames = dict(renames)
         self.passthrough = list(passthrough)
         self.pk = list(pk)
         self.num_partitions = num_partitions
+        self.anonymize = dict(anonymize or {})
+        self.seed = anonymization_seed
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = align_to_schema(
             batch, self.unified, self.renames, keep_extra=self.passthrough
         )
+        if self.anonymize:
+            from ..functions.anonymize import apply_anonymization
+
+            out = apply_anonymization(out, self.anonymize, seed=self.seed)
         return add_partition_id(out, self.pk, self.num_partitions)

@@ -1,0 +1,88 @@
+"""Export path (S7) + CLI verbs."""
+
+import json
+import subprocess
+import sys
+
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from dbimport_ray import CDCEngine
+from dbimport_ray.config import TableConfig
+from dbimport_ray.pipelines.export import export_table
+
+
+def _events(tmp_path, name, rows):
+    t = pa.table(
+        {
+            "sequence_id": pa.array([r[0] for r in rows], pa.int64()),
+            "op": pa.array([r[1] for r in rows]),
+            "k": pa.array([r[2] for r in rows]),
+            "v": pa.array([float(r[3]) for r in rows]),
+        }
+    )
+    p = str(tmp_path / name)
+    pq.write_table(t, p)
+    return p
+
+
+def test_full_and_incremental_export(tmp_path, ray_session):
+    cfg = TableConfig(name="t", pk=["k"], value_columns=["v"], num_partitions=4)
+    eng = CDCEngine(str(tmp_path / "lake"), cfg)
+    b1 = _events(tmp_path, "b1.parquet", [(1, "I", "a", 1), (2, "I", "b", 2), (3, "I", "c", 3)])
+    eng.replay(b1, upto_seq=3)
+
+    tgt = str(tmp_path / "out")
+    res = export_table(eng, tgt)
+    assert res["mode"] == "full" and res["rows"] == 3
+
+    # batch 2: update a, delete b → incremental export ships only touched
+    # partitions' live rows
+    b2 = _events(tmp_path, "b2.parquet", [(4, "U", "a", 10), (5, "D", "b", 0)])
+    eng.replay([b1, b2], upto_seq=5)
+    res2 = export_table(eng, tgt, incremental=True)
+    assert res2["mode"] == "incremental"
+    assert res2["from_version"] == 1 and res2["version"] == 2
+    exported = pads.dataset(f"{tgt}/v000002").to_table()
+    assert "D" not in exported["datalake_iud"].to_pylist()  # tombstones excluded
+    ks = exported["k"].to_pylist()
+    assert "a" in ks  # updated row present
+
+    # third export with no new lake version → zero partitions
+    res3 = export_table(eng, tgt, incremental=True)
+    assert res3["partitions"] == 0 and res3["rows"] == 0
+
+
+def test_cli_status_metrics_reset(tmp_path, ray_session):
+    cfg = TableConfig(name="t", pk=["k"], value_columns=["v"], num_partitions=2)
+    eng = CDCEngine(str(tmp_path / "lake"), cfg)
+    b1 = _events(tmp_path, "b1.parquet", [(1, "I", "a", 1), (2, "I", "b", 2)])
+    eng.replay(b1, upto_seq=2)
+
+    from dbimport_ray.cli import main
+
+    import io
+    from contextlib import redirect_stdout
+
+    def run(argv):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            rc = main(argv)
+        assert rc == 0
+        return buf.getvalue().strip()
+
+    st = json.loads(run(["status", "--lake", str(tmp_path / "lake"), "--table", "t"]))
+    assert st["committed_seq"] == 2 and st["version"] == 1 and st["rows"] == 2
+
+    lines = run(["metrics", "--lake", str(tmp_path / "lake"), "--table", "t"]).splitlines()
+    assert len(lines) == 1 and json.loads(lines[0])["inserts"] == 2
+
+    st2 = json.loads(
+        run(["reset-watermark", "--lake", str(tmp_path / "lake"), "--table", "t", "--to", "0"])
+    )
+    assert st2["committed_seq"] == 0
+    # after reset, the same events replay again (re-sync tool semantics,
+    # import_operations.py:3276)
+    res = eng.replay(b1, upto_seq=2)
+    assert res["status"] == "committed"

@@ -1,0 +1,52 @@
+"""Multi-table orchestration + in-pipeline anonymization."""
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from dbimport_ray import CDCEngine
+from dbimport_ray.config import TableConfig
+from dbimport_ray.pipelines.orchestrate import TableJob, run_tables
+
+
+def _events(tmp_path, name, keys):
+    t = pa.table(
+        {
+            "sequence_id": pa.array(range(1, len(keys) + 1), pa.int64()),
+            "op": pa.array(["I"] * len(keys)),
+            "k": pa.array(keys),
+            "v": pa.array([f"name-{k}" for k in keys]),
+        }
+    )
+    p = str(tmp_path / name)
+    pq.write_table(t, p)
+    return p
+
+
+def test_run_tables_parallel_and_isolated(tmp_path, ray_session):
+    jobs = []
+    for i in range(3):
+        cfg = TableConfig(name=f"t{i}", pk=["k"], value_columns=["v"], num_partitions=2)
+        eng = CDCEngine(str(tmp_path / "lake"), cfg)
+        ev = _events(tmp_path, f"ev{i}.parquet", [f"{i}a", f"{i}b"])
+        jobs.append(TableJob(engine=eng, events_path=ev, upto_seq=2))
+    # one job with a broken path must fail without sinking the others
+    bad_cfg = TableConfig(name="bad", pk=["k"], value_columns=["v"], num_partitions=2)
+    jobs.append(TableJob(engine=CDCEngine(str(tmp_path / "lake"), bad_cfg),
+                         events_path=str(tmp_path / "missing.parquet"), upto_seq=2))
+    results = run_tables(jobs, table_concurrency=3)
+    by = {r.table: r for r in results}
+    assert all(by[f"t{i}"].status == "committed" for i in range(3))
+    assert by["bad"].status == "failed" and by["bad"].error
+
+
+def test_anonymization_in_replay(tmp_path, ray_session):
+    cfg = TableConfig(
+        name="anon", pk=["k"], value_columns=["v"], num_partitions=2,
+        anonymize={"v": "hash"}, anonymization_seed="s1",
+    )
+    eng = CDCEngine(str(tmp_path / "lake"), cfg)
+    eng.replay(_events(tmp_path, "ev.parquet", ["x", "y"]), upto_seq=2)
+    rows = {r["k"]: r["v"] for r in eng.arrow().to_pylist()}
+    assert rows["x"] == hashlib.sha256(b"s1name-x").hexdigest()
