@@ -74,6 +74,18 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--target", required=True)
     sp.add_argument("--incremental", action="store_true")
     sp.add_argument("--include-deleted", action="store_true")
+    sp = sub.add_parser("stage", help="run ONLY the import phase (runOnlyFunction analogue)")
+    common(sp)
+    sp.add_argument("--events", required=True)
+    sp.add_argument("--upto", type=int, default=None)
+    sp = sub.add_parser("rehash", help="re-shard onto a new partition count")
+    common(sp)
+    sp.add_argument("--to-partitions", type=int, required=True)
+    sp = sub.add_parser("compact-history", help="fold history audit files")
+    common(sp)
+    sp = sub.add_parser("replicate", help="copy committed lake to another root (DistCp analogue)")
+    common(sp)
+    sp.add_argument("--dest", required=True)
     sp = sub.add_parser("status")
     common(sp, data_plane=False)
     sp = sub.add_parser("metrics")
@@ -138,6 +150,20 @@ def main(argv: list[str] | None = None) -> int:
             eng, args.target, incremental=args.incremental,
             include_deleted=args.include_deleted,
         )))
+    elif args.cmd == "stage":
+        print(json.dumps(eng.stage_only(args.events, upto_seq=args.upto)))
+    elif args.cmd == "rehash":
+        from .pipelines.maintain import rehash_table
+
+        print(json.dumps(rehash_table(eng, args.to_partitions)))
+    elif args.cmd == "compact-history":
+        from .pipelines.maintain import compact_history
+
+        print(json.dumps(compact_history(eng)))
+    elif args.cmd == "replicate":
+        from .pipelines.maintain import replicate_lake
+
+        print(json.dumps(replicate_lake(eng, args.dest)))
     import ray
 
     ray.shutdown()

@@ -493,6 +493,49 @@ class CDCEngine:
         return frags
 
     # ------------------------------------------------------------------
+    def stage_only(
+        self,
+        events_path: str | list[str],
+        upto_seq: int | None = None,
+        override_num_blocks: int | None = None,
+    ) -> dict:
+        """Run ONLY the import phase for the next batch (the
+        ``runOnlyFunction`` single-step surface, bin/import:104-121): lands
+        the event range in staging and records the pending watermark; a
+        later ``replay()`` finds the _STAGED flag and goes straight to the
+        merge. Idempotent."""
+        manifest = self.store.load_manifest()
+        cp = self.ckpt.load()
+        if cp.pending_seq is not None:
+            pending, version = cp.pending_seq, cp.pending_version
+        else:
+            pending = upto_seq if upto_seq is not None else max_sequence(
+                events_path, self.cfg.sequence_col
+            )
+            if pending <= cp.committed_seq:
+                return {"status": "noop", "committed_seq": cp.committed_seq}
+            version = manifest.version + 1
+            self.ckpt.begin_batch(pending, version)
+        unified, renames = self._plan_schema(manifest, events_path)
+        frags = self._stage(
+            events_path,
+            after_seq=cp.committed_seq,
+            upto_seq=pending,
+            version=version,
+            unified=unified,
+            renames=renames,
+            override_num_blocks=override_num_blocks,
+        )
+        self.ckpt.set_stage(STAGE_STAGED)
+        return {
+            "status": "staged",
+            "pending_seq": pending,
+            "version": version,
+            "staged_fragments": len(frags),
+            "staged_rows": sum(int(f["rows"]) for f in frags),
+        }
+
+    # ------------------------------------------------------------------
     def replay_stream(
         self,
         events_path: str | list[str],

@@ -1,0 +1,170 @@
+"""Operational maintenance — rehash, history compaction, replication,
+custom validation (SURVEY.md §2.1 S8, §2.5 A7, §3.1 x212, §4.1).
+
+All tools work through the manifest commit protocol: they produce a new
+committed version atomically, so readers never see a half-finished
+maintenance run and a crash leaves the previous version live.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..state.manifest import Manifest, schema_to_json
+from .cdc import CDCEngine
+
+
+def rehash_table(engine: CDCEngine, new_num_partitions: int) -> dict:
+    """Re-shard the table onto a new fixed partition count.
+
+    At 10^10-event scale partitions grow past their few-hundred-MB sweet
+    spot; DBImport's analogue is a full reload with new split settings.
+    Here: stream the committed table, restamp ``pid = hash(pk) % P_new``,
+    write one file per new partition, commit a new manifest version. The
+    watermark/checkpoint is untouched — only the physical layout changes.
+    """
+    import ray.data as rd
+
+    from ..stages.partitioning import PID_COL, add_partition_id
+
+    store = engine.store
+    manifest = store.load_manifest()
+    if not manifest.partitions:
+        raise ValueError("empty table")
+    version = manifest.version + 1
+    paths = [store.abs_path(e["file"]) for e in manifest.partitions.values()]
+    ds = rd.read_parquet(paths)
+    pk = engine.cfg.pk
+    ds = ds.map_batches(
+        lambda t: add_partition_id(t, pk, new_num_partitions), batch_format="pyarrow"
+    )
+    # hive-partitioned scratch, then one compacted file per new pid
+    scratch = os.path.join(store.root, "_rehash_tmp")
+    shutil.rmtree(scratch, ignore_errors=True)
+    ds.write_parquet(scratch, partition_cols=[PID_COL])
+    new_parts: dict[str, dict] = {}
+    for d in sorted(os.listdir(scratch)):
+        if not d.startswith(f"{PID_COL}="):
+            continue
+        pid = int(d.split("=", 1)[1])
+        tbl = pq.read_table(os.path.join(scratch, d))
+        rel = store.part_file(pid, version)
+        tmp = store.abs_path(rel) + ".tmp"
+        pq.write_table(tbl, tmp, compression="zstd")
+        os.replace(tmp, store.abs_path(rel))
+        new_parts[str(pid)] = {
+            "file": rel,
+            "rows": tbl.num_rows,
+            "bytes": os.path.getsize(store.abs_path(rel)),
+            "version": version,
+        }
+    shutil.rmtree(scratch, ignore_errors=True)
+    old_rows = manifest.total_rows()
+    new_rows = sum(p["rows"] for p in new_parts.values())
+    if old_rows != new_rows:
+        raise RuntimeError(f"rehash row drift: {old_rows} → {new_rows}")
+    new_m = Manifest(
+        table=manifest.table,
+        version=version,
+        committed_seq=manifest.committed_seq,
+        schema=manifest.schema,
+        renames=manifest.renames,
+        partitions=new_parts,
+        history_files=list(manifest.history_files),
+        num_partitions=new_num_partitions,
+    )
+    store.stage_manifest(new_m)
+    store.commit_manifest()
+    # NOTE: engine.cfg.num_partitions must be updated to match for future
+    # replays (it is part of the table's durable identity).
+    engine.cfg.num_partitions = new_num_partitions
+    return {"version": version, "partitions": len(new_parts), "rows": new_rows}
+
+
+def compact_history(engine: CDCEngine, target_file_rows: int = 1_000_000) -> dict:
+    """Fold the append-only history audit files into fewer larger files
+    (the runHiveCompaction analogue, import_operations.py:3111)."""
+    store = engine.store
+    manifest = store.load_manifest()
+    files = [store.abs_path(f) for f in manifest.history_files]
+    if len(files) <= 1:
+        return {"compacted": 0, "files": len(files)}
+    version = manifest.version + 1
+    tbl = pa.concat_tables([pq.read_table(f) for f in files], promote_options="permissive")
+    new_files = []
+    for i, lo in enumerate(range(0, max(tbl.num_rows, 1), target_file_rows)):
+        rel = f"history/compact-{i:05d}-v{version:06d}.parquet"
+        tmp = store.abs_path(rel) + ".tmp"
+        pq.write_table(tbl.slice(lo, target_file_rows), tmp, compression="zstd")
+        os.replace(tmp, store.abs_path(rel))
+        new_files.append(rel)
+    new_m = Manifest(
+        table=manifest.table,
+        version=version,
+        committed_seq=manifest.committed_seq,
+        schema=manifest.schema,
+        renames=manifest.renames,
+        partitions=dict(manifest.partitions),
+        history_files=new_files,
+        num_partitions=manifest.num_partitions,
+    )
+    store.stage_manifest(new_m)
+    store.commit_manifest()
+    for f in files:  # old files dead after commit
+        try:
+            os.remove(f)
+        except OSError:
+            pass
+    return {"compacted": len(files), "files": len(new_files), "rows": tbl.num_rows}
+
+
+def replicate_lake(engine: CDCEngine, dest_root: str) -> dict:
+    """Copy the committed table (files + manifest) to another lake root —
+    the DistCp multi-cluster copy phase (copy_operations.py:278), commit
+    protocol preserved: files first, manifest rename last."""
+    store = engine.store
+    manifest = store.load_manifest()
+    dest = os.path.join(dest_root, engine.cfg.name)
+    os.makedirs(os.path.join(dest, "data"), exist_ok=True)
+    os.makedirs(os.path.join(dest, "history"), exist_ok=True)
+    copied = 0
+    for e in manifest.partitions.values():
+        src = store.abs_path(e["file"])
+        dst = os.path.join(dest, e["file"])
+        if not os.path.exists(dst) or os.path.getsize(dst) != os.path.getsize(src):
+            shutil.copy2(src, dst + ".tmp")
+            os.replace(dst + ".tmp", dst)
+            copied += 1
+    for f in manifest.history_files:
+        src, dst = store.abs_path(f), os.path.join(dest, f)
+        if not os.path.exists(dst):
+            shutil.copy2(src, dst + ".tmp")
+            os.replace(dst + ".tmp", dst)
+            copied += 1
+    # manifest is the commit point on the destination too
+    from ..state.manifest import _atomic_write_json
+    from dataclasses import asdict
+
+    _atomic_write_json(os.path.join(dest, "_manifest.json"), asdict(manifest))
+    return {"copied_files": copied, "version": manifest.version, "dest": dest}
+
+
+def validate_custom(engine: CDCEngine, source_value: dict, target_fn) -> dict:
+    """Custom-query validation (import_config.py:2712 validateCustomQuery,
+    :2257 runCustomValidationQueryOnJDBCTable): the caller computes an
+    aggregate over the SOURCE (their system of record), ``target_fn``
+    computes the same aggregate over the lake Dataset, and the two must be
+    JSON-equal — validation failure raises and therefore blocks any
+    subsequent watermark commit the caller was about to do."""
+    tgt = target_fn(engine.dataset())
+    if source_value != tgt:
+        from ..stages.validate import ValidationError
+
+        raise ValidationError(
+            f"custom validation mismatch: source={source_value} target={tgt}"
+        )
+    return {"ok": True, "value": tgt}

@@ -1,0 +1,102 @@
+"""Maintenance tools: stage-only, rehash, history compaction, replication,
+custom validation."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from dbimport_ray import CDCEngine
+from dbimport_ray.config import TableConfig
+from dbimport_ray.pipelines.maintain import (
+    compact_history,
+    rehash_table,
+    replicate_lake,
+    validate_custom,
+)
+from dbimport_ray.stages.validate import ValidationError
+
+
+def _events(tmp_path, name, n, start=1):
+    t = pa.table(
+        {
+            "sequence_id": pa.array(range(start, start + n), pa.int64()),
+            "op": pa.array(["I"] * n),
+            "k": pa.array([f"k{i}" for i in range(start, start + n)]),
+            "v": pa.array([float(i) for i in range(start, start + n)]),
+        }
+    )
+    p = str(tmp_path / name)
+    pq.write_table(t, p)
+    return p
+
+
+def test_stage_only_then_replay(tmp_path, ray_session):
+    cfg = TableConfig(name="t", pk=["k"], value_columns=["v"], num_partitions=4)
+    eng = CDCEngine(str(tmp_path / "lake"), cfg)
+    ev = _events(tmp_path, "e.parquet", 50)
+    res = eng.stage_only(ev, upto_seq=50)
+    assert res["status"] == "staged" and res["staged_rows"] == 50
+    assert os.path.exists(eng.store.staging_flag(res["version"]))
+    # replay picks up the staged batch without re-staging
+    res2 = eng.replay(ev)
+    assert res2["status"] == "committed" and res2["inserts"] == 50
+    assert eng.dataset().count() == 50
+
+
+def test_rehash_preserves_state(tmp_path, ray_session):
+    cfg = TableConfig(name="t", pk=["k"], value_columns=["v"], num_partitions=4)
+    eng = CDCEngine(str(tmp_path / "lake"), cfg)
+    ev = _events(tmp_path, "e.parquet", 100)
+    eng.replay(ev, upto_seq=100)
+    before = eng.arrow().sort_by([("k", "ascending")])
+    res = rehash_table(eng, 16)
+    assert res["partitions"] <= 16 and res["rows"] == 100
+    after = eng.arrow().sort_by([("k", "ascending")])
+    assert before.equals(after)
+    # new batch replays correctly under the new layout
+    ev2 = _events(tmp_path, "e2.parquet", 20, start=101)
+    assert eng.replay([ev, ev2], upto_seq=120)["status"] == "committed"
+    assert eng.dataset().count() == 120
+
+
+def test_compact_history(tmp_path, ray_session):
+    cfg = TableConfig(name="t", pk=["k"], value_columns=["v"], num_partitions=4)
+    eng = CDCEngine(str(tmp_path / "lake"), cfg)
+    ev1 = _events(tmp_path, "e1.parquet", 30)
+    ev2 = _events(tmp_path, "e2.parquet", 30, start=31)
+    eng.replay(ev1, upto_seq=30)
+    eng.replay([ev1, ev2], upto_seq=60)
+    hist_before = eng.history()
+    assert len(eng.store.load_manifest().history_files) > 1
+    res = compact_history(eng)
+    assert res["compacted"] > 1
+    hist_after = eng.history()
+    order = [("k", "ascending"), ("datalake_timestamp", "ascending")]
+    assert hist_before.sort_by(order).equals(hist_after.sort_by(order))
+
+
+def test_replicate_lake(tmp_path, ray_session):
+    cfg = TableConfig(name="t", pk=["k"], value_columns=["v"], num_partitions=4)
+    eng = CDCEngine(str(tmp_path / "lake"), cfg)
+    eng.replay(_events(tmp_path, "e.parquet", 40), upto_seq=40)
+    res = replicate_lake(eng, str(tmp_path / "replica"))
+    assert res["copied_files"] > 0
+    replica = CDCEngine(str(tmp_path / "replica"), cfg)
+    assert replica.arrow().sort_by([("k", "ascending")]).equals(
+        eng.arrow().sort_by([("k", "ascending")])
+    )
+
+
+def test_validate_custom(tmp_path, ray_session):
+    cfg = TableConfig(name="t", pk=["k"], value_columns=["v"], num_partitions=2)
+    eng = CDCEngine(str(tmp_path / "lake"), cfg)
+    eng.replay(_events(tmp_path, "e.parquet", 10), upto_seq=10)
+
+    def agg(ds):
+        return {"rows": ds.count(), "sum_v": float(ds.sum("v"))}
+
+    assert validate_custom(eng, {"rows": 10, "sum_v": 55.0}, agg)["ok"]
+    with pytest.raises(ValidationError):
+        validate_custom(eng, {"rows": 11, "sum_v": 55.0}, agg)
