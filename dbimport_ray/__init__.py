@@ -6,5 +6,38 @@ file:line) on idiomatic Ray Data: Dataset pipelines, zero-copy Arrow
 batches, actor pools for stateful merge, explicit hash partitioning, and an
 exactly-once two-phase-commit manifest lake.
 """
-from .config import TableConfig, repo_files_config  # noqa: F401
-from .pipelines.cdc import CDCEngine  # noqa: F401
+
+def _stabilize_fsspec_http() -> None:
+    """Make ``fsspec.implementations.http`` imports deterministic.
+
+    The module needs aiohttp; when aiohttp is absent the import FAILS and —
+    because failed imports are not cached — every Ray Data path resolution
+    retries it. Two threads retrying concurrently (replay_stream prestages
+    on a background thread) race inside the partial import and surface as
+    ``ImportError: cannot import name 'HTTPFileSystem'`` instead of the
+    ``ModuleNotFoundError`` Ray catches, intermittently killing a replay.
+    Registering a sentinel module caches the outcome once, thread-safe;
+    the sentinel class never matches a real filesystem instance, so Ray's
+    ``_is_http_filesystem`` correctly answers False for local files.
+    """
+    import sys
+    import types
+
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+    except ModuleNotFoundError:
+        stub = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # sentinel only — never instantiated
+            pass
+
+        stub.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = stub
+    except ImportError:
+        pass  # partially-imported by another thread right now; already real
+
+
+_stabilize_fsspec_http()
+
+from .config import TableConfig, repo_files_config  # noqa: F401,E402
+from .pipelines.cdc import CDCEngine  # noqa: F401,E402
