@@ -203,6 +203,50 @@ def q_cdc_full_load(sf_dir: str) -> pa.Table:
 # Operator-level queries
 # ---------------------------------------------------------------------------
 
+def q_cdc_history_audit(sf_dir: str) -> pa.Table:
+    """History-audit output of the two-batch CDC replay: every change
+    row-image with its op (etl_operations.py:318-360, J4 old-image
+    recovery for deletes)."""
+    root = _scratch("hist")
+    stream = _derive_cdc_stream(sf_dir, root)
+    cfg = TableConfig(
+        name="user_state",
+        pk=["user_id"],
+        value_columns=["event_type", "value"],
+        num_partitions=8,
+        soft_delete=True,
+        history=True,
+    )
+    eng = CDCEngine(os.path.join(root, "lake"), cfg)
+    mx = max_sequence(stream)
+    eng.replay(stream, upto_seq=mx // 2)
+    eng.replay(stream, upto_seq=mx)
+    hist = eng.history()
+    return hist.select(["user_id", "event_type", "value", cfg.col_iud]).rename_columns(
+        ["user_id", "event_type", "value", "datalake_iud"]
+    )
+
+
+def q_join_agg(sf_dir: str) -> rd.Dataset:
+    """Native Dataset hash join (orders ⨝ customer) + grouped aggregate —
+    the large×large join shape (vs the broadcast path in
+    antijoin_deletes)."""
+    orders = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    joined = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=8,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    return joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"),
+        Min("o_totalprice", alias_name="min_price"),
+        Max("o_totalprice", alias_name="max_price"),
+    )
+
+
 def q_lww_dedup(sf_dir: str) -> rd.Dataset:
     """Last-writer-wins row per key (J5/A4: import_config.py:3218-3247)."""
     ds = rd.read_parquet(
@@ -474,6 +518,26 @@ SELECT c_custkey, c_name,
             ELSE 'I' END AS datalake_iud
 FROM customer
 """,
+    "cdc_history_audit": _CDC_VIEW
+    + """
+, h1 AS (SELECT user_id, event_type, value, 'I' AS datalake_iud FROM l1 WHERE op <> 'D'),
+h2 AS (
+  SELECT l2.user_id,
+         CASE WHEN l2.op = 'D' THEN s1.event_type ELSE l2.event_type END AS event_type,
+         CASE WHEN l2.op = 'D' THEN s1.value ELSE l2.value END AS value,
+         CASE WHEN l2.op = 'D' THEN 'D'
+              WHEN s1.user_id IS NULL THEN 'I' ELSE 'U' END AS datalake_iud
+  FROM l2 LEFT JOIN s1 ON s1.user_id = l2.user_id
+  WHERE NOT (l2.op = 'D' AND s1.user_id IS NULL)
+)
+SELECT * FROM h1 UNION ALL SELECT * FROM h2
+""",
+    "join_agg": """
+SELECT c_mktsegment, count(*) AS n_orders,
+       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
     "lww_dedup": """
 SELECT user_id, event_id AS last_seq, event_type AS last_event_type,
        value AS last_value
@@ -576,6 +640,8 @@ QUERIES = {
     "cdc_merge_soft": q_cdc_merge_soft,
     "cdc_merge_hard": q_cdc_merge_hard,
     "cdc_full_load": q_cdc_full_load,
+    "cdc_history_audit": q_cdc_history_audit,
+    "join_agg": q_join_agg,
     "lww_dedup": q_lww_dedup,
     "watermark_filter": q_watermark_filter,
     "max_watermark": q_max_watermark,

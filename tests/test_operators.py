@@ -203,6 +203,36 @@ def test_ivf_search_recall(ray_session, tmp_path):
     assert hits >= 9  # ≥60% recall@5 with nprobe=4 of 8 cells
 
 
+# --- hot-key salting -------------------------------------------------------
+
+def test_salted_two_stage_lww_equals_unsalted():
+    """north_rule 'skewed repos are salted and split': a hot key's events
+    spread over `salt` sub-groups, each LWW-reduced independently, then a
+    second combine — result must equal the direct single-stage LWW."""
+    from dbimport_ray.stages.lww import lww_dedup
+    from dbimport_ray.stages.partitioning import PID_COL, add_salted_partition_id
+
+    n = 5000
+    t = pa.table(
+        {
+            "repo": pa.array(["hot/repo"] * n),
+            "path": pa.array(["one/file.py" if i % 10 else f"f{i}.py" for i in range(n)]),
+            "sequence_id": pa.array(np.arange(n, dtype=np.int64)),
+            "content": pa.array([f"v{i}" for i in range(n)]),
+        }
+    )
+    pk = ["repo", "path"]
+    direct = lww_dedup(t, pk, "sequence_id")
+    salted = add_salted_partition_id(t, pk, num_partitions=4, salt=8, sequence_col="sequence_id")
+    stage1 = []
+    for g in salted.group_by(PID_COL).aggregate([]).column(PID_COL).to_pylist():
+        sub = salted.filter(pa.compute.equal(salted[PID_COL], g))
+        stage1.append(lww_dedup(sub, pk, "sequence_id").drop_columns([PID_COL]))
+    combined = lww_dedup(pa.concat_tables(stage1), pk, "sequence_id")
+    order = [("repo", "ascending"), ("path", "ascending")]
+    assert combined.sort_by(order).equals(direct.sort_by(order))
+
+
 # --- broadcast joins -------------------------------------------------------
 
 def test_broadcast_joins(ray_session):
