@@ -1,0 +1,97 @@
+"""Unit tests for the state layer: checkpoint protocol, manifest 2PC,
+staging writer row-group alignment. No Ray needed."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from dbimport_ray.state.checkpoint import STAGE_DONE, CheckpointStore
+from dbimport_ray.state.manifest import Manifest, TableStore, schema_from_json, schema_to_json
+from dbimport_ray.stages.partitioning import PID_COL, add_partition_id, key_hash
+from dbimport_ray.stages.staging import make_stage_writer, read_staged_pid
+
+
+def test_checkpoint_pending_committed_protocol(tmp_path):
+    cs = CheckpointStore(str(tmp_path), "t")
+    cp = cs.load()
+    assert cp.committed_seq == -1 and cp.effective_seq == -1
+    cs.begin_batch(100, 1)
+    assert cs.load().effective_seq == 100  # COALESCE(pending, committed)
+    # double-begin with a different range is an error (in-flight batch)
+    with pytest.raises(RuntimeError, match="in-flight"):
+        cs.begin_batch(200, 2)
+    cs.begin_batch(100, 1)  # same range re-entry ok (resume)
+    cp = cs.commit_batch()
+    assert cp.committed_seq == 100 and cp.pending_seq is None
+    assert cp.stage == STAGE_DONE
+    with pytest.raises(RuntimeError, match="no pending"):
+        cs.commit_batch()
+    cp = cs.reset_incremental(50)
+    assert cp.committed_seq == 50
+
+
+def test_manifest_2pc_commit_and_abort(tmp_path):
+    store = TableStore(str(tmp_path), "t")
+    assert store.load_manifest().version == 0
+    m = Manifest(table="t", version=1, committed_seq=10,
+                 partitions={"0": {"file": "data/p0.parquet", "rows": 5, "bytes": 1, "version": 1}})
+    store.stage_manifest(m)
+    # staged but not committed → readers still see version 0
+    assert store.load_manifest().version == 0
+    assert store.load_pending_manifest().version == 1
+    store.commit_manifest()
+    assert store.load_manifest().version == 1
+    assert store.load_manifest().total_rows() == 5
+    # abort path
+    m2 = Manifest(table="t", version=2, committed_seq=20)
+    store.stage_manifest(m2)
+    store.abort_pending()
+    assert store.load_manifest().version == 1
+    assert store.load_pending_manifest() is None
+
+
+def test_schema_json_roundtrip():
+    s = pa.schema([("a", pa.int64()), ("b", pa.string()), ("c", pa.timestamp("us")),
+                   ("d", pa.float32()), ("e", pa.bool_())])
+    assert schema_from_json(schema_to_json(s)) == s
+
+
+def test_key_hash_stable_and_partition_range():
+    t = pa.table({"repo": ["r1", "r2", "r1"], "path": ["a", "a", "b"]})
+    h1 = key_hash(t, ["repo", "path"])
+    h2 = key_hash(t, ["repo", "path"])
+    assert (h1 == h2).all()  # deterministic across calls (and processes)
+    assert h1[0] != h1[2]  # different path → different hash
+    p = add_partition_id(t, ["repo", "path"], 8)
+    pid = p[PID_COL].to_numpy()
+    assert ((pid >= 0) & (pid < 8)).all()
+
+
+def test_stage_writer_rowgroup_alignment(tmp_path):
+    staging = str(tmp_path)
+    writer = make_stage_writer(staging)
+    n = 1000
+    rng = np.random.default_rng(1)
+    batch = pa.table(
+        {
+            "k": pa.array([f"k{i}" for i in range(n)]),
+            "v": pa.array(rng.standard_normal(n)),
+            PID_COL: pa.array(rng.integers(0, 7, n).astype(np.int32)),
+        }
+    )
+    frags = writer(batch).to_pylist()
+    # one fragment per pid present, rows sum to n
+    assert sum(f["rows"] for f in frags) == n
+    assert len({f["pid"] for f in frags}) == len(frags)
+    fname = frags[0]["file"]
+    pf = pq.ParquetFile(os.path.join(staging, fname))
+    assert pf.num_row_groups == len(frags)  # row group per pid run
+    # read back one pid through the recorded file#rg refs
+    target = frags[3]
+    refs = [f"{target['file']}#{target['rg']}"]
+    tbl = read_staged_pid(staging, refs, target["pid"])
+    assert tbl.num_rows == target["rows"]
+    assert (tbl[PID_COL].to_numpy() == target["pid"]).all()
