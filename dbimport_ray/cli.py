@@ -86,6 +86,8 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("replicate", help="copy committed lake to another root (DistCp analogue)")
     common(sp)
     sp.add_argument("--dest", required=True)
+    sp = sub.add_parser("discover", help="scan a source tree for candidate tables (addImportTable analogue)")
+    sp.add_argument("--source", required=True)
     sp = sub.add_parser("status")
     common(sp, data_plane=False)
     sp = sub.add_parser("metrics")
@@ -97,6 +99,13 @@ def main(argv: list[str] | None = None) -> int:
     common(sp, data_plane=False)
 
     args = p.parse_args(argv)
+
+    if args.cmd == "discover":
+        from .pipelines.discover import discover_tables
+
+        for cand in discover_tables(args.source):
+            print(json.dumps(cand, sort_keys=True))
+        return 0
 
     if args.cmd in ("status", "metrics", "reset-watermark", "clear-stage"):
         import os

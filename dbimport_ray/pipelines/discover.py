@@ -1,0 +1,70 @@
+"""Source discovery — the ``manage --addImportTable`` analogue
+(import_operations.py:518 ``discoverAndAddTablesFromSource``).
+
+The reference connects to a JDBC source, lists tables matching a filter,
+reads each table's columns + primary keys, and registers candidate
+``import_tables`` rows. Here the "source" is a directory tree of parquet
+datasets; discovery walks it, reads each dataset's schema (footer only, no
+data), and proposes a ``TableConfig`` per dataset with heuristics for the
+sequence/op columns — the operator confirms or overrides before first
+replay, exactly like the reference's two-step add-then-configure flow.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.dataset as pads
+
+_SEQ_HINTS = ("sequence_id", "seq", "lsn", "scn", "version", "event_id", "offset")
+_OP_HINTS = ("op", "operation", "datalake_iud", "change_type")
+
+
+def _find(names: list[str], hints: tuple[str, ...]) -> str | None:
+    lower = {n.lower(): n for n in names}
+    for h in hints:
+        if h in lower:
+            return lower[h]
+    for n in names:  # suffix match e.g. commit_seq
+        if any(n.lower().endswith(h) for h in hints):
+            return n
+    return None
+
+
+def discover_tables(source_root: str) -> list[dict]:
+    """Scan a directory tree for parquet datasets; one candidate config per
+    directory (or bare file) containing parquet. Schema from footers only."""
+    candidates: list[dict] = []
+    seen_dirs: set[str] = set()
+    for dirpath, dirnames, filenames in os.walk(source_root):
+        parquets = [f for f in filenames if f.endswith(".parquet")]
+        if not parquets or dirpath in seen_dirs:
+            continue
+        seen_dirs.add(dirpath)
+        dirnames[:] = []  # a dataset dir's subdirs are its partitions
+        try:
+            schema = pads.dataset(dirpath).schema
+        except Exception as e:  # unreadable dataset → report, keep scanning
+            candidates.append({"path": dirpath, "error": f"{type(e).__name__}: {e}"})
+            continue
+        names = list(schema.names)
+        seq = _find(names, _SEQ_HINTS)
+        op = _find(names, _OP_HINTS)
+        reserved = {seq, op}
+        value_cols = [n for n in names if n not in reserved]
+        candidates.append(
+            {
+                "path": dirpath,
+                "table": os.path.basename(dirpath.rstrip("/")) or "table",
+                "columns": {n: str(schema.field(n).type) for n in names},
+                "sequence_col": seq,
+                "op_col": op,
+                # PK cannot be inferred from parquet (no declared keys):
+                # left for the operator, mirroring the reference where keys
+                # come from the source's metadata (schemaReader readTableKeys)
+                "pk": [],
+                "value_columns": value_cols,
+                "num_files": len(parquets),
+            }
+        )
+    return candidates

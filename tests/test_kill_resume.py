@@ -1,0 +1,93 @@
+"""Hard-kill crash recovery: SIGKILL the driver process mid-merge, resume
+in a fresh process, assert the final state equals an uninterrupted replay.
+
+This is the strongest form of the resumability claim: no exception
+handling, no atexit — the process dies with staging written, some
+partition markers dropped, and the manifest NOT committed. The resume
+must (a) keep the committed table intact, (b) skip finished partitions via
+markers, (c) produce the exact same final state.
+"""
+
+import os
+import signal
+import subprocess
+import sys
+import textwrap
+import time
+
+import pytest
+
+from dbimport_ray import CDCEngine, repo_files_config
+from dbimport_ray.datagen import generate_events
+
+CHILD = textwrap.dedent(
+    """
+    import os, sys, threading, time
+    import ray
+    ray.init(address="local", num_cpus=4, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    from dbimport_ray import CDCEngine, repo_files_config
+    lake, ev, upto = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    eng = CDCEngine(lake, repo_files_config(num_partitions=8))
+    marker_root = os.path.join(lake, "repo_files", "_pending")
+
+    def watcher():
+        # SIGKILL ourselves the moment ≥2 partition markers exist (merge
+        # phase is mid-flight; manifest commit has not happened)
+        while True:
+            n = sum(len(files) for _, _, files in os.walk(marker_root))
+            if n >= 2:
+                os.kill(os.getpid(), 9)
+            time.sleep(0.02)
+
+    threading.Thread(target=watcher, daemon=True).start()
+    eng.replay(ev, upto_seq=upto)
+    print("UNEXPECTED: replay finished without being killed")
+    """
+)
+
+
+def test_sigkill_mid_merge_then_resume(tmp_path, ray_session):
+    ev = str(tmp_path / "events.parquet")
+    generate_events(ev, num_keys=800, num_events=6000, seed=21)
+
+    lake = str(tmp_path / "lake")
+    eng = CDCEngine(lake, repo_files_config(num_partitions=8))
+    assert eng.replay(ev, upto_seq=2999)["status"] == "committed"
+
+    # child process starts batch 2 and SIGKILLs itself mid-merge;
+    # merges serialized (concurrency cap 1) so the kill window after the
+    # second marker is wide
+    env = dict(
+        os.environ,
+        DBIMPORT_RAY_MERGE_CONCURRENCY="1",
+        RAY_ADDRESS="local",
+    )
+    p = subprocess.run(
+        [sys.executable, "-c", CHILD, lake, ev, "5999"],
+        capture_output=True,
+        text=True,
+        timeout=240,
+        env=env,
+    )
+    assert p.returncode == -signal.SIGKILL, (p.returncode, p.stdout[-500:], p.stderr[-500:])
+
+    # committed state untouched: version still 1, watermark still 2999
+    import json
+
+    m = json.load(open(os.path.join(lake, "repo_files", "_manifest.json")))
+    assert m["version"] == 1 and m["committed_seq"] == 2999
+    cp = json.load(open(os.path.join(lake, "repo_files", "_checkpoint.json")))
+    assert cp["pending_seq"] == 5999  # in-flight batch recorded
+
+    # resume in THIS process finishes the batch
+    res = eng.replay(ev)
+    assert res["status"] == "committed" and res["committed_seq"] == 5999
+
+    # equality with an uninterrupted replay
+    clean = CDCEngine(str(tmp_path / "clean"), repo_files_config(num_partitions=8))
+    clean.replay(ev, upto_seq=2999)
+    clean.replay(ev, upto_seq=5999)
+    order = [("repo", "ascending"), ("path", "ascending")]
+    assert eng.arrow().sort_by(order).equals(clean.arrow().sort_by(order))

@@ -89,6 +89,22 @@ def test_replicate_lake(tmp_path, ray_session):
     )
 
 
+def test_discover_tables(tmp_path):
+    from dbimport_ray.pipelines.discover import discover_tables
+
+    d = tmp_path / "src" / "events_a"
+    d.mkdir(parents=True)
+    t = pa.table({"sequence_id": pa.array([1], pa.int64()), "op": ["I"],
+                  "k": ["x"], "v": [1.0]})
+    pq.write_table(t, str(d / "part0.parquet"))
+    cands = discover_tables(str(tmp_path / "src"))
+    assert len(cands) == 1
+    c = cands[0]
+    assert c["table"] == "events_a"
+    assert c["sequence_col"] == "sequence_id" and c["op_col"] == "op"
+    assert "k" in c["value_columns"] and c["pk"] == []
+
+
 def test_validate_custom(tmp_path, ray_session):
     cfg = TableConfig(name="t", pk=["k"], value_columns=["v"], num_partitions=2)
     eng = CDCEngine(str(tmp_path / "lake"), cfg)
