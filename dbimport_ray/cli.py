@@ -88,6 +88,9 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--dest", required=True)
     sp = sub.add_parser("discover", help="scan a source tree for candidate tables (addImportTable analogue)")
     sp.add_argument("--source", required=True)
+    sp = sub.add_parser("rollback", help="re-point the table at an earlier committed version")
+    common(sp)
+    sp.add_argument("--to-version", type=int, required=True)
     sp = sub.add_parser("status")
     common(sp, data_plane=False)
     sp = sub.add_parser("metrics")
@@ -173,6 +176,8 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines.maintain import replicate_lake
 
         print(json.dumps(replicate_lake(eng, args.dest)))
+    elif args.cmd == "rollback":
+        print(json.dumps(eng.rollback(args.to_version)))
     import ray
 
     ray.shutdown()

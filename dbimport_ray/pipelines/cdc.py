@@ -619,15 +619,34 @@ class CDCEngine:
         return results
 
     # ------------------------------------------------------------------
-    def dataset(self, columns: list[str] | None = None) -> rd.Dataset:
+    def dataset(
+        self, columns: list[str] | None = None, version: int | None = None
+    ) -> rd.Dataset:
         from ..sources.lake import read_lake
 
-        return read_lake(self.store, self.cfg, columns=columns)
+        return read_lake(self.store, self.cfg, columns=columns, version=version)
 
-    def arrow(self) -> pa.Table:
+    def arrow(self, version: int | None = None) -> pa.Table:
         from ..sources.lake import read_lake_arrow
 
-        return read_lake_arrow(self.store, self.cfg)
+        return read_lake_arrow(self.store, self.cfg, version=version)
+
+    def rollback(self, to_version: int) -> dict:
+        """Re-point the table at an earlier committed version and realign
+        the watermark so replay resumes from that point (the recovery
+        counterpart of ``manage --resetIncrementalImport``)."""
+        m = self.store.rollback(to_version)
+        cp = self.ckpt.load()
+        if cp.pending_version is not None:
+            self.store.clear_markers(cp.pending_version)
+            self.store.clear_staging(cp.pending_version)
+        self.store.abort_pending()
+        cp.committed_seq = m.committed_seq
+        cp.pending_seq = None
+        cp.pending_version = None
+        cp.stage = 0
+        self.ckpt.save(cp)
+        return {"version": m.version, "committed_seq": m.committed_seq, "rows": m.total_rows()}
 
     def history(self) -> pa.Table:
         from ..sources.lake import read_history_arrow

@@ -24,10 +24,16 @@ def _committed_files(store: TableStore, m: Manifest | None = None) -> list[str]:
     return [store.abs_path(p["file"]) for p in sorted(m.partitions.values(), key=lambda e: e["file"])]
 
 
-def read_lake(store: TableStore, cfg: TableConfig, columns: list[str] | None = None) -> rd.Dataset:
+def read_lake(
+    store: TableStore,
+    cfg: TableConfig,
+    columns: list[str] | None = None,
+    version: int | None = None,
+) -> rd.Dataset:
     """The committed table as a streaming Dataset (one block ≥ one partition
-    file). Old-schema files are aligned per batch."""
-    m = store.load_manifest()
+    file). Old-schema files are aligned per batch. ``version`` reads a
+    historical committed snapshot (time travel) while its files survive GC."""
+    m = store.load_manifest(version=version)
     files = _committed_files(store, m)
     if not files:
         return rd.from_arrow(_empty(store, cfg))
@@ -43,9 +49,11 @@ def read_lake(store: TableStore, cfg: TableConfig, columns: list[str] | None = N
     return ds
 
 
-def read_lake_arrow(store: TableStore, cfg: TableConfig) -> pa.Table:
+def read_lake_arrow(
+    store: TableStore, cfg: TableConfig, version: int | None = None
+) -> pa.Table:
     """Whole table as one Arrow table — tests/small results only."""
-    m = store.load_manifest()
+    m = store.load_manifest(version=version)
     files = _committed_files(store, m)
     if not files:
         return _empty(store, cfg)

@@ -177,12 +177,28 @@ class TableStore:
     def abs_path(self, rel: str) -> str:
         return os.path.join(self.root, rel)
 
+    def versioned_manifest_path(self, version: int) -> str:
+        return os.path.join(self.root, "_manifests", f"v{version:06d}.json")
+
     # --- manifest I/O ------------------------------------------------------
-    def load_manifest(self) -> Manifest:
-        if os.path.exists(self.manifest_path):
-            with open(self.manifest_path) as f:
+    def load_manifest(self, version: int | None = None) -> Manifest:
+        """Current committed manifest, or a historical one (time travel).
+        Historical reads are valid as long as that version's files survive
+        GC — the rollback/travel horizon is ``purge_old_versions``'s
+        ``keep_versions``."""
+        path = (
+            self.manifest_path
+            if version is None
+            else self.versioned_manifest_path(version)
+        )
+        if os.path.exists(path):
+            with open(path) as f:
                 d = json.load(f)
             return Manifest(**d)
+        if version is not None:
+            raise FileNotFoundError(
+                f"no manifest for version {version} (GC'd or never committed)"
+            )
         return Manifest(table=self.table)
 
     def load_pending_manifest(self) -> Manifest | None:
@@ -196,9 +212,30 @@ class TableStore:
         _atomic_write_json(self.pending_manifest_path, asdict(m))
 
     def commit_manifest(self) -> Manifest:
-        """2PC phase 2: atomic rename pending → committed."""
+        """2PC phase 2: atomic rename pending → committed, plus an
+        immutable per-version copy for time travel / rollback."""
         os.replace(self.pending_manifest_path, self.manifest_path)
-        return self.load_manifest()
+        m = self.load_manifest()
+        os.makedirs(os.path.join(self.root, "_manifests"), exist_ok=True)
+        _atomic_write_json(self.versioned_manifest_path(m.version), asdict(m))
+        return m
+
+    def rollback(self, to_version: int) -> Manifest:
+        """Re-point the committed manifest at an earlier version (the
+        purgeIcebergVersions-world rollback). Files must still exist —
+        callers should rollback within the GC horizon."""
+        m = self.load_manifest(version=to_version)
+        missing = [
+            e["file"] for e in m.partitions.values()
+            if not os.path.exists(self.abs_path(e["file"]))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot rollback to v{to_version}: {len(missing)} data files "
+                f"GC'd (e.g. {missing[0]})"
+            )
+        _atomic_write_json(self.manifest_path, asdict(m))
+        return m
 
     def abort_pending(self) -> None:
         if os.path.exists(self.pending_manifest_path):

@@ -89,6 +89,28 @@ def test_replicate_lake(tmp_path, ray_session):
     )
 
 
+def test_time_travel_and_rollback(tmp_path, ray_session):
+    cfg = TableConfig(name="t", pk=["k"], value_columns=["v"], num_partitions=2)
+    eng = CDCEngine(str(tmp_path / "lake"), cfg)
+    ev1 = _events(tmp_path, "e1.parquet", 10)
+    ev2 = _events(tmp_path, "e2.parquet", 10, start=11)
+    eng.replay(ev1, upto_seq=10)
+    v1 = eng.arrow()
+    eng.replay([ev1, ev2], upto_seq=20)
+    assert eng.dataset().count() == 20
+    # time travel: read version 1 while version 2 is live
+    assert eng.arrow(version=1).sort_by([("k", "ascending")]).equals(
+        v1.sort_by([("k", "ascending")])
+    )
+    # rollback to v1, watermark realigned, replay the second batch again
+    res = eng.rollback(1)
+    assert res["version"] == 1 and res["committed_seq"] == 10 and res["rows"] == 10
+    assert eng.dataset().count() == 10
+    r = eng.replay([ev1, ev2], upto_seq=20)
+    assert r["status"] == "committed"
+    assert eng.dataset().count() == 20
+
+
 def test_discover_tables(tmp_path):
     from dbimport_ray.pipelines.discover import discover_tables
 
