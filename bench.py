@@ -47,7 +47,7 @@ NUM_KEYS = int(os.environ.get("BENCH_KEYS", "100000"))
 NUM_BATCHES = int(os.environ.get("BENCH_BATCHES", "4"))
 NUM_PARTITIONS = int(os.environ.get("BENCH_PARTITIONS", "32"))
 CONTENT_REPEAT = int(os.environ.get("BENCH_CONTENT_REPEAT", "40"))
-NUM_BLOCKS = int(os.environ.get("BENCH_BLOCKS", "48"))
+NUM_BLOCKS = int(os.environ.get("BENCH_BLOCKS", "80"))
 
 QUERY_NAMES = [
     "cdc_merge_soft",
@@ -85,7 +85,7 @@ def run_headline() -> dict:
     events = cached_events(
         f"{scratch}/bench_events", NUM_KEYS, NUM_EVENTS, seed=42,
         content_repeat_mean=CONTENT_REPEAT,
-        rows_per_batch=max(50_000, NUM_EVENTS // 64),
+        rows_per_batch=max(25_000, NUM_EVENTS // 64),
     )
     lake = f"{scratch}/bench_lake_{os.getpid()}"
     shutil.rmtree(lake, ignore_errors=True)

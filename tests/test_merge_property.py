@@ -1,0 +1,76 @@
+"""Property-based conformance: the Arrow merge kernel vs the sequential
+oracle on randomized event streams (hypothesis). Pure-kernel test — no Ray.
+
+Covers arbitrary interleavings of I/U/D (including key-only deletes,
+repeated ops on one key, delete-of-unknown-key, reinsert-after-delete)
+across 1-3 batches, in both soft- and hard-delete modes.
+"""
+
+from datetime import datetime, timedelta
+
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dbimport_ray.config import TableConfig
+from dbimport_ray.oracle import SequentialOracle
+from dbimport_ray.stages.lww import lww_dedup
+from dbimport_ray.stages.merge import merge_partition
+
+KEYS = ["a", "b", "c", "d"]
+
+event_strategy = st.tuples(
+    st.sampled_from(KEYS),
+    st.sampled_from(["I", "U", "D"]),
+    st.integers(min_value=0, max_value=99),
+)
+
+
+def _table(events, start_seq):
+    ks, ops, vals, seqs = [], [], [], []
+    for i, (k, op, v) in enumerate(events):
+        ks.append(k)
+        ops.append(op)
+        vals.append(None if op == "D" else f"v{v}")  # key-only deletes
+        seqs.append(start_seq + i)
+    return pa.table(
+        {
+            "k": pa.array(ks, pa.string()),
+            "val": pa.array(vals, pa.string()),
+            "op": pa.array(ops, pa.string()),
+            "sequence_id": pa.array(seqs, pa.int64()),
+        }
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    batches=st.lists(
+        st.lists(event_strategy, min_size=0, max_size=12), min_size=1, max_size=3
+    ),
+    soft=st.booleans(),
+)
+def test_merge_kernel_matches_oracle(batches, soft):
+    cfg = TableConfig(
+        name="t", pk=["k"], value_columns=["val"], num_partitions=1, soft_delete=soft
+    )
+    oracle = SequentialOracle(cfg)
+    state = None
+    seq = 0
+    for bi, events in enumerate(batches):
+        tbl = _table(events, seq)
+        seq += len(events)
+        ts = datetime(2026, 1, 1) + timedelta(seconds=bi)
+        oracle.apply_batch(tbl, ts)
+        deduped = lww_dedup(tbl, ["k"], "sequence_id")
+        res = merge_partition(state, deduped, cfg, ts)
+        state = res.table
+
+    got = {
+        r["k"]: (r["val"], r["datalake_iud"])
+        for r in (state.to_pylist() if state is not None else [])
+    }
+    want = {
+        r["k"]: (r["val"], r["datalake_iud"]) for r in oracle.table().to_pylist()
+    }
+    assert got == want
