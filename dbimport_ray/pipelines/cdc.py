@@ -257,7 +257,9 @@ class CDCEngine:
         cp = self.ckpt.load()
 
         if cp.pending_seq is not None:
+            # resume of an in-flight batch → logged as a retry
             pending, version = cp.pending_seq, cp.pending_version
+            cp = self.ckpt.bump_retry()
         else:
             pending = upto_seq if upto_seq is not None else max_sequence(
                 events_path, self.cfg.sequence_col
@@ -397,6 +399,7 @@ class CDCEngine:
         self.store.stage_manifest(new_m)
         if fail_before_commit:
             raise RuntimeError("injected failure before manifest commit")
+        retries = self.ckpt.load().retries
         self.store.commit_manifest()
         self.ckpt.commit_batch()
         self.store.append_metrics(
@@ -405,6 +408,7 @@ class CDCEngine:
                 "pending_seq": pending,
                 "merge_ts": ts.isoformat(),
                 "partitions_touched": len(metrics),
+                "retries": retries,
                 **totals,
             }
         )

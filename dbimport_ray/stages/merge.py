@@ -195,7 +195,7 @@ def merge_partition(
     src = pa.scalar(cfg.source_tag)
     null_ts = pa.scalar(None, type=pa.timestamp("us"))
 
-    def emit(part: pa.Table, cols: dict[str, pa.Array | pa.ChunkedArray]) -> pa.Table:
+    def emit(cols: dict[str, pa.Array | pa.ChunkedArray]) -> pa.Table:
         arrays = []
         for f in tgt_schema:
             a = cols[f.name]
@@ -216,7 +216,7 @@ def merge_partition(
         cols[cfg.col_update] = _nulls(ins.num_rows, pa.timestamp("us"))
         cols[cfg.col_delete] = _nulls(ins.num_rows, pa.timestamp("us"))
         cols[cfg.col_source] = _const(ins.num_rows, src)
-        ins_out = emit(ins, cols)
+        ins_out = emit(cols)
         parts.append(ins_out)
         hist_parts.append(ins_out)
 
@@ -230,7 +230,7 @@ def merge_partition(
         cols[cfg.col_update] = pc.if_else(soft, null_ts, ts)
         cols[cfg.col_delete] = _nulls(upd.num_rows, pa.timestamp("us"))
         cols[cfg.col_source] = _const(upd.num_rows, src)
-        upd_out = emit(upd, cols)
+        upd_out = emit(cols)
         parts.append(upd_out)
         hist_parts.append(upd_out)
 
@@ -247,7 +247,7 @@ def merge_partition(
         cols[cfg.col_update] = dels[cfg.col_update + _OLD]
         cols[cfg.col_delete] = _const(dels.num_rows, ts)
         cols[cfg.col_source] = _const(dels.num_rows, src)
-        deleted_tbl = emit(dels, cols)
+        deleted_tbl = emit(cols)
         if cfg.soft_delete:
             parts.append(deleted_tbl)
         hist_parts.append(deleted_tbl)  # history keeps the old image w/ 'D'
@@ -258,7 +258,7 @@ def merge_partition(
         cols = {c: unchanged[c] for c in cfg.pk}
         for c in value_cols + cfg.system_columns:
             cols[c] = unchanged[c + _OLD]
-        parts.append(emit(unchanged, cols))
+        parts.append(emit(cols))
 
     # --- untouched old rows (keys not in this batch) -----------------------
     untouched = old.join(events.select(cfg.pk), keys=cfg.pk, join_type="left anti")

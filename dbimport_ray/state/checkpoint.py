@@ -70,10 +70,20 @@ class CheckpointStore:
                 f"in-flight batch exists (pending_seq={cp.pending_seq}); "
                 "resume or abort it before starting a new range"
             )
+        # a re-entry into an already-pending batch is a retry
+        # (saveRetryAttempt → import_retries_log, import_stage.py:1018)
+        cp.retries += 1 if cp.pending_seq is not None else 0
         cp.pending_seq = pending_seq
         cp.pending_version = pending_version
         cp.stage = STAGE_LOADING
-        cp.retries = cp.retries + (1 if cp.stage == STAGE_LOADING else 0)
+        self.save(cp)
+        return cp
+
+    def bump_retry(self) -> Checkpoint:
+        """Record a re-entry into the pending batch (the
+        import_retries_log analogue, import_stage.py:1018)."""
+        cp = self.load()
+        cp.retries += 1
         self.save(cp)
         return cp
 
