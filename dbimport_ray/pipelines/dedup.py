@@ -274,6 +274,71 @@ def verify_pairs_jaccard(
     return out.filter(pc.greater_equal(out["jaccard_sim"], threshold))
 
 
+def _make_jaccard_verify(texts_ref, id_col: str, k: int):
+    """map_batches TASK body (not an actor pool — a pool sized to the
+    whole CPU budget can starve the upstream groupby and deadlock): exact
+    n-gram Jaccard for each (id, rep) candidate pair against the broadcast
+    id→text map. ``ray.get`` of the broadcast inside the task is a
+    zero-copy plasma read. At larger scale swap the broadcast for a
+    Dataset.join of the two text sides."""
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        texts = _ray.get(texts_ref) if isinstance(texts_ref, _ray.ObjectRef) else texts_ref
+        ids = batch[id_col].to_pylist()
+        reps = batch["rep"].to_pylist()
+        sims = [
+            jaccard(ngram_set(texts.get(i, ""), k), ngram_set(texts.get(r, ""), k))
+            if i != r
+            else 1.0
+            for i, r in zip(ids, reps)
+        ]
+        return batch.append_column("jaccard_sim", pa.array(sims, pa.float64()))
+
+    return _fn
+
+
+def minhash_verified_clusters(
+    ds: rd.Dataset,
+    text_col: str,
+    id_col: str,
+    jaccard_threshold: float = 0.5,
+    shingle_k: int = 3,
+    **kw,
+) -> rd.Dataset:
+    """Find → verify: LSH candidate clusters confirmed by exact n-gram
+    Jaccard; a candidate whose similarity to its representative falls below
+    the threshold is restored to its own cluster (rep = id). Output:
+    (id, rep, jaccard_sim)."""
+    import ray as _ray
+
+    clusters = minhash_lsh_clusters(
+        ds, text_col, id_col, shingle_k=shingle_k, **kw
+    )
+    texts = {}
+    for t in _ray.get(ds.select_columns([id_col, text_col]).to_arrow_refs()):
+        texts.update(zip(t[id_col].to_pylist(), t[text_col].to_pylist()))
+    ref = _ray.put(texts)
+    verified = clusters.map_batches(
+        _make_jaccard_verify(ref, id_col, shingle_k),
+        batch_format="pyarrow",
+    )
+
+    def restore(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(batch["jaccard_sim"], jaccard_threshold)
+        rep = pc.if_else(keep, batch["rep"], batch[id_col])
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "rep": pc.cast(rep, pa.int64()),
+                "jaccard_sim": batch["jaccard_sim"],
+            }
+        )
+
+    return verified.map_batches(restore, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

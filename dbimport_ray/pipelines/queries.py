@@ -429,6 +429,15 @@ def q_minhash_dedup_docs(sf_dir: str) -> rd.Dataset:
     return minhash_lsh_dedup(ds, "text", "doc_id").select_columns(["doc_id"])
 
 
+def q_minhash_verified_docs(sf_dir: str) -> rd.Dataset:
+    """Find→verify near-dedup: LSH clusters confirmed by exact n-gram
+    Jaccard (rows-only check)."""
+    from .dedup import minhash_verified_clusters
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return minhash_verified_clusters(ds, "text", "doc_id", jaccard_threshold=0.5)
+
+
 def q_simhash_docs(sf_dir: str) -> rd.Dataset:
     """64-bit simhash per document (rows-only check)."""
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
@@ -660,6 +669,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     # rows-only (no SQL-expressible oracle):
     "minhash_dedup_docs": q_minhash_dedup_docs,
+    "minhash_verified_docs": q_minhash_verified_docs,
     "simhash_docs": q_simhash_docs,
     "embedding_dedup": q_embedding_dedup,
     "lang_id_docs": q_lang_id_docs,

@@ -146,6 +146,25 @@ def test_minhash_lsh_finds_near_duplicates(ray_session):
     assert rep[n - 6] in (0, 1, 2) or rep[n - 3] in (0, 1, 2)
 
 
+def test_minhash_verified_clusters(ray_session):
+    """Verification restores false-positive LSH candidates: exact copies
+    stay clustered, low-similarity bucket-mates get their own cluster."""
+    from dbimport_ray.pipelines.dedup import minhash_verified_clusters
+
+    t = _docs_with_dups()
+    out = minhash_verified_clusters(
+        rd.from_arrow(t), "text", "doc_id", jaccard_threshold=0.8,
+        num_hashes=64, num_bands=16, shingle_k=2,
+    ).to_pandas()
+    rep = dict(zip(out["doc_id"], out["rep"]))
+    sim = dict(zip(out["doc_id"], out["jaccard_sim"]))
+    assert rep[3] == 0 and sim[3] == 1.0  # exact copy confirmed
+    # near-dups (1 word + tail) are below the 0.8 bar → restored to self
+    n = len(t)
+    for i in range(n - 6, n - 3):
+        assert rep[i] == i or sim[i] >= 0.8
+
+
 def test_simhash_dedup(ray_session):
     t = _docs_with_dups()
     sig = simhash64(t["text"])
