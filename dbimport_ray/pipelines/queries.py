@@ -43,13 +43,15 @@ from ..sources.events import max_sequence, read_events
 from ..stages.joins import broadcast_anti_join
 from ..stages.lww import lww_dedup, make_lww_prereduce
 from ..stages.validate import allowed_diff
-from .ann import brute_force_topk
+from .ann import IVFIndex, brute_force_topk
 from .cdc import CDCEngine
 from .dedup import (
     SimHashBands,
     embedding_dedup_clusters,
     exact_dedup,
+    jaccard,
     minhash_lsh_dedup,
+    ngram_set,
     simhash64,
 )
 
@@ -484,6 +486,111 @@ def q_fingerprint_docs(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(xf, batch_format="pyarrow")
 
 
+def q_cdc_schema_evolution(sf_dir: str) -> pa.Table:
+    """Schema evolution through the live engine, SQL-checked: batch 2 of
+    the derived CDC stream carries a NEW column (``extra_score``); the
+    committed table must show it on batch-2-touched rows and NULL-fill the
+    rest (Hive add-column semantics, import_operations.py:2661-2960)."""
+    root = _scratch("evol")
+    path = _p(sf_dir, "events")
+    mx = max_sequence(path, "event_id")
+    half = mx // 2
+
+    def derive(with_extra: bool):
+        def xf(batch: pa.Table) -> pa.Table:
+            cols = {
+                "sequence_id": batch["event_id"],
+                "op": pc.if_else(
+                    pc.equal(batch["event_type"], "signup"), pa.scalar("I"), pa.scalar("U")
+                ),
+                "user_id": batch["user_id"],
+                "event_type": batch["event_type"],
+                "value": batch["value"],
+            }
+            if with_extra:
+                cols["extra_score"] = pc.multiply(batch["value"], pa.scalar(2.0))
+            return pa.table(cols)
+
+        return xf
+
+    s1 = os.path.join(root, "b1")
+    s2 = os.path.join(root, "b2")
+    rd.read_parquet(path, filter=pc.field("event_id") <= half).map_batches(
+        derive(False), batch_format="pyarrow"
+    ).write_parquet(s1)
+    rd.read_parquet(path, filter=pc.field("event_id") > half).map_batches(
+        derive(True), batch_format="pyarrow"
+    ).write_parquet(s2)
+
+    cfg = TableConfig(
+        name="user_state_evol",
+        pk=["user_id"],
+        value_columns=["event_type", "value"],
+        num_partitions=8,
+    )
+    eng = CDCEngine(os.path.join(root, "lake"), cfg)
+    eng.replay(s1)
+    eng.replay(s2)
+    tbl = eng.arrow()
+    return tbl.select(
+        ["user_id", "event_type", "value", "extra_score", cfg.col_iud]
+    ).rename_columns(["user_id", "event_type", "value", "extra_score", "datalake_iud"])
+
+
+def q_ann_ivf(sf_dir: str) -> rd.Dataset:
+    """IVF ANN (k-means cells, cell-partitioned Parquet index) searched
+    with nprobe = n_cells so the result is exact and SQL-checkable; at
+    scale nprobe << n_cells trades recall for reading fewer cells."""
+    root = _scratch("ivf")
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    idx = IVFIndex.build(
+        ds, os.path.join(root, "index"), n_cells=8, emb_col="embedding", id_col="vec_id"
+    )
+    q = np.ones((1, EMB_DIM), dtype=np.float64)
+    return idx.search(q, 10, nprobe=8).select_columns(["query_id", "vec_id"])
+
+
+def q_ngram_jaccard_pairs(sf_dir: str) -> rd.Dataset:
+    """Exact word-3-gram Jaccard for adjacent doc-id pairs — the verify
+    kernel of the find→verify near-dedup, SQL-checked standalone. The
+    text map is the broadcast small side (ray.put once, zero-copy read per
+    task); at scale the pairs would join against the documents Dataset."""
+    import ray as _ray
+
+    path = _p(sf_dir, "documents")
+    max_id = max_sequence(path, "doc_id")
+    dt = pq.read_table(path, columns=["doc_id", "text"])
+    texts_ref = _ray.put(dict(zip(dt["doc_id"].to_pylist(), dt["text"].to_pylist())))
+
+    def mk_pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["doc_id"], pa.scalar(max_id)))
+        return pa.table({"id_a": t["doc_id"], "id_b": pc.add(t["doc_id"], 1)})
+
+    def sim(t: pa.Table) -> pa.Table:
+        tx = _ray.get(texts_ref)
+        sims = [
+            jaccard(ngram_set(tx[a]), ngram_set(tx[b]))
+            for a, b in zip(t["id_a"].to_pylist(), t["id_b"].to_pylist())
+        ]
+        return t.append_column("jaccard_sim", pa.array(sims, pa.float64()))
+
+    ds = rd.read_parquet(path, columns=["doc_id"])
+    return ds.map_batches(mk_pairs, batch_format="pyarrow").map_batches(
+        sim, batch_format="pyarrow"
+    )
+
+
+def q_sha256_docs(sf_dir: str) -> rd.Dataset:
+    """Per-row content sha256 — the north rule's own equivalence invariant
+    as a first-class operator (hashlib over encoded bytes per batch)."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def xf(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "content_sha": hash_column(t["text"])})
+
+    return ds.map_batches(xf, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL
 # ---------------------------------------------------------------------------
@@ -633,6 +740,66 @@ SELECT CAST(0 AS BIGINT) AS query_id, vec_id FROM embeddings
 ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), {_ONES}) DESC, vec_id
 LIMIT 10
 """,
+    "ann_ivf": f"""
+SELECT CAST(0 AS BIGINT) AS query_id, vec_id FROM embeddings
+ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), {_ONES}) DESC, vec_id
+LIMIT 10
+""",
+    "cdc_schema_evolution": """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, value,
+         event_id <= (SELECT max(event_id) // 2 FROM events) AS b1
+  FROM events
+),
+l AS (
+  SELECT user_id,
+         arg_max(event_type, event_id) AS event_type,
+         arg_max(value, event_id) AS value,
+         bool_or(b1) AS any_b1,
+         bool_or(NOT b1) AS any_b2
+  FROM ev GROUP BY user_id
+)
+SELECT user_id, event_type, value,
+       CASE WHEN any_b2 THEN value * 2.0 END AS extra_score,
+       CASE WHEN any_b1 AND any_b2 THEN 'U' ELSE 'I' END AS datalake_iud
+FROM l
+""",
+    "ngram_jaccard_pairs": r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, array_to_string(toks[i.i:i.i+2], ' ') AS gram
+  FROM t, unnest(range(1, len(toks) - 1)) AS i(i)
+  WHERE len(toks) >= 3
+  UNION ALL
+  SELECT doc_id, array_to_string(toks, ' ') AS gram
+  FROM t WHERE len(toks) BETWEEN 1 AND 2
+),
+gd AS (SELECT DISTINCT doc_id, gram FROM g),
+sizes AS (SELECT doc_id, count(*) AS n FROM gd GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS ni
+  FROM pairs p
+  JOIN gd ga ON ga.doc_id = p.id_a
+  JOIN gd gb ON gb.doc_id = p.id_b AND gb.gram = ga.gram
+  GROUP BY p.id_a, p.id_b
+)
+SELECT p.id_a, p.id_b,
+       CASE WHEN coalesce(sa.n, 0) = 0 AND coalesce(sb.n, 0) = 0 THEN 1.0
+            ELSE CAST(coalesce(i.ni, 0) AS DOUBLE)
+                 / (coalesce(sa.n, 0) + coalesce(sb.n, 0) - coalesce(i.ni, 0))
+       END AS jaccard_sim
+FROM pairs p
+LEFT JOIN sizes sa ON sa.doc_id = p.id_a
+LEFT JOIN sizes sb ON sb.doc_id = p.id_b
+LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+""",
+    "sha256_docs": "SELECT doc_id, sha256(text) AS content_sha FROM documents",
 }
 
 
@@ -667,6 +834,10 @@ QUERIES = {
     "token_count_docs": q_token_count_docs,
     "quality_docs": q_quality_docs,
     "ann_topk": q_ann_topk,
+    "ann_ivf": q_ann_ivf,
+    "cdc_schema_evolution": q_cdc_schema_evolution,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "sha256_docs": q_sha256_docs,
     # rows-only (no SQL-expressible oracle):
     "minhash_dedup_docs": q_minhash_dedup_docs,
     "minhash_verified_docs": q_minhash_verified_docs,
