@@ -591,6 +591,38 @@ def q_sha256_docs(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(xf, batch_format="pyarrow")
 
 
+def q_multimodal_features(sf_dir: str) -> rd.Dataset:
+    """Multimodal plumbing as a pipeline: deterministic synthesized binary
+    media table (no external data; codec libs absent) → actor-pool
+    decode/feature stage with stubbed decode (stages/multimodal.py), small
+    batch_size for wide payloads. Rows-only check (sha-derived features
+    are not SQL-expressible)."""
+    from ..stages.multimodal import ImageDecodeFeatureStage, synthesize_media_table
+
+    root = _scratch("media")
+    p = os.path.join(root, "media.parquet")
+    pq.write_table(synthesize_media_table(300), p)
+    feats = rd.read_parquet(p).map_batches(
+        ImageDecodeFeatureStage,
+        fn_constructor_kwargs={"fake": True},
+        concurrency=2,
+        batch_size=32,
+        batch_format="pyarrow",
+    )
+
+    def summarize(t: pa.Table) -> pa.Table:
+        sums = [float(np.sum(f)) if f is not None else 0.0 for f in t["features"].to_pylist()]
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "decoded": t["decoded"],
+                "feat_sum": pa.array(sums, pa.float64()),
+            }
+        )
+
+    return feats.map_batches(summarize, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL
 # ---------------------------------------------------------------------------
@@ -845,4 +877,5 @@ QUERIES = {
     "embedding_dedup": q_embedding_dedup,
     "lang_id_docs": q_lang_id_docs,
     "fingerprint_docs": q_fingerprint_docs,
+    "multimodal_features": q_multimodal_features,
 }

@@ -19,7 +19,13 @@ def to_pandas(res) -> pd.DataFrame:
     import ray.data as rd
 
     if isinstance(res, rd.Dataset):
-        return res.to_pandas()
+        df = res.to_pandas()
+        if df.shape[1] == 0:  # Ray drops the schema on empty datasets
+            try:
+                return res.schema().base_schema.empty_table().to_pandas()
+            except AttributeError:
+                pass
+        return df
     if isinstance(res, pa.Table):
         return res.to_pandas()
     return res
