@@ -158,12 +158,13 @@ def main() -> None:
     queries = run_queries()
     result = {
         "metric": "end-to-end CDC replay change-events/sec (4-batch incremental upsert, input_hint table)",
-        "value": head["replay_sec"],
-        "unit": "sec",
+        "value": head["events_per_sec"],
+        "unit": "events/sec",
         "queries": queries,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "events": head["events"],
+        "replay_sec": head["replay_sec"],
         "events_per_sec": head["events_per_sec"],
         "final_rows": head["final_rows"],
     }
@@ -182,19 +183,24 @@ def scaling() -> None:
     the measurement reflects the ENGINE. On a real cluster each node adds
     its own memory bandwidth and disks. Override with BENCH_SCALE_N.
     """
+    import statistics
+
     n = int(os.environ.get("BENCH_SCALE_N", "2"))
-    reps = int(os.environ.get("BENCH_SCALE_REPS", "3"))
+    reps = int(os.environ.get("BENCH_SCALE_REPS", "5"))
     pair = (n, 4 * n)
-    results = {}
-    for cpus in pair:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), BENCH_SKIP_QUERIES="1")
-        # taskset pins the WHOLE process tree (driver, raylet, plasma,
-        # workers) to `cpus` physical cores — Ray's num_cpus only limits
-        # task slots, while sidecar processes would otherwise consume
-        # unaccounted host cores and subsidize the small configuration.
-        cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, __file__]
-        best = None
-        for _ in range(reps):  # best-of-N: the shared host is noisy
+    samples: dict[int, list[float]] = {c: [] for c in pair}
+    events = None
+    # Interleave the configs (lo, hi, lo, hi, …) so a slow drift in host
+    # contention hits both sides equally instead of biasing whichever
+    # config ran during the quiet period.
+    for rep in range(reps):
+        for cpus in pair:
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), BENCH_SKIP_QUERIES="1")
+            # taskset pins the WHOLE process tree (driver, raylet, plasma,
+            # workers) to `cpus` physical cores — Ray's num_cpus only limits
+            # task slots, while sidecar processes would otherwise consume
+            # unaccounted host cores and subsidize the small configuration.
+            cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, __file__]
             p = subprocess.run(cmd, env=env, capture_output=True, text=True)
             lines = [l for l in p.stdout.strip().splitlines() if l.startswith("{")]
             if not lines:
@@ -204,23 +210,30 @@ def scaling() -> None:
                 )
                 continue
             r = json.loads(lines[-1])
-            if best is None or r["events_per_sec"] > best["events_per_sec"]:
-                best = r
-        if best is None:
+            samples[cpus].append(r["events_per_sec"])
+            events = r["events"]
+            sys.stderr.write(
+                f"[scaling] rep {rep + 1}/{reps} {cpus} cpus: "
+                f"{r['events_per_sec']:.0f} events/s\n"
+            )
+    for cpus in pair:
+        if not samples[cpus]:
             raise RuntimeError(f"all {reps} runs at {cpus} cpus failed")
-        results[cpus] = best
-    t_lo = results[pair[0]]["events_per_sec"]
-    t_hi = results[pair[1]]["events_per_sec"]
-    eff = (t_hi / t_lo) / 4.0
+    med_lo = statistics.median(samples[pair[0]])
+    med_hi = statistics.median(samples[pair[1]])
+    best_lo, best_hi = max(samples[pair[0]]), max(samples[pair[1]])
     print(
         json.dumps(
             {
-                "metric": f"scaling efficiency ({pair[0]} → {pair[1]} CPUs, fresh processes, same input)",
-                f"throughput_{pair[0]}cpu_events_per_sec": t_lo,
-                f"throughput_{pair[1]}cpu_events_per_sec": t_hi,
-                "speedup": round(t_hi / t_lo, 3),
-                "scaling_efficiency": round(eff, 3),
-                "events": results[pair[1]]["events"],
+                "metric": f"scaling efficiency ({pair[0]} → {pair[1]} CPUs, fresh processes, same input, median of {reps})",
+                f"throughput_{pair[0]}cpu_events_per_sec": med_lo,
+                f"throughput_{pair[1]}cpu_events_per_sec": med_hi,
+                "speedup": round(med_hi / med_lo, 3),
+                "scaling_efficiency": round((med_hi / med_lo) / 4.0, 3),
+                "scaling_efficiency_best": round((best_hi / best_lo) / 4.0, 3),
+                f"samples_{pair[0]}cpu": samples[pair[0]],
+                f"samples_{pair[1]}cpu": samples[pair[1]],
+                "events": events,
             }
         )
     )

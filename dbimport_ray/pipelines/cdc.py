@@ -243,6 +243,24 @@ class CDCEngine:
         self.store = TableStore(lake_root, cfg.name)
         self.ckpt = CheckpointStore(self.store.root, cfg.name)
 
+    def _adopt_partition_modulus(self, manifest: Manifest) -> None:
+        """The partition count is part of the table's durable identity: the
+        committed files are laid out under ``hash(pk) % manifest.num_partitions``.
+        A cfg built with a different count (CLI default, or a rehash that
+        this process missed) would stamp ``_pid`` under one modulus while
+        merging against partitions laid out under another — the same PK live
+        in two files, later deletes missing rows, silently. The manifest is
+        authoritative once the table exists."""
+        if manifest.num_partitions and (
+            manifest.num_partitions != self.cfg.num_partitions
+        ):
+            print(
+                f"[dbimport_ray] {self.cfg.name}: overriding cfg.num_partitions="
+                f"{self.cfg.num_partitions} with the table's committed modulus "
+                f"{manifest.num_partitions} (manifest is authoritative)"
+            )
+            self.cfg.num_partitions = manifest.num_partitions
+
     # ------------------------------------------------------------------
     def replay(
         self,
@@ -254,6 +272,7 @@ class CDCEngine:
     ) -> dict:
         """Apply one micro-batch of change events; returns batch metrics."""
         manifest = self.store.load_manifest()
+        self._adopt_partition_modulus(manifest)
         cp = self.ckpt.load()
 
         if cp.pending_seq is not None:
@@ -456,7 +475,12 @@ class CDCEngine:
         """Import phase: land the event range as pid-sorted parquet.
         Idempotent: gated on the _STAGED flag; a partial dir from a crash
         is wiped and rebuilt (staging is always overwritten,
-        import_operations.py:1404)."""
+        import_operations.py:1404). The staged manifest records the exact
+        ``(after_seq, upto_seq]`` range + schema it was built for — a
+        fast-path hit with a DIFFERENT range (e.g. a prestaged batch whose
+        boundaries moved after a crash) is stale and is wiped and rebuilt,
+        never silently adopted (events outside the stale range would be
+        dropped while the watermark still advanced past them)."""
         import json as _json
 
         from ..stages.staging import make_stage_writer
@@ -464,9 +488,20 @@ class CDCEngine:
         staging = self.store.staging_dir(version)
         staged_flag = self.store.staging_flag(version)
         stage_manifest_path = os.path.join(staging, "_stage_manifest.json")
+        stage_key = {
+            "after_seq": int(after_seq),
+            "upto_seq": int(upto_seq),
+            "schema": schema_to_json(unified),
+            "renames": dict(renames),
+        }
         if os.path.exists(staged_flag):
             with open(stage_manifest_path) as f:
-                return _json.load(f)
+                staged = _json.load(f)
+            if isinstance(staged, dict) and all(
+                staged.get(k) == v for k, v in stage_key.items()
+            ):
+                return staged["frags"]
+            # stale or legacy-format staging for this version → rebuild
         self.store.clear_staging(version)
         os.makedirs(staging, exist_ok=True)
         ds = read_events(
@@ -512,7 +547,7 @@ class CDCEngine:
             {k: (int(v) if k != "file" else v) for k, v in r.items()} for r in frags
         ]
         with open(stage_manifest_path, "w") as f:
-            _json.dump(frags, f)
+            _json.dump({**stage_key, "frags": frags}, f)
         with open(staged_flag, "w") as f:
             f.write("staged")
         return frags
@@ -530,6 +565,7 @@ class CDCEngine:
         later ``replay()`` finds the _STAGED flag and goes straight to the
         merge. Idempotent."""
         manifest = self.store.load_manifest()
+        self._adopt_partition_modulus(manifest)
         cp = self.ckpt.load()
         if cp.pending_seq is not None:
             pending, version = cp.pending_seq, cp.pending_version
@@ -577,6 +613,10 @@ class CDCEngine:
         must see the post-commit manifest)."""
         import threading
 
+        if any(b2 <= b1 for b1, b2 in zip(boundaries, boundaries[1:])):
+            raise ValueError(
+                f"replay_stream boundaries must be strictly ascending: {boundaries}"
+            )
         manifest = self.store.load_manifest()
         cp = self.ckpt.load()
         if cp.pending_seq is not None:

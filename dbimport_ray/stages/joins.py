@@ -19,12 +19,26 @@ import ray.data as rd
 
 
 def _key_array(table: pa.Table, keys: list[str]) -> np.ndarray:
+    """Injective string encoding of the key tuple.
+
+    Composite components are netstring-style length-prefixed
+    (``f"{len(v)}:{v}"``) before concatenation, so key values containing any
+    would-be separator cannot forge a collision with a different tuple (a
+    raw ``\\x1f`` join is not injective). Both sides of a join go through
+    this same encoding; joining an int column against a float column relies
+    on Arrow's string rendering and is not supported — keep key types equal
+    across sides."""
     if len(keys) == 1:
         return pc.cast(table[keys[0]], pa.string()).to_numpy(zero_copy_only=False)
-    joined = pc.binary_join_element_wise(
-        *[pc.cast(table[k], pa.string()) for k in keys], "\x1f"
-    )
-    return joined.to_numpy(zero_copy_only=False)
+    parts = []
+    for k in keys:
+        s = pc.cast(table[k], pa.string())
+        parts.append(
+            pc.binary_join_element_wise(
+                pc.cast(pc.binary_length(s), pa.string()), s, ":"
+            )
+        )
+    return pc.binary_join_element_wise(*parts, "").to_numpy(zero_copy_only=False)
 
 
 class _BroadcastMembership:

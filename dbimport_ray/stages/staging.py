@@ -61,11 +61,21 @@ def make_stage_writer(staging_dir: str):
         try:
             for i in range(len(bounds) - 1):
                 lo, hi = int(bounds[i]), int(bounds[i + 1])
-                writer.write_table(batch.slice(lo, hi - lo))
+                # row_group_size=run length: without it pyarrow splits any
+                # slice over 2^20 rows into MULTIPLE row groups, shifting
+                # every later recorded rg index in this file (silent
+                # cross-partition reads at merge time)
+                writer.write_table(batch.slice(lo, hi - lo), row_group_size=hi - lo)
                 pids.append(int(pid_sorted[lo]))
                 rows.append(hi - lo)
         finally:
             writer.close()
+        n_groups = pq.ParquetFile(tmp).metadata.num_row_groups
+        if n_groups != len(pids):
+            raise RuntimeError(
+                f"staged file row-group drift: wrote {len(pids)} pid runs "
+                f"but file has {n_groups} row groups — rg index map invalid"
+            )
         os.replace(tmp, final)
         total = os.path.getsize(final)
         nb = [int(total * r / batch.num_rows) for r in rows]  # pro-rata bytes
@@ -98,4 +108,15 @@ def read_staged_pid(staging_dir: str, refs: list[str], pid: int) -> pa.Table:
     for f, rgs in sorted(by_file.items()):
         pf = pq.ParquetFile(os.path.join(staging_dir, f))
         parts.append(pf.read_row_groups(sorted(rgs), use_threads=False))
-    return pa.concat_tables(parts)
+    out = pa.concat_tables(parts)
+    # Defense-in-depth against any rg-index drift: a staged row group must
+    # contain ONLY this pid's rows — cross-partition rows mean the index map
+    # is invalid, which must fail loudly (the ledger can't catch it).
+    pids = out[PID_COL].to_numpy(zero_copy_only=False)
+    if len(pids) and ((pids != pid).any()):
+        bad = np.unique(pids[pids != pid])[:5]
+        raise RuntimeError(
+            f"staged read for pid {pid} returned foreign rows from pids "
+            f"{bad.tolist()} — row-group index map corrupted"
+        )
+    return out

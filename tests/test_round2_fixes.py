@@ -1,0 +1,118 @@
+"""Regression tests for the round-2 correctness fixes:
+
+- stale prestage detection (_stage fast-path keyed on range + schema, not
+  just version)
+- partition-modulus authority (manifest.num_partitions overrides a
+  mismatched cfg)
+- injective composite broadcast-join keys (separator forgery)
+- replay_stream boundary validation
+"""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from dbimport_ray import CDCEngine, repo_files_config
+from dbimport_ray.datagen import generate_events
+from dbimport_ray.stages.joins import broadcast_semi_join
+
+
+@pytest.fixture(scope="module")
+def gen_events(tmp_path_factory):
+    p = tmp_path_factory.mktemp("r2") / "events.parquet"
+    generate_events(str(p), num_keys=300, num_events=2000, seed=21)
+    return str(p)
+
+
+def test_stale_prestage_is_rebuilt_not_adopted(gen_events, tmp_path):
+    """A staged dir whose recorded (after_seq, upto_seq] range differs from
+    the current request must be wiped and restaged — adopting it would drop
+    the events between the stale and real upper bound while the watermark
+    still advanced past them."""
+    cfg = repo_files_config(num_partitions=4)
+    eng = CDCEngine(str(tmp_path / "lake"), cfg)
+    manifest = eng.store.load_manifest()
+    unified, renames = eng._plan_schema(manifest, gen_events)
+
+    frags_a = eng._stage(
+        gen_events, after_seq=-1, upto_seq=999, version=1,
+        unified=unified, renames=renames, override_num_blocks=4,
+    )
+    rows_a = sum(f["rows"] for f in frags_a)
+    # same version, same range → fast-path reuse (byte-identical fragments)
+    frags_a2 = eng._stage(
+        gen_events, after_seq=-1, upto_seq=999, version=1,
+        unified=unified, renames=renames, override_num_blocks=4,
+    )
+    assert frags_a2 == frags_a
+    # same version, DIFFERENT range → must restage, not adopt
+    frags_b = eng._stage(
+        gen_events, after_seq=-1, upto_seq=1999, version=1,
+        unified=unified, renames=renames, override_num_blocks=4,
+    )
+    rows_b = sum(f["rows"] for f in frags_b)
+    assert rows_b > rows_a
+
+
+def test_prestaged_then_moved_boundary_loses_no_events(gen_events, tmp_path):
+    """End-to-end version of the stale-prestage hazard: prestage version 2
+    for range (999, 1499], then replay straight to 1999 — the engine must
+    not silently commit seq 1999 over the stale (…,1499] staging."""
+    cfg = repo_files_config(num_partitions=4)
+    eng = CDCEngine(str(tmp_path / "lake"), cfg)
+    eng.replay(gen_events, upto_seq=999)
+    manifest = eng.store.load_manifest()
+    unified, renames = eng._plan_schema(manifest, gen_events)
+    eng._stage(  # what replay_stream's prestage thread would do
+        gen_events, after_seq=999, upto_seq=1499, version=2,
+        unified=unified, renames=renames, override_num_blocks=4,
+    )
+    eng.replay(gen_events, upto_seq=1999)  # boundary moved
+
+    ref = CDCEngine(str(tmp_path / "ref"), cfg)
+    ref.replay(gen_events, upto_seq=999)
+    ref.replay(gen_events, upto_seq=1999)
+    order = [("repo", "ascending"), ("path", "ascending")]
+    assert eng.arrow().sort_by(order).equals(ref.arrow().sort_by(order))
+
+
+def test_manifest_partition_modulus_is_authoritative(gen_events, tmp_path):
+    """A second engine instance configured with the WRONG partition count
+    (CLI default drift, missed rehash) must adopt the committed modulus
+    instead of stamping _pid under a different one (same PK live in two
+    partition files, deletes missing rows)."""
+    lake = str(tmp_path / "lake")
+    eng_a = CDCEngine(lake, repo_files_config(num_partitions=4))
+    eng_a.replay(gen_events, upto_seq=999)
+
+    eng_b = CDCEngine(lake, repo_files_config(num_partitions=16))
+    eng_b.replay(gen_events, upto_seq=1999)
+    assert eng_b.cfg.num_partitions == 4
+    assert eng_b.store.load_manifest().num_partitions == 4
+
+    ref = CDCEngine(str(tmp_path / "ref"), repo_files_config(num_partitions=4))
+    ref.replay(gen_events, upto_seq=999)
+    ref.replay(gen_events, upto_seq=1999)
+    order = [("repo", "ascending"), ("path", "ascending")]
+    assert eng_b.arrow().sort_by(order).equals(ref.arrow().sort_by(order))
+
+
+def test_composite_join_key_separator_forgery():
+    """('a\\x1fb', 'c') must NOT match ('a', 'b\\x1fc') — a raw separator
+    join is forgeable by key values containing the separator."""
+    big = rd.from_arrow(
+        pa.table({"k1": ["a\x1fb", "x"], "k2": ["c", "y"], "v": [1, 2]})
+    )
+    small = pa.table({"k1": ["a"], "k2": ["b\x1fc"]})
+    out = broadcast_semi_join(big, small, ["k1", "k2"], concurrency=1).take_all()
+    assert out == []  # no forged match
+    small2 = pa.table({"k1": ["a\x1fb"], "k2": ["c"]})
+    out2 = broadcast_semi_join(big, small2, ["k1", "k2"], concurrency=1).take_all()
+    assert [r["v"] for r in out2] == [1]
+
+
+def test_replay_stream_rejects_unsorted_boundaries(gen_events, tmp_path):
+    eng = CDCEngine(str(tmp_path / "lake"), repo_files_config(num_partitions=4))
+    with pytest.raises(ValueError, match="strictly ascending"):
+        eng.replay_stream(gen_events, [999, 500, 1999])

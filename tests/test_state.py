@@ -95,3 +95,34 @@ def test_stage_writer_rowgroup_alignment(tmp_path):
     tbl = read_staged_pid(staging, refs, target["pid"])
     assert tbl.num_rows == target["rows"]
     assert (tbl[PID_COL].to_numpy() == target["pid"]).all()
+
+
+def test_stage_writer_oversized_pid_run(tmp_path):
+    """A pid run over pyarrow's 2^20-row default must still land in ONE row
+    group — otherwise every later recorded rg index in the file shifts and
+    merge tasks silently read other partitions' events."""
+    staging = str(tmp_path)
+    writer = make_stage_writer(staging)
+    big = 1_100_000  # > 1,048,576 default max rows per row group
+    batch = pa.table(
+        {
+            "v": pa.array(np.arange(big + 10, dtype=np.int64)),
+            PID_COL: pa.array(
+                np.r_[np.zeros(big, np.int32), np.full(10, 3, np.int32)]
+            ),
+        }
+    )
+    frags = writer(batch).to_pylist()
+    assert [f["pid"] for f in frags] == [0, 3]
+    fname = frags[0]["file"]
+    assert pq.ParquetFile(os.path.join(staging, fname)).num_row_groups == 2
+    # pid 3's recorded rg still points at pid 3's rows
+    tail = frags[1]
+    tbl = read_staged_pid(staging, [f"{tail['file']}#{tail['rg']}"], 3)
+    assert tbl.num_rows == 10
+    assert (tbl[PID_COL].to_numpy() == 3).all()
+    # a ref pointing at the wrong row group fails loudly, never silently
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="foreign rows"):
+        read_staged_pid(staging, [f"{frags[0]['file']}#0"], 3)
