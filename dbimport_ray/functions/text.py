@@ -142,6 +142,13 @@ class LangIdBatch:
         self.matrix = np.zeros((len(vocab), len(self.langs)), dtype=np.float32)
         for wi, li in rows:
             self.matrix[wi, li] = 1.0
+        # sorted vocab + index permutation → vectorized token lookup via
+        # np.searchsorted (replaces a per-token Python dict loop)
+        words = np.array(list(vocab), dtype=object)
+        ids = np.fromiter(vocab.values(), dtype=np.int64, count=len(vocab))
+        order = np.argsort(words)
+        self._sorted_words = words[order]
+        self._sorted_ids = ids[order]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         s = pc.utf8_lower(pc.cast(batch[self.text_col], pa.string()))
@@ -151,7 +158,10 @@ class LangIdBatch:
         parent = pc.list_parent_indices(tokens)
         tok_np = flat.to_numpy(zero_copy_only=False)
         par_np = parent.to_numpy(zero_copy_only=False)
-        ids = np.array([self.vocab.get(t, -1) for t in tok_np], dtype=np.int64)
+        pos = np.searchsorted(self._sorted_words, tok_np)
+        pos_clip = np.minimum(pos, len(self._sorted_words) - 1)
+        hit = self._sorted_words[pos_clip] == tok_np
+        ids = np.where(hit, self._sorted_ids[pos_clip], -1)
         keep = ids >= 0
         counts = np.zeros((batch.num_rows, len(self.langs)), dtype=np.float32)
         if keep.any():

@@ -446,7 +446,10 @@ class CDCEngine:
         """Schema evolution, driver-side pre-stage (SURVEY.md §7.2)."""
         import pyarrow.dataset as pads
 
-        incoming_full = pads.dataset(events_path).schema
+        if hasattr(events_path, "schema"):  # EventSource object
+            incoming_full = events_path.schema()
+        else:
+            incoming_full = pads.dataset(events_path).schema
         drop = {self.cfg.op_col, self.cfg.sequence_col}
         incoming = pa.schema([f for f in incoming_full if f.name not in drop])
         renames = dict(manifest.renames)

@@ -274,29 +274,70 @@ def verify_pairs_jaccard(
     return out.filter(pc.greater_equal(out["jaccard_sim"], threshold))
 
 
-def _make_jaccard_verify(texts_ref, id_col: str, k: int):
-    """map_batches TASK body (not an actor pool — a pool sized to the
-    whole CPU budget can starve the upstream groupby and deadlock): exact
-    n-gram Jaccard for each (id, rep) candidate pair against the broadcast
-    id→text map. ``ray.get`` of the broadcast inside the task is a
-    zero-copy plasma read. At larger scale swap the broadcast for a
-    Dataset.join of the two text sides."""
+def join_pair_texts(
+    pairs: rd.Dataset,
+    docs: rd.Dataset,
+    left_key: str,
+    right_key: str,
+    id_col: str,
+    text_col: str,
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Attach the document text for BOTH sides of an (left_key, right_key)
+    id-pair Dataset via two hash joins against the documents Dataset —
+    ``__text_l`` / ``__text_r`` columns. This is the scale-correct shape for
+    pair verification: candidate pairs are narrow, text moves only through
+    the join exchange, and nothing materializes on the driver (the previous
+    design ray.put the whole id→text corpus map — OOM past driver memory)."""
+    # Fractional-CPU aggregators: each join reserves ``num_partitions``
+    # shuffle-aggregator ACTORS up front, and BOTH chained joins' pools
+    # coexist in the pipeline. At the default ~1 CPU each they swallow
+    # every core and starve the upstream map/sort tasks that must finish
+    # before the aggregators have anything to consume — a resource
+    # deadlock (observed: 4-CPU test session, 2×16 aggregators). Size the
+    # reservation so both pools together fit in HALF the cluster, leaving
+    # the rest for upstream stages; aggregators are IO/hash-bound and
+    # share cores fine.
+    import ray as _ray
 
-    def _fn(batch: pa.Table) -> pa.Table:
-        import ray as _ray
+    ncpu = _ray.cluster_resources().get("CPU", 4) if _ray.is_initialized() else 4
+    agg_cpus = max(0.05, min(0.5, (0.5 * ncpu) / (2 * num_partitions)))
+    agg_args = {"num_cpus": round(agg_cpus, 3)}
+    left_docs = docs.select_columns([id_col, text_col]).rename_columns(
+        {id_col: "__lid", text_col: "__text_l"}
+    )
+    right_docs = docs.select_columns([id_col, text_col]).rename_columns(
+        {id_col: "__rid", text_col: "__text_r"}
+    )
+    out = pairs.join(
+        left_docs,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(left_key,),
+        right_on=("__lid",),
+        aggregator_ray_remote_args=agg_args,
+    )
+    return out.join(
+        right_docs,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(right_key,),
+        right_on=("__rid",),
+        aggregator_ray_remote_args=agg_args,
+    )
 
-        texts = _ray.get(texts_ref) if isinstance(texts_ref, _ray.ObjectRef) else texts_ref
-        ids = batch[id_col].to_pylist()
-        reps = batch["rep"].to_pylist()
-        sims = [
-            jaccard(ngram_set(texts.get(i, ""), k), ngram_set(texts.get(r, ""), k))
-            if i != r
-            else 1.0
-            for i, r in zip(ids, reps)
-        ]
-        return batch.append_column("jaccard_sim", pa.array(sims, pa.float64()))
 
-    return _fn
+def _pair_jaccard_batch(batch: pa.Table, k: int) -> pa.Table:
+    """Exact n-gram Jaccard per joined pair row (__text_l vs __text_r).
+    Per-pair Python set intersection — acceptable: this runs only on LSH
+    CANDIDATES, a tiny fraction of the corpus."""
+    sims = [
+        jaccard(ngram_set(a or "", k), ngram_set(b or "", k))
+        for a, b in zip(
+            batch["__text_l"].to_pylist(), batch["__text_r"].to_pylist()
+        )
+    ]
+    return batch.append_column("jaccard_sim", pa.array(sims, pa.float64()))
 
 
 def minhash_verified_clusters(
@@ -305,24 +346,34 @@ def minhash_verified_clusters(
     id_col: str,
     jaccard_threshold: float = 0.5,
     shingle_k: int = 3,
+    num_partitions: int = 16,
     **kw,
 ) -> rd.Dataset:
     """Find → verify: LSH candidate clusters confirmed by exact n-gram
     Jaccard; a candidate whose similarity to its representative falls below
     the threshold is restored to its own cluster (rep = id). Output:
-    (id, rep, jaccard_sim)."""
-    import ray as _ray
+    (id, rep, jaccard_sim).
 
+    The verify stage joins the narrow (id, rep) candidate pairs against the
+    documents Dataset on both sides (join_pair_texts) and runs the Jaccard
+    kernel inside map_batches — no driver-side corpus materialization, so
+    it scales past driver memory."""
     clusters = minhash_lsh_clusters(
         ds, text_col, id_col, shingle_k=shingle_k, **kw
     )
-    texts = {}
-    for t in _ray.get(ds.select_columns([id_col, text_col]).to_arrow_refs()):
-        texts.update(zip(t[id_col].to_pylist(), t[text_col].to_pylist()))
-    ref = _ray.put(texts)
-    verified = clusters.map_batches(
-        _make_jaccard_verify(ref, id_col, shingle_k),
+    # self-pairs are trivially similarity 1.0 — skip the text join for them
+    trivial = clusters.filter(expr=f"{id_col} == rep").map_batches(
+        lambda t: t.append_column(
+            "jaccard_sim", pa.array(np.ones(t.num_rows), pa.float64())
+        ),
         batch_format="pyarrow",
+    )
+    cand = clusters.filter(expr=f"{id_col} != rep")
+    joined = join_pair_texts(
+        cand, ds, id_col, "rep", id_col, text_col, num_partitions=num_partitions
+    )
+    verified = joined.map_batches(
+        lambda t: _pair_jaccard_batch(t, shingle_k), batch_format="pyarrow"
     )
 
     def restore(batch: pa.Table) -> pa.Table:
@@ -336,7 +387,9 @@ def minhash_verified_clusters(
             }
         )
 
-    return verified.map_batches(restore, batch_format="pyarrow")
+    return verified.map_batches(restore, batch_format="pyarrow").union(
+        trivial.map_batches(restore, batch_format="pyarrow")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -438,7 +491,9 @@ class HyperplaneLSH:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        embs = np.asarray(batch[self.emb_col].to_pylist(), dtype=np.float64)
+        from .ann import _to_matrix
+
+        embs = _to_matrix(batch[self.emb_col])  # zero-copy flatten+reshape
         proj = embs @ self.planes
         bits = (proj > 0).astype(np.uint64)
         bucket = (bits << np.arange(bits.shape[1], dtype=np.uint64)[None, :]).sum(
@@ -450,10 +505,12 @@ class HyperplaneLSH:
 def _cosine_bucket_reps(
     batch: pa.Table, emb_col: str, id_col: str, threshold: float
 ) -> pa.Table:
+    from .ann import _to_matrix
+
     ids = pc.cast(batch[id_col], pa.int64()).to_numpy(zero_copy_only=False)
     order = np.argsort(ids)
     ids = ids[order]
-    embs = np.asarray(batch[emb_col].to_pylist(), dtype=np.float64)[order]
+    embs = _to_matrix(batch[emb_col])[order]
     norms = np.linalg.norm(embs, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     unit = embs / norms

@@ -58,6 +58,39 @@ class ExportState:
         _atomic_write_json(self.path, st)
 
 
+def sql_sink(db_or_factory, table: str, create: bool = True):
+    """Export-sink factory targeting an external database — the JDBC
+    export write (export_operations.py:706 ``runSparkExport``) as a
+    pluggable ``sink`` for :func:`export_table`. Returns a callable
+    ``sink(ds) -> rows_written`` that streams the Dataset into the target
+    via distributed per-task INSERT writers (sources/sql.SQLInsertDatasink;
+    each write task owns its connection)."""
+    from ..sources.sql import SQLInsertDatasink, create_table_like
+
+    def _count(factory_or_path) -> int:
+        import sqlite3 as _sq
+
+        conn = (
+            _sq.connect(db_or_factory)
+            if isinstance(db_or_factory, str)
+            else db_or_factory()
+        )
+        try:
+            cur = conn.execute(f"SELECT count(*) FROM {table}")
+            return int(cur.fetchone()[0])
+        finally:
+            conn.close()
+
+    def _sink(ds) -> int:
+        if create:
+            create_table_like(db_or_factory, table, ds.schema().base_schema)
+        before = _count(db_or_factory)
+        ds.write_datasink(SQLInsertDatasink(db_or_factory, table))
+        return _count(db_or_factory) - before
+
+    return _sink
+
+
 def export_table(
     engine: CDCEngine,
     target_dir: str,
@@ -65,6 +98,7 @@ def export_table(
     include_deleted: bool = False,
     columns: list[str] | None = None,
     validate: bool = True,
+    sink=None,
 ) -> dict:
     """Export the committed lake table to ``target_dir`` as Parquet.
 
@@ -73,6 +107,10 @@ def export_table(
     - incremental: only partitions whose file version is newer than the
       last committed export watermark — per-partition change tracking the
       lake's manifest gives us for free (no per-row timestamp scan).
+    - ``sink``: optional callable ``sink(ds) -> rows_written`` replacing
+      the Parquet landing zone with any ``Dataset.write_*`` target
+      (see :func:`sql_sink` for the external-database form, the
+      runSparkExport analogue).
 
     Returns {rows, files, version, mode}. Validation: exported row count
     vs the manifest's ledger for the exported slice (sqrt-n band,
@@ -107,9 +145,12 @@ def export_table(
         if not include_deleted:
             iud = engine.cfg.col_iud
             ds = ds.filter(expr=f"{iud} != 'D'")
-        ds.write_parquet(out_dir)
-        files = sorted(pads.dataset(out_dir).files)
-        exported_rows = pads.dataset(files).count_rows()
+        if sink is not None:
+            exported_rows = int(sink(ds))
+        else:
+            ds.write_parquet(out_dir)
+            files = sorted(pads.dataset(out_dir).files)
+            exported_rows = pads.dataset(files).count_rows()
 
     if validate:
         ledger_rows = sum(int(e["rows"]) for e in entries.values())

@@ -31,6 +31,8 @@ def rehash_table(engine: CDCEngine, new_num_partitions: int) -> dict:
 
     from ..stages.partitioning import PID_COL, add_partition_id
 
+    import ray
+
     store = engine.store
     manifest = store.load_manifest()
     if not manifest.partitions:
@@ -42,26 +44,43 @@ def rehash_table(engine: CDCEngine, new_num_partitions: int) -> dict:
     ds = ds.map_batches(
         lambda t: add_partition_id(t, pk, new_num_partitions), batch_format="pyarrow"
     )
-    # hive-partitioned scratch, then one compacted file per new pid
+    # hive-partitioned scratch, then one compacted file per new pid —
+    # compaction runs as one Ray task per pid (worker-side, parallel,
+    # memory bounded by partition size), never the whole table in one
+    # process.
     scratch = os.path.join(store.root, "_rehash_tmp")
     shutil.rmtree(scratch, ignore_errors=True)
     ds.write_parquet(scratch, partition_cols=[PID_COL])
-    new_parts: dict[str, dict] = {}
+
+    @ray.remote
+    def _compact_pid(pid_dir: str, pid: int, rel: str, abs_path: str) -> dict:
+        tbl = pq.read_table(pid_dir)
+        tmp = abs_path + f".attempt-{os.getpid()}"
+        pq.write_table(tbl, tmp, compression="zstd")
+        os.replace(tmp, abs_path)
+        return {
+            "pid": pid,
+            "file": rel,
+            "rows": tbl.num_rows,
+            "bytes": os.path.getsize(abs_path),
+            "version": version,
+        }
+
+    futs = []
     for d in sorted(os.listdir(scratch)):
         if not d.startswith(f"{PID_COL}="):
             continue
         pid = int(d.split("=", 1)[1])
-        tbl = pq.read_table(os.path.join(scratch, d))
         rel = store.part_file(pid, version)
-        tmp = store.abs_path(rel) + ".tmp"
-        pq.write_table(tbl, tmp, compression="zstd")
-        os.replace(tmp, store.abs_path(rel))
-        new_parts[str(pid)] = {
-            "file": rel,
-            "rows": tbl.num_rows,
-            "bytes": os.path.getsize(store.abs_path(rel)),
-            "version": version,
-        }
+        futs.append(
+            _compact_pid.remote(
+                os.path.join(scratch, d), pid, rel, store.abs_path(rel)
+            )
+        )
+    new_parts: dict[str, dict] = {
+        str(e["pid"]): {k: v for k, v in e.items() if k != "pid"}
+        for e in ray.get(futs)
+    }
     shutil.rmtree(scratch, ignore_errors=True)
     old_rows = manifest.total_rows()
     new_rows = sum(p["rows"] for p in new_parts.values())
@@ -87,21 +106,48 @@ def rehash_table(engine: CDCEngine, new_num_partitions: int) -> dict:
 
 def compact_history(engine: CDCEngine, target_file_rows: int = 1_000_000) -> dict:
     """Fold the append-only history audit files into fewer larger files
-    (the runHiveCompaction analogue, import_operations.py:3111)."""
+    (the runHiveCompaction analogue, import_operations.py:3111).
+
+    Streams through Ray Data — blocks flow from the old files straight to
+    the new ones with backpressure; no process ever holds the whole
+    history (the previous implementation concat'd every file in driver
+    memory — OOM past driver size)."""
+    import ray.data as rd
+
+    from ..state.schema_evolution import align_to_schema
+
     store = engine.store
     manifest = store.load_manifest()
     files = [store.abs_path(f) for f in manifest.history_files]
     if len(files) <= 1:
         return {"compacted": 0, "files": len(files)}
     version = manifest.version + 1
-    tbl = pa.concat_tables([pq.read_table(f) for f in files], promote_options="permissive")
+    # unified schema from file FOOTERS only (cheap driver-side probe);
+    # old history files may predate schema evolution — align per block
+    unified = pa.unify_schemas(
+        [pq.read_schema(f) for f in files], promote_options="permissive"
+    )
+    old_rows = sum(pq.read_metadata(f).num_rows for f in files)
+    scratch = store.abs_path(f"history/_compact_tmp_v{version:06d}")
+    import shutil as _sh
+
+    _sh.rmtree(scratch, ignore_errors=True)
+    ds = rd.read_parquet(files)
+    ds = ds.map_batches(
+        lambda t: align_to_schema(t, unified, {}), batch_format="pyarrow"
+    )
+    ds.write_parquet(
+        scratch, max_rows_per_file=target_file_rows, compression="zstd"
+    )
     new_files = []
-    for i, lo in enumerate(range(0, max(tbl.num_rows, 1), target_file_rows)):
+    for i, name in enumerate(sorted(os.listdir(scratch))):
         rel = f"history/compact-{i:05d}-v{version:06d}.parquet"
-        tmp = store.abs_path(rel) + ".tmp"
-        pq.write_table(tbl.slice(lo, target_file_rows), tmp, compression="zstd")
-        os.replace(tmp, store.abs_path(rel))
+        os.replace(os.path.join(scratch, name), store.abs_path(rel))
         new_files.append(rel)
+    _sh.rmtree(scratch, ignore_errors=True)
+    new_rows = sum(pq.read_metadata(store.abs_path(f)).num_rows for f in new_files)
+    if new_rows != old_rows:
+        raise RuntimeError(f"history compaction row drift: {old_rows} → {new_rows}")
     new_m = Manifest(
         table=manifest.table,
         version=version,
@@ -119,7 +165,7 @@ def compact_history(engine: CDCEngine, target_file_rows: int = 1_000_000) -> dic
             os.remove(f)
         except OSError:
             pass
-    return {"compacted": len(files), "files": len(new_files), "rows": tbl.num_rows}
+    return {"compacted": len(files), "files": len(new_files), "rows": new_rows}
 
 
 def replicate_lake(engine: CDCEngine, dest_root: str) -> dict:

@@ -279,6 +279,61 @@ def q_max_watermark(sf_dir: str) -> pa.Table:
     return pa.table({"max_seq": pa.array([mx], type=pa.int64())})
 
 
+def _events_sqlite(sf_dir: str) -> str:
+    """Deterministic sqlite mirror of the events table (cached per sf dir)
+    — the in-sandbox stand-in for a live JDBC source. Built once with
+    tmp→rename so concurrent queries share one file."""
+    import hashlib
+    import sqlite3
+
+    path = _p(sf_dir, "events")
+    tag = hashlib.sha1(os.path.abspath(path).encode()).hexdigest()[:12]
+    db = os.path.join(tempfile.gettempdir(), f"dbimport_ray_events_{tag}.db")
+    if os.path.exists(db):
+        return db
+    t = pq.read_table(path, columns=["event_id", "user_id", "event_type", "value"])
+    tmp = db + f".build-{os.getpid()}"
+    conn = sqlite3.connect(tmp)
+    conn.execute(
+        "CREATE TABLE events (event_id INTEGER PRIMARY KEY, user_id INTEGER,"
+        " event_type TEXT, value REAL)"
+    )
+    conn.executemany(
+        "INSERT INTO events VALUES (?,?,?,?)",
+        zip(*(t[c].to_pylist() for c in t.column_names)),
+    )
+    conn.commit()
+    conn.close()
+    os.replace(tmp, db)
+    return db
+
+
+def q_sql_incremental_read(sf_dir: str) -> rd.Dataset:
+    """S1/S2 against a LIVE database: sharded incremental read with the
+    watermark predicate pushed into per-shard SQL (sources/sql.py; the
+    partitioned-JDBC-read capability, import_operations.py:1358-1380).
+    Same (committed, pending] range as ``watermark_filter`` so the oracle
+    checks shard planning + per-worker connections end-to-end."""
+    from ..sources.sql import (
+        probe_max_sequence,
+        read_sql_incremental,
+        sqlite_factory,
+    )
+
+    factory = sqlite_factory(_events_sqlite(sf_dir))
+    mx = probe_max_sequence(factory, "events", "event_id")
+    lo, hi = mx // 3, (2 * mx) // 3
+    return read_sql_incremental(
+        factory,
+        "events",
+        "event_id",
+        after_seq=lo,
+        upto_seq=hi,
+        num_shards=8,
+        columns=["event_id", "user_id", "event_type", "value"],
+    )
+
+
 def q_rowcount_validation(sf_dir: str) -> pa.Table:
     """3-point validation counts + sqrt-n band (import_config.py:2807)."""
     n = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id"]).count()
@@ -552,31 +607,29 @@ def q_ann_ivf(sf_dir: str) -> rd.Dataset:
 
 def q_ngram_jaccard_pairs(sf_dir: str) -> rd.Dataset:
     """Exact word-3-gram Jaccard for adjacent doc-id pairs — the verify
-    kernel of the find→verify near-dedup, SQL-checked standalone. The
-    text map is the broadcast small side (ray.put once, zero-copy read per
-    task); at scale the pairs would join against the documents Dataset."""
-    import ray as _ray
+    kernel of the find→verify near-dedup, SQL-checked standalone. Pair
+    texts arrive via two hash joins of the narrow (id_a, id_b) pairs
+    against the documents Dataset (join_pair_texts) — nothing materializes
+    on the driver."""
+    from .dedup import _pair_jaccard_batch, join_pair_texts
 
     path = _p(sf_dir, "documents")
     max_id = max_sequence(path, "doc_id")
-    dt = pq.read_table(path, columns=["doc_id", "text"])
-    texts_ref = _ray.put(dict(zip(dt["doc_id"].to_pylist(), dt["text"].to_pylist())))
 
     def mk_pairs(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less(t["doc_id"], pa.scalar(max_id)))
         return pa.table({"id_a": t["doc_id"], "id_b": pc.add(t["doc_id"], 1)})
 
-    def sim(t: pa.Table) -> pa.Table:
-        tx = _ray.get(texts_ref)
-        sims = [
-            jaccard(ngram_set(tx[a]), ngram_set(tx[b]))
-            for a, b in zip(t["id_a"].to_pylist(), t["id_b"].to_pylist())
-        ]
-        return t.append_column("jaccard_sim", pa.array(sims, pa.float64()))
-
-    ds = rd.read_parquet(path, columns=["doc_id"])
-    return ds.map_batches(mk_pairs, batch_format="pyarrow").map_batches(
-        sim, batch_format="pyarrow"
+    pairs = rd.read_parquet(path, columns=["doc_id"]).map_batches(
+        mk_pairs, batch_format="pyarrow"
+    )
+    docs = rd.read_parquet(path, columns=["doc_id", "text"])
+    joined = join_pair_texts(
+        pairs, docs, "id_a", "id_b", "doc_id", "text", num_partitions=8
+    )
+    return joined.map_batches(
+        lambda t: _pair_jaccard_batch(t, 3).select(["id_a", "id_b", "jaccard_sim"]),
+        batch_format="pyarrow",
     )
 
 
@@ -698,6 +751,11 @@ WHERE event_id > (SELECT max(event_id) // 3 FROM events)
   AND event_id <= (SELECT 2 * max(event_id) // 3 FROM events)
 """,
     "max_watermark": "SELECT max(event_id) AS max_seq FROM events",
+    "sql_incremental_read": """
+SELECT event_id, user_id, event_type, value FROM events
+WHERE event_id > (SELECT max(event_id) // 3 FROM events)
+  AND event_id <= (SELECT 2 * max(event_id) // 3 FROM events)
+""",
     "rowcount_validation": """
 SELECT count(*) AS source_rows,
        CAST(floor(count(*) * 50 / (100 * sqrt(count(*)))) AS BIGINT) AS allowed_diff
@@ -853,6 +911,7 @@ QUERIES = {
     "lww_dedup": q_lww_dedup,
     "watermark_filter": q_watermark_filter,
     "max_watermark": q_max_watermark,
+    "sql_incremental_read": q_sql_incremental_read,
     "rowcount_validation": q_rowcount_validation,
     "project_rename_cast": q_project_rename_cast,
     "static_filter": q_static_filter,

@@ -24,6 +24,8 @@ def max_sequence(paths: str | list[str], seq_col: str = "sequence_id") -> int:
     import glob
     import os
 
+    if hasattr(paths, "max_sequence"):  # EventSource object (e.g. SQL table)
+        return paths.max_sequence(seq_col)
     if isinstance(paths, str):
         paths = [paths]
     expanded: list[str] = []
@@ -56,7 +58,11 @@ def read_events(
     override_num_blocks: int | None = None,
 ) -> rd.Dataset:
     """``read_parquet`` with the watermark range pushed down as a dataset
-    filter (row-group pruning + late row filtering inside the scan)."""
+    filter (row-group pruning + late row filtering inside the scan).
+    An EventSource object (``sources/sql.SQLEventSource``) dispatches to
+    its own bounded range read instead — same watermark contract."""
+    if hasattr(paths, "read_range"):
+        return paths.read_range(seq_col, after_seq, upto_seq, override_num_blocks)
     flt = (pc.field(seq_col) > after_seq) & (pc.field(seq_col) <= upto_seq)
     kwargs = {}
     if override_num_blocks:

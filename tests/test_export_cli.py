@@ -86,3 +86,50 @@ def test_cli_status_metrics_reset(tmp_path, ray_session):
     # import_operations.py:3276)
     res = eng.replay(b1, upto_seq=2)
     assert res["status"] == "committed"
+
+
+def test_export_to_sql_sink(tmp_path, ray_session):
+    """Pluggable sink: full export into an external database table with
+    row-count validation against the target (runSparkExport +
+    validateRowCount, export_operations.py:706, import_config.py:2807)."""
+    import sqlite3
+
+    from dbimport_ray.pipelines.export import sql_sink
+
+    cfg = TableConfig(name="t", pk=["k"], value_columns=["v"], num_partitions=4)
+    eng = CDCEngine(str(tmp_path / "lake"), cfg)
+    b1 = _events(
+        tmp_path, "b1.parquet",
+        [(1, "I", "a", 1), (2, "I", "b", 2), (3, "I", "c", 3), (4, "D", "b", 0)],
+    )
+    eng.replay(b1, upto_seq=4)
+
+    db = str(tmp_path / "target.db")
+    res = export_table(
+        eng,
+        str(tmp_path / "unused"),
+        columns=["k", "v", "datalake_iud"],
+        sink=sql_sink(db, "t_export"),
+    )
+    assert res["rows"] == 2  # tombstone for b excluded
+
+    conn = sqlite3.connect(db)
+    rows = sorted(conn.execute("SELECT k, v FROM t_export").fetchall())
+    conn.close()
+    assert rows == [("a", 1.0), ("c", 3.0)]
+
+    # incremental export appends only newly-versioned partitions
+    b2 = _events(tmp_path, "b2.parquet", [(5, "U", "a", 10)])
+    eng.replay([b1, b2], upto_seq=5)
+    res2 = export_table(
+        eng,
+        str(tmp_path / "unused"),
+        incremental=True,
+        columns=["k", "v", "datalake_iud"],
+        sink=sql_sink(db, "t_export"),
+    )
+    assert res2["mode"] == "incremental" and res2["rows"] >= 1
+    conn = sqlite3.connect(db)
+    n = conn.execute("SELECT count(*) FROM t_export WHERE k='a' AND v=10.0").fetchone()[0]
+    conn.close()
+    assert n == 1
