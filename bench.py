@@ -239,9 +239,113 @@ def scaling() -> None:
     )
 
 
+def skew() -> None:
+    """Hot-partition evidence for the salted merge path (north_rule
+    "skewed repos are salted and split").
+
+    Builds a change stream where ~half of all DISTINCT keys are
+    rejection-sampled to hash into partition 0 — the hot-shard shape the
+    LWW pre-reduce can NOT absorb (distinct keys, no duplicates to
+    collapse) — then replays it twice on the same input: salting disabled
+    (one merge task owns the hot partition) vs enabled (split/sub-merge/
+    combine DAG). Reports wall times + speedup; results are oracle-equal
+    by construction (tests/test_salted_merge.py asserts bit-equality).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from dbimport_ray.config import repo_files_config
+    from dbimport_ray.pipelines.cdc import CDCEngine
+    from dbimport_ray.stages.partitioning import key_hash
+
+    P = int(os.environ.get("BENCH_SKEW_PARTITIONS", "8"))
+    n_keys = int(os.environ.get("BENCH_SKEW_KEYS", "60000"))
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    stream = f"{scratch}/bench_skew_{P}_{n_keys}.parquet"
+
+    if not os.path.exists(stream):
+        rng = np.random.default_rng(7)
+        # candidate keys; keep uniform half + a rejection-sampled half that
+        # all hash into pid 0 (distinct paths of one hot repo)
+        uniform = [("repo-%04d" % (i % 97), "src/f%06d.py" % i) for i in range(n_keys // 2)]
+        hot, i = [], 0
+        while len(hot) < n_keys // 2:
+            cand = [("hot-repo", "lib/m%07d.py" % (i + j)) for j in range(20000)]
+            t = pa.table({"repo": [c[0] for c in cand], "path": [c[1] for c in cand]})
+            pid = key_hash(t, ["repo", "path"]) % np.uint64(P)
+            hot.extend(c for c, p in zip(cand, pid) if p == 0)
+            i += 20000
+        hot = hot[: n_keys // 2]
+        keys = uniform + hot
+        n = len(keys)
+        content = ["x" * 64 + ("line %d\n" % k) * 16 for k in range(256)]
+        t = pa.table(
+            {
+                "sequence_id": pa.array(np.arange(n, dtype=np.int64)),
+                "op": pa.array(["I"] * n),
+                "repo": pa.array([k[0] for k in keys]),
+                "path": pa.array([k[1] for k in keys]),
+                "commit": pa.array(["c%08d" % i for i in range(n)]),
+                "lang": pa.array(["py"] * n),
+                "content": pa.array([content[i % 256] for i in range(n)]),
+            }
+        )
+        pq.write_table(t, stream, row_group_size=n // 32)
+
+    def one(tag: str, env: dict) -> float:
+        for k, v in env.items():
+            os.environ[k] = v
+        try:
+            lake = f"{scratch}/bench_skew_lake_{os.getpid()}_{tag}"
+            shutil.rmtree(lake, ignore_errors=True)
+            eng = CDCEngine(lake, repo_files_config(num_partitions=P))
+            t0 = time.monotonic()
+            r = eng.replay(stream, override_num_blocks=32)
+            dt = time.monotonic() - t0
+            assert r["status"] == "committed", r
+            shutil.rmtree(lake, ignore_errors=True)
+            return dt
+        finally:
+            for k in env:
+                os.environ.pop(k, None)
+
+    off_env = {"DBIMPORT_RAY_SKEW_FACTOR": "1e18"}
+    on_env = {
+        "DBIMPORT_RAY_SALT_MIN_BYTES": "1000000",
+        "DBIMPORT_RAY_SALT_TARGET_BYTES": str(4 << 20),
+    }
+    reps = int(os.environ.get("BENCH_SKEW_REPS", "3"))
+    best_off = min(one("off", off_env) for _ in range(reps))
+    best_on = min(one("on", on_env) for _ in range(reps))
+    print(
+        json.dumps(
+            {
+                "metric": f"skewed-batch replay wall time, salted vs unsalted merge (P={P}, half of keys in pid 0)",
+                "unsalted_sec": round(best_off, 3),
+                "salted_sec": round(best_on, 3),
+                "speedup": round(best_off / best_on, 3),
+                "keys": n_keys,
+            }
+        )
+    )
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--skew" in sys.argv:
+        skew()
     else:
         if os.environ.get("BENCH_SKIP_QUERIES"):
             QUERY_NAMES = []

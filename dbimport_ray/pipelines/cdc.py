@@ -231,6 +231,149 @@ class MergeGroup:
         )
 
 
+# ---------------------------------------------------------------------------
+# Salted merge for hot partitions (north_rule: "skewed repos are salted and
+# split"). A partition whose staged delta dwarfs the median would serialize
+# the whole batch behind one merge task; instead its delta AND its old file
+# are split ``salt`` ways by key-quotient hash (stages/partitioning.key_salt
+# — independent of the pid residue), each sub-range merges in parallel
+# (merge semantics are per-key, so a key's old row and delta rows always
+# land in the same sub), and a combine task concatenates + writes the one
+# partition file and done marker. The reference's analogue is the manual
+# split-by override (import_config.py:2988); here detection is automatic
+# from staged bytes. All exchange happens through the object store and is
+# proportional to the hot partition, never the table.
+# ---------------------------------------------------------------------------
+
+
+@ray.remote
+def _salt_split_staged(kw: dict, pid: int, files: list[str], salt: int):
+    """Read one group of staged fragments, split rows into ``salt``
+    key-ranges. Returns salt tables + one meta dict (num_returns=salt+1)."""
+    from ..stages.partitioning import key_salt
+
+    mg = MergeGroup(**kw)
+    events = mg._read_staged(pid, files)
+    max_seq = (
+        int(pa.compute.max(events[mg.cfg.sequence_col]).as_py())
+        if events.num_rows
+        else -1
+    )
+    sub = key_salt(events, mg.cfg.pk, salt, mg.cfg.num_partitions)
+    out = [events.filter(pa.array(sub == s)) for s in range(salt)]
+    return (*out, {"events_in": events.num_rows, "max_seq": max_seq})
+
+
+@ray.remote
+def _salt_split_old(kw: dict, pid: int, salt: int):
+    """Split the partition's committed file into ``salt`` key-ranges
+    (num_returns=salt). Old rows and staged rows use the same key_salt, so
+    every key meets its history in exactly one sub-merge."""
+    from ..stages.partitioning import key_salt
+
+    mg = MergeGroup(**kw)
+    entry = (
+        None if mg.cfg.mode == MODE_TRUNCATE_INSERT else mg.partitions.get(str(pid))
+    )
+    if entry is None:
+        return tuple(None for _ in range(salt)) if salt > 1 else (None,)
+    from ..state.schema_evolution import align_to_schema
+
+    old = pq.read_table(mg.store.abs_path(entry["file"]))
+    old = align_to_schema(old, mg.tgt_schema, mg.renames)
+    sub = key_salt(old, mg.cfg.pk, salt, mg.cfg.num_partitions)
+    return tuple(old.filter(pa.array(sub == s)) for s in range(salt))
+
+
+@ray.remote
+def _salt_sub_merge(kw: dict, event_refs: list, old_sub, s: int) -> dict:
+    """Merge one key-range: cross-block LWW + the Arrow merge kernel.
+    ``event_refs`` are plasma refs of this sub's slices from every reader."""
+    from ..stages.merge import merge_partition
+
+    mg = MergeGroup(**kw)
+    tables = ray.get(list(event_refs))
+    events = pa.concat_tables(tables)
+    if mg.cfg.mode in (MODE_CDC, MODE_FULL):
+        events = lww_dedup(events, mg.cfg.pk, mg.cfg.sequence_col)
+    if old_sub is not None and old_sub.num_rows == 0:
+        old_sub = None
+    res = merge_partition(old_sub, events, mg.cfg, mg.merge_ts)
+    return {
+        "table": res.table,
+        "history": res.history,
+        "inserts": res.inserts,
+        "updates": res.updates,
+        "deletes": res.deletes,
+        "unchanged": res.unchanged,
+    }
+
+
+@ray.remote
+def _salt_finalize(kw: dict, pid: int, sub_refs: list, meta_refs: list) -> dict:
+    """Combine stage: concat the sub-merges, write the one partition file +
+    history file + done marker (identical on-disk contract to the unsalted
+    merge_one, so resume/ledger/manifest logic is unchanged)."""
+    import time as _time
+
+    t0 = _time.monotonic()
+    mg = MergeGroup(**kw)
+    subs = ray.get(list(sub_refs))
+    metas = ray.get(list(meta_refs))
+    table = pa.concat_tables([r["table"] for r in subs])
+    history = pa.concat_tables([r["history"] for r in subs])
+    rel_file, nbytes = "", 0
+    if table.num_rows:
+        rel_file = mg.store.part_file(pid, mg.version)
+        nbytes = mg._write(table, rel_file)
+    rel_hist, hist_rows = "", history.num_rows
+    if mg.cfg.history and hist_rows:
+        rel_hist = mg.store.history_file(pid, mg.version)
+        mg._write(history, rel_hist)
+    m = {
+        "pid": pid,
+        "rows": table.num_rows,
+        "events_in": sum(x["events_in"] for x in metas),
+        "inserts": sum(r["inserts"] for r in subs),
+        "updates": sum(r["updates"] for r in subs),
+        "deletes": sum(r["deletes"] for r in subs),
+        "unchanged": sum(r["unchanged"] for r in subs),
+        "bytes": nbytes,
+        "max_seq": max((x["max_seq"] for x in metas), default=-1),
+        "duration_s": round(_time.monotonic() - t0, 4),
+        "file": rel_file,
+        "hist_file": rel_hist,
+        "hist_rows": hist_rows,
+        "resumed": False,
+    }
+    mg.store.write_marker(mg.version, pid, m)
+    return m
+
+
+def _skew_salt_for(items: list[dict]) -> dict[int, int]:
+    """Decide which partitions get a salted merge and how many ways.
+
+    A pid is hot when its staged bytes exceed ``SKEW_FACTOR × median``
+    (default 4×) AND an absolute floor (default 64 MB — below that a
+    single merge task is cheaper than a split DAG). Salt sizes to
+    ``bytes / SALT_TARGET_BYTES`` capped at SALT_MAX.
+    """
+    factor = float(os.environ.get("DBIMPORT_RAY_SKEW_FACTOR", "4"))
+    min_bytes = int(os.environ.get("DBIMPORT_RAY_SALT_MIN_BYTES", str(64 << 20)))
+    target = int(os.environ.get("DBIMPORT_RAY_SALT_TARGET_BYTES", str(32 << 20)))
+    smax = int(os.environ.get("DBIMPORT_RAY_SALT_MAX", "16"))
+    sizes = sorted(it["staged_bytes"] for it in items)
+    if not sizes:
+        return {}
+    median = sizes[len(sizes) // 2]
+    out: dict[int, int] = {}
+    for it in items:
+        b = it["staged_bytes"]
+        if b >= max(min_bytes, factor * max(median, 1)) and it["files"]:
+            out[it["pid"]] = max(2, min(smax, round(b / max(target, 1))))
+    return out
+
+
 class CDCEngine:
     """One lake table's ingest engine: replay event ranges, maintain the
     manifest/checkpoint, expose readers. The class is driver-side only —
@@ -368,9 +511,29 @@ class CDCEngine:
             def _merge_task(item: dict, kw: dict) -> dict:
                 return MergeGroup(**kw).merge_one(item["pid"], item["files"])
 
-            metrics = ray.get(
-                [_merge_task.remote(it, merge_kwargs_ref) for it in items]
-            )
+            # hot partitions merge via the salted split/sub-merge/combine
+            # DAG; the rest via one task each (see _skew_salt_for)
+            salt_plan = _skew_salt_for(items)
+            done_metrics, futs = [], []
+            for it in items:
+                salt = salt_plan.get(it["pid"])
+                if salt:
+                    marker = self.store.read_marker(version, it["pid"])
+                    if marker is not None:  # idempotent re-entry
+                        marker["resumed"] = True
+                        done_metrics.append(marker)
+                        continue
+                    if os.environ.get("DBIMPORT_RAY_STATS"):
+                        print(
+                            f"[skew] pid {it['pid']} staged "
+                            f"{it['staged_bytes']} B → salt {salt}"
+                        )
+                    futs.append(
+                        self._launch_salted(merge_kwargs_ref, it, salt)
+                    )
+                else:
+                    futs.append(_merge_task.remote(it, merge_kwargs_ref))
+            metrics = done_metrics + ray.get(futs)
             if os.environ.get("DBIMPORT_RAY_STATS"):
                 print(f"[phase] merge {time.monotonic() - _t_phase:.2f}s")
         else:
@@ -440,6 +603,34 @@ class CDCEngine:
             "committed_seq": pending,
             **totals,
         }
+
+    # ------------------------------------------------------------------
+    def _launch_salted(self, kw_ref, item: dict, salt: int):
+        """Build the salted-merge task DAG for one hot partition; returns
+        the finalize task's future (a metrics dict, same shape as
+        merge_one's). Readers split staged fragments into ``salt``
+        key-ranges, old file splits once, each range merges independently,
+        finalize combines + writes."""
+        pid, files = item["pid"], item["files"]
+        n_readers = max(1, min(salt, len(files)))
+        groups = [files[i::n_readers] for i in range(n_readers)]
+        split_outs = [
+            _salt_split_staged.options(num_returns=salt + 1).remote(
+                kw_ref, pid, g, salt
+            )
+            for g in groups
+        ]
+        old_subs = _salt_split_old.options(num_returns=salt).remote(
+            kw_ref, pid, salt
+        )
+        subs = [
+            _salt_sub_merge.remote(
+                kw_ref, [o[s] for o in split_outs], old_subs[s], s
+            )
+            for s in range(salt)
+        ]
+        metas = [o[salt] for o in split_outs]
+        return _salt_finalize.remote(kw_ref, pid, subs, metas)
 
     # ------------------------------------------------------------------
     def _plan_schema(self, manifest: Manifest, events_path) -> tuple[pa.Schema, dict]:

@@ -51,7 +51,9 @@ def add_content_hash(
     """map_batches stage: append a stable hash of the text column."""
     vals = pc.cast(batch[text_col], pa.string()).to_numpy(zero_copy_only=False)
     h = _hash_strings(vals)
-    return batch.append_column(out_col, pa.array(h.astype(np.int64)))
+    return batch.append_column(
+        out_col, pa.array(h.astype(np.int64))
+    ).replace_schema_metadata(None)  # feeds a groupby — see strip_schema_metadata
 
 
 def exact_dedup(
@@ -67,6 +69,8 @@ def exact_dedup(
     (content_hash, id) groupby-min picks winners — the only all-to-all is
     over 16 bytes/row; (2) an inner join on id restores the full rows.
     """
+    from ..stages.joins import hash_join
+
     hashed = ds.map_batches(
         lambda t: add_content_hash(t, text_col), batch_format="pyarrow"
     )
@@ -76,12 +80,9 @@ def exact_dedup(
         .aggregate(Min(id_col, alias_name="keep_id"))
         .select_columns(["keep_id"])
     )
-    out = ds.join(
-        winners,
-        join_type="inner",
+    out = hash_join(
+        ds, winners, on=(id_col,), right_on=("keep_id",),
         num_partitions=num_partitions,
-        on=(id_col,),
-        right_on=("keep_id",),
     )
     if keep_cols:
         out = out.select_columns(keep_cols)
@@ -220,17 +221,16 @@ def minhash_lsh_dedup(
     ds: rd.Dataset, text_col: str, id_col: str, num_partitions: int = 16, **kw
 ) -> rd.Dataset:
     """Near-dedup: keep one doc (the min-id representative) per LSH cluster."""
+    from ..stages.joins import hash_join
+
     clusters = minhash_lsh_clusters(ds, text_col, id_col, **kw)
     survivors = clusters.filter(
         expr=f"{id_col} == rep"
     ).select_columns([id_col])
-    npart = num_partitions
-    return ds.join(
-        survivors.rename_columns({id_col: "__keep_id"}),
-        join_type="inner",
-        num_partitions=npart,
-        on=(id_col,),
-        right_on=("__keep_id",),
+    return hash_join(
+        ds, survivors.rename_columns({id_col: "__keep_id"}),
+        on=(id_col,), right_on=("__keep_id",),
+        num_partitions=num_partitions,
     )
 
 
@@ -289,41 +289,21 @@ def join_pair_texts(
     pair verification: candidate pairs are narrow, text moves only through
     the join exchange, and nothing materializes on the driver (the previous
     design ray.put the whole id→text corpus map — OOM past driver memory)."""
-    # Fractional-CPU aggregators: each join reserves ``num_partitions``
-    # shuffle-aggregator ACTORS up front, and BOTH chained joins' pools
-    # coexist in the pipeline. At the default ~1 CPU each they swallow
-    # every core and starve the upstream map/sort tasks that must finish
-    # before the aggregators have anything to consume — a resource
-    # deadlock (observed: 4-CPU test session, 2×16 aggregators). Size the
-    # reservation so both pools together fit in HALF the cluster, leaving
-    # the rest for upstream stages; aggregators are IO/hash-bound and
-    # share cores fine.
-    import ray as _ray
+    from ..stages.joins import hash_join
 
-    ncpu = _ray.cluster_resources().get("CPU", 4) if _ray.is_initialized() else 4
-    agg_cpus = max(0.05, min(0.5, (0.5 * ncpu) / (2 * num_partitions)))
-    agg_args = {"num_cpus": round(agg_cpus, 3)}
     left_docs = docs.select_columns([id_col, text_col]).rename_columns(
         {id_col: "__lid", text_col: "__text_l"}
     )
     right_docs = docs.select_columns([id_col, text_col]).rename_columns(
         {id_col: "__rid", text_col: "__text_r"}
     )
-    out = pairs.join(
-        left_docs,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=(left_key,),
-        right_on=("__lid",),
-        aggregator_ray_remote_args=agg_args,
+    out = hash_join(
+        pairs, left_docs, on=(left_key,), right_on=("__lid",),
+        num_partitions=num_partitions, pools=2,
     )
-    return out.join(
-        right_docs,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=(right_key,),
-        right_on=("__rid",),
-        aggregator_ray_remote_args=agg_args,
+    return hash_join(
+        out, right_docs, on=(right_key,), right_on=("__rid",),
+        num_partitions=num_partitions, pools=2,
     )
 
 
@@ -499,7 +479,9 @@ class HyperplaneLSH:
         bucket = (bits << np.arange(bits.shape[1], dtype=np.uint64)[None, :]).sum(
             axis=1, dtype=np.uint64
         )
-        return batch.append_column("bucket", pa.array(bucket.astype(np.int64)))
+        return batch.append_column(
+            "bucket", pa.array(bucket.astype(np.int64))
+        ).replace_schema_metadata(None)  # feeds a groupby — see strip_schema_metadata
 
 
 def _cosine_bucket_reps(

@@ -19,6 +19,8 @@ from __future__ import annotations
 import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
+from datetime import datetime
+from datetime import time as dtime
 
 from .cdc import CDCEngine
 
@@ -29,6 +31,26 @@ class TableJob:
     events_path: str | list[str]
     upto_seq: int | None = None
     override_num_blocks: int | None = None
+    # Per-table allowed import window (reference: common_config.py:487
+    # ``checkTimeWindow``; import_tables.timewindow_start/_stop): a job
+    # launched outside [window_start, window_stop) is skipped this run —
+    # source databases often tolerate bulk reads only off-peak. None/None
+    # → always allowed; a window crossing midnight (22:00→04:00) works.
+    window_start: dtime | None = None
+    window_stop: dtime | None = None
+
+
+def in_time_window(
+    start: dtime | None, stop: dtime | None, now: dtime | None = None
+) -> bool:
+    if start is None and stop is None:
+        return True
+    now = now if now is not None else datetime.now().time()
+    if start is None or stop is None:
+        raise ValueError("time window needs both start and stop (or neither)")
+    if start <= stop:
+        return start <= now < stop
+    return now >= start or now < stop  # crosses midnight
 
 
 @dataclass
@@ -45,13 +67,25 @@ def _last_size(engine: CDCEngine) -> int:
     return int(mets[-1].get("bytes", 0)) if mets else 0
 
 
-def run_tables(jobs: list[TableJob], table_concurrency: int = 4) -> list[JobResult]:
-    """Replay one micro-batch for every table, biggest-last-run first."""
+def run_tables(
+    jobs: list[TableJob],
+    table_concurrency: int = 4,
+    now: dtime | None = None,
+) -> list[JobResult]:
+    """Replay one micro-batch for every table, biggest-last-run first.
+    ``now`` overrides the wall clock for the time-window check (tests)."""
     ordered = sorted(jobs, key=lambda j: -_last_size(j.engine))
 
     def _run(job: TableJob) -> JobResult:
         t0 = time.monotonic()
         name = job.engine.cfg.name
+        if not in_time_window(job.window_start, job.window_stop, now):
+            return JobResult(
+                name,
+                "skipped_window",
+                0.0,
+                {"window": f"{job.window_start}-{job.window_stop}"},
+            )
         try:
             res = job.engine.replay(
                 job.events_path,

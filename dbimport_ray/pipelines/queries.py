@@ -233,14 +233,12 @@ def q_join_agg(sf_dir: str) -> rd.Dataset:
     """Native Dataset hash join (orders ⨝ customer) + grouped aggregate —
     the large×large join shape (vs the broadcast path in
     antijoin_deletes)."""
+    from ..stages.joins import hash_join
+
     orders = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
     cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
-    joined = orders.join(
-        cust,
-        join_type="inner",
-        num_partitions=8,
-        on=("o_custkey",),
-        right_on=("c_custkey",),
+    joined = hash_join(
+        orders, cust, on=("o_custkey",), right_on=("c_custkey",), num_partitions=8
     )
     return joined.groupby("c_mktsegment").aggregate(
         Count(alias_name="n_orders"),
@@ -410,7 +408,10 @@ def q_anonymize_first4(sf_dir: str) -> rd.Dataset:
 
 def q_groupby_pk_max(sf_dir: str) -> rd.Dataset:
     """A4: per-key max sequence + event count."""
+    from ..stages.joins import strip_schema_metadata
+
     ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_id"])
+    ds = ds.map_batches(strip_schema_metadata, batch_format="pyarrow")
     return ds.groupby("user_id").aggregate(
         Max("event_id", alias_name="max_seq"), Count(alias_name="n_events")
     )
@@ -419,10 +420,13 @@ def q_groupby_pk_max(sf_dir: str) -> rd.Dataset:
 def q_agg_lineitem(sf_dir: str) -> rd.Dataset:
     """A1/A7-style grouped validation aggregate over lineitem (order-robust
     aggregates only: integral sums, count, min/max)."""
+    from ..stages.joins import strip_schema_metadata
+
     ds = rd.read_parquet(
         _p(sf_dir, "lineitem"),
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
     )
+    ds = ds.map_batches(strip_schema_metadata, batch_format="pyarrow")
     return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("l_quantity", alias_name="sum_qty"),
         Count(alias_name="count_order"),

@@ -18,6 +18,50 @@ import ray
 import ray.data as rd
 
 
+def strip_schema_metadata(batch: pa.Table) -> pa.Table:
+    """Drop schema-level metadata (zero-copy). Parquet files written via
+    pandas carry a ``pandas`` metadata blob that survives every Arrow
+    transform; pyarrow 16 schemas with metadata are UNHASHABLE
+    (``hash(schema)`` → "unhashable type: 'dict'"), which defeats Ray
+    Data's schema-dedup fast path in every shuffle/concat and spams
+    "Failed to hash the schemas" warnings. Strip it where blocks enter an
+    exchange."""
+    return batch.replace_schema_metadata(None)
+
+
+def hash_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: tuple[str, ...],
+    right_on: tuple[str, ...] | None = None,
+    num_partitions: int = 16,
+    join_type: str = "inner",
+    pools: int = 1,
+) -> rd.Dataset:
+    """``Dataset.join`` with deadlock-safe aggregator sizing — use this for
+    every large×large join in the engine.
+
+    Each join reserves ``num_partitions`` shuffle-aggregator ACTORS up
+    front; at their default ~1 CPU each they can swallow every core on a
+    small node and starve the upstream map/sort tasks that must finish
+    before the aggregators have input — a resource deadlock (observed in a
+    4-CPU session with two chained 16-partition joins). Size the
+    reservation so all ``pools`` concurrently-live join pools together fit
+    in half the cluster; aggregators are IO/hash-bound and share cores
+    fine. Inputs are metadata-stripped so Ray's schema-dedup fast path
+    works (see strip_schema_metadata)."""
+    ncpu = ray.cluster_resources().get("CPU", 4) if ray.is_initialized() else 4
+    agg_cpus = max(0.05, min(0.5, (0.5 * ncpu) / (max(1, pools) * num_partitions)))
+    return left.map_batches(strip_schema_metadata, batch_format="pyarrow").join(
+        right.map_batches(strip_schema_metadata, batch_format="pyarrow"),
+        join_type=join_type,
+        num_partitions=num_partitions,
+        on=on,
+        right_on=right_on,
+        aggregator_ray_remote_args={"num_cpus": round(agg_cpus, 3)},
+    )
+
+
 def _key_array(table: pa.Table, keys: list[str]) -> np.ndarray:
     """Injective string encoding of the key tuple.
 

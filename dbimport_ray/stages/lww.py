@@ -41,9 +41,12 @@ def lww_dedup(events: pa.Table, pk: list[str], seq_col: str) -> pa.Table:
 
 
 def make_lww_prereduce(pk: list[str], seq_col: str):
-    """A ``map_batches(fn, batch_format='pyarrow')`` stage body."""
+    """A ``map_batches(fn, batch_format='pyarrow')`` stage body. Output is
+    metadata-stripped: the pre-reduce feeds a shuffle, and pyarrow-16
+    schemas with (pandas) metadata are unhashable, defeating Ray's
+    schema-dedup fast path (stages/joins.py strip_schema_metadata)."""
 
     def _fn(batch: pa.Table) -> pa.Table:
-        return lww_dedup(batch, pk, seq_col)
+        return lww_dedup(batch, pk, seq_col).replace_schema_metadata(None)
 
     return _fn

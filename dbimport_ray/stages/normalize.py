@@ -81,4 +81,6 @@ class NormalizeBatch:
             from ..functions.anonymize import apply_anonymization
 
             out = apply_anonymization(out, self.anonymize, seed=self.seed)
-        return add_partition_id(out, self.pk, self.num_partitions)
+        # metadata-stripped: source parquet may carry a pandas blob that
+        # makes schemas unhashable downstream (stages/joins.py)
+        return add_partition_id(out, self.pk, self.num_partitions).replace_schema_metadata(None)

@@ -40,6 +40,24 @@ def add_partition_id(table: pa.Table, pk: list[str], num_partitions: int) -> pa.
     return table.append_column(PID_COL, pa.array(pid, type=pa.int32()))
 
 
+def key_salt(
+    table: pa.Table, pk: list[str], salt: int, num_partitions: int
+) -> np.ndarray:
+    """Sub-partition index for splitting ONE hot partition ``salt`` ways by
+    key (north_rule "skewed repos are salted and split"): a partition hot
+    in *distinct* keys is divided so its merge runs as ``salt`` parallel
+    sub-merges plus a combine (pipelines/cdc.py salted merge path).
+
+    Uses the QUOTIENT bits of the same stable key hash: within a partition
+    every key satisfies ``hash % P == pid``, so ``hash % S`` would be
+    perfectly correlated with pid whenever S shares factors with P (e.g.
+    P=16, S=4 puts the whole partition in one sub-group). ``(hash // P) %
+    S`` is independent of the residue and deterministic across processes.
+    """
+    h = key_hash(table, pk)
+    return ((h // np.uint64(num_partitions)) % np.uint64(salt)).astype(np.int64)
+
+
 def add_salted_partition_id(
     table: pa.Table,
     pk: list[str],

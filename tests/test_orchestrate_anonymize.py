@@ -50,3 +50,50 @@ def test_anonymization_in_replay(tmp_path, ray_session):
     eng.replay(_events(tmp_path, "ev.parquet", ["x", "y"]), upto_seq=2)
     rows = {r["k"]: r["v"] for r in eng.arrow().to_pylist()}
     assert rows["x"] == hashlib.sha256(b"s1name-x").hexdigest()
+
+
+def test_time_window_gate(tmp_path, ray_session):
+    """checkTimeWindow analogue: a table whose window excludes 'now' is
+    skipped (no replay, no watermark movement); inside the window it runs.
+    Midnight-crossing windows work."""
+    from datetime import time as dtime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dbimport_ray import CDCEngine
+    from dbimport_ray.config import TableConfig
+    from dbimport_ray.pipelines.orchestrate import (
+        TableJob,
+        in_time_window,
+        run_tables,
+    )
+
+    assert in_time_window(None, None)
+    assert in_time_window(dtime(9), dtime(17), dtime(12))
+    assert not in_time_window(dtime(9), dtime(17), dtime(18))
+    assert in_time_window(dtime(22), dtime(4), dtime(23))
+    assert in_time_window(dtime(22), dtime(4), dtime(3))
+    assert not in_time_window(dtime(22), dtime(4), dtime(12))
+
+    t = pa.table(
+        {
+            "sequence_id": pa.array([1, 2], pa.int64()),
+            "op": pa.array(["I", "I"]),
+            "k": pa.array(["a", "b"]),
+            "v": pa.array([1.0, 2.0], pa.float64()),
+        }
+    )
+    p = str(tmp_path / "ev.parquet")
+    pq.write_table(t, p)
+    cfg = TableConfig(name="tw", pk=["k"], value_columns=["v"], num_partitions=2)
+    eng = CDCEngine(str(tmp_path / "lake"), cfg)
+    job = TableJob(eng, p, window_start=dtime(2), window_stop=dtime(3))
+
+    res = run_tables([job], now=dtime(12))
+    assert res[0].status == "skipped_window"
+    assert eng.ckpt.load().committed_seq == -1  # nothing moved
+
+    res = run_tables([job], now=dtime(2, 30))
+    assert res[0].status == "committed"
+    assert eng.ckpt.load().committed_seq == 2

@@ -1,0 +1,220 @@
+"""Value-level Python oracles for the sketch/model contract queries that
+have no SQL-expressible equivalent (minhash / verified near-dedup /
+simhash / language ID / fingerprint).
+
+Each oracle is an INDEPENDENT single-process reimplementation — plain
+Python loops over one document at a time, dict-based bucketing — sharing
+with the engine only the primitive that cannot differ (pandas'
+SipHash-based ``hash_array``, which defines the bit patterns). A bug in
+the distributed pipeline structure (shuffle, segmented reduce, band
+packing, actor batching) cannot cancel out in these references.
+"""
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+HASH_KEY = "dbimport_ray_dedup!"[:16]
+MER = np.uint64((1 << 61) - 1)
+FNV = 1099511628211
+U64 = (1 << 64) - 1
+
+
+@pytest.fixture(scope="module")
+def docs():
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    return list(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+
+
+def _hash_strs(strs: list[str]) -> np.ndarray:
+    return pd.util.hash_array(np.array(strs, dtype=object), hash_key=HASH_KEY)
+
+
+def _tok(text: str) -> list[str]:
+    return [t for t in re.split(r"\W+", text.lower()) if t]
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH reference
+# ---------------------------------------------------------------------------
+
+def ref_minhash_reps(docs, H=64, B=16, k=3, seed=1234) -> dict[int, int]:
+    """doc_id → representative (min id over all shared band buckets)."""
+    R = H // B
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, int(MER), size=H, dtype=np.uint64)
+    b = rng.integers(0, int(MER), size=H, dtype=np.uint64)
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for did, text in docs:
+        toks = _tok(text)
+        shingles = (
+            [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+            if len(toks) >= k
+            else []
+        )
+        sig = np.full(H, np.iinfo(np.uint64).max, dtype=np.uint64)
+        if shingles:
+            base = _hash_strs(shingles)
+            with np.errstate(over="ignore"):
+                hv = (base[:, None] * a[None, :] + b[None, :]) % MER
+            sig = hv.min(axis=0)
+        bands = sig.reshape(B, R)
+        acc = [0] * B
+        for bi in range(B):
+            h = 0
+            for r in range(R):
+                h = (h * FNV + int(bands[bi, r])) & U64
+            acc[bi] = h
+        for bi in range(B):
+            buckets.setdefault((bi, acc[bi]), []).append(did)
+    rep = {did: did for did, _ in docs}
+    for ids in buckets.values():
+        m = min(ids)
+        for i in ids:
+            rep[i] = min(rep[i], m)
+    return rep
+
+
+def test_minhash_dedup_matches_reference(docs):
+    from dbimport_ray.pipelines.queries import q_minhash_dedup_docs
+
+    want = sorted(d for d, r in ref_minhash_reps(docs).items() if d == r)
+    got = sorted(q_minhash_dedup_docs(SF).to_pandas()["doc_id"].tolist())
+    assert got == want
+
+
+def test_minhash_verified_matches_reference(docs):
+    from dbimport_ray.pipelines.dedup import jaccard, ngram_set
+    from dbimport_ray.pipelines.queries import q_minhash_verified_docs
+
+    texts = dict(docs)
+    reps = ref_minhash_reps(docs)
+    want = {}
+    for did, rep in reps.items():
+        if did == rep:
+            want[did] = (did, 1.0)
+        else:
+            sim = jaccard(ngram_set(texts[did], 3), ngram_set(texts[rep], 3))
+            want[did] = (rep, sim) if sim >= 0.5 else (did, sim)
+    df = q_minhash_verified_docs(SF).to_pandas().sort_values("doc_id")
+    assert len(df) == len(want)
+    for did, rep, sim in zip(df["doc_id"], df["rep"], df["jaccard_sim"]):
+        wrep, wsim = want[did]
+        assert rep == wrep, did
+        assert abs(sim - wsim) < 1e-12, did
+
+
+# ---------------------------------------------------------------------------
+# SimHash reference
+# ---------------------------------------------------------------------------
+
+def ref_simhash(text: str) -> int:
+    toks = _tok(text)
+    votes = [0] * 64
+    if toks:
+        for h in _hash_strs(toks):
+            h = int(h)
+            for bit in range(64):
+                votes[bit] += 1 if (h >> bit) & 1 else -1
+    sig = 0
+    for bit in range(64):
+        if votes[bit] > 0:
+            sig |= 1 << bit
+    return sig
+
+
+def test_simhash_matches_reference(docs):
+    from dbimport_ray.pipelines.queries import q_simhash_docs
+
+    df = q_simhash_docs(SF).to_pandas().sort_values("doc_id")
+    texts = dict(docs)
+    for did, sh in zip(df["doc_id"], df["simhash"]):
+        want = ref_simhash(texts[did])
+        assert int(sh) & U64 == want, did
+
+
+# ---------------------------------------------------------------------------
+# Language-ID reference
+# ---------------------------------------------------------------------------
+
+def test_lang_id_matches_reference(docs):
+    from dbimport_ray.functions.text import _LANG_PROFILES
+    from dbimport_ray.pipelines.queries import q_lang_id_docs
+
+    langs = list(_LANG_PROFILES)
+    membership = {
+        lang: set(_LANG_PROFILES[lang].split()) for lang in langs
+    }
+
+    def predict(text: str) -> str:
+        toks = [t for t in re.split(r"[^a-zA-Z]+", text.lower()) if t]
+        scores = [sum(1 for t in toks if t in membership[lang]) for lang in langs]
+        return "und" if max(scores, default=0) == 0 else langs[int(np.argmax(scores))]
+
+    df = q_lang_id_docs(SF).to_pandas().sort_values("doc_id")
+    texts = dict(docs)
+    for did, pred in zip(df["doc_id"], df["lang_pred"]):
+        assert pred == predict(texts[did]), did
+
+
+# ---------------------------------------------------------------------------
+# Fingerprint reference
+# ---------------------------------------------------------------------------
+
+def ref_fingerprint(text: str) -> int:
+    norm = re.sub(r"\s+", " ", text).strip()
+    h = 0
+    for byte in norm.encode():
+        h = (h * FNV + byte) & U64
+    return h
+
+
+def test_fingerprint_matches_reference(docs):
+    from dbimport_ray.pipelines.queries import q_fingerprint_docs
+
+    df = q_fingerprint_docs(SF).to_pandas().sort_values("doc_id")
+    texts = dict(docs)
+    for did, fp in zip(df["doc_id"], df["fingerprint"]):
+        assert int(fp) & U64 == ref_fingerprint(texts[did]), did
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup reference
+# ---------------------------------------------------------------------------
+
+def test_embedding_dedup_matches_reference():
+    from dbimport_ray.pipelines.queries import EMB_DIM, q_embedding_dedup
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
+    embs = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+
+    rng = np.random.default_rng(99)
+    planes = rng.standard_normal((EMB_DIM, 16)).astype(np.float64)
+    proj = embs @ planes
+    bits = (proj > 0).astype(np.uint64)
+    bucket = (bits << np.arange(16, dtype=np.uint64)[None, :]).sum(
+        axis=1, dtype=np.uint64
+    ).astype(np.int64)
+
+    want = {}
+    for b in np.unique(bucket):
+        sel = np.where(bucket == b)[0]
+        order = np.argsort(ids[sel])
+        bids = ids[sel][order]
+        bemb = embs[sel][order]
+        norms = np.linalg.norm(bemb, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = bemb / norms
+        sims = unit @ unit[0]
+        for i, (did, sim) in enumerate(zip(bids, sims)):
+            want[int(did)] = int(bids[0]) if sim >= 0.99 else int(did)
+
+    df = q_embedding_dedup(SF).to_pandas().sort_values("vec_id")
+    assert len(df) == len(want)
+    for did, rep in zip(df["vec_id"], df["rep"]):
+        assert rep == want[int(did)], did

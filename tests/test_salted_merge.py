@@ -1,0 +1,76 @@
+"""Hot-partition salted merge: split/sub-merge/combine DAG must be
+bit-equivalent to the single-task merge (north_rule "skewed repos are
+salted and split")."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from dbimport_ray import CDCEngine, repo_files_config
+from dbimport_ray.datagen import generate_events
+from dbimport_ray.pipelines.cdc import _skew_salt_for
+
+
+@pytest.fixture(scope="module")
+def skewed_events(tmp_path_factory):
+    """Event stream where hot keys concentrate traffic — with few
+    partitions one pid's staged bytes dwarf the median."""
+    p = tmp_path_factory.mktemp("skew") / "events.parquet"
+    generate_events(
+        str(p),
+        num_keys=800,
+        num_events=6000,
+        seed=23,
+        hot_key_fraction=0.01,
+        hot_traffic_fraction=0.5,
+    )
+    return str(p)
+
+
+def test_skew_plan_thresholds():
+    items = [
+        {"pid": 0, "staged_bytes": 10, "files": ["a#0"]},
+        {"pid": 1, "staged_bytes": 10, "files": ["b#0"]},
+        {"pid": 2, "staged_bytes": 500 << 20, "files": ["c#0"]},
+    ]
+    plan = _skew_salt_for(items)
+    # default thresholds: only the 500MB pid salts, ≥2-way
+    assert set(plan) == {2} and plan[2] >= 2
+    # empty
+    assert _skew_salt_for([]) == {}
+
+
+def test_salted_replay_equals_unsalted(skewed_events, tmp_path, monkeypatch):
+    cfg = repo_files_config(num_partitions=4)
+
+    plain = CDCEngine(str(tmp_path / "plain"), cfg)
+    plain.replay(skewed_events, upto_seq=2999)
+    plain.replay(skewed_events, upto_seq=5999)
+
+    # force the salted path for EVERY partition (floor/factor zeroed,
+    # tiny target → max salt ways)
+    monkeypatch.setenv("DBIMPORT_RAY_SALT_MIN_BYTES", "0")
+    monkeypatch.setenv("DBIMPORT_RAY_SKEW_FACTOR", "0")
+    monkeypatch.setenv("DBIMPORT_RAY_SALT_TARGET_BYTES", "1")
+    monkeypatch.setenv("DBIMPORT_RAY_SALT_MAX", "3")
+    salted = CDCEngine(str(tmp_path / "salted"), repo_files_config(num_partitions=4))
+    r1 = salted.replay(skewed_events, upto_seq=2999)
+    r2 = salted.replay(skewed_events, upto_seq=5999)
+    assert r1["status"] == r2["status"] == "committed"
+    assert salted.replay(skewed_events)["status"] == "noop"
+
+    order = [("repo", "ascending"), ("path", "ascending")]
+    a = plain.arrow().sort_by(order)
+    b = salted.arrow().sort_by(order)
+    assert a.equals(b)
+
+    # history audit identical too (same merge_ts derivation)
+    ho = [("repo", "ascending"), ("path", "ascending"), ("datalake_timestamp", "ascending")]
+    assert plain.history().sort_by(ho).equals(salted.history().sort_by(ho))
+
+    # per-batch ledger totals match
+    mp = plain.store.read_metrics()
+    ms = salted.store.read_metrics()
+    for x, y in zip(mp, ms):
+        for k in ("rows", "inserts", "updates", "deletes", "events_in"):
+            assert x[k] == y[k], k
