@@ -100,8 +100,45 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--to", type=int, required=True)
     sp = sub.add_parser("clear-stage")
     common(sp, data_plane=False)
+    sp = sub.add_parser(
+        "credential",
+        help="encrypted credential store (manage --encryptCredentials analogue)",
+    )
+    sp.add_argument("--lake", required=True)
+    sp.add_argument("--key-file", default=None, help="key file path (default <lake>/_credentials.key)")
+    sp.add_argument("action", choices=["set", "get", "list", "delete"])
+    sp.add_argument("name", nargs="?", default=None)
+    sp.add_argument(
+        "--from-env",
+        default="DBIMPORT_RAY_SECRET",
+        help="env var holding the secret for 'set' (never passed on argv)",
+    )
 
     args = p.parse_args(argv)
+
+    if args.cmd == "credential":
+        import os
+
+        from .state.credentials import CredentialStore
+
+        store = CredentialStore(args.lake, key_path=args.key_file)
+        if args.action == "list":
+            print(json.dumps(store.names()))
+            return 0
+        if not args.name:
+            print("credential set/get/delete need a name", file=sys.stderr)
+            return 2
+        if args.action == "set":
+            secret = os.environ.get(args.from_env)
+            if secret is None:
+                secret = sys.stdin.readline().rstrip("\n")
+            store.set(args.name, secret)
+            print(json.dumps({"stored": args.name}))
+        elif args.action == "get":
+            print(store.get(args.name))
+        elif args.action == "delete":
+            print(json.dumps({"deleted": store.delete(args.name)}))
+        return 0
 
     if args.cmd == "discover":
         from .pipelines.discover import discover_tables

@@ -386,3 +386,22 @@ def create_table_like(
         conn.commit()
     finally:
         conn.close()
+
+
+def factory_with_credentials(root: str, name: str, build, key_path: str | None = None):
+    """Connection factory that resolves its secret from the encrypted
+    credential store (state/credentials.py) INSIDE the worker process at
+    connect time — the secret never rides in pickled task arguments or
+    Ray object-store payloads, matching the reference's decrypt-at-use
+    flow (common_config.py credential handling). ``build(secret)`` turns
+    the decrypted secret (DSN, password, …) into a DB-API connection.
+    Requires ``root``/``key_path`` to be reachable from workers (shared
+    storage on a real cluster — same assumption as the lake itself)."""
+
+    def _connect():
+        from ..state.credentials import CredentialStore
+
+        secret = CredentialStore(root, key_path=key_path).get(name)
+        return build(secret)
+
+    return _connect

@@ -1,0 +1,126 @@
+"""Encrypted-at-rest source/target credentials.
+
+The reference stores JDBC usernames/passwords encrypted with a private key
+file and decrypts them when building connections (reference:
+bin/manage:410 ``--encryptCredentials``; common_config.py credential
+handling via the ``privatekey.pem``/``publickey.pem`` pair). With the SQL
+source/sink connectors (sources/sql.py) the same need appears here: a
+connection factory must not force secrets into config files or env dumps.
+
+Construction (stdlib-only — this sandbox has no ``cryptography`` package):
+encrypt-then-MAC from hash primitives.
+
+- key file: 32 random bytes, created ``0600`` (the private-key-file role);
+  two independent subkeys are derived with HMAC (domain separation).
+- confidentiality: XOR with an HMAC-SHA256 keystream in counter mode over
+  a fresh 16-byte nonce (a standard PRF-as-stream-cipher construction).
+- integrity: HMAC-SHA256 tag over nonce‖ciphertext with the second
+  subkey, constant-time compared on read.
+
+A deployment with the ``cryptography`` package available should swap the
+two ``_seal``/``_open`` functions for Fernet — the store format is
+versioned to allow that.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import hmac
+import json
+import os
+import secrets
+
+from .manifest import _atomic_write_json
+
+_VER = "hmacstream-v1"
+
+
+def _derive(key: bytes, label: bytes) -> bytes:
+    return hmac.new(key, b"dbimport_ray/" + _VER.encode() + b"/" + label, hashlib.sha256).digest()
+
+
+def _keystream(key: bytes, nonce: bytes, n: int) -> bytes:
+    out = b""
+    counter = 0
+    while len(out) < n:
+        out += hmac.new(
+            key, nonce + counter.to_bytes(8, "big"), hashlib.sha256
+        ).digest()
+        counter += 1
+    return out[:n]
+
+
+def _seal(key: bytes, plaintext: bytes) -> dict:
+    enc_key, mac_key = _derive(key, b"enc"), _derive(key, b"mac")
+    nonce = secrets.token_bytes(16)
+    ct = bytes(a ^ b for a, b in zip(plaintext, _keystream(enc_key, nonce, len(plaintext))))
+    tag = hmac.new(mac_key, nonce + ct, hashlib.sha256).hexdigest()
+    return {"v": _VER, "nonce": nonce.hex(), "ct": ct.hex(), "tag": tag}
+
+
+def _open(key: bytes, blob: dict) -> bytes:
+    if blob.get("v") != _VER:
+        raise ValueError(f"unknown credential format {blob.get('v')}")
+    enc_key, mac_key = _derive(key, b"enc"), _derive(key, b"mac")
+    nonce, ct = bytes.fromhex(blob["nonce"]), bytes.fromhex(blob["ct"])
+    tag = hmac.new(mac_key, nonce + ct, hashlib.sha256).hexdigest()
+    if not hmac.compare_digest(tag, blob["tag"]):
+        raise ValueError("credential integrity check failed (wrong key or tampered store)")
+    return bytes(a ^ b for a, b in zip(ct, _keystream(enc_key, nonce, len(ct))))
+
+
+class CredentialStore:
+    """Named secrets under a lake root: ``_credentials.json`` (sealed
+    blobs) + ``_credentials.key`` (0600 key file). The key file can live
+    elsewhere (``key_path``) — e.g. node-local while the store replicates
+    with the lake, mirroring the reference's key/config split."""
+
+    def __init__(self, root: str, key_path: str | None = None):
+        os.makedirs(root, exist_ok=True)
+        self.store_path = os.path.join(root, "_credentials.json")
+        self.key_path = key_path or os.path.join(root, "_credentials.key")
+
+    # -- key management ------------------------------------------------
+    def _key(self, create: bool = False) -> bytes:
+        if not os.path.exists(self.key_path):
+            if not create:
+                raise FileNotFoundError(
+                    f"credential key file missing: {self.key_path}"
+                )
+            fd = os.open(self.key_path, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o600)
+            with os.fdopen(fd, "wb") as f:
+                f.write(secrets.token_bytes(32))
+        with open(self.key_path, "rb") as f:
+            key = f.read()
+        if len(key) < 32:
+            raise ValueError("credential key file too short")
+        return key
+
+    def _load(self) -> dict:
+        if os.path.exists(self.store_path):
+            with open(self.store_path) as f:
+                return json.load(f)
+        return {}
+
+    # -- API -----------------------------------------------------------
+    def set(self, name: str, secret: str) -> None:
+        key = self._key(create=True)
+        store = self._load()
+        store[name] = _seal(key, secret.encode())
+        _atomic_write_json(self.store_path, store)
+
+    def get(self, name: str) -> str:
+        store = self._load()
+        if name not in store:
+            raise KeyError(f"no credential named {name!r}")
+        return _open(self._key(), store[name]).decode()
+
+    def names(self) -> list[str]:
+        return sorted(self._load())
+
+    def delete(self, name: str) -> bool:
+        store = self._load()
+        if store.pop(name, None) is None:
+            return False
+        _atomic_write_json(self.store_path, store)
+        return True

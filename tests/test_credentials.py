@@ -1,0 +1,83 @@
+"""Encrypted credential store (manage --encryptCredentials analogue)."""
+
+import json
+import os
+import stat
+
+import pytest
+
+from dbimport_ray.state.credentials import CredentialStore
+
+
+def test_roundtrip_and_keyfile_perms(tmp_path):
+    st = CredentialStore(str(tmp_path))
+    st.set("src_db", "hunter2!:with specêal chars")
+    assert st.get("src_db") == "hunter2!:with specêal chars"
+    mode = stat.S_IMODE(os.stat(st.key_path).st_mode)
+    assert mode == 0o600
+    # ciphertext never contains the plaintext
+    raw = open(st.store_path).read()
+    assert "hunter2" not in raw
+    assert st.names() == ["src_db"]
+    assert st.delete("src_db") and not st.delete("src_db")
+
+
+def test_wrong_key_and_tamper_detected(tmp_path):
+    st = CredentialStore(str(tmp_path / "a"))
+    st.set("x", "secret")
+    # tamper with ciphertext → integrity failure
+    blob = json.load(open(st.store_path))
+    ct = bytearray(bytes.fromhex(blob["x"]["ct"]))
+    ct[0] ^= 0xFF
+    blob["x"]["ct"] = bytes(ct).hex()
+    json.dump(blob, open(st.store_path, "w"))
+    with pytest.raises(ValueError, match="integrity"):
+        st.get("x")
+    # wrong key file → integrity failure (not garbage plaintext)
+    st2 = CredentialStore(str(tmp_path / "a"), key_path=str(tmp_path / "other.key"))
+    st2._key(create=True)
+    st3 = CredentialStore(str(tmp_path / "b"))
+    st3.set("x", "secret")
+    st_bad = CredentialStore(str(tmp_path / "b"), key_path=str(tmp_path / "other.key"))
+    with pytest.raises(ValueError, match="integrity"):
+        st_bad.get("x")
+
+
+def test_cli_credential_verbs(tmp_path, monkeypatch, capsys):
+    from dbimport_ray.cli import main
+
+    lake = str(tmp_path / "lake")
+    monkeypatch.setenv("DBIMPORT_RAY_SECRET", "tok-123")
+    assert main(["credential", "--lake", lake, "set", "tgt"]) == 0
+    assert main(["credential", "--lake", lake, "get", "tgt"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[-1] == "tok-123"
+    assert main(["credential", "--lake", lake, "list"]) == 0
+    assert json.loads(capsys.readouterr().out.strip()) == ["tgt"]
+
+
+def test_factory_with_credentials_resolves_at_connect(tmp_path):
+    """SQL connector + credential store: the DSN decrypts inside the
+    factory call, and the sharded read works against it."""
+    import sqlite3
+
+    import pyarrow as pa
+
+    from dbimport_ray.sources.sql import (
+        factory_with_credentials,
+        probe_max_sequence,
+    )
+
+    db = str(tmp_path / "src.db")
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE t (seq INTEGER PRIMARY KEY, v TEXT)")
+    conn.executemany("INSERT INTO t VALUES (?,?)", [(i, f"v{i}") for i in range(10)])
+    conn.commit()
+    conn.close()
+
+    lake = str(tmp_path / "lake")
+    CredentialStore(lake).set("src_dsn", db)
+    factory = factory_with_credentials(
+        lake, "src_dsn", lambda dsn: sqlite3.connect(f"file:{dsn}?mode=ro", uri=True)
+    )
+    assert probe_max_sequence(factory, "t", "seq") == 9
