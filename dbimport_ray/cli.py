@@ -86,8 +86,9 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("replicate", help="copy committed lake to another root (DistCp analogue)")
     common(sp)
     sp.add_argument("--dest", required=True)
-    sp = sub.add_parser("discover", help="scan a source tree for candidate tables (addImportTable analogue)")
-    sp.add_argument("--source", required=True)
+    sp = sub.add_parser("discover", help="scan a source tree or database for candidate tables (addImportTable analogue)")
+    sp.add_argument("--source", required=True, help="parquet tree dir, or a .db/.sqlite file for live-DB discovery")
+    sp.add_argument("--like", default=None, help="SQL LIKE filter on table names (DB discovery)")
     sp = sub.add_parser("rollback", help="re-point the table at an earlier committed version")
     common(sp)
     sp.add_argument("--to-version", type=int, required=True)
@@ -141,9 +142,13 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "discover":
-        from .pipelines.discover import discover_tables
+        from .pipelines.discover import discover_sql_tables, discover_tables
 
-        for cand in discover_tables(args.source):
+        if args.source.endswith((".db", ".sqlite", ".sqlite3")):
+            cands = discover_sql_tables(args.source, like=args.like)
+        else:
+            cands = discover_tables(args.source)
+        for cand in cands:
             print(json.dumps(cand, sort_keys=True))
         return 0
 

@@ -125,25 +125,31 @@ class MinHashSignatures:
         self.b = rng.integers(0, int(_MERSENNE), size=self.H, dtype=np.uint64)
 
     def shingle_hashes(self, texts: pa.ChunkedArray | pa.Array):
-        """token k-shingles per doc → (uint64 hashes, doc parent index)."""
+        """token k-shingles per doc → (uint64 hashes, doc parent index).
+        Fully Arrow-vectorized: the k-gram join is k shifted slices fed to
+        ``binary_join_element_wise`` (C kernel), not a per-shingle Python
+        ``" ".join`` loop — that loop dominated the signature stage."""
         s = pc.utf8_lower(pc.cast(texts, pa.string()))
         tokens = pc.split_pattern_regex(s, r"\W+")
-        flat = pc.list_flatten(tokens).to_numpy(zero_copy_only=False)
-        parent = pc.list_parent_indices(tokens).to_numpy(zero_copy_only=False)
-        keep = np.array([t != "" for t in flat], dtype=bool)
-        flat, parent = flat[keep], parent[keep]
-        if self.k > 1 and len(flat):
-            # shingle = k consecutive tokens within the same doc
-            n = len(flat)
-            idx = np.arange(n - self.k + 1)
-            same_doc = parent[idx] == parent[idx + self.k - 1]
-            idx = idx[same_doc]
-            joined = np.array(
-                [" ".join(flat[i : i + self.k]) for i in idx], dtype=object
-            )
-            parent = parent[idx]
-            flat = joined
-        return _hash_strings(flat), parent
+        flat = pc.list_flatten(tokens)
+        parent = pc.list_parent_indices(tokens)
+        mask = pc.not_equal(flat, "")
+        flat = flat.filter(mask).combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat.filter(mask)
+        parent = parent.filter(mask)
+        par_np = parent.to_numpy(zero_copy_only=False)
+        n = len(flat)
+        if self.k > 1 and n >= self.k:
+            m = n - self.k + 1
+            # shingle i = tokens i..i+k-1, valid only within one doc
+            same_doc = par_np[:m] == par_np[self.k - 1 :]
+            parts = [flat.slice(j, m) for j in range(self.k)]
+            joined = pc.binary_join_element_wise(*parts, " ")
+            sel = pa.array(same_doc)
+            joined = joined.filter(sel)
+            return _hash_strings(joined.to_numpy(zero_copy_only=False)), par_np[:m][same_doc]
+        if self.k > 1:  # every doc shorter than k tokens → no shingles
+            return _hash_strings(np.array([], dtype=object)), par_np[:0]
+        return _hash_strings(flat.to_numpy(zero_copy_only=False)), par_np
 
     def signatures(self, texts) -> np.ndarray:
         """(n_docs, H) minhash signature matrix."""

@@ -68,3 +68,52 @@ def discover_tables(source_root: str) -> list[dict]:
             }
         )
     return candidates
+
+
+def discover_sql_tables(db_or_factory, like: str | None = None) -> list[dict]:
+    """Discovery against a LIVE database (the real addImportTable flow,
+    import_operations.py:518: list tables matching a filter, read each
+    table's columns + PRIMARY KEYS, propose import configs). Unlike the
+    parquet tree, a database declares its keys — ``pk`` here is populated
+    from the catalog (schemaReader.py readTableKeys analogue), so the
+    candidate is runnable as-is."""
+    import sqlite3
+
+    from ..sources.sql import _SQL_TYPES, sqlite_factory
+
+    if isinstance(db_or_factory, str):
+        db_or_factory = sqlite_factory(db_or_factory)
+    conn = db_or_factory()
+    try:
+        q = "SELECT name FROM sqlite_master WHERE type='table'"
+        params: list = []
+        if like:
+            q += " AND name LIKE ?"
+            params.append(like)
+        tables = [r[0] for r in conn.execute(q, params).fetchall()]
+        candidates = []
+        for t in sorted(tables):
+            info = conn.execute(f"PRAGMA table_info({t})").fetchall()
+            names = [r[1] for r in info]
+            pk = [r[1] for r in sorted(info, key=lambda r: r[5]) if r[5] > 0]
+            seq = _find(names, _SEQ_HINTS)
+            op = _find(names, _OP_HINTS)
+            reserved = set(pk) | {seq, op}
+            n_rows = conn.execute(f"SELECT count(*) FROM {t}").fetchone()[0]
+            candidates.append(
+                {
+                    "table": t,
+                    "columns": {
+                        r[1]: str(_SQL_TYPES.get((r[2] or "").upper(), "TEXT"))
+                        for r in info
+                    },
+                    "pk": pk,
+                    "sequence_col": seq,
+                    "op_col": op,
+                    "value_columns": [n for n in names if n not in reserved],
+                    "rows": int(n_rows),
+                }
+            )
+        return candidates
+    finally:
+        conn.close()

@@ -267,7 +267,8 @@ def test_broadcast_joins(ray_session):
 
 def test_media_decode_plumbing(ray_session):
     t = synthesize_media_table(30)
-    ds = rd.from_arrow(t)
+    # two input blocks so the 2-actor pool actually receives 2 inputs
+    ds = rd.from_arrow(t).repartition(2)
     out = ds.map_batches(
         ImageDecodeFeatureStage,
         fn_constructor_kwargs={"fake": True, "feature_dim": 8},

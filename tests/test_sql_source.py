@@ -118,3 +118,32 @@ def test_replay_from_sql_source_equals_parquet_replay(events_db, tmp_path):
     assert a.rename_columns(
         [c if c != "commit_id" else "commit" for c in a.column_names]
     ).equals(b)
+
+
+def test_discover_sql_tables(events_db, tmp_path):
+    """Live-DB discovery proposes runnable configs with REAL primary keys
+    from the catalog (readTableKeys analogue)."""
+    import sqlite3
+
+    from dbimport_ray.pipelines.discover import discover_sql_tables
+
+    _, db = events_db
+    # add a second table with a composite PK and a junk view-like table
+    conn = sqlite3.connect(db.replace("events.db", "disc.db"))
+    conn.execute(
+        "CREATE TABLE files (repo TEXT, path TEXT, commit_seq INTEGER,"
+        " op TEXT, content TEXT, PRIMARY KEY (repo, path))"
+    )
+    conn.execute("CREATE TABLE misc (x TEXT)")
+    conn.commit()
+    conn.close()
+    cands = {c["table"]: c for c in discover_sql_tables(db.replace("events.db", "disc.db"))}
+    f = cands["files"]
+    assert f["pk"] == ["repo", "path"]
+    assert f["sequence_col"] == "commit_seq"  # suffix hint
+    assert f["op_col"] == "op"
+    assert f["value_columns"] == ["content"]
+    assert cands["misc"]["pk"] == []
+    # LIKE filter narrows
+    only = discover_sql_tables(db.replace("events.db", "disc.db"), like="fil%")
+    assert [c["table"] for c in only] == ["files"]
