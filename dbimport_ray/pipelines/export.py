@@ -58,13 +58,20 @@ class ExportState:
         _atomic_write_json(self.path, st)
 
 
-def sql_sink(db_or_factory, table: str, create: bool = True):
+def sql_sink(db_or_factory, table: str, create: bool = True,
+             upsert_keys: list[str] | None = None):
     """Export-sink factory targeting an external database — the JDBC
     export write (export_operations.py:706 ``runSparkExport``) as a
     pluggable ``sink`` for :func:`export_table`. Returns a callable
     ``sink(ds) -> rows_written`` that streams the Dataset into the target
     via distributed per-task INSERT writers (sources/sql.SQLInsertDatasink;
-    each write task owns its connection)."""
+    each write task owns its connection).
+
+    ``upsert_keys`` declares the target's primary key and switches the
+    writers to keyed upsert, making retried write tasks (and re-exports of
+    the same slice) idempotent — the reference's export-temp-table+merge
+    semantics. Without it the write is plain INSERT (at-least-once under
+    task retry)."""
     from ..sources.sql import SQLInsertDatasink, create_table_like
 
     def _count(factory_or_path) -> int:
@@ -83,9 +90,13 @@ def sql_sink(db_or_factory, table: str, create: bool = True):
 
     def _sink(ds) -> int:
         if create:
-            create_table_like(db_or_factory, table, ds.schema().base_schema)
+            create_table_like(
+                db_or_factory, table, ds.schema().base_schema, pk=upsert_keys
+            )
         before = _count(db_or_factory)
-        ds.write_datasink(SQLInsertDatasink(db_or_factory, table))
+        ds.write_datasink(
+            SQLInsertDatasink(db_or_factory, table, upsert=bool(upsert_keys))
+        )
         return _count(db_or_factory) - before
 
     return _sink

@@ -149,6 +149,30 @@ def q_cdc_merge_hard(sf_dir: str) -> pa.Table:
     return _cdc_replay(sf_dir, soft_delete=False)
 
 
+def q_cdc_merge_salted(sf_dir: str) -> pa.Table:
+    """The SAME two-batch soft-delete replay with the hot-partition salted
+    merge path forced on for EVERY partition (split/sub-merge/combine DAG,
+    north_rule "skewed repos are salted and split") — checked against the
+    identical SQL oracle as ``cdc_merge_soft``, so the driver verifies the
+    salted path end-to-end, not just pytest."""
+    forced = {
+        "DBIMPORT_RAY_SALT_MIN_BYTES": "0",
+        "DBIMPORT_RAY_SKEW_FACTOR": "0",
+        "DBIMPORT_RAY_SALT_TARGET_BYTES": "1",
+        "DBIMPORT_RAY_SALT_MAX": "3",
+    }
+    saved = {k: os.environ.get(k) for k in forced}
+    os.environ.update(forced)
+    try:
+        return _cdc_replay(sf_dir, soft_delete=True)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
 def q_cdc_full_load(sf_dir: str) -> pa.Table:
     """FULL+MERGE over two customer snapshots: changed rows update, missing
     rows soft-delete via the anti-join (etl_operations.py:362-393)."""
@@ -895,6 +919,9 @@ LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
 """,
     "sha256_docs": "SELECT doc_id, sha256(text) AS content_sha FROM documents",
 }
+# the salted-merge replay answers the identical question as the soft merge —
+# same oracle, different execution path
+ORACLES["cdc_merge_salted"] = ORACLES["cdc_merge_soft"]
 
 
 def q_ann_topk(sf_dir: str) -> rd.Dataset:
@@ -909,6 +936,7 @@ def q_ann_topk(sf_dir: str) -> rd.Dataset:
 QUERIES = {
     "cdc_merge_soft": q_cdc_merge_soft,
     "cdc_merge_hard": q_cdc_merge_hard,
+    "cdc_merge_salted": q_cdc_merge_salted,
     "cdc_full_load": q_cdc_full_load,
     "cdc_history_audit": q_cdc_history_audit,
     "join_agg": q_join_agg,

@@ -318,6 +318,7 @@ class SQLInsertDatasink(Datasink):
         connection_factory_or_path: Callable[[], "sqlite3.Connection"] | str,
         table: str,
         busy_timeout_ms: int = 60_000,
+        upsert: bool = False,
     ):
         if isinstance(connection_factory_or_path, str):
             path = connection_factory_or_path
@@ -330,6 +331,14 @@ class SQLInsertDatasink(Datasink):
             connection_factory_or_path = _rw
         self._factory = connection_factory_or_path
         self._table = table
+        # keyed upsert (INSERT OR REPLACE against the target's PK) makes a
+        # RETRIED write task idempotent — plain INSERT would duplicate its
+        # rows on retry. This is the exactly-once-ish export the reference
+        # gets from its export-temp-table + merge flow
+        # (export_operations.py:440 createExportTempTable); for real JDBC
+        # targets map it to the dialect's upsert (ON CONFLICT/ON DUPLICATE
+        # KEY). Requires the target table to declare a primary key.
+        self._upsert = upsert
 
     @property
     def supports_distributed_writes(self) -> bool:
@@ -344,8 +353,9 @@ class SQLInsertDatasink(Datasink):
                 if t.num_rows == 0:
                     continue
                 cols = t.column_names
+                verb = "INSERT OR REPLACE" if self._upsert else "INSERT"
                 sql = (
-                    f"INSERT INTO {self._table} ({', '.join(cols)}) "
+                    f"{verb} INTO {self._table} ({', '.join(cols)}) "
                     f"VALUES ({', '.join('?' * len(cols))})"
                 )
                 conn.executemany(sql, zip(*(t[c].to_pylist() for c in cols)))
@@ -364,9 +374,11 @@ def create_table_like(
     table: str,
     schema: pa.Schema,
     replace: bool = False,
+    pk: list[str] | None = None,
 ) -> None:
     """DDL for the export target from an Arrow schema (the
-    ``createTargetTable`` step, export_operations.py:171)."""
+    ``createTargetTable`` step, export_operations.py:171). ``pk`` declares
+    a primary key — required for the idempotent upsert write mode."""
     inv = {
         pa.int64(): "INTEGER", pa.int32(): "INTEGER", pa.int16(): "INTEGER",
         pa.float64(): "REAL", pa.float32(): "REAL", pa.string(): "TEXT",
@@ -382,6 +394,8 @@ def create_table_like(
         cols = ", ".join(
             f"{f.name} {inv.get(f.type, 'TEXT')}" for f in schema
         )
+        if pk:
+            cols += f", PRIMARY KEY ({', '.join(pk)})"
         conn.execute(f"CREATE TABLE IF NOT EXISTS {table} ({cols})")
         conn.commit()
     finally:

@@ -133,3 +133,28 @@ def test_export_to_sql_sink(tmp_path, ray_session):
     n = conn.execute("SELECT count(*) FROM t_export WHERE k='a' AND v=10.0").fetchone()[0]
     conn.close()
     assert n == 1
+
+
+def test_export_sql_upsert_idempotent(tmp_path, ray_session):
+    """Keyed upsert sink: re-exporting the same slice (or a retried write
+    task) cannot duplicate rows — the export-temp-table+merge semantics."""
+    import sqlite3
+
+    from dbimport_ray.pipelines.export import sql_sink
+
+    cfg = TableConfig(name="t", pk=["k"], value_columns=["v"], num_partitions=2)
+    eng = CDCEngine(str(tmp_path / "lake"), cfg)
+    b1 = _events(tmp_path, "b1.parquet", [(1, "I", "a", 1), (2, "I", "b", 2)])
+    eng.replay(b1, upto_seq=2)
+
+    db = str(tmp_path / "tgt.db")
+    sink = sql_sink(db, "t_up", upsert_keys=["k"])
+    export_table(eng, str(tmp_path / "u1"), columns=["k", "v", "datalake_iud"], sink=sink)
+    # second full export of the same state: count stays 2, values refreshed
+    export_table(
+        eng, str(tmp_path / "u2"), columns=["k", "v", "datalake_iud"],
+        sink=sink, validate=False,
+    )
+    conn = sqlite3.connect(db)
+    assert conn.execute("SELECT count(*) FROM t_up").fetchone()[0] == 2
+    conn.close()

@@ -74,3 +74,26 @@ def test_salted_replay_equals_unsalted(skewed_events, tmp_path, monkeypatch):
     for x, y in zip(mp, ms):
         for k in ("rows", "inserts", "updates", "deletes", "events_in"):
             assert x[k] == y[k], k
+
+
+def test_salted_crash_resume(skewed_events, tmp_path, monkeypatch):
+    """Crash before manifest commit with the salted path live: resume must
+    reuse per-partition done markers (salted finalize writes the same
+    marker contract) and commit the identical state."""
+    monkeypatch.setenv("DBIMPORT_RAY_SALT_MIN_BYTES", "0")
+    monkeypatch.setenv("DBIMPORT_RAY_SKEW_FACTOR", "0")
+    monkeypatch.setenv("DBIMPORT_RAY_SALT_TARGET_BYTES", "1")
+    monkeypatch.setenv("DBIMPORT_RAY_SALT_MAX", "3")
+    cfg = repo_files_config(num_partitions=4)
+    eng = CDCEngine(str(tmp_path / "lake"), cfg)
+    eng.replay(skewed_events, upto_seq=2999)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        eng.replay(skewed_events, fail_before_commit=True)
+    res = eng.replay(skewed_events)  # resume pending batch
+    assert res["status"] == "committed" and res["committed_seq"] == 5999
+
+    ref = CDCEngine(str(tmp_path / "ref"), repo_files_config(num_partitions=4))
+    ref.replay(skewed_events, upto_seq=2999)
+    ref.replay(skewed_events, upto_seq=5999)
+    order = [("repo", "ascending"), ("path", "ascending")]
+    assert eng.arrow().sort_by(order).equals(ref.arrow().sort_by(order))
