@@ -69,7 +69,7 @@ def exact_dedup(
     (content_hash, id) groupby-min picks winners — the only all-to-all is
     over 16 bytes/row; (2) an inner join on id restores the full rows.
     """
-    from ..stages.joins import hash_join
+    from ..stages.joins import compact_sparse, hash_join
 
     hashed = ds.map_batches(
         lambda t: add_content_hash(t, text_col), batch_format="pyarrow"
@@ -80,6 +80,8 @@ def exact_dedup(
         .aggregate(Min(id_col, alias_name="keep_id"))
         .select_columns(["keep_id"])
     )
+    # aggregate outputs can contain empty blocks — compact the narrow side
+    winners, _ = compact_sparse(winners, num_partitions)
     out = hash_join(
         ds, winners, on=(id_col,), right_on=("keep_id",),
         num_partitions=num_partitions,
@@ -227,14 +229,17 @@ def minhash_lsh_dedup(
     ds: rd.Dataset, text_col: str, id_col: str, num_partitions: int = 16, **kw
 ) -> rd.Dataset:
     """Near-dedup: keep one doc (the min-id representative) per LSH cluster."""
-    from ..stages.joins import hash_join
+    from ..stages.joins import compact_sparse, hash_join
 
     clusters = minhash_lsh_clusters(ds, text_col, id_col, **kw)
     survivors = clusters.filter(
         expr=f"{id_col} == rep"
     ).select_columns([id_col])
+    survivors, _ = compact_sparse(
+        survivors.rename_columns({id_col: "__keep_id"}), num_partitions
+    )
     return hash_join(
-        ds, survivors.rename_columns({id_col: "__keep_id"}),
+        ds, survivors,
         on=(id_col,), right_on=("__keep_id",),
         num_partitions=num_partitions,
     )
@@ -295,7 +300,7 @@ def join_pair_texts(
     pair verification: candidate pairs are narrow, text moves only through
     the join exchange, and nothing materializes on the driver (the previous
     design ray.put the whole id→text corpus map — OOM past driver memory)."""
-    from ..stages.joins import hash_join
+    from ..stages.joins import compact_sparse, hash_join
 
     left_docs = docs.select_columns([id_col, text_col]).rename_columns(
         {id_col: "__lid", text_col: "__text_l"}
@@ -303,13 +308,34 @@ def join_pair_texts(
     right_docs = docs.select_columns([id_col, text_col]).rename_columns(
         {id_col: "__rid", text_col: "__text_r"}
     )
+    # pairs (and join-1's output, bounded by pairs) are the sparse sides —
+    # compacted so no join input block is empty (see compact_sparse)
+    pairs, n_pairs = compact_sparse(pairs, num_partitions)
+    if n_pairs == 0:
+        return _empty_pair_texts(left_key, right_key)
     out = hash_join(
         pairs, left_docs, on=(left_key,), right_on=("__lid",),
         num_partitions=num_partitions, pools=2,
     )
+    out, n_out = compact_sparse(out, num_partitions)
+    if n_out == 0:  # pair ids absent from the corpus
+        return _empty_pair_texts(left_key, right_key)
     return hash_join(
         out, right_docs, on=(right_key,), right_on=("__rid",),
         num_partitions=num_partitions, pools=2,
+    )
+
+
+def _empty_pair_texts(left_key: str, right_key: str) -> rd.Dataset:
+    return rd.from_arrow(
+        pa.table(
+            {
+                left_key: pa.nulls(0, pa.int64()),
+                right_key: pa.nulls(0, pa.int64()),
+                "__text_l": pa.nulls(0, pa.string()),
+                "__text_r": pa.nulls(0, pa.string()),
+            }
+        )
     )
 
 

@@ -29,6 +29,28 @@ def strip_schema_metadata(batch: pa.Table) -> pa.Table:
     return batch.replace_schema_metadata(None)
 
 
+def compact_sparse(ds: rd.Dataset, num_partitions: int) -> tuple[rd.Dataset, int]:
+    """Materialize + evenly repartition a SPARSE join side so none of its
+    blocks is empty. Ray's hash-shuffle join broadcasts each input's schema
+    only with the FIRST block it shuffles; an empty block short-circuits
+    before that broadcast (hash_shuffle.py `if block.num_rows == 0`), so a
+    sparse side whose first block happens to be empty leaves data-less
+    partitions as ZERO-COLUMN tables and acero fails with "No match for key
+    field … on left side". Repartitioning to ≤ row-count blocks guarantees
+    every block is non-empty.
+
+    Call this ONLY on bounded/narrow sides (candidate pairs, aggregate
+    outputs) — a Dataset.join materializes its inputs anyway, so the extra
+    narrow copy is cheap, but compacting a wide side would double its
+    object-store peak. Returns (dataset, row_count) so callers can
+    short-circuit the join entirely when the side is empty."""
+    ds = ds.materialize()
+    n = ds.count()
+    if n:
+        ds = ds.repartition(max(1, min(num_partitions, n)))
+    return ds, n
+
+
 def hash_join(
     left: rd.Dataset,
     right: rd.Dataset,
