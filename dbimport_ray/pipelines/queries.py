@@ -569,6 +569,37 @@ def q_fingerprint_docs(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(xf, batch_format="pyarrow")
 
 
+def q_audio_features(sf_dir: str) -> rd.Dataset:
+    """Audio frame-energy features over raw-PCM payloads — the one
+    multimodal kernel that needs NO codec (numpy RMS per frame), so the
+    whole actor-pool path is real, not stubbed. Deterministic synthesized
+    media table; rows-only check."""
+    from ..stages.multimodal import AudioFeatureStage, synthesize_media_table
+
+    root = _scratch("audio")
+    p = os.path.join(root, "media.parquet")
+    pq.write_table(synthesize_media_table(300), p)
+    feats = rd.read_parquet(p).map_batches(
+        AudioFeatureStage,
+        fn_constructor_kwargs={"frame_len": 64},
+        concurrency=2,
+        batch_size=32,
+        batch_format="pyarrow",
+    )
+
+    def summarize(t: pa.Table) -> pa.Table:
+        sums = [float(np.sum(e)) for e in t["energy"].to_pylist()]
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "n_frames": t["n_frames"],
+                "energy_sum": pa.array(sums, pa.float64()),
+            }
+        )
+
+    return feats.map_batches(summarize, batch_format="pyarrow")
+
+
 def q_cdc_schema_evolution(sf_dir: str) -> pa.Table:
     """Schema evolution through the live engine, SQL-checked: batch 2 of
     the derived CDC stream carries a NEW column (``extra_score``); the
@@ -969,4 +1000,5 @@ QUERIES = {
     "lang_id_docs": q_lang_id_docs,
     "fingerprint_docs": q_fingerprint_docs,
     "multimodal_features": q_multimodal_features,
+    "audio_features": q_audio_features,
 }

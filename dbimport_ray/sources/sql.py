@@ -56,18 +56,6 @@ def sqlite_factory(db_path: str) -> Callable[[], sqlite3.Connection]:
     return _connect
 
 
-def _rows_to_arrow(
-    cursor, columns: list[str], schema: pa.Schema | None
-) -> pa.Table:
-    rows = cursor.fetchall()
-    cols = list(zip(*rows)) if rows else [[] for _ in columns]
-    if schema is not None:
-        return pa.table(
-            {c: pa.array(list(v), type=schema.field(c).type) for c, v in zip(columns, cols)}
-        )
-    return pa.table({c: list(v) for c, v in zip(columns, cols)})
-
-
 def probe_table_schema(
     connection_factory: Callable[[], "sqlite3.Connection"], table: str
 ) -> pa.Schema:

@@ -137,3 +137,96 @@ class FrameSampleStage:
                 "frame_hash": pa.array(frame_hash, type=pa.string()),
             }
         )
+
+
+class ImageResizeStage:
+    """Actor-pool stage contract for image resize: emits the original row
+    with a ``resized`` payload column at (target_w, target_h). The codec
+    is stubbed (fake=True → deterministic bytes derived from the payload +
+    target box); a deployment swaps in PIL with the same contract. Runs
+    with small batch_size — resized output rides the object store."""
+
+    def __init__(self, target_w: int = 224, target_h: int = 224, fake: bool = False):
+        self.target_w = target_w
+        self.target_h = target_h
+        self.fake = fake
+
+    def _resize(self, payload: bytes) -> bytes:
+        if not self.fake:
+            raise NotImplementedError("image codec not available; use fake=True")
+        seed = hashlib.sha256(
+            payload + self.target_w.to_bytes(2, "little") + self.target_h.to_bytes(2, "little")
+        ).digest()
+        return (seed * ((self.target_w * self.target_h) // len(seed) + 1))[
+            : self.target_w * self.target_h
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_payload, out_w, out_h = [], [], []
+        for mtype, payload in zip(
+            batch["media_type"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            if mtype == "image" and payload is not None:
+                out_payload.append(self._resize(payload))
+                out_w.append(self.target_w)
+                out_h.append(self.target_h)
+            else:
+                out_payload.append(None)
+                out_w.append(None)
+                out_h.append(None)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "resized": pa.array(out_payload, type=pa.binary()),
+                "out_width": pa.array(out_w, type=pa.int32()),
+                "out_height": pa.array(out_h, type=pa.int32()),
+            }
+        )
+
+
+class AudioFeatureStage:
+    """Actor-pool stage: frame-energy features over audio payloads.
+
+    Unlike the image/video codecs, RAW PCM needs no external library — a
+    payload interpreted as signed 8-bit PCM yields real windowed RMS
+    energies, computed with numpy per row. Compressed formats (mp3/ogg)
+    would need a decoder in ``__init__`` and raise until one is provided.
+
+    Output: (media_id, n_frames, energy: list<float32>) with one energy
+    per ``frame_len``-byte window.
+    """
+
+    def __init__(self, frame_len: int = 64, pcm: bool = True):
+        self.frame_len = frame_len
+        self.pcm = pcm
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, n_frames, energies = [], [], []
+        for mid, mtype, payload in zip(
+            batch["media_id"].to_pylist(),
+            batch["media_type"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            if mtype != "audio" or payload is None:
+                continue
+            if not self.pcm:
+                raise NotImplementedError(
+                    "compressed-audio decoder not available; raw PCM only"
+                )
+            samples = np.frombuffer(payload, dtype=np.int8).astype(np.float32)
+            n = (len(samples) // self.frame_len) * self.frame_len
+            if n == 0:
+                frames = np.zeros((0, self.frame_len), dtype=np.float32)
+            else:
+                frames = samples[:n].reshape(-1, self.frame_len)
+            rms = np.sqrt((frames**2).mean(axis=1)) if len(frames) else np.zeros(0, np.float32)
+            ids.append(mid)
+            n_frames.append(len(rms))
+            energies.append(rms.astype(np.float32))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "n_frames": pa.array(n_frames, type=pa.int32()),
+                "energy": pa.array([list(e) for e in energies], type=pa.list_(pa.float32())),
+            }
+        )

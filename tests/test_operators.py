@@ -310,3 +310,45 @@ def test_allowed_diff_sqrt_band():
     validate_row_count(10000, 10049)  # inside band
     with pytest.raises(ValidationError):
         validate_row_count(10000, 9000)
+
+
+def test_media_resize_and_audio_features(ray_session):
+    from dbimport_ray.stages.multimodal import (
+        AudioFeatureStage,
+        ImageResizeStage,
+        synthesize_media_table,
+    )
+
+    t = synthesize_media_table(30)
+    ds = rd.from_arrow(t).repartition(2)
+
+    resized = ds.map_batches(
+        ImageResizeStage,
+        fn_constructor_kwargs={"fake": True, "target_w": 8, "target_h": 8},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=2,
+    ).to_pandas()
+    imgs = resized[resized.out_width.notna()]
+    assert len(imgs) == 10 and all(len(p) == 64 for p in imgs["resized"])
+    # deterministic: same payload + box → same bytes
+    again = ImageResizeStage(target_w=8, target_h=8, fake=True)(t.slice(0, 3))
+    assert again["resized"][0].as_py() == imgs.iloc[0]["resized"]
+
+    audio = ds.map_batches(
+        AudioFeatureStage,
+        fn_constructor_kwargs={"frame_len": 32},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=2,
+    ).to_pandas()
+    assert len(audio) == 10  # every 3rd row is audio
+    assert (audio["n_frames"] > 0).all()
+    assert all(len(e) == n for e, n in zip(audio["energy"], audio["n_frames"]))
+    # real numpy RMS over the raw PCM bytes, reproducible single-process
+    import numpy as np
+    row = audio.sort_values("media_id").iloc[0]
+    payload = t.filter(pa.compute.equal(t["media_id"], int(row["media_id"])))["payload"][0].as_py()
+    s = np.frombuffer(payload, dtype=np.int8).astype(np.float32)
+    want = np.sqrt((s[: (len(s) // 32) * 32].reshape(-1, 32) ** 2).mean(axis=1))
+    assert np.allclose(np.array(row["energy"]), want, rtol=1e-6)

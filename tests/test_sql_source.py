@@ -147,3 +147,49 @@ def test_discover_sql_tables(events_db, tmp_path):
     # LIKE filter narrows
     only = discover_sql_tables(db.replace("events.db", "disc.db"), like="fil%")
     assert [c["table"] for c in only] == ["files"]
+
+
+def test_sql_source_schema_evolution(tmp_path):
+    """A column added on the LIVE source between batches must evolve the
+    lake schema exactly as the parquet path does (add → null-fill old
+    rows), driven through SQLEventSource's schema probe."""
+    import sqlite3
+
+    import pyarrow as pa
+
+    db = str(tmp_path / "evo.db")
+    conn = sqlite3.connect(db)
+    conn.execute(
+        "CREATE TABLE ch (sequence_id INTEGER PRIMARY KEY, op TEXT,"
+        " k TEXT, v REAL)"
+    )
+    conn.executemany(
+        "INSERT INTO ch VALUES (?,?,?,?)",
+        [(1, "I", "a", 1.0), (2, "I", "b", 2.0)],
+    )
+    conn.commit()
+
+    from dbimport_ray import CDCEngine
+    from dbimport_ray.config import TableConfig
+
+    cfg = TableConfig(name="evo", pk=["k"], value_columns=["v"], num_partitions=2)
+    eng = CDCEngine(str(tmp_path / "lake"), cfg)
+    r1 = eng.replay(SQLEventSource(db, "ch", num_shards=2))
+    assert r1["committed_seq"] == 2
+
+    conn.execute("ALTER TABLE ch ADD COLUMN score REAL")
+    conn.executemany(
+        "INSERT INTO ch VALUES (?,?,?,?,?)",
+        [(3, "U", "a", 10.0, 0.5), (4, "I", "c", 3.0, 0.9)],
+    )
+    conn.commit()
+    conn.close()
+
+    r2 = eng.replay(SQLEventSource(db, "ch", num_shards=2))
+    assert r2["committed_seq"] == 4
+    t = eng.arrow().sort_by([("k", "ascending")])
+    assert "score" in t.column_names
+    by_k = {r["k"]: r for r in t.to_pylist()}
+    assert by_k["a"]["score"] == 0.5 and by_k["a"]["v"] == 10.0
+    assert by_k["b"]["score"] is None  # old row null-filled
+    assert by_k["c"]["score"] == 0.9
