@@ -97,3 +97,49 @@ def test_salted_crash_resume(skewed_events, tmp_path, monkeypatch):
     ref.replay(skewed_events, upto_seq=5999)
     order = [("repo", "ascending"), ("path", "ascending")]
     assert eng.arrow().sort_by(order).equals(ref.arrow().sort_by(order))
+
+
+def test_salted_full_load_antijoin_equals_unsalted(tmp_path, monkeypatch):
+    """FULL mode + salted merge: the per-sub anti-join (keys absent from
+    the snapshot sub-range are deletes) must compose to exactly the global
+    anti-join."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dbimport_ray.config import MODE_FULL, TableConfig
+
+    def snap(path, seqs, keys, vals):
+        t = pa.table(
+            {
+                "sequence_id": pa.array(seqs, pa.int64()),
+                "op": pa.array(["I"] * len(seqs)),
+                "k": pa.array(keys),
+                "v": pa.array([float(v) for v in vals], pa.float64()),
+            }
+        )
+        pq.write_table(t, path)
+        return path
+
+    keys1 = [f"k{i:03d}" for i in range(60)]
+    s1 = snap(str(tmp_path / "s1.parquet"), list(range(60)), keys1, range(60))
+    # snapshot 2 drops every 5th key, bumps every 7th value
+    keys2 = [k for i, k in enumerate(keys1) if i % 5 != 0]
+    vals2 = [i + (100 if i % 7 == 0 else 0) for i, k in enumerate(keys1) if i % 5 != 0]
+    s2 = snap(str(tmp_path / "s2.parquet"), list(range(60, 60 + len(keys2))), keys2, vals2)
+
+    def build(root):
+        cfg = TableConfig(name="t", pk=["k"], value_columns=["v"], mode=MODE_FULL, num_partitions=4)
+        eng = CDCEngine(str(tmp_path / root), cfg)
+        eng.replay(s1, upto_seq=59)
+        eng.replay([s1, s2], upto_seq=60 + len(keys2) - 1)
+        return eng.arrow().sort_by([("k", "ascending")])
+
+    plain = build("plain")
+    monkeypatch.setenv("DBIMPORT_RAY_SALT_MIN_BYTES", "0")
+    monkeypatch.setenv("DBIMPORT_RAY_SKEW_FACTOR", "0")
+    monkeypatch.setenv("DBIMPORT_RAY_SALT_TARGET_BYTES", "1")
+    monkeypatch.setenv("DBIMPORT_RAY_SALT_MAX", "3")
+    salted = build("salted")
+    assert plain.equals(salted)
+    # tombstones really exist
+    assert "D" in salted["datalake_iud"].to_pylist()
