@@ -126,8 +126,30 @@ def generate_events(
         os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     else:
         # directory-of-shards: one file per rows_per_batch chunk → parallel
-        # source reads (a single parquet file reads in ONE Ray task)
+        # source reads (a single parquet file reads in ONE Ray task).
+        # Shard-resume (skip existing files) is only valid for the SAME
+        # parameter set — a params sidecar guards against silently adopting
+        # shards generated with different params/num_events at this path.
+        import json as _json
+        import shutil as _sh
+
         os.makedirs(out_path, exist_ok=True)
+        params = {
+            "num_keys": num_keys, "num_events": num_events, "seed": seed,
+            "content_repeat_mean": content_repeat_mean,
+            "hot_key_fraction": hot_key_fraction,
+            "hot_traffic_fraction": hot_traffic_fraction,
+            "rows_per_batch": rows_per_batch,
+        }
+        sidecar = os.path.join(out_path, "_gen_params.json")
+        if os.path.exists(sidecar):
+            with open(sidecar) as f:
+                if _json.load(f) != params:
+                    _sh.rmtree(out_path)
+                    os.makedirs(out_path)
+        if not os.path.exists(sidecar):
+            with open(sidecar, "w") as f:
+                _json.dump(params, f)
     repo_s, path_s, lang_s = _key_strings(num_keys, seed)
     pool = _content_pool(seed)
 
@@ -179,6 +201,15 @@ def generate_events(
     )
     try:
         for lo in range(0, num_events, rows_per_batch):
+            if writer is None:
+                shard = os.path.join(
+                    out_path, f"events-{lo // rows_per_batch:05d}.parquet"
+                )
+                # shards are deterministic in (parameters, lo) → an
+                # interrupted generation resumes by skipping finished
+                # shards (each lands via tmp→rename, so existence ⇒ complete)
+                if os.path.exists(shard):
+                    continue
             hi = min(lo + rows_per_batch, num_events)
             sl = slice(lo, hi)
             kid = key_id[sl]
@@ -213,12 +244,14 @@ def generate_events(
             if writer is not None:
                 writer.write_table(batch)
             else:
+                tmp_shard = shard + f".gen-{os.getpid()}"
                 pq.write_table(
                     batch,
-                    os.path.join(out_path, f"events-{lo // rows_per_batch:05d}.parquet"),
+                    tmp_shard,
                     compression="snappy",
                     row_group_size=max(8192, rows_per_batch // 4),
                 )
+                os.replace(tmp_shard, shard)
     finally:
         if writer is not None:
             writer.close()

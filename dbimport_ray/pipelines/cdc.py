@@ -365,11 +365,16 @@ def _skew_salt_for(items: list[dict]) -> dict[int, int]:
     sizes = sorted(it["staged_bytes"] for it in items)
     if not sizes:
         return {}
-    median = sizes[len(sizes) // 2]
+    # LOWER median, and a single-partition table gets baseline 0: the hot
+    # partition itself must not inflate its own baseline (with 2 partitions
+    # the upper median IS the hot one — 900 MB vs 10 MB would compare
+    # 900 MB against 4×900 MB and never salt, exactly the case that needs
+    # it most).
+    baseline = sizes[(len(sizes) - 1) // 2] if len(sizes) > 1 else 0
     out: dict[int, int] = {}
     for it in items:
         b = it["staged_bytes"]
-        if b >= max(min_bytes, factor * max(median, 1)) and it["files"]:
+        if b >= max(min_bytes, factor * baseline) and it["files"]:
             out[it["pid"]] = max(2, min(smax, round(b / max(target, 1))))
     return out
 
@@ -397,10 +402,13 @@ class CDCEngine:
         if manifest.num_partitions and (
             manifest.num_partitions != self.cfg.num_partitions
         ):
+            import sys
+
             print(
                 f"[dbimport_ray] {self.cfg.name}: overriding cfg.num_partitions="
                 f"{self.cfg.num_partitions} with the table's committed modulus "
-                f"{manifest.num_partitions} (manifest is authoritative)"
+                f"{manifest.num_partitions} (manifest is authoritative)",
+                file=sys.stderr,  # stdout is a JSON contract for CLI consumers
             )
             self.cfg.num_partitions = manifest.num_partitions
 

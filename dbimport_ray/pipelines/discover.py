@@ -77,13 +77,9 @@ def discover_sql_tables(db_or_factory, like: str | None = None) -> list[dict]:
     parquet tree, a database declares its keys — ``pk`` here is populated
     from the catalog (schemaReader.py readTableKeys analogue), so the
     candidate is runnable as-is."""
-    import sqlite3
+    from ..sources.sql import as_factory, decltype_to_arrow
 
-    from ..sources.sql import _SQL_TYPES, sqlite_factory
-
-    if isinstance(db_or_factory, str):
-        db_or_factory = sqlite_factory(db_or_factory)
-    conn = db_or_factory()
+    conn = as_factory(db_or_factory)()
     try:
         q = "SELECT name FROM sqlite_master WHERE type='table'"
         params: list = []
@@ -103,10 +99,10 @@ def discover_sql_tables(db_or_factory, like: str | None = None) -> list[dict]:
             candidates.append(
                 {
                     "table": t,
-                    "columns": {
-                        r[1]: str(_SQL_TYPES.get((r[2] or "").upper(), "TEXT"))
-                        for r in info
-                    },
+                    # arrow type names — same vocabulary as the parquet
+                    # discovery path, and affinity-correct for idiomatic
+                    # DDL (BIGINT/DOUBLE/NUMERIC…)
+                    "columns": {r[1]: str(decltype_to_arrow(r[2])) for r in info},
                     "pk": pk,
                     "sequence_col": seq,
                     "op_col": op,

@@ -74,30 +74,18 @@ def sql_sink(db_or_factory, table: str, create: bool = True,
     task retry)."""
     from ..sources.sql import SQLInsertDatasink, create_table_like
 
-    def _count(factory_or_path) -> int:
-        import sqlite3 as _sq
-
-        conn = (
-            _sq.connect(db_or_factory)
-            if isinstance(db_or_factory, str)
-            else db_or_factory()
-        )
-        try:
-            cur = conn.execute(f"SELECT count(*) FROM {table}")
-            return int(cur.fetchone()[0])
-        finally:
-            conn.close()
-
     def _sink(ds) -> int:
         if create:
             create_table_like(
                 db_or_factory, table, ds.schema().base_schema, pk=upsert_keys
             )
-        before = _count(db_or_factory)
-        ds.write_datasink(
-            SQLInsertDatasink(db_or_factory, table, upsert=bool(upsert_keys))
-        )
-        return _count(db_or_factory) - before
+        sink = SQLInsertDatasink(db_or_factory, table, upsert=bool(upsert_keys))
+        ds.write_datasink(sink)
+        # rows SHIPPED, summed from the write tasks' own counts — not a
+        # COUNT(*) delta, which under-reports whenever upserts replace
+        # pre-existing rows (e.g. a retried export re-shipping the same
+        # slice would read as 0 and fail row-count validation forever)
+        return int(sink.rows_written or 0)
 
     return _sink
 

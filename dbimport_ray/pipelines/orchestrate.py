@@ -79,14 +79,17 @@ def run_tables(
     def _run(job: TableJob) -> JobResult:
         t0 = time.monotonic()
         name = job.engine.cfg.name
-        if not in_time_window(job.window_start, job.window_stop, now):
-            return JobResult(
-                name,
-                "skipped_window",
-                0.0,
-                {"window": f"{job.window_start}-{job.window_stop}"},
-            )
         try:
+            # inside the try: a malformed window (start without stop) is a
+            # per-table config failure, not a reason to lose every other
+            # table's result
+            if not in_time_window(job.window_start, job.window_stop, now):
+                return JobResult(
+                    name,
+                    "skipped_window",
+                    0.0,
+                    {"window": f"{job.window_start}-{job.window_stop}"},
+                )
             res = job.engine.replay(
                 job.events_path,
                 upto_seq=job.upto_seq,

@@ -309,7 +309,12 @@ def _events_sqlite(sf_dir: str) -> str:
     import sqlite3
 
     path = _p(sf_dir, "events")
-    tag = hashlib.sha1(os.path.abspath(path).encode()).hexdigest()[:12]
+    st = os.stat(path)
+    # key on content identity (path + mtime + size), not path alone — a
+    # regenerated events table at the same path must not reuse a stale db
+    tag = hashlib.sha1(
+        f"{os.path.abspath(path)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
     db = os.path.join(tempfile.gettempdir(), f"dbimport_ray_events_{tag}.db")
     if os.path.exists(db):
         return db

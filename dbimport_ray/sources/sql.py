@@ -38,22 +38,53 @@ from ray.data.block import BlockMetadata
 from ray.data.datasource import Datasource
 from ray.data.datasource.datasource import ReadTask
 
-_SQL_TYPES = {
-    "INTEGER": pa.int64(),
-    "REAL": pa.float64(),
-    "TEXT": pa.string(),
-    "BLOB": pa.binary(),
-}
+def decltype_to_arrow(decl: str | None) -> pa.DataType:
+    """Declared column type → Arrow type via sqlite's TYPE AFFINITY rules
+    (https://www.sqlite.org/datatype3.html §3.1): any decltype containing
+    INT is integer; CHAR/CLOB/TEXT are text; BLOB/empty are binary;
+    REAL/FLOA/DOUB are real; everything else (NUMERIC, DECIMAL, DATE, …)
+    gets NUMERIC affinity, mapped to float64 here. Matching the affinity —
+    not the literal storage-class names — is what makes idiomatic DDL like
+    ``id BIGINT`` or ``v DOUBLE`` type correctly instead of falling back
+    to string (which crashed the shard reads on integer values)."""
+    d = (decl or "").upper()
+    if "INT" in d:
+        return pa.int64()
+    if "CHAR" in d or "CLOB" in d or "TEXT" in d:
+        return pa.string()
+    if not d or "BLOB" in d:
+        return pa.binary()
+    if "REAL" in d or "FLOA" in d or "DOUB" in d:
+        return pa.float64()
+    return pa.float64()  # NUMERIC affinity
+
+
+def as_factory(
+    conn_or_path: Callable[[], "sqlite3.Connection"] | str,
+    readonly: bool = True,
+    busy_timeout_ms: int = 60_000,
+) -> Callable[[], "sqlite3.Connection"]:
+    """Normalize a connection factory | sqlite path into a factory — the
+    ONE place the str-vs-callable convention lives. Paths open read-only
+    (URI mode, shareable across worker processes) unless ``readonly=False``
+    (writers get a busy-timeout for sqlite's single-writer lock)."""
+    if not isinstance(conn_or_path, str):
+        return conn_or_path
+    path = conn_or_path
+    if readonly:
+        return lambda: sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+
+    def _rw() -> sqlite3.Connection:
+        conn = sqlite3.connect(path, timeout=busy_timeout_ms / 1000)
+        conn.execute(f"PRAGMA busy_timeout={busy_timeout_ms}")
+        return conn
+
+    return _rw
 
 
 def sqlite_factory(db_path: str) -> Callable[[], sqlite3.Connection]:
-    """Connection factory for a sqlite file — opened read-only so many
-    worker processes can share it (URI mode)."""
-
-    def _connect() -> sqlite3.Connection:
-        return sqlite3.connect(f"file:{db_path}?mode=ro", uri=True)
-
-    return _connect
+    """Read-only connection factory for a sqlite file (see as_factory)."""
+    return as_factory(db_path)
 
 
 def probe_table_schema(
@@ -66,12 +97,7 @@ def probe_table_schema(
     try:
         if isinstance(conn, sqlite3.Connection):
             rows = conn.execute(f"PRAGMA table_info({table})").fetchall()
-            return pa.schema(
-                [
-                    (r[1], _SQL_TYPES.get((r[2] or "").upper(), pa.string()))
-                    for r in rows
-                ]
-            )
+            return pa.schema([(r[1], decltype_to_arrow(r[2])) for r in rows])
         cur = conn.execute(f"SELECT * FROM {table} LIMIT 0")
         return pa.schema([(d[0], pa.string()) for d in cur.description])
     finally:
@@ -255,9 +281,7 @@ class SQLEventSource:
         table: str,
         num_shards: int = 16,
     ):
-        if isinstance(connection_factory_or_path, str):
-            connection_factory_or_path = sqlite_factory(connection_factory_or_path)
-        self.factory = connection_factory_or_path
+        self.factory = as_factory(connection_factory_or_path)
         self.table = table
         self.num_shards = num_shards
 
@@ -308,17 +332,14 @@ class SQLInsertDatasink(Datasink):
         busy_timeout_ms: int = 60_000,
         upsert: bool = False,
     ):
-        if isinstance(connection_factory_or_path, str):
-            path = connection_factory_or_path
-
-            def _rw() -> sqlite3.Connection:
-                conn = sqlite3.connect(path, timeout=busy_timeout_ms / 1000)
-                conn.execute(f"PRAGMA busy_timeout={busy_timeout_ms}")
-                return conn
-
-            connection_factory_or_path = _rw
-        self._factory = connection_factory_or_path
+        self._factory = as_factory(
+            connection_factory_or_path, readonly=False, busy_timeout_ms=busy_timeout_ms
+        )
         self._table = table
+        # total rows shipped, aggregated from every write task's return by
+        # on_write_complete — the correct exported-rows figure even when
+        # upserts replace pre-existing rows (a COUNT(*) delta would be 0)
+        self.rows_written: int | None = None
         # keyed upsert (INSERT OR REPLACE against the target's PK) makes a
         # RETRIED write task idempotent — plain INSERT would duplicate its
         # rows on retry. This is the exactly-once-ish export the reference
@@ -353,6 +374,9 @@ class SQLInsertDatasink(Datasink):
             conn.close()
         return total
 
+    def on_write_complete(self, write_result) -> None:
+        self.rows_written = int(sum(write_result.write_returns))
+
     def get_name(self) -> str:
         return f"SQLInsert({self._table})"
 
@@ -372,10 +396,7 @@ def create_table_like(
         pa.float64(): "REAL", pa.float32(): "REAL", pa.string(): "TEXT",
         pa.large_string(): "TEXT", pa.binary(): "BLOB", pa.bool_(): "INTEGER",
     }
-    if isinstance(connection_factory_or_path, str):
-        conn = sqlite3.connect(connection_factory_or_path)
-    else:
-        conn = connection_factory_or_path()
+    conn = as_factory(connection_factory_or_path, readonly=False)()
     try:
         if replace:
             conn.execute(f"DROP TABLE IF EXISTS {table}")

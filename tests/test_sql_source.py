@@ -193,3 +193,38 @@ def test_sql_source_schema_evolution(tmp_path):
     assert by_k["a"]["score"] == 0.5 and by_k["a"]["v"] == 10.0
     assert by_k["b"]["score"] is None  # old row null-filled
     assert by_k["c"]["score"] == 0.9
+
+
+def test_decltype_affinity_mapping(tmp_path):
+    """Idiomatic DDL (BIGINT, DOUBLE, NUMERIC, VARCHAR) must type via
+    sqlite affinity rules, not literal storage-class names — a BIGINT id
+    previously fell back to string and crashed the shard reads."""
+    import sqlite3
+
+    db = str(tmp_path / "aff.db")
+    conn = sqlite3.connect(db)
+    conn.execute(
+        "CREATE TABLE t (id BIGINT PRIMARY KEY, v DOUBLE, p NUMERIC,"
+        " name VARCHAR(20), payload BLOB)"
+    )
+    conn.executemany(
+        "INSERT INTO t VALUES (?,?,?,?,?)",
+        [(i, i * 1.5, i / 3, f"n{i}", b"\x00" * i) for i in range(1, 30)],
+    )
+    conn.commit()
+    conn.close()
+
+    f = sqlite_factory(db)
+    sch = probe_table_schema(f, "t")
+    assert sch.field("id").type == pa.int64()
+    assert sch.field("v").type == pa.float64()
+    assert sch.field("p").type == pa.float64()
+    assert sch.field("name").type == pa.string()
+    assert sch.field("payload").type == pa.binary()
+
+    ds = read_sql_incremental(f, "t", "id", num_shards=3)
+    import ray
+
+    t = pa.concat_tables([ray.get(r) for r in ds.to_arrow_refs()]).sort_by("id")
+    assert t.num_rows == 29 and t["id"][0].as_py() == 1
+    assert t["v"][1].as_py() == 3.0
