@@ -740,6 +740,69 @@ def q_multimodal_features(sf_dir: str) -> rd.Dataset:
     return feats.map_batches(summarize, batch_format="pyarrow")
 
 
+def q_mongo_flatten(sf_dir: str) -> rd.Dataset:
+    """Mongo-style document import: JSON payload parse → nested document
+    struct → recursive flatten → ObjectId binary → hex normalization
+    (reference: import_operations.py:715 runSparkImportForMongo,
+    :685 convertSparkTypeToBinary). The ``events.props`` JSON string is the
+    document payload; an ObjectId-like 12-byte binary id is derived
+    deterministically from the event id (sha256 prefix) so the oracle can
+    reproduce it."""
+    import hashlib
+
+    from ..stages.flatten import (
+        flatten_struct_columns,
+        normalize_binary_columns,
+        parse_json_column,
+    )
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "event_type", "value", "props"]
+    )
+    props_type = pa.struct([("k", pa.int64())])
+
+    def xf(t: pa.Table) -> pa.Table:
+        t = parse_json_column(t, "props", struct_type=props_type)
+        oid = pa.array(
+            [hashlib.sha256(str(i).encode()).digest()[:12] for i in t["event_id"].to_pylist()],
+            type=pa.binary(),
+        )
+        meta = pc.make_struct(
+            t["event_type"].combine_chunks(),
+            t["value"].combine_chunks(),
+            field_names=["event_type", "value"],
+        )
+        doc = pc.make_struct(
+            oid, t["props"].combine_chunks(), meta, field_names=["oid", "props", "meta"]
+        )
+        flat = flatten_struct_columns(pa.table({"event_id": t["event_id"], "doc": doc}))
+        return normalize_binary_columns(flat)
+
+    return ds.map_batches(xf, batch_format="pyarrow")
+
+
+def q_list_explode(sf_dir: str) -> rd.Dataset:
+    """Mongo array-field unnest: first four embedding elements exploded to
+    one row per element with its 0-based index (stages/flatten.py
+    explode_list_column — vectorized list_parent_indices + take)."""
+    from ..stages.flatten import explode_list_column
+
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+
+    def xf(t: pa.Table) -> pa.Table:
+        t = t.set_column(
+            t.column_names.index("embedding"),
+            "embedding",
+            pc.list_slice(t["embedding"], 0, 4),
+        )
+        out = explode_list_column(t, "embedding", value_name="val", index_name="idx")
+        return out.set_column(
+            out.column_names.index("val"), "val", pc.cast(out["val"], pa.float64())
+        )
+
+    return ds.map_batches(xf, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL
 # ---------------------------------------------------------------------------
@@ -954,6 +1017,20 @@ LEFT JOIN sizes sb ON sb.doc_id = p.id_b
 LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
 """,
     "sha256_docs": "SELECT doc_id, sha256(text) AS content_sha FROM documents",
+    "mongo_flatten": """
+SELECT event_id,
+       substr(lower(sha256(CAST(event_id AS VARCHAR))), 1, 24) AS doc_oid,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS doc_props_k,
+       event_type AS doc_meta_event_type,
+       value AS doc_meta_value
+FROM events
+""",
+    "list_explode": """
+SELECT vec_id, CAST(idx AS BIGINT) - 1 AS idx,
+       CAST(embedding[CAST(idx AS INT)] AS DOUBLE) AS val
+FROM embeddings, (SELECT unnest(generate_series(1, 4)) AS idx) g
+WHERE len(embedding) >= CAST(idx AS INT)
+""",
 }
 # the salted-merge replay answers the identical question as the soft merge —
 # same oracle, different execution path
@@ -997,6 +1074,8 @@ QUERIES = {
     "cdc_schema_evolution": q_cdc_schema_evolution,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "sha256_docs": q_sha256_docs,
+    "mongo_flatten": q_mongo_flatten,
+    "list_explode": q_list_explode,
     # rows-only (no SQL-expressible oracle):
     "minhash_dedup_docs": q_minhash_dedup_docs,
     "minhash_verified_docs": q_minhash_verified_docs,

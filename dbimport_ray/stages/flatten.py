@@ -1,0 +1,172 @@
+"""Semi-structured (Mongo-style) document normalizers.
+
+Ray-native analogue of the reference's MongoDB import path
+(``import_operations.py:715`` ``runSparkImportForMongo``): Spark loads BSON
+documents, recursively rewrites the schema (``import_operations.py:699``
+``convertSparkSchema`` — NullType→string, optional date→string), converts
+every binary/ObjectId field to a string (``import_operations.py:685``
+``convertSparkTypeToBinary``), and probes string-typed date columns to
+decide whether they are real timestamps (``import_operations.py:856-898``).
+
+Here each step is a stateless vectorized kernel over a ``pyarrow.Table``
+batch, composable inside ``Dataset.map_batches(batch_format="pyarrow")``:
+
+- :func:`parse_json_column` — JSON document string → Arrow struct column
+  (the load step; JSON strings stand in for BSON documents).
+- :func:`flatten_struct_columns` — recursive struct → top-level dotted
+  columns, zero-copy via ``pc.struct_field`` (which propagates parent
+  nulls — a null document yields null leaves, not child garbage).
+- :func:`normalize_binary_columns` — binary/ObjectId-like values → lowercase
+  hex strings, the Arrow equivalent of ``convertSparkTypeToBinary``.
+- :func:`explode_list_column` — Mongo array field → one row per element
+  with optional element index (``pc.list_parent_indices`` + ``take``).
+- :func:`infer_timestamp_columns` — whole-column strptime probe; a string
+  column becomes a timestamp column only when EVERY non-null value parses,
+  mirroring the reference's "incorrectDateColumns" test.
+
+All kernels are per-batch and schema-driven; nothing shuffles, so they
+scale with the read — safe at any corpus size.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def parse_json_column(
+    table: pa.Table,
+    col: str,
+    out: str | None = None,
+    struct_type: pa.DataType | None = None,
+    drop: bool = True,
+) -> pa.Table:
+    """Parse a JSON-document string column into an Arrow struct column.
+
+    ``struct_type`` pins the struct schema so every batch of a Dataset
+    produces the same type regardless of which keys happen to appear
+    (pass it for multi-batch pipelines; when omitted the type is inferred
+    from this batch alone). Nulls and missing keys become null fields.
+
+    The per-row ``json.loads`` is the C-accelerated stdlib parser — the
+    unavoidable boundary between an opaque document payload and columnar
+    data, same place Spark's BSON reader pays it.
+    """
+    out = out or col
+    docs = [None if v is None else json.loads(v) for v in table[col].to_pylist()]
+    arr = pa.array(docs, type=struct_type)
+    if struct_type is None and not pa.types.is_struct(arr.type):
+        raise TypeError(f"column {col!r} did not parse to JSON objects: {arr.type}")
+    if drop and col in table.column_names and col != out:
+        table = table.drop_columns([col])
+    if out in table.column_names:
+        table = table.set_column(table.column_names.index(out), out, arr)
+    else:
+        table = table.append_column(out, arr)
+    return table
+
+
+def _flatten_one(name: str, arr: pa.ChunkedArray | pa.Array, sep: str) -> list[tuple[str, pa.ChunkedArray | pa.Array]]:
+    typ = arr.type
+    if not pa.types.is_struct(typ):
+        return [(name, arr)]
+    cols: list[tuple[str, pa.ChunkedArray | pa.Array]] = []
+    for field in typ:
+        # pc.struct_field propagates parent nulls (verified pyarrow 16)
+        child = pc.struct_field(arr, field.name)
+        cols.extend(_flatten_one(f"{name}{sep}{field.name}", child, sep))
+    return cols
+
+
+def flatten_struct_columns(table: pa.Table, sep: str = "_") -> pa.Table:
+    """Recursively flatten every struct column into ``parent<sep>child``
+    top-level columns. Non-struct columns pass through unchanged; lists of
+    structs are left intact (explode first if per-element rows are wanted).
+    """
+    names: list[str] = []
+    arrays: list[pa.ChunkedArray | pa.Array] = []
+    for name in table.column_names:
+        for n, a in _flatten_one(name, table[name], sep):
+            names.append(n)
+            arrays.append(a)
+    return pa.table(dict(zip(names, arrays)))
+
+
+def normalize_binary_columns(table: pa.Table, cols: list[str] | None = None) -> pa.Table:
+    """Convert binary columns to lowercase hex strings (ObjectId-style ids
+    become stable printable keys), the Arrow analogue of
+    ``convertSparkTypeToBinary`` (import_operations.py:685). ``cols=None``
+    converts every binary-typed column.
+    """
+    targets = cols or [
+        f.name
+        for f in table.schema
+        if pa.types.is_binary(f.type)
+        or pa.types.is_large_binary(f.type)
+        or pa.types.is_fixed_size_binary(f.type)
+    ]
+    for name in targets:
+        arr = table[name]
+        # bytes.hex() is C-backed; binary ids are short (12-16 bytes)
+        hexed = pa.array(
+            [None if v is None else v.hex() for v in arr.to_pylist()],
+            type=pa.string(),
+        )
+        table = table.set_column(table.column_names.index(name), name, hexed)
+    return table
+
+
+def explode_list_column(
+    table: pa.Table,
+    col: str,
+    value_name: str | None = None,
+    index_name: str | None = None,
+) -> pa.Table:
+    """One output row per list element (Mongo array unnest). Rows whose
+    list is null or empty produce no output. Other columns are repeated
+    via a single vectorized ``take`` on the parent indices; the optional
+    ``index_name`` column carries the 0-based position within the list.
+    """
+    value_name = value_name or col
+    list_arr = table[col].combine_chunks() if isinstance(table[col], pa.ChunkedArray) else table[col]
+    parents = pc.list_parent_indices(list_arr)
+    values = pc.list_flatten(list_arr)
+    base = table.drop_columns([col]).take(parents)
+    out = base.append_column(value_name, values)
+    if index_name:
+        # element index = running position minus the parent list's offset
+        import numpy as np
+
+        p = parents.to_numpy(zero_copy_only=False)
+        # first occurrence index of each parent run start
+        starts = np.flatnonzero(np.r_[True, p[1:] != p[:-1]])
+        run_ids = np.cumsum(np.r_[True, p[1:] != p[:-1]]) - 1
+        idx = np.arange(len(p)) - starts[run_ids]
+        out = out.append_column(index_name, pa.array(idx, type=pa.int64()))
+    return out
+
+
+def infer_timestamp_columns(
+    table: pa.Table,
+    cols: list[str] | None = None,
+    fmt: str = "%Y-%m-%d %H:%M:%S",
+    unit: str = "us",
+) -> pa.Table:
+    """Promote string columns to timestamps when every non-null value
+    parses with ``fmt`` — the reference's find_timestamp probe
+    (import_operations.py:856-898): a single unparsable value keeps the
+    column a string forever rather than corrupting it.
+    """
+    targets = cols or [f.name for f in table.schema if pa.types.is_string(f.type)]
+    for name in targets:
+        arr = table[name]
+        if arr.null_count == len(arr):
+            continue
+        try:
+            parsed = pc.strptime(arr, format=fmt, unit=unit)
+        except pa.ArrowInvalid:
+            continue
+        table = table.set_column(table.column_names.index(name), name, parsed)
+    return table

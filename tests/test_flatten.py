@@ -1,0 +1,114 @@
+"""Unit tests for the Mongo-style document normalizers (stages/flatten.py)
+plus the two contract queries vs their DuckDB oracles at sf0.001."""
+
+from __future__ import annotations
+
+import duckdb
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from dbimport_ray.stages.flatten import (
+    explode_list_column,
+    flatten_struct_columns,
+    infer_timestamp_columns,
+    normalize_binary_columns,
+    parse_json_column,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_parse_json_column_missing_keys_and_nulls():
+    t = pa.table({"id": [1, 2, 3], "doc": ['{"a": 1, "b": "x"}', '{"a": null}', None]})
+    typ = pa.struct([("a", pa.int64()), ("b", pa.string())])
+    out = parse_json_column(t, "doc", struct_type=typ)
+    assert out.schema.field("doc").type == typ
+    assert pc.struct_field(out["doc"], "a").to_pylist() == [1, None, None]
+    assert pc.struct_field(out["doc"], "b").to_pylist() == ["x", None, None]
+
+
+def test_parse_json_column_rejects_scalars():
+    t = pa.table({"doc": ["1", "2"]})
+    with pytest.raises(TypeError):
+        parse_json_column(t, "doc")
+
+
+def test_flatten_nested_struct_propagates_parent_nulls():
+    arr = pa.array(
+        [
+            {"a": 1, "b": {"c": "x", "d": {"e": 5}}},
+            None,
+            {"a": 3, "b": None},
+        ]
+    )
+    out = flatten_struct_columns(pa.table({"id": [10, 11, 12], "doc": arr}))
+    assert out.column_names == ["id", "doc_a", "doc_b_c", "doc_b_d_e"]
+    # a null document / null sub-struct must yield null leaves, not child
+    # storage garbage (StructArray.field would have returned 0 here)
+    assert out["doc_a"].to_pylist() == [1, None, 3]
+    assert out["doc_b_c"].to_pylist() == ["x", None, None]
+    assert out["doc_b_d_e"].to_pylist() == [5, None, None]
+
+
+def test_normalize_binary_columns_hex():
+    t = pa.table(
+        {
+            "oid": pa.array([b"\x00\xff\x10", None], type=pa.binary()),
+            "fixed": pa.array([b"ab", b"cd"], type=pa.binary(2)),
+            "s": ["keep", "these"],
+        }
+    )
+    out = normalize_binary_columns(t)
+    assert out["oid"].to_pylist() == ["00ff10", None]
+    assert out["fixed"].to_pylist() == ["6162", "6364"]
+    assert out["s"].to_pylist() == ["keep", "these"]
+
+
+def test_explode_list_column_empty_null_and_index():
+    t = pa.table(
+        {
+            "id": [1, 2, 3, 4],
+            "arr": pa.array([[10, 20], [], None, [30]], type=pa.list_(pa.int64())),
+        }
+    )
+    out = explode_list_column(t, "arr", value_name="v", index_name="i")
+    assert out["id"].to_pylist() == [1, 1, 4]
+    assert out["v"].to_pylist() == [10, 20, 30]
+    assert out["i"].to_pylist() == [0, 1, 0]
+
+
+def test_infer_timestamp_columns_all_or_nothing():
+    t = pa.table(
+        {
+            "good": ["2024-01-02 03:04:05", None],
+            "bad": ["2024-01-02 03:04:05", "not-a-date"],
+            "allnull": pa.array([None, None], type=pa.string()),
+        }
+    )
+    out = infer_timestamp_columns(t)
+    assert pa.types.is_timestamp(out.schema.field("good").type)
+    assert pa.types.is_string(out.schema.field("bad").type)
+    assert pa.types.is_string(out.schema.field("allnull").type)
+
+
+def _oracle(sql: str):
+    con = duckdb.connect()
+    for tbl in ("events", "embeddings"):
+        con.sql(f"CREATE VIEW {tbl} AS SELECT * FROM '{SF}/{tbl}.parquet'")
+    return con.sql(sql).df()
+
+
+@pytest.mark.parametrize("name", ["mongo_flatten", "list_explode"])
+def test_contract_queries_match_oracle(ray_session, name):
+    from dbimport_ray.pipelines.queries import ORACLES, QUERIES
+
+    ray_df = QUERIES[name](SF).to_pandas()
+    sql_df = _oracle(ORACLES[name])
+    cols = sorted(ray_df.columns)
+    assert cols == sorted(sql_df.columns)
+    a = ray_df[cols].sort_values(cols, ignore_index=True)
+    b = sql_df[cols].sort_values(cols, ignore_index=True)
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(a, b, check_dtype=False)
