@@ -803,6 +803,82 @@ def q_list_explode(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(xf, batch_format="pyarrow")
 
 
+def q_windowed_agg(sf_dir: str) -> rd.Dataset:
+    """Tumbling 1-hour window rollup of the change stream: vectorized
+    floor_temporal stamp + one hash aggregate (map-side partial combine,
+    so the shuffle carries (window, type) partials, not events)."""
+    from ..stages.joins import strip_schema_metadata
+    from ..stages.window import tumbling_window_aggregate
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["ts", "event_type", "value"]
+    ).map_batches(strip_schema_metadata, batch_format="pyarrow")
+    return tumbling_window_aggregate(
+        ds,
+        "ts",
+        "hour",
+        ["event_type"],
+        [Count(alias_name="n_events"), Min("value", alias_name="min_value"), Max("value", alias_name="max_value")],
+        out="window_start",
+    )
+
+
+def q_sessionize(sf_dir: str) -> rd.Dataset:
+    """Per-user sessionization of the event stream (30-minute inactivity
+    gap): one shuffle by user, vectorized diff+cumsum per group."""
+    from ..stages.joins import strip_schema_metadata
+    from ..stages.window import sessionize
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["user_id", "ts", "event_id"]
+    ).map_batches(strip_schema_metadata, batch_format="pyarrow")
+    return sessionize(ds, "user_id", "ts", 30.0, tie_col="event_id")
+
+
+def q_window_lag(sf_dir: str) -> rd.Dataset:
+    """lag(value) OVER (PARTITION BY user ORDER BY ts, event_id) — the
+    previous-image lookup of a change stream as a first-class operator."""
+    from ..stages.joins import strip_schema_metadata
+    from ..stages.window import window_lag
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"]
+    ).map_batches(strip_schema_metadata, batch_format="pyarrow")
+    out = window_lag(ds, "user_id", ["ts", "event_id"], "value", out="prev_value")
+    return out.select_columns(["event_id", "prev_value"])
+
+
+def q_asof_join(sf_dir: str) -> rd.Dataset:
+    """Point-in-time dimension join: each event picks the latest order of
+    the same customer placed at-or-before the event time (tag + union +
+    co-group + searchsorted; single hash exchange). The right side is
+    pre-aggregated to one row per (custkey, date) so "latest" is unique."""
+    from ..stages.joins import strip_schema_metadata
+    from ..stages.window import asof_join
+
+    ev = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["user_id", "ts", "event_id"]
+    ).map_batches(strip_schema_metadata, batch_format="pyarrow")
+    orders = rd.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    ).map_batches(strip_schema_metadata, batch_format="pyarrow")
+    dim = (
+        orders.groupby(["o_custkey", "o_orderdate"])
+        .aggregate(Max("o_totalprice", alias_name="o_totalprice"))
+        .rename_columns({"o_custkey": "user_id"})
+    )
+    res = asof_join(
+        ev,
+        dim,
+        key="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        value_cols=["o_totalprice"],
+        keep=["event_id"],
+    )
+    return res.select_columns(["event_id", "user_id", "o_totalprice"])
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL
 # ---------------------------------------------------------------------------
@@ -1031,6 +1107,43 @@ SELECT vec_id, CAST(idx AS BIGINT) - 1 AS idx,
 FROM embeddings, (SELECT unnest(generate_series(1, 4)) AS idx) g
 WHERE len(embedding) >= CAST(idx AS INT)
 """,
+    "windowed_agg": """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events, MIN(value) AS min_value, MAX(value) AS max_value
+FROM events GROUP BY 1, 2
+""",
+    "sessionize": """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o
+)
+SELECT user_id, CAST(sess - 1 AS BIGINT) AS session_idx,
+       COUNT(*) AS n_events, MIN(ts) AS start_ts, MAX(ts) AS end_ts
+FROM s GROUP BY user_id, sess
+""",
+    "window_lag": """
+SELECT event_id,
+       lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+FROM events
+""",
+    "asof_join": """
+WITH dim AS (
+  SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS t,
+         MAX(o_totalprice) AS o_totalprice
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, d.o_totalprice
+FROM events e ASOF JOIN dim d ON e.user_id = d.o_custkey AND e.ts >= d.t
+""",
 }
 # the salted-merge replay answers the identical question as the soft merge —
 # same oracle, different execution path
@@ -1076,6 +1189,10 @@ QUERIES = {
     "sha256_docs": q_sha256_docs,
     "mongo_flatten": q_mongo_flatten,
     "list_explode": q_list_explode,
+    "windowed_agg": q_windowed_agg,
+    "sessionize": q_sessionize,
+    "window_lag": q_window_lag,
+    "asof_join": q_asof_join,
     # rows-only (no SQL-expressible oracle):
     "minhash_dedup_docs": q_minhash_dedup_docs,
     "minhash_verified_docs": q_minhash_verified_docs,

@@ -1,0 +1,218 @@
+"""Time-ordered operators: tumbling-window aggregates, sessionization,
+per-key lag, and as-of join.
+
+The reference has no time-ordered operators (its ETL is batch snapshot
+merge), but a change-event pipeline at scale needs them constantly —
+windowed rollups of the change stream, session grouping of per-entity
+activity, previous-image lookups, and point-in-time dimension joins. Each
+is expressed Ray-Data-first:
+
+- :func:`tumbling_window_aggregate` — a stateless ``map_batches`` stamp
+  (vectorized ``pc.floor_temporal``) followed by one hash aggregate; Ray
+  pre-aggregates per block before the shuffle, so the exchange carries one
+  row per (window, key) per block, never the raw events.
+- :func:`sessionize` / :func:`window_lag` — ONE shuffle by entity key
+  (``groupby(key).map_groups``), then a fully vectorized numpy pass inside
+  each group (lexsort + diff + cumsum). Per-group state is bounded by that
+  entity's event count; a hot entity can be pre-split with
+  ``stages.partitioning.key_salt`` when order within the salt is not
+  required.
+- :func:`asof_join` — the composition pattern for operators Ray Data
+  lacks: tag both sides, union, co-group by join key, and resolve the
+  most-recent-right-row-per-left-row inside the group with one
+  ``np.searchsorted``. Exactly one shuffle; no driver-side state. The
+  right side must be unique per (key, time) — pre-aggregate it first,
+  otherwise "latest" is ill-defined.
+
+All group kernels require non-null order columns (enforced by dropping
+null-time rows, matching SQL window/ASOF semantics which order nulls out).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+
+def stamp_tumbling_window(
+    table: pa.Table, ts_col: str, unit: str = "hour", out: str = "window_start"
+) -> pa.Table:
+    """Vectorized window stamp: floor the timestamp to the window start."""
+    return table.append_column(out, pc.floor_temporal(table[ts_col], unit=unit))
+
+
+def tumbling_window_aggregate(
+    ds: rd.Dataset,
+    ts_col: str,
+    unit: str,
+    keys: list[str],
+    aggs: list,
+    out: str = "window_start",
+) -> rd.Dataset:
+    stamped = ds.map_batches(
+        lambda t: stamp_tumbling_window(t, ts_col, unit, out), batch_format="pyarrow"
+    )
+    return stamped.groupby([out, *keys]).aggregate(*aggs)
+
+
+def _sort_indices(table: pa.Table, order: list[str]) -> np.ndarray:
+    cols = [table[c].to_numpy(zero_copy_only=False) for c in order]
+    # np.lexsort sorts by the LAST key first
+    return np.lexsort(tuple(reversed(cols)))
+
+
+def sessionize(
+    ds: rd.Dataset,
+    key: str,
+    ts_col: str,
+    gap_minutes: float,
+    tie_col: str | None = None,
+) -> rd.Dataset:
+    """One row per (key, session): a new session starts when the gap to the
+    previous event of the same key exceeds ``gap_minutes``. Output columns:
+    key, ``session_idx`` (0-based per key), ``n_events``, ``start_ts``,
+    ``end_ts``.
+    """
+    gap_us = np.int64(gap_minutes * 60_000_000)
+    order = [ts_col] + ([tie_col] if tie_col else [])
+
+    def per_key(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[ts_col]))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    key: pa.array([], t.schema.field(key).type),
+                    "session_idx": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "start_ts": pa.array([], t.schema.field(ts_col).type),
+                    "end_ts": pa.array([], t.schema.field(ts_col).type),
+                }
+            )
+        idx = _sort_indices(t, order)
+        ts = t[ts_col].to_numpy(zero_copy_only=False)[idx].astype("datetime64[us]")
+        us = ts.astype(np.int64)
+        new_sess = np.r_[True, (us[1:] - us[:-1]) > gap_us]
+        sess = np.cumsum(new_sess) - 1
+        n = sess[-1] + 1
+        counts = np.bincount(sess, minlength=n)
+        starts = np.flatnonzero(new_sess)
+        ends = np.r_[starts[1:] - 1, len(us) - 1]
+        kv = t[key][0].as_py()
+        return pa.table(
+            {
+                key: pa.array([kv] * n, t.schema.field(key).type),
+                "session_idx": pa.array(np.arange(n), pa.int64()),
+                "n_events": pa.array(counts.astype(np.int64), pa.int64()),
+                "start_ts": pa.array(ts[starts], pa.timestamp("us")),
+                "end_ts": pa.array(ts[ends], pa.timestamp("us")),
+            }
+        )
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")
+
+
+def window_lag(
+    ds: rd.Dataset,
+    key: str,
+    order: list[str],
+    value_col: str,
+    out: str | None = None,
+) -> rd.Dataset:
+    """SQL ``lag(value) OVER (PARTITION BY key ORDER BY order)``: every
+    input row comes back with the previous row's value (null for the first
+    row of each key). The old-image lookup of a change stream."""
+    out = out or f"prev_{value_col}"
+
+    def per_key(t: pa.Table) -> pa.Table:
+        idx = _sort_indices(t, order)
+        st = t.take(idx)
+        col = st[value_col].combine_chunks()
+        if len(col):
+            shifted = pa.concat_arrays([pa.nulls(1, col.type), col.slice(0, len(col) - 1)])
+        else:
+            shifted = col
+        return st.append_column(out, shifted)
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")
+
+
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    keep: list[str],
+) -> rd.Dataset:
+    """For every left row, attach ``value_cols`` from the latest right row
+    of the same ``key`` with ``right_time <= left_time`` (inner: left rows
+    with no such right row are dropped, matching SQL ``ASOF JOIN``).
+
+    Both sides are tagged, unioned and co-grouped by ``key`` — a single
+    hash exchange; the per-group resolve is one ``np.searchsorted`` over
+    the sorted right times.
+    """
+    ttype = pa.timestamp("us")
+    # the absent side's columns ride as typed nulls through the union
+    right_schema = right.schema().base_schema
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        cols = {
+            key: t[key],
+            "_t": pc.cast(t[left_time], ttype),
+            "_src": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+        }
+        for c in keep:
+            cols[c] = t[c]
+        for c in value_cols:
+            cols[c] = pa.nulls(t.num_rows, right_schema.field(c).type)
+        return pa.table(cols)
+
+    left_schema = left.schema().base_schema
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        cols = {
+            key: pc.cast(t[key], left_schema.field(key).type),
+            "_t": pc.cast(t[right_time], ttype),
+            "_src": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+        }
+        for c in keep:
+            cols[c] = pa.nulls(t.num_rows, left_schema.field(c).type)
+        for c in value_cols:
+            cols[c] = t[c]
+        return pa.table(cols)
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def per_key(t: pa.Table) -> pa.Table:
+        src = t["_src"].to_numpy(zero_copy_only=False)
+        times = t["_t"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        lmask, rmask = src == 1, src == 0
+        lt = t.filter(pa.array(lmask))
+        if lt.num_rows == 0 or not rmask.any():
+            empty = {key: pa.array([], t.schema.field(key).type)}
+            for c in keep:
+                empty[c] = pa.array([], t.schema.field(c).type)
+            for c in value_cols:
+                empty[c] = pa.array([], t.schema.field(c).type)
+            return pa.table(empty)
+        rtimes = times[rmask]
+        rorder = np.argsort(rtimes, kind="stable")
+        rt = t.filter(pa.array(rmask)).take(rorder)
+        pos = np.searchsorted(rtimes[rorder], times[lmask], side="right") - 1
+        hit = pos >= 0
+        lt = lt.filter(pa.array(hit))
+        matched = rt.take(pos[hit])
+        cols = {key: lt[key]}
+        for c in keep:
+            cols[c] = lt[c]
+        for c in value_cols:
+            cols[c] = matched[c]
+        return pa.table(cols)
+
+    return tagged.groupby(key).map_groups(per_key, batch_format="pyarrow")
