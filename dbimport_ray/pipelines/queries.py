@@ -859,22 +859,31 @@ def q_asof_join(sf_dir: str) -> rd.Dataset:
     ev = rd.read_parquet(
         _p(sf_dir, "events"), columns=["user_id", "ts", "event_id"]
     ).map_batches(strip_schema_metadata, batch_format="pyarrow")
-    orders = rd.read_parquet(
-        _p(sf_dir, "orders"), columns=["o_custkey", "o_orderdate", "o_totalprice"]
-    ).map_batches(strip_schema_metadata, batch_format="pyarrow")
-    dim = (
-        orders.groupby(["o_custkey", "o_orderdate"])
-        .aggregate(Max("o_totalprice", alias_name="o_totalprice"))
+    orders = (
+        rd.read_parquet(
+            _p(sf_dir, "orders"), columns=["o_custkey", "o_orderdate", "o_totalprice"]
+        )
+        .map_batches(strip_schema_metadata, batch_format="pyarrow")
         .rename_columns({"o_custkey": "user_id"})
     )
+    # duplicate (custkey, date) rows are resolved to MAX(o_totalprice) by
+    # the tie ordering inside the group kernel — no dimension-side
+    # pre-aggregate shuffle needed
     res = asof_join(
         ev,
-        dim,
+        orders,
         key="user_id",
         left_time="ts",
         right_time="o_orderdate",
         value_cols=["o_totalprice"],
         keep=["event_id"],
+        left_schema=pa.schema(
+            [("user_id", pa.int64()), ("ts", pa.timestamp("us")), ("event_id", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("user_id", pa.int64()), ("o_orderdate", pa.date32()), ("o_totalprice", pa.float64())]
+        ),
+        right_tie_cols=["o_totalprice"],
     )
     return res.select_columns(["event_id", "user_id", "o_totalprice"])
 

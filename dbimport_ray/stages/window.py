@@ -146,6 +146,9 @@ def asof_join(
     right_time: str,
     value_cols: list[str],
     keep: list[str],
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
+    right_tie_cols: list[str] | None = None,
 ) -> rd.Dataset:
     """For every left row, attach ``value_cols`` from the latest right row
     of the same ``key`` with ``right_time <= left_time`` (inner: left rows
@@ -154,10 +157,21 @@ def asof_join(
     Both sides are tagged, unioned and co-grouped by ``key`` — a single
     hash exchange; the per-group resolve is one ``np.searchsorted`` over
     the sorted right times.
+
+    The right side must be unique per (key, time) — otherwise pass
+    ``right_tie_cols``: among right rows with equal time, the row with the
+    greatest tie tuple wins. This folds a ``GROUP BY key, time / MAX(tie)``
+    pre-aggregate into the group kernel's sort for free — at scale that
+    pre-aggregate is its own all-to-all over the dimension table.
+
+    Pass ``left_schema``/``right_schema`` when known: the absent side's
+    columns ride as typed nulls through the union, and fetching a schema
+    from a Dataset whose lineage ends in an aggregate re-executes that
+    aggregate — a whole extra pass at scale.
     """
     ttype = pa.timestamp("us")
-    # the absent side's columns ride as typed nulls through the union
-    right_schema = right.schema().base_schema
+    if right_schema is None:
+        right_schema = right.schema().base_schema
 
     def tag_left(t: pa.Table) -> pa.Table:
         cols = {
@@ -171,7 +185,8 @@ def asof_join(
             cols[c] = pa.nulls(t.num_rows, right_schema.field(c).type)
         return pa.table(cols)
 
-    left_schema = left.schema().base_schema
+    if left_schema is None:
+        left_schema = left.schema().base_schema
 
     def tag_right(t: pa.Table) -> pa.Table:
         cols = {
@@ -202,8 +217,15 @@ def asof_join(
                 empty[c] = pa.array([], t.schema.field(c).type)
             return pa.table(empty)
         rtimes = times[rmask]
-        rorder = np.argsort(rtimes, kind="stable")
-        rt = t.filter(pa.array(rmask)).take(rorder)
+        rt = t.filter(pa.array(rmask))
+        if right_tie_cols:
+            ties = [rt[c].to_numpy(zero_copy_only=False) for c in right_tie_cols]
+            # np.lexsort: LAST key is primary → time asc, then ties asc, so
+            # searchsorted's right-1 lands on the greatest tie per time
+            rorder = np.lexsort(tuple(reversed(ties)) + (rtimes,))
+        else:
+            rorder = np.argsort(rtimes, kind="stable")
+        rt = rt.take(rorder)
         pos = np.searchsorted(rtimes[rorder], times[lmask], side="right") - 1
         hit = pos >= 0
         lt = lt.filter(pa.array(hit))
