@@ -57,6 +57,8 @@ QUERY_NAMES = [
     "minhash_dedup_docs",
     "ann_topk",
     "quality_docs",
+    "mongo_flatten",
+    "asof_join",
 ]
 
 

@@ -888,6 +888,31 @@ def q_asof_join(sf_dir: str) -> rd.Dataset:
     return res.select_columns(["event_id", "user_id", "o_totalprice"])
 
 
+def q_quantiles_docs(sf_dir: str) -> pa.Table:
+    """Exact distribution quantiles of document length — value-counts hash
+    aggregate (exchange bounded by the distinct-value domain) + cumulative
+    walk; no global sort of the corpus."""
+    from ..stages.joins import strip_schema_metadata
+    from ..stages.stats import exact_quantiles
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["n_chars"]).map_batches(
+        strip_schema_metadata, batch_format="pyarrow"
+    )
+    return exact_quantiles(ds, "n_chars", [0.25, 0.5, 0.75, 0.9, 0.99])
+
+
+def q_top_events(sf_dir: str) -> rd.Dataset:
+    """Frequency top-k (aggregate → sort → limit; the sort sees one row per
+    distinct key). Deterministic tie-break by key."""
+    from ..stages.joins import strip_schema_metadata
+    from ..stages.stats import top_k_by_count
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type"]).map_batches(
+        strip_schema_metadata, batch_format="pyarrow"
+    )
+    return top_k_by_count(ds, "event_type", 5)
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL
 # ---------------------------------------------------------------------------
@@ -1153,6 +1178,18 @@ WITH dim AS (
 SELECT e.event_id, e.user_id, d.o_totalprice
 FROM events e ASOF JOIN dim d ON e.user_id = d.o_custkey AND e.ts >= d.t
 """,
+    "quantiles_docs": """
+SELECT 0.25 AS q, quantile_disc(n_chars, 0.25) AS value FROM documents
+UNION ALL SELECT 0.5, quantile_disc(n_chars, 0.5) FROM documents
+UNION ALL SELECT 0.75, quantile_disc(n_chars, 0.75) FROM documents
+UNION ALL SELECT 0.9, quantile_disc(n_chars, 0.9) FROM documents
+UNION ALL SELECT 0.99, quantile_disc(n_chars, 0.99) FROM documents
+""",
+    "top_events": """
+SELECT event_type, n FROM (
+  SELECT event_type, count(*) AS n FROM events GROUP BY 1
+) ORDER BY n DESC, event_type LIMIT 5
+""",
 }
 # the salted-merge replay answers the identical question as the soft merge —
 # same oracle, different execution path
@@ -1202,6 +1239,8 @@ QUERIES = {
     "sessionize": q_sessionize,
     "window_lag": q_window_lag,
     "asof_join": q_asof_join,
+    "quantiles_docs": q_quantiles_docs,
+    "top_events": q_top_events,
     # rows-only (no SQL-expressible oracle):
     "minhash_dedup_docs": q_minhash_dedup_docs,
     "minhash_verified_docs": q_minhash_verified_docs,

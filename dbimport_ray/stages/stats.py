@@ -1,0 +1,61 @@
+"""Distribution statistics operators: exact distributed quantiles and
+deterministic top-k by frequency.
+
+The reference's validation layer stops at row counts and min/max probes
+(import_config.py:3306 ``getJDBCTableRowCount``, ``runCustomValidation``);
+a data-quality gate over a 100-TB corpus also needs distribution shape —
+"did the p99 document length shift after this ingest?".
+
+- :func:`exact_quantiles` — EXACT discrete quantiles without a global
+  sort: one hash aggregate to value counts (the exchange carries one row
+  per DISTINCT value per block — bounded by the value domain, not the row
+  count), then a cumulative walk over the sorted distinct values. Right
+  for bounded-cardinality columns (lengths, scores, counts); for unbounded
+  continuous domains bucket first.
+- :func:`top_k_by_count` — frequency top-k as aggregate → sort → limit.
+  The sort input is one row per distinct key (already reduced), so the
+  "global sort" is over the aggregate, never the events. Ties broken by
+  key ascending so the result is deterministic and oracle-comparable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Count
+
+
+def exact_quantiles(
+    ds: rd.Dataset, col: str, qs: list[float], count_col: str = "cnt"
+) -> pa.Table:
+    """Exact ``quantile_disc``-style quantiles (value at index
+    ``ceil(q*n)-1`` of the sorted column, i.e. inverted-CDF). Returns a
+    table with columns ``q`` (float64) and ``value`` (the column's type).
+    """
+    counts = ds.groupby(col).aggregate(Count(alias_name=count_col)).take_all()
+    vals = np.array([r[col] for r in counts])
+    cnts = np.array([r[count_col] for r in counts], dtype=np.int64)
+    order = np.argsort(vals, kind="stable")
+    vals, cnts = vals[order], cnts[order]
+    cum = np.cumsum(cnts)
+    n = cum[-1]
+    out_vals = []
+    for q in qs:
+        rank = max(int(np.ceil(q * n)), 1)  # 1-based rank of the quantile
+        out_vals.append(vals[np.searchsorted(cum, rank, side="left")])
+    return pa.table(
+        {
+            "q": pa.array(list(qs), pa.float64()),
+            "value": pa.array(out_vals),
+        }
+    )
+
+
+def top_k_by_count(
+    ds: rd.Dataset, key: str, k: int, count_col: str = "n"
+) -> rd.Dataset:
+    """The ``k`` most frequent values of ``key`` with their counts,
+    ordered by count desc then key asc (deterministic under ties)."""
+    agg = ds.groupby(key).aggregate(Count(alias_name=count_col))
+    return agg.sort([count_col, key], descending=[True, False]).limit(k)

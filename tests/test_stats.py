@@ -1,0 +1,35 @@
+"""Unit tests for exact quantiles / top-k (stages/stats.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from dbimport_ray.stages.stats import exact_quantiles, top_k_by_count
+
+
+def test_exact_quantiles_matches_numpy_inverted_cdf(ray_session):
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 50, size=997)
+    ds = rd.from_arrow(pa.table({"x": vals}))
+    qs = [0.01, 0.25, 0.5, 0.9, 0.999]
+    out = exact_quantiles(ds, "x", qs)
+    got = dict(zip(out["q"].to_pylist(), out["value"].to_pylist()))
+    s = np.sort(vals)
+    for q in qs:
+        assert got[q] == s[max(int(np.ceil(q * len(s))), 1) - 1], q
+
+
+def test_exact_quantiles_single_value(ray_session):
+    ds = rd.from_arrow(pa.table({"x": [7, 7, 7]}))
+    out = exact_quantiles(ds, "x", [0.0, 0.5, 1.0])
+    assert out["value"].to_pylist() == [7, 7, 7]
+
+
+def test_top_k_deterministic_ties(ray_session):
+    ds = rd.from_arrow(pa.table({"k": ["b", "a", "c", "a", "b", "d"]}))
+    out = top_k_by_count(ds, "k", 3).to_pandas()
+    # a and b tie at 2 → key-ascending order; then c/d tie at 1 → c wins
+    assert out["k"].tolist() == ["a", "b", "c"]
+    assert out["n"].tolist() == [2, 2, 1]
