@@ -59,6 +59,8 @@ QUERY_NAMES = [
     "quality_docs",
     "mongo_flatten",
     "asof_join",
+    "range_join",
+    "windowed_agg",
 ]
 
 

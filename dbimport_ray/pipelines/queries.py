@@ -39,7 +39,7 @@ from ..functions.text import (
     quality_metrics,
     token_count,
 )
-from ..sources.events import max_sequence, read_events
+from ..sources.events import max_sequence, read_events, read_parquet_clean
 from ..stages.joins import broadcast_anti_join
 from ..stages.lww import lww_dedup, make_lww_prereduce
 from ..stages.validate import allowed_diff
@@ -61,6 +61,12 @@ EMB_DIM = 64
 
 def _p(sf_dir: str, table: str) -> str:
     return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None, **kw) -> rd.Dataset:
+    """Column-pruned clean read of a test table (metadata-free pinned
+    schema — see sources/events.py read_parquet_clean)."""
+    return read_parquet_clean(_p(sf_dir, table), columns=columns, **kw)
 
 
 def _scratch(tag: str) -> str:
@@ -113,7 +119,7 @@ def _derive_cdc_stream(sf_dir: str, out_dir: str) -> str:
     import glob
 
     out = os.path.join(out_dir, "stream")
-    rd.read_parquet(_p(sf_dir, "events")).map_batches(
+    _read(sf_dir, "events").map_batches(
         derive, batch_format="pyarrow"
     ).write_parquet(out)
     return sorted(glob.glob(os.path.join(out, "*.parquet")))
@@ -259,8 +265,8 @@ def q_join_agg(sf_dir: str) -> rd.Dataset:
     antijoin_deletes)."""
     from ..stages.joins import hash_join
 
-    orders = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
-    cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     joined = hash_join(
         orders, cust, on=("o_custkey",), right_on=("c_custkey",), num_partitions=8
     )
@@ -273,9 +279,7 @@ def q_join_agg(sf_dir: str) -> rd.Dataset:
 
 def q_lww_dedup(sf_dir: str) -> rd.Dataset:
     """Last-writer-wins row per key (J5/A4: import_config.py:3218-3247)."""
-    ds = rd.read_parquet(
-        _p(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "value"]
-    )
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type", "value"])
     ds = ds.map_batches(make_lww_prereduce(["user_id"], "event_id"), batch_format="pyarrow")
     out = ds.groupby("user_id").map_groups(
         lambda g: lww_dedup(g, ["user_id"], "event_id"), batch_format="pyarrow"
@@ -363,7 +367,7 @@ def q_sql_incremental_read(sf_dir: str) -> rd.Dataset:
 
 def q_rowcount_validation(sf_dir: str) -> pa.Table:
     """3-point validation counts + sqrt-n band (import_config.py:2807)."""
-    n = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id"]).count()
+    n = _read(sf_dir, "events", columns=["event_id"]).count()
     return pa.table(
         {
             "source_rows": pa.array([n], type=pa.int64()),
@@ -375,8 +379,8 @@ def q_rowcount_validation(sf_dir: str) -> pa.Table:
 def q_project_rename_cast(sf_dir: str) -> rd.Dataset:
     """M1+M3: column projection/rename + cast + computed column, with
     column pruning at the read."""
-    ds = rd.read_parquet(
-        _p(sf_dir, "lineitem"),
+    ds = _read(
+        sf_dir, "lineitem",
         columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice", "l_discount"],
     )
 
@@ -398,15 +402,16 @@ def q_project_rename_cast(sf_dir: str) -> rd.Dataset:
 def q_static_filter(sf_dir: str) -> rd.Dataset:
     """M4: static predicate pushdown (sqoop_sql_where_addition)."""
     flt = (pc.field("o_totalprice") > 100000.0) & (pc.field("o_orderstatus") == "O")
-    return rd.read_parquet(
-        _p(sf_dir, "orders"),
+    return _read(
+        sf_dir, "orders",
         columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        filter_columns=("o_orderstatus",),
         filter=flt,
     )
 
 
 def _anon(sf_dir: str, kind: str) -> rd.Dataset:
-    ds = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
 
     def xf(t: pa.Table) -> pa.Table:
         if kind == "hash":
@@ -437,10 +442,8 @@ def q_anonymize_first4(sf_dir: str) -> rd.Dataset:
 
 def q_groupby_pk_max(sf_dir: str) -> rd.Dataset:
     """A4: per-key max sequence + event count."""
-    from ..stages.joins import strip_schema_metadata
 
-    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_id"])
-    ds = ds.map_batches(strip_schema_metadata, batch_format="pyarrow")
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id"])
     return ds.groupby("user_id").aggregate(
         Max("event_id", alias_name="max_seq"), Count(alias_name="n_events")
     )
@@ -449,13 +452,11 @@ def q_groupby_pk_max(sf_dir: str) -> rd.Dataset:
 def q_agg_lineitem(sf_dir: str) -> rd.Dataset:
     """A1/A7-style grouped validation aggregate over lineitem (order-robust
     aggregates only: integral sums, count, min/max)."""
-    from ..stages.joins import strip_schema_metadata
 
-    ds = rd.read_parquet(
-        _p(sf_dir, "lineitem"),
+    ds = _read(
+        sf_dir, "lineitem",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
     )
-    ds = ds.map_batches(strip_schema_metadata, batch_format="pyarrow")
     return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("l_quantity", alias_name="sum_qty"),
         Count(alias_name="count_order"),
@@ -467,10 +468,11 @@ def q_agg_lineitem(sf_dir: str) -> rd.Dataset:
 def q_antijoin_deletes(sf_dir: str) -> rd.Dataset:
     """J2 shape: keys present in target, absent from snapshot — here:
     customers with no orders, via broadcast anti-join (no shuffle)."""
-    cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey"])
-    orders = rd.read_parquet(
-        _p(sf_dir, "orders"),
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    orders = _read(
+        sf_dir, "orders",
         columns=["o_custkey"],
+        filter_columns=("o_totalprice",),
         filter=pc.field("o_totalprice") > 200000.0,
     )
     return broadcast_anti_join(
@@ -484,12 +486,12 @@ def q_antijoin_deletes(sf_dir: str) -> rd.Dataset:
 
 def q_exact_dedup_docs(sf_dir: str) -> rd.Dataset:
     """Exact dedup on documents.text — survivor = min doc_id per text."""
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return exact_dedup(ds, "text", "doc_id").select_columns(["doc_id"])
 
 
 def q_token_count_docs(sf_dir: str) -> rd.Dataset:
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def xf(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -504,7 +506,7 @@ def q_token_count_docs(sf_dir: str) -> rd.Dataset:
 
 
 def q_quality_docs(sf_dir: str) -> rd.Dataset:
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(
         lambda t: quality_metrics(t, "text").select(
             ["doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "quality_score"]
@@ -515,7 +517,7 @@ def q_quality_docs(sf_dir: str) -> rd.Dataset:
 
 def q_minhash_dedup_docs(sf_dir: str) -> rd.Dataset:
     """MinHash+LSH near-dedup survivors over documents (rows-only check)."""
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return minhash_lsh_dedup(ds, "text", "doc_id").select_columns(["doc_id"])
 
 
@@ -524,13 +526,13 @@ def q_minhash_verified_docs(sf_dir: str) -> rd.Dataset:
     Jaccard (rows-only check)."""
     from .dedup import minhash_verified_clusters
 
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return minhash_verified_clusters(ds, "text", "doc_id", jaccard_threshold=0.5)
 
 
 def q_simhash_docs(sf_dir: str) -> rd.Dataset:
     """64-bit simhash per document (rows-only check)."""
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def xf(t: pa.Table) -> pa.Table:
         sig = simhash64(t["text"])
@@ -543,13 +545,13 @@ def q_simhash_docs(sf_dir: str) -> rd.Dataset:
 
 def q_embedding_dedup(sf_dir: str) -> rd.Dataset:
     """Cosine near-dup clusters over embeddings (rows-only check)."""
-    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return embedding_dedup_clusters(ds, "embedding", "vec_id", dim=EMB_DIM, threshold=0.99)
 
 
 def q_lang_id_docs(sf_dir: str) -> rd.Dataset:
     """Stopword-profile language ID (actor-pool stage; rows-only check)."""
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(
         LangIdBatch,
         fn_constructor_kwargs={"text_col": "text"},
@@ -560,7 +562,7 @@ def q_lang_id_docs(sf_dir: str) -> rd.Dataset:
 
 def q_fingerprint_docs(sf_dir: str) -> rd.Dataset:
     """Rolling-hash document fingerprint (rows-only check)."""
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def xf(t: pa.Table) -> pa.Table:
         fp = fingerprint64(t["text"])
@@ -634,10 +636,10 @@ def q_cdc_schema_evolution(sf_dir: str) -> pa.Table:
 
     s1 = os.path.join(root, "b1")
     s2 = os.path.join(root, "b2")
-    rd.read_parquet(path, filter=pc.field("event_id") <= half).map_batches(
+    read_parquet_clean(path, filter=pc.field("event_id") <= half).map_batches(
         derive(False), batch_format="pyarrow"
     ).write_parquet(s1)
-    rd.read_parquet(path, filter=pc.field("event_id") > half).map_batches(
+    read_parquet_clean(path, filter=pc.field("event_id") > half).map_batches(
         derive(True), batch_format="pyarrow"
     ).write_parquet(s2)
 
@@ -661,7 +663,7 @@ def q_ann_ivf(sf_dir: str) -> rd.Dataset:
     with nprobe = n_cells so the result is exact and SQL-checkable; at
     scale nprobe << n_cells trades recall for reading fewer cells."""
     root = _scratch("ivf")
-    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     idx = IVFIndex.build(
         ds, os.path.join(root, "index"), n_cells=8, emb_col="embedding", id_col="vec_id"
     )
@@ -684,10 +686,10 @@ def q_ngram_jaccard_pairs(sf_dir: str) -> rd.Dataset:
         t = t.filter(pc.less(t["doc_id"], pa.scalar(max_id)))
         return pa.table({"id_a": t["doc_id"], "id_b": pc.add(t["doc_id"], 1)})
 
-    pairs = rd.read_parquet(path, columns=["doc_id"]).map_batches(
+    pairs = read_parquet_clean(path, columns=["doc_id"]).map_batches(
         mk_pairs, batch_format="pyarrow"
     )
-    docs = rd.read_parquet(path, columns=["doc_id", "text"])
+    docs = read_parquet_clean(path, columns=["doc_id", "text"])
     joined = join_pair_texts(
         pairs, docs, "id_a", "id_b", "doc_id", "text", num_partitions=8
     )
@@ -700,7 +702,7 @@ def q_ngram_jaccard_pairs(sf_dir: str) -> rd.Dataset:
 def q_sha256_docs(sf_dir: str) -> rd.Dataset:
     """Per-row content sha256 — the north rule's own equivalence invariant
     as a first-class operator (hashlib over encoded bytes per batch)."""
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def xf(t: pa.Table) -> pa.Table:
         return pa.table({"doc_id": t["doc_id"], "content_sha": hash_column(t["text"])})
@@ -756,9 +758,7 @@ def q_mongo_flatten(sf_dir: str) -> rd.Dataset:
         parse_json_column,
     )
 
-    ds = rd.read_parquet(
-        _p(sf_dir, "events"), columns=["event_id", "event_type", "value", "props"]
-    )
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value", "props"])
     props_type = pa.struct([("k", pa.int64())])
 
     def xf(t: pa.Table) -> pa.Table:
@@ -787,7 +787,7 @@ def q_list_explode(sf_dir: str) -> rd.Dataset:
     explode_list_column — vectorized list_parent_indices + take)."""
     from ..stages.flatten import explode_list_column
 
-    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def xf(t: pa.Table) -> pa.Table:
         t = t.set_column(
@@ -807,12 +807,9 @@ def q_windowed_agg(sf_dir: str) -> rd.Dataset:
     """Tumbling 1-hour window rollup of the change stream: vectorized
     floor_temporal stamp + one hash aggregate (map-side partial combine,
     so the shuffle carries (window, type) partials, not events)."""
-    from ..stages.joins import strip_schema_metadata
     from ..stages.window import tumbling_window_aggregate
 
-    ds = rd.read_parquet(
-        _p(sf_dir, "events"), columns=["ts", "event_type", "value"]
-    ).map_batches(strip_schema_metadata, batch_format="pyarrow")
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
     return tumbling_window_aggregate(
         ds,
         "ts",
@@ -826,24 +823,18 @@ def q_windowed_agg(sf_dir: str) -> rd.Dataset:
 def q_sessionize(sf_dir: str) -> rd.Dataset:
     """Per-user sessionization of the event stream (30-minute inactivity
     gap): one shuffle by user, vectorized diff+cumsum per group."""
-    from ..stages.joins import strip_schema_metadata
     from ..stages.window import sessionize
 
-    ds = rd.read_parquet(
-        _p(sf_dir, "events"), columns=["user_id", "ts", "event_id"]
-    ).map_batches(strip_schema_metadata, batch_format="pyarrow")
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
     return sessionize(ds, "user_id", "ts", 30.0, tie_col="event_id")
 
 
 def q_window_lag(sf_dir: str) -> rd.Dataset:
     """lag(value) OVER (PARTITION BY user ORDER BY ts, event_id) — the
     previous-image lookup of a change stream as a first-class operator."""
-    from ..stages.joins import strip_schema_metadata
     from ..stages.window import window_lag
 
-    ds = rd.read_parquet(
-        _p(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"]
-    ).map_batches(strip_schema_metadata, batch_format="pyarrow")
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
     out = window_lag(ds, "user_id", ["ts", "event_id"], "value", out="prev_value")
     return out.select_columns(["event_id", "prev_value"])
 
@@ -853,19 +844,12 @@ def q_asof_join(sf_dir: str) -> rd.Dataset:
     the same customer placed at-or-before the event time (tag + union +
     co-group + searchsorted; single hash exchange). The right side is
     pre-aggregated to one row per (custkey, date) so "latest" is unique."""
-    from ..stages.joins import strip_schema_metadata
     from ..stages.window import asof_join
 
-    ev = rd.read_parquet(
-        _p(sf_dir, "events"), columns=["user_id", "ts", "event_id"]
-    ).map_batches(strip_schema_metadata, batch_format="pyarrow")
-    orders = (
-        rd.read_parquet(
-            _p(sf_dir, "orders"), columns=["o_custkey", "o_orderdate", "o_totalprice"]
-        )
-        .map_batches(strip_schema_metadata, batch_format="pyarrow")
-        .rename_columns({"o_custkey": "user_id"})
-    )
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    orders = _read(
+        sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    ).rename_columns({"o_custkey": "user_id"})
     # duplicate (custkey, date) rows are resolved to MAX(o_totalprice) by
     # the tie ordering inside the group kernel — no dimension-side
     # pre-aggregate shuffle needed
@@ -888,28 +872,76 @@ def q_asof_join(sf_dir: str) -> rd.Dataset:
     return res.select_columns(["event_id", "user_id", "o_totalprice"])
 
 
+def q_range_join(sf_dir: str) -> rd.Dataset:
+    """Interval (range) join: attribution windows. Each 'purchase' event
+    opens a 60-minute half-open window [ts, ts+1h); every event of the
+    same user falling inside is attributed to it (a purchase matches its
+    own window). Single hash exchange; the group kernel is searchsorted +
+    vectorized ranges-concat — never an all-pairs cross product."""
+    from ..stages.window import range_join
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    wins = _read(
+        sf_dir,
+        "events",
+        columns=["user_id", "ts", "event_id"],
+        filter_columns=("event_type",),
+        filter=pc.field("event_type") == "purchase",
+    )
+
+    def mk_win(t: pa.Table) -> pa.Table:
+        hour = pa.scalar(3_600_000_000, type=pa.duration("us"))
+        start = pc.cast(t["ts"], pa.timestamp("us"))
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "w_start": start,
+                "w_end": pc.add(start, hour),
+                "window_id": t["event_id"],
+            }
+        )
+
+    wins = wins.map_batches(mk_win, batch_format="pyarrow")
+    res = range_join(
+        ev,
+        wins,
+        key="user_id",
+        left_time="ts",
+        start_col="w_start",
+        end_col="w_end",
+        value_cols=["window_id"],
+        keep=["event_id"],
+        left_schema=pa.schema(
+            [("user_id", pa.int64()), ("ts", pa.timestamp("us")), ("event_id", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("w_start", pa.timestamp("us")),
+                ("w_end", pa.timestamp("us")),
+                ("window_id", pa.int64()),
+            ]
+        ),
+    )
+    return res.select_columns(["event_id", "window_id"])
+
+
 def q_quantiles_docs(sf_dir: str) -> pa.Table:
     """Exact distribution quantiles of document length — value-counts hash
     aggregate (exchange bounded by the distinct-value domain) + cumulative
     walk; no global sort of the corpus."""
-    from ..stages.joins import strip_schema_metadata
     from ..stages.stats import exact_quantiles
 
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["n_chars"]).map_batches(
-        strip_schema_metadata, batch_format="pyarrow"
-    )
+    ds = _read(sf_dir, "documents", columns=["n_chars"])
     return exact_quantiles(ds, "n_chars", [0.25, 0.5, 0.75, 0.9, 0.99])
 
 
 def q_top_events(sf_dir: str) -> rd.Dataset:
     """Frequency top-k (aggregate → sort → limit; the sort sees one row per
     distinct key). Deterministic tie-break by key."""
-    from ..stages.joins import strip_schema_metadata
     from ..stages.stats import top_k_by_count
 
-    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type"]).map_batches(
-        strip_schema_metadata, batch_format="pyarrow"
-    )
+    ds = _read(sf_dir, "events", columns=["event_type"])
     return top_k_by_count(ds, "event_type", 5)
 
 
@@ -1178,6 +1210,13 @@ WITH dim AS (
 SELECT e.event_id, e.user_id, d.o_totalprice
 FROM events e ASOF JOIN dim d ON e.user_id = d.o_custkey AND e.ts >= d.t
 """,
+    "range_join": """
+SELECT e.event_id AS event_id, w.event_id AS window_id
+FROM events e JOIN events w
+  ON e.user_id = w.user_id
+ AND w.event_type = 'purchase'
+ AND e.ts >= w.ts AND e.ts < w.ts + INTERVAL 60 MINUTE
+""",
     "quantiles_docs": """
 SELECT 0.25 AS q, quantile_disc(n_chars, 0.25) AS value FROM documents
 UNION ALL SELECT 0.5, quantile_disc(n_chars, 0.5) FROM documents
@@ -1199,7 +1238,7 @@ ORACLES["cdc_merge_salted"] = ORACLES["cdc_merge_soft"]
 def q_ann_topk(sf_dir: str) -> rd.Dataset:
     """Brute-force cosine top-10 against the all-ones probe vector
     (exact baseline of the similarity-search family)."""
-    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     q = np.ones((1, EMB_DIM), dtype=np.float64)
     res = brute_force_topk(ds, q, 10, emb_col="embedding", id_col="vec_id")
     return res.select_columns(["query_id", "vec_id"])
@@ -1239,6 +1278,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "window_lag": q_window_lag,
     "asof_join": q_asof_join,
+    "range_join": q_range_join,
     "quantiles_docs": q_quantiles_docs,
     "top_events": q_top_events,
     # rows-only (no SQL-expressible oracle):

@@ -11,10 +11,46 @@ file-parallel scan replaces sqoop/Spark range sharding
 
 from __future__ import annotations
 
+import glob
+import os
+
+import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 import ray.data as rd
+
+
+def read_parquet_clean(
+    paths: str | list[str],
+    columns: list[str] | None = None,
+    filter_columns: tuple[str, ...] = (),
+    **kwargs,
+) -> rd.Dataset:
+    """``read_parquet`` pinned to a metadata-free schema from the first
+    file's footer. Externally-produced parquet (pandas writers) carries a
+    schema-metadata blob that makes pyarrow-16 schemas unhashable — Ray's
+    shuffle schema-dedup fast path then warns and falls back per block.
+    Stripping at the READ (instead of a strip ``map_batches`` stage after
+    it) removes that whole stage and keeps every downstream block clean.
+
+    ``filter_columns`` names the columns a ``filter=`` expression touches
+    beyond ``columns``: the scan is pruned to their union (the filter has
+    to read them anyway) and a fused projection drops them afterward."""
+    first = paths[0] if isinstance(paths, list) else paths
+    if os.path.isdir(first):
+        inside = sorted(glob.glob(os.path.join(first, "*.parquet")))
+        if inside:
+            first = inside[0]
+    schema = pq.read_schema(first).remove_metadata()
+    if columns is None:
+        return rd.read_parquet(paths, schema=schema, **kwargs)
+    need = list(columns) + [c for c in filter_columns if c not in columns]
+    schema = pa.schema([schema.field(n) for n in need])
+    ds = rd.read_parquet(paths, columns=need, schema=schema, **kwargs)
+    if need != list(columns):
+        ds = ds.select_columns(list(columns))
+    return ds
 
 
 def max_sequence(paths: str | list[str], seq_col: str = "sequence_id") -> int:
@@ -67,4 +103,6 @@ def read_events(
     kwargs = {}
     if override_num_blocks:
         kwargs["override_num_blocks"] = override_num_blocks
-    return rd.read_parquet(paths, columns=columns, filter=flt, **kwargs)
+    return read_parquet_clean(
+        paths, columns=columns, filter_columns=(seq_col,), filter=flt, **kwargs
+    )

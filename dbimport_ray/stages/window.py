@@ -23,6 +23,12 @@ is expressed Ray-Data-first:
   ``np.searchsorted``. Exactly one shuffle; no driver-side state. The
   right side must be unique per (key, time) — pre-aggregate it first,
   otherwise "latest" is ill-defined.
+- :func:`range_join` — interval join (left event time ∈ right's
+  half-open ``[start, end)``), same single-exchange co-group shape;
+  the per-group kernel is two ``searchsorted`` calls + a vectorized
+  ranges-concatenation (no per-row loop, no cross product). Per-group
+  memory is bounded by that key's OUTPUT size — salt hot keys on both
+  sides first when one key dominates.
 
 All group kernels require non-null order columns (enforced by dropping
 null-time rows, matching SQL window/ASOF semantics which order nulls out).
@@ -235,6 +241,107 @@ def asof_join(
             cols[c] = lt[c]
         for c in value_cols:
             cols[c] = matched[c]
+        return pa.table(cols)
+
+    return tagged.groupby(key).map_groups(per_key, batch_format="pyarrow")
+
+
+def range_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key: str,
+    left_time: str,
+    start_col: str,
+    end_col: str,
+    value_cols: list[str],
+    keep: list[str],
+    left_schema: pa.Schema,
+    right_schema: pa.Schema,
+) -> rd.Dataset:
+    """Interval join: one output row per (left row, right interval) pair of
+    the same ``key`` with ``start <= left_time < end`` (half-open; inner —
+    unmatched rows on either side vanish). Overlapping intervals emit
+    multiple rows per left row, like SQL ``JOIN ... ON t >= start AND
+    t < end``.
+
+    Same single-exchange shape as :func:`asof_join`: tag + union + co-group
+    by key. The group kernel sorts left times once, then for the interval
+    block computes ``lo = searchsorted(times, start)`` / ``hi =
+    searchsorted(times, end)`` and materializes the pair list with a
+    vectorized ranges-concatenation (repeat + cumsum) — never an all-pairs
+    cross product. Schemas are required (typed nulls for the absent side's
+    columns) so neither input's lineage is re-executed for schema probing.
+    """
+    ttype = pa.timestamp("us")
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        cols = {
+            key: t[key],
+            "_t": pc.cast(t[left_time], ttype),
+            "_e": pa.nulls(t.num_rows, ttype),
+            "_src": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+        }
+        for c in keep:
+            cols[c] = t[c]
+        for c in value_cols:
+            cols[c] = pa.nulls(t.num_rows, right_schema.field(c).type)
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        cols = {
+            key: pc.cast(t[key], left_schema.field(key).type),
+            "_t": pc.cast(t[start_col], ttype),
+            "_e": pc.cast(t[end_col], ttype),
+            "_src": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+        }
+        for c in keep:
+            cols[c] = pa.nulls(t.num_rows, left_schema.field(c).type)
+        for c in value_cols:
+            cols[c] = t[c]
+        return pa.table(cols)
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def empty_out(t: pa.Table) -> pa.Table:
+        cols = {key: pa.array([], t.schema.field(key).type)}
+        for c in keep:
+            cols[c] = pa.array([], t.schema.field(c).type)
+        for c in value_cols:
+            cols[c] = pa.array([], t.schema.field(c).type)
+        return pa.table(cols)
+
+    def per_key(t: pa.Table) -> pa.Table:
+        src = t["_src"].to_numpy(zero_copy_only=False)
+        lmask, rmask = src == 1, src == 0
+        if not lmask.any() or not rmask.any():
+            return empty_out(t)
+        times = t["_t"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        lt = t.filter(pa.array(lmask))
+        rt = t.filter(pa.array(rmask))
+        ltimes = times[lmask]
+        lorder = np.argsort(ltimes, kind="stable")
+        lt = lt.take(lorder)
+        lts = ltimes[lorder]
+        starts = times[rmask]
+        ends = t["_e"].to_numpy(zero_copy_only=False)[rmask].astype("datetime64[us]")
+        lo = np.searchsorted(lts, starts, side="left")
+        hi = np.searchsorted(lts, ends, side="left")  # end exclusive
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return empty_out(t)
+        right_idx = np.repeat(np.arange(len(counts)), counts)
+        out_offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        left_idx = lo[right_idx] + (np.arange(total) - np.repeat(out_offsets, counts))
+        lrows = lt.take(left_idx)
+        rrows = rt.take(right_idx)
+        cols = {key: lrows[key]}
+        for c in keep:
+            cols[c] = lrows[c]
+        for c in value_cols:
+            cols[c] = rrows[c]
         return pa.table(cols)
 
     return tagged.groupby(key).map_groups(per_key, batch_format="pyarrow")

@@ -13,6 +13,7 @@ import ray.data as rd
 
 from dbimport_ray.stages.window import (
     asof_join,
+    range_join,
     sessionize,
     stamp_tumbling_window,
     window_lag,
@@ -109,7 +110,67 @@ def test_asof_join_no_match_and_latest(ray_session):
     assert out["price"].tolist() == [7.0]
 
 
-@pytest.mark.parametrize("name", ["windowed_agg", "sessionize", "window_lag", "asof_join"])
+def test_range_join_overlap_boundaries_empty_sides(ray_session):
+    left_schema = pa.schema(
+        [("k", pa.int64()), ("lt", pa.timestamp("us")), ("eid", pa.int64())]
+    )
+    right_schema = pa.schema(
+        [
+            ("k", pa.int64()),
+            ("s", pa.timestamp("us")),
+            ("e", pa.timestamp("us")),
+            ("wid", pa.int64()),
+        ]
+    )
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "k": [1, 1, 1, 2, 3],
+                "lt": _ts(
+                    "2024-01-01T00:00:00",  # == start of w10 (inclusive)
+                    "2024-01-01T00:30:00",  # inside w10 AND w11 (overlap)
+                    "2024-01-01T01:00:00",  # == end of w10 (exclusive), inside w11
+                    "2024-01-01T00:00:00",  # key 2: no windows
+                    "2024-01-01T00:00:00",  # key 3: right-only key elsewhere
+                ),
+                "eid": [1, 2, 3, 4, 5],
+            },
+            schema=left_schema,
+        )
+    )
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "k": [1, 1, 4],
+                "s": _ts("2024-01-01T00:00:00", "2024-01-01T00:15:00", "2024-01-01T00:00:00"),
+                "e": _ts("2024-01-01T01:00:00", "2024-01-01T01:15:00", "2024-01-01T02:00:00"),
+                "wid": [10, 11, 40],
+            },
+            schema=right_schema,
+        )
+    )
+    out = (
+        range_join(
+            left,
+            right,
+            key="k",
+            left_time="lt",
+            start_col="s",
+            end_col="e",
+            value_cols=["wid"],
+            keep=["eid"],
+            left_schema=left_schema,
+            right_schema=right_schema,
+        )
+        .to_pandas()
+        .sort_values(["eid", "wid"], ignore_index=True)
+    )
+    assert list(zip(out["eid"], out["wid"])) == [(1, 10), (2, 10), (2, 11), (3, 11)]
+
+
+@pytest.mark.parametrize(
+    "name", ["windowed_agg", "sessionize", "window_lag", "asof_join", "range_join"]
+)
 def test_contract_queries_match_oracle(ray_session, name):
     from dbimport_ray.pipelines.queries import ORACLES, QUERIES
 
