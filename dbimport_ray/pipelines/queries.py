@@ -926,6 +926,37 @@ def q_range_join(sf_dir: str) -> rd.Dataset:
     return res.select_columns(["event_id", "window_id"])
 
 
+def q_star_enrich(sf_dir: str) -> rd.Dataset:
+    """Star-schema dimension enrichment, shuffle-free: the snowflake chain
+    supplier→nation→region is composed driver-side into ONE tiny
+    suppkey→region table (dimensions stay small even at 100 TB fact scale),
+    broadcast once, and the lineitem fact table is probed in a single
+    ``map_batches`` pass — then a partial-combine hash aggregate per
+    region. The only exchange is the final 5-row groupby."""
+    from ..stages.joins import broadcast_lookup_join
+
+    sup = pq.read_table(_p(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(_p(sf_dir, "nation"), columns=["n_nationkey", "n_regionkey"])
+    reg = pq.read_table(_p(sf_dir, "region"), columns=["r_regionkey", "r_name"])
+    dim = (
+        sup.join(nat, keys="s_nationkey", right_keys="n_nationkey")
+        .join(reg, keys="n_regionkey", right_keys="r_regionkey")
+        .select(["s_suppkey", "r_name"])
+    )
+
+    fact = _read(
+        sf_dir, "lineitem", columns=["l_suppkey", "l_quantity", "l_extendedprice"]
+    )
+    enriched = broadcast_lookup_join(
+        fact, dim, keys=["l_suppkey"], dim_keys=["s_suppkey"], value_cols=["r_name"]
+    )
+    return enriched.groupby("r_name").aggregate(
+        Count(alias_name="n_items"),
+        Sum("l_quantity", alias_name="sum_qty"),
+        Max("l_extendedprice", alias_name="max_price"),
+    )
+
+
 def q_quantiles_docs(sf_dir: str) -> pa.Table:
     """Exact distribution quantiles of document length — value-counts hash
     aggregate (exchange bounded by the distinct-value domain) + cumulative
@@ -1210,6 +1241,15 @@ WITH dim AS (
 SELECT e.event_id, e.user_id, d.o_totalprice
 FROM events e ASOF JOIN dim d ON e.user_id = d.o_custkey AND e.ts >= d.t
 """,
+    "star_enrich": """
+SELECT r_name, count(*) AS n_items, sum(l_quantity) AS sum_qty,
+       max(l_extendedprice) AS max_price
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
     "range_join": """
 SELECT e.event_id AS event_id, w.event_id AS window_id
 FROM events e JOIN events w
@@ -1279,6 +1319,7 @@ QUERIES = {
     "window_lag": q_window_lag,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
+    "star_enrich": q_star_enrich,
     "quantiles_docs": q_quantiles_docs,
     "top_events": q_top_events,
     # rows-only (no SQL-expressible oracle):

@@ -155,6 +155,107 @@ def broadcast_semi_join(
     )
 
 
+def collect_small(ds: rd.Dataset | pa.Table, columns: list[str], max_rows: int = 5_000_000) -> pa.Table:
+    """Collect a SMALL side (dimension table, aggregate output) to one Arrow
+    table for broadcasting. Guarded: raises if the side exceeds ``max_rows``
+    so a mis-sized call fails loudly instead of OOMing the driver — at that
+    point the caller should switch to :func:`hash_join`."""
+    if isinstance(ds, pa.Table):
+        tbl = ds.select(columns)
+    else:
+        tbl = pa.concat_tables(
+            ray.get(ds.select_columns(columns).to_arrow_refs()),
+            promote_options="permissive",
+        )
+    if tbl.num_rows > max_rows:
+        raise ValueError(
+            f"broadcast side has {tbl.num_rows} rows (> {max_rows}); use hash_join"
+        )
+    return tbl.combine_chunks()
+
+
+class _BroadcastLookup:
+    """Actor-pool enrichment join: the dimension table is fetched from
+    plasma once per actor (constructor ObjectRef) and indexed by sorted key;
+    each batch is one searchsorted probe + one ``take`` of the matching
+    dimension rows. ``how='inner'`` drops unmatched fact rows, ``'left'``
+    emits typed nulls for them."""
+
+    def __init__(self, dim_ref, join_keys, dim_keys, value_cols, how):
+        dim = ray.get(dim_ref) if isinstance(dim_ref, ray.ObjectRef) else dim_ref
+        k = _key_array(dim, dim_keys)
+        if len(np.unique(k)) != len(k):
+            raise ValueError(
+                "broadcast_lookup_join dimension side has duplicate keys "
+                f"on {dim_keys}; pre-aggregate it to one row per key"
+            )
+        order = np.argsort(k, kind="stable")
+        self.sorted_keys = k[order]
+        self.values = dim.select(value_cols).take(pa.array(order))
+        self.join_keys = list(join_keys)
+        self.value_cols = list(value_cols)
+        self.how = how
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        probe = _key_array(batch, self.join_keys)
+        n = len(self.sorted_keys)
+        if n == 0:
+            found = np.zeros(len(probe), dtype=bool)
+            idx_clip = np.zeros(len(probe), dtype=np.int64)
+        else:
+            idx = np.searchsorted(self.sorted_keys, probe)
+            idx_clip = np.minimum(idx, n - 1)
+            found = self.sorted_keys[idx_clip] == probe
+        if self.how == "inner":
+            mask = pa.array(found)
+            batch = batch.filter(mask)
+            taken = self.values.take(pa.array(idx_clip[found]))
+            for c in self.value_cols:
+                batch = batch.append_column(c, taken[c])
+            return batch
+        # left: take matched rows, null out the misses
+        taken = self.values.take(pa.array(idx_clip))
+        miss = pa.array(~found)
+        for c in self.value_cols:
+            col = pc.if_else(miss, pa.scalar(None, taken[c].type), taken[c])
+            batch = batch.append_column(c, col)
+        return batch
+
+
+def broadcast_lookup_join(
+    big: rd.Dataset,
+    dim: rd.Dataset | pa.Table,
+    keys: list[str],
+    value_cols: list[str],
+    dim_keys: list[str] | None = None,
+    how: str = "inner",
+    concurrency=None,
+) -> rd.Dataset:
+    """Enrich ``big`` with ``value_cols`` from a small ``dim`` side matched
+    on ``keys`` — the star-schema dimension join, shuffle-free: the
+    dimension is ``ray.put`` once and every map task probes it zero-copy
+    (SURVEY.md §4.2 "broadcast small sides"; the Hive-side star joins the
+    reference pushes into its ETL SQL, etl_operations.py:362-393, keep this
+    shape). The dimension must be unique per key — pre-compose snowflake
+    chains (e.g. supplier→nation→region) into ONE key→attributes table
+    first, so the fact table is touched exactly once."""
+    dim_keys = dim_keys or keys
+    tbl = collect_small(dim, list(dim_keys) + list(value_cols))
+    ref = ray.put(tbl)
+    return big.map_batches(
+        _BroadcastLookup,
+        fn_constructor_kwargs=dict(
+            dim_ref=ref,
+            join_keys=keys,
+            dim_keys=dim_keys,
+            value_cols=value_cols,
+            how=how,
+        ),
+        batch_format="pyarrow",
+        concurrency=concurrency or 4,
+    )
+
+
 def broadcast_anti_join(
     big: rd.Dataset, small: rd.Dataset | pa.Table, keys: list[str], concurrency=None
 ) -> rd.Dataset:

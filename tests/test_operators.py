@@ -263,6 +263,36 @@ def test_broadcast_joins(ray_session):
     assert sorted(anti["k"]) == ["a", "c"]
 
 
+def test_broadcast_lookup_join_inner_left_and_dup_guard(ray_session):
+    import pytest as _pytest
+
+    from dbimport_ray.stages.joins import broadcast_lookup_join
+
+    big = rd.from_arrow(
+        pa.table({"k": [1, 2, 3, 2], "v": [10.0, 20.0, 30.0, 40.0]})
+    )
+    dim = pa.table({"dk": [2, 1, 9], "name": ["two", "one", "nine"]})
+    inner = (
+        broadcast_lookup_join(big, dim, keys=["k"], dim_keys=["dk"], value_cols=["name"])
+        .to_pandas()
+        .sort_values(["k", "v"], ignore_index=True)
+    )
+    assert list(zip(inner["k"], inner["name"])) == [(1, "one"), (2, "two"), (2, "two")]
+    left = (
+        broadcast_lookup_join(
+            big, dim, keys=["k"], dim_keys=["dk"], value_cols=["name"], how="left"
+        )
+        .to_pandas()
+        .sort_values(["k", "v"], ignore_index=True)
+    )
+    assert left["name"].tolist() == ["one", "two", "two", None]
+    dup = pa.table({"dk": [1, 1], "name": ["a", "b"]})
+    with _pytest.raises(Exception, match="duplicate keys"):
+        broadcast_lookup_join(
+            big, dup, keys=["k"], dim_keys=["dk"], value_cols=["name"]
+        ).materialize()
+
+
 # --- multimodal plumbing ---------------------------------------------------
 
 def test_media_decode_plumbing(ray_session):
