@@ -957,6 +957,19 @@ def q_star_enrich(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_top_orders_per_cust(sf_dir: str) -> rd.Dataset:
+    """Grouped top-n: each customer's 2 most expensive orders
+    (row_number-over-partition shape). Map-side partial prune keeps each
+    block's own top-2 per key, so the exchange ships ≤ 2 rows per key per
+    block — skew-safe even when one key dominates."""
+    from ..stages.stats import top_n_per_group
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    return top_n_per_group(
+        ds, ["o_custkey"], "o_totalprice", 2, tie_cols=["o_orderkey"]
+    )
+
+
 def q_quantiles_docs(sf_dir: str) -> pa.Table:
     """Exact distribution quantiles of document length — value-counts hash
     aggregate (exchange bounded by the distinct-value domain) + cumulative
@@ -1241,6 +1254,15 @@ WITH dim AS (
 SELECT e.event_id, e.user_id, d.o_totalprice
 FROM events e ASOF JOIN dim d ON e.user_id = d.o_custkey AND e.ts >= d.t
 """,
+    "top_orders_per_cust": """
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+         ) AS rn
+  FROM orders
+) WHERE rn <= 2
+""",
     "star_enrich": """
 SELECT r_name, count(*) AS n_items, sum(l_quantity) AS sum_qty,
        max(l_extendedprice) AS max_price
@@ -1320,6 +1342,7 @@ QUERIES = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "star_enrich": q_star_enrich,
+    "top_orders_per_cust": q_top_orders_per_cust,
     "quantiles_docs": q_quantiles_docs,
     "top_events": q_top_events,
     # rows-only (no SQL-expressible oracle):

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count
 
@@ -59,3 +60,45 @@ def top_k_by_count(
     ordered by count desc then key asc (deterministic under ties)."""
     agg = ds.groupby(key).aggregate(Count(alias_name=count_col))
     return agg.sort([count_col, key], descending=[True, False]).limit(k)
+
+
+def top_n_per_group(
+    ds: rd.Dataset,
+    group_cols: list[str],
+    order_col: str,
+    n: int,
+    tie_cols: list[str] | None = None,
+    descending: bool = True,
+) -> rd.Dataset:
+    """Top-``n`` rows per group key ordered by ``order_col`` (``tie_cols``
+    break ties ascending, making the result deterministic — the
+    ``row_number() OVER (PARTITION BY … ORDER BY …) <= n`` shape).
+
+    Two-stage: a map-side partial prune keeps each BATCH's own top-n per
+    key (one vectorized sort + run-length position mask, no Python loop),
+    so the group exchange carries at most ``n`` rows per key per block
+    instead of every row; the per-group finalizer is the same kernel.
+    Skew-safe for hot keys: a key that dominates the corpus still ships
+    only ``n × num_blocks`` rows."""
+    keys = list(group_cols)
+    ties = list(tie_cols or [])
+    sort_keys = [(c, "ascending") for c in keys]
+    sort_keys.append((order_col, "descending" if descending else "ascending"))
+    sort_keys += [(c, "ascending") for c in ties]
+
+    def prune(t: pa.Table) -> pa.Table:
+        if t.num_rows <= n:
+            return t
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        boundary = np.zeros(t.num_rows, dtype=bool)
+        boundary[0] = True
+        for c in keys:
+            arr = t[c].to_numpy(zero_copy_only=False)
+            boundary[1:] |= arr[1:] != arr[:-1]
+        gid = np.cumsum(boundary) - 1
+        starts = np.flatnonzero(boundary)
+        pos = np.arange(t.num_rows) - starts[gid]
+        return t.filter(pa.array(pos < n))
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow")
+    return pruned.groupby(keys).map_groups(prune, batch_format="pyarrow")

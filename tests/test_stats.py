@@ -6,7 +6,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
-from dbimport_ray.stages.stats import exact_quantiles, top_k_by_count
+from dbimport_ray.stages.stats import exact_quantiles, top_k_by_count, top_n_per_group
 
 
 def test_exact_quantiles_matches_numpy_inverted_cdf(ray_session):
@@ -33,3 +33,47 @@ def test_top_k_deterministic_ties(ray_session):
     # a and b tie at 2 → key-ascending order; then c/d tie at 1 → c wins
     assert out["k"].tolist() == ["a", "b", "c"]
     assert out["n"].tolist() == [2, 2, 1]
+
+
+def test_top_n_per_group_matches_pandas_rank(ray_session):
+    rng = np.random.default_rng(5)
+    n = 2000
+    t = pa.table(
+        {
+            "g": rng.integers(0, 37, size=n),
+            "v": rng.integers(0, 100, size=n).astype("float64"),
+            "id": np.arange(n),
+        }
+    )
+    # many blocks so the map-side partial prune actually runs per batch
+    ds = rd.from_arrow(t).repartition(8)
+    got = (
+        top_n_per_group(ds, ["g"], "v", 3, tie_cols=["id"])
+        .to_pandas()
+        .sort_values(["g", "id"], ignore_index=True)
+    )
+    df = t.to_pandas().sort_values(["g", "v", "id"], ascending=[True, False, True])
+    want = (
+        df.groupby("g", sort=True)
+        .head(3)
+        .sort_values(["g", "id"], ignore_index=True)
+    )
+    assert got.equals(want)
+
+
+def test_top_n_per_group_hot_key_and_small_groups(ray_session):
+    # one key holds 90% of rows; another has fewer rows than n
+    t = pa.table(
+        {
+            "g": ["hot"] * 90 + ["cold"] * 2,
+            "v": list(range(90)) + [5, 1],
+            "id": list(range(92)),
+        }
+    )
+    out = (
+        top_n_per_group(rd.from_arrow(t).repartition(6), ["g"], "v", 4, tie_cols=["id"])
+        .to_pandas()
+        .sort_values(["g", "v"], ascending=[True, False], ignore_index=True)
+    )
+    assert out[out["g"] == "hot"]["v"].tolist() == [89, 88, 87, 86]
+    assert out[out["g"] == "cold"]["v"].tolist() == [5, 1]
