@@ -1,0 +1,57 @@
+"""Deterministic content-hash dataset splitting (train/valid/test).
+
+A large-scale training-data pipeline must assign every record to a split
+as a PURE FUNCTION of its identity — never by position or random state —
+so that (a) re-runs and backfills land each record in the same split,
+(b) near-duplicate handling can keep a cluster in one split, and (c) any
+engine (including the SQL oracle) can reproduce the assignment. The
+reference's closest analogue is its deterministic seeded anonymization
+(sparkUDF2.py:78-87); the split reuses that same seeded-sha256 kernel
+(functions/anonymize.py:hash_column, SQL-reproducible via DuckDB
+``sha256()``).
+
+Mechanism: the first 4 hex chars of ``sha256(seed || value)`` are a
+uniform 16-bit bucket; cumulative fraction thresholds become 4-hex-char
+string boundaries compared lexicographically (hex compare == numeric
+compare at fixed width). Fully vectorized after the hash; granularity is
+1/65536 ≈ 0.0015%.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .anonymize import hash_column
+
+
+def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, str]]:
+    """[(name, upper-bound-hex4)] in declaration order; the last split
+    absorbs rounding remainder. Fractions must sum to ~1."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    out, cum = [], 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        out.append((name, format(int(cum * 65536), "04x")))
+    out.append((names[-1], "ffff"))  # inclusive catch-all
+    return out
+
+
+def split_by_hash(
+    col: pa.Array | pa.ChunkedArray,
+    fractions: dict[str, float],
+    seed: str = "",
+) -> pa.ChunkedArray:
+    """Split label per value: sha256(seed||value) → 16-bit bucket →
+    threshold compare. Identical values always land in the same split."""
+    bucket = pc.utf8_slice_codeunits(hash_column(col, seed=seed), 0, 4)
+    thresholds = split_thresholds(fractions)
+    label = pa.nulls(len(bucket), pa.string())
+    label = pc.if_else(pc.is_valid(bucket), pa.scalar(thresholds[-1][0]), label)
+    # assign from the last boundary down so earlier (lower) buckets win
+    for name, hi in reversed(thresholds[:-1]):
+        label = pc.if_else(pc.less(bucket, pa.scalar(hi)), pa.scalar(name), label)
+    return label if isinstance(label, pa.ChunkedArray) else pa.chunked_array([label])

@@ -970,6 +970,49 @@ def q_top_orders_per_cust(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_distinct_users(sf_dir: str) -> rd.Dataset:
+    """Exact count(DISTINCT user) per event type — map-side per-batch
+    dedup, then two narrow hash aggregates (the exchange carries the
+    distinct pair domain, not the events)."""
+    from ..stages.stats import distinct_count
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return distinct_count(ds, ["event_type"], "user_id", out_col="n_users")
+
+
+def q_hash_split_docs(sf_dir: str) -> rd.Dataset:
+    """Deterministic content-hash train/valid/test split (80/10/10):
+    sha256(doc_id) → 16-bit bucket → threshold labels. Pure function of
+    the record — stable across re-runs, backfills, and engines."""
+    from ..functions.split import split_by_hash
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def xf(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "split": split_by_hash(
+                    t["doc_id"], {"train": 0.8, "valid": 0.1, "test": 0.1}
+                ),
+            }
+        )
+
+    return ds.map_batches(xf, batch_format="pyarrow")
+
+
+def q_approx_distinct_users(sf_dir: str) -> pa.Table:
+    """HLL approximate distinct users (p=12, ≈1.6% stderr) — one
+    streaming pass, no shuffle: 4 KiB register partial per block, merged
+    by max on the driver. Value-checked against the single-process HLL in
+    pytest (estimate ≠ SQL count distinct by design)."""
+    from ..stages.stats import approx_distinct
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    est = approx_distinct(ds, "user_id")
+    return pa.table({"n_users_approx": pa.array([round(est)], pa.int64())})
+
+
 def q_quantiles_docs(sf_dir: str) -> pa.Table:
     """Exact distribution quantiles of document length — value-counts hash
     aggregate (exchange bounded by the distinct-value domain) + cumulative
@@ -1254,6 +1297,17 @@ WITH dim AS (
 SELECT e.event_id, e.user_id, d.o_totalprice
 FROM events e ASOF JOIN dim d ON e.user_id = d.o_custkey AND e.ts >= d.t
 """,
+    "distinct_users": """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+""",
+    "hash_split_docs": """
+SELECT doc_id,
+       CASE WHEN substring(sha256(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+            WHEN substring(sha256(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'valid'
+            ELSE 'test' END AS split
+FROM documents
+""",
     "top_orders_per_cust": """
 SELECT o_custkey, o_orderkey, o_totalprice FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
@@ -1343,9 +1397,12 @@ QUERIES = {
     "range_join": q_range_join,
     "star_enrich": q_star_enrich,
     "top_orders_per_cust": q_top_orders_per_cust,
+    "distinct_users": q_distinct_users,
+    "hash_split_docs": q_hash_split_docs,
     "quantiles_docs": q_quantiles_docs,
     "top_events": q_top_events,
     # rows-only (no SQL-expressible oracle):
+    "approx_distinct_users": q_approx_distinct_users,
     "minhash_dedup_docs": q_minhash_dedup_docs,
     "minhash_verified_docs": q_minhash_verified_docs,
     "simhash_docs": q_simhash_docs,

@@ -102,3 +102,100 @@ def top_n_per_group(
 
     pruned = ds.map_batches(prune, batch_format="pyarrow")
     return pruned.groupby(keys).map_groups(prune, batch_format="pyarrow")
+
+
+def distinct_count(
+    ds: rd.Dataset, group_cols: list[str], col: str, out_col: str = "n_distinct"
+) -> rd.Dataset:
+    """Exact ``count(DISTINCT col)`` per group — two narrow hash
+    aggregates. A map-side per-batch dedup first collapses each block to
+    its distinct (group, value) pairs, so the exchange carries the local
+    distinct domain, not the rows; the first groupby reduces to the global
+    distinct pairs and the second counts pairs per group. For domains too
+    large to shuffle at all, use :func:`approx_distinct` instead."""
+    keys = list(group_cols)
+
+    def prune(t: pa.Table) -> pa.Table:
+        return t.select(keys + [col]).group_by(keys + [col]).aggregate([])
+
+    pairs = ds.map_batches(prune, batch_format="pyarrow")
+    distinct = pairs.groupby(keys + [col]).aggregate(Count(alias_name="_dup"))
+    return distinct.groupby(keys).aggregate(Count(alias_name=out_col))
+
+
+# --- HyperLogLog approximate distinct --------------------------------------
+
+_SM_GAMMA = np.uint64(0x9E3779B97F4A7C15)
+_SM_MUL1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_MUL2 = np.uint64(0x94D049BB133111EB)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit mix (splitmix64) — the HLL hash function.
+    numpy uint64 arithmetic wraps mod 2^64, matching the C semantics."""
+    z = x.astype(np.uint64) + _SM_GAMMA
+    z = (z ^ (z >> np.uint64(30))) * _SM_MUL1
+    z = (z ^ (z >> np.uint64(27))) * _SM_MUL2
+    return z ^ (z >> np.uint64(31))
+
+
+def _clz64(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros for uint64 (64 for x == 0)."""
+    r = np.zeros(len(x), dtype=np.int64)
+    cur = x.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        top = cur >> np.uint64(64 - s)
+        z = top == 0
+        r[z] += s
+        cur[z] = cur[z] << np.uint64(s)
+    r[x == 0] = 64
+    return r
+
+
+def hll_partial(values: np.ndarray, p: int = 12) -> np.ndarray:
+    """HLL register array (uint8, length 2^p) for one batch of int64/uint64
+    values. Partials merge by elementwise max — the mergeable-sketch
+    property that makes this a one-pass, shuffle-free distinct counter."""
+    m = 1 << p
+    h = _splitmix64(np.ascontiguousarray(values))
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = h << np.uint64(p)  # remaining 64-p bits, top-aligned
+    rank = np.minimum(_clz64(w) + 1, 64 - p + 1).astype(np.uint8)
+    regs = np.zeros(m, dtype=np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimator with the small-range linear-counting
+    correction (Flajolet et al. 2007)."""
+    m = len(regs)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        return m * np.log(m / zeros)
+    return float(est)
+
+
+def approx_distinct(ds: rd.Dataset, col: str, p: int = 12) -> float:
+    """Approximate distinct count of an integer column in ONE streaming
+    pass with NO shuffle: each block reduces to a 2^p-byte register row
+    (list<uint8>), the driver merges the ≤ num_blocks partials by
+    elementwise max (bounded: blocks × 4 KiB at p=12), and the estimate
+    comes out of the merged registers. This is the scale path when the
+    distinct domain itself is too large to exchange (distinct_count's
+    pair shuffle) — standard error ≈ 1.04/sqrt(2^p) ≈ 1.6% at p=12."""
+    m = 1 << p
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        regs = hll_partial(vals, p)
+        arr = pa.FixedSizeListArray.from_arrays(pa.array(regs), m)
+        return pa.table({"regs": arr})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    merged = np.zeros(m, dtype=np.uint8)
+    for r in rows:
+        merged = np.maximum(merged, np.asarray(r["regs"], dtype=np.uint8))
+    return hll_estimate(merged)

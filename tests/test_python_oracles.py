@@ -218,3 +218,43 @@ def test_embedding_dedup_matches_reference():
     assert len(df) == len(want)
     for did, rep in zip(df["vec_id"], df["rep"]):
         assert rep == want[int(did)], did
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog approximate-distinct reference
+# ---------------------------------------------------------------------------
+
+def ref_hll_estimate(values, p=12) -> float:
+    """Pure-Python per-value HLL (splitmix64 + leading-zero rank), no
+    numpy vectorization — independent of stages/stats.py's kernels."""
+    import math
+
+    m = 1 << p
+    regs = [0] * m
+    for v in values:
+        z = (int(v) + 0x9E3779B97F4A7C15) & U64
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & U64
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & U64
+        h = z ^ (z >> 31)
+        idx = h >> (64 - p)
+        w = (h << p) & U64
+        rank = (64 - p + 1) if w == 0 else min(64 - w.bit_length() + 1, 64 - p + 1)
+        if rank > regs[idx]:
+            regs[idx] = rank
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / sum(2.0 ** -r for r in regs)
+    zeros = regs.count(0)
+    if est <= 2.5 * m and zeros:
+        return m * math.log(m / zeros)
+    return est
+
+
+def test_approx_distinct_matches_reference():
+    from dbimport_ray.pipelines.queries import q_approx_distinct_users
+
+    users = pq.read_table(f"{SF}/events.parquet", columns=["user_id"])[
+        "user_id"
+    ].to_pylist()
+    want = round(ref_hll_estimate(users))
+    got = q_approx_distinct_users(SF)["n_users_approx"].to_pylist()[0]
+    assert got == want

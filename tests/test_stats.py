@@ -6,7 +6,15 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
-from dbimport_ray.stages.stats import exact_quantiles, top_k_by_count, top_n_per_group
+from dbimport_ray.stages.stats import (
+    approx_distinct,
+    distinct_count,
+    exact_quantiles,
+    hll_estimate,
+    hll_partial,
+    top_k_by_count,
+    top_n_per_group,
+)
 
 
 def test_exact_quantiles_matches_numpy_inverted_cdf(ray_session):
@@ -77,3 +85,62 @@ def test_top_n_per_group_hot_key_and_small_groups(ray_session):
     )
     assert out[out["g"] == "hot"]["v"].tolist() == [89, 88, 87, 86]
     assert out[out["g"] == "cold"]["v"].tolist() == [5, 1]
+
+
+def test_distinct_count_matches_pandas(ray_session):
+    rng = np.random.default_rng(3)
+    t = pa.table(
+        {
+            "g": rng.choice(["x", "y", "z"], size=3000),
+            "u": rng.integers(0, 200, size=3000),
+        }
+    )
+    got = (
+        distinct_count(rd.from_arrow(t).repartition(7), ["g"], "u", out_col="n")
+        .to_pandas()
+        .sort_values("g", ignore_index=True)
+    )
+    want = (
+        t.to_pandas().groupby("g")["u"].nunique().reset_index(name="n")
+    )
+    assert got.equals(want)
+
+
+def test_hll_merge_equals_single_pass_and_accuracy(ray_session):
+    rng = np.random.default_rng(9)
+    vals = rng.integers(0, 1 << 62, size=60000)  # ~unique 60k ids
+    exact = len(np.unique(vals))
+    ds = rd.from_arrow(pa.table({"u": vals})).repartition(9)
+    est = approx_distinct(ds, "u", p=12)
+    # distributed register merge is exactly the single-process registers
+    single = hll_estimate(hll_partial(vals.astype(np.int64), p=12))
+    assert est == single
+    assert abs(est - exact) / exact < 0.05
+
+
+def test_hll_small_range_linear_counting():
+    vals = np.arange(150, dtype=np.int64)
+    est = hll_estimate(hll_partial(vals, p=12))
+    assert abs(est - 150) / 150 < 0.1
+
+
+def test_split_by_hash_fractions_and_determinism():
+    from dbimport_ray.functions.split import split_by_hash, split_thresholds
+
+    import pytest as _pytest
+
+    ids = pa.chunked_array([pa.array(np.arange(20000, dtype=np.int64))])
+    fr = {"train": 0.8, "valid": 0.1, "test": 0.1}
+    lab = split_by_hash(ids, fr).to_pylist()
+    again = split_by_hash(ids, fr).to_pylist()
+    assert lab == again
+    from collections import Counter
+
+    c = Counter(lab)
+    assert abs(c["train"] / 20000 - 0.8) < 0.02
+    assert abs(c["valid"] / 20000 - 0.1) < 0.01
+    assert abs(c["test"] / 20000 - 0.1) < 0.01
+    # null preserved; bad fractions rejected
+    assert split_by_hash(pa.array([None], pa.string()), fr).to_pylist() == [None]
+    with _pytest.raises(ValueError):
+        split_thresholds({"a": 0.5, "b": 0.1})
