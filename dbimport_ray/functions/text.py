@@ -216,3 +216,19 @@ def fingerprint64(col: pa.ChunkedArray | pa.Array) -> pa.Array:
                 # h = Σ byte_j · B^(n-1-j)  (mod 2^64): wrapping dot product
                 out[i] = np.sum(arr * pows[len(arr) - 1 :: -1][: len(arr)], dtype=np.uint64)
     return pa.array(out, type=pa.uint64())
+
+
+def token_frequency_partial(table: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-batch partial token counts: lowercase → ``\\W+`` split → explode
+    → local value-counts. One (token, n) row per DISTINCT token per batch,
+    so the downstream groupby exchange is bounded by the vocabulary, not
+    the token stream (at corpus scale the token explode never leaves the
+    map task). The split matches DuckDB ``string_split_regex(lower(text),
+    '\\W+')`` exactly, keeping vocabulary queries SQL-checkable."""
+    s = pc.cast(table[text_col], pa.string())
+    toks = pc.split_pattern_regex(pc.utf8_lower(s), r"\W+")
+    flat = pc.list_flatten(toks)  # drops null parents
+    flat = flat.filter(pc.not_equal(flat, ""))
+    tb = pa.table({"token": flat})
+    out = tb.group_by("token").aggregate([("token", "count")])
+    return out.rename_columns(["token", "n"])

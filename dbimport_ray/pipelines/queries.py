@@ -1013,6 +1013,19 @@ def q_approx_distinct_users(sf_dir: str) -> pa.Table:
     return pa.table({"n_users_approx": pa.array([round(est)], pa.int64())})
 
 
+def q_vocab_top_tokens(sf_dir: str) -> rd.Dataset:
+    """Corpus vocabulary top-20: the token explode never leaves the map
+    task — each batch reduces to its local (token, count) pairs, the
+    exchange carries only the vocabulary domain, and the final sort sees
+    one row per distinct token. Deterministic tie-break by token."""
+    from ..functions.text import token_frequency_partial
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    partial = ds.map_batches(token_frequency_partial, batch_format="pyarrow")
+    agg = partial.groupby("token").aggregate(Sum("n", alias_name="n"))
+    return agg.sort(["n", "token"], descending=[True, False]).limit(20)
+
+
 def q_quantiles_docs(sf_dir: str) -> pa.Table:
     """Exact distribution quantiles of document length — value-counts hash
     aggregate (exchange bounded by the distinct-value domain) + cumulative
@@ -1297,6 +1310,11 @@ WITH dim AS (
 SELECT e.event_id, e.user_id, d.o_totalprice
 FROM events e ASOF JOIN dim d ON e.user_id = d.o_custkey AND e.ts >= d.t
 """,
+    "vocab_top_tokens": """
+SELECT t AS token, count(*) AS n FROM (
+  SELECT unnest(string_split_regex(lower(text), '\\W+')) AS t FROM documents
+) WHERE t <> '' GROUP BY t ORDER BY n DESC, token LIMIT 20
+""",
     "distinct_users": """
 SELECT event_type, count(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type
@@ -1398,6 +1416,7 @@ QUERIES = {
     "star_enrich": q_star_enrich,
     "top_orders_per_cust": q_top_orders_per_cust,
     "distinct_users": q_distinct_users,
+    "vocab_top_tokens": q_vocab_top_tokens,
     "hash_split_docs": q_hash_split_docs,
     "quantiles_docs": q_quantiles_docs,
     "top_events": q_top_events,

@@ -73,6 +73,17 @@ def test_token_counts():
     assert bpe_token_count(col).to_pylist()[2] == 5
 
 
+def test_token_frequency_partial_handles_null_empty_case():
+    from dbimport_ray.functions.text import token_frequency_partial
+
+    t = pa.table({"text": ["The cat, the hat!", None, "  spaced  out ", ""]})
+    out = token_frequency_partial(t).sort_by("token").to_pydict()
+    assert out == {
+        "token": ["cat", "hat", "out", "spaced", "the"],
+        "n": [1, 1, 1, 1, 2],
+    }
+
+
 def test_quality_metrics_columns():
     t = pa.table({"doc_id": [1], "text": ["the quick brown fox. it is fast!"]})
     out = quality_metrics(t, "text")
