@@ -1026,6 +1026,55 @@ def q_vocab_top_tokens(sf_dir: str) -> rd.Dataset:
     return agg.sort(["n", "token"], descending=[True, False]).limit(20)
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_events(sf_dir: str) -> rd.Dataset:
+    """Long→wide pivot: per user, one summed column per event type —
+    indicator-widening in map_batches + ONE hash aggregate (the feature-
+    matrix shape for training/validation)."""
+    from ..stages.reshape import pivot_sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "value"])
+    return pivot_sum(ds, "user_id", "event_type", "value", _EVENT_TYPES)
+
+
+def q_melt_lineitem(sf_dir: str) -> rd.Dataset:
+    """Wide→long unpivot of two measure columns — a pure per-batch
+    transform, no exchange at all."""
+    from ..stages.reshape import melt
+
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+    )
+    return ds.map_batches(
+        lambda t: melt(
+            t, ["l_orderkey", "l_linenumber"], ["l_quantity", "l_extendedprice"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_grouped_median(sf_dir: str) -> rd.Dataset:
+    """Exact per-group median (quantile_disc semantics: an actual element
+    of the group, so float-exact across engines)."""
+    from ..stages.stats import grouped_quantile
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_quantile(ds, ["event_type"], "value", 0.5)
+
+
+def q_rolling_mean(sf_dir: str) -> rd.Dataset:
+    """3-row rolling average per user ordered by time — the moving-window
+    aggregate over a change stream (vectorized shifted-add per group)."""
+    from ..stages.window import window_rolling_mean
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
+    out = window_rolling_mean(ds, "user_id", ["ts", "event_id"], "value", 3)
+    return out.select_columns(["event_id", "rolling_mean"])
+
+
 def q_quantiles_docs(sf_dir: str) -> pa.Table:
     """Exact distribution quantiles of document length — value-counts hash
     aggregate (exchange bounded by the distinct-value domain) + cumulative
@@ -1310,6 +1359,31 @@ WITH dim AS (
 SELECT e.event_id, e.user_id, d.o_totalprice
 FROM events e ASOF JOIN dim d ON e.user_id = d.o_custkey AND e.ts >= d.t
 """,
+    "pivot_events": """
+SELECT user_id,
+       sum(CASE WHEN event_type = 'click' THEN value ELSE 0 END) AS click,
+       sum(CASE WHEN event_type = 'error' THEN value ELSE 0 END) AS error,
+       sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS purchase,
+       sum(CASE WHEN event_type = 'signup' THEN value ELSE 0 END) AS signup,
+       sum(CASE WHEN event_type = 'view' THEN value ELSE 0 END) AS view
+FROM events GROUP BY user_id
+""",
+    "melt_lineitem": """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable,
+       CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+""",
+    "grouped_median": """
+SELECT event_type, quantile_disc(value, 0.5) AS value
+FROM events GROUP BY event_type
+""",
+    "rolling_mean": """
+SELECT event_id,
+       avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rolling_mean
+FROM events
+""",
     "vocab_top_tokens": """
 SELECT t AS token, count(*) AS n FROM (
   SELECT unnest(string_split_regex(lower(text), '\\W+')) AS t FROM documents
@@ -1417,6 +1491,10 @@ QUERIES = {
     "top_orders_per_cust": q_top_orders_per_cust,
     "distinct_users": q_distinct_users,
     "vocab_top_tokens": q_vocab_top_tokens,
+    "pivot_events": q_pivot_events,
+    "melt_lineitem": q_melt_lineitem,
+    "grouped_median": q_grouped_median,
+    "rolling_mean": q_rolling_mean,
     "hash_split_docs": q_hash_split_docs,
     "quantiles_docs": q_quantiles_docs,
     "top_events": q_top_events,

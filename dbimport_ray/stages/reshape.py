@@ -1,0 +1,76 @@
+"""Reshape operators: pivot (long→wide) and melt (wide→long).
+
+The reference reshapes only at the schema level (column renames/casts,
+import_config.py ``saveColumnData``); a data-plane pivot is the missing
+piece when a key-value event stream must become a feature matrix (one row
+per entity, one column per event type) for training or validation.
+
+Both directions are expressed Ray-Data-first:
+
+- :func:`pivot_sum` — indicator-widening inside ``map_batches`` (each
+  batch grows the category columns with a vectorized ``if_else`` mask),
+  then ONE hash aggregate sums per entity. The exchange carries the
+  widened partials — rows × |categories| numeric cells — never a
+  per-category shuffle. Categories must be a known, bounded list (pivot
+  on an unbounded domain is a schema explosion — aggregate first).
+- :func:`melt` — pure per-batch transform (no exchange at all): value
+  columns are stacked with vectorized concat + parent-index repeat, the
+  inverse of pivot.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+
+def pivot_sum(
+    ds: rd.Dataset,
+    key_col: str,
+    pivot_col: str,
+    value_col: str,
+    categories: list[str],
+) -> rd.Dataset:
+    """``SELECT key, sum(CASE WHEN pivot=c THEN value ELSE 0 END) AS c …
+    GROUP BY key`` for each category ``c``. Rows whose pivot value is not
+    in ``categories`` contribute zero everywhere (they still emit the key).
+    """
+
+    def widen(t: pa.Table) -> pa.Table:
+        cols = {key_col: t[key_col]}
+        pv = pc.cast(t[pivot_col], pa.string())
+        val = pc.cast(t[value_col], pa.float64())
+        zero = pa.scalar(0.0, pa.float64())
+        for c in categories:
+            cols[c] = pc.if_else(pc.equal(pv, pa.scalar(c)), val, zero)
+        return pa.table(cols)
+
+    wide = ds.map_batches(widen, batch_format="pyarrow")
+    return wide.groupby(key_col).aggregate(
+        *[Sum(c, alias_name=c) for c in categories]
+    )
+
+
+def melt(
+    table: pa.Table,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> pa.Table:
+    """Wide→long per-batch kernel for ``map_batches``: one output row per
+    (input row, value column). Vectorized: the id columns are repeated
+    with ``take`` on a tiled index, the value columns concatenated."""
+    n = table.num_rows
+    k = len(value_cols)
+    idx = pa.array(np.tile(np.arange(n, dtype=np.int64), k))
+    out = {c: table[c].take(idx) for c in id_cols}
+    out[var_name] = pa.array(np.repeat(np.array(value_cols, dtype=object), n))
+    chunks = []
+    for c in value_cols:
+        chunks.extend(pc.cast(table[c], pa.float64()).chunks)
+    out[value_name] = pa.chunked_array(chunks, type=pa.float64())
+    return pa.table(out)

@@ -123,6 +123,33 @@ def distinct_count(
     return distinct.groupby(keys).aggregate(Count(alias_name=out_col))
 
 
+def grouped_quantile(
+    ds: rd.Dataset,
+    group_cols: list[str],
+    col: str,
+    q: float,
+    out_col: str = "value",
+) -> rd.Dataset:
+    """Exact discrete quantile (inverted-CDF, ``quantile_disc`` semantics)
+    of ``col`` per group: one hash exchange of the (group, value) pairs,
+    then a vectorized sort + rank pick per group. The quantile is an
+    actual element of the group, so results are float-exact vs any engine.
+    For groups too large to hold, switch to the value-counts shape of
+    :func:`exact_quantiles` per group."""
+    keys = list(group_cols)
+
+    def per_group(t: pa.Table) -> pa.Table:
+        v = np.sort(t[col].to_numpy(zero_copy_only=False))
+        rank = max(int(np.ceil(q * len(v))), 1) - 1
+        cols = {g: t[g].slice(0, 1) for g in keys}
+        cols[out_col] = pa.array([v[rank]], t.schema.field(col).type)
+        return pa.table(cols)
+
+    return ds.select_columns(keys + [col]).groupby(keys).map_groups(
+        per_group, batch_format="pyarrow"
+    )
+
+
 # --- HyperLogLog approximate distinct --------------------------------------
 
 _SM_GAMMA = np.uint64(0x9E3779B97F4A7C15)

@@ -246,6 +246,34 @@ def asof_join(
     return tagged.groupby(key).map_groups(per_key, batch_format="pyarrow")
 
 
+def window_rolling_mean(
+    ds: rd.Dataset,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    window: int,
+    out: str = "rolling_mean",
+) -> rd.Dataset:
+    """``AVG(value) OVER (PARTITION BY key ORDER BY … ROWS BETWEEN
+    window-1 PRECEDING AND CURRENT ROW)`` — one hash exchange by key, then
+    a vectorized shifted-add per group (no Python loop over rows; the loop
+    is over the WINDOW width, a small constant). Head rows average their
+    shorter frame, matching SQL semantics. Frame sums accumulate
+    oldest→newest so float rounding follows the SQL accumulation order."""
+
+    def per_key(t: pa.Table) -> pa.Table:
+        t = t.take(pc.sort_indices(t, [(c, "ascending") for c in order_cols]))
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(v)
+        acc = np.zeros(n, dtype=np.float64)
+        for j in range(min(window, n) - 1, -1, -1):  # oldest contribution first
+            acc[j:] += v[: n - j]
+        cnt = np.minimum(np.arange(n) + 1, window).astype(np.float64)
+        return t.append_column(out, pa.array(acc / cnt))
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")
+
+
 def range_join(
     left: rd.Dataset,
     right: rd.Dataset,

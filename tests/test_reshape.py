@@ -1,0 +1,102 @@
+"""Unit tests for pivot/melt (stages/reshape.py), grouped quantile, and
+the rolling-mean window aggregate."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from dbimport_ray.stages.reshape import melt, pivot_sum
+from dbimport_ray.stages.stats import grouped_quantile
+from dbimport_ray.stages.window import window_rolling_mean
+
+
+def test_pivot_sum_widens_and_sums(ray_session):
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "u": [1, 1, 2, 2, 2],
+                "t": ["a", "b", "a", "a", "zz"],  # zz not in categories
+                "v": [1.0, 2.0, 3.0, 4.0, 9.0],
+            }
+        )
+    )
+    out = (
+        pivot_sum(ds, "u", "t", "v", ["a", "b"])
+        .to_pandas()
+        .sort_values("u", ignore_index=True)
+    )
+    assert out["a"].tolist() == [1.0, 7.0]
+    assert out["b"].tolist() == [2.0, 0.0]
+
+
+def test_melt_roundtrip_shape():
+    t = pa.table(
+        {
+            "id": [1, 2],
+            "x": [10.0, 20.0],
+            "y": [30.0, 40.0],
+        }
+    )
+    out = melt(t, ["id"], ["x", "y"]).to_pandas()
+    assert len(out) == 4
+    assert sorted(out.columns) == ["id", "value", "variable"]
+    got = set(zip(out["id"], out["variable"], out["value"]))
+    assert got == {(1, "x", 10.0), (2, "x", 20.0), (1, "y", 30.0), (2, "y", 40.0)}
+
+
+def test_grouped_quantile_matches_numpy(ray_session):
+    rng = np.random.default_rng(21)
+    t = pa.table(
+        {
+            "g": rng.choice(["p", "q"], size=501),
+            "v": rng.standard_normal(501),
+        }
+    )
+    out = (
+        grouped_quantile(rd.from_arrow(t).repartition(5), ["g"], "v", 0.5)
+        .to_pandas()
+        .sort_values("g", ignore_index=True)
+    )
+    df = t.to_pandas()
+    for _, row in out.iterrows():
+        v = np.sort(df[df["g"] == row["g"]]["v"].to_numpy())
+        want = v[max(int(np.ceil(0.5 * len(v))), 1) - 1]
+        assert row["value"] == want
+
+
+def test_rolling_mean_matches_pandas(ray_session):
+    rng = np.random.default_rng(8)
+    n = 300
+    t = pa.table(
+        {
+            "u": rng.integers(0, 7, size=n),
+            "ts": np.arange(n, dtype=np.int64),
+            "v": rng.standard_normal(n),
+        }
+    )
+    out = (
+        window_rolling_mean(
+            rd.from_arrow(t).repartition(4), "u", ["ts"], "v", 3, out="rm"
+        )
+        .to_pandas()
+        .sort_values("ts", ignore_index=True)
+    )
+    df = t.to_pandas().sort_values("ts")
+    want = (
+        df.groupby("u")["v"].rolling(3, min_periods=1).mean().reset_index(level=0)
+    )
+    want = want.sort_index()["v"].to_numpy()
+    assert np.allclose(out["rm"].to_numpy(), want)
+
+
+def test_rolling_mean_group_shorter_than_window(ray_session):
+    t = pa.table({"u": ["a", "a"], "ts": [1, 2], "v": [2.0, 4.0]})
+    out = (
+        window_rolling_mean(rd.from_arrow(t), "u", ["ts"], "v", 5, out="rm")
+        .to_pandas()
+        .sort_values("ts", ignore_index=True)
+    )
+    assert out["rm"].tolist() == [2.0, 3.0]
