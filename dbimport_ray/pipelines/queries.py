@@ -1075,6 +1075,43 @@ def q_rolling_mean(sf_dir: str) -> rd.Dataset:
     return out.select_columns(["event_id", "rolling_mean"])
 
 
+def q_connected_components(sf_dir: str) -> rd.Dataset:
+    """Distributed connected components over a deterministic chain graph
+    (doc_id → doc_id+1 except at id % 10 == 9 boundaries): iterative
+    min-label propagation, narrow (node, label) exchanges only, monotone
+    sum as the convergence probe. The chain shape forces ~9 propagation
+    rounds, exercising the iteration machinery, and the recursive-CTE
+    oracle checks the exact closure."""
+    from ..stages.graph import connected_components
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = d[d % 10 != 9]
+        return pa.table({"a": pa.array(d), "b": pa.array(d + 1)})
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    return connected_components(edges, num_partitions=8)
+
+
+def q_minhash_cc_clusters(sf_dir: str) -> rd.Dataset:
+    """Transitive closure of the VERIFIED near-duplicate pairs: LSH find →
+    exact-Jaccard verify → connected components, so A~B, B~C land in one
+    cluster even when A and C share no bucket (rows-only; union-find
+    Python oracle in tests)."""
+    from ..stages.graph import connected_components
+    from .dedup import minhash_verified_clusters
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_verified_clusters(ds, "text", "doc_id", jaccard_threshold=0.5)
+    edges = pairs.map_batches(
+        lambda t: pa.table({"a": t["doc_id"], "b": t["rep"]}),
+        batch_format="pyarrow",
+    )
+    return connected_components(edges, num_partitions=8)
+
+
 def q_quantiles_docs(sf_dir: str) -> pa.Table:
     """Exact distribution quantiles of document length — value-counts hash
     aggregate (exchange bounded by the distinct-value domain) + cumulative
@@ -1359,6 +1396,20 @@ WITH dim AS (
 SELECT e.event_id, e.user_id, d.o_totalprice
 FROM events e ASOF JOIN dim d ON e.user_id = d.o_custkey AND e.ts >= d.t
 """,
+    "connected_components": """
+WITH RECURSIVE
+e AS (
+  SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 10 <> 9
+),
+es AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+nodes AS (SELECT DISTINCT a AS node FROM es),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT reach.node, es.b FROM reach JOIN es ON reach.r = es.a
+)
+SELECT node, min(r) AS component FROM reach GROUP BY node
+""",
     "pivot_events": """
 SELECT user_id,
        sum(CASE WHEN event_type = 'click' THEN value ELSE 0 END) AS click,
@@ -1495,11 +1546,13 @@ QUERIES = {
     "melt_lineitem": q_melt_lineitem,
     "grouped_median": q_grouped_median,
     "rolling_mean": q_rolling_mean,
+    "connected_components": q_connected_components,
     "hash_split_docs": q_hash_split_docs,
     "quantiles_docs": q_quantiles_docs,
     "top_events": q_top_events,
     # rows-only (no SQL-expressible oracle):
     "approx_distinct_users": q_approx_distinct_users,
+    "minhash_cc_clusters": q_minhash_cc_clusters,
     "minhash_dedup_docs": q_minhash_dedup_docs,
     "minhash_verified_docs": q_minhash_verified_docs,
     "simhash_docs": q_simhash_docs,

@@ -1,0 +1,93 @@
+"""Distributed connected components — transitive closure for dedup
+clusters.
+
+The LSH dedup family (pipelines/dedup.py) labels each document with the
+min id over its SHARED BUCKETS — one hop. True near-duplicate clusters
+are the transitive closure of the verified-pair graph (A~B, B~C ⇒ one
+cluster even when A,C share no bucket). The reference has no graph plane
+at all; at 100 TB this is the missing piece between "candidate pairs"
+and "keep one survivor per cluster".
+
+Algorithm: iterative min-label propagation. ``label(x)`` starts as
+``min(x, neighbors(x))``; each round every edge offers its endpoints'
+labels to the other side and labels re-minimize:
+
+    round: msgs = edges ⋈ labels  →  (b, label_a) ∪ (a, label_b)
+           labels' = groupby(node).min(msgs ∪ labels)
+
+All exchanged rows are narrow (node, label) int pairs — edge payloads
+never move. Labels are MONOTONE non-increasing, so ``sum(label)`` is a
+constant-size convergence probe (stable sum ⇔ fixed point; no
+row-by-row diff join). Rounds needed = graph diameter: right for dedup
+graphs (bucket cliques and stars, diameter ≤ a few); for adversarial
+long-chain graphs swap in a pointer-doubling variant. Each round
+materializes the narrow label set to truncate lineage — peak memory is
+O(|nodes|) ids, never the documents.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Min
+
+from .joins import hash_join
+
+
+def connected_components(
+    edges: rd.Dataset,
+    a: str = "a",
+    b: str = "b",
+    node_col: str = "node",
+    comp_col: str = "component",
+    num_partitions: int = 16,
+    max_iters: int = 50,
+) -> rd.Dataset:
+    """(node, component) for every endpoint in ``edges`` (undirected);
+    ``component`` is the minimum node id in the connected component."""
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        ai, bi = pc.cast(t[a], pa.int64()), pc.cast(t[b], pa.int64())
+        return pa.concat_tables(
+            [pa.table({a: ai, b: bi}), pa.table({a: bi, b: ai})]
+        )
+
+    # the edge set is re-joined every round — materialize the narrow,
+    # symmetric (a, b) pairs ONCE so each round is a single join (one live
+    # join pool per round; two concurrent pools can deadlock a small
+    # cluster — see joins.hash_join) and no lineage re-runs per iteration
+    edges = edges.map_batches(symmetrize, batch_format="pyarrow").materialize()
+
+    def seed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {node_col: t[a], comp_col: pc.min_element_wise(t[a], t[b])}
+        )
+
+    labels = (
+        edges.map_batches(seed, batch_format="pyarrow")
+        .groupby(node_col)
+        .aggregate(Min(comp_col, alias_name=comp_col))
+        .materialize()
+    )
+    prev_sum = labels.sum(comp_col)
+
+    for _ in range(max_iters):
+        msgs = hash_join(
+            edges,
+            labels,
+            on=(a,),
+            right_on=(node_col,),
+            num_partitions=num_partitions,
+        ).select_columns([b, comp_col]).rename_columns({b: node_col})
+        labels = (
+            labels.union(msgs)
+            .groupby(node_col)
+            .aggregate(Min(comp_col, alias_name=comp_col))
+            .materialize()
+        )
+        cur_sum = labels.sum(comp_col)
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels

@@ -1,0 +1,65 @@
+"""Unit tests for distributed connected components (stages/graph.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from dbimport_ray.stages.graph import connected_components
+
+
+def _cc(edges_tbl, **kw):
+    ds = rd.from_arrow(edges_tbl).repartition(3)
+    out = connected_components(ds, num_partitions=4, **kw).to_pandas()
+    return dict(zip(out["node"], out["component"]))
+
+
+def test_cc_chain_needs_multiple_rounds(ray_session):
+    # 0-1-2-...-9 chain plus separate triangle {20,21,22} and pair {30,31}
+    edges = pa.table(
+        {
+            "a": list(range(9)) + [20, 21, 20, 30],
+            "b": list(range(1, 10)) + [21, 22, 22, 31],
+        }
+    )
+    got = _cc(edges)
+    assert all(got[i] == 0 for i in range(10))
+    assert got[20] == got[21] == got[22] == 20
+    assert got[30] == got[31] == 30
+    assert len(got) == 15
+
+
+def test_cc_bridge_merges_two_stars(ray_session):
+    # two stars joined by one bridge edge — min label must cross the bridge
+    edges = pa.table(
+        {
+            "a": [100, 100, 100, 200, 200, 200, 150],
+            "b": [101, 102, 150, 201, 202, 250, 250],
+        }
+    )
+    got = _cc(edges)
+    assert set(got.values()) == {100}
+    assert len(got) == 8  # {100,101,102,150,200,201,202,250}
+
+
+def test_cc_random_graph_matches_union_find(ray_session):
+    rng = np.random.default_rng(17)
+    a = rng.integers(0, 120, size=200)
+    b = rng.integers(0, 120, size=200)
+    got = _cc(pa.table({"a": a, "b": b}))
+
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(a.tolist(), b.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    want = {n: find(n) for n in set(a.tolist()) | set(b.tolist())}
+    assert got == want

@@ -108,6 +108,41 @@ def test_minhash_verified_matches_reference(docs):
         assert abs(sim - wsim) < 1e-12, did
 
 
+def test_minhash_cc_matches_union_find(docs):
+    """Transitive-closure clusters: union-find over the reference's
+    verified (doc, rep) pairs must equal the distributed CC labels."""
+    from dbimport_ray.pipelines.dedup import jaccard, ngram_set
+    from dbimport_ray.pipelines.queries import q_minhash_cc_clusters
+
+    texts = dict(docs)
+    reps = ref_minhash_reps(docs)
+    edges = []
+    for did, rep in reps.items():
+        if did == rep:
+            edges.append((did, did))
+        else:
+            sim = jaccard(ngram_set(texts[did], 3), ngram_set(texts[rep], 3))
+            edges.append((did, rep) if sim >= 0.5 else (did, did))
+
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in edges:
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    want = {n: find(n) for e in edges for n in e}
+
+    df = q_minhash_cc_clusters(SF).to_pandas()
+    got = dict(zip(df["node"], df["component"]))
+    assert got == want
+
+
 # ---------------------------------------------------------------------------
 # SimHash reference
 # ---------------------------------------------------------------------------
