@@ -1131,6 +1131,60 @@ def q_top_events(sf_dir: str) -> rd.Dataset:
     return top_k_by_count(ds, "event_type", 5)
 
 
+def q_intersect_keys(sf_dir: str) -> rd.Dataset:
+    """SQL INTERSECT over key tuples when BOTH sides are too large to
+    broadcast: partkeys that exist in ``part`` and also appear on a
+    high-quantity lineitem. One narrow shuffle of per-block distinct keys."""
+    from ..stages.setops import intersect_distinct
+
+    part = _read(sf_dir, "part", columns=["p_partkey"]).rename_columns(
+        {"p_partkey": "partkey"}
+    )
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey"],
+        filter_columns=("l_quantity",),
+        filter=pc.field("l_quantity") > 45.0,
+    ).rename_columns({"l_partkey": "partkey"})
+    return intersect_distinct(part, li, ["partkey"])
+
+
+def q_except_keys(sf_dir: str) -> rd.Dataset:
+    """Full-load delete detection as SQL EXCEPT (target keys absent from
+    the snapshot) — the shuffle-based sibling of ``antijoin_deletes`` for
+    when the snapshot side cannot be broadcast: customers with no orders."""
+    from ..stages.setops import except_distinct
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"]).rename_columns(
+        {"c_custkey": "custkey"}
+    )
+    orders = _read(sf_dir, "orders", columns=["o_custkey"]).rename_columns(
+        {"o_custkey": "custkey"}
+    )
+    return except_distinct(cust, orders, ["custkey"])
+
+
+def q_symdiff_keys(sf_dir: str) -> rd.Dataset:
+    """Replica-drift probe: keys live in exactly one replica (both EXCEPT
+    directions in a single exchange). Sides: custkeys of big-ticket orders
+    vs custkeys of negative-balance customers."""
+    from ..stages.setops import symmetric_difference
+
+    big = _read(
+        sf_dir, "orders",
+        columns=["o_custkey"],
+        filter_columns=("o_totalprice",),
+        filter=pc.field("o_totalprice") > 200000.0,
+    ).rename_columns({"o_custkey": "custkey"})
+    neg = _read(
+        sf_dir, "customer",
+        columns=["c_custkey"],
+        filter_columns=("c_acctbal",),
+        filter=pc.field("c_acctbal") < 0.0,
+    ).rename_columns({"c_custkey": "custkey"})
+    return symmetric_difference(big, neg, ["custkey"])
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL
 # ---------------------------------------------------------------------------
@@ -1493,6 +1547,26 @@ SELECT event_type, n FROM (
 # same oracle, different execution path
 ORACLES["cdc_merge_salted"] = ORACLES["cdc_merge_soft"]
 
+ORACLES["intersect_keys"] = """
+SELECT p_partkey AS partkey FROM part
+INTERSECT
+SELECT l_partkey AS partkey FROM lineitem WHERE l_quantity > 45
+"""
+ORACLES["except_keys"] = """
+SELECT c_custkey AS custkey FROM customer
+EXCEPT
+SELECT o_custkey AS custkey FROM orders
+"""
+ORACLES["symdiff_keys"] = """
+(SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000
+ EXCEPT
+ SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+UNION
+(SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+ EXCEPT
+ SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+"""
+
 
 def q_ann_topk(sf_dir: str) -> rd.Dataset:
     """Brute-force cosine top-10 against the all-ones probe vector
@@ -1550,6 +1624,9 @@ QUERIES = {
     "hash_split_docs": q_hash_split_docs,
     "quantiles_docs": q_quantiles_docs,
     "top_events": q_top_events,
+    "intersect_keys": q_intersect_keys,
+    "except_keys": q_except_keys,
+    "symdiff_keys": q_symdiff_keys,
     # rows-only (no SQL-expressible oracle):
     "approx_distinct_users": q_approx_distinct_users,
     "minhash_cc_clusters": q_minhash_cc_clusters,

@@ -1,0 +1,85 @@
+"""Distributed set operations over key tuples: INTERSECT / EXCEPT /
+symmetric difference, DISTINCT semantics.
+
+The reference computes exactly this shape when it reconciles a source
+snapshot against the target table — "keys present in the target but no
+longer in the source" drives its delete detection
+(reference: import_operations.py:2147 full-load delete scan;
+import_config.py:3306 row-count reconciliation) — but only ever via
+generated Hive SQL. Here the same algebra is a first-class distributed
+operator usable between any two Datasets.
+
+Shape: each side is reduced map-side to its per-block DISTINCT key
+tuples (so the exchange carries the local distinct domain, not the
+rows), tagged with a side indicator, unioned, and hash-aggregated once
+— ``groupby(keys).max(_l), max(_r)`` — then filtered by the membership
+predicate. ONE narrow shuffle whose volume is bounded by the distinct
+key domain; no join pools, no broadcast requirement on either side
+(compare stages/joins.py:broadcast_semi_join, which needs the small
+side to fit in plasma — these work when BOTH sides are huge).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Max
+
+from .joins import strip_schema_metadata
+
+_L, _R = "_in_left", "_in_right"
+
+
+def _tag_distinct(ds: rd.Dataset, on: list[str], left: bool) -> rd.Dataset:
+    """Per-block distinct key tuples with constant side-indicator columns
+    (int8 so the exchange rows stay narrow)."""
+
+    def prune(t: pa.Table) -> pa.Table:
+        d = strip_schema_metadata(t.select(on).group_by(on).aggregate([]))
+        ones = np.ones(d.num_rows, dtype=np.int8)
+        zeros = np.zeros(d.num_rows, dtype=np.int8)
+        d = d.append_column(_L, pa.array(ones if left else zeros))
+        return d.append_column(_R, pa.array(zeros if left else ones))
+
+    return ds.map_batches(prune, batch_format="pyarrow")
+
+
+def _membership(left: rd.Dataset, right: rd.Dataset, on: list[str]) -> rd.Dataset:
+    keys = list(on)
+    tagged = _tag_distinct(left, keys, True).union(_tag_distinct(right, keys, False))
+    return tagged.groupby(keys).aggregate(
+        Max(_L, alias_name=_L), Max(_R, alias_name=_R)
+    )
+
+
+def _filter_membership(
+    left: rd.Dataset, right: rd.Dataset, on: list[str], mask_fn
+) -> rd.Dataset:
+    def apply(t: pa.Table) -> pa.Table:
+        mask = mask_fn(
+            t[_L].to_numpy(zero_copy_only=False),
+            t[_R].to_numpy(zero_copy_only=False),
+        )
+        return t.filter(pa.array(mask)).drop_columns([_L, _R])
+
+    return _membership(left, right, on).map_batches(apply, batch_format="pyarrow")
+
+
+def intersect_distinct(left: rd.Dataset, right: rd.Dataset, on: list[str]) -> rd.Dataset:
+    """Distinct key tuples present in BOTH sides (SQL ``INTERSECT`` over
+    the ``on`` columns)."""
+    return _filter_membership(left, right, on, lambda l, r: (l > 0) & (r > 0))
+
+
+def except_distinct(left: rd.Dataset, right: rd.Dataset, on: list[str]) -> rd.Dataset:
+    """Distinct key tuples present in ``left`` but not in ``right`` (SQL
+    ``EXCEPT`` over the ``on`` columns) — the full-load delete-detection
+    shape when both sides are too large to broadcast."""
+    return _filter_membership(left, right, on, lambda l, r: (l > 0) & (r == 0))
+
+
+def symmetric_difference(left: rd.Dataset, right: rd.Dataset, on: list[str]) -> rd.Dataset:
+    """Distinct key tuples present in exactly one side — the drift probe
+    for replica reconciliation (both EXCEPT directions in one exchange)."""
+    return _filter_membership(left, right, on, lambda l, r: (l > 0) != (r > 0))

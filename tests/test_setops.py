@@ -1,0 +1,61 @@
+"""Unit tests for distributed set operations (stages/setops.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from dbimport_ray.stages.setops import (
+    except_distinct,
+    intersect_distinct,
+    symmetric_difference,
+)
+
+
+def _keys(ds: rd.Dataset, cols: list[str]) -> set[tuple]:
+    t = ds.to_pandas()
+    return set(map(tuple, t[cols].itertuples(index=False, name=None)))
+
+
+def test_setops_single_key_randomized(ray_session):
+    rng = np.random.default_rng(42)
+    a = rng.integers(0, 200, size=1500)
+    b = rng.integers(100, 300, size=1500)
+    left = rd.from_arrow(pa.table({"k": a})).repartition(5)
+    right = rd.from_arrow(pa.table({"k": b})).repartition(3)
+    sa, sb = set(a.tolist()), set(b.tolist())
+
+    assert _keys(intersect_distinct(left, right, ["k"]), ["k"]) == {
+        (k,) for k in sa & sb
+    }
+    assert _keys(except_distinct(left, right, ["k"]), ["k"]) == {
+        (k,) for k in sa - sb
+    }
+    assert _keys(symmetric_difference(left, right, ["k"]), ["k"]) == {
+        (k,) for k in sa ^ sb
+    }
+
+
+def test_setops_composite_key_and_types(ray_session):
+    # composite (string, int) keys — tuple equality, not string-concat equality
+    left = rd.from_arrow(
+        pa.table({"g": ["a", "a", "b", "b", "c"], "i": [1, 1, 2, 3, 4]})
+    )
+    right = rd.from_arrow(pa.table({"g": ["a", "b", "d"], "i": [1, 3, 4]}))
+    on = ["g", "i"]
+    assert _keys(intersect_distinct(left, right, on), on) == {("a", 1), ("b", 3)}
+    assert _keys(except_distinct(left, right, on), on) == {("b", 2), ("c", 4)}
+    assert _keys(symmetric_difference(left, right, on), on) == {
+        ("b", 2), ("c", 4), ("d", 4)
+    }
+
+
+def test_setops_disjoint_and_empty_result(ray_session):
+    left = rd.from_arrow(pa.table({"k": [1, 2, 3]}))
+    right = rd.from_arrow(pa.table({"k": [4, 5]}))
+    assert intersect_distinct(left, right, ["k"]).count() == 0
+    assert _keys(except_distinct(left, right, ["k"]), ["k"]) == {(1,), (2,), (3,)}
+    assert _keys(symmetric_difference(left, right, ["k"]), ["k"]) == {
+        (1,), (2,), (3,), (4,), (5,)
+    }
