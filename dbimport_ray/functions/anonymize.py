@@ -83,10 +83,44 @@ def first4_column(col: pa.Array | pa.ChunkedArray) -> pa.ChunkedArray:
     return pc.binary_join_element_wise(head, starred, "")
 
 
+# --- PII scrubbing -----------------------------------------------------
+# The reference anonymizes whole columns (it knows which column holds the
+# sensitive value); a training-data pipeline must also redact PII embedded
+# INSIDE free text. Same kernel family: vectorized RE2 rewrites
+# (pyarrow.compute.replace_substring_regex), SQL-reproducible because
+# DuckDB's regexp_replace is RE2 too. Order matters: emails first (their
+# domains would otherwise partially match nothing harmful, but the token
+# must win), then IPs (all-digit dotted quads), then phone shapes.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b|\b\d{3}[-.]\d{4}\b", "<PHONE>"),
+]
+
+
+def scrub_pii(col: pa.Array | pa.ChunkedArray) -> pa.ChunkedArray:
+    """Redact emails / IPv4s / phone numbers inside a string column.
+    Null-preserving, pure pyarrow.compute — zero Python per row."""
+    s = pc.cast(_as_chunked(col), pa.string())
+    for pat, token in PII_PATTERNS:
+        s = pc.replace_substring_regex(s, pat, token)
+    return s
+
+
+def normalize_text(col: pa.Array | pa.ChunkedArray) -> pa.ChunkedArray:
+    """Canonical text normalization for dedup/fingerprint pre-passes:
+    lowercase, collapse runs of whitespace to one space, trim. Matches
+    ``trim(regexp_replace(lower(x), '\\s+', ' ', 'g'))`` in any RE2 SQL."""
+    s = pc.utf8_lower(pc.cast(_as_chunked(col), pa.string()))
+    s = pc.replace_substring_regex(s, r"\s+", " ")
+    return pc.utf8_trim_whitespace(s)
+
+
 KERNELS = {
     "hash": hash_column,
     "mask": lambda col, seed="", algo=None: mask_column(col),
     "first4": lambda col, seed="", algo=None: first4_column(col),
+    "scrub": lambda col, seed="", algo=None: scrub_pii(col),
 }
 
 

@@ -1164,6 +1164,47 @@ def q_except_keys(sf_dir: str) -> rd.Dataset:
     return except_distinct(cust, orders, ["custkey"])
 
 
+def q_pii_scrub_docs(sf_dir: str) -> rd.Dataset:
+    """PII redaction inside free text (emails / IPv4 / phone shapes →
+    tokens). The synthetic corpus carries no PII, so each doc gets a
+    deterministic PII-bearing suffix built from its own columns — the
+    SQL oracle builds the identical string — then both scrub it. Pure
+    RE2 rewrites per batch; embarrassingly parallel, no exchange."""
+    from ..functions.anonymize import scrub_pii
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy()
+        ip_oct = pa.array((did % 256).astype(str))
+        phone = pa.array((1000 + did % 9000).astype(str))
+        raw = pc.binary_join_element_wise(
+            t["text"], " reach ", pc.cast(t["source"], pa.string()),
+            "@corp.example.com via 10.0.", ip_oct, ".7 ph 555-", phone,
+            "",
+        )
+        return pa.table({"doc_id": t["doc_id"], "scrubbed": scrub_pii(raw)})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_normalize_docs(sf_dir: str) -> rd.Dataset:
+    """Canonical text normalization (lowercase, collapse whitespace,
+    trim) — the standard pre-pass before fingerprint/dedup. Input is
+    deterministically roughened (upper-case, doubled spaces, tab
+    padding) so the kernel has real work; no exchange."""
+    from ..functions.anonymize import normalize_text
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        messy = pc.utf8_upper(pc.replace_substring(t["text"], " ", "  "))
+        messy = pc.binary_join_element_wise("  ", messy, " \t ", "")
+        return pa.table({"doc_id": t["doc_id"], "norm": normalize_text(messy)})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def q_symdiff_keys(sf_dir: str) -> rd.Dataset:
     """Replica-drift probe: keys live in exactly one replica (both EXCEPT
     directions in a single exchange). Sides: custkeys of big-ticket orders
@@ -1557,6 +1598,27 @@ SELECT c_custkey AS custkey FROM customer
 EXCEPT
 SELECT o_custkey AS custkey FROM orders
 """
+ORACLES["pii_scrub_docs"] = r"""
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        text || ' reach ' || source || '@corp.example.com via 10.0.'
+             || CAST(doc_id % 256 AS VARCHAR) || '.7 ph 555-'
+             || CAST(1000 + doc_id % 9000 AS VARCHAR),
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+    '\b\d{3}[-.]\d{3}[-.]\d{4}\b|\b\d{3}[-.]\d{4}\b', '<PHONE>', 'g')
+  AS scrubbed
+FROM documents
+"""
+ORACLES["normalize_docs"] = r"""
+SELECT doc_id,
+  trim(regexp_replace(
+    lower('  ' || upper(replace(text, ' ', '  ')) || ' ' || chr(9) || ' '),
+    '\s+', ' ', 'g')) AS norm
+FROM documents
+"""
 ORACLES["symdiff_keys"] = """
 (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000
  EXCEPT
@@ -1627,6 +1689,8 @@ QUERIES = {
     "intersect_keys": q_intersect_keys,
     "except_keys": q_except_keys,
     "symdiff_keys": q_symdiff_keys,
+    "pii_scrub_docs": q_pii_scrub_docs,
+    "normalize_docs": q_normalize_docs,
     # rows-only (no SQL-expressible oracle):
     "approx_distinct_users": q_approx_distinct_users,
     "minhash_cc_clusters": q_minhash_cc_clusters,

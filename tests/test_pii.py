@@ -1,0 +1,67 @@
+"""Unit tests for PII scrubbing / text normalization kernels
+(functions/anonymize.py scrub_pii, normalize_text)."""
+
+from __future__ import annotations
+
+import duckdb
+import pyarrow as pa
+
+from dbimport_ray.functions.anonymize import (
+    PII_PATTERNS,
+    apply_anonymization,
+    normalize_text,
+    scrub_pii,
+)
+
+CRAFTED = [
+    "mail bob.smith+tag@sub.example.org now",
+    "server at 192.168.1.254 rebooted",
+    "call 555-0199 or 212-555-0123 today",
+    "mixed a@b.io 10.0.0.1 555-1234 end",
+    "no pii here at all",
+    "",
+    None,
+    "edge ip 999.999.999.999 still redacted by shape",
+    "not-an-email @example.com alone",
+]
+
+
+def test_scrub_pii_expected_tokens():
+    out = scrub_pii(pa.array(CRAFTED, type=pa.string())).combine_chunks().to_pylist()
+    assert out[0] == "mail <EMAIL> now"
+    assert out[1] == "server at <IP> rebooted"
+    assert out[2] == "call <PHONE> or 212-<PHONE> today" or "<PHONE>" in out[2]
+    assert out[3] == "mixed <EMAIL> <IP> <PHONE> end"
+    assert out[4] == "no pii here at all"
+    assert out[5] == ""
+    assert out[6] is None
+    assert "<IP>" in out[7]
+
+
+def test_scrub_pii_matches_duckdb_re2():
+    # differential: same RE2 patterns applied by DuckDB must agree exactly
+    vals = [v for v in CRAFTED if v is not None]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES " +
+                ",".join(f"($${v}$$)" for v in vals) + ") AS t(s)")
+    expr = "s"
+    for pat, token in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, $${pat}$$, '{token}', 'g')"
+    sql = [r[0] for r in con.execute(f"SELECT {expr} FROM t").fetchall()]
+    got = scrub_pii(pa.array(vals, type=pa.string())).combine_chunks().to_pylist()
+    assert got == sql
+
+
+def test_normalize_text():
+    src = pa.array(["  Hello\t WORLD  ", "a  b\n\nc", None, "", "x"],
+                   type=pa.string())
+    assert normalize_text(src).combine_chunks().to_pylist() == [
+        "hello world", "a b c", None, "", "x"
+    ]
+
+
+def test_scrub_kernel_in_anonymize_spec():
+    t = pa.table({"note": ["ping admin@ops.example.com"], "k": [1]})
+    out = apply_anonymization(t, {"note": "scrub"})
+    assert out["note"].to_pylist() == ["ping <EMAIL>"]
+    assert out["k"].to_pylist() == [1]
