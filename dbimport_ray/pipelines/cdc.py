@@ -75,6 +75,7 @@ from ..state.manifest import (
     schema_to_json,
 )
 from ..state.schema_evolution import align_to_schema, plan_evolution
+from ..state.zones import column_zones
 from ..stages.lww import lww_dedup, make_lww_prereduce
 from ..stages.merge import merge_partition, target_schema
 from ..stages.normalize import NormalizeBatch
@@ -214,6 +215,7 @@ class MergeGroup:
             "hist_file": rel_hist,
             "hist_rows": hist_rows,
             "resumed": False,
+            "zones": column_zones(res.table) if res.table.num_rows else {},
         }
         self.store.write_marker(self.version, pid, m)
         return m
@@ -345,6 +347,7 @@ def _salt_finalize(kw: dict, pid: int, sub_refs: list, meta_refs: list) -> dict:
         "hist_file": rel_hist,
         "hist_rows": hist_rows,
         "resumed": False,
+        "zones": column_zones(table) if table.num_rows else {},
     }
     mg.store.write_marker(mg.version, pid, m)
     return m
@@ -576,6 +579,7 @@ class CDCEngine:
                     "rows": int(m["rows"]),
                     "bytes": int(m["bytes"]),
                     "version": version,
+                    "zones": m.get("zones", {}),
                 }
             else:
                 new_m.partitions.pop(pid, None)
@@ -871,6 +875,24 @@ class CDCEngine:
         from ..sources.lake import read_lake
 
         return read_lake(self.store, self.cfg, columns=columns, version=version)
+
+    def dataset_where(
+        self,
+        predicate: tuple[str, str, object],
+        columns: list[str] | None = None,
+        version: int | None = None,
+        stats: dict | None = None,
+    ) -> rd.Dataset:
+        """Zone-map-pruned predicate read: opens only partition files whose
+        manifest min/max can match (sources/lake.py:read_lake_pruned).
+        ``("datalake_update", ">", T)`` = rows changed since T, touching
+        only partitions some merge has rewritten since then."""
+        from ..sources.lake import read_lake_pruned
+
+        return read_lake_pruned(
+            self.store, self.cfg, predicate,
+            columns=columns, version=version, stats=stats,
+        )
 
     def arrow(self, version: int | None = None) -> pa.Table:
         from ..sources.lake import read_lake_arrow

@@ -15,6 +15,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..state.manifest import Manifest, schema_to_json
+from ..state.zones import column_zones
 from .cdc import CDCEngine
 
 
@@ -64,6 +65,7 @@ def rehash_table(engine: CDCEngine, new_num_partitions: int) -> dict:
             "rows": tbl.num_rows,
             "bytes": os.path.getsize(abs_path),
             "version": version,
+            "zones": column_zones(tbl),
         }
 
     futs = []

@@ -49,6 +49,73 @@ def read_lake(
     return ds
 
 
+def prune_partitions(
+    m: Manifest, predicate: tuple[str, str, object]
+) -> tuple[list[dict], int]:
+    """Manifest-only zone-map pruning: partition entries whose recorded
+    [min, max] for the predicate column can still match, plus the total
+    entry count. No file or footer IO — at 10^5 files the manifest is the
+    only thing read (state/zones.py; ref import_operations.py:1358-1380
+    min/max split-boundary analogue on the read side)."""
+    from ..state.zones import zone_overlaps
+
+    col, op, val = predicate
+    entries = sorted(m.partitions.values(), key=lambda e: e["file"])
+    kept = [e for e in entries if zone_overlaps(e.get("zones"), col, op, val)]
+    return kept, len(entries)
+
+
+def read_lake_pruned(
+    store: TableStore,
+    cfg: TableConfig,
+    predicate: tuple[str, str, object],
+    columns: list[str] | None = None,
+    version: int | None = None,
+    stats: dict | None = None,
+) -> rd.Dataset:
+    """Predicate read that opens only partition files whose zone maps can
+    match ``(col, op, value)``; kept files still get the exact vectorized
+    residual filter per batch (zones prune whole files, not rows). The
+    CDC-relevant shape: ``("datalake_update", ">", T)`` reads only the
+    partitions some merge touched since T — downstream incremental
+    consumption without a change feed. Pass ``stats={}`` to receive
+    ``files_kept`` / ``files_total``."""
+    from ..state.zones import residual_mask
+
+    m = store.load_manifest(version=version)
+    kept, total = prune_partitions(m, predicate)
+    if stats is not None:
+        stats.update(files_kept=len(kept), files_total=total)
+    col, op, val = predicate
+    schema = m.arrow_schema()
+    if not kept:
+        empty = (
+            _empty(store, cfg)
+            if schema is None
+            else pa.Table.from_pylist([], schema=schema)
+        )
+        if columns is not None:
+            empty = empty.select(columns)
+        return rd.from_arrow(empty)
+    vtypes = {f.name: f.type for f in schema}
+    tgt = target_schema(cfg_with_schema(cfg, schema), vtypes)
+    renames = m.renames
+    read_cols = None
+    if columns is not None:
+        read_cols = list(columns) + ([col] if col not in columns else [])
+
+    def _filter(t: pa.Table) -> pa.Table:
+        if columns is None:  # full reads align legacy files (as read_lake)
+            t = align_to_schema(t, tgt, renames)
+        t = t.filter(residual_mask(t, col, op, val))
+        return t.select(columns) if columns is not None else t
+
+    files = [store.abs_path(e["file"]) for e in kept]
+    return rd.read_parquet(files, columns=read_cols).map_batches(
+        _filter, batch_format="pyarrow"
+    )
+
+
 def read_lake_arrow(
     store: TableStore, cfg: TableConfig, version: int | None = None
 ) -> pa.Table:

@@ -1,0 +1,97 @@
+"""Per-partition-file zone maps (column min/max) recorded in the manifest.
+
+The reference prunes at the SOURCE with min/max split boundaries
+(reference: import_operations.py:1358-1380 computes min/max of the split
+column and shards the read range). The lake-side analogue: every committed
+partition file records min/max for its orderable columns at merge time, so
+a predicate read consults the manifest and never opens files whose range
+cannot match — no footer round-trips, which matters when the manifest
+spans 10^5 files.
+
+On a pk-hash-partitioned lake most value columns span every file; the
+zone that actually prunes is the audit/watermark axis (``datalake_update``,
+sequence columns): a merge rewrites only touched partitions, so "rows
+changed since T" skips every partition untouched since T — the
+downstream-incremental-consumption shape.
+
+JSON encoding: ints/floats/strings verbatim; timestamps as ISO-8601
+strings (fixed-format ISO ordering is lexicographic, so the conservative
+overlap test stays exact). All-null columns record [None, None] — a
+comparison predicate can never select such a file, so it prunes.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_OPS = (">", ">=", "<", "<=", "==", "!=")
+
+
+def _encode(v):
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    return v
+
+
+def column_zones(table: pa.Table) -> dict[str, list]:
+    """min/max per orderable column (int / float / string / timestamp /
+    date), JSON-safe. One vectorized min_max pass per column."""
+    zones: dict[str, list] = {}
+    for name, col in zip(table.column_names, table.columns):
+        t = col.type
+        if not (
+            pa.types.is_integer(t)
+            or pa.types.is_floating(t)
+            or pa.types.is_string(t)
+            or pa.types.is_timestamp(t)
+            or pa.types.is_date(t)
+        ):
+            continue
+        mm = pc.min_max(col)
+        zones[name] = [_encode(mm["min"].as_py()), _encode(mm["max"].as_py())]
+    return zones
+
+
+def zone_overlaps(zones: dict | None, col: str, op: str, val) -> bool:
+    """Conservative: True unless the file's [lo, hi] range for ``col``
+    provably contains no row satisfying ``col <op> val``. Missing zones
+    (old manifests, un-zoned types) never prune."""
+    if op not in _OPS:
+        raise ValueError(f"unsupported predicate op {op!r} (one of {_OPS})")
+    if not zones or col not in zones:
+        return True
+    lo, hi = zones[col]
+    if lo is None or hi is None:
+        # all-null column: no row can satisfy a comparison predicate
+        return False
+    val = _encode(val)
+    if op == ">":
+        return hi > val
+    if op == ">=":
+        return hi >= val
+    if op == "<":
+        return lo < val
+    if op == "<=":
+        return lo <= val
+    if op == "==":
+        return lo <= val <= hi
+    return not (lo == hi == val)  # "!="
+
+
+def residual_mask(table: pa.Table, col: str, op: str, val) -> pa.Array:
+    """Exact vectorized predicate for the rows of a kept file (zone maps
+    only prune whole files; rows still need the real comparison)."""
+    kernel = {
+        ">": pc.greater, ">=": pc.greater_equal,
+        "<": pc.less, "<=": pc.less_equal,
+        "==": pc.equal, "!=": pc.not_equal,
+    }[op]
+    target = table[col]
+    if isinstance(val, str) and (
+        pa.types.is_timestamp(target.type) or pa.types.is_date(target.type)
+    ):
+        val = pa.scalar(val).cast(target.type)
+    return kernel(target, val)

@@ -1,0 +1,123 @@
+"""Zone-map pruning: manifest min/max stats (state/zones.py) and the
+pruned predicate read (sources/lake.py:read_lake_pruned)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from dbimport_ray import CDCEngine, repo_files_config
+from dbimport_ray.datagen import generate_events
+from dbimport_ray.state.zones import column_zones, zone_overlaps
+
+
+def test_column_zones_types_and_nulls():
+    t = pa.table({
+        "i": [3, 1, None, 9],
+        "f": [0.5, -2.0, 1.5, None],
+        "s": ["b", "a", "z", None],
+        "ts": pa.array(
+            [dt.datetime(2026, 1, 2), dt.datetime(2026, 1, 1), None, None],
+            type=pa.timestamp("us"),
+        ),
+        "allnull": pa.array([None] * 4, type=pa.int64()),
+        "skipme": [[1], [2], [3], [4]],  # list type: not zoned
+    })
+    z = column_zones(t)
+    assert z["i"] == [1, 9]
+    assert z["f"] == [-2.0, 1.5]
+    assert z["s"] == ["a", "z"]
+    assert z["ts"] == ["2026-01-01T00:00:00", "2026-01-02T00:00:00"]
+    assert z["allnull"] == [None, None]
+    assert "skipme" not in z
+
+
+def test_zone_overlaps_truth_table():
+    z = {"x": [10, 20]}
+    assert zone_overlaps(z, "x", ">", 19) and not zone_overlaps(z, "x", ">", 20)
+    assert zone_overlaps(z, "x", ">=", 20) and not zone_overlaps(z, "x", ">=", 21)
+    assert zone_overlaps(z, "x", "<", 11) and not zone_overlaps(z, "x", "<", 10)
+    assert zone_overlaps(z, "x", "<=", 10) and not zone_overlaps(z, "x", "<=", 9)
+    assert zone_overlaps(z, "x", "==", 15) and not zone_overlaps(z, "x", "==", 21)
+    assert zone_overlaps(z, "x", "!=", 15)
+    assert not zone_overlaps({"x": [7, 7]}, "x", "!=", 7)
+    # conservative paths: missing zones / unknown column never prune
+    assert zone_overlaps(None, "x", ">", 0)
+    assert zone_overlaps({}, "x", ">", 0)
+    assert zone_overlaps({"y": [0, 1]}, "x", ">", 0)
+    # all-null column cannot satisfy any comparison
+    assert not zone_overlaps({"x": [None, None]}, "x", ">", 0)
+    with pytest.raises(ValueError):
+        zone_overlaps(z, "x", "like", 1)
+
+
+def test_pruned_read_end_to_end(ray_session, tmp_path):
+    work = str(tmp_path)
+    ev1 = os.path.join(work, "ev1.parquet")
+    generate_events(ev1, num_keys=2000, num_events=8000, seed=3)
+    eng = CDCEngine(os.path.join(work, "lake"), repo_files_config(num_partitions=8))
+    assert eng.replay(ev1)["status"] == "committed"
+    full1 = eng.arrow()
+    # after batch 1 nothing has ever been updated → datalake_update is
+    # all-null in every partition (zone [None, None] → prunable); the
+    # cutoff is batch 1's max insert timestamp
+    t_max1 = pc.max(full1["datalake_insert"]).as_py()
+    assert pc.max(full1["datalake_update"]).as_py() is None
+
+    # batch 2: update ONE existing key → exactly one partition rewritten
+    key = full1.slice(0, 1).to_pylist()[0]
+    seq0 = 8000
+    ev2 = os.path.join(work, "ev2.parquet")
+    pq.write_table(pa.table({
+        "sequence_id": [seq0, seq0 + 1],
+        "op": ["U", "U"],
+        "repo": [key["repo"]] * 2,
+        "path": [key["path"]] * 2,
+        "commit": ["c" * 40] * 2,
+        "lang": [key["lang"]] * 2,
+        "content": ["updated body", "updated body 2"],
+    }), ev2)
+    assert eng.replay(ev2)["status"] == "committed"
+
+    stats: dict = {}
+    ds = eng.dataset_where(("datalake_update", ">", t_max1), stats=stats)
+    got = ds.to_pandas()
+    assert stats["files_total"] == 8
+    assert stats["files_kept"] == 1  # only the touched partition is read
+    # exact parity with the unpruned read + full filter
+    full2 = eng.arrow()
+    exp = full2.filter(pc.greater(full2["datalake_update"], t_max1)).to_pandas()
+    assert len(got) == len(exp) == 1
+    assert got.iloc[0]["content"] == "updated body 2"
+
+    # column-pruned variant keeps only requested columns
+    stats2: dict = {}
+    ds2 = eng.dataset_where(
+        ("datalake_update", ">", t_max1), columns=["repo", "path"], stats=stats2
+    )
+    df2 = ds2.to_pandas()
+    assert list(df2.columns) == ["repo", "path"] and len(df2) == 1
+    assert stats2["files_kept"] == 1
+
+    # pruning to zero files returns an empty, well-schemaed Dataset
+    future = t_max1 + dt.timedelta(days=365)
+    stats3: dict = {}
+    ds3 = eng.dataset_where(("datalake_update", ">", future), stats=stats3)
+    assert stats3["files_kept"] == 0 and ds3.count() == 0
+
+    # manifests written before zone maps existed (no "zones" key) stay readable
+    m = eng.store.load_manifest()
+    for e in m.partitions.values():
+        e.pop("zones", None)
+    eng.store.stage_manifest(m)
+    # staged manifest bumps nothing; read the pruned path off the in-memory one
+    from dbimport_ray.sources.lake import prune_partitions
+    kept, total = prune_partitions(m, ("datalake_update", ">", t_max1))
+    assert len(kept) == total == 8  # conservative: nothing pruned
+    shutil.rmtree(work, ignore_errors=True)
