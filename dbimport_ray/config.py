@@ -51,6 +51,12 @@ class TableConfig:
     # import_columns.anonymization_function (configSchema.py:916-947).
     anonymize: dict[str, str] = field(default_factory=dict)
     anonymization_seed: str = "dbimport-ray-seed"
+    # Incrementally-maintained materialized aggregates (state/aggregates.py):
+    # {"group_by": [cols], "metrics": {alias: "count"|"sum:col"|"len_sum:col"}}
+    # Exact per-group deltas computed inside each merge task (which already
+    # holds both partition images), folded into the manifest at commit.
+    # None → zero overhead. Group domain must be bounded.
+    maintained_aggs: dict | None = None
 
     @property
     def system_columns(self) -> list[str]:

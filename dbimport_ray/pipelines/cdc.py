@@ -217,6 +217,10 @@ class MergeGroup:
             "resumed": False,
             "zones": column_zones(res.table) if res.table.num_rows else {},
         }
+        if self.cfg.maintained_aggs:
+            from ..state.aggregates import agg_delta
+
+            m["agg_delta"] = agg_delta(res.table, old, self.cfg.maintained_aggs)
         self.store.write_marker(self.version, pid, m)
         return m
 
@@ -301,7 +305,7 @@ def _salt_sub_merge(kw: dict, event_refs: list, old_sub, s: int) -> dict:
     if old_sub is not None and old_sub.num_rows == 0:
         old_sub = None
     res = merge_partition(old_sub, events, mg.cfg, mg.merge_ts)
-    return {
+    r = {
         "table": res.table,
         "history": res.history,
         "inserts": res.inserts,
@@ -309,6 +313,13 @@ def _salt_sub_merge(kw: dict, event_refs: list, old_sub, s: int) -> dict:
         "deletes": res.deletes,
         "unchanged": res.unchanged,
     }
+    if mg.cfg.maintained_aggs:
+        from ..state.aggregates import agg_delta
+
+        # sub-ranges partition the keyspace → sub deltas sum to the
+        # partition delta in the combine stage
+        r["agg_delta"] = agg_delta(res.table, old_sub, mg.cfg.maintained_aggs)
+    return r
 
 
 @ray.remote
@@ -349,6 +360,13 @@ def _salt_finalize(kw: dict, pid: int, sub_refs: list, meta_refs: list) -> dict:
         "resumed": False,
         "zones": column_zones(table) if table.num_rows else {},
     }
+    if mg.cfg.maintained_aggs:
+        from ..state.aggregates import fold
+
+        acc: dict = {}
+        for r in subs:
+            acc = fold(acc, r.get("agg_delta", {}))
+        m["agg_delta"] = acc
     mg.store.write_marker(mg.version, pid, m)
     return m
 
@@ -564,7 +582,13 @@ class CDCEngine:
             partitions={} if truncate else dict(manifest.partitions),
             history_files=list(manifest.history_files),
             num_partitions=self.cfg.num_partitions,
+            aggregates={} if truncate else dict(manifest.aggregates),
         )
+        if self.cfg.maintained_aggs:
+            from ..state.aggregates import fold
+
+            for m in metrics:
+                new_m.aggregates = fold(new_m.aggregates, m.get("agg_delta", {}))
         totals = {k: 0 for k in ("rows", "events_in", "inserts", "updates", "deletes", "unchanged", "bytes", "hist_rows")}
         for m in metrics:
             pid = str(m["pid"])
@@ -893,6 +917,17 @@ class CDCEngine:
             self.store, self.cfg, predicate,
             columns=columns, version=version, stats=stats,
         )
+
+    def aggregates(self, version: int | None = None) -> pa.Table:
+        """The maintained materialized aggregates as an Arrow table —
+        manifest-only read, cost independent of table size. Versioned
+        with the data (time travel sees the stats of that snapshot)."""
+        from ..state.aggregates import to_arrow
+
+        if not self.cfg.maintained_aggs:
+            raise ValueError("table has no maintained_aggs configured")
+        m = self.store.load_manifest(version=version)
+        return to_arrow(m.aggregates, self.cfg.maintained_aggs)
 
     def arrow(self, version: int | None = None) -> pa.Table:
         from ..sources.lake import read_lake_arrow

@@ -97,6 +97,7 @@ def rehash_table(engine: CDCEngine, new_num_partitions: int) -> dict:
         partitions=new_parts,
         history_files=list(manifest.history_files),
         num_partitions=new_num_partitions,
+        aggregates=dict(manifest.aggregates),  # rehash moves rows, not stats
     )
     store.stage_manifest(new_m)
     store.commit_manifest()
@@ -159,6 +160,7 @@ def compact_history(engine: CDCEngine, target_file_rows: int = 1_000_000) -> dic
         partitions=dict(manifest.partitions),
         history_files=new_files,
         num_partitions=manifest.num_partitions,
+        aggregates=dict(manifest.aggregates),
     )
     store.stage_manifest(new_m)
     store.commit_manifest()

@@ -1164,6 +1164,32 @@ def q_except_keys(sf_dir: str) -> rd.Dataset:
     return except_distinct(cust, orders, ["custkey"])
 
 
+def q_maintained_agg(sf_dir: str) -> pa.Table:
+    """Incrementally-maintained materialized aggregate: per-event_type
+    row count + char sum folded from exact merge-task deltas across a
+    two-batch replay (state/aggregates.py) — never recomputed by a table
+    scan. The oracle recomputes the same stats from the final merged
+    state, so a value match proves delta maintenance is exact."""
+    root = _scratch("magg")
+    stream = _derive_cdc_stream(sf_dir, root)
+    cfg = TableConfig(
+        name="user_state",
+        pk=["user_id"],
+        value_columns=["event_type", "value"],
+        num_partitions=8,
+        soft_delete=True,
+        maintained_aggs={
+            "group_by": ["event_type"],
+            "metrics": {"n_users": "count", "type_chars": "len_sum:event_type"},
+        },
+    )
+    eng = CDCEngine(os.path.join(root, "lake"), cfg)
+    mx = max_sequence(stream)
+    eng.replay(stream, upto_seq=mx // 2)
+    eng.replay(stream, upto_seq=mx)
+    return eng.aggregates()
+
+
 def q_pii_scrub_docs(sf_dir: str) -> rd.Dataset:
     """PII redaction inside free text (emails / IPv4 / phone shapes →
     tokens). The synthetic corpus carries no PII, so each doc gets a
@@ -1598,6 +1624,22 @@ SELECT c_custkey AS custkey FROM customer
 EXCEPT
 SELECT o_custkey AS custkey FROM orders
 """
+ORACLES["maintained_agg"] = (
+    _CDC_VIEW
+    + """
+, final AS (
+SELECT COALESCE(s1.user_id, l2.user_id) AS user_id,
+       CASE WHEN l2.user_id IS NULL OR l2.op = 'D' THEN s1.event_type
+            ELSE l2.event_type END AS event_type
+FROM s1 FULL OUTER JOIN l2 ON s1.user_id = l2.user_id
+WHERE NOT (l2.op = 'D' AND s1.user_id IS NULL)
+)
+SELECT event_type,
+       count(*) AS n_users,
+       CAST(sum(length(event_type)) AS BIGINT) AS type_chars
+FROM final GROUP BY event_type
+"""
+)
 ORACLES["pii_scrub_docs"] = r"""
 SELECT doc_id,
   regexp_replace(
@@ -1691,6 +1733,7 @@ QUERIES = {
     "symdiff_keys": q_symdiff_keys,
     "pii_scrub_docs": q_pii_scrub_docs,
     "normalize_docs": q_normalize_docs,
+    "maintained_agg": q_maintained_agg,
     # rows-only (no SQL-expressible oracle):
     "approx_distinct_users": q_approx_distinct_users,
     "minhash_cc_clusters": q_minhash_cc_clusters,

@@ -1,0 +1,124 @@
+"""Incrementally-maintained materialized aggregates.
+
+DBImport recomputes table statistics by re-scanning after each import
+(reference: import_config.py:3306 row-count reconciliation;
+common_config.py:1555 max-value probes). At 100 TB a "refresh the
+per-group stats" rescan is the single most expensive query in the lake —
+but every merge task already holds BOTH images of the partition it
+rewrites (the old committed file and the new merged table), so the exact
+per-group delta is available for free at merge time:
+
+    delta(partition) = agg(new_partition) - agg(old_partition)
+    table_stats'     = table_stats + Σ delta(touched partitions)
+
+Untouched partitions contribute nothing, so maintenance cost is
+proportional to the CHANGE, never the table. Deltas ride the existing
+per-partition done markers (idempotent resume keeps them exactly-once)
+and fold into the manifest at the 2PC commit, giving the stats the same
+atomicity/time-travel as the data.
+
+Spec (``TableConfig.maintained_aggs``)::
+
+    {"group_by": ["lang"],
+     "metrics": {"n_files": "count",
+                 "n_chars": "len_sum:content",   # sum(length(col))
+                 "total":   "sum:some_numeric"}}
+
+Counts and length-sums are integer arithmetic — incremental folding is
+bit-exact. Float ``sum:`` metrics can accumulate rounding drift across
+many batches; keep those to int columns or accept approximate stats.
+The group domain must be BOUNDED (it lives in the manifest JSON);
+unbounded domains belong in a stats TABLE, not the manifest.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _metric_columns(table: pa.Table, spec: dict) -> tuple[pa.Table, list]:
+    """Project group columns + one numeric source column per metric;
+    returns (projected table, pyarrow group_by aggregate list)."""
+    gb = spec["group_by"]
+    cols: dict[str, pa.ChunkedArray] = {c: table[c] for c in gb}
+    aggs: list = []
+    counted = False
+    for alias, m in spec["metrics"].items():
+        if m == "count":
+            if not counted:  # several count metrics share one count_all
+                aggs.append(([], "count_all"))
+                counted = True
+        elif m.startswith("sum:"):
+            cols[alias] = table[m[4:]]
+            aggs.append((alias, "sum"))
+        elif m.startswith("len_sum:"):
+            cols[alias] = pc.cast(
+                pc.utf8_length(table[m[8:]]), pa.int64()
+            )
+            aggs.append((alias, "sum"))
+        else:
+            raise ValueError(f"unknown metric {m!r}")
+    return pa.table(cols), aggs
+
+
+def agg_table(table: pa.Table | None, spec: dict) -> dict[str, dict]:
+    """Vectorized per-group aggregation → {group_key_json: {alias: value}}.
+    Group key is the JSON list of group-column values (JSON-safe for
+    markers and the manifest)."""
+    if table is None or table.num_rows == 0:
+        return {}
+    proj, aggs = _metric_columns(table, spec)
+    gb = spec["group_by"]
+    res = proj.group_by(gb).aggregate(aggs)
+    out: dict[str, dict] = {}
+    keys = list(zip(*(res[c].to_pylist() for c in gb)))
+    metric_cols = []
+    for alias, m in spec["metrics"].items():
+        col = "count_all" if m == "count" else f"{alias}_sum"
+        metric_cols.append(res[col].to_pylist())
+    for i, k in enumerate(keys):
+        out[json.dumps(list(k))] = {
+            alias: (metric_cols[j][i] or 0)
+            for j, alias in enumerate(spec["metrics"])
+        }
+    return out
+
+
+def agg_delta(
+    new: pa.Table | None, old: pa.Table | None, spec: dict
+) -> dict[str, dict]:
+    """Exact per-group delta between a partition's two images."""
+    return fold(agg_table(new, spec), agg_table(old, spec), sign=-1)
+
+
+def fold(
+    base: dict[str, dict], delta: dict[str, dict], sign: int = 1
+) -> dict[str, dict]:
+    """base + sign·delta, metric-wise; groups whose metrics all reach 0
+    drop out. Inputs are not mutated."""
+    out = {k: dict(v) for k, v in base.items()}
+    for k, metrics in delta.items():
+        tgt = out.setdefault(k, {})
+        for alias, v in metrics.items():
+            tgt[alias] = tgt.get(alias, 0) + sign * v
+    return {k: v for k, v in out.items() if any(x != 0 for x in v.values())}
+
+
+def to_arrow(aggs: dict[str, dict], spec: dict) -> pa.Table:
+    """Materialize the maintained stats as an Arrow table
+    (group columns + one int64/float column per metric), group-sorted
+    for deterministic output."""
+    gb = spec["group_by"]
+    rows = sorted(aggs.items())
+    data: dict[str, list] = {c: [] for c in gb}
+    for alias in spec["metrics"]:
+        data[alias] = []
+    for key, metrics in rows:
+        for c, v in zip(gb, json.loads(key)):
+            data[c].append(v)
+        for alias in spec["metrics"]:
+            data[alias].append(metrics.get(alias, 0))
+    return pa.table(data)

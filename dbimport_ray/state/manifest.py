@@ -99,6 +99,10 @@ class Manifest:
     partitions: dict[str, dict] = field(default_factory=dict)  # pid -> PartitionEntry dict
     history_files: list[str] = field(default_factory=list)
     num_partitions: int = 0
+    # materialized per-group stats {group_key_json: {alias: value}},
+    # maintained incrementally from merge deltas (state/aggregates.py);
+    # committed atomically with the data they describe
+    aggregates: dict[str, dict] = field(default_factory=dict)
 
     def arrow_schema(self) -> pa.Schema | None:
         return schema_from_json(self.schema) if self.schema else None

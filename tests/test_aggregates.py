@@ -1,0 +1,97 @@
+"""Incrementally-maintained materialized aggregates (state/aggregates.py):
+delta math, multi-batch parity with full recompute, exactly-once folding
+through crash/resume, and the salted merge path."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from dbimport_ray import CDCEngine, repo_files_config
+from dbimport_ray.datagen import generate_events
+from dbimport_ray.state.aggregates import agg_delta, agg_table, fold, to_arrow
+
+SPEC = {
+    "group_by": ["lang"],
+    "metrics": {"n_files": "count", "n_chars": "len_sum:content"},
+}
+
+
+def _recompute(eng: CDCEngine) -> dict:
+    """Full-scan reference: groupby over the committed table."""
+    return agg_table(eng.arrow(), eng.cfg.maintained_aggs)
+
+
+def test_agg_table_and_fold_math():
+    t = pa.table({"lang": ["py", "go", "py"], "content": ["abc", "defgh", "x"]})
+    a = agg_table(t, SPEC)
+    assert a == {
+        '["py"]': {"n_files": 2, "n_chars": 4},
+        '["go"]': {"n_files": 1, "n_chars": 5},
+    }
+    # delta new-vs-old, groups cancelling to zero drop out
+    old = pa.table({"lang": ["py", "rs"], "content": ["abc", "yy"]})
+    d = agg_delta(t, old, SPEC)
+    assert d == {
+        '["py"]': {"n_files": 1, "n_chars": 1},
+        '["go"]': {"n_files": 1, "n_chars": 5},
+        '["rs"]': {"n_files": -1, "n_chars": -2},
+    }
+    assert fold(a, agg_delta(None, t, SPEC)) == {}
+    out = to_arrow(a, SPEC)
+    assert out.column_names == ["lang", "n_files", "n_chars"]
+    assert out["lang"].to_pylist() == ["go", "py"]  # key-sorted
+
+
+def test_agg_table_empty_and_none():
+    assert agg_table(None, SPEC) == {}
+    assert agg_table(pa.table({"lang": pa.array([], pa.string()),
+                               "content": pa.array([], pa.string())}), SPEC) == {}
+
+
+@pytest.fixture()
+def lake(tmp_path):
+    ev = os.path.join(str(tmp_path), "ev.parquet")
+    generate_events(ev, num_keys=1500, num_events=9000, seed=11)
+    cfg = repo_files_config(num_partitions=8, maintained_aggs=SPEC)
+    eng = CDCEngine(os.path.join(str(tmp_path), "lake"), cfg)
+    return eng, ev
+
+
+def test_incremental_parity_three_batches(ray_session, lake):
+    eng, ev = lake
+    for b in (2999, 5999, 8999):
+        assert eng.replay(ev, upto_seq=b)["status"] == "committed"
+        assert eng.store.load_manifest().aggregates == _recompute(eng), b
+    # stats survive in the versioned manifest (time travel)
+    m1 = eng.store.load_manifest(version=1)
+    assert m1.aggregates and m1.aggregates != eng.store.load_manifest().aggregates
+
+
+def test_exactly_once_through_crash_resume(ray_session, lake):
+    eng, ev = lake
+    eng.replay(ev, upto_seq=4000)
+    with pytest.raises(RuntimeError):
+        eng.replay(ev, fail_before_commit=True)
+    # resume reuses the done markers — deltas must not double-apply
+    assert eng.replay(ev)["status"] == "committed"
+    assert eng.store.load_manifest().aggregates == _recompute(eng)
+
+
+def test_salted_merge_maintains_aggregates(ray_session, lake, monkeypatch):
+    eng, ev = lake
+    monkeypatch.setenv("DBIMPORT_RAY_SALT_MIN_BYTES", "0")
+    monkeypatch.setenv("DBIMPORT_RAY_SKEW_FACTOR", "0")
+    monkeypatch.setenv("DBIMPORT_RAY_SALT_TARGET_BYTES", "1")
+    monkeypatch.setenv("DBIMPORT_RAY_SALT_MAX", "3")
+    eng.replay(ev, upto_seq=4500)
+    eng.replay(ev)
+    assert eng.store.load_manifest().aggregates == _recompute(eng)
+    agg = eng.aggregates()
+    ref = eng.arrow()
+    got = dict(zip(agg["lang"].to_pylist(), agg["n_files"].to_pylist()))
+    vc = pc.value_counts(ref["lang"]).to_pylist()
+    assert got == {d["values"]: d["counts"] for d in vc}
