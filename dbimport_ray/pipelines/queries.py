@@ -1164,6 +1164,22 @@ def q_except_keys(sf_dir: str) -> rd.Dataset:
     return except_distinct(cust, orders, ["custkey"])
 
 
+def q_bloom_semi_lineitem(sf_dir: str) -> rd.Dataset:
+    """Large×large membership filter: lineitems of big-ticket orders via
+    Bloom prefilter + exact verify join (stages/bloom.py) — no broadcast
+    of the key set; probe-side shuffle volume ∝ selectivity + fpp."""
+    from ..stages.bloom import bloom_semi_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
+    big = _read(
+        sf_dir, "orders",
+        columns=["o_orderkey"],
+        filter_columns=("o_totalprice",),
+        filter=pc.field("o_totalprice") > 300000.0,
+    ).rename_columns({"o_orderkey": "l_orderkey"})
+    return bloom_semi_join(li, big, ["l_orderkey"], num_partitions=8)
+
+
 def q_maintained_agg(sf_dir: str) -> pa.Table:
     """Incrementally-maintained materialized aggregate: per-event_type
     row count + char sum folded from exact merge-task deltas across a
@@ -1624,6 +1640,10 @@ SELECT c_custkey AS custkey FROM customer
 EXCEPT
 SELECT o_custkey AS custkey FROM orders
 """
+ORACLES["bloom_semi_lineitem"] = """
+SELECT l_orderkey, l_linenumber FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000)
+"""
 ORACLES["maintained_agg"] = (
     _CDC_VIEW
     + """
@@ -1734,6 +1754,7 @@ QUERIES = {
     "pii_scrub_docs": q_pii_scrub_docs,
     "normalize_docs": q_normalize_docs,
     "maintained_agg": q_maintained_agg,
+    "bloom_semi_lineitem": q_bloom_semi_lineitem,
     # rows-only (no SQL-expressible oracle):
     "approx_distinct_users": q_approx_distinct_users,
     "minhash_cc_clusters": q_minhash_cc_clusters,

@@ -1,0 +1,158 @@
+"""Bloom-prefiltered semi-join — the membership filter for when the
+filter side is too large to broadcast as an exact key set.
+
+``broadcast_semi_join`` (stages/joins.py) ships every distinct key to
+every probe actor — gigabytes at 10^8+ keys. A Bloom filter compresses
+the same membership question to ~1.2 bytes/key at 1% false-positive rate
+(10^8 keys ≈ 120 MB bitmap, one plasma object fetched once per actor),
+and the probe side's shuffle volume for the EXACT verification join
+drops to ``selectivity + fpp`` of the input. The result is exact: Bloom
+false positives are eliminated by a hash join of the (already tiny)
+survivor set against the distinct filter keys.
+
+The reference computes this shape whenever generated SQL has a
+``WHERE key IN (SELECT ...)`` membership guard over a large subquery;
+it always pays the full join. Here the plan is:
+
+    right ── distinct keys D (narrow shuffle, bounded by key domain)
+          └─ per-block partial Bloom bitmaps → tree OR-reduce (ray tasks,
+             fan-in 8; bitmaps never funnel through the driver NIC)
+    left  ── map_batches(BloomProbe)  ← bitmap broadcast via plasma
+          └─ hash_join(survivors, D)  ← exact, volume ∝ selectivity+fpp
+
+Double hashing (Kirsch–Mitzenmacker): k index positions derive from two
+stable 64-bit hashes of the injectively-encoded key tuple, so both sides
+always agree and results are reproducible across runs.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count
+
+from .joins import _key_array, hash_join
+
+_BLOOM_HASH_KEY = "dbimport_ray_blm"  # exactly 16 bytes; pinned
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def bloom_params(n_keys: int, fpp: float = 0.01) -> tuple[int, int]:
+    """(m bits, k hashes) for ``n_keys`` at the target false-positive
+    rate; m is rounded up to a whole number of 64-bit words."""
+    n = max(1, n_keys)
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = max(64, (m + 63) // 64 * 64)
+    k = max(1, round(m / n * math.log(2)))
+    return m, int(k)
+
+
+def _hashes(table: pa.Table, on: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    h1 = pd.util.hash_array(_key_array(table, on), hash_key=_BLOOM_HASH_KEY)
+    h2 = (h1 * _MIX) | np.uint64(1)  # odd → full-period stride
+    return h1, h2
+
+
+def _set_bits(words: np.ndarray, table: pa.Table, on: list[str], m: int, k: int) -> None:
+    h1, h2 = _hashes(table, on)
+    one = np.uint64(1)
+    for i in range(k):
+        pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
+        np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
+                         one << (pos & np.uint64(63)))
+
+
+def _test_bits(words: np.ndarray, table: pa.Table, on: list[str], m: int, k: int) -> np.ndarray:
+    h1, h2 = _hashes(table, on)
+    mask = np.ones(table.num_rows, dtype=bool)
+    for i in range(k):
+        pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
+        word = words[(pos >> np.uint64(6)).astype(np.int64)]
+        mask &= ((word >> (pos & np.uint64(63))) & np.uint64(1)).astype(bool)
+    return mask
+
+
+@ray.remote
+def _block_bloom(block: pa.Table, on: list[str], m: int, k: int) -> np.ndarray:
+    words = np.zeros(m // 64, dtype=np.uint64)
+    _set_bits(words, block, on, m, k)
+    return words
+
+
+@ray.remote
+def _or_words(*parts: np.ndarray) -> np.ndarray:
+    out = parts[0].copy()
+    for p in parts[1:]:
+        np.bitwise_or(out, p, out=out)
+    return out
+
+
+def build_bloom(keys_ds: rd.Dataset, on: list[str], m: int, k: int, fan_in: int = 8):
+    """Distributed Bloom build: one partial bitmap per block, OR-reduced
+    through a task tree — the driver only ever holds ObjectRefs; the final
+    bitmap stays in plasma for broadcast. Returns an ObjectRef[np.ndarray]."""
+    refs = [
+        _block_bloom.remote(b, on, m, k) for b in keys_ds.to_arrow_refs()
+    ]
+    if not refs:
+        return ray.put(np.zeros(m // 64, dtype=np.uint64))
+    while len(refs) > 1:
+        refs = [_or_words.remote(*refs[i:i + fan_in]) for i in range(0, len(refs), fan_in)]
+    return refs[0]
+
+
+class BloomProbe:
+    """Actor-pool prefilter: fetches the bitmap from plasma once per actor
+    (constructor ref), tests k bits per row per batch — pure numpy."""
+
+    def __init__(self, words_ref, on: list[str], m: int, k: int, keep_matches: bool = True):
+        self.words = ray.get(words_ref) if isinstance(words_ref, ray.ObjectRef) else words_ref
+        self.on, self.m, self.k, self.keep = list(on), m, k, keep_matches
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mask = _test_bits(self.words, batch, self.on, self.m, self.k)
+        return batch.filter(pa.array(mask if self.keep else ~mask))
+
+
+def bloom_semi_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: list[str],
+    fpp: float = 0.01,
+    concurrency: int | None = None,
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """EXACT semi join (rows of ``left`` whose key tuple exists in
+    ``right``) for two large sides: Bloom prefilter, then a verifying
+    hash join of the survivors against the distinct right keys. Output
+    column set = ``left``'s columns; key columns must share names/types
+    across sides (rename upstream)."""
+    cnt = "_n"
+    distinct = right.select_columns(on).groupby(on).aggregate(
+        Count(on[0], alias_name=cnt)
+    ).drop_columns([cnt]).materialize()
+    n = distinct.count()
+    if n == 0:
+        return left.limit(0)
+    m, k = bloom_params(n, fpp)
+    words_ref = build_bloom(distinct, on, m, k)
+    if concurrency is None:
+        # leave headroom for the verify join's aggregator actors and the
+        # upstream read tasks — an actor pool sized to every core starves
+        # the rest of the streaming pipeline (observed deadlock at 4 CPUs)
+        ncpu = ray.cluster_resources().get("CPU", 4) if ray.is_initialized() else 4
+        concurrency = max(1, int(ncpu) // 4)
+    survivors = left.map_batches(
+        BloomProbe,
+        fn_constructor_kwargs=dict(words_ref=words_ref, on=on, m=m, k=k),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    return hash_join(
+        survivors, distinct, on=tuple(on), num_partitions=num_partitions
+    )

@@ -1,0 +1,73 @@
+"""Bloom-prefiltered exact semi join (stages/bloom.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from dbimport_ray.stages.bloom import (
+    BloomProbe,
+    bloom_params,
+    bloom_semi_join,
+    build_bloom,
+)
+
+
+def test_bloom_params_shape():
+    m, k = bloom_params(1_000_000, 0.01)
+    assert m % 64 == 0 and 9_000_000 < m < 11_000_000
+    assert 5 <= k <= 9
+    assert bloom_params(0, 0.01)[0] >= 64
+
+
+def test_bloom_no_false_negatives_and_low_fp(ray_session):
+    rng = np.random.default_rng(7)
+    members = pa.table({"k": np.arange(2000, dtype=np.int64)})
+    ds = rd.from_arrow(members).repartition(4)
+    m, k = bloom_params(2000, 0.01)
+    ref = build_bloom(ds, ["k"], m, k)
+    probe = BloomProbe(ref, ["k"], m, k)
+    # every member passes (no false negatives)
+    assert probe(members).num_rows == 2000
+    # disjoint probes mostly rejected (fp rate ~1%)
+    outside = pa.table({"k": rng.integers(10_000, 1_000_000, size=20_000)})
+    fp = probe(outside).num_rows / 20_000
+    assert fp < 0.05, fp
+
+
+def test_bloom_semi_join_exact(ray_session):
+    rng = np.random.default_rng(3)
+    left = pa.table({
+        "k": rng.integers(0, 5000, size=30_000),
+        "v": rng.normal(size=30_000),
+    })
+    right = pa.table({"k": np.repeat(rng.choice(5000, size=700, replace=False), 3)})
+    res = bloom_semi_join(
+        rd.from_arrow(left).repartition(6),
+        rd.from_arrow(right).repartition(3),
+        ["k"],
+        num_partitions=4,
+    ).to_pandas()
+    keys = set(right["k"].to_pylist())
+    exp = left.to_pandas()
+    exp = exp[exp["k"].isin(keys)]
+    assert len(res) == len(exp)  # exact despite bloom false positives
+    assert sorted(res.columns) == ["k", "v"]
+    assert res["v"].sum() == __import__("pytest").approx(exp["v"].sum())
+
+
+def test_bloom_semi_join_empty_right(ray_session):
+    left = rd.from_arrow(pa.table({"k": [1, 2, 3]}))
+    right = rd.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
+    assert bloom_semi_join(left, right, ["k"], num_partitions=2).count() == 0
+
+
+def test_bloom_composite_key(ray_session):
+    left = pa.table({"a": ["x", "x", "y", "y:1"], "b": [1, 2, 1, 1], "p": [10, 20, 30, 40]})
+    # "y:1"+b=1 must NOT match ("y", 11) style forgeries — injective encoding
+    right = pa.table({"a": ["x", "y"], "b": [2, 1]})
+    res = bloom_semi_join(
+        rd.from_arrow(left), rd.from_arrow(right), ["a", "b"], num_partitions=2
+    ).to_pandas().sort_values("p")
+    assert res["p"].tolist() == [20, 30]
