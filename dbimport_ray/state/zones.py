@@ -51,7 +51,14 @@ def column_zones(table: pa.Table) -> dict[str, list]:
         ):
             continue
         mm = pc.min_max(col)
-        zones[name] = [_encode(mm["min"].as_py()), _encode(mm["max"].as_py())]
+        lo, hi = _encode(mm["min"].as_py()), _encode(mm["max"].as_py())
+        if isinstance(hi, str) and (len(hi) > 64 or len(str(lo)) > 64):
+            # wide string column (document bodies): storing its min/max
+            # would bloat the manifest JSON by whole documents per file.
+            # A truncated upper bound is not an upper bound, so omit the
+            # column — missing zones never prune (conservative).
+            continue
+        zones[name] = [lo, hi]
     return zones
 
 
