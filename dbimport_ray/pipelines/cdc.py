@@ -918,6 +918,22 @@ class CDCEngine:
             columns=columns, version=version, stats=stats,
         )
 
+    def lookup(
+        self,
+        keys: pa.Table | list[dict],
+        columns: list[str] | None = None,
+        version: int | None = None,
+        stats: dict | None = None,
+    ) -> pa.Table:
+        """Point reads by primary key — hash-routed to at most one file
+        per key (sources/lake.py:lookup_rows)."""
+        from ..sources.lake import lookup_rows
+
+        return lookup_rows(
+            self.store, self.cfg, keys,
+            columns=columns, version=version, stats=stats,
+        )
+
     def aggregates(self, version: int | None = None) -> pa.Table:
         """The maintained materialized aggregates as an Arrow table —
         manifest-only read, cost independent of table size. Versioned

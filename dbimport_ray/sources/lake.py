@@ -10,6 +10,7 @@ a Dataset over the committed file set *is* the table.
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data as rd
 
@@ -114,6 +115,67 @@ def read_lake_pruned(
     return rd.read_parquet(files, columns=read_cols).map_batches(
         _filter, batch_format="pyarrow"
     )
+
+
+def lookup_rows(
+    store: TableStore,
+    cfg: TableConfig,
+    keys: pa.Table | list[dict],
+    columns: list[str] | None = None,
+    version: int | None = None,
+    stats: dict | None = None,
+) -> pa.Table:
+    """Point reads by primary key: each key tuple hashes straight to its
+    partition file (the same stable hash that placed it), so a k-key
+    lookup opens at most k files regardless of table size — no scan, no
+    shuffle. Within a file, a row-group filter on the first pk column
+    narrows the read; exact membership is the injective key encoding.
+    The reference's point probe is a generated WHERE clause against the
+    full table (import_config.py:2087 incremental WHERE machinery);
+    hash-routing is the lake-native equivalent."""
+    import numpy as np
+
+    from ..stages.joins import _key_array
+    from ..stages.partitioning import key_hash
+
+    if not isinstance(keys, pa.Table):
+        keys = pa.Table.from_pylist(list(keys))
+    keys = keys.select(cfg.pk)
+    m = store.load_manifest(version=version)
+    num_p = m.num_partitions or cfg.num_partitions
+    schema = m.arrow_schema()
+    if schema is None or keys.num_rows == 0:
+        return _empty(store, cfg) if columns is None else _empty(store, cfg).select(columns)
+    vtypes = {f.name: f.type for f in schema}
+    tgt = target_schema(cfg_with_schema(cfg, schema), vtypes)
+    pids = (key_hash(keys, cfg.pk) % np.uint64(num_p)).astype(np.int64)
+    wanted = np.sort(np.unique(_key_array(keys, cfg.pk)))
+    out: list[pa.Table] = []
+    opened = 0
+    for pid in np.unique(pids):
+        entry = m.partitions.get(str(pid))
+        if entry is None:
+            continue
+        opened += 1
+        sel = keys.filter(pa.array(pids == pid))
+        first_vals = pc.unique(pc.cast(sel[cfg.pk[0]], pa.string()))
+        t = pq.read_table(
+            store.abs_path(entry["file"]),
+            filters=pc.field(cfg.pk[0]).cast(pa.string()).isin(first_vals),
+        )
+        t = align_to_schema(t, tgt, m.renames)
+        probe = _key_array(t, cfg.pk)
+        idx = np.searchsorted(wanted, probe)
+        idx = np.minimum(idx, len(wanted) - 1)
+        t = t.filter(pa.array(wanted[idx] == probe))
+        if t.num_rows:
+            out.append(t if columns is None else t.select(columns))
+    if stats is not None:
+        stats.update(files_opened=opened, files_total=len(m.partitions))
+    if not out:
+        base = _empty(store, cfg) if not m.schema else pa.Table.from_pylist([], schema=tgt)
+        return base if columns is None else base.select(columns)
+    return pa.concat_tables(out)
 
 
 def read_lake_arrow(

@@ -1,0 +1,50 @@
+"""Hash-routed point lookups (sources/lake.py:lookup_rows)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+from dbimport_ray import CDCEngine, repo_files_config
+from dbimport_ray.datagen import generate_events
+
+
+def test_lookup_routes_to_single_files(ray_session, tmp_path):
+    ev = os.path.join(str(tmp_path), "ev.parquet")
+    generate_events(ev, num_keys=1500, num_events=9000, seed=13)
+    eng = CDCEngine(os.path.join(str(tmp_path), "lake"),
+                    repo_files_config(num_partitions=8))
+    assert eng.replay(ev)["status"] == "committed"
+    full = eng.arrow()
+
+    some = full.slice(5, 4).to_pylist()
+    wanted = [{"repo": r["repo"], "path": r["path"]} for r in some]
+    missing = [{"repo": "org99/ghost", "path": "nope.py"}]
+
+    stats: dict = {}
+    got = eng.lookup(wanted + missing, stats=stats)
+    assert got.num_rows == 4
+    assert stats["files_total"] == 8
+    assert stats["files_opened"] <= 5  # ≤ one file per distinct key
+    gk = {(r["repo"], r["path"]) for r in got.to_pylist()}
+    assert gk == {(r["repo"], r["path"]) for r in some}
+    # full row content matches the table
+    for r in got.to_pylist():
+        ref = [x for x in full.to_pylist()
+               if x["repo"] == r["repo"] and x["path"] == r["path"]]
+        assert ref[0]["content"] == r["content"]
+
+    # column-pruned lookup
+    cols = eng.lookup(wanted, columns=["repo", "lang"])
+    assert cols.column_names == ["repo", "lang"] and cols.num_rows == 4
+
+    # all-missing lookup: empty but well-typed
+    empty = eng.lookup(missing)
+    assert empty.num_rows == 0 and "content" in empty.column_names
+
+    # keys as an Arrow table with extra columns are fine
+    kt = pa.Table.from_pylist(
+        [{"repo": w["repo"], "path": w["path"], "junk": 1} for w in wanted]
+    )
+    assert eng.lookup(kt).num_rows == 4
