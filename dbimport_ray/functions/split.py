@@ -40,6 +40,31 @@ def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, str]]:
     return out
 
 
+def stratified_sample_mask(
+    id_col: pa.Array | pa.ChunkedArray,
+    group_col: pa.Array | pa.ChunkedArray,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    seed: str = "",
+) -> pa.ChunkedArray:
+    """Per-group deterministic sampling mask — the corpus-rebalance
+    primitive (downsample over-represented languages/sources at a rate
+    per group) as a pure function of record identity: keep iff
+    ``bucket16(sha256(seed||id)) < rate_g``. Stable across re-runs and
+    engines, no RNG state to coordinate across workers, fully vectorized
+    (one hash pass + one dictionary take)."""
+    bucket = pc.utf8_slice_codeunits(hash_column(id_col, seed=seed), 0, 4)
+    groups = list(rates)
+    def _thr(r: float) -> str:
+        # "g" sorts after every hex char → rate ≥ 1 keeps all rows
+        return "g" if r >= 1.0 else format(int(r * 65536), "04x")
+
+    thr = pa.array([_thr(r) for r in rates.values()] + [_thr(default_rate)])
+    idx = pc.index_in(pc.cast(group_col, pa.string()), value_set=pa.array(groups))
+    row_thr = pc.take(thr, pc.fill_null(idx, len(groups)))
+    return pc.less(bucket, row_thr)
+
+
 def split_by_hash(
     col: pa.Array | pa.ChunkedArray,
     fractions: dict[str, float],

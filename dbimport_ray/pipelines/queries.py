@@ -1164,6 +1164,24 @@ def q_except_keys(sf_dir: str) -> rd.Dataset:
     return except_distinct(cust, orders, ["custkey"])
 
 
+def q_stratified_sample(sf_dir: str) -> rd.Dataset:
+    """Corpus rebalance by deterministic per-group sampling: keep 90% of
+    'en', 50% of 'zh', 10% of everything else, as a pure function of
+    doc_id (functions/split.py:stratified_sample_mask) — re-runs and the
+    SQL oracle reproduce the exact same sample, no RNG coordination."""
+    from ..functions.split import stratified_sample_mask
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def f(t: pa.Table) -> pa.Table:
+        mask = stratified_sample_mask(
+            t["doc_id"], t["lang"], {"en": 0.9, "zh": 0.5}, default_rate=0.1
+        )
+        return t.filter(mask)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def q_bloom_semi_lineitem(sf_dir: str) -> rd.Dataset:
     """Large×large membership filter: lineitems of big-ticket orders via
     Bloom prefilter + exact verify join (stages/bloom.py) — no broadcast
@@ -1640,6 +1658,11 @@ SELECT c_custkey AS custkey FROM customer
 EXCEPT
 SELECT o_custkey AS custkey FROM orders
 """
+ORACLES["stratified_sample"] = """
+SELECT doc_id, lang FROM documents
+WHERE substring(sha256(CAST(doc_id AS VARCHAR)), 1, 4) <
+      CASE lang WHEN 'en' THEN 'e666' WHEN 'zh' THEN '8000' ELSE '1999' END
+"""
 ORACLES["bloom_semi_lineitem"] = """
 SELECT l_orderkey, l_linenumber FROM lineitem
 WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000)
@@ -1755,6 +1778,7 @@ QUERIES = {
     "normalize_docs": q_normalize_docs,
     "maintained_agg": q_maintained_agg,
     "bloom_semi_lineitem": q_bloom_semi_lineitem,
+    "stratified_sample": q_stratified_sample,
     # rows-only (no SQL-expressible oracle):
     "approx_distinct_users": q_approx_distinct_users,
     "minhash_cc_clusters": q_minhash_cc_clusters,

@@ -65,3 +65,25 @@ def test_scrub_kernel_in_anonymize_spec():
     out = apply_anonymization(t, {"note": "scrub"})
     assert out["note"].to_pylist() == ["ping <EMAIL>"]
     assert out["k"].to_pylist() == [1]
+
+
+def test_stratified_sample_mask_rates_and_determinism():
+    import numpy as np
+    import pyarrow as pa
+
+    from dbimport_ray.functions.split import stratified_sample_mask
+
+    n = 40_000
+    ids = pa.array(np.arange(n))
+    langs = pa.array(np.where(np.arange(n) % 2 == 0, "en", "other"))
+    m1 = stratified_sample_mask(ids, langs, {"en": 0.8}, default_rate=0.05)
+    m2 = stratified_sample_mask(ids, langs, {"en": 0.8}, default_rate=0.05)
+    assert m1.equals(m2)  # deterministic
+    kept = np.asarray(m1)
+    en = kept[::2].mean()
+    other = kept[1::2].mean()
+    assert abs(en - 0.8) < 0.02 and abs(other - 0.05) < 0.01
+    # rate 1.0 keeps everything; rate 0.0 keeps nothing
+    all_keep = stratified_sample_mask(ids, langs, {"en": 1.0}, default_rate=0.0)
+    k = np.asarray(all_keep)
+    assert k[::2].all() and not k[1::2].any()
