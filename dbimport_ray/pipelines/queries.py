@@ -1164,6 +1164,16 @@ def q_except_keys(sf_dir: str) -> rd.Dataset:
     return except_distinct(cust, orders, ["custkey"])
 
 
+def q_approx_quantiles_docs(sf_dir: str) -> pa.Table:
+    """Mergeable-histogram quantiles (continuous-domain scale path of
+    quantiles_docs: exchange = one bins-long vector per block, never the
+    value domain). Python-oracle-tested in pytest; rows-only here."""
+    from ..stages.stats import approx_quantiles
+
+    ds = _read(sf_dir, "documents", columns=["n_chars"])
+    return approx_quantiles(ds, "n_chars", [0.25, 0.5, 0.75, 0.9, 0.99], bins=16384)
+
+
 def q_stratified_sample(sf_dir: str) -> rd.Dataset:
     """Corpus rebalance by deterministic per-group sampling: keep 90% of
     'en', 50% of 'zh', 10% of everything else, as a pure function of
@@ -1780,6 +1790,7 @@ QUERIES = {
     "bloom_semi_lineitem": q_bloom_semi_lineitem,
     "stratified_sample": q_stratified_sample,
     # rows-only (no SQL-expressible oracle):
+    "approx_quantiles_docs": q_approx_quantiles_docs,
     "approx_distinct_users": q_approx_distinct_users,
     "minhash_cc_clusters": q_minhash_cc_clusters,
     "minhash_dedup_docs": q_minhash_dedup_docs,

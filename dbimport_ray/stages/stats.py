@@ -226,3 +226,62 @@ def approx_distinct(ds: rd.Dataset, col: str, p: int = 12) -> float:
     for r in rows:
         merged = np.maximum(merged, np.asarray(r["regs"], dtype=np.uint8))
     return hll_estimate(merged)
+
+
+# ---------------------------------------------------------------------------
+# Approximate quantiles over unbounded continuous domains
+# ---------------------------------------------------------------------------
+
+def approx_quantiles(
+    ds: rd.Dataset, col: str, qs: list[float], bins: int = 8192
+) -> pa.Table:
+    """Two-pass mergeable-histogram quantiles for CONTINUOUS columns,
+    where :func:`exact_quantiles`'s value-counts exchange would carry
+    ~every row (distinct domain ≈ n for float measurements).
+
+    Pass 1: global [lo, hi] via one min/max aggregate (no data movement
+    beyond per-block partials). Pass 2: per-block counts into ``bins``
+    uniform buckets — the exchange is ONE ``bins``-long int64 vector per
+    block regardless of row count — summed into a global histogram, then
+    each quantile is linearly interpolated inside its bucket.
+
+    Error ≤ (hi-lo)/bins per quantile in value space (tails squeezed by
+    outliers widen this — raise ``bins`` or pre-clip). Deterministic:
+    no sampling, identical results at any parallelism. Returns columns
+    ``q`` (float64) / ``value`` (float64).
+    """
+    from ray.data.aggregate import Max, Min
+
+    mm = ds.aggregate(Min(col, alias_name="lo"), Max(col, alias_name="hi"))
+    lo, hi = float(mm["lo"]), float(mm["hi"])
+    if not np.isfinite(lo) or not np.isfinite(hi) or hi <= lo:
+        return pa.table(
+            {"q": pa.array(list(qs), pa.float64()),
+             "value": pa.array([lo] * len(qs), pa.float64())}
+        )
+    width = (hi - lo) / bins
+
+    def _hist(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        idx = np.minimum(((v - lo) / width).astype(np.int64), bins - 1)
+        h = np.bincount(idx, minlength=bins).astype(np.int64)
+        return pa.table({"h": pa.array([h.tolist()], pa.list_(pa.int64()))})
+
+    partials = ds.map_batches(_hist, batch_format="pyarrow").take_all()
+    hist = np.zeros(bins, dtype=np.int64)
+    for row in partials:
+        hist += np.asarray(row["h"], dtype=np.int64)
+    cum = np.cumsum(hist)
+    n = int(cum[-1])
+    out = []
+    for q in qs:
+        rank = max(int(np.ceil(q * n)), 1)
+        b = int(np.searchsorted(cum, rank, side="left"))
+        inside = rank - (cum[b - 1] if b else 0)
+        frac = inside / max(hist[b], 1)
+        out.append(lo + (b + frac) * width)
+    return pa.table(
+        {"q": pa.array(list(qs), pa.float64()),
+         "value": pa.array(out, pa.float64())}
+    )

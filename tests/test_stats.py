@@ -144,3 +144,30 @@ def test_split_by_hash_fractions_and_determinism():
     assert split_by_hash(pa.array([None], pa.string()), fr).to_pylist() == [None]
     with _pytest.raises(ValueError):
         split_thresholds({"a": 0.5, "b": 0.1})
+
+
+def test_approx_quantiles_close_to_exact(ray_session):
+    from dbimport_ray.stages.stats import approx_quantiles
+
+    rng = np.random.default_rng(17)
+    vals = np.concatenate([rng.normal(100, 15, 40_000), rng.exponential(50, 10_000)])
+    ds = rd.from_arrow(pa.table({"x": vals})).repartition(6)
+    qs = [0.05, 0.25, 0.5, 0.9, 0.99]
+    out = approx_quantiles(ds, "x", qs, bins=8192)
+    got = dict(zip(out["q"].to_pylist(), out["value"].to_pylist()))
+    tol = (vals.max() - vals.min()) / 8192 * 2
+    s = np.sort(vals)
+    for q in qs:
+        exact = s[max(int(np.ceil(q * len(s))), 1) - 1]
+        assert abs(got[q] - exact) <= tol, (q, got[q], exact)
+
+
+def test_approx_quantiles_constant_and_nan(ray_session):
+    from dbimport_ray.stages.stats import approx_quantiles
+
+    ds = rd.from_arrow(pa.table({"x": [5.0, 5.0, 5.0]}))
+    out = approx_quantiles(ds, "x", [0.1, 0.9])
+    assert out["value"].to_pylist() == [5.0, 5.0]
+    ds2 = rd.from_arrow(pa.table({"x": [1.0, float("nan"), 3.0, 2.0]}))
+    out2 = approx_quantiles(ds2, "x", [0.5], bins=64)
+    assert abs(out2["value"].to_pylist()[0] - 2.0) < (2.0 / 64) * 2
