@@ -1164,6 +1164,18 @@ def q_except_keys(sf_dir: str) -> rd.Dataset:
     return except_distinct(cust, orders, ["custkey"])
 
 
+def q_rollup_lineitem(sf_dir: str) -> pa.Table:
+    """GROUP BY ROLLUP(returnflag, linestatus) computed hierarchically —
+    one shuffle at the finest level, coarser subtotals re-aggregated from
+    it in memory (stages/reshape.py:rollup_sum); a naive plan shuffles the
+    input once per level."""
+    from ..stages.reshape import rollup_sum
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    return rollup_sum(ds, ["l_returnflag", "l_linestatus"], "l_quantity")
+
+
 def q_approx_quantiles_docs(sf_dir: str) -> pa.Table:
     """Mergeable-histogram quantiles (continuous-domain scale path of
     quantiles_docs: exchange = one bins-long vector per block, never the
@@ -1693,6 +1705,11 @@ SELECT event_type,
 FROM final GROUP BY event_type
 """
 )
+ORACLES["rollup_lineitem"] = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS total, count(l_quantity) AS n
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
 ORACLES["pii_scrub_docs"] = r"""
 SELECT doc_id,
   regexp_replace(
@@ -1789,6 +1806,7 @@ QUERIES = {
     "maintained_agg": q_maintained_agg,
     "bloom_semi_lineitem": q_bloom_semi_lineitem,
     "stratified_sample": q_stratified_sample,
+    "rollup_lineitem": q_rollup_lineitem,
     # rows-only (no SQL-expressible oracle):
     "approx_quantiles_docs": q_approx_quantiles_docs,
     "approx_distinct_users": q_approx_distinct_users,

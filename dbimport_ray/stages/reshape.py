@@ -74,3 +74,62 @@ def melt(
         chunks.extend(pc.cast(table[c], pa.float64()).chunks)
     out[value_name] = pa.chunked_array(chunks, type=pa.float64())
     return pa.table(out)
+
+
+def rollup_sum(
+    ds: "rd.Dataset",
+    group_cols: list[str],
+    value_col: str,
+    sum_alias: str = "total",
+    count_alias: str = "n",
+    null_label: str | None = None,
+) -> pa.Table:
+    """``GROUP BY ROLLUP(a, b, …)`` — subtotals at every prefix level plus
+    the grand total — computed hierarchically: ONE shuffle aggregates at
+    the finest level, every coarser level re-aggregates the previous
+    level's (tiny: one row per finest group) output in memory. A naive
+    plan runs |levels| full shuffles over the input; this runs exactly
+    one regardless of depth.
+
+    Rolled-up columns are labelled ``null_label`` (default: SQL NULL,
+    matching DuckDB's ROLLUP output). Returns an Arrow table sorted by
+    the group columns with nulls last per level.
+    """
+    import ray.data as rd  # noqa: F401  (typing only)
+    from ray.data.aggregate import Count, Sum
+
+    finest = (
+        ds.groupby(group_cols)
+        .aggregate(
+            Sum(value_col, alias_name=sum_alias),
+            Count(value_col, alias_name=count_alias),
+        )
+        .take_all()
+    )
+    base = pa.Table.from_pylist(finest)
+    levels = [base]
+    cur = base
+    for depth in range(len(group_cols) - 1, -1, -1):
+        keep = group_cols[:depth]
+        tbl = cur.select(keep + [sum_alias, count_alias])
+        if keep:
+            agg = tbl.group_by(keep).aggregate(
+                [(sum_alias, "sum"), (count_alias, "sum")]
+            )
+            agg = agg.rename_columns(keep + [sum_alias, count_alias])
+        else:
+            agg = pa.table({
+                sum_alias: [pc.sum(tbl[sum_alias]).as_py()],
+                count_alias: [pc.sum(tbl[count_alias]).as_py()],
+            })
+        # rolled-up columns become NULL (or the chosen label)
+        for c in group_cols[depth:]:
+            filler = pa.nulls(agg.num_rows, base.schema.field(c).type)
+            if null_label is not None:
+                filler = pa.array([null_label] * agg.num_rows,
+                                  type=base.schema.field(c).type)
+            agg = agg.append_column(c, filler)
+        levels.append(agg.select(base.column_names))
+        cur = agg if keep else cur
+    out = pa.concat_tables([lv.select(base.column_names) for lv in levels])
+    return out.sort_by([(c, "ascending") for c in group_cols])

@@ -100,3 +100,31 @@ def test_rolling_mean_group_shorter_than_window(ray_session):
         .sort_values("ts", ignore_index=True)
     )
     assert out["rm"].tolist() == [2.0, 3.0]
+
+
+def test_rollup_sum_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from dbimport_ray.stages.reshape import rollup_sum
+
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y", "z"], 3000),
+        "b": rng.choice(["p", "q"], 3000),
+        "v": rng.integers(0, 100, 3000).astype("int64"),
+    })
+    ds = rd.from_pandas(df).repartition(4)
+    got = rollup_sum(ds, ["a", "b"], "v").to_pandas()
+    exp = duckdb.sql(
+        "SELECT a, b, sum(v) AS total, count(v) AS n FROM df GROUP BY ROLLUP(a, b)"
+    ).df()
+    key = lambda d: d.sort_values(["a", "b"], na_position="last").reset_index(drop=True)
+    g, e = key(got), key(exp)
+    assert g["n"].astype(int).tolist() == e["n"].astype(int).tolist()
+    assert g["total"].astype(int).tolist() == e["total"].astype(int).tolist()
+    assert g["a"].fillna("-").tolist() == e["a"].fillna("-").tolist()
+    assert g["b"].fillna("-").tolist() == e["b"].fillna("-").tolist()
+    # grand total present exactly once
+    assert int(g[g["a"].isna()]["n"].iloc[0]) == 3000
