@@ -89,6 +89,9 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("discover", help="scan a source tree or database for candidate tables (addImportTable analogue)")
     sp.add_argument("--source", required=True, help="parquet tree dir, or a .db/.sqlite file for live-DB discovery")
     sp.add_argument("--like", default=None, help="SQL LIKE filter on table names (DB discovery)")
+    sp = sub.add_parser("fsck", help="lake consistency audit (footer rows vs manifest, placement, aggregates)")
+    common(sp)
+    sp.add_argument("--deep", action="store_true", help="also re-hash pk placement and recompute aggregates")
     sp = sub.add_parser("rollback", help="re-point the table at an earlier committed version")
     common(sp)
     sp.add_argument("--to-version", type=int, required=True)
@@ -218,6 +221,15 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines.maintain import replicate_lake
 
         print(json.dumps(replicate_lake(eng, args.dest)))
+    elif args.cmd == "fsck":
+        from .pipelines.maintain import fsck
+
+        res = fsck(eng, deep=args.deep)
+        print(json.dumps(res))
+        if not res["ok"]:
+            import ray as _r
+            _r.shutdown()
+            return 1
     elif args.cmd == "rollback":
         print(json.dumps(eng.rollback(args.to_version)))
     import ray

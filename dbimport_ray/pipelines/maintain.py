@@ -218,3 +218,65 @@ def validate_custom(engine: CDCEngine, source_value: dict, target_fn) -> dict:
             f"custom validation mismatch: source={source_value} target={tgt}"
         )
     return {"ok": True, "value": tgt}
+
+
+def fsck(engine: CDCEngine, deep: bool = False) -> dict:
+    """Lake consistency check — every invariant the commit protocol is
+    supposed to uphold, verified from the artifacts alone (the analogue of
+    the reference's post-load validations, import_config.py:3306, run as
+    an offline audit):
+
+    - every manifest partition file exists and its parquet FOOTER row
+      count equals the manifest's recorded rows (no data read);
+    - manifest ``num_partitions`` covers every pid key;
+    - checkpoint committed_seq == manifest committed_seq;
+    - history files exist;
+    - with ``deep=True``: re-hash each partition file's pk tuples and
+      confirm every row actually belongs to its pid (placement audit —
+      reads data, cost ∝ table size), and recompute maintained
+      aggregates against the manifest copy.
+
+    Returns {"ok": bool, "errors": [...], "checked_files": n}.
+    """
+    import numpy as np
+
+    from ..stages.partitioning import key_hash
+
+    store = engine.store
+    m = store.load_manifest()
+    errors: list[str] = []
+    checked = 0
+    for pid, e in sorted(m.partitions.items(), key=lambda kv: int(kv[0])):
+        path = store.abs_path(e["file"])
+        if int(pid) >= max(m.num_partitions, 1):
+            errors.append(f"pid {pid} outside num_partitions={m.num_partitions}")
+        if not os.path.exists(path):
+            errors.append(f"missing file {e['file']}")
+            continue
+        checked += 1
+        md = pq.read_metadata(path)
+        if md.num_rows != e["rows"]:
+            errors.append(
+                f"pid {pid}: footer rows {md.num_rows} != manifest {e['rows']}"
+            )
+        if deep:
+            t = pq.read_table(path, columns=engine.cfg.pk)
+            pids = key_hash(t, engine.cfg.pk) % np.uint64(m.num_partitions)
+            bad = int((pids != np.uint64(int(pid))).sum())
+            if bad:
+                errors.append(f"pid {pid}: {bad} rows hashed to another partition")
+    for f in m.history_files:
+        if not os.path.exists(store.abs_path(f)):
+            errors.append(f"missing history file {f}")
+    ck = engine.ckpt.load()
+    if ck.committed_seq != m.committed_seq:
+        errors.append(
+            f"checkpoint committed_seq {ck.committed_seq} != manifest {m.committed_seq}"
+        )
+    if deep and engine.cfg.maintained_aggs:
+        from ..state.aggregates import agg_table
+
+        recomputed = agg_table(engine.arrow(), engine.cfg.maintained_aggs)
+        if recomputed != m.aggregates:
+            errors.append("maintained aggregates drift from full recompute")
+    return {"ok": not errors, "errors": errors, "checked_files": checked}

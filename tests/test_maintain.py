@@ -138,3 +138,42 @@ def test_validate_custom(tmp_path, ray_session):
     assert validate_custom(eng, {"rows": 10, "sum_v": 55.0}, agg)["ok"]
     with pytest.raises(ValidationError):
         validate_custom(eng, {"rows": 11, "sum_v": 55.0}, agg)
+
+
+def test_fsck_clean_and_corrupted(ray_session, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from dbimport_ray import CDCEngine, repo_files_config
+    from dbimport_ray.datagen import generate_events
+    from dbimport_ray.pipelines.maintain import fsck
+
+    ev = os.path.join(str(tmp_path), "ev.parquet")
+    generate_events(ev, num_keys=800, num_events=5000, seed=21)
+    spec = {"group_by": ["lang"], "metrics": {"n": "count"}}
+    eng = CDCEngine(os.path.join(str(tmp_path), "lake"),
+                    repo_files_config(num_partitions=4, maintained_aggs=spec))
+    eng.replay(ev)
+    res = fsck(eng, deep=True)
+    assert res["ok"], res["errors"]
+    assert res["checked_files"] == 4
+
+    # corrupt: swap two partition files → placement + footer-row errors
+    m = eng.store.load_manifest()
+    e0, e1 = m.partitions["0"], m.partitions["1"]
+    p0, p1 = eng.store.abs_path(e0["file"]), eng.store.abs_path(e1["file"])
+    t0, t1 = pq.read_table(p0), pq.read_table(p1)
+    pq.write_table(t1, p0)
+    pq.write_table(t0, p1)
+    bad = fsck(eng, deep=True)
+    assert not bad["ok"]
+    assert any("hashed to another partition" in e for e in bad["errors"])
+
+    # restore, then break a file away entirely
+    pq.write_table(t0, p0)
+    pq.write_table(t1, p1)
+    assert fsck(eng, deep=True)["ok"]
+    os.remove(p1)
+    gone = fsck(eng)
+    assert not gone["ok"] and any("missing file" in e for e in gone["errors"])
