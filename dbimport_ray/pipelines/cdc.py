@@ -918,6 +918,15 @@ class CDCEngine:
             columns=columns, version=version, stats=stats,
         )
 
+    def diff(
+        self, v_old: int, v_new: int | None = None, stats: dict | None = None
+    ) -> pa.Table:
+        """Change set between two committed versions — reads only the
+        partitions whose manifest entries differ (pipelines/diff.py)."""
+        from .diff import diff_versions
+
+        return diff_versions(self.store, self.cfg, v_old, v_new, stats=stats)
+
     def lookup(
         self,
         keys: pa.Table | list[dict],

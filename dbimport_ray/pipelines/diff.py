@@ -1,0 +1,132 @@
+"""Snapshot diff — derive a change feed between two committed versions.
+
+The inverse of CDC replay: given versions v_old < v_new of a lake table,
+produce the (pk, op, row-image) change set that transforms one into the
+other. The reference can only answer this with its history-audit table
+(import_operations.py:2393) — if history was off, the information is
+gone. Here the versioned manifests make it a first-class query, and the
+manifest makes it CHEAP: a partition whose entry is identical in both
+versions (same file) provably contributed no change and is never read,
+so diff cost is proportional to the partitions touched between the two
+versions, not the table.
+
+Per changed partition (one Ray task each, parallel): both images are
+compared by pk; value equality uses the injective tuple encoding over
+the user value columns + ``datalake_iud`` (so a soft-delete transition
+surfaces as 'U' of the tombstone flag; physically removed rows — hard
+delete / truncate — surface as 'D').
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+from ..config import TableConfig
+from ..state.manifest import Manifest, TableStore
+
+
+def _encode_rows(t: pa.Table, cols: list[str]) -> np.ndarray:
+    from ..stages.joins import _key_array
+
+    return _key_array(t, cols)
+
+
+@ray.remote
+def _diff_partition(
+    old_path: str | None,
+    new_path: str | None,
+    pk: list[str],
+    cmp_cols: list[str],
+    out_cols: list[str],
+) -> pa.Table:
+    from ..state.schema_evolution import align_to_schema
+
+    old = pq.read_table(old_path) if old_path else None
+    new = pq.read_table(new_path) if new_path else None
+    ref = new if new is not None else old
+    if old is not None and new is not None and old.schema != new.schema:
+        old = align_to_schema(old, new.schema, {})  # old file may predate adds
+    empty = ref.schema.empty_table()
+    old = old if old is not None else empty
+    new = new if new is not None else empty
+
+    ko, kn = _encode_rows(old, pk), _encode_rows(new, pk)
+    so = np.sort(ko)
+    sn = np.sort(kn)
+
+    def _member(keys: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
+        if len(sorted_set) == 0:
+            return np.zeros(len(keys), dtype=bool)
+        idx = np.minimum(np.searchsorted(sorted_set, keys), len(sorted_set) - 1)
+        return sorted_set[idx] == keys
+
+    ins_mask = ~_member(kn, so)          # keys only in new
+    del_mask = ~_member(ko, sn)          # keys only in old
+    both_new = new.filter(pa.array(~ins_mask))
+    both_old = old.filter(pa.array(~del_mask))
+    # align both-side rows by key order, then compare full row encodings
+    order_n = np.argsort(_encode_rows(both_new, pk), kind="stable")
+    order_o = np.argsort(_encode_rows(both_old, pk), kind="stable")
+    bn = both_new.take(pa.array(order_n))
+    bo = both_old.take(pa.array(order_o))
+    upd_mask = _encode_rows(bn, cmp_cols) != _encode_rows(bo, cmp_cols)
+
+    def _shape(t: pa.Table, op: str) -> pa.Table:
+        t = t.select(out_cols)
+        return t.append_column(
+            "change_op", pa.array([op] * t.num_rows, type=pa.string())
+        )
+
+    parts = [
+        _shape(new.filter(pa.array(ins_mask)), "I"),
+        _shape(bn.filter(pa.array(upd_mask)), "U"),
+        _shape(old.filter(pa.array(del_mask)), "D"),
+    ]
+    return pa.concat_tables([p for p in parts])
+
+
+def diff_versions(
+    store: TableStore,
+    cfg: TableConfig,
+    v_old: int,
+    v_new: int | None = None,
+    stats: dict | None = None,
+) -> pa.Table:
+    """Change set between two committed versions. Only partitions whose
+    manifest entries differ are read (``stats={}`` receives
+    ``partitions_read`` / ``partitions_total``). Output: pk + value
+    columns + ``datalake_iud`` of the driving image (new for I/U, old
+    for D) + ``change_op``."""
+    m_old: Manifest = store.load_manifest(version=v_old)
+    m_new: Manifest = store.load_manifest(version=v_new)
+    schema = m_new.arrow_schema() or m_old.arrow_schema()
+    vals = [n for n in (schema.names if schema else []) if n not in cfg.pk]
+    cmp_cols = list(cfg.pk) + vals + [cfg.col_iud]
+    out_cols = list(cfg.pk) + vals + [cfg.col_iud]
+    futs = []
+    total = len(set(m_old.partitions) | set(m_new.partitions))
+    for pid in sorted(set(m_old.partitions) | set(m_new.partitions), key=int):
+        e_old = m_old.partitions.get(pid)
+        e_new = m_new.partitions.get(pid)
+        if e_old == e_new:
+            continue  # identical entry → identical file → no change
+        futs.append(
+            _diff_partition.remote(
+                store.abs_path(e_old["file"]) if e_old else None,
+                store.abs_path(e_new["file"]) if e_new else None,
+                list(cfg.pk),
+                cmp_cols,
+                out_cols,
+            )
+        )
+    if stats is not None:
+        stats.update(partitions_read=len(futs), partitions_total=total)
+    if not futs:
+        types = {f.name: f.type for f in schema} if schema else {}
+        cols = {c: pa.array([], types.get(c, pa.string())) for c in out_cols}
+        cols["change_op"] = pa.array([], pa.string())
+        return pa.table(cols)
+    return pa.concat_tables(ray.get(futs))

@@ -1164,6 +1164,27 @@ def q_except_keys(sf_dir: str) -> rd.Dataset:
     return except_distinct(cust, orders, ["custkey"])
 
 
+def q_version_diff(sf_dir: str) -> pa.Table:
+    """Snapshot diff as a change feed: replay two batches, then derive the
+    v1→v2 change set from the versioned manifests (pipelines/diff.py) —
+    only partitions whose manifest entries differ are read. Oracle
+    recomputes both states in SQL and compares them row-wise."""
+    root = _scratch("vdiff")
+    stream = _derive_cdc_stream(sf_dir, root)
+    cfg = TableConfig(
+        name="user_state",
+        pk=["user_id"],
+        value_columns=["event_type", "value"],
+        num_partitions=8,
+        soft_delete=True,
+    )
+    eng = CDCEngine(os.path.join(root, "lake"), cfg)
+    mx = max_sequence(stream)
+    eng.replay(stream, upto_seq=mx // 2)
+    eng.replay(stream, upto_seq=mx)
+    return eng.diff(1, 2)
+
+
 def q_rollup_lineitem(sf_dir: str) -> pa.Table:
     """GROUP BY ROLLUP(returnflag, linestatus) computed hierarchically —
     one shuffle at the finest level, coarser subtotals re-aggregated from
@@ -1705,6 +1726,34 @@ SELECT event_type,
 FROM final GROUP BY event_type
 """
 )
+ORACLES["version_diff"] = (
+    _CDC_VIEW
+    + """
+, st1 AS (
+  SELECT user_id, event_type, value, 'I' AS datalake_iud
+  FROM l1 WHERE op <> 'D'
+), st2 AS (
+SELECT COALESCE(s1.user_id, l2.user_id) AS user_id,
+       CASE WHEN l2.user_id IS NULL OR l2.op = 'D' THEN s1.event_type
+            ELSE l2.event_type END AS event_type,
+       CASE WHEN l2.user_id IS NULL OR l2.op = 'D' THEN s1.value
+            ELSE l2.value END AS value,
+       CASE WHEN l2.user_id IS NULL THEN 'I'
+            WHEN l2.op = 'D' THEN 'D'
+            WHEN s1.user_id IS NULL THEN 'I'
+            ELSE 'U' END AS datalake_iud
+FROM s1 FULL OUTER JOIN l2 ON s1.user_id = l2.user_id
+WHERE NOT (l2.op = 'D' AND s1.user_id IS NULL)
+)
+SELECT st2.user_id, st2.event_type, st2.value, st2.datalake_iud,
+       CASE WHEN st1.user_id IS NULL THEN 'I' ELSE 'U' END AS change_op
+FROM st2 LEFT JOIN st1 USING (user_id)
+WHERE st1.user_id IS NULL
+   OR st1.event_type IS DISTINCT FROM st2.event_type
+   OR st1.value IS DISTINCT FROM st2.value
+   OR st1.datalake_iud IS DISTINCT FROM st2.datalake_iud
+"""
+)
 ORACLES["rollup_lineitem"] = """
 SELECT l_returnflag, l_linestatus,
        sum(l_quantity) AS total, count(l_quantity) AS n
@@ -1807,6 +1856,7 @@ QUERIES = {
     "bloom_semi_lineitem": q_bloom_semi_lineitem,
     "stratified_sample": q_stratified_sample,
     "rollup_lineitem": q_rollup_lineitem,
+    "version_diff": q_version_diff,
     # rows-only (no SQL-expressible oracle):
     "approx_quantiles_docs": q_approx_quantiles_docs,
     "approx_distinct_users": q_approx_distinct_users,

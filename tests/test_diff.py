@@ -1,0 +1,82 @@
+"""Snapshot diff between committed versions (pipelines/diff.py)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from dbimport_ray import CDCEngine, repo_files_config
+from dbimport_ray.datagen import generate_events
+
+
+def _state(eng, version):
+    t = eng.arrow(version=version)
+    return {
+        (r["repo"], r["path"]): (r["commit"], r["content"], r["datalake_iud"])
+        for r in t.to_pylist()
+    }
+
+
+def test_diff_versions_matches_state_delta(ray_session, tmp_path):
+    ev = os.path.join(str(tmp_path), "ev.parquet")
+    generate_events(ev, num_keys=1200, num_events=8000, seed=29)
+    eng = CDCEngine(os.path.join(str(tmp_path), "lake"),
+                    repo_files_config(num_partitions=8))
+    eng.replay(ev, upto_seq=3999)   # v1
+    eng.replay(ev)                  # v2
+
+    stats: dict = {}
+    d = eng.diff(1, 2, stats=stats)
+    assert stats["partitions_total"] == 8
+    s1, s2 = _state(eng, 1), _state(eng, 2)
+
+    exp_i = {k for k in s2 if k not in s1}
+    exp_d = {k for k in s1 if k not in s2}
+    exp_u = {k for k in s2 if k in s1 and s2[k] != s1[k]}
+    got = d.to_pylist()
+    got_i = {(r["repo"], r["path"]) for r in got if r["change_op"] == "I"}
+    got_u = {(r["repo"], r["path"]) for r in got if r["change_op"] == "U"}
+    got_d = {(r["repo"], r["path"]) for r in got if r["change_op"] == "D"}
+    assert got_i == exp_i
+    assert got_u == exp_u
+    assert got_d == exp_d  # soft-delete keeps rows → physical deletes empty
+    # row images come from the NEW version for I/U
+    for r in got:
+        if r["change_op"] in ("I", "U"):
+            assert (r["commit"], r["content"], r["datalake_iud"]) == s2[
+                (r["repo"], r["path"])
+            ]
+
+
+def test_diff_skips_untouched_partitions(ray_session, tmp_path):
+    ev1 = os.path.join(str(tmp_path), "ev1.parquet")
+    generate_events(ev1, num_keys=1000, num_events=6000, seed=31)
+    eng = CDCEngine(os.path.join(str(tmp_path), "lake"),
+                    repo_files_config(num_partitions=8))
+    eng.replay(ev1)  # v1
+    key = eng.arrow().slice(0, 1).to_pylist()[0]
+    ev2 = os.path.join(str(tmp_path), "ev2.parquet")
+    pq.write_table(pa.table({
+        "sequence_id": [6000],
+        "op": ["U"],
+        "repo": [key["repo"]],
+        "path": [key["path"]],
+        "commit": ["d" * 40],
+        "lang": [key["lang"]],
+        "content": ["changed once"],
+    }), ev2)
+    eng.replay(ev2)  # v2 touches exactly one partition
+
+    stats: dict = {}
+    d = eng.diff(1, 2, stats=stats)
+    assert stats["partitions_read"] == 1 and stats["partitions_total"] == 8
+    rows = d.to_pylist()
+    assert len(rows) == 1 and rows[0]["change_op"] == "U"
+    assert rows[0]["content"] == "changed once"
+
+    # identical versions → empty diff, zero reads
+    s2: dict = {}
+    assert eng.diff(2, 2, stats=s2).num_rows == 0
+    assert s2["partitions_read"] == 0
