@@ -1164,6 +1164,51 @@ def q_except_keys(sf_dir: str) -> rd.Dataset:
     return except_distinct(cust, orders, ["custkey"])
 
 
+def q_left_outer_join(sf_dir: str) -> rd.Dataset:
+    """LEFT OUTER hash join (shuffle join, deadlock-safe aggregator
+    sizing — stages/joins.py:hash_join): every customer with the count
+    of their big-ticket orders, keeping customers with none (NULL side
+    preserved through the shuffle)."""
+    from ..stages.joins import hash_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    big = _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey"],
+        filter_columns=("o_totalprice",),
+        filter=pc.field("o_totalprice") > 250000.0,
+    )
+    j = hash_join(
+        cust, big, on=("c_custkey",), right_on=("o_custkey",),
+        join_type="left_outer", num_partitions=8,
+    )
+
+    def agg(t: pa.Table) -> pa.Table:
+        has = pc.is_valid(t["o_orderkey"]).cast(pa.int64())
+        return pa.table({
+            "c_custkey": t["c_custkey"], "c_mktsegment": t["c_mktsegment"],
+            "big_orders": has,
+        })
+
+    return (
+        j.map_batches(agg, batch_format="pyarrow")
+        .groupby(["c_custkey", "c_mktsegment"])
+        .aggregate(Sum("big_orders", alias_name="n_big"))
+    )
+
+
+def q_grouped_mean_std(sf_dir: str) -> rd.Dataset:
+    """Per-group mean and sample-stddev (Ray native Mean/Std aggregates;
+    map-side partials, one narrow exchange) of document length by lang."""
+    from ray.data.aggregate import Mean, Std
+
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    return ds.groupby("lang").aggregate(
+        Mean("n_chars", alias_name="mean_chars"),
+        Std("n_chars", alias_name="std_chars"),
+    )
+
+
 def q_version_diff(sf_dir: str) -> pa.Table:
     """Snapshot diff as a change feed: replay two batches, then derive the
     v1→v2 change set from the versioned manifests (pipelines/diff.py) —
@@ -1726,6 +1771,18 @@ SELECT event_type,
 FROM final GROUP BY event_type
 """
 )
+ORACLES["left_outer_join"] = """
+SELECT c_custkey, c_mktsegment,
+       CAST(count(o_orderkey) AS BIGINT) AS n_big
+FROM customer LEFT JOIN (
+  SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 250000
+) o ON c_custkey = o_custkey
+GROUP BY c_custkey, c_mktsegment
+"""
+ORACLES["grouped_mean_std"] = """
+SELECT lang, avg(n_chars) AS mean_chars, stddev_samp(n_chars) AS std_chars
+FROM documents GROUP BY lang
+"""
 ORACLES["version_diff"] = (
     _CDC_VIEW
     + """
@@ -1857,6 +1914,8 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "rollup_lineitem": q_rollup_lineitem,
     "version_diff": q_version_diff,
+    "left_outer_join": q_left_outer_join,
+    "grouped_mean_std": q_grouped_mean_std,
     # rows-only (no SQL-expressible oracle):
     "approx_quantiles_docs": q_approx_quantiles_docs,
     "approx_distinct_users": q_approx_distinct_users,
