@@ -1164,6 +1164,24 @@ def q_except_keys(sf_dir: str) -> rd.Dataset:
     return except_distinct(cust, orders, ["custkey"])
 
 
+def q_window_cumsum(sf_dir: str) -> rd.Dataset:
+    """Running total per user ordered by event time (window frame
+    UNBOUNDED PRECEDING; stages/window.py:window_cumsum)."""
+    from ..stages.window import window_cumsum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        # integer measure (floor to cents) so the running total is exact
+        # and row ordering is unambiguous for the oracle compare
+        return t.append_column("cents", pc.floor(pc.multiply(t["value"], 100.0)))
+
+    ds = ds.map_batches(cents, batch_format="pyarrow")
+    return window_cumsum(ds, "user_id", ["event_id"], "cents").select_columns(
+        ["user_id", "event_id", "cum_sum"]
+    )
+
+
 def q_left_outer_join(sf_dir: str) -> rd.Dataset:
     """LEFT OUTER hash join (shuffle join, deadlock-safe aggregator
     sizing — stages/joins.py:hash_join): every customer with the count
@@ -1771,6 +1789,12 @@ SELECT event_type,
 FROM final GROUP BY event_type
 """
 )
+ORACLES["window_cumsum"] = """
+SELECT user_id, event_id,
+       sum(floor(value * 100)) OVER (PARTITION BY user_id ORDER BY event_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum_sum
+FROM events
+"""
 ORACLES["left_outer_join"] = """
 SELECT c_custkey, c_mktsegment,
        CAST(count(o_orderkey) AS BIGINT) AS n_big
@@ -1915,6 +1939,7 @@ QUERIES = {
     "rollup_lineitem": q_rollup_lineitem,
     "version_diff": q_version_diff,
     "left_outer_join": q_left_outer_join,
+    "window_cumsum": q_window_cumsum,
     "grouped_mean_std": q_grouped_mean_std,
     # rows-only (no SQL-expressible oracle):
     "approx_quantiles_docs": q_approx_quantiles_docs,

@@ -274,6 +274,26 @@ def window_rolling_mean(
     return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")
 
 
+def window_cumsum(
+    ds: rd.Dataset,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    out: str = "cum_sum",
+) -> rd.Dataset:
+    """``SUM(value) OVER (PARTITION BY key ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)`` — one hash exchange by key, then a vectorized cumulative
+    sum per group in SQL accumulation order (running totals per entity:
+    balance reconstruction, cumulative traffic)."""
+
+    def per_key(t: pa.Table) -> pa.Table:
+        t = t.take(pc.sort_indices(t, [(c, "ascending") for c in order_cols]))
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column(out, pa.array(np.cumsum(v)))
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")
+
+
 def range_join(
     left: rd.Dataset,
     right: rd.Dataset,

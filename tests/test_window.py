@@ -184,3 +184,26 @@ def test_contract_queries_match_oracle(ray_session, name):
     a = ray_df[cols].sort_values(cols, ignore_index=True)
     b = sql_df[cols].sort_values(cols, ignore_index=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_window_cumsum_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from dbimport_ray.stages.window import window_cumsum
+
+    rng = np.random.default_rng(41)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 20, 500),
+        "t": rng.permutation(500),
+        "v": rng.integers(-5, 10, 500).astype("float64"),
+    })
+    out = (
+        window_cumsum(rd.from_pandas(df).repartition(4), "k", ["t"], "v")
+        .to_pandas()
+        .sort_values(["k", "t"])
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["k", "t"]).reset_index(drop=True)
+    exp["cum_sum"] = exp.groupby("k")["v"].cumsum()
+    assert (out["cum_sum"] == exp["cum_sum"]).all()
