@@ -1304,6 +1304,23 @@ def q_bloom_semi_lineitem(sf_dir: str) -> rd.Dataset:
     return bloom_semi_join(li, big, ["l_orderkey"], num_partitions=8)
 
 
+def q_bloom_anti_lineitem(sf_dir: str) -> rd.Dataset:
+    """Large×large NOT-IN: lineitems whose order is NOT big-ticket.
+    Bloom-fail rows are provably absent and bypass the join; only the
+    pass fraction takes the exact left_anti hash join
+    (stages/bloom.py:bloom_anti_join)."""
+    from ..stages.bloom import bloom_anti_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
+    big = _read(
+        sf_dir, "orders",
+        columns=["o_orderkey"],
+        filter_columns=("o_totalprice",),
+        filter=pc.field("o_totalprice") > 300000.0,
+    ).rename_columns({"o_orderkey": "l_orderkey"})
+    return bloom_anti_join(li, big, ["l_orderkey"], num_partitions=8)
+
+
 def q_maintained_agg(sf_dir: str) -> pa.Table:
     """Incrementally-maintained materialized aggregate: per-event_type
     row count + char sum folded from exact merge-task deltas across a
@@ -1773,6 +1790,10 @@ ORACLES["bloom_semi_lineitem"] = """
 SELECT l_orderkey, l_linenumber FROM lineitem
 WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000)
 """
+ORACLES["bloom_anti_lineitem"] = """
+SELECT l_orderkey, l_linenumber FROM lineitem
+WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000)
+"""
 ORACLES["maintained_agg"] = (
     _CDC_VIEW
     + """
@@ -1935,6 +1956,7 @@ QUERIES = {
     "normalize_docs": q_normalize_docs,
     "maintained_agg": q_maintained_agg,
     "bloom_semi_lineitem": q_bloom_semi_lineitem,
+    "bloom_anti_lineitem": q_bloom_anti_lineitem,
     "stratified_sample": q_stratified_sample,
     "rollup_lineitem": q_rollup_lineitem,
     "version_diff": q_version_diff,

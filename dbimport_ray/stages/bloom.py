@@ -107,16 +107,30 @@ def build_bloom(keys_ds: rd.Dataset, on: list[str], m: int, k: int, fan_in: int 
 
 
 class BloomProbe:
-    """Actor-pool prefilter: fetches the bitmap from plasma once per actor
-    (constructor ref), tests k bits per row per batch — pure numpy."""
+    """Bitmap membership prefilter: tests k bits per row per batch — pure
+    numpy. The bitmap ref resolves via ``ray.get`` per call, which after
+    the first fetch on a node is a ZERO-COPY view into local plasma — so
+    this runs as plain `map_batches` TASKS, not an actor pool (an actor
+    pool holding whole CPUs here starves join aggregators and can
+    deadlock small clusters; tasks autoscale with the stage)."""
 
     def __init__(self, words_ref, on: list[str], m: int, k: int, keep_matches: bool = True):
-        self.words = ray.get(words_ref) if isinstance(words_ref, ray.ObjectRef) else words_ref
+        self.words_ref = words_ref
         self.on, self.m, self.k, self.keep = list(on), m, k, keep_matches
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        mask = _test_bits(self.words, batch, self.on, self.m, self.k)
+        words = (
+            ray.get(self.words_ref)
+            if isinstance(self.words_ref, ray.ObjectRef)
+            else self.words_ref
+        )
+        mask = _test_bits(words, batch, self.on, self.m, self.k)
         return batch.filter(pa.array(mask if self.keep else ~mask))
+
+
+def _probe_stage(left: rd.Dataset, kw: dict, keep: bool) -> rd.Dataset:
+    probe = BloomProbe(**kw, keep_matches=keep)
+    return left.map_batches(probe, batch_format="pyarrow")
 
 
 def bloom_semi_join(
@@ -141,18 +155,48 @@ def bloom_semi_join(
         return left.limit(0)
     m, k = bloom_params(n, fpp)
     words_ref = build_bloom(distinct, on, m, k)
-    if concurrency is None:
-        # leave headroom for the verify join's aggregator actors and the
-        # upstream read tasks — an actor pool sized to every core starves
-        # the rest of the streaming pipeline (observed deadlock at 4 CPUs)
-        ncpu = ray.cluster_resources().get("CPU", 4) if ray.is_initialized() else 4
-        concurrency = max(1, int(ncpu) // 4)
-    survivors = left.map_batches(
-        BloomProbe,
-        fn_constructor_kwargs=dict(words_ref=words_ref, on=on, m=m, k=k),
-        batch_format="pyarrow",
-        concurrency=concurrency,
+    survivors = _probe_stage(
+        left, dict(words_ref=words_ref, on=on, m=m, k=k), keep=True
     )
     return hash_join(
         survivors, distinct, on=tuple(on), num_partitions=num_partitions
     )
+
+
+def bloom_anti_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: list[str],
+    fpp: float = 0.01,
+    concurrency: int | None = None,
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """EXACT anti join (rows of ``left`` whose key is NOT in ``right``)
+    for two large sides. A Bloom filter cannot prove absence — but a row
+    that FAILS the bloom is definitely absent and is kept with zero
+    further work; only the ~selectivity+fpp fraction that passes needs
+    the exact left_anti hash join against the distinct right keys. The
+    full-load delete-detection shape (ref import_operations.py:2147)
+    when neither side fits a broadcast.
+
+    ``left`` is scanned twice (absent pass + present pass) — two cheap
+    column-pruned streaming reads rather than materializing the whole
+    probe side in the object store; swap for a flagged single pass +
+    ``materialize()`` only if the upstream is expensive to recompute."""
+    cnt = "_n"
+    distinct = right.select_columns(on).groupby(on).aggregate(
+        Count(on[0], alias_name=cnt)
+    ).drop_columns([cnt]).materialize()
+    n = distinct.count()
+    if n == 0:
+        return left
+    m, k = bloom_params(n, fpp)
+    words_ref = build_bloom(distinct, on, m, k)
+    kw = dict(words_ref=words_ref, on=on, m=m, k=k)
+    definitely_absent = _probe_stage(left, kw, keep=False)
+    maybe_present = _probe_stage(left, kw, keep=True)
+    false_pos = hash_join(
+        maybe_present, distinct, on=tuple(on),
+        join_type="left_anti", num_partitions=num_partitions,
+    )
+    return definitely_absent.union(false_pos)

@@ -50,15 +50,17 @@ def column_zones(table: pa.Table) -> dict[str, list]:
             or pa.types.is_date(t)
         ):
             continue
+        if pa.types.is_string(t):
+            # wide string columns (document bodies) are excluded: their
+            # min/max would embed whole documents in the manifest JSON,
+            # and a truncated upper bound is not an upper bound. Probe
+            # width with one cheap length scan BEFORE paying for
+            # lexicographic min/max over the payloads.
+            wid = pc.max(pc.binary_length(col)).as_py()
+            if wid is not None and wid > 64:
+                continue
         mm = pc.min_max(col)
-        lo, hi = _encode(mm["min"].as_py()), _encode(mm["max"].as_py())
-        if isinstance(hi, str) and (len(hi) > 64 or len(str(lo)) > 64):
-            # wide string column (document bodies): storing its min/max
-            # would bloat the manifest JSON by whole documents per file.
-            # A truncated upper bound is not an upper bound, so omit the
-            # column — missing zones never prune (conservative).
-            continue
-        zones[name] = [lo, hi]
+        zones[name] = [_encode(mm["min"].as_py()), _encode(mm["max"].as_py())]
     return zones
 
 

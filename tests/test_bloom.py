@@ -71,3 +71,35 @@ def test_bloom_composite_key(ray_session):
         rd.from_arrow(left), rd.from_arrow(right), ["a", "b"], num_partitions=2
     ).to_pandas().sort_values("p")
     assert res["p"].tolist() == [20, 30]
+
+
+def test_bloom_anti_join_exact(ray_session):
+    import numpy as np
+
+    from dbimport_ray.stages.bloom import bloom_anti_join
+
+    rng = np.random.default_rng(9)
+    left = pa.table({
+        "k": rng.integers(0, 4000, size=20_000),
+        "v": np.arange(20_000),
+    })
+    right = pa.table({"k": rng.choice(4000, size=500, replace=False)})
+    res = bloom_anti_join(
+        rd.from_arrow(left).repartition(5),
+        rd.from_arrow(right).repartition(2),
+        ["k"],
+        num_partitions=4,
+    ).to_pandas()
+    keys = set(right["k"].to_pylist())
+    exp = left.to_pandas()
+    exp = exp[~exp["k"].isin(keys)]
+    assert len(res) == len(exp)
+    assert set(res["v"].tolist()) == set(exp["v"].tolist())
+
+
+def test_bloom_anti_join_empty_right_returns_all(ray_session):
+    from dbimport_ray.stages.bloom import bloom_anti_join
+
+    left = rd.from_arrow(pa.table({"k": [1, 2, 3]}))
+    right = rd.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
+    assert bloom_anti_join(left, right, ["k"], num_partitions=2).count() == 3
