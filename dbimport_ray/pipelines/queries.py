@@ -1164,6 +1164,27 @@ def q_except_keys(sf_dir: str) -> rd.Dataset:
     return except_distinct(cust, orders, ["custkey"])
 
 
+def q_sample_n_per_lang(sf_dir: str) -> rd.Dataset:
+    """Fixed-quota deterministic sample: exactly 3 docs per lang ranked
+    by content hash (stages/stats.py:sample_n_per_group) — map-side
+    prune ships <= 3 rows per lang per block."""
+    from ..stages.stats import sample_n_per_group
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return sample_n_per_group(ds, ["lang"], "doc_id", 3)
+
+
+def q_collect_sample_ids(sf_dir: str) -> rd.Dataset:
+    """Composition: the 3-per-lang sample collapsed to one ordered
+    comma-joined id list per lang (ordered string_agg;
+    stages/stats.py:collect_sorted)."""
+    from ..stages.stats import collect_sorted, sample_n_per_group
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    picked = sample_n_per_group(ds, ["lang"], "doc_id", 3)
+    return collect_sorted(picked, ["lang"], "doc_id", "doc_id", out="ids")
+
+
 def q_window_cumsum(sf_dir: str) -> rd.Dataset:
     """Running total per user ordered by event time (window frame
     UNBOUNDED PRECEDING; stages/window.py:window_cumsum)."""
@@ -1810,6 +1831,21 @@ SELECT event_type,
 FROM final GROUP BY event_type
 """
 )
+ORACLES["sample_n_per_lang"] = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang, row_number() OVER (
+    PARTITION BY lang ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id
+  ) AS rn FROM documents
+) WHERE rn <= 3
+"""
+ORACLES["collect_sample_ids"] = """
+SELECT lang, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS ids
+FROM (
+  SELECT doc_id, lang, row_number() OVER (
+    PARTITION BY lang ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id
+  ) AS rn FROM documents
+) WHERE rn <= 3 GROUP BY lang
+"""
 ORACLES["window_cumsum"] = """
 SELECT user_id, event_id,
        sum(floor(value * 100)) OVER (PARTITION BY user_id ORDER BY event_id
@@ -1962,6 +1998,8 @@ QUERIES = {
     "version_diff": q_version_diff,
     "left_outer_join": q_left_outer_join,
     "window_cumsum": q_window_cumsum,
+    "sample_n_per_lang": q_sample_n_per_lang,
+    "collect_sample_ids": q_collect_sample_ids,
     "grouped_mean_std": q_grouped_mean_std,
     # rows-only (no SQL-expressible oracle):
     "approx_quantiles_docs": q_approx_quantiles_docs,

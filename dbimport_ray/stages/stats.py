@@ -285,3 +285,54 @@ def approx_quantiles(
         {"q": pa.array(list(qs), pa.float64()),
          "value": pa.array(out, pa.float64())}
     )
+
+
+def sample_n_per_group(
+    ds: rd.Dataset,
+    group_cols: list[str],
+    id_col: str,
+    n: int,
+    seed: str = "",
+    rank_col: str = "_rank",
+) -> rd.Dataset:
+    """EXACTLY-n deterministic sample per group — rank rows by
+    ``sha256(seed||id)`` and keep each group's n smallest. A pure
+    function of record identity (same guarantees as
+    functions/split.py: re-runs, backfills and the SQL oracle all pick
+    the same rows), with :func:`top_n_per_group`'s map-side prune, so
+    the exchange carries ≤ n rows per group per block. The
+    fixed-quota-per-stratum sibling of rate-based
+    ``stratified_sample_mask``."""
+    from ..functions.anonymize import hash_column
+
+    def rank(t: pa.Table) -> pa.Table:
+        return t.append_column(rank_col, hash_column(t[id_col], seed=seed))
+
+    ranked = ds.map_batches(rank, batch_format="pyarrow")
+    picked = top_n_per_group(
+        ranked, group_cols, rank_col, n, tie_cols=[id_col], descending=False
+    )
+    return picked.drop_columns([rank_col])
+
+
+def collect_sorted(
+    ds: rd.Dataset,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    sep: str = ",",
+    out: str = "collected",
+) -> rd.Dataset:
+    """Ordered per-group string aggregation (``string_agg(value, sep
+    ORDER BY order_col)``): one key exchange, then a vectorized sort +
+    join per group. Output size ∝ group cardinality × value width —
+    collect is for BOUNDED groups (samples, top-n lists), not raw
+    corpora."""
+
+    def per_group(t: pa.Table) -> pa.Table:
+        t = t.take(pc.sort_indices(t, [(order_col, "ascending")]))
+        vals = pc.cast(t[value_col], pa.string()).to_pylist()
+        head = t.slice(0, 1).select(group_cols)
+        return head.append_column(out, pa.array([sep.join(vals)]))
+
+    return ds.groupby(group_cols).map_groups(per_group, batch_format="pyarrow")

@@ -171,3 +171,29 @@ def test_approx_quantiles_constant_and_nan(ray_session):
     ds2 = rd.from_arrow(pa.table({"x": [1.0, float("nan"), 3.0, 2.0]}))
     out2 = approx_quantiles(ds2, "x", [0.5], bins=64)
     assert abs(out2["value"].to_pylist()[0] - 2.0) < (2.0 / 64) * 2
+
+
+def test_sample_n_per_group_exact_and_deterministic(ray_session):
+    from dbimport_ray.stages.stats import sample_n_per_group
+
+    rng = np.random.default_rng(47)
+    t = pa.table({
+        "g": rng.choice(["a", "b", "c"], 2000),
+        "id": np.arange(2000),
+    })
+    ds = rd.from_arrow(t).repartition(5)
+    s1 = sample_n_per_group(ds, ["g"], "id", 4).to_pandas()
+    s2 = sample_n_per_group(rd.from_arrow(t), ["g"], "id", 4).to_pandas()
+    assert s1.groupby("g").size().tolist() == [4, 4, 4]
+    # identical picks regardless of partitioning
+    k = lambda d: sorted(map(tuple, d[["g", "id"]].itertuples(index=False, name=None)))
+    assert k(s1) == k(s2)
+
+
+def test_collect_sorted(ray_session):
+    from dbimport_ray.stages.stats import collect_sorted
+
+    t = pa.table({"g": ["x", "x", "y", "x"], "o": [3, 1, 5, 2], "v": ["c", "a", "z", "b"]})
+    out = collect_sorted(rd.from_arrow(t), ["g"], "o", "v").to_pandas()
+    got = dict(zip(out["g"], out["collected"]))
+    assert got == {"x": "a,b,c", "y": "z"}
