@@ -61,6 +61,12 @@ QUERY_NAMES = [
     "asof_join",
     "range_join",
     "windowed_agg",
+    # round-2 additions
+    "bloom_semi_lineitem",
+    "pii_scrub_docs",
+    "rollup_lineitem",
+    "intersect_keys",
+    "sample_n_per_lang",
 ]
 
 
@@ -204,7 +210,15 @@ def scaling() -> None:
             # workers) to `cpus` physical cores — Ray's num_cpus only limits
             # task slots, while sidecar processes would otherwise consume
             # unaccounted host cores and subsidize the small configuration.
-            cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, __file__]
+            off = int(os.environ.get("BENCH_SCALE_CORE_OFFSET", "8"))
+            # pin BOTH configs to the same range starting away from the
+            # low cores: OS/hypervisor housekeeping concentrates there
+            # (measured: identical 8-cpu job 106k ev/s on cores 0-7 vs
+            # 118k on 8-15). Applied symmetrically to both sides.
+            cmd = [
+                "taskset", "-c", f"{off}-{off + cpus - 1}",
+                sys.executable, __file__,
+            ]
             p = subprocess.run(cmd, env=env, capture_output=True, text=True)
             lines = [l for l in p.stdout.strip().splitlines() if l.startswith("{")]
             if not lines:
