@@ -1164,6 +1164,36 @@ def q_except_keys(sf_dir: str) -> rd.Dataset:
     return except_distinct(cust, orders, ["custkey"])
 
 
+def q_outliers_by_lang(sf_dir: str) -> rd.Dataset:
+    """Operator composition as a data-quality gate: per-lang p90 length
+    threshold (grouped_quantile → tiny table) broadcast back over the
+    corpus, keeping docs strictly above their own group's threshold —
+    the per-group outlier filter, no second shuffle of the corpus."""
+    from ..stages.stats import grouped_quantile
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    thr = grouped_quantile(ds, ["lang"], "n_chars", 0.9, out_col="p90")
+    import ray as _ray
+
+    thr_df = thr.to_pandas()  # one row per lang — tiny by construction
+    lut = dict(zip(thr_df["lang"], (int(v) for v in thr_df["p90"])))
+    lut_ref = _ray.put(lut)
+
+    class Filt:
+        def __init__(self, ref):
+            self.lut = _ray.get(ref) if isinstance(ref, _ray.ObjectRef) else ref
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            langs = t["lang"].to_pylist()
+            thr_arr = pa.array([self.lut[l] for l in langs], pa.int64())
+            return t.filter(pc.greater(t["n_chars"], thr_arr))
+
+    return ds.map_batches(
+        Filt, fn_constructor_kwargs=dict(ref=lut_ref),
+        batch_format="pyarrow", concurrency=2,
+    ).select_columns(["doc_id", "lang", "n_chars"])
+
+
 def q_sample_n_per_lang(sf_dir: str) -> rd.Dataset:
     """Fixed-quota deterministic sample: exactly 3 docs per lang ranked
     by content hash (stages/stats.py:sample_n_per_group) — map-side
@@ -1831,6 +1861,14 @@ SELECT event_type,
 FROM final GROUP BY event_type
 """
 )
+ORACLES["outliers_by_lang"] = """
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d
+JOIN (
+  SELECT lang, quantile_disc(n_chars, 0.9) AS p90 FROM documents GROUP BY lang
+) t ON d.lang = t.lang
+WHERE d.n_chars > t.p90
+"""
 ORACLES["sample_n_per_lang"] = """
 SELECT doc_id, lang FROM (
   SELECT doc_id, lang, row_number() OVER (
@@ -1999,6 +2037,7 @@ QUERIES = {
     "left_outer_join": q_left_outer_join,
     "window_cumsum": q_window_cumsum,
     "sample_n_per_lang": q_sample_n_per_lang,
+    "outliers_by_lang": q_outliers_by_lang,
     "collect_sample_ids": q_collect_sample_ids,
     "grouped_mean_std": q_grouped_mean_std,
     # rows-only (no SQL-expressible oracle):
