@@ -1164,6 +1164,16 @@ def q_except_keys(sf_dir: str) -> rd.Dataset:
     return except_distinct(cust, orders, ["custkey"])
 
 
+def q_approx_distinct_by_type(sf_dir: str) -> rd.Dataset:
+    """Per-group HLL distinct users per event_type — sketch rows (4 KiB
+    per group per block) are the only exchange; python-oracle pytest
+    bounds the error, rows-only here."""
+    from ..stages.stats import approx_distinct_per_group
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return approx_distinct_per_group(ds, "event_type", "user_id")
+
+
 def q_outliers_by_lang(sf_dir: str) -> rd.Dataset:
     """Operator composition as a data-quality gate: per-lang p90 length
     threshold (grouped_quantile → tiny table) broadcast back over the
@@ -2042,6 +2052,7 @@ QUERIES = {
     "grouped_mean_std": q_grouped_mean_std,
     # rows-only (no SQL-expressible oracle):
     "approx_quantiles_docs": q_approx_quantiles_docs,
+    "approx_distinct_by_type": q_approx_distinct_by_type,
     "approx_distinct_users": q_approx_distinct_users,
     "minhash_cc_clusters": q_minhash_cc_clusters,
     "minhash_dedup_docs": q_minhash_dedup_docs,

@@ -336,3 +336,46 @@ def collect_sorted(
         return head.append_column(out, pa.array([sep.join(vals)]))
 
     return ds.groupby(group_cols).map_groups(per_group, batch_format="pyarrow")
+
+
+def approx_distinct_per_group(
+    ds: rd.Dataset, group_col: str, col: str, p: int = 12
+) -> rd.Dataset:
+    """Per-group HLL distinct count: each block reduces to ONE register
+    row per group it contains (2^p bytes each), the group exchange
+    carries those sketch rows — bounded by groups × blocks × 4 KiB at
+    p=12, never the value domain — and a per-group elementwise-max merge
+    yields the estimate. The scale path for ``count(DISTINCT x) GROUP BY
+    g`` when the distinct domain per group is too large for
+    :func:`distinct_count`'s pair shuffle. Output: (group, approx_n)."""
+    m = 1 << p
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        vals = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(g, return_inverse=True)
+        h = _splitmix64(vals.astype(np.uint64))
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        w = h << np.uint64(p)
+        rank = np.minimum(_clz64(w) + 1, 64 - p + 1).astype(np.uint8)
+        regs = np.zeros((len(uniq), m), dtype=np.uint8)
+        np.maximum.at(regs, (inv, idx), rank)
+        return pa.table({
+            group_col: pa.array(uniq),
+            "regs": pa.FixedSizeListArray.from_arrays(
+                pa.array(regs.reshape(-1)), m
+            ),
+        })
+
+    def merge(t: pa.Table) -> pa.Table:
+        regs = np.asarray(t["regs"].combine_chunks().flatten(), dtype=np.uint8)
+        merged = regs.reshape(t.num_rows, m).max(axis=0)
+        return pa.table({
+            group_col: t[group_col].slice(0, 1),
+            "approx_n": pa.array([hll_estimate(merged)], pa.float64()),
+        })
+
+    partials = ds.select_columns([group_col, col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return partials.groupby(group_col).map_groups(merge, batch_format="pyarrow")

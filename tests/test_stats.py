@@ -197,3 +197,24 @@ def test_collect_sorted(ray_session):
     out = collect_sorted(rd.from_arrow(t), ["g"], "o", "v").to_pandas()
     got = dict(zip(out["g"], out["collected"]))
     assert got == {"x": "a,b,c", "y": "z"}
+
+
+def test_approx_distinct_per_group_close_to_exact(ray_session):
+    from dbimport_ray.stages.stats import approx_distinct_per_group
+
+    rng = np.random.default_rng(53)
+    n = 60_000
+    t = pa.table({
+        "g": rng.choice(["a", "b", "c"], n),
+        "v": rng.integers(0, 5000, n),
+    })
+    out = approx_distinct_per_group(
+        rd.from_arrow(t).repartition(6), "g", "v"
+    ).to_pandas()
+    import pandas as pd
+
+    df = t.to_pandas()
+    exact = df.groupby("g")["v"].nunique()
+    got = dict(zip(out["g"], out["approx_n"]))
+    for g, e in exact.items():
+        assert abs(got[g] - e) / e < 0.05, (g, got[g], e)
