@@ -232,3 +232,96 @@ def token_frequency_partial(table: pa.Table, text_col: str = "text") -> pa.Table
     tb = pa.table({"token": flat})
     out = tb.group_by("token").aggregate([("token", "count")])
     return out.rename_columns(["token", "n"])
+
+
+def doc_token_counts(table: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Per-batch (doc, token, tf) triples: lowercase → ``\\W+`` split →
+    explode with parent-index repeat → per-(doc, token) count. The
+    explode stays inside the map task; output is one row per DISTINCT
+    (doc, token) of the batch. Same tokenization as
+    :func:`token_frequency_partial` (SQL-matchable)."""
+    s = pc.cast(table[text_col], pa.string())
+    toks = pc.split_pattern_regex(pc.utf8_lower(s), r"\W+").combine_chunks()
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    parents = pc.list_parent_indices(toks)
+    flat = pc.list_flatten(toks)
+    ids = pc.take(table[id_col], parents)
+    keep = pc.not_equal(flat, "")
+    tb = pa.table({id_col: ids.filter(keep), "token": flat.filter(keep)})
+    out = tb.group_by([id_col, "token"]).aggregate([("token", "count")])
+    return out.rename_columns([id_col, "token", "tf"])
+
+
+def tfidf_top_terms(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 5,
+    min_df: int = 1,
+):
+    """Top-``top_n`` TF-IDF terms per document, Ray-Data-first, two
+    passes over the corpus:
+
+    1. DF pass: per-block (doc, token) distinct counts reduce to
+       (token, partial-df) rows — the exchange is bounded by vocabulary
+       × blocks, never the token stream; one narrow groupby sums them.
+       Vocabulary is BOUNDED by construction (same assumption as
+       vocabulary top-k).
+    2. Score pass: idf = ln(N/df) is broadcast via plasma; each input
+       batch re-derives its own (doc, token, tf) rows and scores them
+       vectorized (np.searchsorted over the sorted vocab), keeping each
+       doc's top-n INSIDE the batch — a doc's rows never cross batches
+       because they are derived there, so no cross-block reduce exists.
+
+    Returns a Dataset of (id, token, score) rows, ``top_n`` per doc,
+    score-descending with token tie-break (deterministic).
+    """
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        pairs = doc_token_counts(t, id_col, text_col)
+        out = pairs.group_by("token").aggregate([([], "count_all")])
+        return out.rename_columns(["token", "df"])
+
+    df_pd = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+    )
+    n_docs = ds.count()
+    df_pd = df_pd[df_pd["df"] >= min_df]
+    toks = df_pd["token"].to_numpy()
+    order = np.argsort(toks, kind="stable")
+    vocab = toks[order]
+    idf = np.log(n_docs / df_pd["df"].to_numpy().astype(np.float64))[order]
+    state = ray.put((vocab, idf))
+
+    def score(t: pa.Table) -> pa.Table:
+        voc, w = ray.get(state)
+        t = doc_token_counts(t, id_col, text_col)
+        tk = t["token"].to_numpy(zero_copy_only=False)
+        if len(voc) == 0:
+            return t.slice(0, 0).append_column(
+                "score", pa.array([], pa.float64())
+            ).select([id_col, "token", "score"])
+        pos = np.minimum(np.searchsorted(voc, tk), len(voc) - 1)
+        hit = voc[pos] == tk
+        sc = np.where(
+            hit, t["tf"].to_numpy(zero_copy_only=False) * w[pos], -1.0
+        )
+        t = t.append_column("score", pa.array(sc)).filter(pa.array(sc >= 0))
+        t = t.take(pc.sort_indices(t, [
+            (id_col, "ascending"), ("score", "descending"), ("token", "ascending"),
+        ]))
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        boundary = np.ones(t.num_rows, dtype=bool)
+        boundary[1:] = ids[1:] != ids[:-1]
+        starts = np.flatnonzero(boundary)
+        rank = np.arange(t.num_rows) - starts[np.cumsum(boundary) - 1]
+        return t.filter(pa.array(rank < top_n)).select([id_col, "token", "score"])
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -1164,6 +1164,17 @@ def q_except_keys(sf_dir: str) -> rd.Dataset:
     return except_distinct(cust, orders, ["custkey"])
 
 
+def q_tfidf_top_terms(sf_dir: str) -> rd.Dataset:
+    """Top-3 TF-IDF terms per document (functions/text.py:
+    tfidf_top_terms): DF pass bounded by vocabulary, score pass keeps
+    each doc's top terms inside its own batch. Pure-python oracle in
+    pytest; rows-only here (float scores)."""
+    from ..functions.text import tfidf_top_terms
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return tfidf_top_terms(ds, top_n=3)
+
+
 def q_approx_distinct_by_type(sf_dir: str) -> rd.Dataset:
     """Per-group HLL distinct users per event_type — sketch rows (4 KiB
     per group per block) are the only exchange; python-oracle pytest
@@ -2053,6 +2064,7 @@ QUERIES = {
     # rows-only (no SQL-expressible oracle):
     "approx_quantiles_docs": q_approx_quantiles_docs,
     "approx_distinct_by_type": q_approx_distinct_by_type,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "approx_distinct_users": q_approx_distinct_users,
     "minhash_cc_clusters": q_minhash_cc_clusters,
     "minhash_dedup_docs": q_minhash_dedup_docs,

@@ -293,3 +293,43 @@ def test_approx_distinct_matches_reference():
     want = round(ref_hll_estimate(users))
     got = q_approx_distinct_users(SF)["n_users_approx"].to_pylist()[0]
     assert got == want
+
+
+def test_tfidf_top_terms_matches_pure_python(ray_session):
+    import math
+    import re
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dbimport_ray.functions.text import tfidf_top_terms
+
+    docs = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "pack my box with five dozen liquor jugs",
+        3: "the dog and the fox share a box",
+        4: "five quick dogs",
+    }
+    t = pa.table({"doc_id": list(docs), "text": list(docs.values())})
+    got = tfidf_top_terms(rd.from_arrow(t).repartition(2), top_n=3).to_pandas()
+
+    # independent pure-python recompute
+    tok = lambda s: [w for w in re.split(r"\W+", s.lower()) if w]
+    n = len(docs)
+    df = Counter(w for s in docs.values() for w in set(tok(s)))
+    exp = {}
+    for d, s in docs.items():
+        tf = Counter(tok(s))
+        scored = sorted(
+            ((w, c * math.log(n / df[w])) for w, c in tf.items()),
+            key=lambda x: (-x[1], x[0]),
+        )[:3]
+        exp[d] = scored
+    for d, scored in exp.items():
+        rows = got[got["doc_id"] == d].sort_values(
+            ["score", "token"], ascending=[False, True]
+        )
+        assert rows["token"].tolist() == [w for w, _ in scored], d
+        for (w, sc), gsc in zip(scored, rows["score"]):
+            assert abs(sc - gsc) < 1e-9, (d, w)
