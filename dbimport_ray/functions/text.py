@@ -198,23 +198,48 @@ def _powers(n: int) -> np.ndarray:
 def fingerprint64(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     """Order-sensitive 64-bit document fingerprint: polynomial rolling hash
     (Rabin-Karp, base = FNV prime, mod 2^64) over whitespace-normalized
-    utf-8 bytes. Per-document work is pure numpy (byte view × precomputed
-    power table → wrap-around dot product); no per-character Python."""
+    utf-8 bytes — h = Σ byte_j · B^(n-1-j).
+
+    Fully vectorized across the WHOLE batch, no per-document Python: the
+    Arrow string array's flat byte buffer is viewed zero-copy, each byte's
+    exponent is (its doc's end offset - 1 - its global position), the
+    weighted bytes are one wrap-around multiply against the cached power
+    table, and per-document sums fall out of a single cumsum sampled at the
+    doc offsets (uint64 subtraction is exact mod 2^64, and handles empty /
+    null docs as 0 for free)."""
     s = pc.replace_substring_regex(pc.cast(col, pa.string()), r"\s+", " ")
     s = pc.utf8_trim_whitespace(s)
-    vals = s.to_numpy(zero_copy_only=False)
-    out = np.zeros(len(vals), dtype=np.uint64)
-    if len(vals):
-        enc = [None if v is None else v.encode() for v in vals]
-        maxlen = max((len(b) for b in enc if b is not None), default=0)
-        pows = _powers(maxlen) if maxlen else _POW_CACHE
-        with np.errstate(over="ignore"):
-            for i, b in enumerate(enc):
-                if b is None or not b:
-                    continue
-                arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
-                # h = Σ byte_j · B^(n-1-j)  (mod 2^64): wrapping dot product
-                out[i] = np.sum(arr * pows[len(arr) - 1 :: -1][: len(arr)], dtype=np.uint64)
+    s = pc.fill_null(s, "")  # nulls fingerprint to 0, same as empty docs
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    n = len(s)
+    if n == 0:
+        return pa.array([], type=pa.uint64())
+    offs = np.frombuffer(s.buffers()[1], dtype=np.int32)[
+        s.offset : s.offset + n + 1
+    ].astype(np.int64)
+    starts, ends = offs[:-1], offs[1:]
+    if n > 1 and not (starts[1:] == ends[:-1]).all():
+        # non-contiguous segments (sliced/assembled array): compact first
+        s = s.take(pa.array(np.arange(n, dtype=np.int64)))
+        return fingerprint64(s)
+    lengths = ends - starts
+    maxlen = int(lengths.max()) if n else 0
+    if maxlen == 0:
+        return pa.array(np.zeros(n, dtype=np.uint64), type=pa.uint64())
+    pows = _powers(maxlen)
+    first, last = int(starts[0]), int(ends[-1])
+    flat = np.frombuffer(s.buffers()[2], dtype=np.uint8)[first:last].astype(
+        np.uint64
+    )
+    # exponent of byte at global position p in doc i: ends[i] - 1 - p
+    pos = np.arange(first, last, dtype=np.int64)
+    exp = np.repeat(ends, lengths) - 1 - pos
+    with np.errstate(over="ignore"):
+        w = flat * pows[exp]
+        csum = np.zeros(len(w) + 1, dtype=np.uint64)
+        np.cumsum(w, dtype=np.uint64, out=csum[1:])
+        out = csum[ends - first] - csum[starts - first]
     return pa.array(out, type=pa.uint64())
 
 

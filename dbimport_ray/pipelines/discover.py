@@ -77,32 +77,33 @@ def discover_sql_tables(db_or_factory, like: str | None = None) -> list[dict]:
     parquet tree, a database declares its keys — ``pk`` here is populated
     from the catalog (schemaReader.py readTableKeys analogue), so the
     candidate is runnable as-is."""
-    from ..sources.sql import as_factory, decltype_to_arrow
+    from ..sources.sql import as_factory, detect_dialect, quote_ident
 
     conn = as_factory(db_or_factory)()
     try:
-        q = "SELECT name FROM sqlite_master WHERE type='table'"
-        params: list = []
-        if like:
-            q += " AND name LIKE ?"
-            params.append(like)
-        tables = [r[0] for r in conn.execute(q, params).fetchall()]
+        dialect = detect_dialect(conn)
+        tables = dialect.list_tables(conn, like)
         candidates = []
         for t in sorted(tables):
-            info = conn.execute(f"PRAGMA table_info({t})").fetchall()
+            # PRAGMA table_info is shared sqlite/duckdb catalog surface:
+            # (cid, name, type, notnull, default, pk) — duckdb's pk column
+            # is a bool, sqlite's is the 1-based composite-key position
+            info = conn.execute(f"PRAGMA table_info({quote_ident(t)})").fetchall()
             names = [r[1] for r in info]
-            pk = [r[1] for r in sorted(info, key=lambda r: r[5]) if r[5] > 0]
+            pk = [r[1] for r in sorted(info, key=lambda r: int(r[5])) if r[5]]
             seq = _find(names, _SEQ_HINTS)
             op = _find(names, _OP_HINTS)
             reserved = set(pk) | {seq, op}
-            n_rows = conn.execute(f"SELECT count(*) FROM {t}").fetchone()[0]
+            n_rows = conn.execute(
+                f"SELECT count(*) FROM {quote_ident(t)}"
+            ).fetchone()[0]
             candidates.append(
                 {
                     "table": t,
                     # arrow type names — same vocabulary as the parquet
                     # discovery path, and affinity-correct for idiomatic
                     # DDL (BIGINT/DOUBLE/NUMERIC…)
-                    "columns": {r[1]: str(decltype_to_arrow(r[2])) for r in info},
+                    "columns": {r[1]: str(dialect.type_to_arrow(r[2])) for r in info},
                     "pk": pk,
                     "sequence_col": seq,
                     "op_col": op,

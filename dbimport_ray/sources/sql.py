@@ -38,6 +38,16 @@ from ray.data.block import BlockMetadata
 from ray.data.datasource import Datasource
 from ray.data.datasource.datasource import ReadTask
 
+def quote_ident(name: str) -> str:
+    """Double-quote an SQL identifier (table/column name) with internal
+    quotes doubled — ANSI + sqlite + Postgres + DuckDB. Every interpolation
+    of a catalog-sourced name goes through here so a maliciously named
+    table in the SOURCE database can't inject SQL into our connection."""
+    if "\x00" in name:
+        raise ValueError(f"invalid SQL identifier: {name!r}")
+    return '"' + name.replace('"', '""') + '"'
+
+
 def decltype_to_arrow(decl: str | None) -> pa.DataType:
     """Declared column type → Arrow type via sqlite's TYPE AFFINITY rules
     (https://www.sqlite.org/datatype3.html §3.1): any decltype containing
@@ -87,19 +97,186 @@ def sqlite_factory(db_path: str) -> Callable[[], sqlite3.Connection]:
     return as_factory(db_path)
 
 
+def duckdb_factory(db_path: str, read_only: bool = True) -> Callable[[], object]:
+    """Connection factory for a DuckDB file — the second live dialect
+    (multi-process read-only, like the sqlite URI mode)."""
+
+    def _connect():
+        import duckdb
+
+        return duckdb.connect(db_path, read_only=read_only)
+
+    return _connect
+
+
+# ---------------------------------------------------------------------------
+# Dialects — the reference normalizes 10 JDBC engines' type systems into one
+# (import_config.py:1318-1520) and formats watermark literals per engine
+# (import_config.py:2087-2255 getIncrWhereStatement). Here each dialect is a
+# small object: catalog probe → Arrow schema, declared-type map, and literal
+# formatting for text-pushdown WHERE clauses. Parametrized (?) queries stay
+# the default everywhere; the literal form exists for engines/paths that
+# can't take driver-side params (the sqoop --where shape).
+# ---------------------------------------------------------------------------
+
+import datetime as _dt  # noqa: E402
+import re as _re  # noqa: E402
+
+
+class SQLDialect:
+    """ANSI-ish baseline: untyped catalogs probe column NAMES via a
+    zero-row select; values ride as strings."""
+
+    name = "ansi"
+
+    def type_to_arrow(self, decl: str | None) -> pa.DataType:
+        return pa.string()
+
+    def table_schema(self, conn, table: str) -> pa.Schema:
+        cur = conn.execute(f"SELECT * FROM {quote_ident(table)} LIMIT 0")
+        return pa.schema([(d[0], self.type_to_arrow(None)) for d in cur.description])
+
+    def format_literal(self, v) -> str:
+        """SQL literal for a watermark/filter value — per-dialect typed
+        literals, injection-safe quoting for strings."""
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        if isinstance(v, _dt.datetime):
+            return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+        if isinstance(v, _dt.date):
+            return f"DATE '{v.isoformat()}'"
+        return "'" + str(v).replace("'", "''") + "'"
+
+    def list_tables(self, conn, like: str | None = None) -> list[str]:
+        """Catalog table listing (addImportTable discovery shape,
+        import_operations.py:518) — ANSI information_schema baseline."""
+        q = (
+            "SELECT table_name FROM information_schema.tables "
+            "WHERE table_type = 'BASE TABLE'"
+        )
+        params: list = []
+        if like:
+            q += " AND table_name LIKE ?"
+            params.append(like)
+        return [r[0] for r in conn.execute(q, params).fetchall()]
+
+    def incr_where_literal(
+        self, seq_col: str, after_seq=None, upto_seq=None
+    ) -> str:
+        """Textual incremental predicate ``seq > last AND seq <= pending``
+        (getIncrWhereStatement's sqoop/where form) with dialect-formatted
+        literals — for pushing into engines that can't take bind params."""
+        preds = []
+        if after_seq is not None:
+            preds.append(
+                f"{quote_ident(seq_col)} > {self.format_literal(after_seq)}"
+            )
+        if upto_seq is not None:
+            preds.append(
+                f"{quote_ident(seq_col)} <= {self.format_literal(upto_seq)}"
+            )
+        return " AND ".join(preds)
+
+
+class SqliteDialect(SQLDialect):
+    """sqlite: types by AFFINITY (decltype_to_arrow); catalog via PRAGMA.
+    Timestamps have no native storage class — they ride as ISO strings, so
+    literals are plain quoted strings (sqlite compares them lexically)."""
+
+    name = "sqlite"
+
+    def type_to_arrow(self, decl: str | None) -> pa.DataType:
+        return decltype_to_arrow(decl)
+
+    def table_schema(self, conn, table: str) -> pa.Schema:
+        rows = conn.execute(f"PRAGMA table_info({quote_ident(table)})").fetchall()
+        return pa.schema([(r[1], self.type_to_arrow(r[2])) for r in rows])
+
+    def list_tables(self, conn, like: str | None = None) -> list[str]:
+        q = "SELECT name FROM sqlite_master WHERE type='table'"
+        params: list = []
+        if like:
+            q += " AND name LIKE ?"
+            params.append(like)
+        return [r[0] for r in conn.execute(q, params).fetchall()]
+
+    def format_literal(self, v) -> str:
+        if isinstance(v, _dt.datetime):
+            return "'" + v.isoformat(sep=" ") + "'"
+        if isinstance(v, _dt.date):
+            return "'" + v.isoformat() + "'"
+        return super().format_literal(v)
+
+
+class DuckDBDialect(SQLDialect):
+    """DuckDB / Postgres-shaped typed catalog: exact declared types map to
+    exact Arrow types (no affinity guessing), and the read path fetches
+    Arrow record batches natively instead of Python row tuples."""
+
+    name = "duckdb"
+    _INTS = ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT", "INT")
+
+    def type_to_arrow(self, decl: str | None) -> pa.DataType:
+        d = (decl or "").upper().strip()
+        m = _re.match(r"DECIMAL\((\d+),\s*(\d+)\)", d)
+        if m:
+            return pa.decimal128(int(m.group(1)), int(m.group(2)))
+        if d.startswith(self._INTS):
+            return pa.int64()
+        if d == "BOOLEAN":
+            return pa.bool_()
+        if d in ("FLOAT", "REAL"):
+            return pa.float32()
+        if d == "DOUBLE":
+            return pa.float64()
+        if d.startswith("TIMESTAMP WITH TIME ZONE"):
+            return pa.timestamp("us", "UTC")
+        if d.startswith("TIMESTAMP"):
+            return pa.timestamp("us")
+        if d == "DATE":
+            return pa.date32()
+        if d.startswith("TIME"):
+            return pa.time64("us")
+        if d in ("BLOB", "BYTEA", "VARBINARY", "BINARY"):
+            return pa.binary()
+        return pa.string()  # VARCHAR/TEXT/UUID/ENUM/…
+
+    def table_schema(self, conn, table: str) -> pa.Schema:
+        rows = conn.execute(
+            f"PRAGMA table_info({quote_ident(table)})"
+        ).fetchall()
+        return pa.schema([(r[1], self.type_to_arrow(r[2])) for r in rows])
+
+
+DIALECTS = {d.name: d for d in (SQLDialect(), SqliteDialect(), DuckDBDialect())}
+
+
+def detect_dialect(conn) -> SQLDialect:
+    """Dialect from a live connection's type — sqlite3 stdlib, duckdb by
+    module, ANSI untyped fallback for any other DB-API connection."""
+    if isinstance(conn, sqlite3.Connection):
+        return DIALECTS["sqlite"]
+    mod = type(conn).__module__ or ""
+    if mod.split(".")[0] == "duckdb":
+        return DIALECTS["duckdb"]
+    return DIALECTS["ansi"]
+
+
 def probe_table_schema(
     connection_factory: Callable[[], "sqlite3.Connection"], table: str
 ) -> pa.Schema:
     """Source-schema probe (the ``sourceSchemaReader`` analogue,
-    reference: schemaReader.py:43 readTableColumns) — sqlite PRAGMA typed,
-    DB-API description untyped fallback otherwise."""
+    reference: schemaReader.py:43 readTableColumns) — dispatched to the
+    connection's dialect (sqlite affinity / DuckDB exact types / ANSI
+    untyped fallback)."""
     conn = connection_factory()
     try:
-        if isinstance(conn, sqlite3.Connection):
-            rows = conn.execute(f"PRAGMA table_info({table})").fetchall()
-            return pa.schema([(r[1], decltype_to_arrow(r[2])) for r in rows])
-        cur = conn.execute(f"SELECT * FROM {table} LIMIT 0")
-        return pa.schema([(d[0], pa.string()) for d in cur.description])
+        return detect_dialect(conn).table_schema(conn, table)
     finally:
         conn.close()
 
@@ -113,7 +290,9 @@ def probe_max_sequence(
     ``getJDBCcolumnMaxValue``)."""
     conn = connection_factory()
     try:
-        v = conn.execute(f"SELECT max({sequence_col}) FROM {table}").fetchone()[0]
+        v = conn.execute(
+            f"SELECT max({quote_ident(sequence_col)}) FROM {quote_ident(table)}"
+        ).fetchone()[0]
         return -1 if v is None else int(v)
     finally:
         conn.close()
@@ -137,7 +316,9 @@ def split_boundaries(
     conn = connection_factory()
     try:
         lo, hi = conn.execute(
-            f"SELECT min({split_col}), max({split_col}) FROM {table}{where}", params
+            f"SELECT min({quote_ident(split_col)}), max({quote_ident(split_col)})"
+            f" FROM {quote_ident(table)}{where}",
+            params,
         ).fetchone()
     finally:
         conn.close()
@@ -161,10 +342,10 @@ def _watermark_where(
 ) -> tuple[str, list]:
     preds, params = [], []
     if after_seq is not None:
-        preds.append(f"{seq_col} > ?")
+        preds.append(f"{quote_ident(seq_col)} > ?")
         params.append(int(after_seq))
     if upto_seq is not None:
-        preds.append(f"{seq_col} <= ?")
+        preds.append(f"{quote_ident(seq_col)} <= ?")
         params.append(int(upto_seq))
     return (" WHERE " + " AND ".join(preds)) if preds else "", params
 
@@ -201,16 +382,29 @@ class SQLShardDatasource(Datasource):
         factory, table, seq = self._factory, self._table, self._seq
         columns, schema = list(self._columns), self._schema
         rows_per_block = self._rows_per_block
-        sel = ", ".join(columns)
+        sel = ", ".join(quote_ident(c) for c in columns)
 
         def make_read(lo: int, hi: int):
             def _read() -> Iterable[pa.Table]:
                 conn = factory()  # per-worker connection (ST1 discipline)
+                dialect = detect_dialect(conn)
+                sql = (
+                    f"SELECT {sel} FROM {quote_ident(table)}"
+                    f" WHERE {quote_ident(seq)} > ? AND {quote_ident(seq)} <= ?"
+                )
                 try:
-                    cur = conn.execute(
-                        f"SELECT {sel} FROM {table} WHERE {seq} > ? AND {seq} <= ?",
-                        (lo, hi),
-                    )
+                    if dialect.name == "duckdb":
+                        # native Arrow record batches — no Python row tuples
+                        reader = conn.execute(sql, (lo, hi)).fetch_record_batch(
+                            rows_per_block
+                        )
+                        for rb in reader:
+                            t = pa.Table.from_batches([rb])
+                            yield t.cast(
+                                pa.schema([schema.field(c) for c in columns])
+                            )
+                        return
+                    cur = conn.execute(sql, (lo, hi))
                     while True:  # stream in bounded slices, not fetchall
                         cur.arraysize = rows_per_block
                         rows = cur.fetchmany(rows_per_block)
@@ -364,7 +558,8 @@ class SQLInsertDatasink(Datasink):
                 cols = t.column_names
                 verb = "INSERT OR REPLACE" if self._upsert else "INSERT"
                 sql = (
-                    f"{verb} INTO {self._table} ({', '.join(cols)}) "
+                    f"{verb} INTO {quote_ident(self._table)} "
+                    f"({', '.join(quote_ident(c) for c in cols)}) "
                     f"VALUES ({', '.join('?' * len(cols))})"
                 )
                 conn.executemany(sql, zip(*(t[c].to_pylist() for c in cols)))
@@ -399,13 +594,13 @@ def create_table_like(
     conn = as_factory(connection_factory_or_path, readonly=False)()
     try:
         if replace:
-            conn.execute(f"DROP TABLE IF EXISTS {table}")
+            conn.execute(f"DROP TABLE IF EXISTS {quote_ident(table)}")
         cols = ", ".join(
-            f"{f.name} {inv.get(f.type, 'TEXT')}" for f in schema
+            f"{quote_ident(f.name)} {inv.get(f.type, 'TEXT')}" for f in schema
         )
         if pk:
-            cols += f", PRIMARY KEY ({', '.join(pk)})"
-        conn.execute(f"CREATE TABLE IF NOT EXISTS {table} ({cols})")
+            cols += f", PRIMARY KEY ({', '.join(quote_ident(c) for c in pk)})"
+        conn.execute(f"CREATE TABLE IF NOT EXISTS {quote_ident(table)} ({cols})")
         conn.commit()
     finally:
         conn.close()

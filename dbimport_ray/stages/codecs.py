@@ -1,0 +1,185 @@
+"""Pure-numpy media codecs for UNCOMPRESSED container formats.
+
+The sandbox has no PIL/cv2/soundfile, but PPM (P6), BMP (24-bit
+uncompressed) and WAV (RIFF PCM16) are simple enough to decode with numpy
+alone — so the multimodal stages (stages/multimodal.py) can run a REAL
+decode → feature/resize kernel end-to-end instead of a stub. Compressed
+formats (JPEG/PNG/MP3) still route to the pluggable-decoder stub path.
+
+Everything here is deterministic and byte-precise: encoders exist so tests
+can synthesize payloads and round-trip them (encode → decode == identity).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+# --------------------------------------------------------------------- PPM
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM (P6, maxval 255)."""
+    h, w, c = img.shape
+    if c != 3 or img.dtype != np.uint8:
+        raise ValueError("encode_ppm expects (h, w, 3) uint8")
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(img).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) → (h, w, 3) uint8. Handles whitespace and
+    ``#`` comment lines in the header per the netpbm spec."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        # skip whitespace and comments
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace byte after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    n = w * h * 3
+    arr = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return arr.reshape(h, w, 3).copy()
+
+
+# --------------------------------------------------------------------- BMP
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bit uncompressed BMP (BITMAPINFOHEADER,
+    bottom-up rows, BGR byte order, rows padded to 4 bytes)."""
+    h, w, c = img.shape
+    if c != 3 or img.dtype != np.uint8:
+        raise ValueError("encode_bmp expects (h, w, 3) uint8")
+    row = w * 3
+    pad = (-row) % 4
+    body = np.zeros((h, row + pad), dtype=np.uint8)
+    body[:, :row] = img[::-1, :, ::-1].reshape(h, row)  # bottom-up, BGR
+    data = body.tobytes()
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + info + data
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP → (h, w, 3) uint8 RGB. Supports the
+    BITMAPINFOHEADER layout with positive (bottom-up) or negative
+    (top-down) height."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    top_down = h < 0
+    h = abs(h)
+    row = w * 3
+    stride = row + ((-row) % 4)
+    body = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=off)
+    rows = body.reshape(h, stride)[:, :row].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+# --------------------------------------------------------------------- WAV
+def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """1-D int16 mono PCM → RIFF/WAVE file bytes."""
+    if samples.dtype != np.int16 or samples.ndim != 1:
+        raise ValueError("encode_wav expects 1-D int16 samples")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE PCM16 mono → (sample_rate, int16 samples). Walks the
+    chunk list, so extra chunks (LIST/INFO) before ``data`` are fine."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = pos + 8
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack_from("<HHI", payload, body)
+            bits = struct.unpack_from("<H", payload, body + 14)[0]
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV (fmt={audio_fmt}, ch={channels}, bits={bits})"
+                )
+        elif cid == b"data":
+            samples = np.frombuffer(payload, dtype=np.int16, count=size // 2, offset=body)
+        pos = body + size + (size % 2)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return rate, samples.copy()
+
+
+# ----------------------------------------------------------------- helpers
+def sniff_format(payload: bytes) -> str | None:
+    """Container format by magic bytes — routes real decode vs stub."""
+    if payload[:2] == b"P6":
+        return "ppm"
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    return None
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode any supported uncompressed image container to (h, w, 3)
+    uint8 RGB; raises ValueError on unknown magic (caller falls back to
+    its pluggable/stub path)."""
+    kind = sniff_format(payload)
+    if kind == "ppm":
+        return decode_ppm(payload)
+    if kind == "bmp":
+        return decode_bmp(payload)
+    raise ValueError("unknown image container")
+
+
+def resize_nearest(img: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure numpy fancy-indexing (the sampling
+    grid matches PIL's NEAREST: src index = floor((i + 0.5) * scale))."""
+    h, w = img.shape[:2]
+    ys = np.minimum(((np.arange(target_h) + 0.5) * h / target_h).astype(np.int64), h - 1)
+    xs = np.minimum(((np.arange(target_w) + 0.5) * w / target_w).astype(np.int64), w - 1)
+    return img[ys][:, xs]
+
+
+def image_features(img: np.ndarray, dim: int = 16) -> np.ndarray:
+    """Deterministic feature vector from REAL pixels: per-channel mean and
+    std (6) + a grayscale histogram over the remaining dim-6 bins, all
+    normalized to [0, 1]."""
+    f = np.empty(dim, dtype=np.float32)
+    flat = img.reshape(-1, 3).astype(np.float32)
+    f[0:3] = flat.mean(axis=0) / 255.0
+    f[3:6] = flat.std(axis=0) / 255.0
+    bins = dim - 6
+    gray = flat.mean(axis=1)
+    hist, _ = np.histogram(gray, bins=bins, range=(0.0, 255.0))
+    f[6:] = hist.astype(np.float32) / max(len(gray), 1)
+    return f

@@ -8,9 +8,10 @@ cluster even when A,C share no bucket). The reference has no graph plane
 at all; at 100 TB this is the missing piece between "candidate pairs"
 and "keep one survivor per cluster".
 
-Algorithm: iterative min-label propagation. ``label(x)`` starts as
-``min(x, neighbors(x))``; each round every edge offers its endpoints'
-labels to the other side and labels re-minimize:
+Algorithm: iterative min-label propagation with a pointer-doubling
+accelerator. ``label(x)`` starts as ``min(x, neighbors(x))``; each round
+every edge offers its endpoints' labels to the other side and labels
+re-minimize:
 
     round: msgs = edges ⋈ labels  →  (b, label_a) ∪ (a, label_b)
            labels' = groupby(node).min(msgs ∪ labels)
@@ -18,21 +19,36 @@ labels to the other side and labels re-minimize:
 All exchanged rows are narrow (node, label) int pairs — edge payloads
 never move. Labels are MONOTONE non-increasing, so ``sum(label)`` is a
 constant-size convergence probe (stable sum ⇔ fixed point; no
-row-by-row diff join). Rounds needed = graph diameter: right for dedup
-graphs (bucket cliques and stars, diameter ≤ a few); for adversarial
-long-chain graphs swap in a pointer-doubling variant. Each round
-materializes the narrow label set to truncate lineage — peak memory is
-O(|nodes|) ids, never the documents.
+row-by-row diff join). Plain min-label needs diameter-many rounds —
+fine for dedup graphs (bucket cliques and stars, diameter ≤ a few),
+quadratic-feeling on adversarial long chains. So after
+``jump_after_rounds`` un-converged rounds the loop starts POINTER
+JUMPING each round: ``label'(x) = label(label(x))`` (one more narrow
+self-join — every label value is itself a node, so the join is total),
+which halves the remaining chain depth every round → O(log n) total
+rounds on a length-n path. Each round materializes the narrow label set
+to truncate lineage — peak memory is O(|nodes|) ids, never the
+documents.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Min
 
 from .joins import hash_join
+
+
+def _bucket(k: pa.Array | pa.ChunkedArray, nb: int) -> pa.Array:
+    """Mixed hash bucket of an int64 key column (murmur-style finalizer),
+    so the pointer-jump exchange spreads even adversarial key patterns."""
+    x = k.to_numpy(zero_copy_only=False).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        x = (x ^ (x >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    return pa.array(((x >> np.uint64(33)) % np.uint64(nb)).astype(np.int64))
 
 
 def connected_components(
@@ -43,9 +59,18 @@ def connected_components(
     comp_col: str = "component",
     num_partitions: int = 16,
     max_iters: int = 50,
+    jump_after_rounds: int = 3,
+    return_rounds: bool = False,
 ) -> rd.Dataset:
     """(node, component) for every endpoint in ``edges`` (undirected);
-    ``component`` is the minimum node id in the connected component."""
+    ``component`` is the minimum node id in the connected component.
+
+    ``jump_after_rounds``: un-converged min-label rounds before pointer
+    doubling kicks in (0 = always jump). Dedup-shaped graphs converge
+    before the threshold and never pay the extra join; long-diameter
+    graphs finish in O(log n) rounds instead of O(n).
+    ``return_rounds=True`` returns ``(labels, rounds_run)``.
+    """
 
     def symmetrize(t: pa.Table) -> pa.Table:
         ai, bi = pc.cast(t[a], pa.int64()), pc.cast(t[b], pa.int64())
@@ -64,15 +89,28 @@ def connected_components(
             {node_col: t[a], comp_col: pc.min_element_wise(t[a], t[b])}
         )
 
+    label_schema = pa.schema([(node_col, pa.int64()), (comp_col, pa.int64())])
+
+    def retype(t: pa.Table) -> pa.Table:
+        # Ray's shuffle operators emit ZERO-COLUMN tables for empty
+        # partitions; one such block entering a later hash_join poisons
+        # the join aggregator (acero: "No match for FieldRef"). Re-type
+        # every empty block to the label schema before it persists.
+        return label_schema.empty_table() if t.num_columns == 0 else t
+
     labels = (
         edges.map_batches(seed, batch_format="pyarrow")
         .groupby(node_col)
         .aggregate(Min(comp_col, alias_name=comp_col))
+        .map_batches(retype, batch_format="pyarrow")
+        .repartition(num_partitions)
         .materialize()
     )
     prev_sum = labels.sum(comp_col)
 
-    for _ in range(max_iters):
+    rounds = 0
+    for it in range(max_iters):
+        rounds = it + 1
         msgs = hash_join(
             edges,
             labels,
@@ -84,10 +122,88 @@ def connected_components(
             labels.union(msgs)
             .groupby(node_col)
             .aggregate(Min(comp_col, alias_name=comp_col))
+            .map_batches(retype, batch_format="pyarrow")
+            # coalesce: union + aggregate ACCRETE blocks every round
+            # (hundreds of near-empty blocks by round 10), and per-block
+            # overhead then dominates each exchange — keep the narrow
+            # label set at a fixed block count
+            .repartition(num_partitions)
+            # materialize BEFORE the jump: keeping two shuffles live in
+            # one lineage starves a small cluster (joins.hash_join note)
             .materialize()
         )
+        if it >= jump_after_rounds:
+            # pointer jump: label'(x) = label(label(x)). Every label value
+            # is a node id (min over ids), so the lookup is total and
+            # Min-monotonicity is preserved (label(l) <= l). Expressed as
+            # ONE tagged-union groupby instead of a hash join: near the
+            # fixed point the label domain collapses to few values, and
+            # Ray's hash-join aggregator breaks on partitions receiving
+            # only one side (zero-column empty build); the sort-based
+            # group exchange has no such failure mode. Grouping is by a
+            # BOUNDED hash bucket of the key — not the key itself — so a
+            # round is ~num_partitions vectorized tasks (searchsorted
+            # lookup over the bucket's parents), never a task per key.
+            nb = max(num_partitions, 2)
+
+            def as_parent(t: pa.Table) -> pa.Table:
+                k = pc.cast(t[node_col], pa.int64())
+                return pa.table(
+                    {
+                        "_bkt": _bucket(k, nb),
+                        "_k": k,
+                        "_m": pa.nulls(t.num_rows, pa.int64()),
+                        "_p": pc.cast(t[comp_col], pa.int64()),
+                    }
+                )
+
+            def as_member(t: pa.Table) -> pa.Table:
+                k = pc.cast(t[comp_col], pa.int64())
+                return pa.table(
+                    {
+                        "_bkt": _bucket(k, nb),
+                        "_k": k,
+                        "_m": pc.cast(t[node_col], pa.int64()),
+                        "_p": pa.nulls(t.num_rows, pa.int64()),
+                    }
+                )
+
+            def jump_bucket(t: pa.Table) -> pa.Table:
+                import numpy as np
+
+                mvalid = pc.is_valid(t["_m"])
+                members = t.filter(mvalid)
+                if members.num_rows == 0:
+                    return label_schema.empty_table()
+                parents = t.filter(pc.is_valid(t["_p"]))
+                pk = parents["_k"].to_numpy(zero_copy_only=False)
+                pv = parents["_p"].to_numpy(zero_copy_only=False)
+                order = np.argsort(pk, kind="stable")
+                pk, pv = pk[order], pv[order]
+                mk = members["_k"].to_numpy(zero_copy_only=False)
+                idx = np.searchsorted(pk, mk)
+                # total by construction: every member key is a node id
+                return pa.table(
+                    {
+                        node_col: members["_m"],
+                        comp_col: pa.array(pv[idx], pa.int64()),
+                    }
+                )
+
+            tagged = labels.map_batches(as_parent, batch_format="pyarrow").union(
+                labels.map_batches(as_member, batch_format="pyarrow")
+            )
+            labels = (
+                tagged.groupby("_bkt")
+                .map_groups(jump_bucket, batch_format="pyarrow")
+                .map_batches(retype, batch_format="pyarrow")
+                .repartition(num_partitions)
+            )
+        labels = labels.materialize()
         cur_sum = labels.sum(comp_col)
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    if return_rounds:
+        return labels, rounds
     return labels

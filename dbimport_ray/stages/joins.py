@@ -214,6 +214,14 @@ class _BroadcastLookup:
                 batch = batch.append_column(c, taken[c])
             return batch
         # left: take matched rows, null out the misses
+        if n == 0:
+            # empty dimension side: take() on a 0-row table is out of
+            # bounds — every probe row misses, emit typed nulls directly
+            for c in self.value_cols:
+                batch = batch.append_column(
+                    c, pa.nulls(batch.num_rows, self.values[c].type)
+                )
+            return batch
         taken = self.values.take(pa.array(idx_clip))
         miss = pa.array(~found)
         for c in self.value_cols:

@@ -1,11 +1,14 @@
 """Multimodal (image/audio/video) columns as opaque binary + typed metadata.
 
-The image/audio codec libraries are not available in this environment, so
-the *decode* step is stubbed (deterministic fake or NotImplementedError) —
-but all the Ray-side plumbing is real and tested: schema contracts, small
-batch sizes for large payloads, actor-pool stage signatures, and output
-layout. A deployment swaps ``FakeImageDecoder`` for a PIL/ffmpeg-backed
-class with the identical ``__call__`` contract.
+Decode is REAL for uncompressed containers — PPM/BMP images and RIFF/WAV
+audio parse with pure numpy (stages/codecs.py), so the decode → feature /
+resize kernels run on genuine pixels and samples end-to-end. Compressed
+formats (JPEG/PNG/MP3; no PIL/cv2/soundfile in this environment) route to
+the pluggable stub path (deterministic fake or NotImplementedError); a
+deployment swaps in a PIL/ffmpeg-backed decoder with the identical
+``__call__`` contract. All the Ray-side plumbing is real and tested:
+schema contracts, small batch sizes for large payloads, actor-pool stage
+signatures, and output layout.
 
 Schema contract for a multimodal table::
 
@@ -28,6 +31,17 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+from .codecs import (
+    decode_image,
+    decode_wav,
+    encode_bmp,
+    encode_ppm,
+    encode_wav,
+    image_features,
+    resize_nearest,
+    sniff_format,
+)
+
 MEDIA_SCHEMA = pa.schema(
     [
         ("media_id", pa.int64()),
@@ -40,19 +54,42 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
-def synthesize_media_table(n: int, seed: int = 5) -> pa.Table:
-    """Deterministic fake media rows for plumbing tests (no external data)."""
+def synthesize_media_table(n: int, seed: int = 5, real: bool = True) -> pa.Table:
+    """Deterministic media rows (no external data). ``real=True`` emits
+    genuine container payloads — PPM/BMP images, RIFF/WAV audio — that the
+    pure-numpy codecs decode; video stays opaque bytes (no codec exists
+    here). ``real=False`` keeps every payload opaque, exercising the
+    stub/fallback path."""
     rng = np.random.default_rng(seed)
-    payloads = [rng.integers(0, 256, size=int(64 + (i * 37) % 256), dtype=np.uint8).tobytes() for i in range(n)]
     types = [("image", "audio", "video")[i % 3] for i in range(n)]
+    payloads, widths, heights, durs = [], [], [], []
+    for i, t in enumerate(types):
+        if t == "image" and real:
+            w, h = 8 + i % 16, 6 + i % 12
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payloads.append(encode_ppm(img) if i % 2 == 0 else encode_bmp(img))
+            widths.append(w); heights.append(h); durs.append(None)
+        elif t == "audio" and real:
+            ns = int(256 + (i * 37) % 512)
+            samples = rng.integers(-32768, 32767, size=ns).astype(np.int16)
+            payloads.append(encode_wav(samples, 8000))
+            widths.append(None); heights.append(None)
+            durs.append(int(ns * 1000 / 8000))
+        else:
+            payloads.append(
+                rng.integers(0, 256, size=int(64 + (i * 37) % 256), dtype=np.uint8).tobytes()
+            )
+            widths.append(64 + i % 32 if t == "image" else None)
+            heights.append(48 + i % 16 if t == "image" else None)
+            durs.append(1000 + i * 10 if t != "image" else None)
     return pa.table(
         {
             "media_id": pa.array(np.arange(n, dtype=np.int64)),
             "payload": pa.array(payloads, type=pa.binary()),
             "media_type": pa.array(types),
-            "width": pa.array([64 + i % 32 if t == "image" else None for i, t in enumerate(types)], type=pa.int32()),
-            "height": pa.array([48 + i % 16 if t == "image" else None for i, t in enumerate(types)], type=pa.int32()),
-            "duration_ms": pa.array([1000 + i * 10 if t != "image" else None for i, t in enumerate(types)], type=pa.int32()),
+            "width": pa.array(widths, type=pa.int32()),
+            "height": pa.array(heights, type=pa.int32()),
+            "duration_ms": pa.array(durs, type=pa.int32()),
         },
         schema=MEDIA_SCHEMA,
     )
@@ -77,15 +114,23 @@ class ImageDecodeFeatureStage:
         # real impl: self.model = load_model(...); self.codec = PIL/ffmpeg
 
     def _decode(self, payload: bytes) -> np.ndarray:
-        if not self.fake:
-            raise NotImplementedError(
-                "image codec not available in this environment; construct "
-                "with fake=True for the deterministic stand-in"
+        try:
+            img = decode_image(payload)  # real pixels: PPM / BMP
+        except ValueError:
+            if not self.fake:
+                raise NotImplementedError(
+                    "compressed-image codec not available in this "
+                    "environment; construct with fake=True for the "
+                    "deterministic stand-in"
+                )
+            # deterministic fake: sha256(payload) → feature_dim floats
+            h = hashlib.sha256(payload).digest()
+            raw = np.frombuffer(
+                (h * (self.feature_dim * 4 // len(h) + 1))[: self.feature_dim * 4],
+                dtype=np.uint32,
             )
-        # deterministic fake: sha256(payload) expanded to feature_dim floats
-        h = hashlib.sha256(payload).digest()
-        raw = np.frombuffer((h * (self.feature_dim * 4 // len(h) + 1))[: self.feature_dim * 4], dtype=np.uint32)
-        return (raw % 1000).astype(np.float32) / 1000.0
+            return (raw % 1000).astype(np.float32) / 1000.0
+        return image_features(img, self.feature_dim)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         mask = np.array([t == "image" for t in batch["media_type"].to_pylist()])
@@ -152,14 +197,20 @@ class ImageResizeStage:
         self.fake = fake
 
     def _resize(self, payload: bytes) -> bytes:
-        if not self.fake:
-            raise NotImplementedError("image codec not available; use fake=True")
-        seed = hashlib.sha256(
-            payload + self.target_w.to_bytes(2, "little") + self.target_h.to_bytes(2, "little")
-        ).digest()
-        return (seed * ((self.target_w * self.target_h) // len(seed) + 1))[
-            : self.target_w * self.target_h
-        ]
+        try:
+            img = decode_image(payload)  # real pixels: PPM / BMP
+        except ValueError:
+            if not self.fake:
+                raise NotImplementedError(
+                    "compressed-image codec not available; use fake=True"
+                )
+            seed = hashlib.sha256(
+                payload + self.target_w.to_bytes(2, "little") + self.target_h.to_bytes(2, "little")
+            ).digest()
+            return (seed * ((self.target_w * self.target_h) // len(seed) + 1))[
+                : self.target_w * self.target_h
+            ]
+        return encode_ppm(resize_nearest(img, self.target_w, self.target_h))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_payload, out_w, out_h = [], [], []
@@ -209,11 +260,16 @@ class AudioFeatureStage:
         ):
             if mtype != "audio" or payload is None:
                 continue
-            if not self.pcm:
+            if sniff_format(payload) == "wav":
+                # real container parse: RIFF/WAVE PCM16 (stages/codecs.py)
+                _, s16 = decode_wav(payload)
+                samples = s16.astype(np.float32)
+            elif self.pcm:
+                samples = np.frombuffer(payload, dtype=np.int8).astype(np.float32)
+            else:
                 raise NotImplementedError(
-                    "compressed-audio decoder not available; raw PCM only"
+                    "compressed-audio decoder not available; WAV or raw PCM only"
                 )
-            samples = np.frombuffer(payload, dtype=np.int8).astype(np.float32)
             n = (len(samples) // self.frame_len) * self.frame_len
             if n == 0:
                 frames = np.zeros((0, self.frame_len), dtype=np.float32)

@@ -1,0 +1,174 @@
+"""Skew-safe distributed prefix scans (cumsum / rolling windows).
+
+The per-key window kernels in stages/window.py put an ENTIRE entity's
+history in one ``map_groups`` task — correct, but a single pathological
+key (one repo holding half the change stream) serializes into one
+straggler task. For ASSOCIATIVE kernels there is a classic fix — the
+distributed scan:
+
+1. globally range-sort by (key, order) — Ray's sort balances blocks by
+   ROW COUNT, so a hot key spreads over many blocks instead of one task;
+2. scan each block locally (vectorized, per key segment) and emit a tiny
+   carry record: the block's first/last key and the last key's running
+   state (a scalar sum for cumsum; the last ``window-1`` values for a
+   rolling window);
+3. chain the carries on the driver — O(num_blocks) work over scalars,
+   because in sorted order only a block's FIRST key can continue from
+   the previous block;
+4. one more task per block folds its incoming carry into the rows of its
+   first key.
+
+Steps 2 and 4 are raw ``@ray.remote`` tasks over the sorted block refs —
+this is one of the few operators the Dataset API genuinely can't express
+(a stateful carry BETWEEN blocks); the blocks themselves never leave the
+object store and are re-assembled zero-copy with ``from_arrow_refs``.
+
+Partitioning assumption: the carry chain is strictly sequential in BLOCK
+ORDER but touches only per-key boundary state, so wall-clock is dominated
+by the two parallel block passes; the driver step moves O(blocks ×
+window) scalars.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+
+def _scan_table(
+    tbl: pa.Table, key: str, order_cols: list[str], value_col: str,
+    out: str, kind: str, window: int,
+):
+    """Vectorized per-key-segment scan of one sorted block. Returns
+    (scanned_table, first_key, last_key, last_key_running_state)."""
+    tbl = tbl.take(
+        pc.sort_indices(
+            tbl, [(key, "ascending")] + [(c, "ascending") for c in order_cols]
+        )
+    )
+    k = tbl[key].to_numpy(zero_copy_only=False)
+    v = tbl[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(v)
+    starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+    seg_len = np.diff(np.r_[starts, n])
+    if kind == "cumsum":
+        acc = np.cumsum(v)
+        pref = np.zeros(len(starts), dtype=np.float64)
+        pref[1:] = acc[starts[1:] - 1]
+        acc = acc - np.repeat(pref, seg_len)
+        state = float(acc[-1])
+    elif kind == "rolling_mean":
+        w = window
+        acc_sum = np.zeros(n, dtype=np.float64)
+        for j in range(min(w, n) - 1, -1, -1):  # oldest contribution first
+            acc_sum[j:] += v[: n - j]
+        pos_in_seg = np.arange(n) - np.repeat(starts, seg_len)
+        cnt = np.minimum(pos_in_seg + 1, w).astype(np.float64)
+        acc = acc_sum / cnt
+        # frames must not cross a segment boundary: rows whose frame would
+        # reach into the previous key (pos_in_seg < w-1, except the very
+        # first segment's natural head) recompute over the short frame
+        head = np.flatnonzero((pos_in_seg < w - 1) & (pos_in_seg < np.arange(n)))
+        seg_of = np.repeat(np.arange(len(starts)), seg_len)
+        for i in head:  # bounded: ≤ window-1 rows per segment
+            acc[i] = v[starts[seg_of[i]] : i + 1].mean()
+        tail = v[starts[-1] :]
+        state = tail[-(w - 1) :].copy() if w > 1 else np.zeros(0)
+    else:
+        raise ValueError(f"unknown scan kind {kind!r}")
+    scanned = tbl.append_column(out, pa.array(acc, pa.float64()))
+    return scanned, k[0], k[-1], state
+
+
+@ray.remote(num_returns=2)
+def _scan_block(tbl, key, order_cols, value_col, out, kind, window):
+    if tbl.num_rows == 0:
+        return tbl, (None, None, None, 0)
+    scanned, first_k, last_k, state = _scan_table(
+        tbl, key, order_cols, value_col, out, kind, window
+    )
+    return scanned, (first_k, last_k, state, scanned.num_rows)
+
+
+@ray.remote
+def _apply_carry(tbl, key, first_key, carry, value_col, out, kind, window):
+    """Fold the incoming carry into the rows of the block's first key."""
+    if tbl.num_rows == 0 or carry is None:
+        return tbl
+    k = tbl[key].to_numpy(zero_copy_only=False)
+    seg = k == first_key
+    acc = tbl[out].to_numpy(zero_copy_only=False).copy()
+    if kind == "cumsum":
+        acc[seg] += float(carry)
+    else:  # rolling_mean: recompute the first min(w-1, seg) rows with the
+        # carried tail of the key's previous values prepended
+        w = window
+        carry = np.asarray(carry, dtype=np.float64)
+        v = tbl[value_col].to_numpy(zero_copy_only=False).astype(np.float64)[seg]
+        m = min(w - 1, len(v))
+        idx_seg = np.flatnonzero(seg)[:m]
+        vv = np.concatenate([carry, v[:m]])
+        c = len(carry)
+        for j, pos in enumerate(idx_seg):  # ≤ window-1 iterations
+            lo = max(0, c + j - w + 1)
+            acc[pos] = vv[lo : c + j + 1].mean()
+    return tbl.set_column(
+        tbl.schema.get_field_index(out), out, pa.array(acc, pa.float64())
+    )
+
+
+def _combine(kind: str, window: int, carry, state):
+    if kind == "cumsum":
+        return float(carry) + float(state)
+    merged = np.concatenate([np.asarray(carry), np.asarray(state)])
+    return merged[-(window - 1) :] if window > 1 else merged[:0]
+
+
+def partitioned_scan(
+    ds: rd.Dataset,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    out: str,
+    kind: str,
+    window: int = 1,
+) -> rd.Dataset:
+    """Distributed per-key prefix scan, skew-safe (see module docstring).
+    ``kind``: 'cumsum' | 'rolling_mean'. Output column ``out`` is float64
+    in SQL accumulation order, bit-matching the map_groups kernels."""
+    sorted_ds = ds.sort([key] + list(order_cols)).materialize()
+    refs = sorted_ds.to_arrow_refs()
+    blocks, metas = [], []
+    for r in refs:
+        b, m = _scan_block.remote(
+            r, key, list(order_cols), value_col, out, kind, window
+        )
+        blocks.append(b)
+        metas.append(m)
+    metas = ray.get(metas)  # small tuples; the blocks stay in plasma
+
+    # carry chain over block boundaries: only a block's first key can
+    # continue from the previous block (sorted order)
+    carries: list = [None] * len(blocks)
+    run_key, run_state = None, None
+    for i, (first_k, last_k, state, nrows) in enumerate(metas):
+        if nrows == 0:
+            continue
+        carry_in = run_state if (run_key is not None and first_k == run_key) else None
+        carries[i] = carry_in
+        if first_k == last_k and carry_in is not None:
+            run_state = _combine(kind, window, carry_in, state)
+        else:
+            run_state = state
+        run_key = last_k
+
+    out_refs = [
+        _apply_carry.remote(
+            blocks[i], key, metas[i][0], carries[i], value_col, out, kind, window
+        )
+        for i in range(len(blocks))
+    ]
+    return rd.from_arrow_refs(out_refs)

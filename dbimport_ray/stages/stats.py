@@ -35,6 +35,16 @@ def exact_quantiles(
     table with columns ``q`` (float64) and ``value`` (the column's type).
     """
     counts = ds.groupby(col).aggregate(Count(alias_name=count_col)).take_all()
+    # quantile_disc semantics ignore NULLs; a null group would also break
+    # argsort over the mixed object array below
+    counts = [r for r in counts if r[col] is not None]
+    if not counts:
+        return pa.table(
+            {
+                "q": pa.array(list(qs), pa.float64()),
+                "value": pa.nulls(len(qs)),
+            }
+        )
     vals = np.array([r[col] for r in counts])
     cnts = np.array([r[count_col] for r in counts], dtype=np.int64)
     order = np.argsort(vals, kind="stable")

@@ -253,13 +253,27 @@ def window_rolling_mean(
     value_col: str,
     window: int,
     out: str = "rolling_mean",
+    skew_safe: bool = False,
 ) -> rd.Dataset:
     """``AVG(value) OVER (PARTITION BY key ORDER BY … ROWS BETWEEN
     window-1 PRECEDING AND CURRENT ROW)`` — one hash exchange by key, then
     a vectorized shifted-add per group (no Python loop over rows; the loop
     is over the WINDOW width, a small constant). Head rows average their
     shorter frame, matching SQL semantics. Frame sums accumulate
-    oldest→newest so float rounding follows the SQL accumulation order."""
+    oldest→newest so float rounding follows the SQL accumulation order.
+
+    Per-group memory/time is bounded by the hottest key's row count —
+    pass ``skew_safe=True`` to switch to the distributed scan
+    (stages/scan.py): a range-sorted block pass + window-1-value carry
+    chain, where a key holding half the corpus spreads over many blocks
+    instead of one straggler task (float results may differ in the last
+    ULP — summation grouping differs)."""
+    if skew_safe:
+        from .scan import partitioned_scan
+
+        return partitioned_scan(
+            ds, key, order_cols, value_col, out, "rolling_mean", window
+        )
 
     def per_key(t: pa.Table) -> pa.Table:
         t = t.take(pc.sort_indices(t, [(c, "ascending") for c in order_cols]))
@@ -280,11 +294,21 @@ def window_cumsum(
     order_cols: list[str],
     value_col: str,
     out: str = "cum_sum",
+    skew_safe: bool = False,
 ) -> rd.Dataset:
     """``SUM(value) OVER (PARTITION BY key ORDER BY ... ROWS UNBOUNDED
     PRECEDING)`` — one hash exchange by key, then a vectorized cumulative
     sum per group in SQL accumulation order (running totals per entity:
-    balance reconstruction, cumulative traffic)."""
+    balance reconstruction, cumulative traffic).
+
+    ``skew_safe=True`` switches to the distributed scan (stages/scan.py):
+    range-sorted block passes + a scalar carry chain, so one entity with
+    half the corpus spreads over many parallel tasks instead of one
+    straggler (last-ULP float differences possible)."""
+    if skew_safe:
+        from .scan import partitioned_scan
+
+        return partitioned_scan(ds, key, order_cols, value_col, out, "cumsum")
 
     def per_key(t: pa.Table) -> pa.Table:
         t = t.take(pc.sort_indices(t, [(c, "ascending") for c in order_cols]))

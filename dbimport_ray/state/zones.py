@@ -77,17 +77,28 @@ def zone_overlaps(zones: dict | None, col: str, op: str, val) -> bool:
         # all-null column: no row can satisfy a comparison predicate
         return False
     val = _encode(val)
-    if op == ">":
-        return hi > val
-    if op == ">=":
-        return hi >= val
-    if op == "<":
-        return lo < val
-    if op == "<=":
-        return lo <= val
-    if op == "==":
-        return lo <= val <= hi
-    return not (lo == hi == val)  # "!="
+    if op == "!=" and (isinstance(lo, float) or isinstance(hi, float)):
+        # min_max skips NaN, so a float zone [3.0, 3.0] may hide NaN rows
+        # for which the residual ``x != 3`` is TRUE — pruning on equality
+        # of the bounds would silently drop them. Never prune float "!=".
+        return True
+    try:
+        if op == ">":
+            return hi > val
+        if op == ">=":
+            return hi >= val
+        if op == "<":
+            return lo < val
+        if op == "<=":
+            return lo <= val
+        if op == "==":
+            return lo <= val <= hi
+        return not (lo == hi == val)  # "!="
+    except TypeError:
+        # type-mismatched predicate (e.g. int vs ISO-string timestamp
+        # zone): stay conservative, keep the file — the residual filter
+        # will raise or resolve it with the real column type
+        return True
 
 
 def residual_mask(table: pa.Table, col: str, op: str, val) -> pa.Array:

@@ -1,0 +1,88 @@
+"""Pure-numpy media codecs: byte-precise round-trips and format edges.
+No Ray needed — these are driver-side kernels used inside the multimodal
+actor stages."""
+
+import numpy as np
+import pytest
+
+from dbimport_ray.stages.codecs import (
+    decode_bmp,
+    decode_image,
+    decode_ppm,
+    decode_wav,
+    encode_bmp,
+    encode_ppm,
+    encode_wav,
+    image_features,
+    resize_nearest,
+    sniff_format,
+)
+
+
+@pytest.fixture
+def img():
+    rng = np.random.default_rng(11)
+    return rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)
+
+
+def test_ppm_roundtrip(img):
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+
+
+def test_ppm_header_comments(img):
+    p = b"P6\n# comment line\n17 13\n255\n" + img.tobytes()
+    assert np.array_equal(decode_ppm(p), img)
+
+
+def test_bmp_roundtrip_with_row_padding(img):
+    # width 17 → row 51 bytes → 1 pad byte per row; exercises the stride
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+    # width divisible by 4 too
+    sq = img[:, :16]
+    assert np.array_equal(decode_bmp(encode_bmp(np.ascontiguousarray(sq))), sq)
+
+
+def test_wav_roundtrip():
+    rng = np.random.default_rng(12)
+    s = rng.integers(-32768, 32767, size=501).astype(np.int16)
+    rate, out = decode_wav(encode_wav(s, 8000))
+    assert rate == 8000 and np.array_equal(out, s)
+
+
+def test_wav_extra_chunk_before_data():
+    s = np.arange(10, dtype=np.int16)
+    raw = encode_wav(s, 16_000)
+    # splice a LIST chunk between fmt and data
+    import struct
+
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    patched = raw[:fmt_end] + extra + raw[fmt_end:]
+    patched = (
+        patched[:4]
+        + struct.pack("<I", len(patched) - 8)
+        + patched[8:]
+    )
+    rate, out = decode_wav(patched)
+    assert rate == 16_000 and np.array_equal(out, s)
+
+
+def test_sniff_and_dispatch(img):
+    assert sniff_format(encode_ppm(img)) == "ppm"
+    assert sniff_format(encode_bmp(img)) == "bmp"
+    assert sniff_format(encode_wav(np.zeros(4, np.int16))) == "wav"
+    assert sniff_format(b"\x89PNG\r\n") is None
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff jpeg-ish")
+
+
+def test_resize_nearest_identity_and_shape(img):
+    assert np.array_equal(resize_nearest(img, 17, 13), img)
+    assert resize_nearest(img, 5, 3).shape == (3, 5, 3)
+
+
+def test_image_features_shape_and_bounds(img):
+    f = image_features(img, 16)
+    assert f.shape == (16,) and f.dtype == np.float32
+    assert (f >= 0).all() and (f <= 1).all()
+    assert abs(float(f[6:].sum()) - 1.0) < 1e-5  # histogram sums to 1

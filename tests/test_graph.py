@@ -63,3 +63,35 @@ def test_cc_random_graph_matches_union_find(ray_session):
             parent[max(rx, ry)] = min(rx, ry)
     want = {n: find(n) for n in set(a.tolist()) | set(b.tolist())}
     assert got == want
+
+
+def test_cc_long_chain_pointer_doubling(ray_session):
+    """A length-1000 path converges in O(log n) rounds, not O(n): pointer
+    doubling kicks in after ``jump_after_rounds`` and halves the remaining
+    chain depth per round. Plain min-label would need ~1000 rounds — far
+    beyond the asserted budget."""
+    n = 1000
+    edges = rd.from_arrow(
+        pa.table({"a": list(range(n - 1)), "b": list(range(1, n))})
+    ).repartition(3)
+    labels, rounds = connected_components(
+        edges, num_partitions=4, jump_after_rounds=2,
+        max_iters=40, return_rounds=True,
+    )
+    out = labels.to_pandas()
+    assert len(out) == n
+    assert (out["component"] == 0).all()
+    # 2 plain rounds + ~log2(1000) doubling rounds + convergence probe
+    assert rounds <= 20, f"took {rounds} rounds — doubling not effective"
+
+
+def test_cc_doubling_matches_minlabel(ray_session):
+    """Doubling is an accelerator, not a different algorithm: same labels
+    as the min-label-only run on a mixed graph."""
+    rng = np.random.default_rng(23)
+    a = rng.integers(0, 80, size=120)
+    b = rng.integers(0, 80, size=120)
+    tbl = pa.table({"a": a, "b": b})
+    plain = _cc(tbl, jump_after_rounds=10_000)
+    jumped = _cc(tbl, jump_after_rounds=0)
+    assert plain == jumped

@@ -1,0 +1,117 @@
+"""Regression tests for the round-3 advice fixes:
+
+- broadcast_lookup_join how='left' with an EMPTY dimension side (was an
+  ArrowIndexError from take() on a 0-row table)
+- exact_quantiles over an empty dataset / a column containing nulls
+- zone_overlaps '!=' soundness for float columns that may hide NaN, and
+  conservative keep on type-mismatched predicate values
+- SQL identifier quoting (injection-shaped table names in discovery and
+  the sharded reader)
+- outliers-by-lang broadcast filter total over langs missing from the
+  threshold table
+"""
+
+import math
+import sqlite3
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from dbimport_ray.stages.joins import broadcast_lookup_join
+from dbimport_ray.stages.stats import exact_quantiles
+from dbimport_ray.state.zones import column_zones, zone_overlaps
+
+
+def test_broadcast_left_join_empty_dim():
+    big = rd.from_arrow(pa.table({"k": [1, 2, 3], "x": [10, 20, 30]}))
+    dim = pa.table({"k": pa.array([], pa.int64()), "v": pa.array([], pa.string())})
+    out = broadcast_lookup_join(big, dim, ["k"], ["v"], how="left").take_all()
+    assert len(out) == 3
+    assert all(r["v"] is None for r in out)
+    # inner against an empty dim: zero rows, no crash
+    inner = broadcast_lookup_join(big, dim, ["k"], ["v"], how="inner")
+    assert inner.count() == 0
+
+
+def test_exact_quantiles_empty_and_nulls():
+    empty = rd.from_arrow(pa.table({"v": pa.array([], pa.int64())}))
+    t = exact_quantiles(empty, "v", [0.5, 0.9])
+    assert t.num_rows == 2 and t["value"].null_count == 2
+
+    withnulls = rd.from_arrow(
+        pa.table({"v": pa.array([1, None, 2, None, 3], pa.int64())})
+    )
+    t = exact_quantiles(withnulls, "v", [0.5])
+    # quantile_disc ignores nulls: median of [1,2,3] is 2
+    assert t["value"][0].as_py() == 2
+
+    allnull = rd.from_arrow(pa.table({"v": pa.array([None, None], pa.int64())}))
+    t = exact_quantiles(allnull, "v", [0.5])
+    assert t["value"].null_count == 1
+
+
+def test_zone_prune_float_ne_keeps_nan_file():
+    # min_max skips NaN → zones say [3.0, 3.0]; the residual `v != 3`
+    # keeps the NaN row, so the file must NOT be pruned
+    tbl = pa.table({"v": pa.array([3.0, math.nan], pa.float64())})
+    zones = column_zones(tbl)
+    assert zone_overlaps(zones, "v", "!=", 3.0) is True
+    # int columns with a tight zone still prune on '!='
+    zi = column_zones(pa.table({"v": pa.array([3, 3], pa.int64())}))
+    assert zone_overlaps(zi, "v", "!=", 3) is False
+
+
+def test_zone_prune_type_mismatch_keeps_file():
+    zones = {"ts": ["2024-01-01", "2024-06-01"]}
+    # int predicate against string zones: conservative keep, not TypeError
+    assert zone_overlaps(zones, "ts", ">", 5) is True
+
+
+def test_sql_identifier_quoting(tmp_path):
+    from dbimport_ray.pipelines.discover import discover_sql_tables
+    from dbimport_ray.sources.sql import quote_ident, read_sql_incremental
+
+    assert quote_ident('a"b') == '"a""b"'
+    db = str(tmp_path / "inj.db")
+    conn = sqlite3.connect(db)
+    evil = 'x"; DROP TABLE t; --'
+    conn.execute(f"CREATE TABLE {quote_ident(evil)} (seq INTEGER, v TEXT)")
+    conn.execute(f"INSERT INTO {quote_ident(evil)} VALUES (1, 'a'), (2, 'b')")
+    conn.commit()
+    conn.close()
+
+    cands = discover_sql_tables(db)
+    assert [c["table"] for c in cands] == [evil]
+    assert cands[0]["rows"] == 2
+
+    from dbimport_ray.sources.sql import sqlite_factory
+
+    ds = read_sql_incremental(sqlite_factory(db), evil, "seq", num_shards=2)
+    assert ds.count() == 2
+
+
+def test_outlier_filter_total_over_missing_lang():
+    # the broadcast filter kernel with a threshold lut that lacks 'xx':
+    # rows with the missing lang are dropped, not KeyError'd (same .get +
+    # null-mask-drops-row shape as q_outliers_by_lang's Filt)
+    import pyarrow.compute as pc
+    import ray
+
+    lut_ref = ray.put({"en": 5})
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "lang": ["en", "xx", "en"],
+            "n_chars": [10, 99, 3],
+        }
+    )
+
+    def filt(tb: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        thr = pa.array([lut.get(l) for l in tb["lang"].to_pylist()], pa.int64())
+        return tb.filter(pc.greater(tb["n_chars"], thr))
+
+    out = rd.from_arrow(t).map_batches(filt, batch_format="pyarrow").take_all()
+    assert [r["doc_id"] for r in out] == [1]

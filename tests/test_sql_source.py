@@ -228,3 +228,162 @@ def test_decltype_affinity_mapping(tmp_path):
     t = pa.concat_tables([ray.get(r) for r in ds.to_arrow_refs()]).sort_by("id")
     assert t.num_rows == 29 and t["id"][0].as_py() == 1
     assert t["v"][1].as_py() == 3.0
+
+
+# ---------------------------------------------------------------------------
+# Second live dialect: DuckDB (typed catalog, native Arrow fetch). The same
+# connector code paths run against BOTH engines — proving the type-map is a
+# map, not an if (reference normalizes 10 dialects, import_config.py:1318).
+# ---------------------------------------------------------------------------
+
+
+def _mk_changes_duckdb(db: str, t: pa.Table) -> None:
+    import duckdb
+
+    conn = duckdb.connect(db)
+    conn.execute(
+        "CREATE TABLE changes (sequence_id BIGINT PRIMARY KEY, op VARCHAR,"
+        " repo VARCHAR, path VARCHAR, commit_id VARCHAR, lang VARCHAR,"
+        " content VARCHAR)"
+    )
+    conn.register("src_arrow", t)
+    conn.execute("INSERT INTO changes SELECT * FROM src_arrow")
+    conn.close()
+
+
+@pytest.fixture(scope="module", params=["sqlite", "duckdb"])
+def dialect_db(request, events_db, tmp_path_factory):
+    """(parquet_path, connection_factory, dialect_name) for each engine."""
+    p, db = events_db
+    if request.param == "sqlite":
+        return p, sqlite_factory(db), "sqlite"
+    import pyarrow.parquet as _pq
+
+    from dbimport_ray.sources.sql import duckdb_factory
+
+    dd = str(tmp_path_factory.mktemp("duck") / "events.duckdb")
+    _mk_changes_duckdb(dd, _pq.read_table(p))
+    return p, duckdb_factory(dd), "duckdb"
+
+
+def test_probe_and_boundaries_per_dialect(dialect_db):
+    _, f, name = dialect_db
+    from dbimport_ray.sources.sql import detect_dialect
+
+    conn = f()
+    assert detect_dialect(conn).name == name
+    conn.close()
+    sch = probe_table_schema(f, "changes")
+    assert sch.field("sequence_id").type == pa.int64()
+    assert sch.field("content").type == pa.string()
+    assert probe_max_sequence(f, "changes", "sequence_id") == 1999
+    shards = split_boundaries(f, "changes", "sequence_id", 5, 100, 1500)
+    assert shards[0][0] == 100 and shards[-1][1] == 1500
+
+
+def test_read_sql_incremental_per_dialect(dialect_db):
+    p, f, _ = dialect_db
+    import ray
+
+    cols = ["sequence_id", "op", "repo", "path", "content"]
+    ds = read_sql_incremental(
+        f, "changes", "sequence_id", after_seq=500, upto_seq=1500,
+        num_shards=5, columns=cols,
+    )
+    got = pa.concat_tables(
+        [ray.get(r) for r in ds.to_arrow_refs()]
+    ).sort_by("sequence_id")
+    want = (
+        pq.read_table(p, columns=cols)
+        .filter(
+            (pa.compute.field("sequence_id") > 500)
+            & (pa.compute.field("sequence_id") <= 1500)
+        )
+        .sort_by("sequence_id")
+    )
+    assert got.num_rows == want.num_rows == 1000
+    assert got.cast(want.schema).equals(want)
+
+
+def test_replay_from_duckdb_equals_sqlite_replay(events_db, tmp_path):
+    """Full engine replay from the DuckDB source commits the same lake
+    state as the sqlite source — dialect only changes the connector."""
+    import pyarrow.parquet as _pq
+
+    from dbimport_ray.sources.sql import duckdb_factory
+
+    p, db = events_db
+    dd = str(tmp_path / "events.duckdb")
+    _mk_changes_duckdb(dd, _pq.read_table(p))
+    cfg = repo_files_config(
+        num_partitions=4, value_columns=["commit_id", "lang", "content"]
+    )
+    eng_dd = CDCEngine(str(tmp_path / "dd_lake"), cfg)
+    r = eng_dd.replay(SQLEventSource(duckdb_factory(dd), "changes", num_shards=6))
+    assert r["committed_seq"] == 1999
+
+    eng_sq = CDCEngine(str(tmp_path / "sq_lake"), cfg)
+    eng_sq.replay(SQLEventSource(db, "changes", num_shards=6))
+
+    order = [("repo", "ascending"), ("path", "ascending")]
+    assert eng_dd.arrow().sort_by(order).equals(eng_sq.arrow().sort_by(order))
+
+
+def test_duckdb_typemap_exact():
+    from dbimport_ray.sources.sql import DIALECTS
+
+    d = DIALECTS["duckdb"]
+    assert d.type_to_arrow("DECIMAL(18,3)") == pa.decimal128(18, 3)
+    assert d.type_to_arrow("HUGEINT") == pa.int64()
+    assert d.type_to_arrow("BOOLEAN") == pa.bool_()
+    assert d.type_to_arrow("TIMESTAMP") == pa.timestamp("us")
+    assert d.type_to_arrow("TIMESTAMP WITH TIME ZONE") == pa.timestamp("us", "UTC")
+    assert d.type_to_arrow("DATE") == pa.date32()
+    assert d.type_to_arrow("DOUBLE") == pa.float64()
+    assert d.type_to_arrow("FLOAT") == pa.float32()
+    assert d.type_to_arrow("VARCHAR") == pa.string()
+    assert d.type_to_arrow("BLOB") == pa.binary()
+
+
+def test_incr_where_literal_per_dialect():
+    import datetime as dt
+
+    from dbimport_ray.sources.sql import DIALECTS
+
+    ts = dt.datetime(2024, 1, 2, 3, 4, 5)
+    # duckdb/ansi: typed TIMESTAMP literal; sqlite: ISO string (lexical cmp)
+    assert (
+        DIALECTS["duckdb"].incr_where_literal("seq", 5, ts)
+        == "\"seq\" > 5 AND \"seq\" <= TIMESTAMP '2024-01-02 03:04:05'"
+    )
+    assert (
+        DIALECTS["sqlite"].incr_where_literal("seq", ts)
+        == "\"seq\" > '2024-01-02 03:04:05'"
+    )
+    # string literals are injection-quoted
+    assert DIALECTS["ansi"].format_literal("O'Neil") == "'O''Neil'"
+
+
+def test_discover_duckdb(tmp_path):
+    import duckdb
+
+    from dbimport_ray.pipelines.discover import discover_sql_tables
+    from dbimport_ray.sources.sql import duckdb_factory
+
+    db = str(tmp_path / "disc.duckdb")
+    conn = duckdb.connect(db)
+    conn.execute(
+        "CREATE TABLE files (repo VARCHAR, path VARCHAR, commit_seq BIGINT,"
+        " op VARCHAR, content VARCHAR, PRIMARY KEY (repo, path))"
+    )
+    conn.execute("INSERT INTO files VALUES ('r','p',1,'I','x')")
+    conn.execute("CREATE TABLE misc (x VARCHAR)")
+    conn.close()
+    cands = {c["table"]: c for c in discover_sql_tables(duckdb_factory(db))}
+    f = cands["files"]
+    assert sorted(f["pk"]) == ["path", "repo"]
+    assert f["sequence_col"] == "commit_seq"
+    assert f["op_col"] == "op"
+    assert f["rows"] == 1
+    assert f["columns"]["commit_seq"] == "int64"
+    assert cands["misc"]["pk"] == []
