@@ -249,6 +249,10 @@ def scaling() -> None:
                 "speedup": round(med_hi / med_lo, 3),
                 "scaling_efficiency": round((med_hi / med_lo) / 4.0, 3),
                 "scaling_efficiency_best": round((best_hi / best_lo) / 4.0, 3),
+                # events/s/core at each size; their ratio IS the efficiency
+                # (the per-core retention headline from BASELINE.md)
+                f"per_core_{pair[0]}cpu": round(med_lo / pair[0], 1),
+                f"per_core_{pair[1]}cpu": round(med_hi / pair[1], 1),
                 f"samples_{pair[0]}cpu": samples[pair[0]],
                 f"samples_{pair[1]}cpu": samples[pair[1]],
                 "events": events,
