@@ -453,15 +453,23 @@ def q_agg_lineitem(sf_dir: str) -> rd.Dataset:
     """A1/A7-style grouped validation aggregate over lineitem (order-robust
     aggregates only: integral sums, count, min/max)."""
 
+    from ..stages.stats import grouped_agg
+
     ds = _read(
         sf_dir, "lineitem",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
     )
-    return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Count(alias_name="count_order"),
-        Min("l_extendedprice", alias_name="min_price"),
-        Max("l_extendedprice", alias_name="max_price"),
+    # map-side partial: the exchange carries ~6 (flag, status) rows per
+    # block instead of the raw lineitem stream (stats.grouped_agg)
+    return grouped_agg(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("l_quantity", "sum", "sum_qty"),
+            (None, "count", "count_order"),
+            ("l_extendedprice", "min", "min_price"),
+            ("l_extendedprice", "max", "max_price"),
+        ],
     )
 
 
@@ -868,8 +876,9 @@ def q_asof_join(sf_dir: str) -> rd.Dataset:
             [("user_id", pa.int64()), ("o_orderdate", pa.date32()), ("o_totalprice", pa.float64())]
         ),
         right_tie_cols=["o_totalprice"],
+        select=["event_id", "user_id", "o_totalprice"],
     )
-    return res.select_columns(["event_id", "user_id", "o_totalprice"])
+    return res
 
 
 def q_range_join(sf_dir: str) -> rd.Dataset:
@@ -922,8 +931,9 @@ def q_range_join(sf_dir: str) -> rd.Dataset:
                 ("window_id", pa.int64()),
             ]
         ),
+        select=["event_id", "window_id"],
     )
-    return res.select_columns(["event_id", "window_id"])
+    return res
 
 
 def q_star_enrich(sf_dir: str) -> rd.Dataset:
@@ -966,7 +976,11 @@ def q_top_orders_per_cust(sf_dir: str) -> rd.Dataset:
 
     ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
     return top_n_per_group(
-        ds, ["o_custkey"], "o_totalprice", 2, tie_cols=["o_orderkey"]
+        ds, ["o_custkey"], "o_totalprice", 2, tie_cols=["o_orderkey"],
+        schema=pa.schema(
+            [("o_custkey", pa.int64()), ("o_orderkey", pa.int64()),
+             ("o_totalprice", pa.float64())]
+        ),
     )
 
 
@@ -1225,7 +1239,11 @@ def q_sample_n_per_lang(sf_dir: str) -> rd.Dataset:
     from ..stages.stats import sample_n_per_group
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
-    return sample_n_per_group(ds, ["lang"], "doc_id", 3)
+    return sample_n_per_group(
+        ds, ["lang"], "doc_id", 3,
+        schema=pa.schema([("doc_id", pa.int64()), ("lang", pa.string())]),
+        shuffle_blocks=4,  # handful of langs — see top_n_per_group note
+    )
 
 
 def q_collect_sample_ids(sf_dir: str) -> rd.Dataset:
@@ -1235,8 +1253,14 @@ def q_collect_sample_ids(sf_dir: str) -> rd.Dataset:
     from ..stages.stats import collect_sorted, sample_n_per_group
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
-    picked = sample_n_per_group(ds, ["lang"], "doc_id", 3)
-    return collect_sorted(picked, ["lang"], "doc_id", "doc_id", out="ids")
+    picked = sample_n_per_group(
+        ds, ["lang"], "doc_id", 3,
+        schema=pa.schema([("doc_id", pa.int64()), ("lang", pa.string())]),
+        shuffle_blocks=4,
+    )
+    return collect_sorted(
+        picked, ["lang"], "doc_id", "doc_id", out="ids", shuffle_blocks=4
+    )
 
 
 def q_window_cumsum(sf_dir: str) -> rd.Dataset:

@@ -98,14 +98,15 @@ def rollup_sum(
     import ray.data as rd  # noqa: F401  (typing only)
     from ray.data.aggregate import Count, Sum
 
-    finest = (
-        ds.groupby(group_cols)
-        .aggregate(
-            Sum(value_col, alias_name=sum_alias),
-            Count(value_col, alias_name=count_alias),
-        )
-        .take_all()
-    )
+    from .stats import grouped_agg
+
+    # map-side partial before the shuffle: the exchange carries one row
+    # per finest group per block, never the raw input (stats.grouped_agg)
+    finest = grouped_agg(
+        ds,
+        group_cols,
+        [(value_col, "sum", sum_alias), (None, "count", count_alias)],
+    ).take_all()
     base = pa.Table.from_pylist(finest)
     levels = [base]
     cur = base

@@ -72,6 +72,20 @@ def top_k_by_count(
     return agg.sort([count_col, key], descending=[True, False]).limit(k)
 
 
+def retype_empties(ds: rd.Dataset, schema: pa.Schema) -> rd.Dataset:
+    """Re-type the ZERO-COLUMN empty blocks Ray's sort/aggregate operators
+    emit for empty partitions. Left as-is they (a) spam "produced a
+    RefBundle with a different schema … new schema: ." warnings and (b)
+    poison any downstream hash-join aggregator (acero cannot resolve key
+    FieldRefs against a no-column table). Apply after a sort/groupby when
+    the pipeline's schema is statically known."""
+
+    def fix(t: pa.Table) -> pa.Table:
+        return schema.empty_table() if t.num_columns == 0 else t
+
+    return ds.map_batches(fix, batch_format="pyarrow")
+
+
 def top_n_per_group(
     ds: rd.Dataset,
     group_cols: list[str],
@@ -79,6 +93,8 @@ def top_n_per_group(
     n: int,
     tie_cols: list[str] | None = None,
     descending: bool = True,
+    schema: pa.Schema | None = None,
+    shuffle_blocks: int | None = None,
 ) -> rd.Dataset:
     """Top-``n`` rows per group key ordered by ``order_col`` (``tie_cols``
     break ties ascending, making the result deterministic — the
@@ -111,7 +127,19 @@ def top_n_per_group(
         return t.filter(pa.array(pos < n))
 
     pruned = ds.map_batches(prune, batch_format="pyarrow")
-    return pruned.groupby(keys).map_groups(prune, batch_format="pyarrow")
+    if shuffle_blocks:
+        # LOW-CARDINALITY keys: the pruned set is tiny (≤ n rows per key
+        # per block) but Ray's sort-based group exchange makes one range
+        # partition per input block — far more partitions than keys, so
+        # most come back as zero-column empties (warning spam + join
+        # poison). Coalescing first keeps every partition non-empty and
+        # is itself a win (fewer sort samples over a small set).
+        pruned = pruned.repartition(shuffle_blocks)
+    out = pruned.groupby(keys).map_groups(prune, batch_format="pyarrow")
+    # pass ``schema`` (output schema == input schema; this operator only
+    # drops rows) to silence/neutralize the no-column empty blocks the
+    # group exchange emits for empty range partitions
+    return retype_empties(out, schema) if schema is not None else out
 
 
 def distinct_count(
@@ -304,6 +332,8 @@ def sample_n_per_group(
     n: int,
     seed: str = "",
     rank_col: str = "_rank",
+    schema: pa.Schema | None = None,
+    shuffle_blocks: int | None = None,
 ) -> rd.Dataset:
     """EXACTLY-n deterministic sample per group — rank rows by
     ``sha256(seed||id)`` and keep each group's n smallest. A pure
@@ -319,8 +349,16 @@ def sample_n_per_group(
         return t.append_column(rank_col, hash_column(t[id_col], seed=seed))
 
     ranked = ds.map_batches(rank, batch_format="pyarrow")
+    # hash_column emits hex strings; pass the ranked schema through so the
+    # group exchange's empty blocks come back typed (see retype_empties)
+    ranked_schema = (
+        pa.schema(list(schema) + [pa.field(rank_col, pa.string())])
+        if schema is not None
+        else None
+    )
     picked = top_n_per_group(
-        ranked, group_cols, rank_col, n, tie_cols=[id_col], descending=False
+        ranked, group_cols, rank_col, n, tie_cols=[id_col],
+        descending=False, schema=ranked_schema, shuffle_blocks=shuffle_blocks,
     )
     return picked.drop_columns([rank_col])
 
@@ -332,6 +370,7 @@ def collect_sorted(
     value_col: str,
     sep: str = ",",
     out: str = "collected",
+    shuffle_blocks: int | None = None,
 ) -> rd.Dataset:
     """Ordered per-group string aggregation (``string_agg(value, sep
     ORDER BY order_col)``): one key exchange, then a vectorized sort +
@@ -345,6 +384,8 @@ def collect_sorted(
         head = t.slice(0, 1).select(group_cols)
         return head.append_column(out, pa.array([sep.join(vals)]))
 
+    if shuffle_blocks:
+        ds = ds.repartition(shuffle_blocks)
     return ds.groupby(group_cols).map_groups(per_group, batch_format="pyarrow")
 
 
@@ -389,3 +430,50 @@ def approx_distinct_per_group(
         partial, batch_format="pyarrow"
     )
     return partials.groupby(group_col).map_groups(merge, batch_format="pyarrow")
+
+
+def grouped_agg(
+    ds: rd.Dataset,
+    keys: list[str],
+    specs: list[tuple[str | None, str, str]],
+    shuffle_blocks: int = 4,
+) -> rd.Dataset:
+    """Grouped sum/count/min/max with an explicit MAP-SIDE PARTIAL: each
+    batch pre-aggregates with pyarrow ``group_by`` (one row per distinct
+    key per block), the partials coalesce to ``shuffle_blocks`` blocks,
+    and one small Ray aggregate combines them. For low-cardinality keys
+    this beats ``ds.groupby().aggregate()`` twice over: the exchange
+    carries the key domain instead of one partition per input block
+    (most of which would be empty → zero-column blocks, warning spam),
+    and the combine input is tiny.
+
+    ``specs``: (column, op, alias) with op ∈ sum|count|min|max;
+    op='count' counts rows (column ignored).
+    """
+    from ray.data.aggregate import Max as RMax
+    from ray.data.aggregate import Min as RMin
+    from ray.data.aggregate import Sum as RSum
+
+    kl = list(keys)
+    need = set(kl) | {c for c, op, _ in specs if op != "count"}
+    plan = [
+        ((kl[0] if op == "count" else c), ("count" if op == "count" else op))
+        for c, op, _ in specs
+    ]
+    aliases = [a for _, _, a in specs]
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select(sorted(need)).group_by(kl).aggregate(plan)
+        # pyarrow group_by output order: keys first, then aggregates
+        return g.rename_columns(kl + aliases)
+
+    combiners = []
+    for (_, op, alias) in specs:
+        if op in ("sum", "count"):
+            combiners.append(RSum(alias, alias_name=alias))
+        elif op == "min":
+            combiners.append(RMin(alias, alias_name=alias))
+        else:
+            combiners.append(RMax(alias, alias_name=alias))
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.repartition(shuffle_blocks).groupby(kl).aggregate(*combiners)

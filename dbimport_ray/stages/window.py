@@ -155,6 +155,7 @@ def asof_join(
     left_schema: pa.Schema | None = None,
     right_schema: pa.Schema | None = None,
     right_tie_cols: list[str] | None = None,
+    select: list[str] | None = None,
 ) -> rd.Dataset:
     """For every left row, attach ``value_cols`` from the latest right row
     of the same ``key`` with ``right_time <= left_time`` (inner: left rows
@@ -174,6 +175,13 @@ def asof_join(
     columns ride as typed nulls through the union, and fetching a schema
     from a Dataset whose lineage ends in an aggregate re-executes that
     aggregate — a whole extra pass at scale.
+
+    ``select`` (optional) applies the FINAL column projection inside the
+    group kernel itself — including its empty branch. A downstream
+    ``select_columns`` never touches empty blocks (Ray skips map fns on
+    them), so an outer projection leaves empty-group blocks with the
+    kernel's internal column order and every block boundary logs a
+    schema-divergence warning.
     """
     ttype = pa.timestamp("us")
     if right_schema is None:
@@ -221,7 +229,8 @@ def asof_join(
                 empty[c] = pa.array([], t.schema.field(c).type)
             for c in value_cols:
                 empty[c] = pa.array([], t.schema.field(c).type)
-            return pa.table(empty)
+            et = pa.table(empty)
+            return et.select(select) if select else et
         rtimes = times[rmask]
         rt = t.filter(pa.array(rmask))
         if right_tie_cols:
@@ -241,7 +250,8 @@ def asof_join(
             cols[c] = lt[c]
         for c in value_cols:
             cols[c] = matched[c]
-        return pa.table(cols)
+        ot = pa.table(cols)
+        return ot.select(select) if select else ot
 
     return tagged.groupby(key).map_groups(per_key, batch_format="pyarrow")
 
@@ -329,6 +339,7 @@ def range_join(
     keep: list[str],
     left_schema: pa.Schema,
     right_schema: pa.Schema,
+    select: list[str] | None = None,
 ) -> rd.Dataset:
     """Interval join: one output row per (left row, right interval) pair of
     the same ``key`` with ``start <= left_time < end`` (half-open; inner —
@@ -382,7 +393,8 @@ def range_join(
             cols[c] = pa.array([], t.schema.field(c).type)
         for c in value_cols:
             cols[c] = pa.array([], t.schema.field(c).type)
-        return pa.table(cols)
+        et = pa.table(cols)
+        return et.select(select) if select else et
 
     def per_key(t: pa.Table) -> pa.Table:
         src = t["_src"].to_numpy(zero_copy_only=False)
@@ -414,6 +426,7 @@ def range_join(
             cols[c] = lrows[c]
         for c in value_cols:
             cols[c] = rrows[c]
-        return pa.table(cols)
+        ot = pa.table(cols)
+        return ot.select(select) if select else ot
 
     return tagged.groupby(key).map_groups(per_key, batch_format="pyarrow")
