@@ -69,6 +69,19 @@ def main(argv: list[str] | None = None) -> int:
     common(sp)
     sp.add_argument("--events", required=True)
     sp.add_argument("--boundaries", required=True, help="comma-separated upto_seq per batch")
+    sp = sub.add_parser(
+        "tail",
+        help="continuous tail: poll the event path, replay new sequence "
+        "ranges as they land (the daemon loop; stop via --stop-file / "
+        "--max-polls / --stop-after-batches)",
+    )
+    common(sp)
+    sp.add_argument("--events", required=True)
+    sp.add_argument("--interval", type=float, default=2.0, help="poll seconds when idle")
+    sp.add_argument("--max-interval", type=float, default=30.0, help="idle backoff ceiling")
+    sp.add_argument("--max-polls", type=int, default=None)
+    sp.add_argument("--stop-after-batches", type=int, default=None)
+    sp.add_argument("--stop-file", default=None, help="touch this path to stop the loop")
     sp = sub.add_parser("export", help="export lake table to parquet")
     common(sp)
     sp.add_argument("--target", required=True)
@@ -200,6 +213,15 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "stream":
         bounds = [int(b) for b in args.boundaries.split(",")]
         print(json.dumps(eng.replay_stream(args.events, bounds)))
+    elif args.cmd == "tail":
+        print(json.dumps(eng.tail(
+            args.events,
+            poll_interval_s=args.interval,
+            max_interval_s=args.max_interval,
+            max_polls=args.max_polls,
+            stop_after_batches=args.stop_after_batches,
+            stop_file=args.stop_file,
+        )))
     elif args.cmd == "export":
         from .pipelines.export import export_table
 

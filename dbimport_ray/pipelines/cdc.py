@@ -892,6 +892,66 @@ class CDCEngine:
             prestage_thread.join()
         return results
 
+    def tail(
+        self,
+        events_path,
+        poll_interval_s: float = 1.0,
+        max_interval_s: float = 30.0,
+        backoff: float = 2.0,
+        max_polls: int | None = None,
+        stop_after_batches: int | None = None,
+        stop_file: str | None = None,
+        on_batch=None,
+        sleep=None,
+    ) -> list[dict]:
+        """Continuous change-event tail — the daemon shape of the
+        reference's always-on server loop (bin/mainServer: poll sources,
+        import what's new, sleep): probe the event path's max sequence;
+        when it has advanced past the committed watermark (new event files
+        landed, or an in-flight batch needs finishing), run one
+        :meth:`replay`; otherwise sleep with exponential backoff up to
+        ``max_interval_s`` (reset on work). Exactly-once is inherited
+        from replay's checkpoint/manifest protocol — a batch interrupted
+        mid-tail resumes on the next poll, and a range can never commit
+        twice.
+
+        Stop conditions (all optional; absent = run forever, the daemon
+        mode): ``stop_file`` path appears, ``max_polls`` watermark probes
+        done, or ``stop_after_batches`` committed. ``on_batch(result)``
+        fires after each commit — metrics push, or test orchestration.
+        """
+        import os as _os
+        import time as _time
+
+        do_sleep = sleep or _time.sleep
+        results: list[dict] = []
+        interval = poll_interval_s
+        polls = 0
+        while True:
+            if stop_file is not None and _os.path.exists(stop_file):
+                break
+            if max_polls is not None and polls >= max_polls:
+                break
+            polls += 1
+            newest = max_sequence(events_path, self.cfg.sequence_col)
+            cp = self.ckpt.load()
+            if newest > cp.committed_seq or cp.pending_seq is not None:
+                r = self.replay(events_path)
+                if r["status"] != "noop":
+                    results.append(r)
+                    if on_batch is not None:
+                        on_batch(r)
+                interval = poll_interval_s  # work found → reset backoff
+                if (
+                    stop_after_batches is not None
+                    and len(results) >= stop_after_batches
+                ):
+                    break
+            else:
+                do_sleep(interval)
+                interval = min(interval * backoff, max_interval_s)
+        return results
+
     # ------------------------------------------------------------------
     def dataset(
         self, columns: list[str] | None = None, version: int | None = None

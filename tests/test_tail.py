@@ -1,0 +1,116 @@
+"""Continuous tail verb (CDCEngine.tail): new event files landing while the
+loop runs each commit exactly once; in-flight batches resume; stop
+conditions work. The daemon shape of the reference's always-on server."""
+
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from dbimport_ray import CDCEngine, repo_files_config
+from dbimport_ray.datagen import generate_events
+
+
+@pytest.fixture()
+def split_events(tmp_path):
+    """One generated stream split into three files by sequence range."""
+    src = str(tmp_path / "all.parquet")
+    generate_events(src, num_keys=400, num_events=3000, seed=13)
+    t = pq.read_table(src)
+    parts = []
+    for i, (lo, hi) in enumerate([(0, 1000), (1000, 2000), (2000, 3000)]):
+        import pyarrow.compute as pc
+
+        part = t.filter(
+            (pc.field("sequence_id") >= lo) & (pc.field("sequence_id") < hi)
+        )
+        p = str(tmp_path / f"part{i}.parquet")
+        pq.write_table(part, p)
+        parts.append(p)
+    return src, parts
+
+
+def test_tail_commits_arriving_files_exactly_once(split_events, tmp_path):
+    src, parts = split_events
+    events_dir = str(tmp_path / "events")
+    os.makedirs(events_dir)
+    os.link(parts[0], os.path.join(events_dir, "part0.parquet"))
+
+    eng = CDCEngine(str(tmp_path / "lake"), repo_files_config(num_partitions=4))
+
+    # drop the next file into the directory after each committed batch —
+    # deterministic "producer" without threads or wall-clock sleeps
+    state = {"next": 1}
+
+    def feeder(result):
+        i = state["next"]
+        if i < len(parts):
+            os.link(parts[i], os.path.join(events_dir, f"part{i}.parquet"))
+            state["next"] += 1
+
+    results = eng.tail(
+        events_dir,
+        stop_after_batches=3,
+        max_polls=20,
+        sleep=lambda s: None,
+        on_batch=feeder,
+    )
+    assert [r["status"] for r in results] == ["committed"] * 3
+    assert [r["committed_seq"] for r in results] == [999, 1999, 2999]
+
+    # ledger: manifest advanced once per batch, exactly once per range
+    man = json.load(open(str(tmp_path / "lake/repo_files/_manifest.json")))
+    assert man["version"] == 3
+    ck = json.load(open(str(tmp_path / "lake/repo_files/_checkpoint.json")))
+    assert ck["committed_seq"] == 2999 and ck["pending_seq"] is None
+    metrics = [
+        json.loads(l)
+        for l in open(str(tmp_path / "lake/repo_files/_metrics.jsonl"))
+    ]
+    ranges = [
+        (m["after_seq"], m["upto_seq"]) for m in metrics if "upto_seq" in m
+    ]
+    assert sorted(set(ranges)) == sorted(ranges)  # no range committed twice
+
+    # final state == sequential replay at the same boundaries
+    ref = CDCEngine(str(tmp_path / "ref"), repo_files_config(num_partitions=4))
+    for b in (999, 1999, 2999):
+        ref.replay(src, upto_seq=b)
+    order = [("repo", "ascending"), ("path", "ascending")]
+    assert eng.arrow().sort_by(order).equals(ref.arrow().sort_by(order))
+
+
+def test_tail_resumes_inflight_batch(split_events, tmp_path):
+    """A batch interrupted mid-merge is finished by the NEXT tail poll —
+    and only once (the crash/resume protocol rides along)."""
+    src, parts = split_events
+    eng = CDCEngine(str(tmp_path / "lake"), repo_files_config(num_partitions=4))
+    with pytest.raises(RuntimeError):
+        eng.replay(parts[0], fail_before_commit=True)
+    results = eng.tail(
+        parts[0], max_polls=3, sleep=lambda s: None
+    )
+    assert len(results) == 1 and results[0]["status"] == "committed"
+    assert results[0]["committed_seq"] == 999
+    assert eng.tail(parts[0], max_polls=2, sleep=lambda s: None) == []
+
+
+def test_tail_stop_file_and_backoff(split_events, tmp_path):
+    src, parts = split_events
+    eng = CDCEngine(str(tmp_path / "lake"), repo_files_config(num_partitions=4))
+    stop = str(tmp_path / "STOP")
+    sleeps = []
+
+    def fake_sleep(s):
+        sleeps.append(s)
+        if len(sleeps) == 4:
+            open(stop, "w").close()
+
+    eng.replay(parts[0])  # consume everything up front → all polls idle
+    out = eng.tail(
+        parts[0], poll_interval_s=1.0, backoff=2.0, max_interval_s=5.0,
+        stop_file=stop, sleep=fake_sleep,
+    )
+    assert out == []
+    assert sleeps == [1.0, 2.0, 4.0, 5.0]  # exponential, capped
