@@ -197,6 +197,82 @@ def _min_rep_per_bucket(batch: pa.Table, id_col: str) -> pa.Table:
     )
 
 
+_BKT_MIX = np.uint64(0xFF51AFD7ED558CCD)
+
+
+def _coarse_bucket(t: pa.Table, cols: list[str], nb: int) -> pa.Array:
+    """Bounded hash bucket over the group-key columns: routes every row of
+    one bucket key to the same coarse group without making one Ray GROUP
+    (= one Python kernel call) per tiny bucket."""
+    acc = np.zeros(t.num_rows, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for c in cols:
+            x = t[c].to_numpy(zero_copy_only=False).astype(np.uint64)
+            acc = (acc ^ x) * _BKT_MIX
+            acc ^= acc >> np.uint64(33)
+    return pa.array((acc % np.uint64(nb)).astype(np.int64))
+
+
+def _segments_by(cols: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+    """(sort_order, segment_starts) for rows grouped by the key columns
+    (ties broken by the LAST array, typically the id — so each segment's
+    first row is its min-id row)."""
+    order = np.lexsort(tuple(reversed(cols)))
+    n = len(order)
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for c in cols[:-1]:  # key columns only (last is the tiebreaker)
+        cs = c[order]
+        change[1:] |= cs[1:] != cs[:-1]
+    return order, np.flatnonzero(change)
+
+
+def _minhash_bucket_kernel(t: pa.Table, id_col: str) -> pa.Table:
+    """One COARSE bucket = many (band_idx, band_hash) groups: a single
+    lexsort finds every group's min id; rep assignment is one repeat.
+    Replaces a per-bucket Python call per tiny group (millions at corpus
+    scale) with one vectorized pass per coarse bucket."""
+    ids = pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+    bi = t["band_idx"].to_numpy(zero_copy_only=False)
+    bh = t["band_hash"].to_numpy(zero_copy_only=False)
+    order, starts = _segments_by([bi, bh, ids])
+    ids_s = ids[order]
+    seg_len = np.diff(np.r_[starts, len(ids_s)])
+    rep = np.repeat(ids_s[starts], seg_len)
+    return pa.table({id_col: pa.array(ids_s), "rep": pa.array(rep)})
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount for uint64."""
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    with np.errstate(over="ignore"):
+        return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
+def _simhash_bucket_kernel(
+    t: pa.Table, id_col: str, max_hamming: int
+) -> pa.Table:
+    """Coarse-bucket simhash reps: per (band_idx, band_value) segment, rows
+    within ``max_hamming`` of the segment's min-id signature adopt that id
+    — the same semantics as _simhash_bucket_reps, one vectorized pass."""
+    ids = pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+    bi = t["band_idx"].to_numpy(zero_copy_only=False)
+    bv = t["band_value"].to_numpy(zero_copy_only=False)
+    sigs = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    order, starts = _segments_by([bi, bv, ids])
+    ids_s, sigs_s = ids[order], sigs[order]
+    seg_len = np.diff(np.r_[starts, len(ids_s)])
+    first_id = np.repeat(ids_s[starts], seg_len)
+    first_sig = np.repeat(sigs_s[starts], seg_len)
+    dist = _popcount64(sigs_s ^ first_sig)
+    rep = np.where(dist <= max_hamming, first_id, ids_s)
+    return pa.table({id_col: pa.array(ids_s), "rep": pa.array(rep.astype(np.int64))})
+
+
 def minhash_lsh_clusters(
     ds: rd.Dataset,
     text_col: str,
@@ -216,8 +292,25 @@ def minhash_lsh_clusters(
         ),
         batch_format="pyarrow",
     )
-    per_bucket = bands.groupby(["band_idx", "band_hash"]).map_groups(
-        lambda g: _min_rep_per_bucket(g, id_col), batch_format="pyarrow"
+    # group by a BOUNDED coarse bucket of the band key, not the key
+    # itself: millions of tiny buckets as Ray groups mean one Python
+    # kernel call each; a coarse bucket handles thousands of them in one
+    # lexsort pass. (The groupby(band).aggregate(Min) + join-back plan
+    # was also measured: two exchanges + the join's actor pool lose to
+    # one sort exchange at every scale tried — see BASELINE.md.)
+    nb = 64
+
+    def add_bkt(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_bkt", _coarse_bucket(t, ["band_idx", "band_hash"], nb)
+        )
+
+    per_bucket = (
+        bands.map_batches(add_bkt, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(
+            lambda g: _minhash_bucket_kernel(g, id_col), batch_format="pyarrow"
+        )
     )
     return (
         per_bucket.groupby(id_col)
@@ -478,9 +571,20 @@ def simhash_dedup_clusters(
     bands = ds.map_batches(
         SimHashBands(text_col, id_col), batch_format="pyarrow"
     )
-    per_bucket = bands.groupby(["band_idx", "band_value"]).map_groups(
-        lambda g: _simhash_bucket_reps(g, id_col, max_hamming),
-        batch_format="pyarrow",
+    nb = 64
+
+    def add_bkt(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_bkt", _coarse_bucket(t, ["band_idx", "band_value"], nb)
+        )
+
+    per_bucket = (
+        bands.map_batches(add_bkt, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(
+            lambda g: _simhash_bucket_kernel(g, id_col, max_hamming),
+            batch_format="pyarrow",
+        )
     )
     return per_bucket.groupby(id_col).aggregate(Min("rep", alias_name="rep"))
 
