@@ -67,6 +67,10 @@ QUERY_NAMES = [
     "rollup_lineitem",
     "intersect_keys",
     "sample_n_per_lang",
+    # round-3 additions
+    "fingerprint_docs",
+    "window_cumsum_scan",
+    "sql_read_duckdb",
 ]
 
 

@@ -365,6 +365,70 @@ def q_sql_incremental_read(sf_dir: str) -> rd.Dataset:
     )
 
 
+def _events_duckdb(sf_dir: str) -> str:
+    """Deterministic DuckDB mirror of the events table (cached per content
+    identity, tmp→rename) — the SECOND live dialect for the connector
+    contract (sources/sql.py DuckDBDialect: typed catalog, native Arrow
+    record-batch fetch)."""
+    import hashlib
+
+    import duckdb
+
+    path = _p(sf_dir, "events")
+    st = os.stat(path)
+    tag = hashlib.sha1(
+        f"{os.path.abspath(path)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    db = os.path.join(tempfile.gettempdir(), f"dbimport_ray_events_{tag}.duckdb")
+    if os.path.exists(db):
+        return db
+    tmp = db + f".build-{os.getpid()}"
+    conn = duckdb.connect(tmp)
+    conn.execute(
+        "CREATE TABLE events AS SELECT event_id, user_id, event_type, value "
+        f"FROM read_parquet('{path}') ORDER BY event_id"
+    )
+    conn.close()
+    os.replace(tmp, db)
+    return db
+
+
+def q_sql_read_duckdb(sf_dir: str) -> rd.Dataset:
+    """The sharded incremental connector against the SECOND dialect: the
+    same (committed, pending] watermark range read as
+    ``sql_incremental_read``, but from a live DuckDB file — exact typed
+    catalog (PRAGMA table_info types → Arrow) and native Arrow
+    record-batch fetch in each shard's worker connection."""
+    from ..sources.sql import (
+        duckdb_factory,
+        probe_max_sequence,
+        read_sql_incremental,
+    )
+
+    factory = duckdb_factory(_events_duckdb(sf_dir))
+    mx = probe_max_sequence(factory, "events", "event_id")
+    lo, hi = mx // 3, (2 * mx) // 3
+    ds = read_sql_incremental(
+        factory,
+        "events",
+        "event_id",
+        after_seq=lo,
+        upto_seq=hi,
+        num_shards=8,
+        columns=["event_id", "user_id", "event_type", "value"],
+    )
+
+    def retype(t: pa.Table) -> pa.Table:
+        # duckdb CTAS types value as DOUBLE already; cast defensively so
+        # the schema matches the parquet oracle bit-for-bit
+        return t.set_column(
+            t.schema.get_field_index("value"), "value",
+            pc.cast(t["value"], pa.float64()),
+        )
+
+    return ds.map_batches(retype, batch_format="pyarrow")
+
+
 def q_rowcount_validation(sf_dir: str) -> pa.Table:
     """3-point validation counts + sqrt-n band (import_config.py:2807)."""
     n = _read(sf_dir, "events", columns=["event_id"]).count()
@@ -1086,6 +1150,37 @@ def q_rolling_mean(sf_dir: str) -> rd.Dataset:
 
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
     out = window_rolling_mean(ds, "user_id", ["ts", "event_id"], "value", 3)
+    return out.select_columns(["event_id", "rolling_mean"])
+
+
+def q_window_cumsum_scan(sf_dir: str) -> rd.Dataset:
+    """The SKEW-SAFE running total (stages/scan.py distributed scan:
+    range-sort + per-block local cumsum + scalar carry chain) — same
+    integer-exact oracle as ``window_cumsum``, proving the scan path
+    commits identical prefix sums while a hot key spreads over many
+    blocks instead of one map_groups task."""
+    from ..stages.window import window_cumsum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return t.append_column("cents", pc.floor(pc.multiply(t["value"], 100.0)))
+
+    ds = ds.map_batches(cents, batch_format="pyarrow")
+    return window_cumsum(
+        ds, "user_id", ["event_id"], "cents", skew_safe=True
+    ).select_columns(["user_id", "event_id", "cum_sum"])
+
+
+def q_rolling_mean_scan(sf_dir: str) -> rd.Dataset:
+    """Skew-safe 3-row rolling average via the distributed scan's
+    window-1-value carry chain — same oracle as ``rolling_mean``."""
+    from ..stages.window import window_rolling_mean
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
+    out = window_rolling_mean(
+        ds, "user_id", ["ts", "event_id"], "value", 3, skew_safe=True
+    )
     return out.select_columns(["event_id", "rolling_mean"])
 
 
@@ -2004,6 +2099,10 @@ SELECT doc_id,
     '\s+', ' ', 'g')) AS norm
 FROM documents
 """
+ORACLES["sql_read_duckdb"] = ORACLES["sql_incremental_read"]
+ORACLES["window_cumsum_scan"] = ORACLES["window_cumsum"]
+ORACLES["rolling_mean_scan"] = ORACLES["rolling_mean"]
+
 ORACLES["symdiff_keys"] = """
 (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000
  EXCEPT
@@ -2030,6 +2129,10 @@ def q_ann_topk(sf_dir: str) -> rd.Dataset:
 # r02 follow. Append NEW queries to the front block until they earn a green
 # driver row.
 QUERIES = {
+    # --- new in round 3 (oracle-backed) ---
+    "sql_read_duckdb": q_sql_read_duckdb,
+    "window_cumsum_scan": q_window_cumsum_scan,
+    "rolling_mean_scan": q_rolling_mean_scan,
     # --- oracle-backed, absent from CORRECTNESS_r02 ---
     "normalize_docs": q_normalize_docs,
     "maintained_agg": q_maintained_agg,
