@@ -1153,6 +1153,40 @@ def q_rolling_mean(sf_dir: str) -> rd.Dataset:
     return out.select_columns(["event_id", "rolling_mean"])
 
 
+def q_prep_corpus(sf_dir: str) -> rd.Dataset:
+    """Flagship training-data prep composition — the pipeline a corpus
+    builder runs before tokenization: a vectorized quality gate
+    (integer-exact thresholds: ≥20 tokens, punctuation ≤ 20% of chars via
+    cross-multiplication, ≥1 stopword — no float comparisons to drift
+    against the oracle) feeding exact dedup (narrow (hash, id) exchange,
+    min-id survivor, text restored by join). Output is the slim corpus
+    manifest (doc_id, lang, n_tokens). Fully SQL-reproducible."""
+    from ..functions.text import PUNCT_RE, _stopword_count, token_count
+    from .dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def gate(t: pa.Table) -> pa.Table:
+        s = pc.cast(t["text"], pa.string())
+        n_tokens = pc.cast(token_count(s), pa.int64())
+        n_punct = pc.cast(pc.count_substring_regex(s, PUNCT_RE), pa.int64())
+        n_chars = pc.cast(pc.utf8_length(s), pa.int64())
+        n_stop = pc.cast(_stopword_count(s), pa.int64())
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(n_tokens, 20),
+                pc.less_equal(pc.multiply(n_punct, 5), n_chars),
+            ),
+            pc.greater_equal(n_stop, 1),
+        )
+        return t.append_column("n_tokens", n_tokens).filter(keep)
+
+    gated = ds.map_batches(gate, batch_format="pyarrow")
+    return exact_dedup(
+        gated, "text", "doc_id", keep_cols=["doc_id", "lang", "n_tokens"]
+    )
+
+
 def q_window_cumsum_scan(sf_dir: str) -> rd.Dataset:
     """The SKEW-SAFE running total (stages/scan.py distributed scan:
     range-sort + per-block local cumsum + scalar carry chain) — same
@@ -2099,6 +2133,26 @@ SELECT doc_id,
     '\s+', ' ', 'g')) AS norm
 FROM documents
 """
+ORACLES["prep_corpus"] = rf"""
+WITH m AS (
+  SELECT doc_id, lang, text,
+         len(regexp_extract_all(text, '\S+')) AS n_tokens,
+         len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '{_STOP_PAT}')) AS n_stop
+  FROM documents
+), f AS (
+  SELECT doc_id, lang, n_tokens, text FROM m
+  WHERE n_tokens >= 20 AND n_punct * 5 <= n_chars AND n_stop >= 1
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM (
+  SELECT doc_id, lang, n_tokens,
+         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM f
+) WHERE rn = 1
+"""
+
 ORACLES["sql_read_duckdb"] = ORACLES["sql_incremental_read"]
 ORACLES["window_cumsum_scan"] = ORACLES["window_cumsum"]
 ORACLES["rolling_mean_scan"] = ORACLES["rolling_mean"]
@@ -2130,6 +2184,7 @@ def q_ann_topk(sf_dir: str) -> rd.Dataset:
 # driver row.
 QUERIES = {
     # --- new in round 3 (oracle-backed) ---
+    "prep_corpus": q_prep_corpus,
     "sql_read_duckdb": q_sql_read_duckdb,
     "window_cumsum_scan": q_window_cumsum_scan,
     "rolling_mean_scan": q_rolling_mean_scan,
