@@ -253,7 +253,103 @@ class DuckDBDialect(SQLDialect):
         return pa.schema([(r[1], self.type_to_arrow(r[2])) for r in rows])
 
 
-DIALECTS = {d.name: d for d in (SQLDialect(), SqliteDialect(), DuckDBDialect())}
+class PostgresDialect(SQLDialect):
+    """Postgres typed catalog (information_schema). Sandbox has no live
+    server — the type map and literal formatting are the dialect surface
+    the connector needs (import_config.py:1420-1490 postgres branch); a
+    psycopg connection factory plugs straight into the same reader."""
+
+    name = "postgres"
+    _MAP = {
+        "smallint": pa.int64(), "integer": pa.int64(), "bigint": pa.int64(),
+        "serial": pa.int64(), "bigserial": pa.int64(),
+        "real": pa.float32(), "double precision": pa.float64(),
+        "boolean": pa.bool_(), "bytea": pa.binary(),
+        "date": pa.date32(), "text": pa.string(), "uuid": pa.string(),
+        "json": pa.string(), "jsonb": pa.string(),
+    }
+
+    def type_to_arrow(self, decl: str | None) -> pa.DataType:
+        d = (decl or "").lower().strip()
+        m = _re.match(r"(numeric|decimal)\((\d+),\s*(\d+)\)", d)
+        if m:
+            return pa.decimal128(int(m.group(2)), int(m.group(3)))
+        if d.startswith("timestamp"):
+            return (
+                pa.timestamp("us", "UTC")
+                if "with time zone" in d or d.endswith("tz")
+                else pa.timestamp("us")
+            )
+        if d.startswith(("varchar", "character", "char")):
+            return pa.string()
+        if d.startswith("time"):
+            return pa.time64("us")
+        return self._MAP.get(d, pa.string())
+
+    def table_schema(self, conn, table: str) -> pa.Schema:
+        rows = conn.execute(
+            "SELECT column_name, data_type FROM information_schema.columns"
+            " WHERE table_name = ? ORDER BY ordinal_position",
+            [table],
+        ).fetchall()
+        return pa.schema([(r[0], self.type_to_arrow(r[1])) for r in rows])
+
+
+class MySQLDialect(SQLDialect):
+    """MySQL/MariaDB typed catalog. Identifier quoting uses backticks;
+    type names mirror import_config.py:1318-1380's mysql normalization."""
+
+    name = "mysql"
+
+    def type_to_arrow(self, decl: str | None) -> pa.DataType:
+        d = (decl or "").lower().strip()
+        m = _re.match(r"(numeric|decimal)\((\d+),\s*(\d+)\)", d)
+        if m:
+            return pa.decimal128(int(m.group(2)), int(m.group(3)))
+        if d.startswith("tinyint(1)"):
+            return pa.bool_()  # MySQL's boolean idiom
+        if d.startswith(("tinyint", "smallint", "mediumint", "int", "bigint")):
+            return pa.int64()
+        if d.startswith(("float",)):
+            return pa.float32()
+        if d.startswith(("double", "real")):
+            return pa.float64()
+        if d.startswith(("datetime", "timestamp")):
+            return pa.timestamp("us")
+        if d == "date":
+            return pa.date32()
+        if d.startswith("time"):
+            return pa.time64("us")
+        if d.startswith(("binary", "varbinary", "blob", "tinyblob", "mediumblob", "longblob")):
+            return pa.binary()
+        return pa.string()  # char/varchar/text/enum/set/json
+
+    def quote(self, name: str) -> str:
+        if "\x00" in name:
+            raise ValueError(f"invalid SQL identifier: {name!r}")
+        return "`" + name.replace("`", "``") + "`"
+
+    def incr_where_literal(
+        self, seq_col: str, after_seq=None, upto_seq=None
+    ) -> str:
+        preds = []
+        if after_seq is not None:
+            preds.append(f"{self.quote(seq_col)} > {self.format_literal(after_seq)}")
+        if upto_seq is not None:
+            preds.append(f"{self.quote(seq_col)} <= {self.format_literal(upto_seq)}")
+        return " AND ".join(preds)
+
+
+DIALECTS = {
+    d.name: d
+    for d in (
+        SQLDialect(),
+        SqliteDialect(),
+        DuckDBDialect(),
+        PostgresDialect(),
+        MySQLDialect(),
+    )
+}
 
 
 def detect_dialect(conn) -> SQLDialect:

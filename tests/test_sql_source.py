@@ -387,3 +387,38 @@ def test_discover_duckdb(tmp_path):
     assert f["rows"] == 1
     assert f["columns"]["commit_seq"] == "int64"
     assert cands["misc"]["pk"] == []
+
+
+def test_postgres_mysql_typemaps():
+    """Offline dialect surface for engines without an in-sandbox server:
+    exact type normalization + dialect literal/quoting rules (the
+    reference's 10-dialect map, import_config.py:1318-1520)."""
+    import datetime as dt
+
+    from dbimport_ray.sources.sql import DIALECTS
+
+    pg = DIALECTS["postgres"]
+    assert pg.type_to_arrow("bigint") == pa.int64()
+    assert pg.type_to_arrow("double precision") == pa.float64()
+    assert pg.type_to_arrow("numeric(12,4)") == pa.decimal128(12, 4)
+    assert pg.type_to_arrow("timestamp without time zone") == pa.timestamp("us")
+    assert pg.type_to_arrow("timestamp with time zone") == pa.timestamp("us", "UTC")
+    assert pg.type_to_arrow("character varying(40)") == pa.string()
+    assert pg.type_to_arrow("bytea") == pa.binary()
+    assert pg.type_to_arrow("jsonb") == pa.string()
+
+    my = DIALECTS["mysql"]
+    assert my.type_to_arrow("tinyint(1)") == pa.bool_()
+    assert my.type_to_arrow("tinyint(4)") == pa.int64()
+    assert my.type_to_arrow("mediumint(9)") == pa.int64()
+    assert my.type_to_arrow("decimal(18,3)") == pa.decimal128(18, 3)
+    assert my.type_to_arrow("datetime(6)") == pa.timestamp("us")
+    assert my.type_to_arrow("longblob") == pa.binary()
+    assert my.type_to_arrow("enum('a','b')") == pa.string()
+    # backtick identifier quoting, literal formatting
+    assert my.quote("a`b") == "`a``b`"
+    ts = dt.datetime(2024, 1, 2, 3, 4, 5)
+    assert (
+        my.incr_where_literal("seq", 5, ts)
+        == "`seq` > 5 AND `seq` <= TIMESTAMP '2024-01-02 03:04:05'"
+    )
