@@ -901,6 +901,19 @@ def q_sessionize(sf_dir: str) -> rd.Dataset:
     return sessionize(ds, "user_id", "ts", 30.0, tie_col="event_id")
 
 
+def q_sessionize_scan(sf_dir: str) -> rd.Dataset:
+    """Skew-safe sessionization (stages/scan.py:sessionize_scan: sorted
+    block kernels + boundary session-merge carry) — same oracle as
+    ``sessionize``; tie order within equal timestamps cannot change
+    session boundaries, so the two paths are value-identical."""
+    from ..stages.window import sessionize
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    return sessionize(ds, "user_id", "ts", 30.0, skew_safe=True).select_columns(
+        ["user_id", "session_idx", "n_events", "start_ts", "end_ts"]
+    )
+
+
 def q_window_lag(sf_dir: str) -> rd.Dataset:
     """lag(value) OVER (PARTITION BY user ORDER BY ts, event_id) — the
     previous-image lookup of a change stream as a first-class operator."""
@@ -2153,6 +2166,7 @@ FROM (
 ) WHERE rn = 1
 """
 
+ORACLES["sessionize_scan"] = ORACLES["sessionize"]
 ORACLES["sql_read_duckdb"] = ORACLES["sql_incremental_read"]
 ORACLES["window_cumsum_scan"] = ORACLES["window_cumsum"]
 ORACLES["rolling_mean_scan"] = ORACLES["rolling_mean"]
@@ -2185,6 +2199,7 @@ def q_ann_topk(sf_dir: str) -> rd.Dataset:
 QUERIES = {
     # --- new in round 3 (oracle-backed) ---
     "prep_corpus": q_prep_corpus,
+    "sessionize_scan": q_sessionize_scan,
     "sql_read_duckdb": q_sql_read_duckdb,
     "window_cumsum_scan": q_window_cumsum_scan,
     "rolling_mean_scan": q_rolling_mean_scan,

@@ -172,3 +172,192 @@ def partitioned_scan(
         for i in range(len(blocks))
     ]
     return rd.from_arrow_refs(out_refs)
+
+
+# ---------------------------------------------------------------------------
+# Skew-safe sessionization — same scan skeleton, session-merge carry
+# ---------------------------------------------------------------------------
+
+@ray.remote(num_returns=2)
+def _sessionize_block(tbl, key, ts_col, gap_us):
+    """Per-block sessions for one sorted block. Returns (sessions_table,
+    meta) where meta carries what boundary merging needs: first key +
+    its first session, last key + its last session + its session count."""
+    import pyarrow.compute as pc_
+
+    tbl = tbl.filter(pc_.is_valid(tbl[ts_col]))
+    if tbl.num_rows == 0:
+        return None, None
+    tbl = tbl.take(
+        pc_.sort_indices(
+            tbl, [(key, "ascending"), (ts_col, "ascending")]
+        )
+    )
+    k = tbl[key].to_numpy(zero_copy_only=False)
+    ts = tbl[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+    us = ts.astype(np.int64)
+    key_change = np.r_[True, k[1:] != k[:-1]]
+    new_sess = key_change | np.r_[True, (us[1:] - us[:-1]) > gap_us]
+    sess = np.cumsum(new_sess) - 1
+    n = sess[-1] + 1
+    counts = np.bincount(sess, minlength=n).astype(np.int64)
+    starts = np.flatnonzero(new_sess)
+    ends = np.r_[starts[1:] - 1, len(us) - 1]
+    # per-key 0-based session index (sessions of one key are consecutive)
+    key_first_sess = sess[np.flatnonzero(key_change)]
+    sess_key_idx = np.searchsorted(key_first_sess, np.arange(n), side="right") - 1
+    sess_idx = np.arange(n) - key_first_sess[sess_key_idx]
+    out = pa.table(
+        {
+            key: pa.array(k[starts]),
+            "session_idx": pa.array(sess_idx, pa.int64()),
+            "n_events": pa.array(counts, pa.int64()),
+            "start_ts": pa.array(ts[starts], pa.timestamp("us")),
+            "end_ts": pa.array(ts[ends], pa.timestamp("us")),
+        }
+    )
+    last_key_sessions = int(np.sum(k[starts] == k[-1]))
+    meta = {
+        "first_key": k[0],
+        "first_start_us": int(us[starts[0]]),
+        "last_key": k[-1],
+        "last_start_us": int(us[starts[-1]]),
+        "last_end_us": int(us[-1]),
+        "last_n": int(counts[-1]),
+        "last_key_sessions": last_key_sessions,
+        "rows": out.num_rows,
+    }
+    return out, meta
+
+
+@ray.remote
+def _sessionize_apply(sessions, key, carry):
+    """Fold the boundary carry into a block's sessions: optionally merge
+    the first session with the carried open session, and shift the first
+    key's session indices by the carried per-key session count."""
+    if sessions is None:
+        return None
+    if carry is None:
+        return sessions
+    k = sessions[key].to_numpy(zero_copy_only=False)
+    seg = k == carry["key"]
+    idx = sessions["session_idx"].to_numpy(zero_copy_only=False).copy()
+    nev = sessions["n_events"].to_numpy(zero_copy_only=False).copy()
+    st = sessions["start_ts"].to_numpy(zero_copy_only=False).copy()
+    if carry.get("merge_first"):
+        # absorb the carried open session into this block's first session
+        nev[0] += carry["open_n"]
+        st[0] = np.datetime64(carry["open_start_us"], "us")
+        # merged session keeps the carried session's index; later sessions
+        # of the key shift by (prior_sessions - 1) + 1 = prior_sessions - 1 +1
+        idx[seg] += carry["prior_sessions"] - 1
+    else:
+        idx[seg] += carry["prior_sessions"]
+    cols = {
+        key: sessions[key],
+        "session_idx": pa.array(idx, pa.int64()),
+        "n_events": pa.array(nev, pa.int64()),
+        "start_ts": pa.array(st, pa.timestamp("us")),
+        "end_ts": sessions["end_ts"],
+    }
+    return pa.table(cols)
+
+
+@ray.remote
+def _drop_last_row(sessions, drop: bool):
+    if sessions is None or not drop:
+        return sessions
+    return sessions.slice(0, sessions.num_rows - 1)
+
+
+def sessionize_scan(
+    ds: rd.Dataset,
+    key: str,
+    ts_col: str,
+    gap_minutes: float,
+) -> rd.Dataset:
+    """Skew-safe sessionization: the distributed-scan shape of
+    stages/window.py:sessionize. Range-sort by (key, ts) spreads a hot
+    entity over many blocks; each block sessionizes locally; the driver
+    chain merges boundary sessions (a session spanning blocks is ONE
+    session: the previous block's open session row is dropped and its
+    events/start fold into the next block's first session) and offsets
+    per-key session indices. Output schema and values match the
+    map_groups kernel exactly."""
+    gap_us = np.int64(gap_minutes * 60_000_000)
+    sorted_ds = ds.sort([key, ts_col]).materialize()
+    refs = sorted_ds.to_arrow_refs()
+    blocks, metas = [], []
+    for r in refs:
+        b, m = _sessionize_block.remote(r, key, ts_col, int(gap_us))
+        blocks.append(b)
+        metas.append(m)
+    metas = ray.get(metas)
+
+    carries: list = [None] * len(blocks)
+    drop_last: list = [False] * len(blocks)
+    run = None  # open state of the most recent non-empty block:
+    # {key, open_start_us, open_end_us, open_n, sessions_of_key}
+    prev_i = None
+    for i, m in enumerate(metas):
+        if m is None:
+            continue
+        if run is not None and m["first_key"] == run["key"]:
+            merge = (m["first_start_us"] - run["open_end_us"]) <= int(gap_us)
+            carries[i] = {
+                "key": run["key"],
+                "merge_first": bool(merge),
+                "open_n": run["open_n"],
+                "open_start_us": run["open_start_us"],
+                "prior_sessions": run["sessions_of_key"],
+            }
+            if merge:
+                drop_last[prev_i] = True
+        # update running state for this block's LAST key
+        if m["last_key"] == m["first_key"] and carries[i] is not None:
+            prior = carries[i]["prior_sessions"]
+            if carries[i]["merge_first"]:
+                sessions_of_key = prior + m["last_key_sessions"] - 1
+                open_start = (
+                    carries[i]["open_start_us"]
+                    if m["rows"] == 1
+                    else m["last_start_us"]
+                )
+                open_n = m["last_n"] + (
+                    carries[i]["open_n"] if m["rows"] == 1 else 0
+                )
+            else:
+                sessions_of_key = prior + m["last_key_sessions"]
+                open_start, open_n = m["last_start_us"], m["last_n"]
+        else:
+            sessions_of_key = m["last_key_sessions"]
+            open_start, open_n = m["last_start_us"], m["last_n"]
+        run = {
+            "key": m["last_key"],
+            "open_start_us": open_start,
+            "open_end_us": m["last_end_us"],
+            "open_n": open_n,
+            "sessions_of_key": sessions_of_key,
+        }
+        prev_i = i
+
+    out_refs = []
+    for i in range(len(blocks)):
+        if metas[i] is None:
+            continue
+        patched = _sessionize_apply.remote(blocks[i], key, carries[i])
+        out_refs.append(_drop_last_row.remote(patched, drop_last[i]))
+    if not out_refs:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    key: pa.array([], pa.int64()),
+                    "session_idx": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "start_ts": pa.array([], pa.timestamp("us")),
+                    "end_ts": pa.array([], pa.timestamp("us")),
+                }
+            )
+        )
+    # session tables stay in plasma; re-assembled zero-copy
+    return rd.from_arrow_refs(out_refs)

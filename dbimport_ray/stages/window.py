@@ -75,12 +75,23 @@ def sessionize(
     ts_col: str,
     gap_minutes: float,
     tie_col: str | None = None,
+    skew_safe: bool = False,
 ) -> rd.Dataset:
     """One row per (key, session): a new session starts when the gap to the
     previous event of the same key exceeds ``gap_minutes``. Output columns:
     key, ``session_idx`` (0-based per key), ``n_events``, ``start_ts``,
     ``end_ts``.
+
+    ``skew_safe=True`` switches to the distributed scan
+    (stages/scan.py:sessionize_scan): range-sorted block sessionization +
+    a boundary carry that merges sessions spanning blocks, so one entity
+    holding half the stream spreads over many tasks instead of one
+    map_groups straggler.
     """
+    if skew_safe:
+        from .scan import sessionize_scan
+
+        return sessionize_scan(ds, key, ts_col, gap_minutes)
     gap_us = np.int64(gap_minutes * 60_000_000)
     order = [ts_col] + ([tie_col] if tie_col else [])
 

@@ -107,3 +107,72 @@ def test_rolling_scan_window_edges(ray_session):
         [np.mean(np.arange(max(0, i - 3), i + 1)) for i in range(n)]
     )
     assert np.allclose(out, want)
+
+
+def _cmp_sessions(a_ds, b_ds):
+    cols = ["user_id", "session_idx", "n_events", "start_ts", "end_ts"]
+    a = a_ds.to_pandas().sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+    b = b_ds.to_pandas().sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[cols], b[cols], check_dtype=False)
+
+
+def test_sessionize_scan_matches_map_groups(ray_session):
+    """Hot key (50% of rows) with sessions that genuinely span sorted-block
+    boundaries — the scan's merge carry must reproduce the single-task
+    kernel exactly (indices, counts, start/end timestamps)."""
+    from dbimport_ray.stages.window import sessionize
+
+    rng = np.random.default_rng(31)
+    n = 6000
+    hot = n // 2
+    keys = np.r_[np.full(hot, 7), rng.integers(100, 140, n - hot)]
+    # timestamps: mixture of small gaps (same session) and >gap jumps
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    steps = rng.choice([30_000_000, 60_000_000, 7_200_000_000], size=n,
+                       p=[0.6, 0.3, 0.1]).astype(np.int64)
+    per_key_ts = {}
+    ts = np.empty(n, dtype="datetime64[us]")
+    for i, k in enumerate(keys):
+        cur = per_key_ts.get(k, base)
+        cur = cur + np.timedelta64(int(steps[i]), "us")
+        per_key_ts[k] = cur
+        ts[i] = cur
+    t = pa.table(
+        {
+            "user_id": pa.array(keys, pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(8)
+    plain = sessionize(ds, "user_id", "ts", gap_minutes=30)
+    safe = sessionize(ds, "user_id", "ts", gap_minutes=30, skew_safe=True)
+    _cmp_sessions(plain, safe)
+
+
+def test_sessionize_scan_session_spanning_many_blocks(ray_session):
+    """One key, one CONTINUOUS session split over many sorted blocks: the
+    carry chain must collapse it to a single session row with the first
+    block's start and the last block's end."""
+    from dbimport_ray.stages.window import sessionize
+
+    n = 500
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    ts = base + np.arange(n) * np.timedelta64(60_000_000, "us")  # 1-min steps
+    t = pa.table(
+        {
+            "user_id": pa.array(np.full(n, 1), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(7)
+    out = sessionize(ds, "user_id", "ts", 30, skew_safe=True).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["session_idx"] == 0 and r["n_events"] == n
+    assert np.datetime64(r["start_ts"]) == ts[0]
+    assert np.datetime64(r["end_ts"]) == ts[-1]
+    # sanity: plain kernel agrees
+    plain = sessionize(ds, "user_id", "ts", 30).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), plain.reset_index(drop=True), check_dtype=False
+    )
