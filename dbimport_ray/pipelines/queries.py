@@ -924,6 +924,19 @@ def q_window_lag(sf_dir: str) -> rd.Dataset:
     return out.select_columns(["event_id", "prev_value"])
 
 
+def q_window_lag_scan(sf_dir: str) -> rd.Dataset:
+    """Skew-safe lag via the distributed scan's previous-value carry —
+    same oracle as ``window_lag``."""
+    from ..stages.window import window_lag
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
+    out = window_lag(
+        ds, "user_id", ["ts", "event_id"], "value", out="prev_value",
+        skew_safe=True,
+    )
+    return out.select_columns(["event_id", "prev_value"])
+
+
 def q_asof_join(sf_dir: str) -> rd.Dataset:
     """Point-in-time dimension join: each event picks the latest order of
     the same customer placed at-or-before the event time (tag + union +
@@ -2167,6 +2180,7 @@ FROM (
 """
 
 ORACLES["sessionize_scan"] = ORACLES["sessionize"]
+ORACLES["window_lag_scan"] = ORACLES["window_lag"]
 ORACLES["sql_read_duckdb"] = ORACLES["sql_incremental_read"]
 ORACLES["window_cumsum_scan"] = ORACLES["window_cumsum"]
 ORACLES["rolling_mean_scan"] = ORACLES["rolling_mean"]
@@ -2200,6 +2214,7 @@ QUERIES = {
     # --- new in round 3 (oracle-backed) ---
     "prep_corpus": q_prep_corpus,
     "sessionize_scan": q_sessionize_scan,
+    "window_lag_scan": q_window_lag_scan,
     "sql_read_duckdb": q_sql_read_duckdb,
     "window_cumsum_scan": q_window_cumsum_scan,
     "rolling_mean_scan": q_rolling_mean_scan,

@@ -361,3 +361,85 @@ def sessionize_scan(
         )
     # session tables stay in plasma; re-assembled zero-copy
     return rd.from_arrow_refs(out_refs)
+
+
+# ---------------------------------------------------------------------------
+# Skew-safe per-key lag — scan skeleton, last-value carry
+# ---------------------------------------------------------------------------
+
+@ray.remote(num_returns=2)
+def _lag_block(tbl, key, order_cols, value_col, out):
+    """Per-block lag within key segments; the carry is the LAST row's
+    (key, value) — the previous image a continuation block's first row
+    needs."""
+    import pyarrow.compute as pc_
+
+    if tbl.num_rows == 0:
+        return tbl, None
+    tbl = tbl.take(
+        pc_.sort_indices(
+            tbl, [(key, "ascending")] + [(c, "ascending") for c in order_cols]
+        )
+    )
+    k = tbl[key].to_numpy(zero_copy_only=False)
+    n = len(k)
+    seg_start = np.r_[True, k[1:] != k[:-1]]
+    col = tbl[value_col].combine_chunks()
+    prev_idx = np.arange(n) - 1
+    shifted = col.take(pa.array(np.where(seg_start, 0, prev_idx)))
+    shifted = pc_.if_else(pa.array(~seg_start), shifted, pa.nulls(n, col.type))
+    tbl = tbl.append_column(out, shifted)
+    meta = {
+        "first_key": k[0],
+        "last_key": k[-1],
+        "last_value": col[n - 1].as_py(),
+        "rows": n,
+    }
+    return tbl, meta
+
+
+@ray.remote
+def _lag_apply(tbl, key, out, carry):
+    """Set the first row's lag to the carried previous value when its key
+    continues from the previous block."""
+    import pyarrow.compute as pc_
+
+    if tbl.num_rows == 0 or carry is None:
+        return tbl
+    col = tbl[out].combine_chunks()
+    mask = pa.array(np.arange(tbl.num_rows) == 0)
+    patched = pc_.if_else(mask, pa.scalar(carry["value"], col.type), col)
+    return tbl.set_column(tbl.schema.get_field_index(out), out, patched)
+
+
+def lag_scan(
+    ds: rd.Dataset,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    out: str,
+) -> rd.Dataset:
+    """Skew-safe ``lag(value) OVER (PARTITION BY key ORDER BY …)``:
+    range-sorted block kernels + a single previous-value carry per block
+    boundary (sorted order means only a block's first row can need it)."""
+    sorted_ds = ds.sort([key] + list(order_cols)).materialize()
+    refs = sorted_ds.to_arrow_refs()
+    blocks, metas = [], []
+    for r in refs:
+        b, m = _lag_block.remote(r, key, list(order_cols), value_col, out)
+        blocks.append(b)
+        metas.append(m)
+    metas = ray.get(metas)
+    carries: list = [None] * len(blocks)
+    run = None  # (key, last value) of the most recent non-empty block
+    for i, m in enumerate(metas):
+        if m is None or m["rows"] == 0:
+            continue
+        if run is not None and m["first_key"] == run["key"]:
+            carries[i] = {"value": run["value"]}
+        run = {"key": m["last_key"], "value": m["last_value"]}
+    out_refs = [
+        _lag_apply.remote(blocks[i], key, out, carries[i])
+        for i in range(len(blocks))
+    ]
+    return rd.from_arrow_refs(out_refs)

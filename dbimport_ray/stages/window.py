@@ -136,11 +136,20 @@ def window_lag(
     order: list[str],
     value_col: str,
     out: str | None = None,
+    skew_safe: bool = False,
 ) -> rd.Dataset:
     """SQL ``lag(value) OVER (PARTITION BY key ORDER BY order)``: every
     input row comes back with the previous row's value (null for the first
-    row of each key). The old-image lookup of a change stream."""
+    row of each key). The old-image lookup of a change stream.
+
+    ``skew_safe=True`` switches to the distributed scan (stages/scan.py:
+    lag_scan): sorted block kernels + a single previous-value carry per
+    boundary — a hot entity spreads over many tasks."""
     out = out or f"prev_{value_col}"
+    if skew_safe:
+        from .scan import lag_scan
+
+        return lag_scan(ds, key, order, value_col, out)
 
     def per_key(t: pa.Table) -> pa.Table:
         idx = _sort_indices(t, order)

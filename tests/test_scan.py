@@ -176,3 +176,19 @@ def test_sessionize_scan_session_spanning_many_blocks(ray_session):
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), plain.reset_index(drop=True), check_dtype=False
     )
+
+
+def test_lag_scan_matches_map_groups(ray_session):
+    from dbimport_ray.stages.window import window_lag
+
+    t = _hot_table(n=6000)
+    ds = rd.from_arrow(t).repartition(8)
+    plain = window_lag(ds, "user_id", ["seq"], "v")
+    safe = window_lag(ds, "user_id", ["seq"], "v", skew_safe=True)
+    a = plain.to_pandas().sort_values(["user_id", "seq"]).reset_index(drop=True)
+    b = safe.to_pandas().sort_values(["user_id", "seq"]).reset_index(drop=True)
+    assert a["prev_v"].isna().equals(b["prev_v"].isna())
+    m = ~a["prev_v"].isna()
+    assert np.array_equal(a["prev_v"][m].to_numpy(), b["prev_v"][m].to_numpy())
+    # exactly one null per key (its first row)
+    assert int(a["prev_v"].isna().sum()) == a["user_id"].nunique()
