@@ -637,6 +637,31 @@ def _cosine_bucket_reps(
     return pa.table({id_col: pa.array(ids), "rep": pa.array(rep)})
 
 
+def _embedding_bucket_kernel(
+    t: pa.Table, emb_col: str, id_col: str, threshold: float
+) -> pa.Table:
+    """One COARSE bucket = many raw hyperplane buckets: a single lexsort
+    finds every bucket's min-id row; one segmented einsum computes every
+    row's cosine against its bucket's representative. Same semantics as
+    :func:`_cosine_bucket_reps` per raw bucket, without one Python kernel
+    call per tiny group (up to 2^num_planes of them at corpus scale)."""
+    from .ann import _to_matrix
+
+    ids = pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+    bkt = t["bucket"].to_numpy(zero_copy_only=False)
+    order, starts = _segments_by([bkt, ids])
+    ids_s = ids[order]
+    embs = _to_matrix(t[emb_col])[order]
+    norms = np.linalg.norm(embs, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = embs / norms
+    seg_len = np.diff(np.r_[starts, len(ids_s)])
+    first = np.repeat(starts, seg_len)
+    sims = np.einsum("ij,ij->i", unit, unit[first])
+    rep = np.where(sims >= threshold, ids_s[first], ids_s)
+    return pa.table({id_col: pa.array(ids_s), "rep": pa.array(rep)})
+
+
 def embedding_dedup_clusters(
     ds: rd.Dataset,
     emb_col: str,
@@ -647,13 +672,25 @@ def embedding_dedup_clusters(
     seed: int = 99,
 ) -> rd.Dataset:
     """(id, rep): cosine-near-duplicates (sim ≥ threshold to a bucket's
-    min-id doc) collapse onto that doc."""
+    min-id doc) collapse onto that doc. Raw hyperplane buckets are grouped
+    under a bounded coarse bucket (hash % 64) so the exchange carries the
+    same rows but Ray schedules ~64 vectorized kernel calls, not one per
+    tiny bucket — the same shape that took minhash clustering 9.2→7.6 s."""
     buckets = ds.map_batches(
         HyperplaneLSH(emb_col, id_col, dim, num_planes=num_planes, seed=seed),
         batch_format="pyarrow",
     )
-    per_bucket = buckets.groupby("bucket").map_groups(
-        lambda g: _cosine_bucket_reps(g, emb_col, id_col, threshold),
-        batch_format="pyarrow",
+    nb = 64
+
+    def add_bkt(t: pa.Table) -> pa.Table:
+        return t.append_column("_bkt", _coarse_bucket(t, ["bucket"], nb))
+
+    per_bucket = (
+        buckets.map_batches(add_bkt, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(
+            lambda g: _embedding_bucket_kernel(g, emb_col, id_col, threshold),
+            batch_format="pyarrow",
+        )
     )
     return per_bucket.groupby(id_col).aggregate(Min("rep", alias_name="rep"))

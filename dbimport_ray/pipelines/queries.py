@@ -1026,6 +1026,92 @@ def q_range_join(sf_dir: str) -> rd.Dataset:
     return res
 
 
+def q_asof_join_scan(sf_dir: str) -> rd.Dataset:
+    """Skew-safe variant of :func:`q_asof_join`: identical semantics
+    (latest order at-or-before each event, MAX(o_totalprice) tie rule) via
+    the distributed scan — range-sorted tagged union + one right-image
+    carry per block boundary (stages/scan.py:asof_join_scan), so a hot
+    customer spreads over many tasks."""
+    from ..stages.window import asof_join
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    orders = _read(
+        sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    ).rename_columns({"o_custkey": "user_id"})
+    return asof_join(
+        ev,
+        orders,
+        key="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        value_cols=["o_totalprice"],
+        keep=["event_id"],
+        left_schema=pa.schema(
+            [("user_id", pa.int64()), ("ts", pa.timestamp("us")), ("event_id", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("user_id", pa.int64()), ("o_orderdate", pa.date32()), ("o_totalprice", pa.float64())]
+        ),
+        right_tie_cols=["o_totalprice"],
+        select=["event_id", "user_id", "o_totalprice"],
+        skew_safe=True,
+    )
+
+
+def q_range_join_scan(sf_dir: str) -> rd.Dataset:
+    """Skew-safe variant of :func:`q_range_join`: the same 60-minute
+    attribution-window interval join via the distributed scan — per-block
+    interval kernels + an open-interval-set carry per block boundary
+    (stages/scan.py:range_join_scan)."""
+    from ..stages.window import range_join
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    wins = _read(
+        sf_dir,
+        "events",
+        columns=["user_id", "ts", "event_id"],
+        filter_columns=("event_type",),
+        filter=pc.field("event_type") == "purchase",
+    )
+
+    def mk_win(t: pa.Table) -> pa.Table:
+        hour = pa.scalar(3_600_000_000, type=pa.duration("us"))
+        start = pc.cast(t["ts"], pa.timestamp("us"))
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "w_start": start,
+                "w_end": pc.add(start, hour),
+                "window_id": t["event_id"],
+            }
+        )
+
+    wins = wins.map_batches(mk_win, batch_format="pyarrow")
+    return range_join(
+        ev,
+        wins,
+        key="user_id",
+        left_time="ts",
+        start_col="w_start",
+        end_col="w_end",
+        value_cols=["window_id"],
+        keep=["event_id"],
+        left_schema=pa.schema(
+            [("user_id", pa.int64()), ("ts", pa.timestamp("us")), ("event_id", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("w_start", pa.timestamp("us")),
+                ("w_end", pa.timestamp("us")),
+                ("window_id", pa.int64()),
+            ]
+        ),
+        select=["event_id", "window_id"],
+        skew_safe=True,
+    )
+
+
 def q_star_enrich(sf_dir: str) -> rd.Dataset:
     """Star-schema dimension enrichment, shuffle-free: the snowflake chain
     supplier→nation→region is composed driver-side into ONE tiny
@@ -2179,6 +2265,8 @@ FROM (
 ) WHERE rn = 1
 """
 
+ORACLES["asof_join_scan"] = ORACLES["asof_join"]
+ORACLES["range_join_scan"] = ORACLES["range_join"]
 ORACLES["sessionize_scan"] = ORACLES["sessionize"]
 ORACLES["window_lag_scan"] = ORACLES["window_lag"]
 ORACLES["sql_read_duckdb"] = ORACLES["sql_incremental_read"]
@@ -2206,65 +2294,16 @@ def q_ann_topk(sf_dir: str) -> rd.Dataset:
 
 
 # Ordering contract: the correctness driver checks the FIRST 50 entries per
-# round. Entries never covered by a previous round's CORRECTNESS_r*.json go
-# FIRST (oracle-backed before rows-only); the 50 queries already green in
-# r02 follow. Append NEW queries to the front block until they earn a green
-# driver row.
+# round, so positions 1-50 must hold ONLY oracle-backed queries (a rows-only
+# entry in the window burns a slot on an `err: no_oracle` row). Front block:
+# oracle-backed queries with no green driver row yet (new this round, or
+# green in r02 but pushed past the r03 window); then r03-green fill; the
+# rows-only sketch/model queries (pytest-verified) close the dict tail.
 QUERIES = {
-    # --- new in round 3 (oracle-backed) ---
-    "prep_corpus": q_prep_corpus,
-    "sessionize_scan": q_sessionize_scan,
-    "window_lag_scan": q_window_lag_scan,
-    "sql_read_duckdb": q_sql_read_duckdb,
-    "window_cumsum_scan": q_window_cumsum_scan,
-    "rolling_mean_scan": q_rolling_mean_scan,
-    # --- oracle-backed, absent from CORRECTNESS_r02 ---
-    "normalize_docs": q_normalize_docs,
-    "maintained_agg": q_maintained_agg,
-    "bloom_semi_lineitem": q_bloom_semi_lineitem,
-    "bloom_anti_lineitem": q_bloom_anti_lineitem,
-    "stratified_sample": q_stratified_sample,
-    "rollup_lineitem": q_rollup_lineitem,
-    "version_diff": q_version_diff,
-    "left_outer_join": q_left_outer_join,
-    "window_cumsum": q_window_cumsum,
-    "sample_n_per_lang": q_sample_n_per_lang,
-    "outliers_by_lang": q_outliers_by_lang,
-    "collect_sample_ids": q_collect_sample_ids,
-    "grouped_mean_std": q_grouped_mean_std,
-    # --- rows-only (no SQL-expressible oracle), absent from r02 ---
-    "approx_quantiles_docs": q_approx_quantiles_docs,
-    "approx_distinct_by_type": q_approx_distinct_by_type,
-    "tfidf_top_terms": q_tfidf_top_terms,
-    "approx_distinct_users": q_approx_distinct_users,
-    "minhash_cc_clusters": q_minhash_cc_clusters,
-    "minhash_dedup_docs": q_minhash_dedup_docs,
-    "minhash_verified_docs": q_minhash_verified_docs,
-    "simhash_docs": q_simhash_docs,
-    "embedding_dedup": q_embedding_dedup,
-    "lang_id_docs": q_lang_id_docs,
-    "fingerprint_docs": q_fingerprint_docs,
-    "multimodal_features": q_multimodal_features,
-    "audio_features": q_audio_features,
-    # --- green in CORRECTNESS_r02 (rows_match+schema_match+hash_match) ---
-    "cdc_merge_soft": q_cdc_merge_soft,
-    "cdc_merge_hard": q_cdc_merge_hard,
-    "cdc_merge_salted": q_cdc_merge_salted,
-    "cdc_full_load": q_cdc_full_load,
-    "cdc_history_audit": q_cdc_history_audit,
-    "join_agg": q_join_agg,
-    "lww_dedup": q_lww_dedup,
-    "watermark_filter": q_watermark_filter,
-    "max_watermark": q_max_watermark,
-    "sql_incremental_read": q_sql_incremental_read,
-    "rowcount_validation": q_rowcount_validation,
-    "project_rename_cast": q_project_rename_cast,
-    "static_filter": q_static_filter,
-    "anonymize_hash": q_anonymize_hash,
-    "anonymize_mask": q_anonymize_mask,
-    "anonymize_first4": q_anonymize_first4,
-    "groupby_pk_max": q_groupby_pk_max,
-    "agg_lineitem": q_agg_lineitem,
+    # --- new in round 4 (oracle-backed) ---
+    "asof_join_scan": q_asof_join_scan,
+    "range_join_scan": q_range_join_scan,
+    # --- oracle-backed, green in r02 but absent from CORRECTNESS_r03 ---
     "antijoin_deletes": q_antijoin_deletes,
     "exact_dedup_docs": q_exact_dedup_docs,
     "token_count_docs": q_token_count_docs,
@@ -2297,4 +2336,57 @@ QUERIES = {
     "except_keys": q_except_keys,
     "symdiff_keys": q_symdiff_keys,
     "pii_scrub_docs": q_pii_scrub_docs,
+    # --- oracle-backed, green in CORRECTNESS_r03 (fill to 50) ---
+    "prep_corpus": q_prep_corpus,
+    "cdc_merge_soft": q_cdc_merge_soft,
+    "cdc_merge_hard": q_cdc_merge_hard,
+    "cdc_merge_salted": q_cdc_merge_salted,
+    "cdc_full_load": q_cdc_full_load,
+    "cdc_history_audit": q_cdc_history_audit,
+    "sessionize_scan": q_sessionize_scan,
+    "window_lag_scan": q_window_lag_scan,
+    "window_cumsum_scan": q_window_cumsum_scan,
+    "rolling_mean_scan": q_rolling_mean_scan,
+    "sql_read_duckdb": q_sql_read_duckdb,
+    "sql_incremental_read": q_sql_incremental_read,
+    "join_agg": q_join_agg,
+    "lww_dedup": q_lww_dedup,
+    "watermark_filter": q_watermark_filter,
+    "bloom_semi_lineitem": q_bloom_semi_lineitem,
+    "bloom_anti_lineitem": q_bloom_anti_lineitem,
+    "normalize_docs": q_normalize_docs,
+    # --- oracle-backed, green in r03, past the 50-slot window ---
+    "maintained_agg": q_maintained_agg,
+    "stratified_sample": q_stratified_sample,
+    "rollup_lineitem": q_rollup_lineitem,
+    "version_diff": q_version_diff,
+    "left_outer_join": q_left_outer_join,
+    "window_cumsum": q_window_cumsum,
+    "sample_n_per_lang": q_sample_n_per_lang,
+    "outliers_by_lang": q_outliers_by_lang,
+    "collect_sample_ids": q_collect_sample_ids,
+    "grouped_mean_std": q_grouped_mean_std,
+    "max_watermark": q_max_watermark,
+    "rowcount_validation": q_rowcount_validation,
+    "project_rename_cast": q_project_rename_cast,
+    "static_filter": q_static_filter,
+    "anonymize_hash": q_anonymize_hash,
+    "anonymize_mask": q_anonymize_mask,
+    "anonymize_first4": q_anonymize_first4,
+    "groupby_pk_max": q_groupby_pk_max,
+    "agg_lineitem": q_agg_lineitem,
+    # --- rows-only (no SQL-expressible oracle; pytest-verified) ---
+    "approx_quantiles_docs": q_approx_quantiles_docs,
+    "approx_distinct_by_type": q_approx_distinct_by_type,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "approx_distinct_users": q_approx_distinct_users,
+    "minhash_cc_clusters": q_minhash_cc_clusters,
+    "minhash_dedup_docs": q_minhash_dedup_docs,
+    "minhash_verified_docs": q_minhash_verified_docs,
+    "simhash_docs": q_simhash_docs,
+    "embedding_dedup": q_embedding_dedup,
+    "lang_id_docs": q_lang_id_docs,
+    "fingerprint_docs": q_fingerprint_docs,
+    "multimodal_features": q_multimodal_features,
+    "audio_features": q_audio_features,
 }

@@ -340,6 +340,219 @@ class MySQLDialect(SQLDialect):
         return " AND ".join(preds)
 
 
+class OracleDialect(SQLDialect):
+    """Oracle typed catalog + flashback-CDC surface. The sandbox has no
+    Oracle server; this is the dialect surface the connector needs — the
+    type normalization mirroring import_config.py:1352-1410 (oracle
+    branch), TO_TIMESTAMP watermark literals (import_config.py:2213,2238),
+    and the VERSIONS BETWEEN SCN flashback read clause
+    (import_config.py:2132-2148). The flashback carrier columns
+    (``datalake_flashback_operation`` / ``datalake_flashback_startscn``,
+    import_config.py:3233-3234) feed the engine's standard LWW merge via
+    stages/normalize.py:carrier_to_change_events."""
+
+    name = "oracle"
+
+    # CDC carrier columns a flashback read emits (import_config.py:1951,
+    # 3233): VERSIONS_OPERATION ('I'/'U'/'D') and VERSIONS_STARTSCN.
+    carrier_op_col = "datalake_flashback_operation"
+    carrier_seq_col = "datalake_flashback_startscn"
+
+    def type_to_arrow(self, decl: str | None) -> pa.DataType:
+        d = (decl or "").lower().strip()
+        d = _re.sub(r" (char|byte)\)$", ")", d)  # varchar2(30 char) → (30)
+        m = _re.match(r"number\((\d+),\s*(-?\d+)\)", d)
+        if m:
+            p, s = int(m.group(1)), int(m.group(2))
+            if s <= 0:
+                return pa.int64()
+            # number(3,4) exists in the wild; widen like the reference's
+            # decimal(3,4)→decimal(8,4) repair (import_config.py:1408)
+            return pa.decimal128(max(p, s + 1), s)
+        m = _re.match(r"number\((\d+)\)", d)
+        if m:
+            return pa.int64()  # ≤9 digits → int, 10-18 → bigint: both int64
+        if d == "number":
+            return pa.decimal128(38, 19)  # import_config.py:1392
+        if d.startswith(("varchar2", "nvarchar2", "nvarchar", "varchar", "char", "nchar")):
+            return pa.string()
+        if d in ("clob", "nclob", "nlob", "long", "long raw") or d.startswith("xmltype"):
+            return pa.string()
+        if d.startswith("rowid"):
+            return pa.string()
+        if d.startswith("float") or d.startswith("binary_double"):
+            return pa.float64()
+        if d.startswith("binary_float"):
+            return pa.float32()
+        if d.startswith("timestamp"):
+            return (
+                pa.timestamp("us", "UTC") if "time zone" in d else pa.timestamp("us")
+            )
+        if d == "date":
+            return pa.timestamp("us")  # oracle DATE has time parts
+        if d == "blob" or d.startswith("raw"):
+            return pa.binary()
+        if d.startswith(("sdo_geometry", "anydata", "wf_event_t", "ih_bulk_type", "jtf_pf_page_object")):
+            return pa.binary()
+        return pa.string()
+
+    def format_literal(self, v) -> str:
+        if isinstance(v, _dt.datetime):
+            return (
+                "TO_TIMESTAMP('"
+                + v.strftime("%Y-%m-%d %H:%M:%S.%f")
+                + "', 'YYYY-MM-DD HH24:MI:SS.FF6')"
+            )
+        if isinstance(v, _dt.date):
+            return "TO_DATE('" + v.isoformat() + "', 'YYYY-MM-DD')"
+        return super().format_literal(v)
+
+    def table_schema(self, conn, table: str) -> pa.Schema:
+        rows = conn.execute(
+            "SELECT column_name, data_type FROM all_tab_columns"
+            " WHERE table_name = ? ORDER BY column_id",
+            [table],
+        ).fetchall()
+        return pa.schema([(r[0], self.type_to_arrow(r[1])) for r in rows])
+
+    def flashback_versions_clause(
+        self, after_scn: int | None, upto_scn: int, initial_min_scn: int | None = None
+    ) -> str:
+        """The flashback read's FROM-suffix: ``VERSIONS BETWEEN SCN a AND b
+        WHERE …``. Incremental (``after_scn`` known) keeps only row
+        versions born in (after, upto]; the initial load keeps each row's
+        live image (import_config.py:2132-2148)."""
+        if after_scn is not None:
+            return (
+                f"VERSIONS BETWEEN SCN {int(after_scn)} AND {int(upto_scn)} "
+                f"WHERE VERSIONS_STARTSCN > {int(after_scn)} "
+                f"AND VERSIONS_STARTSCN <= {int(upto_scn)} "
+                "AND VERSIONS_OPERATION IS NOT NULL AND VERSIONS_ENDTIME IS NULL"
+            )
+        lo = "MINVALUE" if initial_min_scn is None else str(int(initial_min_scn))
+        return (
+            f"VERSIONS BETWEEN SCN {lo} AND {int(upto_scn)} "
+            "WHERE VERSIONS_ENDTIME IS NULL "
+            "AND (VERSIONS_OPERATION != 'D' OR VERSIONS_OPERATION IS NULL)"
+        )
+
+    def flashback_select(
+        self, table: str, columns: list[str], after_scn: int | None, upto_scn: int
+    ) -> str:
+        """Full flashback read: project the table columns plus the two CDC
+        carrier columns (VERSIONS_OPERATION/VERSIONS_STARTSCN aliased to
+        the datalake carrier names, import_config.py:3233-3234)."""
+        cols = ", ".join(quote_ident(c) for c in columns)
+        return (
+            f"SELECT {cols}, VERSIONS_OPERATION AS {quote_ident(self.carrier_op_col)}, "
+            f"VERSIONS_STARTSCN AS {quote_ident(self.carrier_seq_col)} "
+            f"FROM {quote_ident(table)} "
+            + self.flashback_versions_clause(after_scn, upto_scn)
+        )
+
+
+class MSSQLDialect(SQLDialect):
+    """SQL Server typed catalog + Change-Tracking CDC surface — type
+    normalization mirroring import_config.py:1318-1350 (mssql branch),
+    ``CONVERT(datetime, …, 121)`` watermark literals
+    (import_config.py:2209,2234), bracket identifier quoting, and the
+    CHANGETABLE(CHANGES …) read join (import_config.py:2519-2566) whose
+    carrier columns (``datalake_mssql_changetrack_version`` /
+    ``_operation``) feed the standard LWW merge with key-only deletes."""
+
+    name = "mssql"
+
+    carrier_op_col = "datalake_mssql_changetrack_operation"
+    carrier_seq_col = "datalake_mssql_changetrack_version"
+
+    def type_to_arrow(self, decl: str | None) -> pa.DataType:
+        d = (decl or "").lower().strip()
+        m = _re.match(r"(numeric|decimal|money)\((\d+),\s*(\d+)\)", d)
+        if m:
+            return pa.decimal128(int(m.group(2)), int(m.group(3)))
+        if d == "money":
+            return pa.decimal128(19, 4)
+        if d in ("bit", "tinyint") or d.startswith(("smallint", "int", "bigint")):
+            return pa.int64()  # bit→tinyint per import_config.py:1337
+        if d in ("real", "smallmoney"):
+            return pa.float32()
+        if d.startswith("float"):
+            return pa.float64()
+        if d.startswith(("datetime", "smalldatetime")):
+            return pa.timestamp("us")  # datetime/datetime2 → timestamp
+        if d == "date":
+            return pa.date32()
+        if d.startswith("time"):
+            return pa.string()  # reference maps time → String
+        if d in ("uniqueidentifier", "ntext", "text", "xml") or d.startswith(
+            ("varchar", "nvarchar", "char", "nchar")
+        ):
+            return pa.string()
+        if d == "image" or d.startswith(("binary", "varbinary", "geometry", "geography")):
+            return pa.binary()
+        return pa.string()
+
+    def quote(self, name: str) -> str:
+        if "\x00" in name:
+            raise ValueError(f"invalid SQL identifier: {name!r}")
+        return "[" + name.replace("]", "]]") + "]"
+
+    def format_literal(self, v) -> str:
+        if isinstance(v, _dt.datetime):
+            # MSSQL errors on microseconds — milliseconds only, style 121
+            # (import_config.py:2186-2189)
+            ms = v.strftime("%Y-%m-%d %H:%M:%S") + ".%03d" % (v.microsecond // 1000)
+            return f"CONVERT(datetime, '{ms}', 121)"
+        if isinstance(v, _dt.date):
+            return f"CONVERT(date, '{v.isoformat()}', 23)"
+        return super().format_literal(v)
+
+    def incr_where_literal(
+        self, seq_col: str, after_seq=None, upto_seq=None
+    ) -> str:
+        preds = []
+        if after_seq is not None:
+            preds.append(f"{self.quote(seq_col)} > {self.format_literal(after_seq)}")
+        if upto_seq is not None:
+            preds.append(f"{self.quote(seq_col)} <= {self.format_literal(upto_seq)}")
+        return " AND ".join(preds)
+
+    def changetable_select(
+        self, table: str, columns: list[str], pk_cols: list[str],
+        last_version: int | None,
+    ) -> str:
+        """The Change-Tracking read (import_config.py:2519-2566):
+        incremental loads RIGHT OUTER JOIN ``CHANGETABLE(CHANGES t, ver)``
+        so pure deletes (no base row left) still come back — their PK is
+        projected FROM CT (the base columns are NULL, which is exactly the
+        key-only-delete event shape the merge path consumes); the initial
+        load LEFT JOINs version 0 so every row gets carrier columns."""
+        pk = set(pk_cols)
+        proj = []
+        for c in columns:
+            src = "CT" if (last_version is not None and c in pk) else "ST"
+            proj.append(f"{src}.{self.quote(c)}")
+        sel = (
+            f"SELECT CT.{self.quote('SYS_CHANGE_VERSION')} AS "
+            f"{self.quote(self.carrier_seq_col)}, "
+            f"CT.{self.quote('SYS_CHANGE_OPERATION')} AS "
+            f"{self.quote(self.carrier_op_col)}, "
+            + ", ".join(proj)
+            + f" FROM {self.quote(table)} AS ST "
+        )
+        if last_version is None:
+            sel += f"LEFT JOIN CHANGETABLE(CHANGES {self.quote(table)}, 0) AS CT"
+        else:
+            sel += (
+                f"RIGHT OUTER JOIN CHANGETABLE(CHANGES {self.quote(table)}, "
+                f"{int(last_version)}) AS CT"
+            )
+        on = " AND ".join(
+            f"CT.{self.quote(c)} = ST.{self.quote(c)}" for c in pk_cols
+        )
+        return sel + " ON " + on
+
+
 DIALECTS = {
     d.name: d
     for d in (
@@ -348,6 +561,8 @@ DIALECTS = {
         DuckDBDialect(),
         PostgresDialect(),
         MySQLDialect(),
+        OracleDialect(),
+        MSSQLDialect(),
     )
 }
 

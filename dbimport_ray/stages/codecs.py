@@ -1,10 +1,12 @@
-"""Pure-numpy media codecs for UNCOMPRESSED container formats.
+"""Pure-numpy media codecs — uncompressed containers plus PNG.
 
 The sandbox has no PIL/cv2/soundfile, but PPM (P6), BMP (24-bit
 uncompressed) and WAV (RIFF PCM16) are simple enough to decode with numpy
-alone — so the multimodal stages (stages/multimodal.py) can run a REAL
-decode → feature/resize kernel end-to-end instead of a stub. Compressed
-formats (JPEG/PNG/MP3) still route to the pluggable-decoder stub path.
+alone, and PNG needs nothing beyond stdlib ``zlib`` for the IDAT inflate
+plus numpy unfiltering (filters 0-4) — so the multimodal stages
+(stages/multimodal.py) run a REAL decode → feature/resize kernel
+end-to-end instead of a stub. Only JPEG/MP3-class DCT codecs still route
+to the pluggable-decoder stub path.
 
 Everything here is deterministic and byte-precise: encoders exist so tests
 can synthesize payloads and round-trip them (encode → decode == identity).
@@ -13,6 +15,7 @@ can synthesize payloads and round-trip them (encode → decode == identity).
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -93,6 +96,154 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return rows[:, :, ::-1].copy()  # BGR → RGB
 
 
+# --------------------------------------------------------------------- PNG
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (PNG spec §9.4) over int16 inputs."""
+    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
+    pa_ = np.abs(p - a)
+    pb = np.abs(p - b)
+    pc_ = np.abs(p - c)
+    out = np.where((pa_ <= pb) & (pa_ <= pc_), a, np.where(pb <= pc_, b, c))
+    return out.astype(np.uint8)
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """(h, w, 3) uint8 RGB → PNG (8-bit truecolor, no interlace).
+    ``filter_type`` applies that scanline filter to EVERY row (0-4) —
+    encoding-side filtering is fully vectorized (the reconstructed
+    neighbors are the original pixels), and lets tests round-trip every
+    decode unfilter path."""
+    h, w, c = img.shape
+    if c != 3 or img.dtype != np.uint8:
+        raise ValueError("encode_png expects (h, w, 3) uint8")
+    raw = np.ascontiguousarray(img).reshape(h, w * 3).astype(np.uint8)
+    left = np.zeros_like(raw)
+    left[:, 3:] = raw[:, :-3]
+    up = np.zeros_like(raw)
+    up[1:] = raw[:-1]
+    upleft = np.zeros_like(raw)
+    upleft[1:, 3:] = raw[:-1, :-3]
+    if filter_type == 0:
+        filt = raw
+    elif filter_type == 1:
+        filt = raw - left
+    elif filter_type == 2:
+        filt = raw - up
+    elif filter_type == 3:
+        filt = raw - ((left.astype(np.uint16) + up) // 2).astype(np.uint8)
+    elif filter_type == 4:
+        filt = raw - _paeth(left, up, upleft)
+    else:
+        raise ValueError(f"unknown PNG filter {filter_type}")
+    scanlines = np.concatenate(
+        [np.full((h, 1), filter_type, dtype=np.uint8), filt], axis=1
+    ).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(scanlines))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG → (h, w, 3) uint8 RGB, stdlib-zlib inflate + numpy unfiltering.
+    Supports 8-bit depth, color types 0 (gray → replicated), 2 (RGB) and
+    6 (RGBA → alpha dropped), all five scanline filters, no interlace.
+    Filters 0/2 unfilter as whole-row vector ops; 1 (Sub) is a per-pixel
+    cumulative sum in wrapping uint8 (np.cumsum dtype=uint8); 3/4 carry a
+    left-neighbor dependency, walked per pixel with channels vectorized."""
+    if payload[: len(_PNG_MAGIC)] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_MAGIC)
+    w = h = None
+    idat = []
+    colortype = None
+    while pos + 8 <= len(payload):
+        length = struct.unpack_from(">I", payload, pos)[0]
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + body + crc
+        if ctype == b"IHDR":
+            w, h, depth, colortype, comp, filt_m, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or comp != 0 or filt_m != 0 or interlace != 0:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth}, interlace={interlace})"
+                )
+            if colortype not in (0, 2, 6):
+                raise ValueError(f"unsupported PNG color type {colortype}")
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    bpp = {0: 1, 2: 3, 6: 4}[colortype]
+    stride = w * bpp
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    raw = raw.reshape(h, stride + 1)
+    ftypes = raw[:, 0]
+    data = raw[:, 1:]
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    zero_row = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = int(ftypes[y])
+        row = data[y]
+        prev = recon[y - 1] if y else zero_row
+        if f == 0:
+            recon[y] = row
+        elif f == 1:
+            # uint8 cumsum wraps mod 256 — exactly the Sub recurrence
+            recon[y] = np.cumsum(
+                row.reshape(w, bpp), axis=0, dtype=np.uint8
+            ).reshape(stride)
+        elif f == 2:
+            recon[y] = row + prev
+        elif f == 3:
+            r = recon[y].reshape(w, bpp)
+            rowp = row.reshape(w, bpp)
+            prevp = prev.reshape(w, bpp)
+            left = np.zeros(bpp, dtype=np.uint8)
+            for x in range(w):
+                left = rowp[x] + (
+                    (left.astype(np.uint16) + prevp[x]) // 2
+                ).astype(np.uint8)
+                r[x] = left
+        elif f == 4:
+            r = recon[y].reshape(w, bpp)
+            rowp = row.reshape(w, bpp)
+            prevp = prev.reshape(w, bpp)
+            left = np.zeros(bpp, dtype=np.uint8)
+            upleft = np.zeros(bpp, dtype=np.uint8)
+            for x in range(w):
+                left = rowp[x] + _paeth(left, prevp[x], upleft)
+                r[x] = left
+                upleft = prevp[x]
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+    px = recon.reshape(h, w, bpp)
+    if colortype == 0:
+        return np.repeat(px, 3, axis=2).copy()
+    if colortype == 6:
+        return px[:, :, :3].copy()
+    return px.copy()
+
+
 # --------------------------------------------------------------------- WAV
 def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
     """1-D int16 mono PCM → RIFF/WAVE file bytes."""
@@ -144,13 +295,15 @@ def sniff_format(payload: bytes) -> str | None:
         return "ppm"
     if payload[:2] == b"BM":
         return "bmp"
+    if payload[: len(_PNG_MAGIC)] == _PNG_MAGIC:
+        return "png"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     return None
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Decode any supported uncompressed image container to (h, w, 3)
+    """Decode any supported image container (PPM/BMP/PNG) to (h, w, 3)
     uint8 RGB; raises ValueError on unknown magic (caller falls back to
     its pluggable/stub path)."""
     kind = sniff_format(payload)
@@ -158,6 +311,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_ppm(payload)
     if kind == "bmp":
         return decode_bmp(payload)
+    if kind == "png":
+        return decode_png(payload)
     raise ValueError("unknown image container")
 
 

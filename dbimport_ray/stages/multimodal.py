@@ -115,7 +115,7 @@ class ImageDecodeFeatureStage:
 
     def _decode(self, payload: bytes) -> np.ndarray:
         try:
-            img = decode_image(payload)  # real pixels: PPM / BMP
+            img = decode_image(payload)  # real pixels: PPM / BMP / PNG
         except ValueError:
             if not self.fake:
                 raise NotImplementedError(
@@ -198,7 +198,7 @@ class ImageResizeStage:
 
     def _resize(self, payload: bytes) -> bytes:
         try:
-            img = decode_image(payload)  # real pixels: PPM / BMP
+            img = decode_image(payload)  # real pixels: PPM / BMP / PNG
         except ValueError:
             if not self.fake:
                 raise NotImplementedError(

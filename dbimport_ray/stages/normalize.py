@@ -45,6 +45,37 @@ def sanitize_schema(table: pa.Table) -> pa.Table:
     return table.rename_columns([sanitize_column_name(c) for c in table.column_names])
 
 
+def carrier_to_change_events(
+    batch: pa.Table,
+    op_carrier: str,
+    seq_carrier: str,
+    op_col: str = "op",
+    sequence_col: str = "sequence_id",
+) -> pa.Table:
+    """Map a source dialect's CDC carrier columns onto the engine's
+    canonical change-event columns, vectorized.
+
+    Both Oracle flashback (``datalake_flashback_operation`` /
+    ``_startscn``, import_config.py:3233-3234) and MSSQL Change Tracking
+    (``datalake_mssql_changetrack_operation`` / ``_version``,
+    import_config.py:2524) emit single-letter I/U/D operations plus a
+    monotone version number — exactly the (op, sequence_id) contract of
+    pipelines/cdc.py's LWW merge. Initial-load rows whose carrier op is
+    NULL (flashback live image; CT LEFT JOIN misses) become inserts at
+    sequence 0. MSSQL delete rows arrive with base columns NULL — the
+    key-only-delete shape the merge path already consumes."""
+    import pyarrow.compute as pc
+
+    op = pc.utf8_upper(pc.cast(batch[op_carrier], pa.string()))
+    op = pc.coalesce(op, pa.scalar("I", pa.string()))
+    seq = pc.coalesce(
+        pc.cast(batch[seq_carrier], pa.int64()), pa.scalar(0, pa.int64())
+    )
+    out = batch.drop_columns([op_carrier, seq_carrier])
+    out = out.append_column(op_col, op)
+    return out.append_column(sequence_col, seq)
+
+
 class NormalizeBatch:
     """Callable for ``map_batches`` — stateless, cheap to pickle.
 

@@ -443,3 +443,487 @@ def lag_scan(
         for i in range(len(blocks))
     ]
     return rd.from_arrow_refs(out_refs)
+
+
+# ---------------------------------------------------------------------------
+# Skew-safe as-of join — scan skeleton, last-right-image carry
+# ---------------------------------------------------------------------------
+
+def _lex_gt(scalars, arrays) -> np.ndarray:
+    """Vectorized ``scalars > arrays`` under lexicographic tuple order
+    (one scalar per tie column vs one numpy array per tie column)."""
+    n = len(arrays[0]) if arrays else 0
+    gt = np.zeros(n, dtype=bool)
+    eq = np.ones(n, dtype=bool)
+    for s, a in zip(scalars, arrays):
+        gt |= eq & (s > a)
+        eq &= a == s
+    return gt
+
+
+@ray.remote(num_returns=2)
+def _asof_block(tbl, key, value_cols, keep, tie_cols):
+    """One sorted block of the tagged union (``_src`` 0=right, 1=left).
+    Emits one row per LEFT row with the latest in-block right image of the
+    same key attached (typed nulls when the block holds no earlier right
+    row — those rows resolve against the carry), plus temp columns
+    ``_matched_t`` / ``_tie_i`` for cross-block tie resolution. The meta
+    carries the last key's final right image."""
+    import pyarrow.compute as pc_
+
+    if tbl.num_rows == 0:
+        return None, None
+    k_col = tbl[key].to_numpy(zero_copy_only=False)
+    t = tbl["_t"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+    src = tbl["_src"].to_numpy(zero_copy_only=False)
+    ties = [tbl[c].to_numpy(zero_copy_only=False) for c in tie_cols]
+    # precise in-block order: key, time, rights-before-lefts, tie asc —
+    # so the running "last right row" is the max-tie image per time
+    order = np.lexsort(tuple(reversed(ties)) + (src, t.astype(np.int64), k_col))
+    tbl = tbl.take(pa.array(order))
+    k_col, t, src = k_col[order], t[order], src[order]
+    n = len(k_col)
+    seg_id = np.cumsum(np.r_[True, k_col[1:] != k_col[:-1]]) - 1
+    # running max of right-row positions, reset per key segment: offset
+    # each segment into its own value range so the max never crosses back
+    y = np.where(src == 0, np.arange(1, n + 1, dtype=np.int64), 0)
+    z = y + seg_id.astype(np.int64) * (n + 2)
+    last_right = np.maximum.accumulate(z) - seg_id.astype(np.int64) * (n + 2)
+    matched = last_right - 1  # -1 → no in-block right row yet (pending)
+    lmask = src == 1
+    lpos = np.flatnonzero(lmask)
+    lmatch = matched[lpos]
+    take_idx = pa.array(
+        np.where(lmatch >= 0, lmatch, 0), pa.int64(), mask=lmatch < 0
+    )  # null index → null value (pending rows)
+    lt = tbl.take(pa.array(lpos))
+    cols = {key: lt[key]}
+    for c in keep:
+        cols[c] = lt[c]
+    for c in value_cols:
+        cols[c] = tbl[c].combine_chunks().take(take_idx)
+    cols["_matched_t"] = pa.array(t, pa.timestamp("us")).take(take_idx)
+    for i, c in enumerate(tie_cols):
+        cols[f"_tie_{i}"] = tbl[c].combine_chunks().take(take_idx)
+    out = pa.table(cols)
+    lr_last = int(last_right[-1])
+    image = None
+    if lr_last > 0:
+        p = lr_last - 1
+        image = {
+            "t_us": int(t[p].astype("datetime64[us]").astype(np.int64)),
+            "ties": tuple(ties[j][order][p] for j in range(len(tie_cols))),
+            "values": {c: tbl[c][p].as_py() for c in value_cols},
+        }
+    meta = {"first_key": k_col[0], "last_key": k_col[-1], "image": image}
+    return out, meta
+
+
+@ray.remote
+def _asof_apply(out, key, first_key, carry, value_cols, tie_cols, select, vtypes):
+    """Resolve a block's pending left rows against the carried right image
+    of its first key, fix cross-block equal-time ties, drop left rows with
+    no image anywhere (inner join), and project to the final schema."""
+    import pyarrow.compute as pc_
+
+    if out is None:
+        return None
+    pend = pc_.is_null(out["_matched_t"]).to_numpy(zero_copy_only=False)
+    k = out[key].to_numpy(zero_copy_only=False)
+    if carry is None:
+        keep_mask = ~pend
+    else:
+        seg = k == first_key
+        fill = pend & seg
+        mt = out["_matched_t"].to_numpy(zero_copy_only=False)
+        same_t = np.zeros(len(k), dtype=bool)
+        np.equal(
+            mt.astype("datetime64[us]").astype(np.int64),
+            carry["t_us"],
+            out=same_t,
+            where=~pend,
+        )
+        if tie_cols:
+            rows_ties = [
+                out[f"_tie_{i}"].to_numpy(zero_copy_only=False)
+                for i in range(len(tie_cols))
+            ]
+            beat = _lex_gt(carry["ties"], rows_ties)
+        else:
+            beat = np.zeros(len(k), dtype=bool)
+        replace = fill | (seg & ~pend & same_t & beat)
+        if replace.any():
+            rmask = pa.array(replace)
+            new_cols = {}
+            for c in value_cols:
+                col = out[c].combine_chunks()
+                new_cols[c] = pc_.if_else(
+                    rmask, pa.scalar(carry["values"][c], vtypes[c]), col
+                )
+            for c, arr in new_cols.items():
+                out = out.set_column(out.schema.get_field_index(c), c, arr)
+        keep_mask = ~pend | fill
+    if not keep_mask.all():
+        out = out.filter(pa.array(keep_mask))
+    return out.select(select)
+
+
+def asof_join_scan(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    keep: list[str],
+    left_schema: pa.Schema,
+    right_schema: pa.Schema,
+    right_tie_cols: list[str] | None = None,
+    select: list[str] | None = None,
+) -> rd.Dataset:
+    """Skew-safe ASOF join: the distributed-scan shape of
+    stages/window.py:asof_join (same semantics, same tie rule). Tag both
+    sides, range-sort the union by (key, time, rights-first) so a hot key
+    spreads over many blocks, resolve matches per block vectorized, then
+    chain one carry per block boundary — the latest right-row image of
+    the boundary key (values + time + tie tuple, O(1) per boundary).
+    Equal-time right rows split across blocks are resolved by comparing
+    the carried tie tuple against each row's matched tie.
+
+    Null-time rows on either side are dropped up front (they can never
+    match; SQL ASOF orders nulls out). Inner semantics: left rows with no
+    right image anywhere are dropped."""
+    ttype = pa.timestamp("us")
+    tie_cols = list(right_tie_cols or [])
+    select = select or [key, *keep, *value_cols]
+    vtypes = {c: right_schema.field(c).type for c in value_cols}
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        cols = {
+            key: t[key],
+            "_t": pc.cast(t[left_time], ttype),
+            "_src": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+        }
+        for c in keep:
+            cols[c] = t[c]
+        for c in value_cols:
+            cols[c] = pa.nulls(t.num_rows, right_schema.field(c).type)
+        for c in tie_cols:
+            if c not in cols:
+                cols[c] = pa.nulls(t.num_rows, right_schema.field(c).type)
+        out = pa.table(cols)
+        return out.filter(pc.is_valid(out["_t"]))
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        cols = {
+            key: pc.cast(t[key], left_schema.field(key).type),
+            "_t": pc.cast(t[right_time], ttype),
+            "_src": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+        }
+        for c in keep:
+            cols[c] = pa.nulls(t.num_rows, left_schema.field(c).type)
+        for c in value_cols:
+            cols[c] = t[c]
+        for c in tie_cols:
+            if c not in cols:
+                cols[c] = t[c]
+        out = pa.table(cols)
+        return out.filter(pc.is_valid(out["_t"]))
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+    # rights sort before lefts at equal (key, t): right_time <= left_time
+    # is inclusive, and no right row may land after an equal-time left row
+    sorted_ds = tagged.sort([key, "_t", "_src"]).materialize()
+    refs = sorted_ds.to_arrow_refs()
+    blocks, metas = [], []
+    for r in refs:
+        b, m = _asof_block.remote(r, key, list(value_cols), list(keep), tie_cols)
+        blocks.append(b)
+        metas.append(m)
+    metas = ray.get(metas)
+
+    carries: list = [None] * len(blocks)
+    run = None  # (key, latest right image or None) after each block
+    for i, m in enumerate(metas):
+        if m is None:
+            continue
+        carry_in = run["image"] if (run is not None and m["first_key"] == run["key"]) else None
+        carries[i] = carry_in
+        img = m["image"]
+        if img is not None:
+            if (
+                carry_in is not None
+                and m["last_key"] == m["first_key"]
+                and carry_in["t_us"] == img["t_us"]
+                and tuple(carry_in["ties"]) > tuple(img["ties"])
+            ):
+                img = carry_in  # equal-time split: carried tie wins
+        elif m["last_key"] == m["first_key"]:
+            img = carry_in
+        run = {"key": m["last_key"], "image": img}
+
+    out_refs = [
+        _asof_apply.remote(
+            blocks[i], key, metas[i]["first_key"] if metas[i] else None,
+            carries[i], list(value_cols), tie_cols, select, vtypes,
+        )
+        for i in range(len(blocks))
+        if metas[i] is not None
+    ]
+    if not out_refs:
+        fields = []
+        for c in select:
+            if c in vtypes:
+                fields.append((c, vtypes[c]))
+            elif left_schema.get_field_index(c) >= 0:
+                fields.append((c, left_schema.field(c).type))
+            else:
+                fields.append((c, right_schema.field(c).type))
+        return rd.from_arrow(pa.schema(fields).empty_table())
+    return rd.from_arrow_refs(out_refs)
+
+
+# ---------------------------------------------------------------------------
+# Skew-safe range (interval) join — scan skeleton, open-interval-set carry
+# ---------------------------------------------------------------------------
+
+@ray.remote(num_returns=3)
+def _range_block(tbl, key, value_cols, keep, select):
+    """One sorted block of the tagged union (rights sit at their START
+    time, before equal-time lefts). Emits (in-block pairs, the block's
+    first-key LEFT rows for carry resolution, meta). The meta's ``open``
+    set holds the last key's intervals still open past the block's last
+    row time — the only intervals a later block can match."""
+    if tbl.num_rows == 0:
+        return None, None, None
+    k_col = tbl[key].to_numpy(zero_copy_only=False)
+    t = tbl["_t"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+    src = tbl["_src"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((src, t, k_col))
+    tbl = tbl.take(pa.array(order))
+    k_col, t, src = k_col[order], t[order], src[order]
+    n = len(k_col)
+    ends_all = (
+        tbl["_e"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+    )
+    seg_starts = np.flatnonzero(np.r_[True, k_col[1:] != k_col[:-1]])
+    seg_bounds = np.r_[seg_starts, n]
+    lmask = src == 1
+    pair_l: list[np.ndarray] = []
+    pair_r: list[np.ndarray] = []
+    # per key segment (bounded by the block's distinct keys; ~1 for the
+    # hot-key case the scan exists for): two searchsorted calls + a
+    # vectorized ranges-concat, same kernel as window.py:range_join
+    for s, e in zip(seg_bounds[:-1], seg_bounds[1:]):
+        rpos = np.flatnonzero(~lmask[s:e]) + s
+        lpos = np.flatnonzero(lmask[s:e]) + s
+        if len(rpos) == 0 or len(lpos) == 0:
+            continue
+        lts = t[lpos]  # sorted (segment sorted by t; lefts keep order)
+        lo = np.searchsorted(lts, t[rpos], side="left")
+        hi = np.searchsorted(lts, ends_all[rpos], side="left")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            continue
+        ridx = np.repeat(np.arange(len(rpos)), counts)
+        offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        lidx = lo[ridx] + (np.arange(total) - np.repeat(offs, counts))
+        pair_l.append(lpos[lidx])
+        pair_r.append(rpos[ridx])
+    if pair_l:
+        li = np.concatenate(pair_l)
+        ri = np.concatenate(pair_r)
+        lrows = tbl.take(pa.array(li))
+        rrows = tbl.take(pa.array(ri))
+        cols = {key: lrows[key]}
+        for c in keep:
+            cols[c] = lrows[c]
+        for c in value_cols:
+            cols[c] = rrows[c]
+        pairs = pa.table(cols).select(select)
+    else:
+        fields = [(select_c, tbl.schema.field(select_c).type) for select_c in select]
+        pairs = pa.schema(fields).empty_table()
+    # first-key left rows (time + keep cols), for carried-interval matching
+    first_lmask = lmask & (k_col == k_col[0])
+    flt = tbl.filter(pa.array(first_lmask))
+    # last key's intervals still open past the block's final row time:
+    # any future row of this key has t >= t[-1], so end <= t[-1] is closed
+    last_rmask = (~lmask) & (k_col == k_col[-1]) & (ends_all > t[-1])
+    op = np.flatnonzero(last_rmask)
+    open_set = {
+        "ends_us": ends_all[op],
+        "values": {c: tbl[c].take(pa.array(op)).to_pylist() for c in value_cols},
+    }
+    meta = {
+        "first_key": k_col[0],
+        "last_key": k_col[-1],
+        "t_last_us": int(t[-1]),
+        "open": open_set,
+        "n_first_lefts": int(flt.num_rows),
+    }
+    return pairs, flt, meta
+
+
+@ray.remote
+def _range_apply(first_lefts, carry, key, value_cols, keep, select, vtypes):
+    """Pairs from carried-in open intervals × the block's first-key left
+    rows. Interval starts precede the previous block's last row, hence
+    every first-key left time here; only ``t < end`` filters."""
+    lts = (
+        first_lefts["_t"]
+        .to_numpy(zero_copy_only=False)
+        .astype("datetime64[us]")
+        .astype(np.int64)
+    )
+    ends = carry["ends_us"]
+    hi = np.searchsorted(lts, ends, side="left")
+    counts = hi
+    total = int(counts.sum())
+    fields = []
+    for c in select:
+        if c in vtypes:
+            fields.append((c, vtypes[c]))
+        else:
+            fields.append((c, first_lefts.schema.field(c).type))
+    if total == 0:
+        return pa.schema(fields).empty_table()
+    ridx = np.repeat(np.arange(len(ends)), counts)
+    offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    lidx = np.arange(total) - np.repeat(offs, counts)
+    lrows = first_lefts.take(pa.array(lidx))
+    cols = {key: lrows[key]}
+    for c in keep:
+        cols[c] = lrows[c]
+    for c in value_cols:
+        cols[c] = pa.array(
+            [carry["values"][c][j] for j in ridx], vtypes[c]
+        )
+    return pa.table(cols).select(select)
+
+
+def range_join_scan(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key: str,
+    left_time: str,
+    start_col: str,
+    end_col: str,
+    value_cols: list[str],
+    keep: list[str],
+    left_schema: pa.Schema,
+    right_schema: pa.Schema,
+    select: list[str] | None = None,
+) -> rd.Dataset:
+    """Skew-safe interval join: the distributed-scan shape of
+    stages/window.py:range_join (same half-open ``start <= t < end``
+    semantics). Tag + union + range-sort by (key, time, rights-first)
+    spreads a hot key over many blocks; each block joins its own
+    intervals vectorized; the boundary carry is the set of the boundary
+    key's intervals still OPEN past the block's last row time, matched
+    against the next block's first-key left rows.
+
+    Partitioning assumption: the carry is O(max concurrent open intervals
+    of one key at a block boundary) — bounded for bounded-width windows
+    (e.g. attribution windows), NOT for one key whose every interval
+    spans the whole stream. Null-time rows are dropped (they can never
+    match)."""
+    ttype = pa.timestamp("us")
+    select = select or [key, *keep, *value_cols]
+    vtypes = {c: right_schema.field(c).type for c in value_cols}
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        cols = {
+            key: t[key],
+            "_t": pc.cast(t[left_time], ttype),
+            "_e": pa.nulls(t.num_rows, ttype),
+            "_src": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+        }
+        for c in keep:
+            cols[c] = t[c]
+        for c in value_cols:
+            cols[c] = pa.nulls(t.num_rows, right_schema.field(c).type)
+        out = pa.table(cols)
+        return out.filter(pc.is_valid(out["_t"]))
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        cols = {
+            key: pc.cast(t[key], left_schema.field(key).type),
+            "_t": pc.cast(t[start_col], ttype),
+            "_e": pc.cast(t[end_col], ttype),
+            "_src": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+        }
+        for c in keep:
+            cols[c] = pa.nulls(t.num_rows, left_schema.field(c).type)
+        for c in value_cols:
+            cols[c] = t[c]
+        out = pa.table(cols)
+        return out.filter(
+            pc.and_(pc.is_valid(out["_t"]), pc.is_valid(out["_e"]))
+        )
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+    # rights sort before equal-time lefts: start <= t is inclusive, so an
+    # interval must never land in a later block than an equal-time left
+    sorted_ds = tagged.sort([key, "_t", "_src"]).materialize()
+    refs = sorted_ds.to_arrow_refs()
+    pairs, flefts, metas = [], [], []
+    for r in refs:
+        p, fl, m = _range_block.remote(r, key, list(value_cols), list(keep), select)
+        pairs.append(p)
+        flefts.append(fl)
+        metas.append(m)
+    metas = ray.get(metas)
+
+    out_refs = [pairs[i] for i in range(len(pairs)) if metas[i] is not None]
+    run = None  # (key, open-interval set) after each block
+    for i, m in enumerate(metas):
+        if m is None:
+            continue
+        carry_in = None
+        if run is not None and m["first_key"] == run["key"]:
+            carry_in = run["open"]
+        if carry_in is not None and len(carry_in["ends_us"]) and m["n_first_lefts"]:
+            out_refs.append(
+                _range_apply.remote(
+                    flefts[i], carry_in, key, list(value_cols), list(keep),
+                    select, vtypes,
+                )
+            )
+        # outgoing open set for the block's LAST key
+        open_out = m["open"]
+        if carry_in is not None and m["last_key"] == m["first_key"]:
+            still = carry_in["ends_us"] > m["t_last_us"]
+            if still.any():
+                open_out = {
+                    "ends_us": np.concatenate(
+                        [carry_in["ends_us"][still], open_out["ends_us"]]
+                    ),
+                    "values": {
+                        c: [
+                            v
+                            for v, s in zip(carry_in["values"][c], still)
+                            if s
+                        ]
+                        + open_out["values"][c]
+                        for c in value_cols
+                    },
+                }
+        run = {"key": m["last_key"], "open": open_out}
+
+    if not out_refs:
+        fields = []
+        for c in select:
+            if c in vtypes:
+                fields.append((c, vtypes[c]))
+            elif left_schema.get_field_index(c) >= 0:
+                fields.append((c, left_schema.field(c).type))
+            else:
+                fields.append((c, right_schema.field(c).type))
+        return rd.from_arrow(pa.schema(fields).empty_table())
+    return rd.from_arrow_refs(out_refs)

@@ -176,10 +176,17 @@ def asof_join(
     right_schema: pa.Schema | None = None,
     right_tie_cols: list[str] | None = None,
     select: list[str] | None = None,
+    skew_safe: bool = False,
 ) -> rd.Dataset:
     """For every left row, attach ``value_cols`` from the latest right row
     of the same ``key`` with ``right_time <= left_time`` (inner: left rows
     with no such right row are dropped, matching SQL ``ASOF JOIN``).
+
+    ``skew_safe=True`` switches to the distributed scan
+    (stages/scan.py:asof_join_scan): range-sort the tagged union by
+    (key, time) so a hot key spreads over many blocks, then chain one
+    right-image carry per block boundary — one pathological key no longer
+    serializes into a single map_groups straggler. Requires both schemas.
 
     Both sides are tagged, unioned and co-grouped by ``key`` — a single
     hash exchange; the per-group resolve is one ``np.searchsorted`` over
@@ -203,6 +210,14 @@ def asof_join(
     kernel's internal column order and every block boundary logs a
     schema-divergence warning.
     """
+    if skew_safe:
+        from .scan import asof_join_scan
+
+        assert left_schema is not None and right_schema is not None
+        return asof_join_scan(
+            left, right, key, left_time, right_time, value_cols, keep,
+            left_schema, right_schema, right_tie_cols, select,
+        )
     ttype = pa.timestamp("us")
     if right_schema is None:
         right_schema = right.schema().base_schema
@@ -360,12 +375,19 @@ def range_join(
     left_schema: pa.Schema,
     right_schema: pa.Schema,
     select: list[str] | None = None,
+    skew_safe: bool = False,
 ) -> rd.Dataset:
     """Interval join: one output row per (left row, right interval) pair of
     the same ``key`` with ``start <= left_time < end`` (half-open; inner —
     unmatched rows on either side vanish). Overlapping intervals emit
     multiple rows per left row, like SQL ``JOIN ... ON t >= start AND
     t < end``.
+
+    ``skew_safe=True`` switches to the distributed scan
+    (stages/scan.py:range_join_scan): range-sorted block kernels + an
+    open-interval-set carry per block boundary, so one hot key spreads
+    over many tasks. Carry size is O(max concurrent open intervals of one
+    key) — bounded for bounded-width windows.
 
     Same single-exchange shape as :func:`asof_join`: tag + union + co-group
     by key. The group kernel sorts left times once, then for the interval
@@ -375,6 +397,13 @@ def range_join(
     cross product. Schemas are required (typed nulls for the absent side's
     columns) so neither input's lineage is re-executed for schema probing.
     """
+    if skew_safe:
+        from .scan import range_join_scan
+
+        return range_join_scan(
+            left, right, key, left_time, start_col, end_col, value_cols,
+            keep, left_schema, right_schema, select,
+        )
     ttype = pa.timestamp("us")
 
     def tag_left(t: pa.Table) -> pa.Table:

@@ -76,6 +76,66 @@ def test_sniff_and_dispatch(img):
         decode_image(b"\xff\xd8\xff jpeg-ish")
 
 
+def test_png_roundtrip_all_filters(img):
+    from dbimport_ray.stages.codecs import decode_png, encode_png
+
+    for f in range(5):  # None/Sub/Up/Average/Paeth
+        payload = encode_png(img, filter_type=f)
+        assert sniff_format(payload) == "png"
+        out = decode_png(payload)
+        assert np.array_equal(out, img), f"filter {f} round-trip"
+        assert np.array_equal(decode_image(payload), img)
+
+
+def test_png_gray_and_rgba():
+    from dbimport_ray.stages.codecs import _png_chunk, _PNG_MAGIC, decode_png
+    import struct as st
+    import zlib
+
+    rng = np.random.default_rng(5)
+    # gray (color type 0): decode replicates to 3 channels
+    g = rng.integers(0, 256, (4, 6), dtype=np.uint8)
+    lines = np.concatenate(
+        [np.zeros((4, 1), np.uint8), g], axis=1
+    ).tobytes()
+    png = (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", st.pack(">IIBBBBB", 6, 4, 8, 0, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(lines))
+        + _png_chunk(b"IEND", b"")
+    )
+    out = decode_png(png)
+    assert out.shape == (4, 6, 3)
+    assert np.array_equal(out[:, :, 0], g) and np.array_equal(out[:, :, 2], g)
+    # RGBA (color type 6): alpha dropped
+    rgba = rng.integers(0, 256, (3, 5, 4), dtype=np.uint8)
+    lines = np.concatenate(
+        [np.zeros((3, 1), np.uint8), rgba.reshape(3, 20)], axis=1
+    ).tobytes()
+    png = (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", st.pack(">IIBBBBB", 5, 3, 8, 6, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(lines))
+        + _png_chunk(b"IEND", b"")
+    )
+    out = decode_png(png)
+    assert np.array_equal(out, rgba[:, :, :3])
+
+
+def test_png_feeds_image_stage():
+    """The multimodal decode stage consumes PNG without fake=True now."""
+    from dbimport_ray.stages.codecs import encode_png
+    from dbimport_ray.stages.multimodal import ImageDecodeFeatureStage
+
+    rng = np.random.default_rng(11)
+    im = rng.integers(0, 256, (9, 7, 3), dtype=np.uint8)
+    stage = ImageDecodeFeatureStage(feature_dim=16)
+    feats = stage._decode(encode_png(im, filter_type=4))
+    from dbimport_ray.stages.codecs import image_features
+
+    assert np.allclose(feats, image_features(im, 16))
+
+
 def test_resize_nearest_identity_and_shape(img):
     assert np.array_equal(resize_nearest(img, 17, 13), img)
     assert resize_nearest(img, 5, 3).shape == (3, 5, 3)

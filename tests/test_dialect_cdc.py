@@ -1,0 +1,209 @@
+"""Oracle-flashback and MSSQL-Change-Tracking dialect surfaces: typemaps,
+watermark literal formats, CDC read-SQL builders, and an end-to-end replay
+whose event stream carries the dialect's carrier columns
+(reference: import_config.py:1318-1420 typemaps, :2132-2148 flashback
+clause, :2519-2566 CHANGETABLE join, :3233-3234 carrier columns)."""
+
+import datetime as dt
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from dbimport_ray.sources.sql import DIALECTS
+
+
+def test_oracle_typemap():
+    d = DIALECTS["oracle"]
+    m = d.type_to_arrow
+    assert m("NUMBER") == pa.decimal128(38, 19)  # import_config.py:1392
+    assert m("NUMBER(5)") == pa.int64()
+    assert m("NUMBER(14)") == pa.int64()
+    assert m("NUMBER(12,2)") == pa.decimal128(12, 2)
+    assert m("NUMBER(10,0)") == pa.int64()
+    assert m("NUMBER(3,4)") == pa.decimal128(5, 4)  # precision repair
+    assert m("VARCHAR2(30)") == pa.string()
+    assert m("VARCHAR2(30 CHAR)") == pa.string()
+    assert m("NVARCHAR2(10)") == pa.string()
+    assert m("CLOB") == pa.string()
+    assert m("LONG RAW") == pa.string()
+    assert m("XMLTYPE(2000)") == pa.string()
+    assert m("ROWID(10)") == pa.string()
+    assert m("DATE") == pa.timestamp("us")  # oracle DATE carries time
+    assert m("TIMESTAMP(6)") == pa.timestamp("us")
+    assert m("TIMESTAMP(6) WITH TIME ZONE") == pa.timestamp("us", "UTC")
+    assert m("BLOB") == pa.binary()
+    assert m("RAW(16)") == pa.binary()
+    assert m("SDO_GEOMETRY(1)") == pa.binary()
+    assert m("FLOAT(126)") == pa.float64()
+    assert m("BINARY_FLOAT") == pa.float32()
+
+
+def test_mssql_typemap():
+    d = DIALECTS["mssql"]
+    m = d.type_to_arrow
+    assert m("bit") == pa.int64()  # bit→tinyint, import_config.py:1337
+    assert m("tinyint") == pa.int64()
+    assert m("int") == pa.int64()
+    assert m("bigint") == pa.int64()
+    assert m("datetime") == pa.timestamp("us")
+    assert m("datetime2") == pa.timestamp("us")
+    assert m("smalldatetime") == pa.timestamp("us")
+    assert m("date") == pa.date32()
+    assert m("time") == pa.string()  # reference maps time → String
+    assert m("timestamp") == pa.string()  # rowversion → String
+    assert m("uniqueidentifier") == pa.string()
+    assert m("nvarchar(100)") == pa.string()
+    assert m("varchar(-1)") == pa.string()
+    assert m("ntext") == pa.string()
+    assert m("xml") == pa.string()
+    assert m("numeric(10,2)") == pa.decimal128(10, 2)
+    assert m("money") == pa.decimal128(19, 4)
+    assert m("smallmoney") == pa.float32()
+    assert m("real") == pa.float32()
+    assert m("float") == pa.float64()
+    assert m("varbinary(200)") == pa.binary()
+    assert m("image") == pa.binary()
+    assert m("geometry") == pa.binary()
+
+
+def test_oracle_literals_and_where():
+    d = DIALECTS["oracle"]
+    ts = dt.datetime(2024, 3, 1, 12, 30, 45, 123456)
+    lit = d.format_literal(ts)
+    assert lit == (
+        "TO_TIMESTAMP('2024-03-01 12:30:45.123456', "
+        "'YYYY-MM-DD HH24:MI:SS.FF6')"
+    )
+    assert d.format_literal(dt.date(2024, 3, 1)) == (
+        "TO_DATE('2024-03-01', 'YYYY-MM-DD')"
+    )
+    w = d.incr_where_literal("updated_at", after_seq=ts)
+    assert w.startswith('"updated_at" > TO_TIMESTAMP(')
+
+
+def test_mssql_literals_and_where():
+    d = DIALECTS["mssql"]
+    ts = dt.datetime(2024, 3, 1, 12, 30, 45, 123456)
+    # milliseconds only, ODBC style 121 (import_config.py:2186-2189)
+    assert d.format_literal(ts) == "CONVERT(datetime, '2024-03-01 12:30:45.123', 121)"
+    w = d.incr_where_literal("updated_at", after_seq=ts, upto_seq=ts)
+    assert w == (
+        "[updated_at] > CONVERT(datetime, '2024-03-01 12:30:45.123', 121)"
+        " AND [updated_at] <= CONVERT(datetime, '2024-03-01 12:30:45.123', 121)"
+    )
+    assert d.quote("we]ird") == "[we]]ird]"
+
+
+def test_flashback_clause_and_select():
+    d = DIALECTS["oracle"]
+    incr = d.flashback_versions_clause(after_scn=100, upto_scn=200)
+    assert incr == (
+        "VERSIONS BETWEEN SCN 100 AND 200 "
+        "WHERE VERSIONS_STARTSCN > 100 AND VERSIONS_STARTSCN <= 200 "
+        "AND VERSIONS_OPERATION IS NOT NULL AND VERSIONS_ENDTIME IS NULL"
+    )
+    init = d.flashback_versions_clause(after_scn=None, upto_scn=200)
+    assert init.startswith("VERSIONS BETWEEN SCN MINVALUE AND 200")
+    assert "VERSIONS_OPERATION != 'D'" in init
+    init2 = d.flashback_versions_clause(None, 200, initial_min_scn=50)
+    assert init2.startswith("VERSIONS BETWEEN SCN 50 AND 200")
+    sel = d.flashback_select("t1", ["id", "v"], after_scn=100, upto_scn=200)
+    assert 'VERSIONS_OPERATION AS "datalake_flashback_operation"' in sel
+    assert 'VERSIONS_STARTSCN AS "datalake_flashback_startscn"' in sel
+    assert sel.startswith('SELECT "id", "v",')
+
+
+def test_changetable_select():
+    d = DIALECTS["mssql"]
+    incr = d.changetable_select(
+        "t1", ["id", "v"], pk_cols=["id"], last_version=42
+    )
+    # PK projected from CT so pure deletes keep their key
+    assert "CT.[id]" in incr and "ST.[v]" in incr
+    assert "RIGHT OUTER JOIN CHANGETABLE(CHANGES [t1], 42) AS CT" in incr
+    assert incr.endswith("ON CT.[id] = ST.[id]")
+    assert "[SYS_CHANGE_VERSION] AS [datalake_mssql_changetrack_version]" in incr
+    assert "[SYS_CHANGE_OPERATION] AS [datalake_mssql_changetrack_operation]" in incr
+    init = d.changetable_select("t1", ["id", "v"], ["id"], last_version=None)
+    assert "LEFT JOIN CHANGETABLE(CHANGES [t1], 0) AS CT" in init
+    assert "ST.[id]" in init  # initial load projects base columns
+
+
+def test_carrier_normalize_kernel():
+    from dbimport_ray.stages.normalize import carrier_to_change_events
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "v": pa.array(["a", None, "c"]),
+            "datalake_flashback_operation": pa.array(["i", "D", None]),
+            "datalake_flashback_startscn": pa.array([10, 20, None], pa.int64()),
+        }
+    )
+    out = carrier_to_change_events(
+        t, "datalake_flashback_operation", "datalake_flashback_startscn"
+    )
+    assert out.column_names == ["id", "v", "op", "sequence_id"]
+    assert out["op"].to_pylist() == ["I", "D", "I"]  # null op → initial insert
+    assert out["sequence_id"].to_pylist() == [10, 20, 0]
+
+
+@pytest.mark.parametrize(
+    "op_carrier,seq_carrier",
+    [
+        ("datalake_flashback_operation", "datalake_flashback_startscn"),
+        ("datalake_mssql_changetrack_operation", "datalake_mssql_changetrack_version"),
+    ],
+    ids=["oracle_flashback", "mssql_ct"],
+)
+def test_carrier_replay_end_to_end(ray_session, tmp_path, op_carrier, seq_carrier):
+    """An event stream whose change metadata rides the Oracle/MSSQL carrier
+    columns replays through the full engine (normalize → LWW → merge →
+    manifest commit) to the same final state as the canonical stream —
+    including key-only deletes (value columns NULL on op='D', the MSSQL CT
+    delete shape)."""
+    from dbimport_ray import CDCEngine, repo_files_config
+    from dbimport_ray.datagen import generate_events
+    from dbimport_ray.stages.normalize import carrier_to_change_events
+
+    canonical = str(tmp_path / "events.parquet")
+    generate_events(canonical, num_keys=300, num_events=1500, seed=7)
+
+    # dress the canonical stream in the dialect's carrier columns
+    tbl = pq.read_table(canonical)
+    dressed = (
+        tbl.rename_columns(
+            [
+                {"op": op_carrier, "sequence_id": seq_carrier}.get(c, c)
+                for c in tbl.column_names
+            ]
+        )
+    )
+    carrier_path = str(tmp_path / "carrier.parquet")
+    pq.write_table(dressed, carrier_path)
+
+    # normalize the carrier stream back to canonical change events
+    normalized_dir = tmp_path / "normalized"
+    rd.read_parquet(carrier_path).map_batches(
+        lambda b: carrier_to_change_events(b, op_carrier, seq_carrier),
+        batch_format="pyarrow",
+    ).write_parquet(str(normalized_dir))
+
+    cfg = repo_files_config(num_partitions=4)
+    eng_carrier = CDCEngine(str(tmp_path / "lake_carrier"), cfg)
+    import glob
+
+    files = sorted(glob.glob(str(normalized_dir / "*.parquet")))
+    res = eng_carrier.replay(files)
+    assert res["status"] == "committed"
+
+    eng_plain = CDCEngine(str(tmp_path / "lake_plain"), cfg)
+    eng_plain.replay(canonical)
+
+    a = eng_carrier.arrow().sort_by([(k, "ascending") for k in cfg.pk])
+    b = eng_plain.arrow().sort_by([(k, "ascending") for k in cfg.pk])
+    assert a.num_rows == b.num_rows
+    for col in cfg.pk + ["content", "datalake_iud", "datalake_delete"]:
+        assert a[col].to_pylist() == b[col].to_pylist(), col

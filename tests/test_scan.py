@@ -178,6 +178,182 @@ def test_sessionize_scan_session_spanning_many_blocks(ray_session):
     )
 
 
+def _asof_inputs(n=6000, seed=13):
+    """Events + a right dimension with duplicate (key, time) rows so the
+    MAX-tie rule is exercised; user 7 holds half the events AND half the
+    dimension rows (skew on both sides)."""
+    rng = np.random.default_rng(seed)
+    hot = n // 2
+    keys = np.r_[np.full(hot, 7), rng.integers(100, 140, n - hot)]
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    ev = pa.table(
+        {
+            "user_id": pa.array(keys, pa.int64()),
+            "ts": pa.array(
+                base + rng.integers(0, 10_000_000, n) * np.timedelta64(1_000_000, "us"),
+                pa.timestamp("us"),
+            ),
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+    m = n // 2
+    rkeys = np.r_[np.full(m // 2, 7), rng.integers(100, 140, m - m // 2)]
+    # coarse right times force many duplicate (key, time) pairs
+    rt = base + rng.integers(0, 100, m) * np.timedelta64(100_000_000_000, "us")
+    right = pa.table(
+        {
+            "user_id": pa.array(rkeys, pa.int64()),
+            "rts": pa.array(rt, pa.timestamp("us")),
+            "val": pa.array(rng.normal(0, 100, m).round(3)),
+        }
+    )
+    return ev, right
+
+
+def test_asof_scan_matches_map_groups(ray_session):
+    """Hot key on both sides + duplicate (key, time) right rows: the scan
+    (carry chain + cross-block tie fix) must equal the single-exchange
+    map_groups kernel row-for-row."""
+    from dbimport_ray.stages.window import asof_join
+
+    ev_t, right_t = _asof_inputs()
+    lschema = ev_t.schema
+    rschema = right_t.schema
+    kw = dict(
+        key="user_id", left_time="ts", right_time="rts",
+        value_cols=["val"], keep=["event_id"],
+        left_schema=lschema, right_schema=rschema,
+        right_tie_cols=["val"], select=["event_id", "user_id", "val"],
+    )
+    ev = rd.from_arrow(ev_t).repartition(8)
+    right = rd.from_arrow(right_t).repartition(8)
+    plain = asof_join(ev, right, **kw).to_pandas()
+    safe = asof_join(ev, right, skew_safe=True, **kw).to_pandas()
+    a = plain.sort_values("event_id").reset_index(drop=True)
+    b = safe.sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_asof_scan_python_oracle(ray_session):
+    """Tiny hand-checkable case incl. equal-time tie and a no-match drop."""
+    from dbimport_ray.stages.window import asof_join
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    mk = lambda secs: pa.array(
+        [base + np.timedelta64(s * 1_000_000, "us") for s in secs],
+        pa.timestamp("us"),
+    )
+    ev_t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+            "ts": mk([5, 10, 2, 5]),
+            "event_id": pa.array([0, 1, 2, 3], pa.int64()),
+        }
+    )
+    right_t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+            "rts": mk([5, 5, 8, 9]),  # two rows at t=5: tie on val
+            "val": pa.array([10.0, 30.0, 20.0, 99.0]),
+        }
+    )
+    out = asof_join(
+        rd.from_arrow(ev_t).repartition(3),
+        rd.from_arrow(right_t).repartition(3),
+        key="user_id", left_time="ts", right_time="rts",
+        value_cols=["val"], keep=["event_id"],
+        left_schema=ev_t.schema, right_schema=right_t.schema,
+        right_tie_cols=["val"], select=["event_id", "val"],
+        skew_safe=True,
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    # event 0: t=5 → max-tie row at rts=5 → 30; event 1: t=10 → rts=8 → 20
+    # event 2: t=2 → no right row ≤ 2 → dropped; event 3: t=5 < 9 → dropped
+    assert out["event_id"].tolist() == [0, 1]
+    assert out["val"].tolist() == [30.0, 20.0]
+
+
+def test_range_scan_matches_map_groups(ray_session):
+    """Hot key + windows wide enough to span sorted-block boundaries: the
+    open-interval carry must reproduce the map_groups pair set exactly."""
+    from dbimport_ray.stages.window import range_join
+
+    rng = np.random.default_rng(17)
+    n = 6000
+    hot = n // 2
+    keys = np.r_[np.full(hot, 7), rng.integers(100, 140, n - hot)]
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    ev_t = pa.table(
+        {
+            "user_id": pa.array(keys, pa.int64()),
+            "ts": pa.array(
+                base + rng.integers(0, 5_000, n) * np.timedelta64(1_000_000, "us"),
+                pa.timestamp("us"),
+            ),
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+    m = 300
+    wkeys = np.r_[np.full(m // 2, 7), rng.integers(100, 140, m - m // 2)]
+    ws = base + rng.integers(0, 5_000, m) * np.timedelta64(1_000_000, "us")
+    win_t = pa.table(
+        {
+            "user_id": pa.array(wkeys, pa.int64()),
+            "w_start": pa.array(ws, pa.timestamp("us")),
+            "w_end": pa.array(ws + np.timedelta64(600_000_000, "us"), pa.timestamp("us")),
+            "window_id": pa.array(np.arange(m, dtype=np.int64)),
+        }
+    )
+    kw = dict(
+        key="user_id", left_time="ts", start_col="w_start", end_col="w_end",
+        value_cols=["window_id"], keep=["event_id"],
+        left_schema=ev_t.schema, right_schema=win_t.schema,
+        select=["event_id", "window_id"],
+    )
+    ev = rd.from_arrow(ev_t).repartition(8)
+    wins = rd.from_arrow(win_t).repartition(8)
+    plain = range_join(ev, wins, **kw).to_pandas()
+    safe = range_join(ev, wins, skew_safe=True, **kw).to_pandas()
+    a = plain.sort_values(["event_id", "window_id"]).reset_index(drop=True)
+    b = safe.sort_values(["event_id", "window_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_range_scan_interval_spanning_many_blocks(ray_session):
+    """One key, one interval covering the whole stream (worst-case open
+    carry): every event matches, across every block boundary."""
+    from dbimport_ray.stages.window import range_join
+
+    n = 400
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    ts = base + np.arange(n) * np.timedelta64(1_000_000, "us")
+    ev_t = pa.table(
+        {
+            "user_id": pa.array(np.full(n, 1), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+    win_t = pa.table(
+        {
+            "user_id": pa.array([1], pa.int64()),
+            "w_start": pa.array([base], pa.timestamp("us")),
+            "w_end": pa.array([base + np.timedelta64(n * 1_000_000, "us")], pa.timestamp("us")),
+            "window_id": pa.array([42], pa.int64()),
+        }
+    )
+    out = range_join(
+        rd.from_arrow(ev_t).repartition(7),
+        rd.from_arrow(win_t),
+        key="user_id", left_time="ts", start_col="w_start", end_col="w_end",
+        value_cols=["window_id"], keep=["event_id"],
+        left_schema=ev_t.schema, right_schema=win_t.schema,
+        select=["event_id", "window_id"], skew_safe=True,
+    ).to_pandas()
+    assert len(out) == n
+    assert sorted(out["event_id"].tolist()) == list(range(n))
+    assert (out["window_id"] == 42).all()
+
+
 def test_lag_scan_matches_map_groups(ray_session):
     from dbimport_ray.stages.window import window_lag
 
