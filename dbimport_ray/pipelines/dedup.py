@@ -313,7 +313,14 @@ def minhash_lsh_clusters(
         )
     )
     return (
-        per_bucket.groupby(id_col)
+        # coalesce below the doc-id cardinality before the Min combine:
+        # the group exchange makes one range partition per input block
+        # (~nb from the bucket pass), and surplus partitions come back as
+        # ZERO-COLUMN empties that poison every downstream lineage (map
+        # fns skip empty blocks, so the stale schema rides the union into
+        # CC's edge set)
+        per_bucket.repartition(8)
+        .groupby(id_col)
         .aggregate(Min("rep", alias_name="rep"))
     )
 
@@ -328,13 +335,15 @@ def minhash_lsh_dedup(
     survivors = clusters.filter(
         expr=f"{id_col} == rep"
     ).select_columns([id_col])
-    survivors, _ = compact_sparse(
+    survivors, n_keep = compact_sparse(
         survivors.rename_columns({id_col: "__keep_id"}), num_partitions
     )
+    from ..stages.joins import eff_join_parts
+
     return hash_join(
         ds, survivors,
         on=(id_col,), right_on=("__keep_id",),
-        num_partitions=num_partitions,
+        num_partitions=eff_join_parts(n_keep, num_partitions),
     )
 
 
@@ -402,20 +411,24 @@ def join_pair_texts(
         {id_col: "__rid", text_col: "__text_r"}
     )
     # pairs (and join-1's output, bounded by pairs) are the sparse sides —
-    # compacted so no join input block is empty (see compact_sparse)
+    # compacted so no join input block is empty (see compact_sparse), and
+    # the join partition count scales with the measured pair count so no
+    # OUTPUT partition is empty either (eff_join_parts)
+    from ..stages.joins import eff_join_parts
+
     pairs, n_pairs = compact_sparse(pairs, num_partitions)
     if n_pairs == 0:
         return _empty_pair_texts(left_key, right_key)
     out = hash_join(
         pairs, left_docs, on=(left_key,), right_on=("__lid",),
-        num_partitions=num_partitions, pools=2,
+        num_partitions=eff_join_parts(n_pairs, num_partitions), pools=2,
     )
     out, n_out = compact_sparse(out, num_partitions)
     if n_out == 0:  # pair ids absent from the corpus
         return _empty_pair_texts(left_key, right_key)
     return hash_join(
         out, right_docs, on=(right_key,), right_on=("__rid",),
-        num_partitions=num_partitions, pools=2,
+        num_partitions=eff_join_parts(n_out, num_partitions), pools=2,
     )
 
 
@@ -586,7 +599,12 @@ def simhash_dedup_clusters(
             batch_format="pyarrow",
         )
     )
-    return per_bucket.groupby(id_col).aggregate(Min("rep", alias_name="rep"))
+    # coalesce before the Min combine — see minhash_lsh_clusters note
+    return (
+        per_bucket.repartition(8)
+        .groupby(id_col)
+        .aggregate(Min("rep", alias_name="rep"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -693,4 +711,9 @@ def embedding_dedup_clusters(
             batch_format="pyarrow",
         )
     )
-    return per_bucket.groupby(id_col).aggregate(Min("rep", alias_name="rep"))
+    # coalesce before the Min combine — see minhash_lsh_clusters note
+    return (
+        per_bucket.repartition(8)
+        .groupby(id_col)
+        .aggregate(Min("rep", alias_name="rep"))
+    )

@@ -270,10 +270,18 @@ def q_join_agg(sf_dir: str) -> rd.Dataset:
     joined = hash_join(
         orders, cust, on=("o_custkey",), right_on=("c_custkey",), num_partitions=8
     )
-    return joined.groupby("c_mktsegment").aggregate(
-        Count(alias_name="n_orders"),
-        Min("o_totalprice", alias_name="min_price"),
-        Max("o_totalprice", alias_name="max_price"),
+    # map-side partial + 4-block combine: the 5-segment key domain is far
+    # below the join's block count (see stats.grouped_agg)
+    from ..stages.stats import grouped_agg
+
+    return grouped_agg(
+        joined,
+        ["c_mktsegment"],
+        [
+            (None, "count", "n_orders"),
+            ("o_totalprice", "min", "min_price"),
+            ("o_totalprice", "max", "max_price"),
+        ],
     )
 
 
@@ -1136,10 +1144,19 @@ def q_star_enrich(sf_dir: str) -> rd.Dataset:
     enriched = broadcast_lookup_join(
         fact, dim, keys=["l_suppkey"], dim_keys=["s_suppkey"], value_cols=["r_name"]
     )
-    return enriched.groupby("r_name").aggregate(
-        Count(alias_name="n_items"),
-        Sum("l_quantity", alias_name="sum_qty"),
-        Max("l_extendedprice", alias_name="max_price"),
+    # grouped_agg = map-side partial per block + 4-block combine: the
+    # exchange carries one row per region per block (never the fact rows)
+    # and the 5-key combine has no empty range partitions to warn about
+    from ..stages.stats import grouped_agg
+
+    return grouped_agg(
+        enriched,
+        ["r_name"],
+        [
+            (None, "count", "n_items"),
+            ("l_quantity", "sum", "sum_qty"),
+            ("l_extendedprice", "max", "max_price"),
+        ],
     )
 
 
@@ -1252,7 +1269,9 @@ def q_grouped_median(sf_dir: str) -> rd.Dataset:
     from ..stages.stats import grouped_quantile
 
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
-    return grouped_quantile(ds, ["event_type"], "value", 0.5)
+    # 5 event types over many input blocks: coalesce before the group
+    # exchange so no range partition is empty (zero-column-block spam)
+    return grouped_quantile(ds, ["event_type"], "value", 0.5, shuffle_blocks=4)
 
 
 def q_rolling_mean(sf_dir: str) -> rd.Dataset:
@@ -1422,8 +1441,8 @@ def q_except_keys(sf_dir: str) -> rd.Dataset:
 def q_tfidf_top_terms(sf_dir: str) -> rd.Dataset:
     """Top-3 TF-IDF terms per document (functions/text.py:
     tfidf_top_terms): DF pass bounded by vocabulary, score pass keeps
-    each doc's top terms inside its own batch. Pure-python oracle in
-    pytest; rows-only here (float scores)."""
+    each doc's top terms inside its own batch. DuckDB-oracled (same RE2
+    tokenizer, float division, ln) plus a pure-python oracle in pytest."""
     from ..functions.text import tfidf_top_terms
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1448,7 +1467,12 @@ def q_outliers_by_lang(sf_dir: str) -> rd.Dataset:
     from ..stages.stats import grouped_quantile
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
-    thr = grouped_quantile(ds, ["lang"], "n_chars", 0.9, out_col="p90")
+    # 2 blocks, not 4: 'en' holds >40% of docs, so 3 sampled boundaries
+    # can all land inside it and leave empty [en, en) range partitions;
+    # the single median boundary cannot
+    thr = grouped_quantile(
+        ds, ["lang"], "n_chars", 0.9, out_col="p90", shuffle_blocks=2
+    )
     import ray as _ray
 
     thr_df = thr.to_pandas()  # one row per lang — tiny by construction
@@ -1558,13 +1582,45 @@ def q_left_outer_join(sf_dir: str) -> rd.Dataset:
 def q_grouped_mean_std(sf_dir: str) -> rd.Dataset:
     """Per-group mean and sample-stddev (Ray native Mean/Std aggregates;
     map-side partials, one narrow exchange) of document length by lang."""
-    from ray.data.aggregate import Mean, Std
+    from ..stages.stats import grouped_agg
 
     ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
-    return ds.groupby("lang").aggregate(
-        Mean("n_chars", alias_name="mean_chars"),
-        Std("n_chars", alias_name="std_chars"),
+
+    def add_sq(t: pa.Table) -> pa.Table:
+        x = pc.cast(t["n_chars"], pa.float64())
+        return t.append_column("_sq", pc.multiply(x, x))
+
+    # map-side partial (n, Σx, Σx²) per block — int-valued, so the sums
+    # are EXACT doubles and mean/std match any engine bit-for-bit at this
+    # scale; the 1-block combine sees ≤ langs × blocks tiny rows (a
+    # direct groupby over the raw rows makes one range partition per
+    # input block, and a >40%-hot lang collapses sampled boundaries into
+    # empty zero-column partitions)
+    agg = grouped_agg(
+        ds.map_batches(add_sq, batch_format="pyarrow"),
+        ["lang"],
+        [(None, "count", "_n"), ("n_chars", "sum", "_s"), ("_sq", "sum", "_ss")],
+        shuffle_blocks=1,
     )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["_n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t["_s"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ss = t["_ss"].to_numpy(zero_copy_only=False).astype(np.float64)
+        mean = s / n
+        var = (ss - s * s / n) / np.maximum(n - 1.0, 1.0)
+        std = np.sqrt(np.maximum(var, 0.0))
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "mean_chars": pa.array(mean, pa.float64()),
+                "std_chars": pa.array(
+                    std, pa.float64(), mask=(n <= 1)  # stddev_samp: NULL at n=1
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def q_version_diff(sf_dir: str) -> pa.Table:
@@ -2265,6 +2321,30 @@ FROM (
 ) WHERE rn = 1
 """
 
+# TF-IDF is SQL-expressible with the same \W+ tokenizer (both engines run
+# RE2), float division and ln(); row_number reproduces the deterministic
+# (score desc, token asc) top-3 pick. Integer / in DuckDB is float division.
+ORACLES["tfidf_top_terms"] = r"""
+WITH toks AS (
+  SELECT doc_id, t.tok AS token, count(*) AS tf
+  FROM documents, UNNEST(string_split_regex(lower(text), '\W+')) AS t(tok)
+  WHERE t.tok <> ''
+  GROUP BY doc_id, t.tok
+),
+df AS (SELECT token, count(*) AS df FROM toks GROUP BY token),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT toks.doc_id, toks.token,
+         toks.tf * ln(n.n / df.df) AS score,
+         row_number() OVER (
+           PARTITION BY toks.doc_id
+           ORDER BY toks.tf * ln(n.n / df.df) DESC, toks.token ASC
+         ) AS rn
+  FROM toks JOIN df USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, score FROM scored WHERE rn <= 3
+"""
+
 ORACLES["asof_join_scan"] = ORACLES["asof_join"]
 ORACLES["range_join_scan"] = ORACLES["range_join"]
 ORACLES["sessionize_scan"] = ORACLES["sessionize"]
@@ -2303,6 +2383,7 @@ QUERIES = {
     # --- new in round 4 (oracle-backed) ---
     "asof_join_scan": q_asof_join_scan,
     "range_join_scan": q_range_join_scan,
+    "tfidf_top_terms": q_tfidf_top_terms,  # gained a DuckDB oracle in r4
     # --- oracle-backed, green in r02 but absent from CORRECTNESS_r03 ---
     "antijoin_deletes": q_antijoin_deletes,
     "exact_dedup_docs": q_exact_dedup_docs,
@@ -2378,7 +2459,6 @@ QUERIES = {
     # --- rows-only (no SQL-expressible oracle; pytest-verified) ---
     "approx_quantiles_docs": q_approx_quantiles_docs,
     "approx_distinct_by_type": q_approx_distinct_by_type,
-    "tfidf_top_terms": q_tfidf_top_terms,
     "approx_distinct_users": q_approx_distinct_users,
     "minhash_cc_clusters": q_minhash_cc_clusters,
     "minhash_dedup_docs": q_minhash_dedup_docs,

@@ -85,6 +85,18 @@ def max_sequence(paths: str | list[str], seq_col: str = "sequence_id") -> int:
     return int(mx) if mx is not None else -1
 
 
+def _expand_paths(paths: str | list[str]) -> list[str]:
+    if isinstance(paths, str):
+        paths = [paths]
+    out: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            out.extend(sorted(glob.glob(os.path.join(p, "*.parquet"))))
+        else:
+            out.append(p)
+    return out
+
+
 def read_events(
     paths: str | list[str],
     seq_col: str,
@@ -96,13 +108,45 @@ def read_events(
     """``read_parquet`` with the watermark range pushed down as a dataset
     filter (row-group pruning + late row filtering inside the scan).
     An EventSource object (``sources/sql.SQLEventSource``) dispatches to
-    its own bounded range read instead — same watermark contract."""
+    its own bounded range read instead — same watermark contract.
+
+    FILE pruning happens up front from the parquet footers: a file whose
+    sequence statistics sit entirely outside ``(after, upto]`` gets no
+    read task at all. Beyond the IO win, Ray materializes a fully
+    filter-pruned read task as a ZERO-COLUMN block — an untyped empty
+    that survives every downstream map (map fns skip empty blocks) and
+    spams schema-divergence warnings through the whole lineage."""
     if hasattr(paths, "read_range"):
         return paths.read_range(seq_col, after_seq, upto_seq, override_num_blocks)
+    files = _expand_paths(paths)
+    keep: list[str] = []
+    for p in files:
+        md = pq.read_metadata(p)
+        idx = md.schema.to_arrow_schema().get_field_index(seq_col)
+        lo = hi = None
+        have_stats = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                have_stats = False
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if not have_stats or lo is None:
+            keep.append(p)  # can't prove it's dead — scan it
+        elif hi > after_seq and lo <= upto_seq:
+            keep.append(p)
     flt = (pc.field(seq_col) > after_seq) & (pc.field(seq_col) <= upto_seq)
+    if not keep:
+        schema = pq.read_schema(files[0]).remove_metadata() if files else None
+        if schema is None:
+            raise FileNotFoundError(f"no parquet files under {paths!r}")
+        if columns is not None:
+            schema = pa.schema([schema.field(n) for n in columns])
+        return rd.from_arrow(schema.empty_table())
     kwargs = {}
     if override_num_blocks:
         kwargs["override_num_blocks"] = override_num_blocks
     return read_parquet_clean(
-        paths, columns=columns, filter_columns=(seq_col,), filter=flt, **kwargs
+        keep, columns=columns, filter_columns=(seq_col,), filter=flt, **kwargs
     )

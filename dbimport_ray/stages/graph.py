@@ -83,6 +83,16 @@ def connected_components(
     # join pool per round; two concurrent pools can deadlock a small
     # cluster — see joins.hash_join) and no lineage re-runs per iteration
     edges = edges.map_batches(symmetrize, batch_format="pyarrow").materialize()
+    # partition counts scale with the measured edge count: a tiny graph
+    # hash-joined over many partitions leaves most of them EMPTY, and Ray
+    # emits those as zero-column blocks (untyped empties that ride every
+    # downstream lineage). At scale this is a no-op (count >> cap).
+    from .joins import eff_join_parts
+
+    num_partitions = eff_join_parts(edges.count(), num_partitions)
+    # re-materialize at the effective block count so no edge block is
+    # empty either (compact_sparse rationale)
+    edges = edges.repartition(num_partitions).materialize()
 
     def seed(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -100,10 +110,13 @@ def connected_components(
 
     labels = (
         edges.map_batches(seed, batch_format="pyarrow")
+        # node domain >> num_partitions: coalescing BEFORE the group
+        # exchange keeps every range partition non-empty (surplus
+        # partitions come back as zero-column blocks otherwise)
+        .repartition(num_partitions)
         .groupby(node_col)
         .aggregate(Min(comp_col, alias_name=comp_col))
         .map_batches(retype, batch_format="pyarrow")
-        .repartition(num_partitions)
         .materialize()
     )
     prev_sum = labels.sum(comp_col)
@@ -120,14 +133,15 @@ def connected_components(
         ).select_columns([b, comp_col]).rename_columns({b: node_col})
         labels = (
             labels.union(msgs)
+            # coalesce BEFORE the aggregate: union + aggregate ACCRETE
+            # blocks every round (hundreds of near-empty blocks by round
+            # 10) and the group exchange makes one partition per input
+            # block — surplus partitions would come back as zero-column
+            # empties. Coalescing first fixes both.
+            .repartition(num_partitions)
             .groupby(node_col)
             .aggregate(Min(comp_col, alias_name=comp_col))
             .map_batches(retype, batch_format="pyarrow")
-            # coalesce: union + aggregate ACCRETE blocks every round
-            # (hundreds of near-empty blocks by round 10), and per-block
-            # overhead then dominates each exchange — keep the narrow
-            # label set at a fixed block count
-            .repartition(num_partitions)
             # materialize BEFORE the jump: keeping two shuffles live in
             # one lineage starves a small cluster (joins.hash_join note)
             .materialize()
@@ -194,7 +208,12 @@ def connected_components(
                 labels.map_batches(as_member, batch_format="pyarrow")
             )
             labels = (
-                tagged.groupby("_bkt")
+                # the bucket domain is exactly nb values but the tagged
+                # union carries ~2×num_partitions blocks — coalesce below
+                # the key cardinality so every range partition of the
+                # group exchange holds at least one bucket
+                tagged.repartition(max(2, nb // 2))
+                .groupby("_bkt")
                 .map_groups(jump_bucket, batch_format="pyarrow")
                 .map_batches(retype, batch_format="pyarrow")
                 .repartition(num_partitions)

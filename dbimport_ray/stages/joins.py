@@ -29,6 +29,17 @@ def strip_schema_metadata(batch: pa.Table) -> pa.Table:
     return batch.replace_schema_metadata(None)
 
 
+def eff_join_parts(n_rows: int, cap: int, rows_per_part: int = 64) -> int:
+    """Join partition count scaled to the SPARSE side's measured size,
+    capped at ``cap``. A join hash-partitioned far wider than its row
+    count leaves most output partitions EMPTY, and Ray's join emits those
+    as zero-column blocks — untyped empties that ride every downstream
+    map (map fns skip empty blocks) spamming schema-divergence warnings
+    and poisoning later aggregators. At scale the count grows past the
+    cap and this is a no-op."""
+    return max(1, min(cap, n_rows // rows_per_part + 1))
+
+
 def compact_sparse(ds: rd.Dataset, num_partitions: int) -> tuple[rd.Dataset, int]:
     """Materialize + evenly repartition a SPARSE join side so none of its
     blocks is empty. Ray's hash-shuffle join broadcasts each input's schema

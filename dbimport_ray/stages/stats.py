@@ -64,12 +64,27 @@ def exact_quantiles(
 
 
 def top_k_by_count(
-    ds: rd.Dataset, key: str, k: int, count_col: str = "n"
+    ds: rd.Dataset, key: str, k: int, count_col: str = "n",
+    shuffle_blocks: int = 4,
 ) -> rd.Dataset:
     """The ``k`` most frequent values of ``key`` with their counts,
-    ordered by count desc then key asc (deterministic under ties)."""
-    agg = ds.groupby(key).aggregate(Count(alias_name=count_col))
-    return agg.sort([count_col, key], descending=[True, False]).limit(k)
+    ordered by count desc then key asc (deterministic under ties).
+
+    Counting goes through :func:`grouped_agg` (map-side partial count per
+    block, then a ``shuffle_blocks``-block combine) so the exchange
+    carries the key domain, not the rows — and the combine never
+    fabricates empty range partitions (Ray's sort-based aggregate makes
+    one partition per INPUT block; low-cardinality keys over many blocks
+    leave most empty, emitting zero-column blocks). The aggregate output
+    (one row per distinct key) coalesces to a single block before the
+    top-k sort for the same reason."""
+    agg = grouped_agg(ds, [key], [(None, "count", count_col)],
+                      shuffle_blocks=shuffle_blocks)
+    return (
+        agg.repartition(1)
+        .sort([count_col, key], descending=[True, False])
+        .limit(k)
+    )
 
 
 def retype_empties(ds: rd.Dataset, schema: pa.Schema) -> rd.Dataset:
@@ -158,7 +173,12 @@ def distinct_count(
 
     pairs = ds.map_batches(prune, batch_format="pyarrow")
     distinct = pairs.groupby(keys + [col]).aggregate(Count(alias_name="_dup"))
-    return distinct.groupby(keys).aggregate(Count(alias_name=out_col))
+    # the second aggregate's key domain is just the group columns — far
+    # below the distinct-pair block count, so coalesce first or most of
+    # its range partitions come back as zero-column empties
+    return distinct.repartition(4).groupby(keys).aggregate(
+        Count(alias_name=out_col)
+    )
 
 
 def grouped_quantile(
@@ -167,13 +187,17 @@ def grouped_quantile(
     col: str,
     q: float,
     out_col: str = "value",
+    shuffle_blocks: int | None = None,
 ) -> rd.Dataset:
     """Exact discrete quantile (inverted-CDF, ``quantile_disc`` semantics)
     of ``col`` per group: one hash exchange of the (group, value) pairs,
     then a vectorized sort + rank pick per group. The quantile is an
     actual element of the group, so results are float-exact vs any engine.
     For groups too large to hold, switch to the value-counts shape of
-    :func:`exact_quantiles` per group."""
+    :func:`exact_quantiles` per group. Pass ``shuffle_blocks`` when the
+    group domain is smaller than the input block count (the group
+    exchange makes one range partition per input block — the surplus
+    come back as zero-column empties)."""
     keys = list(group_cols)
 
     def per_group(t: pa.Table) -> pa.Table:
@@ -183,9 +207,10 @@ def grouped_quantile(
         cols[out_col] = pa.array([v[rank]], t.schema.field(col).type)
         return pa.table(cols)
 
-    return ds.select_columns(keys + [col]).groupby(keys).map_groups(
-        per_group, batch_format="pyarrow"
-    )
+    narrow = ds.select_columns(keys + [col])
+    if shuffle_blocks:
+        narrow = narrow.repartition(shuffle_blocks)
+    return narrow.groupby(keys).map_groups(per_group, batch_format="pyarrow")
 
 
 # --- HyperLogLog approximate distinct --------------------------------------
@@ -429,7 +454,15 @@ def approx_distinct_per_group(
     partials = ds.select_columns([group_col, col]).map_batches(
         partial, batch_format="pyarrow"
     )
-    return partials.groupby(group_col).map_groups(merge, batch_format="pyarrow")
+    # sketch rows ≤ groups × blocks (tiny by contract): coalesce to ONE
+    # block so the merge exchange provably has no empty range partition —
+    # with a handful of keys, even sampled boundaries over 4 blocks can
+    # collide on a hot key and leave zero-column empties intermittently
+    return (
+        partials.repartition(1)
+        .groupby(group_col)
+        .map_groups(merge, batch_format="pyarrow")
+    )
 
 
 def grouped_agg(
