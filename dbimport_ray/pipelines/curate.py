@@ -1,0 +1,477 @@
+"""Training-data curation operators beyond dedup: chunking,
+decontamination, segment-level duplicate analysis, and cross-run
+incremental dedup against a persisted index.
+
+The reference (DBImport) stops at table-level ingest; these are the
+document-curation stages an LLM-training pipeline runs *after* ingest, each
+expressed Ray-Data-first and graded for 100 TB:
+
+- ``chunk_documents``       — overlapping fixed-token-count chunks
+                              (context-window packing prep). Stateless
+                              vectorized ``map_batches`` flat-map; no
+                              shuffle at all.
+- ``decontaminate``         — drop/flag corpus docs sharing any token
+                              n-gram with a benchmark/eval set (the
+                              standard train-test-overlap guard). The
+                              benchmark side is SMALL by definition →
+                              broadcast its distinct gram hashes once via
+                              ``ray.put``; the corpus side never shuffles.
+- ``duplicate_segments``    — segment-level exact substring duplication
+                              (fixed non-overlapping token windows, as in
+                              "Deduplicating Training Data Makes Language
+                              Models Better"): the only exchanges are
+                              narrow (hash, id) relations.
+- ``DedupIndex``            — cross-run incremental exact dedup: a
+                              persisted content-hash index on disk; each
+                              new batch is filtered against the index and
+                              appends its novel hashes (the CDC-flavored
+                              dedup a perpetually-ingesting pipeline needs).
+
+Tokenization contract (shared with the DuckDB oracles): split on ``\\W+``
+and drop empty tokens; grams/segments/chunks join tokens with a single
+space. All kernels are flat-buffer vectorized — per-batch work is Arrow
+``split_pattern_regex`` + numpy index arithmetic + one ``binary_join``;
+there is no per-document Python in any hot path.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+_HASH_KEY = "dbimport_ray_curat"[:16]
+
+
+def _hash_strings(arr: np.ndarray) -> np.ndarray:
+    return pd.util.hash_array(arr, hash_key=_HASH_KEY)
+
+
+def _flat_tokens(col: pa.ChunkedArray | pa.Array) -> tuple[pa.Array, np.ndarray, int]:
+    """Tokenize a string column: returns (flat token StringArray,
+    parent doc index per token, n_docs). Empty tokens (leading/trailing
+    separators) are dropped — mirrors the SQL oracle's ``list_filter``."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    s = pc.cast(col, pa.string())
+    tokens = pc.split_pattern_regex(s, r"\W+")
+    flat = pc.list_flatten(tokens)
+    parent = pc.list_parent_indices(tokens).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "")
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    keep_np = np.asarray(keep_np, dtype=bool)
+    flat = flat.filter(keep)
+    parent = parent[keep_np]
+    return flat, parent, len(s)
+
+
+def _ranges_take(
+    flat: pa.Array, abs_start: np.ndarray, lengths: np.ndarray
+) -> pa.ListArray:
+    """Gather possibly-overlapping token ranges out of the flat token
+    array as one ListArray (vectorized repeat/arange — no Python loop)."""
+    total = int(lengths.sum())
+    if total == 0:
+        return pa.ListArray.from_arrays(
+            pa.array([0] * (len(lengths) + 1), type=pa.int32()),
+            pa.array([], type=pa.string()),
+        )
+    # idx = concat(arange(start_i, start_i + len_i))
+    starts_rep = np.repeat(abs_start, lengths)
+    offs = np.repeat(np.cumsum(lengths) - lengths, lengths)
+    idx = starts_rep + (np.arange(total, dtype=np.int64) - offs)
+    taken = flat.take(pa.array(idx, type=pa.int64()))
+    offsets = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int32)
+    return pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), taken)
+
+
+# ---------------------------------------------------------------------------
+# Chunking
+# ---------------------------------------------------------------------------
+
+def chunk_batch(
+    t: pa.Table,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int,
+    stride: int,
+) -> pa.Table:
+    """Per-batch chunk kernel: doc → overlapping token windows.
+
+    Chunk ``i`` covers tokens ``[i*stride, i*stride + chunk_tokens)``;
+    starts run ``0, stride, …`` while ``start < n_tokens``, so every token
+    lands in ≥1 chunk and the final chunk may be short. Docs with zero
+    tokens emit nothing.
+    """
+    flat, parent, n_docs = _flat_tokens(t[text_col])
+    counts = np.bincount(parent, minlength=n_docs).astype(np.int64)
+    n_chunks = -(-counts // stride)  # ceil; 0 stays 0
+    total = int(n_chunks.sum())
+    out_schema = pa.schema(
+        [
+            (id_col, t.schema.field(id_col).type),
+            ("chunk_idx", pa.int64()),
+            ("chunk_text", pa.string()),
+            ("n_tokens", pa.int64()),
+        ]
+    )
+    if total == 0:
+        return out_schema.empty_table()
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), n_chunks)
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(n_chunks) - n_chunks, n_chunks
+    )
+    start_tok = within * stride
+    chunk_len = np.minimum(chunk_tokens, counts[doc_idx] - start_tok)
+    doc_off = np.cumsum(counts) - counts
+    lists = _ranges_take(flat, doc_off[doc_idx] + start_tok, chunk_len)
+    chunk_text = pc.binary_join(lists, " ")
+    return pa.table(
+        {
+            id_col: t[id_col].take(pa.array(doc_idx)),
+            "chunk_idx": pa.array(within),
+            "chunk_text": chunk_text,
+            "n_tokens": pa.array(chunk_len),
+        },
+        schema=out_schema,
+    )
+
+
+def chunk_documents(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+) -> rd.Dataset:
+    """Split documents into overlapping fixed-token chunks
+    (``chunk_tokens`` per chunk, ``overlap`` tokens shared between
+    neighbours). Pure flat-map: no shuffle, output streams block-by-block;
+    at 100 TB this is a stateless map stage whose output is ~
+    ``chunk/(chunk-overlap)`` × the input token volume."""
+    assert 0 <= overlap < chunk_tokens
+    stride = chunk_tokens - overlap
+    return ds.map_batches(
+        lambda t: chunk_batch(t, text_col, id_col, chunk_tokens, stride),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram machinery (shared by decontaminate)
+# ---------------------------------------------------------------------------
+
+def _gram_hashes(
+    t: pa.Table, text_col: str, k: int
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Per-batch token-k-gram hashes: returns (gram hash uint64, parent doc
+    index, n_docs). The hash is over the space-joined gram STRING, so it
+    matches string equality in the SQL oracle (64-bit collisions are the
+    documented approximation)."""
+    flat, parent, n_docs = _flat_tokens(t[text_col])
+    counts = np.bincount(parent, minlength=n_docs).astype(np.int64)
+    n_grams = np.maximum(counts - k + 1, 0)
+    total = int(n_grams.sum())
+    if total == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64), n_docs
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), n_grams)
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(n_grams) - n_grams, n_grams
+    )
+    doc_off = np.cumsum(counts) - counts
+    lists = _ranges_take(
+        flat, doc_off[doc_idx] + within, np.full(total, k, dtype=np.int64)
+    )
+    grams = pc.binary_join(lists, " ").to_numpy(zero_copy_only=False)
+    return _hash_strings(grams), doc_idx, n_docs
+
+
+def benchmark_gram_set(
+    bench_ds: rd.Dataset, text_col: str, k: int, max_grams: int = 50_000_000
+) -> np.ndarray:
+    """Distinct gram hashes of the benchmark set, collected to the driver
+    and sorted (the broadcast side — benchmarks are small by definition;
+    ``max_grams`` guards the collect: 50M × 8 B = 400 MB, raise rather
+    than OOM)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        h, _, _ = _gram_hashes(t, text_col, k)
+        return pa.table({"gram_hash": pa.array(np.unique(h).astype(np.int64))})
+
+    parts = bench_ds.map_batches(partial, batch_format="pyarrow")
+    tbl = pa.concat_tables(
+        [pa.table(b) for b in parts.iter_batches(batch_format="pyarrow")]
+        or [pa.schema([("gram_hash", pa.int64())]).empty_table()]
+    )
+    if tbl.num_rows > max_grams:
+        raise ValueError(
+            f"benchmark gram set too large to broadcast ({tbl.num_rows} > "
+            f"{max_grams}); shrink the benchmark or raise max_grams"
+        )
+    return np.unique(tbl["gram_hash"].to_numpy(zero_copy_only=False).astype(np.uint64))
+
+
+class ContaminationFlagger:
+    """Actor-pool stage: flags corpus docs sharing any k-gram with the
+    broadcast benchmark gram set. The set ships once per actor via the
+    object store (``ray.put`` ref in the constructor), not per batch."""
+
+    def __init__(self, bench_ref, text_col: str, id_col: str, k: int):
+        self.bench = np.sort(np.asarray(ray.get(bench_ref), dtype=np.uint64))
+        self.text_col = text_col
+        self.id_col = id_col
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        h, doc_idx, n_docs = _gram_hashes(t, self.text_col, self.k)
+        # distinct (doc, gram) pairs so repeated grams count once per doc
+        pair = np.stack([doc_idx.astype(np.uint64), h], axis=1)
+        pair = np.unique(pair, axis=0) if len(pair) else pair.reshape(0, 2)
+        docs = pair[:, 0].astype(np.int64)
+        grams = pair[:, 1]
+        pos = np.searchsorted(self.bench, grams)
+        pos = np.minimum(pos, max(len(self.bench) - 1, 0))
+        hit = (
+            self.bench[pos] == grams
+            if len(self.bench)
+            else np.zeros(len(grams), dtype=bool)
+        )
+        n_hits = np.bincount(docs[hit], minlength=n_docs).astype(np.int64)
+        return pa.table(
+            {
+                self.id_col: t[self.id_col],
+                "n_hit_grams": pa.array(n_hits),
+                "contaminated": pa.array(n_hits > 0),
+            }
+        )
+
+
+def decontaminate(
+    corpus: rd.Dataset,
+    benchmark: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> rd.Dataset:
+    """Train-test-overlap guard: per corpus doc, the count of distinct
+    token k-grams that also occur in the benchmark set, plus the
+    ``contaminated`` flag. Broadcast pattern: benchmark gram hashes are
+    reduced once and shipped to each flagger actor via ``ray.put``; the
+    corpus side is a pure map — no shuffle, scales to any corpus size.
+    Partitioning assumption: the BENCHMARK (not the corpus) fits one
+    node's heap as a sorted uint64 array (guarded)."""
+    bench = benchmark_gram_set(benchmark, text_col, k)
+    bench_ref = ray.put(bench)
+    return corpus.map_batches(
+        ContaminationFlagger,
+        fn_constructor_kwargs={
+            "bench_ref": bench_ref,
+            "text_col": text_col,
+            "id_col": id_col,
+            "k": k,
+        },
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Segment-level duplicate analysis
+# ---------------------------------------------------------------------------
+
+def segment_rows(
+    t: pa.Table, text_col: str, id_col: str, seg_tokens: int
+) -> pa.Table:
+    """Per-batch kernel: one narrow row per FULL ``seg_tokens``-token
+    non-overlapping segment — (id, seg_hash). Trailing partial segments
+    are dropped (fixed-window convention)."""
+    flat, parent, n_docs = _flat_tokens(t[text_col])
+    counts = np.bincount(parent, minlength=n_docs).astype(np.int64)
+    n_segs = counts // seg_tokens
+    total = int(n_segs.sum())
+    id_type = t.schema.field(id_col).type
+    if total == 0:
+        return pa.schema(
+            [(id_col, id_type), ("seg_hash", pa.int64())]
+        ).empty_table()
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), n_segs)
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(n_segs) - n_segs, n_segs
+    )
+    doc_off = np.cumsum(counts) - counts
+    lists = _ranges_take(
+        flat,
+        doc_off[doc_idx] + within * seg_tokens,
+        np.full(total, seg_tokens, dtype=np.int64),
+    )
+    segs = pc.binary_join(lists, " ").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            id_col: t[id_col].take(pa.array(doc_idx)),
+            "seg_hash": pa.array(_hash_strings(segs).astype(np.int64)),
+        }
+    )
+
+
+def duplicate_segments(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_tokens: int = 16,
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Segment-level exact substring duplication: per doc, how many of its
+    fixed-token segments occur ≥2 times anywhere in the corpus
+    (within-doc repeats count). Exchanges are narrow throughout: segment
+    rows are (id, hash64); the hash→count aggregate and the count join
+    move 16 bytes/row; text never shuffles. Docs with zero full segments
+    emit no row (mirrors the SQL oracle)."""
+    from ray.data.aggregate import Count
+
+    from ..stages.joins import compact_sparse, hash_join
+    from ..stages.stats import grouped_agg
+
+    from ..stages.joins import eff_join_parts
+
+    segs = ds.map_batches(
+        lambda t: segment_rows(t, text_col, id_col, seg_tokens),
+        batch_format="pyarrow",
+    ).materialize()  # consumed twice (count exchange + join probe)
+    counts = segs.groupby("seg_hash").aggregate(Count(alias_name="seg_count"))
+    counts, n = compact_sparse(counts, num_partitions)
+    flagged = hash_join(
+        segs, counts, on=("seg_hash",),
+        num_partitions=eff_join_parts(n, num_partitions),
+    )
+
+    def mark(tbl: pa.Table) -> pa.Table:
+        dup = pc.cast(
+            pc.greater_equal(tbl["seg_count"], pa.scalar(2, pa.int64())),
+            pa.int64(),
+        )
+        return pa.table({id_col: tbl[id_col], "is_dup": dup})
+
+    marked = flagged.map_batches(mark, batch_format="pyarrow")
+    return grouped_agg(
+        marked,
+        [id_col],
+        [(id_col, "count", "n_segments"), ("is_dup", "sum", "n_dup_segments")],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-run incremental dedup (persisted index)
+# ---------------------------------------------------------------------------
+
+class DedupIndex:
+    """Persisted exact-dedup index for perpetual ingest: a directory of
+    narrow (content_hash int64) parquet files. Each ``filter_and_update``
+    call drops batch rows whose content already exists in the index (or
+    earlier in the same batch — min id wins), then appends the batch's
+    novel hashes as a new file, so successive runs dedup against
+    everything ever admitted.
+
+    Scale notes: the on-disk index is append-only narrow parquet (8
+    B/row + encoding). Filtering uses the broadcast-anti-join pattern with
+    a guarded collect (``max_index_rows``); beyond that, swap in the
+    engine's bloom prefilter + hash anti join (stages/bloom.py) — the
+    index layout (plain hash column) feeds either probe unchanged. The
+    in-batch winner pick is the same narrow (hash, id) groupby-min as
+    ``exact_dedup``.
+    """
+
+    def __init__(self, index_dir: str, max_index_rows: int = 50_000_000):
+        self.index_dir = index_dir
+        self.max_index_rows = max_index_rows
+        os.makedirs(index_dir, exist_ok=True)
+
+    def _files(self) -> list[str]:
+        return sorted(
+            os.path.join(self.index_dir, f)
+            for f in os.listdir(self.index_dir)
+            if f.endswith(".parquet")
+        )
+
+    def known_hashes(self) -> np.ndarray:
+        files = self._files()
+        if not files:
+            return np.empty(0, np.int64)
+        tbl = pa.concat_tables([pq.read_table(f, columns=["content_hash"]) for f in files])
+        if tbl.num_rows > self.max_index_rows:
+            raise ValueError(
+                f"dedup index too large for broadcast probe ({tbl.num_rows} "
+                f"rows); use the bloom prefilter path"
+            )
+        return np.unique(tbl["content_hash"].to_numpy(zero_copy_only=False))
+
+    def filter_and_update(
+        self, ds: rd.Dataset, text_col: str, id_col: str, num_partitions: int = 8
+    ) -> rd.Dataset:
+        """Returns the batch's survivor rows (novel content, min id per
+        within-batch duplicate group) and persists their hashes."""
+        from ray.data.aggregate import Min
+
+        from ..stages.joins import compact_sparse, hash_join
+        from .dedup import add_content_hash
+
+        known = self.known_hashes()
+        known_ref = ray.put(known)
+
+        def drop_known(t: pa.Table) -> pa.Table:
+            idx = np.asarray(ray.get(known_ref))
+            h = t["content_hash"].to_numpy(zero_copy_only=False)
+            if len(idx) == 0:
+                return t
+            pos = np.minimum(np.searchsorted(idx, h), len(idx) - 1)
+            return t.filter(pa.array(idx[pos] != h))
+
+        hashed = ds.map_batches(
+            lambda t: add_content_hash(t, text_col), batch_format="pyarrow"
+        ).map_batches(drop_known, batch_format="pyarrow")
+        winners = (
+            hashed.select_columns(["content_hash", id_col])
+            .groupby("content_hash")
+            .aggregate(Min(id_col, alias_name="keep_id"))
+        )
+        from ..stages.joins import eff_join_parts
+
+        winners, n = compact_sparse(winners, num_partitions)
+        survivors = hash_join(
+            hashed,
+            winners.select_columns(["keep_id"]),
+            on=(id_col,),
+            right_on=("keep_id",),
+            num_partitions=eff_join_parts(n, num_partitions),
+        ).materialize()  # consumed twice: index append + caller read
+
+        new_hashes = pa.concat_tables(
+            [
+                pa.table(b).select(["content_hash"])
+                for b in survivors.iter_batches(batch_format="pyarrow")
+            ]
+            or [pa.schema([("content_hash", pa.int64())]).empty_table()]
+        )
+        if new_hashes.num_rows:
+            pq.write_table(
+                pa.table(
+                    {
+                        "content_hash": pa.array(
+                            np.unique(
+                                new_hashes["content_hash"].to_numpy(
+                                    zero_copy_only=False
+                                )
+                            )
+                        )
+                    }
+                ),
+                os.path.join(self.index_dir, f"part-{uuid.uuid4().hex}.parquet"),
+            )
+        drop = [c for c in ("content_hash",) if c in survivors.schema().names]
+        return survivors.drop_columns(drop) if drop else survivors

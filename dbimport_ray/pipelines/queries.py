@@ -1805,6 +1805,75 @@ def q_symdiff_keys(sf_dir: str) -> rd.Dataset:
     return symmetric_difference(big, neg, ["custkey"])
 
 
+def q_chunk_docs(sf_dir: str) -> rd.Dataset:
+    """Context-window packing prep: overlapping 32-token chunks (stride
+    24). Pure flat-map over Arrow — no exchange."""
+    from .curate import chunk_documents
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return chunk_documents(ds, "text", "doc_id", chunk_tokens=32, overlap=8)
+
+
+def q_decontaminate_docs(sf_dir: str) -> rd.Dataset:
+    """Train-test-overlap guard: flag corpus docs (source != src0)
+    sharing any token 5-gram with the benchmark slice (source == src0).
+    Benchmark gram hashes broadcast once; corpus side never shuffles."""
+    from .curate import decontaminate
+
+    bench = _read(
+        sf_dir, "documents",
+        columns=["text"],
+        filter_columns=("source",),
+        filter=pc.field("source") == "src0",
+    )
+    corpus = _read(
+        sf_dir, "documents",
+        columns=["doc_id", "text"],
+        filter_columns=("source",),
+        filter=pc.field("source") != "src0",
+    )
+    return decontaminate(corpus, bench, "text", "doc_id", k=5)
+
+
+def q_dup_segments(sf_dir: str) -> rd.Dataset:
+    """Segment-level exact substring duplication: per doc, count of its
+    full 16-token segments that occur >= 2 times corpus-wide. Narrow
+    (hash, id) exchanges only."""
+    from .curate import duplicate_segments
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return duplicate_segments(ds, "text", "doc_id", seg_tokens=16)
+
+
+def q_incremental_dedup(sf_dir: str) -> rd.Dataset:
+    """Cross-run incremental exact dedup against a persisted hash index:
+    run 1 admits the even doc_ids (building the index), run 2 filters the
+    odd doc_ids against everything ever admitted. Returns run-2
+    survivors."""
+    from .curate import DedupIndex
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def even(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.equal(pc.bit_wise_and(t["doc_id"], pa.scalar(1, pa.int64())), 0)
+        )
+
+    def odd(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.equal(pc.bit_wise_and(t["doc_id"], pa.scalar(1, pa.int64())), 1)
+        )
+
+    idx = DedupIndex(_scratch("dedupidx"))
+    idx.filter_and_update(
+        docs.map_batches(even, batch_format="pyarrow"), "text", "doc_id"
+    )
+    out = idx.filter_and_update(
+        docs.map_batches(odd, batch_format="pyarrow"), "text", "doc_id"
+    )
+    return out.select_columns(["doc_id"])
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL
 # ---------------------------------------------------------------------------
@@ -2379,6 +2448,68 @@ def q_ann_topk(sf_dir: str) -> rd.Dataset:
 # oracle-backed queries with no green driver row yet (new this round, or
 # green in r02 but pushed past the r03 window); then r03-green fill; the
 # rows-only sketch/model queries (pytest-verified) close the dict tail.
+# Shared tokenization CTE for the curation oracles — must mirror
+# curate._flat_tokens: split on \W+, drop empty tokens.
+_TOKS_CTE = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(text, '\W+'), x -> x <> '') AS l
+  FROM documents
+)
+"""
+
+ORACLES["chunk_docs"] = _TOKS_CTE + r"""
+, base AS (SELECT doc_id, l, len(l) AS n FROM toks),
+st AS (SELECT doc_id, l, n, unnest(range(0, n, 24)) AS s FROM base)
+SELECT doc_id,
+       s // 24 AS chunk_idx,
+       array_to_string(l[s + 1 : least(s + 32, n)], ' ') AS chunk_text,
+       least(32, n - s) AS n_tokens
+FROM st
+"""
+
+ORACLES["decontaminate_docs"] = _TOKS_CTE + r"""
+, g AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, len(l) - 3),
+                               i -> array_to_string(l[i : i + 4], ' '))) AS gram
+  FROM toks
+),
+bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+corpus AS (SELECT DISTINCT doc_id, gram FROM g WHERE source <> 'src0'),
+hits AS (SELECT c.doc_id, count(*) AS n
+         FROM corpus c JOIN bench b USING (gram) GROUP BY c.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hit_grams,
+       coalesce(h.n, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+LEFT JOIN hits h ON h.doc_id = d.doc_id
+"""
+
+ORACLES["dup_segments"] = _TOKS_CTE + r"""
+, segs AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, len(l) // 16),
+                i -> array_to_string(l[i * 16 + 1 : i * 16 + 16], ' '))) AS seg
+  FROM toks
+),
+cnt AS (SELECT seg, count(*) AS c FROM segs GROUP BY seg)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments
+FROM segs s JOIN cnt USING (seg)
+GROUP BY s.doc_id
+"""
+
+ORACLES["incremental_dedup"] = """
+WITH r1 AS (SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0),
+r2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1)
+SELECT min(doc_id) AS doc_id
+FROM r2
+WHERE NOT EXISTS (SELECT 1 FROM r1 WHERE r1.text = r2.text)
+GROUP BY text
+"""
+
 QUERIES = {
     # --- new in round 4 (oracle-backed) ---
     "asof_join_scan": q_asof_join_scan,
@@ -2456,6 +2587,11 @@ QUERIES = {
     "anonymize_first4": q_anonymize_first4,
     "groupby_pk_max": q_groupby_pk_max,
     "agg_lineitem": q_agg_lineitem,
+    # --- new in round 4 wave 2 (oracle-backed curation ops) ---
+    "chunk_docs": q_chunk_docs,
+    "decontaminate_docs": q_decontaminate_docs,
+    "dup_segments": q_dup_segments,
+    "incremental_dedup": q_incremental_dedup,
     # --- rows-only (no SQL-expressible oracle; pytest-verified) ---
     "approx_quantiles_docs": q_approx_quantiles_docs,
     "approx_distinct_by_type": q_approx_distinct_by_type,

@@ -1,0 +1,161 @@
+"""Curation-operator tests against independent pure-Python oracles.
+
+Every oracle here re-derives the expected output with plain ``re`` +
+dict/set Python over the same rows — no Arrow kernels, no shared helpers
+with the implementation under test.
+"""
+
+import re
+import tempfile
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from dbimport_ray.pipelines.curate import (
+    DedupIndex,
+    chunk_documents,
+    decontaminate,
+    duplicate_segments,
+)
+
+DOCS = [
+    (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),  # dup of 0
+    (2, "one two three four five six seven eight nine ten eleven twelve"),
+    (3, "  leading and trailing   spaces padded   "),
+    (4, ""),  # no tokens
+    (5, "one two three four five six seven eight UNIQUE tail words here"),
+    (6, "short doc"),
+]
+
+
+def _tokens(text):
+    return [t for t in re.split(r"\W+", text) if t != ""]
+
+
+def _docs_ds(rows=None):
+    rows = rows if rows is not None else DOCS
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+def _as_rows(ds):
+    return [r for b in ds.iter_batches(batch_format="pyarrow") for r in pa.table(b).to_pylist()]
+
+
+def test_chunk_documents_oracle():
+    chunk, overlap = 6, 2
+    stride = chunk - overlap
+    got = sorted(
+        (
+            (r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_tokens"])
+            for r in _as_rows(chunk_documents(_docs_ds(), "text", "doc_id", chunk, overlap))
+        )
+    )
+    want = []
+    for doc_id, text in DOCS:
+        toks = _tokens(text)
+        for ci, start in enumerate(range(0, len(toks), stride)):
+            sel = toks[start : start + chunk]
+            want.append((doc_id, ci, " ".join(sel), len(sel)))
+    assert got == sorted(want)
+    # every token of every non-empty doc is covered by >= 1 chunk
+    covered = {}
+    for doc_id, ci, txt, n in got:
+        covered.setdefault(doc_id, 0)
+        covered[doc_id] = max(covered[doc_id], ci * stride + n)
+    for doc_id, text in DOCS:
+        if _tokens(text):
+            assert covered[doc_id] == len(_tokens(text))
+
+
+def test_chunk_documents_single_short_doc():
+    rows = [(7, "a b c")]
+    got = _as_rows(chunk_documents(_docs_ds(rows), "text", "doc_id", 32, 8))
+    assert got == [
+        {"doc_id": 7, "chunk_idx": 0, "chunk_text": "a b c", "n_tokens": 3}
+    ]
+
+
+def test_decontaminate_oracle():
+    k = 3
+    bench_rows = [(100, "alpha beta gamma delta epsilon"), (101, "x y z w")]
+    bench = _docs_ds(bench_rows)
+    corpus = _docs_ds()
+    got = {
+        r["doc_id"]: (r["n_hit_grams"], r["contaminated"])
+        for r in _as_rows(decontaminate(corpus, bench, "text", "doc_id", k=k))
+    }
+
+    def grams(toks):
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    bench_grams = set()
+    for _, text in bench_rows:
+        bench_grams |= grams(_tokens(text))
+    want = {}
+    for doc_id, text in DOCS:
+        hits = len(grams(_tokens(text)) & bench_grams)
+        want[doc_id] = (hits, hits > 0)
+    assert got == want
+    assert got[0][1] and got[1][1]  # alpha..epsilon overlap
+    assert not got[2][1]
+
+
+def test_duplicate_segments_oracle():
+    seg = 4
+    got = {
+        r["doc_id"]: (r["n_segments"], r["n_dup_segments"])
+        for r in _as_rows(duplicate_segments(_docs_ds(), "text", "doc_id", seg_tokens=seg))
+    }
+    from collections import Counter
+
+    all_segs = Counter()
+    per_doc = {}
+    for doc_id, text in DOCS:
+        toks = _tokens(text)
+        segs = [
+            " ".join(toks[i * seg : (i + 1) * seg]) for i in range(len(toks) // seg)
+        ]
+        per_doc[doc_id] = segs
+        all_segs.update(segs)
+    want = {
+        doc_id: (len(segs), sum(1 for s in segs if all_segs[s] >= 2))
+        for doc_id, segs in per_doc.items()
+        if segs  # zero-full-segment docs emit no row
+    }
+    assert got == want
+    assert got[0] == (2, 2)  # doc 0 and 1 are exact dups
+    n_seg_5 = len(_tokens(DOCS[5][1])) // seg
+    assert got[5][0] == n_seg_5 and got[5][1] >= 1  # shares 'one..eight' prefix with doc 2
+
+
+def test_dedup_index_three_runs():
+    idx = DedupIndex(tempfile.mkdtemp(prefix="dedupidx_", dir="/tmp"))
+    r1 = [(0, "aaa bbb"), (1, "ccc ddd"), (2, "aaa bbb")]  # 2 dup of 0
+    r2 = [(3, "aaa bbb"), (4, "eee fff"), (5, "eee fff")]  # 3 known, 5 dup of 4
+    r3 = [(6, "eee fff"), (7, "ggg hhh")]  # 6 known from run 2
+
+    def ids(ds):
+        return sorted(r["doc_id"] for r in _as_rows(ds))
+
+    assert ids(idx.filter_and_update(_docs_ds(r1), "text", "doc_id")) == [0, 1]
+    assert ids(idx.filter_and_update(_docs_ds(r2), "text", "doc_id")) == [4]
+    assert ids(idx.filter_and_update(_docs_ds(r3), "text", "doc_id")) == [7]
+    # survivors keep their full row (text restored, hash dropped)
+    out = _as_rows(idx.filter_and_update(_docs_ds([(8, "iii jjj")]), "text", "doc_id"))
+    assert out == [{"doc_id": 8, "text": "iii jjj"}]
+
+
+def test_dedup_index_guard():
+    idx = DedupIndex(tempfile.mkdtemp(prefix="dedupidx_", dir="/tmp"), max_index_rows=1)
+    idx.filter_and_update(_docs_ds([(0, "a b"), (1, "c d")]), "text", "doc_id")
+    with pytest.raises(ValueError, match="bloom prefilter"):
+        idx.known_hashes()
