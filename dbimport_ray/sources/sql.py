@@ -553,6 +553,179 @@ class MSSQLDialect(SQLDialect):
         return sel + " ON " + on
 
 
+class ProgressDialect(SQLDialect):
+    """Progress OpenEdge typemap (import_config.py:1442-1447: integer→int,
+    numeric(p,s)→decimal with ',none)'→',0)', date(n)→date,
+    bit(1)→boolean)."""
+
+    name = "progress"
+
+    def type_to_arrow(self, decl: str | None) -> pa.DataType:
+        d = (decl or "").lower().strip()
+        d = _re.sub(r",none\)$", ",0)", d)
+        m = _re.match(r"(?:numeric|decimal)\((\d+)(?:,\s*(\d+))?\)", d)
+        if m:
+            return pa.decimal128(int(m.group(1)), int(m.group(2) or 0))
+        if d == "integer" or d.startswith(("int", "smallint", "tinyint")):
+            return pa.int64()
+        if _re.match(r"date(\(\d\))?$", d):
+            return pa.date32()
+        if d == "bit(1)":
+            return pa.bool_()
+        if d.startswith("timestamp"):
+            return pa.timestamp("us")
+        if d in ("float", "real"):
+            return pa.float32()
+        if d in ("double", "double precision"):
+            return pa.float64()
+        return pa.string()
+
+
+class DB2UDBDialect(SQLDialect):
+    """DB2 UDB typemap (import_config.py:1449-1463: clob→string,
+    time(n)→varchar(9), integer→int, timestmp→timestamp, blob→binary,
+    real→float, vargraph/graphic→varchar)."""
+
+    name = "db2udb"
+
+    def type_to_arrow(self, decl: str | None) -> pa.DataType:
+        d = (decl or "").lower().strip()
+        if d.startswith("clob") or d.startswith(("vargraph", "graphic")):
+            return pa.string()
+        if _re.match(r"time\(\d\)", d) or d == "time":
+            return pa.string()  # reference lands time as varchar(9)
+        if d == "integer" or d.startswith(("int", "smallint", "bigint")):
+            return pa.int64()
+        if d.startswith("timestmp") or d.startswith("timestamp"):
+            return pa.timestamp("us")
+        if d.startswith("blob"):
+            return pa.binary()
+        if d == "real":
+            return pa.float32()
+        if d in ("double", "float"):
+            return pa.float64()
+        m = _re.match(r"(?:decimal|numeric)\((\d+),\s*(\d+)\)", d)
+        if m:
+            return pa.decimal128(int(m.group(1)), int(m.group(2)))
+        if d == "date":
+            return pa.date32()
+        return pa.string()
+
+
+class DB2AS400Dialect(DB2UDBDialect):
+    """DB2 AS400 typemap (import_config.py:1465-1480): as UDB, plus
+    numeric(p)→decimal(p,0), timestamp(n)→timestamp,
+    varbinary(n)→binary."""
+
+    name = "db2as400"
+
+    def type_to_arrow(self, decl: str | None) -> pa.DataType:
+        d = (decl or "").lower().strip()
+        m = _re.match(r"numeric\((\d+)\)$", d)
+        if m:
+            return pa.decimal128(int(m.group(1)), 0)
+        if _re.match(r"varbinary(\(\d+\))?$", d):
+            return pa.binary()
+        if _re.match(r"timestamp\(.*\)$", d):
+            return pa.timestamp("us")
+        return super().type_to_arrow(d)
+
+
+class SnowflakeDialect(SQLDialect):
+    """Snowflake typemap (import_config.py:1486-1493: text(n)→string,
+    timestamp_ltz/ntz/tz→timestamp, number→decimal(38,0))."""
+
+    name = "snowflake"
+
+    def type_to_arrow(self, decl: str | None) -> pa.DataType:
+        d = (decl or "").lower().strip()
+        if d.startswith("text"):
+            return pa.string()
+        if d in ("timestamp_ltz", "timestamp_tz"):
+            return pa.timestamp("us", "UTC")
+        if d == "timestamp_ntz" or d.startswith("timestamp"):
+            return pa.timestamp("us")
+        if d == "number":
+            return pa.decimal128(38, 0)
+        m = _re.match(r"number\((\d+),\s*(\d+)\)", d)
+        if m:
+            return pa.decimal128(int(m.group(1)), int(m.group(2)))
+        if d in ("int", "integer", "bigint", "smallint", "tinyint"):
+            return pa.int64()
+        if d in ("float", "double", "real"):
+            return pa.float64()
+        if d == "boolean":
+            return pa.bool_()
+        if d == "date":
+            return pa.date32()
+        if d in ("binary", "varbinary"):
+            return pa.binary()
+        return pa.string()
+
+
+class InformixDialect(SQLDialect):
+    """Informix typemap (import_config.py:1495-1502: tinyint/smallint/
+    mediumint/integer→int, clob→string)."""
+
+    name = "informix"
+
+    def type_to_arrow(self, decl: str | None) -> pa.DataType:
+        d = (decl or "").lower().strip()
+        if d in ("tinyint", "smallint", "mediumint", "integer", "int", "bigint"):
+            return pa.int64()
+        if d.startswith("clob"):
+            return pa.string()
+        m = _re.match(r"(?:decimal|numeric)\((\d+),\s*(\d+)\)", d)
+        if m:
+            return pa.decimal128(int(m.group(1)), int(m.group(2)))
+        if d.startswith("datetime") or d.startswith("timestamp"):
+            return pa.timestamp("us")
+        if d == "date":
+            return pa.date32()
+        if d in ("float", "double precision"):
+            return pa.float64()
+        if d in ("real", "smallfloat"):
+            return pa.float32()
+        if d.startswith(("byte", "blob")):
+            return pa.binary()
+        return pa.string()
+
+
+class SQLAnywhereDialect(SQLDialect):
+    """SAP SQL Anywhere typemap (import_config.py:1504-1520: long
+    varchar→string, long binary→binary, unsigned smaller ints→int,
+    unsigned bigint→bigint, long varbit→string)."""
+
+    name = "sqlanywhere"
+
+    def type_to_arrow(self, decl: str | None) -> pa.DataType:
+        d = (decl or "").lower().strip()
+        if d in ("long varchar", "long varbit"):
+            return pa.string()
+        if d == "long binary":
+            return pa.binary()
+        if d in (
+            "unsigned int", "unsigned smallint", "unsigned mediumint",
+            "tinyint", "smallint", "mediumint", "integer", "int",
+            "unsigned bigint", "bigint",
+        ):
+            return pa.int64()
+        m = _re.match(r"(?:decimal|numeric)\((\d+),\s*(\d+)\)", d)
+        if m:
+            return pa.decimal128(int(m.group(1)), int(m.group(2)))
+        if d.startswith("timestamp") or d.startswith("datetime"):
+            return pa.timestamp("us")
+        if d == "date":
+            return pa.date32()
+        if d in ("float", "real"):
+            return pa.float32()
+        if d == "double":
+            return pa.float64()
+        if d == "bit":
+            return pa.bool_()
+        return pa.string()
+
+
 DIALECTS = {
     d.name: d
     for d in (
@@ -563,6 +736,12 @@ DIALECTS = {
         MySQLDialect(),
         OracleDialect(),
         MSSQLDialect(),
+        ProgressDialect(),
+        DB2UDBDialect(),
+        DB2AS400Dialect(),
+        SnowflakeDialect(),
+        InformixDialect(),
+        SQLAnywhereDialect(),
     )
 }
 

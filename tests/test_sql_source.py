@@ -422,3 +422,57 @@ def test_postgres_mysql_typemaps():
         my.incr_where_literal("seq", 5, ts)
         == "`seq` > 5 AND `seq` <= TIMESTAMP '2024-01-02 03:04:05'"
     )
+
+
+def test_remaining_reference_dialect_typemaps():
+    """The reference's last six source-dialect normalizations
+    (import_config.py:1442-1520): Progress, DB2 UDB, DB2 AS400,
+    Snowflake, Informix, SQL Anywhere — each rewrite rule mapped to its
+    Arrow equivalent."""
+    from dbimport_ray.sources.sql import DIALECTS
+
+    pr = DIALECTS["progress"]
+    assert pr.type_to_arrow("integer") == pa.int64()
+    assert pr.type_to_arrow("numeric(10,2)") == pa.decimal128(10, 2)
+    assert pr.type_to_arrow("numeric(10,none)") == pa.decimal128(10, 0)
+    assert pr.type_to_arrow("date(7)") == pa.date32()
+    assert pr.type_to_arrow("bit(1)") == pa.bool_()
+
+    db2 = DIALECTS["db2udb"]
+    assert db2.type_to_arrow("clob(1048576)") == pa.string()
+    assert db2.type_to_arrow("time(8)") == pa.string()  # ref lands varchar(9)
+    assert db2.type_to_arrow("integer") == pa.int64()
+    assert db2.type_to_arrow("timestmp") == pa.timestamp("us")
+    assert db2.type_to_arrow("blob") == pa.binary()
+    assert db2.type_to_arrow("real") == pa.float32()
+    assert db2.type_to_arrow("vargraph(20)") == pa.string()
+    assert db2.type_to_arrow("graphic(10)") == pa.string()
+
+    as400 = DIALECTS["db2as400"]
+    assert as400.type_to_arrow("numeric(12)") == pa.decimal128(12, 0)
+    assert as400.type_to_arrow("timestamp(26,6)") == pa.timestamp("us")
+    assert as400.type_to_arrow("varbinary(100)") == pa.binary()
+    assert as400.type_to_arrow("varbinary") == pa.binary()
+    assert as400.type_to_arrow("clob") == pa.string()
+    assert as400.type_to_arrow("real") == pa.float32()
+
+    sf = DIALECTS["snowflake"]
+    assert sf.type_to_arrow("text(255)") == pa.string()
+    assert sf.type_to_arrow("timestamp_ltz") == pa.timestamp("us", "UTC")
+    assert sf.type_to_arrow("timestamp_ntz") == pa.timestamp("us")
+    assert sf.type_to_arrow("timestamp_tz") == pa.timestamp("us", "UTC")
+    assert sf.type_to_arrow("number") == pa.decimal128(38, 0)
+
+    ifx = DIALECTS["informix"]
+    assert ifx.type_to_arrow("mediumint") == pa.int64()
+    assert ifx.type_to_arrow("integer") == pa.int64()
+    assert ifx.type_to_arrow("clob") == pa.string()
+    assert ifx.type_to_arrow("datetime year to fraction(5)") == pa.timestamp("us")
+
+    sa = DIALECTS["sqlanywhere"]
+    assert sa.type_to_arrow("long varchar") == pa.string()
+    assert sa.type_to_arrow("long binary") == pa.binary()
+    assert sa.type_to_arrow("unsigned smallint") == pa.int64()
+    assert sa.type_to_arrow("unsigned bigint") == pa.int64()
+    assert sa.type_to_arrow("long varbit") == pa.string()
+    assert sa.type_to_arrow("bit") == pa.bool_()
