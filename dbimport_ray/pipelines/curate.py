@@ -475,3 +475,87 @@ class DedupIndex:
             )
         drop = [c for c in ("content_hash",) if c in survivors.schema().names]
         return survivors.drop_columns(drop) if drop else survivors
+
+
+# ---------------------------------------------------------------------------
+# Word-repetition quality metrics (Gopher-style rules)
+# ---------------------------------------------------------------------------
+
+def repetition_stats(t: pa.Table, text_col: str, id_col: str) -> pa.Table:
+    """Per-document word-repetition metrics — the Gopher repetition rules
+    (Rae et al. 2021, appendix A1.1) at word granularity:
+
+    - ``dup_word_frac``   — fraction of word occurrences that are repeats
+                            of an earlier word (1 − distinct/total);
+    - ``top_word_frac``   — occurrences of the single most frequent word
+                            over total words;
+    - ``top_bigram_frac`` — occurrences of the most frequent word bigram
+                            over total bigrams.
+
+    Boilerplate, keyword-stuffed and looping documents spike these long
+    before perplexity filters see them. Stateless per-batch kernel: one
+    flat tokenize + two lexsort run-length passes — no per-document
+    Python, no shuffle (the reference has no analogue; its closest hook
+    is the column-transform registry, sparkUDF2.py:30-120)."""
+    flat, parent, n_docs = _flat_tokens(t[text_col])
+    n_words = np.bincount(parent, minlength=n_docs).astype(np.int64)
+
+    def _per_doc_top_and_distinct(h, par):
+        top = np.zeros(n_docs, dtype=np.int64)
+        distinct = np.zeros(n_docs, dtype=np.int64)
+        if len(h):
+            order = np.lexsort((h, par))
+            ps, hs = par[order], h[order]
+            starts = np.flatnonzero(
+                np.r_[True, (ps[1:] != ps[:-1]) | (hs[1:] != hs[:-1])]
+            )
+            run_len = np.diff(np.r_[starts, len(hs)])
+            run_doc = ps[starts]
+            np.maximum.at(top, run_doc, run_len)
+            np.add.at(distinct, run_doc, 1)
+        return top, distinct
+
+    wh = _hash_strings(flat.to_numpy(zero_copy_only=False))
+    top_w, distinct_w = _per_doc_top_and_distinct(wh, parent)
+    gh, gparent, _ = _gram_hashes(t, text_col, 2)
+    top_bg, _ = _per_doc_top_and_distinct(gh, gparent)
+
+    nw = n_words.astype(np.float64)
+    n_bg = np.maximum(n_words - 1, 0).astype(np.float64)
+    safe_w = np.maximum(nw, 1.0)
+    safe_bg = np.maximum(n_bg, 1.0)
+    return pa.table(
+        {
+            id_col: t[id_col],
+            "n_words": pa.array(n_words),
+            "dup_word_frac": pa.array((nw - distinct_w) / safe_w),
+            "top_word_frac": pa.array(top_w / safe_w),
+            "top_bigram_frac": pa.array(top_bg / safe_bg),
+        }
+    )
+
+
+def repetition_filter(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dup_word_frac: float = 0.5,
+    max_top_word_frac: float = 0.2,
+    max_top_bigram_frac: float = 0.12,
+) -> rd.Dataset:
+    """Documents surviving the repetition gate (ids + metrics). Pure
+    map-side filter — composes with the quality gate and dedup without
+    adding any exchange."""
+
+    def gate(t: pa.Table) -> pa.Table:
+        m = repetition_stats(t, text_col, id_col)
+        keep = pc.and_(
+            pc.and_(
+                pc.less_equal(m["dup_word_frac"], max_dup_word_frac),
+                pc.less_equal(m["top_word_frac"], max_top_word_frac),
+            ),
+            pc.less_equal(m["top_bigram_frac"], max_top_bigram_frac),
+        )
+        return m.filter(keep)
+
+    return ds.map_batches(gate, batch_format="pyarrow")

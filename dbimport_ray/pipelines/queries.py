@@ -1874,6 +1874,31 @@ def q_incremental_dedup(sf_dir: str) -> rd.Dataset:
     return out.select_columns(["doc_id"])
 
 
+def q_repetition_stats(sf_dir: str) -> rd.Dataset:
+    """Gopher-style word-repetition metrics per document (dup-word /
+    top-word / top-bigram fractions)."""
+    from .curate import repetition_stats
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(
+        lambda t: repetition_stats(t, "text", "doc_id"), batch_format="pyarrow"
+    )
+
+
+def q_repetition_filter(sf_dir: str) -> rd.Dataset:
+    """Documents surviving the repetition gate (thresholds sized to the
+    synthetic corpus so the gate actually discriminates)."""
+    from .curate import repetition_filter
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return repetition_filter(
+        docs,
+        max_dup_word_frac=0.6,
+        max_top_word_frac=0.12,
+        max_top_bigram_frac=0.06,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL
 # ---------------------------------------------------------------------------
@@ -2501,6 +2526,51 @@ FROM segs s JOIN cnt USING (seg)
 GROUP BY s.doc_id
 """
 
+_REPETITION_CTE = r"""
+WITH tk AS (
+  SELECT doc_id, unnest(lw) AS w, generate_subscripts(lw, 1) AS pos,
+         len(lw) AS n_words
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\W+'), x -> x <> '') AS lw
+        FROM documents)
+),
+words AS (
+  SELECT doc_id, any_value(n_words) AS n_words,
+         count(DISTINCT w) AS n_distinct, max(cnt) AS top_cnt
+  FROM (SELECT doc_id, w, n_words,
+               count(*) OVER (PARTITION BY doc_id, w) AS cnt FROM tk)
+  GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id, max(cnt) AS top_bg
+  FROM (SELECT t1.doc_id, t1.w || ' ' || t2.w AS b, count(*) AS cnt
+        FROM tk t1 JOIN tk t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+        GROUP BY t1.doc_id, b)
+  GROUP BY doc_id
+),
+rep AS (
+  SELECT d.doc_id,
+         CAST(coalesce(w.n_words, 0) AS BIGINT) AS n_words,
+         (coalesce(w.n_words, 0) - coalesce(w.n_distinct, 0))
+             / greatest(coalesce(w.n_words, 0), 1)::double AS dup_word_frac,
+         coalesce(w.top_cnt, 0)
+             / greatest(coalesce(w.n_words, 0), 1)::double AS top_word_frac,
+         coalesce(b.top_bg, 0)
+             / greatest(coalesce(w.n_words, 0) - 1, 1)::double AS top_bigram_frac
+  FROM documents d
+  LEFT JOIN words w USING (doc_id) LEFT JOIN bg b USING (doc_id)
+)
+"""
+
+ORACLES["repetition_stats"] = _REPETITION_CTE + """
+SELECT doc_id, n_words, dup_word_frac, top_word_frac, top_bigram_frac FROM rep
+"""
+
+ORACLES["repetition_filter"] = _REPETITION_CTE + """
+SELECT doc_id, n_words, dup_word_frac, top_word_frac, top_bigram_frac FROM rep
+WHERE dup_word_frac <= 0.6 AND top_word_frac <= 0.12 AND top_bigram_frac <= 0.06
+"""
+
 ORACLES["incremental_dedup"] = """
 WITH r1 AS (SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0),
 r2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1)
@@ -2515,6 +2585,8 @@ QUERIES = {
     "asof_join_scan": q_asof_join_scan,
     "range_join_scan": q_range_join_scan,
     "tfidf_top_terms": q_tfidf_top_terms,  # gained a DuckDB oracle in r4
+    "repetition_stats": q_repetition_stats,
+    "repetition_filter": q_repetition_filter,
     # --- oracle-backed, green in r02 but absent from CORRECTNESS_r03 ---
     "antijoin_deletes": q_antijoin_deletes,
     "exact_dedup_docs": q_exact_dedup_docs,

@@ -17,6 +17,8 @@ from dbimport_ray.pipelines.curate import (
     chunk_documents,
     decontaminate,
     duplicate_segments,
+    repetition_filter,
+    repetition_stats,
 )
 
 DOCS = [
@@ -152,6 +154,81 @@ def test_dedup_index_three_runs():
     # survivors keep their full row (text restored, hash dropped)
     out = _as_rows(idx.filter_and_update(_docs_ds([(8, "iii jjj")]), "text", "doc_id"))
     assert out == [{"doc_id": 8, "text": "iii jjj"}]
+
+
+REP_DOCS = DOCS + [
+    (7, "spam spam spam spam spam spam"),  # one word repeated
+    (8, "buy now buy now buy now buy now buy now"),  # one bigram repeated
+    (9, "a b a b c d c d e f e f g h"),  # moderate repetition
+]
+
+
+def _repetition_oracle():
+    from collections import Counter
+
+    want = {}
+    for doc_id, text in REP_DOCS:
+        toks = _tokens(text)
+        n = len(toks)
+        wc = Counter(toks)
+        bc = Counter(zip(toks, toks[1:]))
+        want[doc_id] = (
+            n,
+            (n - len(wc)) / max(n, 1),
+            (max(wc.values()) if wc else 0) / max(n, 1),
+            (max(bc.values()) if bc else 0) / max(n - 1, 1),
+        )
+    return want
+
+
+def test_repetition_stats_oracle():
+    got = {
+        r["doc_id"]: (
+            r["n_words"],
+            r["dup_word_frac"],
+            r["top_word_frac"],
+            r["top_bigram_frac"],
+        )
+        for r in _as_rows(
+            _docs_ds(REP_DOCS).map_batches(
+                lambda t: repetition_stats(t, "text", "doc_id"),
+                batch_format="pyarrow",
+            )
+        )
+    }
+    want = _repetition_oracle()
+    assert set(got) == set(want)
+    for doc_id in want:
+        assert got[doc_id][0] == want[doc_id][0], doc_id
+        for g, w in zip(got[doc_id][1:], want[doc_id][1:]):
+            assert g == pytest.approx(w), doc_id
+    # the pathological docs actually spike the metrics
+    assert got[7][2] == 1.0 and got[7][3] == 1.0
+    assert got[8][3] == pytest.approx(5 / 9)
+    assert got[0][1] == 0.0  # all-distinct doc has zero dup fraction
+
+
+def test_repetition_filter_oracle():
+    want = _repetition_oracle()
+    keep = sorted(
+        doc_id
+        for doc_id, (n, dup, top_w, top_bg) in want.items()
+        if dup <= 0.3 and top_w <= 0.25 and top_bg <= 0.2
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in _as_rows(
+            repetition_filter(
+                _docs_ds(REP_DOCS),
+                max_dup_word_frac=0.3,
+                max_top_word_frac=0.25,
+                max_top_bigram_frac=0.2,
+            )
+        )
+    )
+    assert got == keep
+    assert 7 not in got and 8 not in got and 9 not in got
+    assert 0 in got and 2 in got
 
 
 def test_dedup_index_guard():
