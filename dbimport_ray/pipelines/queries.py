@@ -945,6 +945,28 @@ def q_window_lag_scan(sf_dir: str) -> rd.Dataset:
     return out.select_columns(["event_id", "prev_value"])
 
 
+def q_row_number_scan(sf_dir: str) -> rd.Dataset:
+    """Per-user 1-based row numbers in (ts, event_id) order via the
+    skew-safe distributed scan (range sort + ones-cumsum carry chain —
+    no per-key task ever holds a whole user's history)."""
+    from ..stages.scan import row_number_scan
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    out = row_number_scan(ds, "user_id", ["ts", "event_id"], out="rn")
+    return out.select_columns(["event_id", "rn"])
+
+
+def q_global_row_number(sf_dir: str) -> rd.Dataset:
+    """Whole-dataset ordered row numbering (``row_number() OVER (ORDER BY
+    ts, event_id)``) — the carry chain threads one running offset through
+    every block, so the total order never lands in a single task."""
+    from ..stages.scan import row_number_scan
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_id"])
+    out = row_number_scan(ds, None, ["ts", "event_id"], out="rn")
+    return out.select_columns(["event_id", "rn"])
+
+
 def q_asof_join(sf_dir: str) -> rd.Dataset:
     """Point-in-time dimension join: each event picks the latest order of
     the same customer placed at-or-before the event time (tag + union +
@@ -2442,6 +2464,17 @@ SELECT doc_id, token, score FROM scored WHERE rn <= 3
 ORACLES["asof_join_scan"] = ORACLES["asof_join"]
 ORACLES["range_join_scan"] = ORACLES["range_join"]
 ORACLES["sessionize_scan"] = ORACLES["sessionize"]
+ORACLES["row_number_scan"] = """
+SELECT event_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+FROM events
+"""
+
+ORACLES["global_row_number"] = """
+SELECT event_id, row_number() OVER (ORDER BY ts, event_id) AS rn
+FROM events
+"""
+
 ORACLES["window_lag_scan"] = ORACLES["window_lag"]
 ORACLES["sql_read_duckdb"] = ORACLES["sql_incremental_read"]
 ORACLES["window_cumsum_scan"] = ORACLES["window_cumsum"]
@@ -2587,6 +2620,8 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,  # gained a DuckDB oracle in r4
     "repetition_stats": q_repetition_stats,
     "repetition_filter": q_repetition_filter,
+    "row_number_scan": q_row_number_scan,
+    "global_row_number": q_global_row_number,
     # --- oracle-backed, green in r02 but absent from CORRECTNESS_r03 ---
     "antijoin_deletes": q_antijoin_deletes,
     "exact_dedup_docs": q_exact_dedup_docs,

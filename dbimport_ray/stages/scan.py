@@ -174,6 +174,47 @@ def partitioned_scan(
     return rd.from_arrow_refs(out_refs)
 
 
+def row_number_scan(
+    ds: rd.Dataset,
+    key: str | None,
+    order_cols: list[str],
+    out: str = "row_number",
+) -> rd.Dataset:
+    """Skew-safe ``row_number() OVER ([PARTITION BY key] ORDER BY …)``
+    (1-based, SQL semantics). ``key=None`` numbers the WHOLE dataset in
+    one total order — the carry chain then threads a single running
+    offset through every block, so no task ever sees more than one
+    block's rows. Exact for counts < 2^53 (the cumsum carry is float64).
+
+    Reference analogue: none — DBImport has no ordered-row primitive;
+    this is the distributed primitive behind ordered export ids and
+    stable sample indexing."""
+    gk = "_rn_gkey"
+    if key is None:
+        ds = ds.map_batches(
+            lambda t: t.append_column(
+                gk, pa.array(np.zeros(t.num_rows, np.int8))
+            ),
+            batch_format="pyarrow",
+        )
+        key = gk
+
+    def add_ones(t: pa.Table) -> pa.Table:
+        return t.append_column("_rn_one", pa.array(np.ones(t.num_rows)))
+
+    scanned = partitioned_scan(
+        ds.map_batches(add_ones, batch_format="pyarrow"),
+        key, order_cols, "_rn_one", out, "cumsum",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index(out)
+        t = t.set_column(i, out, pc.cast(pc.round(t[out]), pa.int64()))
+        return t.drop_columns([c for c in ("_rn_one", gk) if c in t.schema.names])
+
+    return scanned.map_batches(finish, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Skew-safe sessionization — same scan skeleton, session-merge carry
 # ---------------------------------------------------------------------------

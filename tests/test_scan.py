@@ -354,6 +354,50 @@ def test_range_scan_interval_spanning_many_blocks(ray_session):
     assert (out["window_id"] == 42).all()
 
 
+def test_row_number_scan_per_key_oracle(ray_session):
+    """Per-key row numbers on the hot-key table vs a pandas groupby
+    cumcount oracle — exact integers, hot key spanning many blocks."""
+    from dbimport_ray.stages.scan import row_number_scan
+
+    t = _hot_table(n=6000)
+    ds = rd.from_arrow(t).repartition(8)
+    out = (
+        row_number_scan(ds, "user_id", ["seq"], out="rn")
+        .to_pandas()
+        .sort_values(["user_id", "seq"])
+        .reset_index(drop=True)
+    )
+    want = (
+        t.to_pandas()
+        .sort_values(["user_id", "seq"])
+        .reset_index(drop=True)
+        .groupby("user_id")
+        .cumcount()
+        + 1
+    )
+    assert out["rn"].dtype == np.int64
+    assert out["rn"].tolist() == want.tolist()
+
+
+def test_row_number_scan_global(ray_session):
+    """key=None numbers the entire dataset in one total order: the result
+    must be an exact permutation-free 1..n in (seq) order."""
+    from dbimport_ray.stages.scan import row_number_scan
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    t = pa.table({"seq": pa.array(rng.permutation(n).astype(np.int64))})
+    ds = rd.from_arrow(t).repartition(7)
+    out = (
+        row_number_scan(ds, None, ["seq"], out="rn")
+        .to_pandas()
+        .sort_values("seq")
+        .reset_index(drop=True)
+    )
+    assert out["rn"].tolist() == list(range(1, n + 1))
+    assert "_rn_gkey" not in out.columns and "_rn_one" not in out.columns
+
+
 def test_lag_scan_matches_map_groups(ray_session):
     from dbimport_ray.stages.window import window_lag
 
