@@ -967,6 +967,16 @@ def q_global_row_number(sf_dir: str) -> rd.Dataset:
     return out.select_columns(["event_id", "rn"])
 
 
+def q_rank_features(sf_dir: str) -> rd.Dataset:
+    """Per-user rank normalizations (percent_rank / cume_dist / NTILE(4))
+    — skew-safe row numbers + a key-domain count exchange broadcast back."""
+    from ..stages.scan import rank_features
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    out = rank_features(ds, "user_id", ["ts", "event_id"], ntile_buckets=4)
+    return out.select_columns(["event_id", "pct_rank", "cume_dist", "tile"])
+
+
 def q_asof_join(sf_dir: str) -> rd.Dataset:
     """Point-in-time dimension join: each event picks the latest order of
     the same customer placed at-or-before the event time (tag + union +
@@ -2475,6 +2485,15 @@ SELECT event_id, row_number() OVER (ORDER BY ts, event_id) AS rn
 FROM events
 """
 
+ORACLES["rank_features"] = """
+SELECT event_id,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist()    OVER w AS cume_dist,
+       ntile(4)       OVER w AS tile
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
 ORACLES["window_lag_scan"] = ORACLES["window_lag"]
 ORACLES["sql_read_duckdb"] = ORACLES["sql_incremental_read"]
 ORACLES["window_cumsum_scan"] = ORACLES["window_cumsum"]
@@ -2622,6 +2641,7 @@ QUERIES = {
     "repetition_filter": q_repetition_filter,
     "row_number_scan": q_row_number_scan,
     "global_row_number": q_global_row_number,
+    "rank_features": q_rank_features,
     # --- oracle-backed, green in r02 but absent from CORRECTNESS_r03 ---
     "antijoin_deletes": q_antijoin_deletes,
     "exact_dedup_docs": q_exact_dedup_docs,

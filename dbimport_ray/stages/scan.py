@@ -215,6 +215,57 @@ def row_number_scan(
     return scanned.map_batches(finish, batch_format="pyarrow")
 
 
+def rank_features(
+    ds: rd.Dataset,
+    key: str,
+    order_cols: list[str],
+    ntile_buckets: int = 4,
+) -> rd.Dataset:
+    """SQL rank normalizations per key — ``percent_rank`` (pct_rank),
+    ``cume_dist`` and exact ``NTILE(b)`` (tile, first ``n % b`` buckets
+    one row larger, per the standard) — skew-safe: row numbers come from
+    the carry-chain scan, per-key totals from a map-side partial count
+    whose exchange carries only the key domain, broadcast back into the
+    stream with zero further shuffle. Assumes the key domain fits the
+    broadcast guard (collect_small, 5M rows); beyond that compose
+    ``row_number_scan`` with ``joins.hash_join`` instead.
+
+    Ordering must be unique per row (tie columns included in
+    ``order_cols``) — with ties, percent_rank/cume_dist need rank()
+    semantics these row numbers don't provide."""
+    from .joins import broadcast_lookup_join
+    from .stats import grouped_agg
+
+    rn_ds = row_number_scan(ds, key, order_cols, out="rn")
+    counts = grouped_agg(rn_ds, [key], [(None, "count", "_n_key")])
+    out = broadcast_lookup_join(rn_ds, counts, [key], ["_n_key"])
+
+    b = int(ntile_buckets)
+
+    def feats(t: pa.Table) -> pa.Table:
+        rn = t["rn"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["_n_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pct = np.where(n > 1, (rn - 1) / np.maximum(n - 1, 1), 0.0)
+        cume = rn / n
+        q, r = n // b, n % b
+        thresh = r * (q + 1)
+        tile = np.where(
+            rn <= thresh,
+            (rn - 1) // np.maximum(q + 1, 1),
+            r + (rn - 1 - thresh) // np.maximum(q, 1),
+        ) + 1
+        t = t.drop_columns(["_n_key"])
+        for name, arr in [
+            ("pct_rank", pa.array(pct, pa.float64())),
+            ("cume_dist", pa.array(cume, pa.float64())),
+            ("tile", pa.array(tile, pa.int64())),
+        ]:
+            t = t.append_column(name, arr)
+        return t
+
+    return out.map_batches(feats, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Skew-safe sessionization — same scan skeleton, session-merge carry
 # ---------------------------------------------------------------------------

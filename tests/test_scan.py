@@ -398,6 +398,54 @@ def test_row_number_scan_global(ray_session):
     assert "_rn_gkey" not in out.columns and "_rn_one" not in out.columns
 
 
+def test_rank_features_oracle(ray_session):
+    """percent_rank / cume_dist / NTILE vs a pure-Python oracle that
+    implements the SQL definitions directly — covers n < buckets,
+    single-row keys, and the uneven n % b split (larger buckets first)."""
+    from dbimport_ray.stages.scan import rank_features
+
+    rng = np.random.default_rng(23)
+    # key cardinalities: 1, 2, 3 (< b), 4, 7, 10, and a hot 30-row key
+    sizes = {1: 1, 2: 2, 3: 3, 4: 4, 5: 7, 6: 10, 7: 30}
+    keys = np.concatenate([np.full(c, k) for k, c in sizes.items()])
+    n = len(keys)
+    t = pa.table(
+        {
+            "user_id": pa.array(keys, pa.int64()),
+            "seq": pa.array(rng.permutation(n).astype(np.int64)),
+        }
+    )
+    b = 4
+    out = (
+        rank_features(rd.from_arrow(t).repartition(5), "user_id", ["seq"], b)
+        .to_pandas()
+        .sort_values(["user_id", "seq"])
+        .reset_index(drop=True)
+    )
+
+    def sql_ntile(rn, nk):
+        q, r = divmod(nk, b)
+        thresh = r * (q + 1)
+        if rn <= thresh:
+            return (rn - 1) // (q + 1) + 1
+        return r + (rn - 1 - thresh) // max(q, 1) + 1
+
+    df = t.to_pandas().sort_values(["user_id", "seq"]).reset_index(drop=True)
+    rn = df.groupby("user_id").cumcount().to_numpy() + 1
+    nk = df["user_id"].map(sizes).to_numpy()
+    want_pct = np.where(nk > 1, (rn - 1) / np.maximum(nk - 1, 1), 0.0)
+    want_cume = rn / nk
+    want_tile = [sql_ntile(int(a), int(c)) for a, c in zip(rn, nk)]
+    assert np.allclose(out["pct_rank"].to_numpy(), want_pct)
+    assert np.allclose(out["cume_dist"].to_numpy(), want_cume)
+    assert out["tile"].tolist() == want_tile
+    # uneven split sanity: n=10, b=4 → bucket sizes 3,3,2,2
+    t10 = out[out["user_id"] == 6]["tile"].value_counts().sort_index()
+    assert t10.tolist() == [3, 3, 2, 2]
+    # n=3 < b → tiles 1,2,3
+    assert out[out["user_id"] == 3]["tile"].tolist() == [1, 2, 3]
+
+
 def test_lag_scan_matches_map_groups(ray_session):
     from dbimport_ray.stages.window import window_lag
 
