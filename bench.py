@@ -71,6 +71,12 @@ QUERY_NAMES = [
     "fingerprint_docs",
     "window_cumsum_scan",
     "sql_read_duckdb",
+    # round-4 additions
+    "repetition_filter",
+    "row_number_scan",
+    "rank_features",
+    "decontaminate_docs",
+    "chunk_docs",
 ]
 
 
