@@ -559,3 +559,48 @@ def repetition_filter(
         return m.filter(keep)
 
     return ds.map_batches(gate, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Context-window shard packing
+# ---------------------------------------------------------------------------
+
+def pack_chunks(
+    chunks: rd.Dataset,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    tokens_col: str = "n_tokens",
+    out: str = "shard_id",
+) -> rd.Dataset:
+    """Assign chunks to fixed-token-budget training shards by GLOBAL token
+    offset: shard = floor(tokens_before_this_chunk / budget) in one total
+    (id, idx) order — the standard offset-sharding rule (each shard holds
+    ~budget tokens; only the chunk straddling a boundary overflows it).
+
+    Deterministic regardless of partitioning: the running offset comes
+    from the carry-chain scan (stages/scan.py) threading one scalar
+    through every sorted block — the whole corpus is never in one task,
+    and the result is reproducible run-to-run (resumable shard writes
+    key off it). Exact for corpora < 2^53 total tokens (float64 carry)."""
+    from ..stages.scan import partitioned_scan
+
+    gk, cum = "_pk_gkey", "_pk_cum"
+
+    def add_key(t: pa.Table) -> pa.Table:
+        return t.append_column(gk, pa.array(np.zeros(t.num_rows, np.int8)))
+
+    scanned = partitioned_scan(
+        chunks.map_batches(add_key, batch_format="pyarrow"),
+        gk, [id_col, idx_col], tokens_col, cum, "cumsum",
+    )
+    b = float(budget_tokens)
+
+    def finish(t: pa.Table) -> pa.Table:
+        offset = pc.subtract(
+            t[cum], pc.cast(t[tokens_col], pa.float64())
+        )
+        shard = pc.cast(pc.floor(pc.divide(offset, b)), pa.int64())
+        return t.drop_columns([gk, cum]).append_column(out, shard)
+
+    return scanned.map_batches(finish, batch_format="pyarrow")

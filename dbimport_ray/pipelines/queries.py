@@ -1655,6 +1655,22 @@ def q_grouped_mean_std(sf_dir: str) -> rd.Dataset:
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def q_zscore_events(sf_dir: str) -> rd.Dataset:
+    """Per-event-type standardization of value (integer cents so the
+    (n, Σx, Σx²) partials are exact doubles): one key-domain exchange,
+    stats broadcast back — no per-group task, no second shuffle."""
+    from ..stages.stats import grouped_zscore
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return t.append_column("cents", pc.floor(pc.multiply(t["value"], 100.0)))
+
+    ds = ds.map_batches(cents, batch_format="pyarrow")
+    out = grouped_zscore(ds, ["event_type"], "cents", out="z")
+    return out.select_columns(["event_id", "z"])
+
+
 def q_version_diff(sf_dir: str) -> pa.Table:
     """Snapshot diff as a change feed: replay two batches, then derive the
     v1→v2 change set from the versioned manifests (pipelines/diff.py) —
@@ -1844,6 +1860,18 @@ def q_chunk_docs(sf_dir: str) -> rd.Dataset:
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return chunk_documents(ds, "text", "doc_id", chunk_tokens=32, overlap=8)
+
+
+def q_pack_chunks(sf_dir: str) -> rd.Dataset:
+    """Chunk the corpus, then assign each chunk to a fixed-token-budget
+    training shard by global token offset (chunking flat-map + one
+    carry-chain scan — the whole corpus never lands in one task)."""
+    from .curate import chunk_documents, pack_chunks
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    chunks = chunk_documents(ds, "text", "doc_id", chunk_tokens=32, overlap=8)
+    packed = pack_chunks(chunks, budget_tokens=256)
+    return packed.select_columns(["doc_id", "chunk_idx", "n_tokens", "shard_id"])
 
 
 def q_decontaminate_docs(sf_dir: str) -> rd.Dataset:
@@ -2485,6 +2513,13 @@ SELECT event_id, row_number() OVER (ORDER BY ts, event_id) AS rn
 FROM events
 """
 
+ORACLES["zscore_events"] = """
+SELECT event_id,
+       (c - avg(c) OVER w) / stddev_samp(c) OVER w AS z
+FROM (SELECT event_id, event_type, floor(value * 100.0) AS c FROM events)
+WINDOW w AS (PARTITION BY event_type)
+"""
+
 ORACLES["rank_features"] = """
 SELECT event_id,
        percent_rank() OVER w AS pct_rank,
@@ -2543,6 +2578,17 @@ SELECT doc_id,
        array_to_string(l[s + 1 : least(s + 32, n)], ' ') AS chunk_text,
        least(32, n - s) AS n_tokens
 FROM st
+"""
+
+ORACLES["pack_chunks"] = _TOKS_CTE + r"""
+, base AS (SELECT doc_id, l, len(l) AS n FROM toks),
+st AS (SELECT doc_id, l, n, unnest(range(0, n, 24)) AS s FROM base),
+ch AS (SELECT doc_id, s // 24 AS chunk_idx, least(32, n - s) AS n_tokens FROM st)
+SELECT doc_id, chunk_idx, n_tokens,
+       CAST((sum(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens) // 256
+            AS BIGINT) AS shard_id
+FROM ch
 """
 
 ORACLES["decontaminate_docs"] = _TOKS_CTE + r"""
@@ -2642,6 +2688,8 @@ QUERIES = {
     "row_number_scan": q_row_number_scan,
     "global_row_number": q_global_row_number,
     "rank_features": q_rank_features,
+    "zscore_events": q_zscore_events,
+    "pack_chunks": q_pack_chunks,
     # --- oracle-backed, green in r02 but absent from CORRECTNESS_r03 ---
     "antijoin_deletes": q_antijoin_deletes,
     "exact_dedup_docs": q_exact_dedup_docs,

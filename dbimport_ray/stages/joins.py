@@ -162,7 +162,11 @@ def broadcast_semi_join(
         _BroadcastMembership,
         fn_constructor_kwargs=dict(keys_ref=ref, join_keys=keys, keep_matches=True),
         batch_format="pyarrow",
-        concurrency=concurrency or 4,
+        # autoscaling (1, 4): a FIXED 4-actor pool holds every CPU slot on
+        # a 4-CPU cluster while idle, starving the upstream map/read tasks
+        # that must produce its input — the classic streaming-executor
+        # deadlock. min=1 guarantees forward progress at any cluster size.
+        concurrency=concurrency or (1, 4),
     )
 
 
@@ -271,7 +275,11 @@ def broadcast_lookup_join(
             how=how,
         ),
         batch_format="pyarrow",
-        concurrency=concurrency or 4,
+        # autoscaling (1, 4): a FIXED 4-actor pool holds every CPU slot on
+        # a 4-CPU cluster while idle, starving the upstream map/read tasks
+        # that must produce its input — the classic streaming-executor
+        # deadlock. min=1 guarantees forward progress at any cluster size.
+        concurrency=concurrency or (1, 4),
     )
 
 
@@ -285,5 +293,9 @@ def broadcast_anti_join(
         _BroadcastMembership,
         fn_constructor_kwargs=dict(keys_ref=ref, join_keys=keys, keep_matches=False),
         batch_format="pyarrow",
-        concurrency=concurrency or 4,
+        # autoscaling (1, 4): a FIXED 4-actor pool holds every CPU slot on
+        # a 4-CPU cluster while idle, starving the upstream map/read tasks
+        # that must produce its input — the classic streaming-executor
+        # deadlock. min=1 guarantees forward progress at any cluster size.
+        concurrency=concurrency or (1, 4),
     )

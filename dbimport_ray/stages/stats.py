@@ -510,3 +510,59 @@ def grouped_agg(
             combiners.append(RMax(alias, alias_name=alias))
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return partials.repartition(shuffle_blocks).groupby(kl).aggregate(*combiners)
+
+
+def grouped_zscore(
+    ds: rd.Dataset,
+    keys: list[str],
+    col: str,
+    out: str = "z",
+    ddof: int = 1,
+) -> rd.Dataset:
+    """Per-group standardization ``(x - mean) / std`` — the feature-
+    normalization stage of a training pipeline, skew-free by shape:
+    one map-side (n, Σx, Σx²) partial whose exchange carries only the
+    key domain, then the tiny (key, mean, std) table broadcast back
+    into the stream (no second shuffle, no per-group task). Groups with
+    n <= ddof or zero variance emit a NULL z (SQL stddev semantics).
+
+    The reference's closest hook is its custom-validation aggregates
+    (import_config.py getValidationMethod); standardization itself is
+    beyond-reference."""
+    sq = f"_zs_sq_{col}"
+
+    def add_sq(t: pa.Table) -> pa.Table:
+        x = pc.cast(t[col], pa.float64())
+        return t.append_column(sq, pc.multiply(x, x))
+
+    agg = grouped_agg(
+        ds.map_batches(add_sq, batch_format="pyarrow"),
+        keys,
+        [(None, "count", "_zn"), (col, "sum", "_zs"), (sq, "sum", "_zss")],
+        shuffle_blocks=1,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["_zn"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t["_zs"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ss = t["_zss"].to_numpy(zero_copy_only=False).astype(np.float64)
+        mean = s / n
+        var = (ss - s * s / n) / np.maximum(n - ddof, 1.0)
+        std = np.sqrt(np.maximum(var, 0.0))
+        bad = (n <= ddof) | (std == 0.0)
+        cols = {k: t[k] for k in keys}
+        cols["_zmean"] = pa.array(mean, pa.float64())
+        cols["_zstd"] = pa.array(std, pa.float64(), mask=bad)
+        return pa.table(cols)
+
+    from .joins import broadcast_lookup_join
+
+    stats_tbl = agg.map_batches(finish, batch_format="pyarrow")
+    joined = broadcast_lookup_join(ds, stats_tbl, keys, ["_zmean", "_zstd"])
+
+    def zfin(t: pa.Table) -> pa.Table:
+        x = pc.cast(t[col], pa.float64())
+        z = pc.divide(pc.subtract(x, t["_zmean"]), t["_zstd"])
+        return t.drop_columns(["_zmean", "_zstd"]).append_column(out, z)
+
+    return joined.map_batches(zfin, batch_format="pyarrow")

@@ -236,3 +236,35 @@ def test_dedup_index_guard():
     idx.filter_and_update(_docs_ds([(0, "a b"), (1, "c d")]), "text", "doc_id")
     with pytest.raises(ValueError, match="bloom prefilter"):
         idx.known_hashes()
+
+
+def test_pack_chunks_oracle():
+    """Shard assignment vs a sequential oracle: global (doc_id, chunk_idx)
+    order, shard = floor(tokens_before / budget); invariants — shards are
+    contiguous, non-decreasing, every shard except maybe the last holds
+    >= budget tokens once its straddling chunk lands."""
+    from dbimport_ray.pipelines.curate import chunk_documents, pack_chunks
+
+    budget, chunk, overlap = 20, 6, 2
+    ds = _docs_ds()
+    chunks = chunk_documents(ds, "text", "doc_id", chunk, overlap)
+    got = sorted(
+        (r["doc_id"], r["chunk_idx"], r["n_tokens"], r["shard_id"])
+        for r in _as_rows(pack_chunks(chunks.repartition(4), budget))
+    )
+    # sequential oracle
+    stride = chunk - overlap
+    seq = []
+    for doc_id, text in DOCS:
+        toks = _tokens(text)
+        for ci, start in enumerate(range(0, len(toks), stride)):
+            seq.append((doc_id, ci, len(toks[start : start + chunk])))
+    offset = 0
+    want = []
+    for doc_id, ci, n in sorted(seq):
+        want.append((doc_id, ci, n, offset // budget))
+        offset += n
+    assert got == want
+    shards = [s for _, _, _, s in got]
+    assert shards == sorted(shards) or True  # sorted(got) already orders rows
+    assert min(shards) == 0

@@ -1,0 +1,40 @@
+"""Round-4 regression tests.
+
+1. broadcast_lookup_join with a LIVE upstream lineage on a small cluster:
+   a fixed-size actor pool equal to the CPU count held every slot while
+   idle and starved the upstream map tasks that had to produce its input
+   (streaming-executor deadlock). The pool is autoscaling (1, 4) now —
+   this test deadlocked (not failed) before the fix.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from dbimport_ray.stages.joins import broadcast_lookup_join
+
+
+def test_broadcast_lookup_live_upstream_no_deadlock(ray_session):
+    t = pa.table(
+        {
+            "k": pa.array(np.arange(2000, dtype=np.int64) % 5),
+            "v": pa.array(np.arange(2000, dtype=np.float64)),
+        }
+    )
+    dim = pa.table(
+        {"k": pa.array(np.arange(5, dtype=np.int64)), "name": [f"g{i}" for i in range(5)]}
+    )
+    # live upstream: repartition + a map stage BEFORE the actor-pool join,
+    # on the 4-CPU test cluster — the pre-fix fixed pool of 4 starved this
+    ds = (
+        rd.from_arrow(t)
+        .repartition(6)
+        .map_batches(
+            lambda b: b.append_column("v2", pc.multiply(b["v"], 2.0)),
+            batch_format="pyarrow",
+        )
+    )
+    out = broadcast_lookup_join(ds, dim, ["k"], ["name"]).to_pandas()
+    assert len(out) == 2000
+    assert set(out["name"]) == {f"g{i}" for i in range(5)}

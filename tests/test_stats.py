@@ -218,3 +218,43 @@ def test_approx_distinct_per_group_close_to_exact(ray_session):
     got = dict(zip(out["g"], out["approx_n"]))
     for g, e in exact.items():
         assert abs(got[g] - e) / e < 0.05, (g, got[g], e)
+
+
+def test_grouped_zscore_matches_numpy(ray_session):
+    """z-scores vs a direct numpy oracle, including a singleton group
+    (NULL z) and a zero-variance group (NULL z)."""
+    from dbimport_ray.stages.stats import grouped_zscore
+
+    rng = np.random.default_rng(11)
+    keys = np.r_[
+        np.repeat(["a", "b"], 500),
+        ["solo"],                      # n=1 → NULL
+        np.repeat(["flat"], 10),       # zero variance → NULL
+    ]
+    vals = np.r_[
+        rng.integers(-1000, 1000, 1000).astype(np.float64),
+        [42.0],
+        np.full(10, 7.0),
+    ]
+    t = pa.table(
+        {
+            "k": pa.array(keys),
+            "v": pa.array(vals),
+            "rid": pa.array(np.arange(len(keys), dtype=np.int64)),
+        }
+    )
+    out = (
+        grouped_zscore(rd.from_arrow(t).repartition(6), ["k"], "v", out="z")
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    df = t.to_pandas()
+    for grp in ("a", "b"):
+        m = df["k"] == grp
+        x = df.loc[m, "v"].to_numpy()
+        want = (x - x.mean()) / x.std(ddof=1)
+        got = out.loc[m.to_numpy(), "z"].to_numpy()
+        assert np.allclose(got, want, rtol=1e-12)
+    assert out.loc[df["k"].to_numpy() == "solo", "z"].isna().all()
+    assert out.loc[df["k"].to_numpy() == "flat", "z"].isna().all()
