@@ -106,6 +106,37 @@ def build_bloom(keys_ds: rd.Dataset, on: list[str], m: int, k: int, fan_in: int 
     return refs[0]
 
 
+def _distinct_keys(
+    right: rd.Dataset, on: list[str], shuffle_blocks: int = 8
+) -> tuple[rd.Dataset, int]:
+    """Materialized distinct key tuples of ``right`` with a MAP-SIDE
+    partial: per-block pyarrow distinct first (the exchange then carries
+    each block's unique keys, not its rows), coalesced to
+    ``shuffle_blocks`` blocks so the final Aggregate runs over a handful
+    of partitions instead of one per input block — the raw
+    ``groupby(on)`` over a 64-block read spent ~4× the whole build in
+    per-partition operator overhead."""
+    def block_unique(t: pa.Table) -> pa.Table:
+        return t.group_by(list(on)).aggregate([])
+
+    partials = right.select_columns(list(on)).map_batches(
+        block_unique, batch_format="pyarrow"
+    )
+    cnt = "_n"
+    agg = (
+        partials.repartition(shuffle_blocks)
+        .groupby(list(on))
+        .aggregate(Count(on[0], alias_name=cnt))
+        .drop_columns([cnt])
+    )
+    # the Aggregate emits a ZERO-COLUMN block per empty range partition
+    # (key domain < shuffle_blocks) — those break the bitmap build and the
+    # verify join's schema broadcast; compact to ≤ row-count blocks
+    from .joins import compact_sparse
+
+    return compact_sparse(agg, shuffle_blocks)
+
+
 class BloomProbe:
     """Bitmap membership prefilter: tests k bits per row per batch — pure
     numpy. The bitmap ref resolves via ``ray.get`` per call, which after
@@ -146,11 +177,7 @@ def bloom_semi_join(
     hash join of the survivors against the distinct right keys. Output
     column set = ``left``'s columns; key columns must share names/types
     across sides (rename upstream)."""
-    cnt = "_n"
-    distinct = right.select_columns(on).groupby(on).aggregate(
-        Count(on[0], alias_name=cnt)
-    ).drop_columns([cnt]).materialize()
-    n = distinct.count()
+    distinct, n = _distinct_keys(right, on)
     if n == 0:
         return left.limit(0)
     m, k = bloom_params(n, fpp)
@@ -183,11 +210,7 @@ def bloom_anti_join(
     column-pruned streaming reads rather than materializing the whole
     probe side in the object store; swap for a flagged single pass +
     ``materialize()`` only if the upstream is expensive to recompute."""
-    cnt = "_n"
-    distinct = right.select_columns(on).groupby(on).aggregate(
-        Count(on[0], alias_name=cnt)
-    ).drop_columns([cnt]).materialize()
-    n = distinct.count()
+    distinct, n = _distinct_keys(right, on)
     if n == 0:
         return left
     m, k = bloom_params(n, fpp)
