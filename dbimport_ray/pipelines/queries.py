@@ -1671,6 +1671,17 @@ def q_zscore_events(sf_dir: str) -> rd.Dataset:
     return out.select_columns(["event_id", "z"])
 
 
+def q_weighted_sample_docs(sf_dir: str) -> rd.Dataset:
+    """Deterministic weighted sample (100 docs, weight = n_chars) via
+    Efraimidis–Spirakis keys — partition-invariant, rerun-stable, each
+    block ships at most n candidate rows."""
+    from ..stages.stats import weighted_sample_n
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    out = weighted_sample_n(ds, "doc_id", "n_chars", n=100)
+    return out.select_columns(["doc_id", "sample_key"])
+
+
 def q_version_diff(sf_dir: str) -> pa.Table:
     """Snapshot diff as a change feed: replay two batches, then derive the
     v1→v2 change set from the versioned manifests (pipelines/diff.py) —
@@ -2513,6 +2524,18 @@ SELECT event_id, row_number() OVER (ORDER BY ts, event_id) AS rn
 FROM events
 """
 
+ORACLES["weighted_sample_docs"] = """
+SELECT doc_id, sample_key FROM (
+  SELECT doc_id,
+         ln((('0x' || substring(sha256(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+            / 4294967296.0) / n_chars AS sample_key
+  FROM documents
+  WHERE n_chars > 0
+  ORDER BY sample_key DESC, doc_id
+  LIMIT 100
+)
+"""
+
 ORACLES["zscore_events"] = """
 SELECT event_id,
        (c - avg(c) OVER w) / stddev_samp(c) OVER w AS z
@@ -2690,6 +2713,7 @@ QUERIES = {
     "rank_features": q_rank_features,
     "zscore_events": q_zscore_events,
     "pack_chunks": q_pack_chunks,
+    "weighted_sample_docs": q_weighted_sample_docs,
     # --- oracle-backed, green in r02 but absent from CORRECTNESS_r03 ---
     "antijoin_deletes": q_antijoin_deletes,
     "exact_dedup_docs": q_exact_dedup_docs,

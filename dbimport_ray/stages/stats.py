@@ -566,3 +566,70 @@ def grouped_zscore(
         return t.drop_columns(["_zmean", "_zstd"]).append_column(out, z)
 
     return joined.map_batches(zfin, batch_format="pyarrow")
+
+
+_HEX_LUT = np.zeros(256, dtype=np.uint64)
+_HEX_LUT[ord("0"):ord("9") + 1] = np.arange(10, dtype=np.uint64)
+_HEX_LUT[ord("a"):ord("f") + 1] = np.arange(10, 16, dtype=np.uint64)
+_HEX_POW = (np.uint64(16) ** np.arange(7, -1, -1, dtype=np.uint64))
+
+
+def _sha_uniform(col, seed: str = "") -> np.ndarray:
+    """Deterministic uniform in (0, 1] per value: first 8 hex chars of
+    the SQL-reproducible sha256 (functions/anonymize.hash_column) parsed
+    as uint32, then (v + 1) / 2^32 — DuckDB reproduces it exactly with
+    ``('0x' || substring(sha256(x::VARCHAR), 1, 8))::BIGINT``."""
+    from ..functions.anonymize import hash_column
+
+    import pyarrow as _pa
+
+    h8 = pc.utf8_slice_codeunits(hash_column(col, seed=seed), 0, 8)
+    if isinstance(h8, _pa.ChunkedArray):
+        h8 = h8.combine_chunks()
+    strs = h8.to_numpy(zero_copy_only=False)
+    raw = np.frombuffer("".join(strs).encode("ascii"), np.uint8).reshape(-1, 8)
+    v = _HEX_LUT[raw] @ _HEX_POW
+    return (v.astype(np.float64) + 1.0) / 4294967296.0
+
+
+def weighted_sample_n(
+    ds: rd.Dataset,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    seed: str = "",
+    key_out: str = "sample_key",
+) -> rd.Dataset:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-ES, "Weighted random sampling with a reservoir", 2006):
+    each row draws key = ln(u) / w from a hash-derived uniform; the n
+    largest keys are an exact weighted sample. Partition-invariant and
+    rerun-stable (the randomness is sha256 of the id, not an RNG).
+
+    Distribution shape: every block emits at most n (id, weight, key)
+    rows (vectorized argpartition), the ≤ blocks×n candidates coalesce
+    to one block for the final top-n — the corpus itself never
+    concentrates. Rows with weight <= 0 or null never win."""
+    cols = [id_col, weight_col]
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.select(cols)
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        u = _sha_uniform(t[id_col], seed=seed)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            key = np.log(u) / w
+        key[~(w > 0)] = -np.inf
+        t = t.append_column(key_out, pa.array(key, pa.float64()))
+        if t.num_rows > n:
+            top = np.argpartition(-key, n - 1)[:n]
+            t = t.take(pa.array(np.sort(top)))
+        return t
+
+    def final(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            t, [(key_out, "descending"), (id_col, "ascending")]
+        )
+        return t.take(order.slice(0, min(n, t.num_rows)))
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.repartition(1).map_batches(final, batch_format="pyarrow")

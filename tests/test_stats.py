@@ -258,3 +258,66 @@ def test_grouped_zscore_matches_numpy(ray_session):
         assert np.allclose(got, want, rtol=1e-12)
     assert out.loc[df["k"].to_numpy() == "solo", "z"].isna().all()
     assert out.loc[df["k"].to_numpy() == "flat", "z"].isna().all()
+
+
+def test_weighted_sample_matches_python_oracle(ray_session):
+    """Exact selection equality vs an independent hashlib+math oracle,
+    across partitionings (the sample must be partition-invariant)."""
+    import hashlib
+    import math
+
+    from dbimport_ray.stages.stats import weighted_sample_n
+
+    rng = np.random.default_rng(3)
+    ids = np.arange(1000, dtype=np.int64)
+    w = rng.integers(1, 500, 1000).astype(np.int64)
+    w[5] = 0  # never sampled
+    t = pa.table({"doc_id": pa.array(ids), "wt": pa.array(w)})
+
+    def oracle(n):
+        keyed = []
+        for i, wi in zip(ids.tolist(), w.tolist()):
+            if wi <= 0:
+                continue
+            v = int(hashlib.sha256(str(i).encode()).hexdigest()[:8], 16)
+            u = (v + 1) / 2**32
+            keyed.append((math.log(u) / wi, -i))
+        keyed.sort(reverse=True)
+        return sorted(-i for _, i in keyed[:n])
+
+    for parts in (1, 7):
+        got = sorted(
+            r["doc_id"]
+            for b in weighted_sample_n(
+                rd.from_arrow(t).repartition(parts), "doc_id", "wt", n=50
+            ).iter_batches(batch_format="pyarrow")
+            for r in pa.table(b).to_pylist()
+        )
+        assert got == oracle(50), parts
+    assert 5 not in oracle(999)  # zero-weight row excluded entirely
+
+
+def test_weighted_sample_bias(ray_session):
+    """Statistical sanity: rows with 10x the weight win ~10x as often
+    across many disjoint seeds."""
+    from dbimport_ray.stages.stats import weighted_sample_n
+
+    heavy = set(range(0, 50))
+    ids = np.arange(500, dtype=np.int64)
+    w = np.where(np.isin(ids, list(heavy)), 100, 10).astype(np.int64)
+    t = pa.table({"doc_id": pa.array(ids), "wt": pa.array(w)})
+    ds = rd.from_arrow(t)
+    heavy_hits = total = 0
+    for s in range(20):
+        out = weighted_sample_n(ds, "doc_id", "wt", n=25, seed=f"s{s}")
+        picked = [
+            r["doc_id"]
+            for b in out.iter_batches(batch_format="pyarrow")
+            for r in pa.table(b).to_pylist()
+        ]
+        heavy_hits += sum(1 for p in picked if p in heavy)
+        total += len(picked)
+    frac = heavy_hits / total
+    # heavy ids hold 50% of total weight from 10% of rows; expect the
+    # sample to overrepresent them far beyond 10% (loose band, 20 seeds)
+    assert 0.3 < frac < 0.75, frac
