@@ -1682,6 +1682,17 @@ def q_weighted_sample_docs(sf_dir: str) -> rd.Dataset:
     return out.select_columns(["doc_id", "sample_key"])
 
 
+def q_winsorize_events(sf_dir: str) -> rd.Dataset:
+    """Per-event-type winsorization of value to [p05, p95] (discrete
+    quantiles — clip bounds are actual group elements, float-exact): one
+    narrow group exchange for both bounds, broadcast clamp back."""
+    from ..stages.stats import grouped_winsorize
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    out = grouped_winsorize(ds, ["event_type"], "value", 0.05, 0.95, out="value_w")
+    return out.select_columns(["event_id", "value_w"])
+
+
 def q_version_diff(sf_dir: str) -> pa.Table:
     """Snapshot diff as a change feed: replay two batches, then derive the
     v1→v2 change set from the versioned manifests (pipelines/diff.py) —
@@ -2536,6 +2547,15 @@ SELECT doc_id, sample_key FROM (
 )
 """
 
+ORACLES["winsorize_events"] = """
+SELECT event_id, greatest(least(value, t.hi), t.lo) AS value_w
+FROM events e
+JOIN (SELECT event_type,
+             quantile_disc(value, 0.05) AS lo,
+             quantile_disc(value, 0.95) AS hi
+      FROM events GROUP BY event_type) t USING (event_type)
+"""
+
 ORACLES["zscore_events"] = """
 SELECT event_id,
        (c - avg(c) OVER w) / stddev_samp(c) OVER w AS z
@@ -2714,6 +2734,7 @@ QUERIES = {
     "zscore_events": q_zscore_events,
     "pack_chunks": q_pack_chunks,
     "weighted_sample_docs": q_weighted_sample_docs,
+    "winsorize_events": q_winsorize_events,
     # --- oracle-backed, green in r02 but absent from CORRECTNESS_r03 ---
     "antijoin_deletes": q_antijoin_deletes,
     "exact_dedup_docs": q_exact_dedup_docs,

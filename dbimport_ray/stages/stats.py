@@ -633,3 +633,51 @@ def weighted_sample_n(
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return partials.repartition(1).map_batches(final, batch_format="pyarrow")
+
+
+def grouped_winsorize(
+    ds: rd.Dataset,
+    group_cols: list[str],
+    col: str,
+    q_lo: float = 0.05,
+    q_hi: float = 0.95,
+    out: str | None = None,
+    shuffle_blocks: int | None = 4,
+) -> rd.Dataset:
+    """Per-group winsorization: clip ``col`` to its group's
+    [q_lo, q_hi] discrete quantiles (quantile_disc semantics — the clip
+    bounds are actual group elements, so outputs are float-exact vs any
+    engine). One narrow (group, value) exchange computes BOTH bounds in
+    a single group pass; the tiny (group, lo, hi) table broadcasts back
+    into the stream — no second shuffle. The outlier-taming stage before
+    z-scoring / feature export."""
+    keys = list(group_cols)
+    out = out or f"{col}_w"
+
+    def per_group(t: pa.Table) -> pa.Table:
+        v = np.sort(t[col].to_numpy(zero_copy_only=False))
+        n = len(v)
+        r_lo = max(int(np.ceil(q_lo * n)), 1) - 1
+        r_hi = max(int(np.ceil(q_hi * n)), 1) - 1
+        cols = {g: t[g].slice(0, 1) for g in keys}
+        ftype = t.schema.field(col).type
+        cols["_w_lo"] = pa.array([v[r_lo]], ftype)
+        cols["_w_hi"] = pa.array([v[r_hi]], ftype)
+        return pa.table(cols)
+
+    narrow = ds.select_columns(keys + [col])
+    if shuffle_blocks:
+        narrow = narrow.repartition(shuffle_blocks)
+    bounds = narrow.groupby(keys).map_groups(per_group, batch_format="pyarrow")
+
+    from .joins import broadcast_lookup_join
+
+    joined = broadcast_lookup_join(ds, bounds, keys, ["_w_lo", "_w_hi"])
+
+    def clamp(t: pa.Table) -> pa.Table:
+        clipped = pc.max_element_wise(
+            pc.min_element_wise(t[col], t["_w_hi"]), t["_w_lo"]
+        )
+        return t.drop_columns(["_w_lo", "_w_hi"]).append_column(out, clipped)
+
+    return joined.map_batches(clamp, batch_format="pyarrow")

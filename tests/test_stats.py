@@ -321,3 +321,42 @@ def test_weighted_sample_bias(ray_session):
     # heavy ids hold 50% of total weight from 10% of rows; expect the
     # sample to overrepresent them far beyond 10% (loose band, 20 seeds)
     assert 0.3 < frac < 0.75, frac
+
+
+def test_grouped_winsorize_numpy_oracle(ray_session):
+    """Clip bounds and clipped values vs a direct numpy quantile_disc
+    oracle, including a tiny group (n=2) where lo == min, hi == max."""
+    from dbimport_ray.stages.stats import grouped_winsorize
+
+    rng = np.random.default_rng(7)
+    keys = np.r_[np.repeat(["a"], 400), np.repeat(["b"], 100), ["c", "c"]]
+    vals = np.r_[rng.normal(0, 50, 500), [5.0, -5.0]]
+    t = pa.table(
+        {
+            "k": pa.array(keys),
+            "v": pa.array(vals),
+            "rid": pa.array(np.arange(len(keys), dtype=np.int64)),
+        }
+    )
+    out = (
+        grouped_winsorize(
+            rd.from_arrow(t).repartition(5), ["k"], "v", 0.1, 0.9, out="w"
+        )
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    df = t.to_pandas()
+
+    def qdisc(x, q):
+        s = np.sort(x)
+        return s[max(int(np.ceil(q * len(s))), 1) - 1]
+
+    for grp in ("a", "b", "c"):
+        m = (df["k"] == grp).to_numpy()
+        x = df.loc[m, "v"].to_numpy()
+        lo, hi = qdisc(x, 0.1), qdisc(x, 0.9)
+        want = np.clip(x, lo, hi)
+        assert np.array_equal(out.loc[m, "w"].to_numpy(), want), grp
+    mc = (df["k"] == "c").to_numpy()
+    assert out.loc[mc, "w"].tolist() == [5.0, -5.0]  # n=2: bounds = min/max
