@@ -195,3 +195,93 @@ class IVFIndex:
             paths.extend(sorted(glob.glob(f"{self.root}/ivf_cell={c}/*.parquet")))
         ds = rd.read_parquet(paths, columns=[self.id_col, self.emb_col])
         return brute_force_topk(ds, q, k, emb_col=self.emb_col, id_col=self.id_col)
+
+
+# ---------------------------------------------------------------------------
+# Fully distributed k-means (Lloyd's) — the vectors never shuffle
+# ---------------------------------------------------------------------------
+
+def _assign_sq(X: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """argmin squared-euclidean assignment via one matmul: ||x||² is
+    constant per row, so argmin(||c||² − 2x·c) suffices."""
+    d2 = (cents * cents).sum(axis=1)[None, :] - 2.0 * (X @ cents.T)
+    return np.argmin(d2, axis=1)
+
+
+def kmeans_distributed(
+    ds: rd.Dataset,
+    k: int,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 8,
+    seed: str = "kmeans",
+) -> tuple[rd.Dataset, np.ndarray]:
+    """Lloyd's k-means over the WHOLE dataset (IVFIndex fits only a
+    driver-side sample): per iteration every block computes its partial
+    (per-centroid vector sum, count) against the broadcast centroid
+    matrix — the exchange is blocks × k × dim floats; the vectors
+    themselves never move after the initial column-pruned materialize,
+    and iterations reuse the same plasma block refs (no re-read).
+
+    Init is deterministic and partition-invariant: the k rows with the
+    smallest sha256-derived uniform of their id (same keying as
+    stats.weighted_sample_n). Empty clusters keep their previous
+    centroid. Returns (assignments Dataset[(id, cluster)], centroids).
+
+    Reference analogue: none — beyond-reference; the shape follows the
+    standard parallel Lloyd's partial-sufficient-statistics pattern."""
+    import ray as _ray
+
+    from ..stages.stats import _sha_uniform
+
+    mat = ds.select_columns([id_col, emb_col]).materialize()
+    refs = mat.to_arrow_refs()
+
+    @_ray.remote
+    def init_cands(tbl):
+        if tbl.num_rows == 0:
+            return None
+        u = _sha_uniform(tbl[id_col], seed=seed)
+        top = np.argsort(u)[:k]
+        return _to_matrix(tbl[emb_col].take(pa.array(top))), u[top]
+
+    cands = [c for c in _ray.get([init_cands.remote(r) for r in refs]) if c]
+    X0 = np.concatenate([c[0] for c in cands])
+    u0 = np.concatenate([c[1] for c in cands])
+    order = np.argsort(u0)[:k]
+    cents = X0[order].copy()
+    if len(cents) < k:
+        raise ValueError(f"k={k} exceeds the number of rows ({len(cents)})")
+
+    @_ray.remote(num_returns=2)
+    def block_partial(tbl, cref):
+        if tbl.num_rows == 0:
+            d = cref.shape[1]
+            return np.zeros((k, d)), np.zeros(k, dtype=np.int64)
+        X = _to_matrix(tbl[emb_col])
+        a = _assign_sq(X, cref)
+        sums = np.zeros((k, X.shape[1]))
+        np.add.at(sums, a, X)
+        return sums, np.bincount(a, minlength=k).astype(np.int64)
+
+    for _ in range(iters):
+        cref = _ray.put(cents)
+        outs = [block_partial.remote(r, cref) for r in refs]
+        sums = np.zeros_like(cents)
+        counts = np.zeros(k, dtype=np.int64)
+        for rs, rc in outs:
+            sums += _ray.get(rs)
+            counts += _ray.get(rc)
+        nz = counts > 0
+        cents[nz] = sums[nz] / counts[nz, None]
+
+    final = _ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = _ray.get(final)
+        a = _assign_sq(_to_matrix(t[emb_col]), c)
+        return pa.table(
+            {id_col: t[id_col], "cluster": pa.array(a.astype(np.int64))}
+        )
+
+    return mat.map_batches(assign, batch_format="pyarrow"), cents

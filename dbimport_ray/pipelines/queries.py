@@ -1726,6 +1726,29 @@ def q_rollup_lineitem(sf_dir: str) -> pa.Table:
     return rollup_sum(ds, ["l_returnflag", "l_linestatus"], "l_quantity")
 
 
+def q_kmeans_embeddings(sf_dir: str) -> rd.Dataset:
+    """Fully distributed Lloyd's k-means over the embeddings table (k=8,
+    5 iterations): vectors never shuffle; each iteration exchanges only
+    blocks × k × dim partial sums. Rows-only (iterative, not
+    SQL-expressible); differential numpy oracle in pytest."""
+    from .ann import kmeans_distributed
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    assigned, _ = kmeans_distributed(ds, k=8, iters=5)
+    return assigned
+
+
+def q_cube_lineitem(sf_dir: str) -> pa.Table:
+    """GROUP BY CUBE(returnflag, linestatus) — every grouping set from
+    ONE shuffle (finest level aggregates once; the 2^k − 1 coarser sets
+    re-aggregate its tiny output in memory)."""
+    from ..stages.reshape import cube_sum
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    return cube_sum(ds, ["l_returnflag", "l_linestatus"], "l_quantity")
+
+
 def q_approx_quantiles_docs(sf_dir: str) -> pa.Table:
     """Mergeable-histogram quantiles (continuous-domain scale path of
     quantiles_docs: exchange = one bins-long vector per block, never the
@@ -2547,6 +2570,12 @@ SELECT doc_id, sample_key FROM (
 )
 """
 
+ORACLES["cube_lineitem"] = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS total, count(l_quantity) AS n
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
 ORACLES["winsorize_events"] = """
 SELECT event_id, greatest(least(value, t.hi), t.lo) AS value_w
 FROM events e
@@ -2735,6 +2764,7 @@ QUERIES = {
     "pack_chunks": q_pack_chunks,
     "weighted_sample_docs": q_weighted_sample_docs,
     "winsorize_events": q_winsorize_events,
+    "cube_lineitem": q_cube_lineitem,
     # --- oracle-backed, green in r02 but absent from CORRECTNESS_r03 ---
     "antijoin_deletes": q_antijoin_deletes,
     "exact_dedup_docs": q_exact_dedup_docs,
@@ -2825,4 +2855,5 @@ QUERIES = {
     "fingerprint_docs": q_fingerprint_docs,
     "multimodal_features": q_multimodal_features,
     "audio_features": q_audio_features,
+    "kmeans_embeddings": q_kmeans_embeddings,  # rows-only: iterative
 }

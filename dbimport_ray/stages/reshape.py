@@ -134,3 +134,52 @@ def rollup_sum(
         cur = agg if keep else cur
     out = pa.concat_tables([lv.select(base.column_names) for lv in levels])
     return out.sort_by([(c, "ascending") for c in group_cols])
+
+
+def cube_sum(
+    ds: "rd.Dataset",
+    group_cols: list[str],
+    value_col: str,
+    sum_alias: str = "total",
+    count_alias: str = "n",
+) -> pa.Table:
+    """``GROUP BY CUBE(a, b, …)`` — every subset of the group columns —
+    with the same one-shuffle plan as :func:`rollup_sum`: the finest
+    level aggregates once (map-side partial, key-domain exchange), then
+    each of the 2^k − 1 coarser grouping sets re-aggregates that tiny
+    per-finest-group table in memory. A naive plan shuffles the input
+    2^k times. Rolled-up columns are SQL NULL, matching DuckDB CUBE."""
+    from itertools import combinations
+
+    from .stats import grouped_agg
+
+    finest = grouped_agg(
+        ds,
+        group_cols,
+        [(value_col, "sum", sum_alias), (None, "count", count_alias)],
+    ).take_all()
+    base = pa.Table.from_pylist(finest)
+    levels = [base]
+    k = len(group_cols)
+    for depth in range(k - 1, -1, -1):
+        for keep in combinations(group_cols, depth):
+            keep = list(keep)
+            tbl = base.select(keep + [sum_alias, count_alias])
+            if keep:
+                agg = tbl.group_by(keep).aggregate(
+                    [(sum_alias, "sum"), (count_alias, "sum")]
+                )
+                agg = agg.rename_columns(keep + [sum_alias, count_alias])
+            else:
+                agg = pa.table({
+                    sum_alias: [pc.sum(tbl[sum_alias]).as_py()],
+                    count_alias: [pc.sum(tbl[count_alias]).as_py()],
+                })
+            for c in group_cols:
+                if c not in keep:
+                    agg = agg.append_column(
+                        c, pa.nulls(agg.num_rows, base.schema.field(c).type)
+                    )
+            levels.append(agg.select(base.column_names))
+    out = pa.concat_tables(levels)
+    return out.sort_by([(c, "ascending") for c in group_cols])

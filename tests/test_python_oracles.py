@@ -333,3 +333,73 @@ def test_tfidf_top_terms_matches_pure_python(ray_session):
         assert rows["token"].tolist() == [w for w, _ in scored], d
         for (w, sc), gsc in zip(scored, rows["score"]):
             assert abs(sc - gsc) < 1e-9, (d, w)
+
+
+def test_kmeans_distributed_matches_numpy_lloyds(ray_session):
+    """Exact assignment equality vs a single-machine numpy Lloyd's with
+    the same deterministic init — integer-valued vectors keep the
+    distributed partial sums exact, so every iteration matches
+    bit-for-bit. Also partition-invariant (3 vs 9 blocks)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dbimport_ray.pipelines.ann import kmeans_distributed
+
+    rng = np.random.default_rng(4)
+    n, d, k, iters = 600, 6, 5, 6
+    # three integer-lattice blobs plus noise points
+    X = np.concatenate(
+        [
+            rng.integers(0, 4, (n // 3, d)),
+            rng.integers(20, 24, (n // 3, d)),
+            rng.integers(40, 44, (n - 2 * (n // 3), d)),
+        ]
+    ).astype(np.float64)
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array(X.tolist(), pa.list_(pa.float32())),
+        }
+    )
+    # X as float32-roundtripped matrix (the table stores float32)
+    X64 = np.asarray(
+        pa.table({"e": t["embedding"]})["e"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    ).reshape(n, d).astype(np.float64)
+
+    def numpy_lloyds(seed="kmeans"):
+        u = np.array(
+            [
+                int(hashlib.sha256((seed + str(i)).encode()).hexdigest()[:8], 16)
+                for i in ids
+            ],
+            dtype=np.float64,
+        )
+        cents = X64[np.argsort((u + 1) / 2**32)[:k]].copy()
+        for _ in range(iters):
+            d2 = (cents**2).sum(1)[None, :] - 2.0 * (X64 @ cents.T)
+            a = np.argmin(d2, axis=1)
+            for c in range(k):
+                m = a == c
+                if m.any():
+                    cents[c] = X64[m].mean(0)
+        d2 = (cents**2).sum(1)[None, :] - 2.0 * (X64 @ cents.T)
+        return np.argmin(d2, axis=1)
+
+    want = numpy_lloyds()
+    for parts in (3, 9):
+        ds = rd.from_arrow(t).repartition(parts)
+        assigned, cents = kmeans_distributed(
+            ds, k, iters=iters, emb_col="embedding", id_col="vec_id"
+        )
+        out = assigned.to_pandas().sort_values("vec_id")
+        assert out["cluster"].to_numpy().tolist() == want.tolist(), parts
+    # the three well-separated blobs never share a cluster label
+    a = want
+    blobs = [set(a[: n // 3]), set(a[n // 3 : 2 * n // 3]), set(a[2 * (n // 3) :])]
+    assert not (blobs[0] & blobs[1]) and not (blobs[1] & blobs[2]) and not (
+        blobs[0] & blobs[2]
+    )

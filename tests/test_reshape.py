@@ -128,3 +128,46 @@ def test_rollup_sum_matches_duckdb(ray_session):
     assert g["b"].fillna("-").tolist() == e["b"].fillna("-").tolist()
     # grand total present exactly once
     assert int(g[g["a"].isna()]["n"].iloc[0]) == 3000
+
+
+def test_cube_sum_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from dbimport_ray.stages.reshape import cube_sum
+
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame(
+        {
+            "a": rng.choice(["x", "y", "z"], 300),
+            "b": rng.choice(["p", "q"], 300),
+            "v": rng.integers(0, 100, 300).astype("int64"),
+        }
+    )
+    out = cube_sum(
+        rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(5),
+        ["a", "b"], "v",
+    ).to_pandas()
+
+    def rows(keys):
+        if keys:
+            g = df.groupby(list(keys))["v"].agg(["sum", "count"]).reset_index()
+        else:
+            g = pd.DataFrame({"sum": [df["v"].sum()], "count": [len(df)]})
+        for c in ("a", "b"):
+            if c not in keys:
+                g[c] = None
+        return g.rename(columns={"sum": "total", "count": "n"})[
+            ["a", "b", "total", "n"]
+        ]
+
+    want = pd.concat(
+        [rows(k) for k in ([("a", "b"), ("a",), ("b",), ()])], ignore_index=True
+    )
+    key = lambda d: d.sort_values(["a", "b"], na_position="last").reset_index(drop=True)
+    got, want = key(out), key(want)
+    assert got["total"].tolist() == want["total"].tolist()
+    assert got["n"].tolist() == want["n"].tolist()
+    assert got["a"].fillna("·").tolist() == want["a"].fillna("·").tolist()
+    assert got["b"].fillna("·").tolist() == want["b"].fillna("·").tolist()
+    assert len(got) == 3 * 2 + 3 + 2 + 1
