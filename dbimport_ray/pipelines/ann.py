@@ -285,3 +285,64 @@ def kmeans_distributed(
         )
 
     return mat.map_batches(assign, batch_format="pyarrow"), cents
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA — one pass of d×d partials, projection map-side
+# ---------------------------------------------------------------------------
+
+def pca_project(
+    ds: rd.Dataset,
+    n_components: int,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[rd.Dataset, np.ndarray, np.ndarray]:
+    """Exact PCA over an embedding column in ONE distributed pass plus a
+    map-side projection: every block ships only its (Σx, ΣxᵀX, n)
+    sufficient statistics (d + d² floats — independent of row count),
+    the driver eigendecomposes the d×d covariance, and the component
+    matrix broadcasts back for a per-batch matmul projection. Vectors
+    never shuffle. Sign convention: each component's
+    largest-|loading| coordinate is made positive, so results are
+    deterministic across LAPACK builds.
+
+    Returns (projected Dataset[(id, pc0..pc{n-1})], components (n, d),
+    explained_variance (n,)). Beyond-reference (no analogue)."""
+    import ray as _ray
+
+    mat = ds.select_columns([id_col, emb_col]).materialize()
+    refs = mat.to_arrow_refs()
+
+    @_ray.remote
+    def block_stats(tbl):
+        if tbl.num_rows == 0:
+            return None
+        X = _to_matrix(tbl[emb_col])
+        return X.sum(axis=0), X.T @ X, X.shape[0]
+
+    parts = [p for p in _ray.get([block_stats.remote(r) for r in refs]) if p]
+    s = sum(p[0] for p in parts)
+    g = sum(p[1] for p in parts)
+    n = sum(p[2] for p in parts)
+    if n < 2:
+        raise ValueError("PCA needs at least 2 rows")
+    mean = s / n
+    cov = (g - np.outer(s, mean) - np.outer(mean, s) + n * np.outer(mean, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order].T                   # (n_components, d)
+    flip = np.sign(comps[np.arange(len(comps)), np.abs(comps).argmax(axis=1)])
+    comps = comps * flip[:, None]
+    variance = np.maximum(evals[order], 0.0)
+
+    cref = _ray.put((mean, comps))
+
+    def project(t: pa.Table) -> pa.Table:
+        m, c = _ray.get(cref)
+        Y = (_to_matrix(t[emb_col]) - m) @ c.T
+        cols = {id_col: t[id_col]}
+        for j in range(c.shape[0]):
+            cols[f"pc{j}"] = pa.array(Y[:, j], pa.float64())
+        return pa.table(cols)
+
+    return mat.map_batches(project, batch_format="pyarrow"), comps, variance

@@ -1738,6 +1738,18 @@ def q_kmeans_embeddings(sf_dir: str) -> rd.Dataset:
     return assigned
 
 
+def q_pca_embeddings(sf_dir: str) -> rd.Dataset:
+    """Exact distributed PCA (4 components) over the embeddings table:
+    one pass of (Σx, XᵀX, n) block partials (d + d² floats each), driver
+    eigh, map-side projection. Rows-only (eigendecomposition, not
+    SQL-expressible); differential numpy/sklearn-free oracle in pytest."""
+    from .ann import pca_project
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    projected, _, _ = pca_project(ds, n_components=4)
+    return projected
+
+
 def q_cube_lineitem(sf_dir: str) -> pa.Table:
     """GROUP BY CUBE(returnflag, linestatus) — every grouping set from
     ONE shuffle (finest level aggregates once; the 2^k − 1 coarser sets
@@ -2856,4 +2868,5 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "audio_features": q_audio_features,
     "kmeans_embeddings": q_kmeans_embeddings,  # rows-only: iterative
+    "pca_embeddings": q_pca_embeddings,  # rows-only: eigendecomposition
 }

@@ -403,3 +403,46 @@ def test_kmeans_distributed_matches_numpy_lloyds(ray_session):
     assert not (blobs[0] & blobs[1]) and not (blobs[1] & blobs[2]) and not (
         blobs[0] & blobs[2]
     )
+
+
+def test_pca_project_matches_numpy(ray_session):
+    """Projected coordinates, components and variances vs a direct numpy
+    covariance+eigh oracle with the same sign convention — and
+    partition-invariance (2 vs 8 blocks)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dbimport_ray.pipelines.ann import pca_project
+
+    rng = np.random.default_rng(12)
+    n, d, nc = 400, 5, 3
+    # anisotropic cloud so the spectrum is well separated
+    A = rng.normal(0, 1, (d, d))
+    X = (rng.normal(0, 1, (n, d)) * np.array([10, 5, 2, 1, 0.5])) @ A
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(X.tolist(), pa.list_(pa.float64())),
+        }
+    )
+
+    mean = X.mean(axis=0)
+    cov = (X - mean).T @ (X - mean) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:nc]
+    comps = evecs[:, order].T
+    flip = np.sign(comps[np.arange(nc), np.abs(comps).argmax(axis=1)])
+    comps = comps * flip[:, None]
+    want = (X - mean) @ comps.T
+
+    for parts in (2, 8):
+        ds = rd.from_arrow(t).repartition(parts)
+        projected, got_comps, got_var = pca_project(ds, nc)
+        out = projected.to_pandas().sort_values("vec_id").reset_index(drop=True)
+        got = out[[f"pc{j}" for j in range(nc)]].to_numpy()
+        assert np.allclose(got, want, atol=1e-8), parts
+        assert np.allclose(got_comps, comps, atol=1e-10)
+        assert np.allclose(got_var, np.sort(evals)[::-1][:nc], rtol=1e-10)
+    # components are orthonormal
+    assert np.allclose(got_comps @ got_comps.T, np.eye(nc), atol=1e-10)
