@@ -144,12 +144,18 @@ def top_n_per_group(
     pruned = ds.map_batches(prune, batch_format="pyarrow")
     if shuffle_blocks:
         # LOW-CARDINALITY keys: the pruned set is tiny (≤ n rows per key
-        # per block) but Ray's sort-based group exchange makes one range
-        # partition per input block — far more partitions than keys, so
-        # most come back as zero-column empties (warning spam + join
-        # poison). Coalescing first keeps every partition non-empty and
-        # is itself a win (fewer sort samples over a small set).
-        pruned = pruned.repartition(shuffle_blocks)
+        # per block), so skip the group exchange entirely — its sort
+        # SAMPLES range boundaries, and with few keys a sampled-empty
+        # partition (a zero-column block + schema-divergence warning)
+        # appears nondeterministically run to run. One coalesced block +
+        # the same kernel (which is the exact finalizer when it sees all
+        # rows at once; batch_size=None = whole block) is deterministic,
+        # warning-free, and cheaper than sampling a shuffle over ≤
+        # n × keys × blocks rows. High-cardinality callers pass
+        # shuffle_blocks=None and keep the group exchange.
+        return pruned.repartition(1).map_batches(
+            prune, batch_format="pyarrow", batch_size=None
+        )
     out = pruned.groupby(keys).map_groups(prune, batch_format="pyarrow")
     # pass ``schema`` (output schema == input schema; this operator only
     # drops rows) to silence/neutralize the no-column empty blocks the
