@@ -2810,6 +2810,11 @@ QUERIES = {
     "except_keys": q_except_keys,
     "symdiff_keys": q_symdiff_keys,
     "pii_scrub_docs": q_pii_scrub_docs,
+    # --- new in round 4 wave 2 (oracle-backed curation ops) ---
+    "chunk_docs": q_chunk_docs,
+    "decontaminate_docs": q_decontaminate_docs,
+    "dup_segments": q_dup_segments,
+    "incremental_dedup": q_incremental_dedup,
     # --- oracle-backed, green in CORRECTNESS_r03 (fill to 50) ---
     "prep_corpus": q_prep_corpus,
     "cdc_merge_soft": q_cdc_merge_soft,
@@ -2849,11 +2854,6 @@ QUERIES = {
     "anonymize_first4": q_anonymize_first4,
     "groupby_pk_max": q_groupby_pk_max,
     "agg_lineitem": q_agg_lineitem,
-    # --- new in round 4 wave 2 (oracle-backed curation ops) ---
-    "chunk_docs": q_chunk_docs,
-    "decontaminate_docs": q_decontaminate_docs,
-    "dup_segments": q_dup_segments,
-    "incremental_dedup": q_incremental_dedup,
     # --- rows-only (no SQL-expressible oracle; pytest-verified) ---
     "approx_quantiles_docs": q_approx_quantiles_docs,
     "approx_distinct_by_type": q_approx_distinct_by_type,
