@@ -1693,6 +1693,42 @@ def q_winsorize_events(sf_dir: str) -> rd.Dataset:
     return out.select_columns(["event_id", "value_w"])
 
 
+def q_funnel_events(sf_dir: str) -> rd.Dataset:
+    """Ordered conversion funnel view→click→purchase per user: each stage
+    is a map-side pre-reduced min(ts) + a hash join gate (no per-user
+    task; stages/window.py:funnel_steps). Exchange per stage shrinks with
+    the funnel."""
+    from ..stages.window import funnel_steps
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+    return funnel_steps(
+        ds, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+
+
+def q_corr_lineitem(sf_dir: str) -> rd.Dataset:
+    """Per-group Pearson correlation (quantity vs discount percent) from
+    one sufficient-statistics pass — integer-valued inputs make the sums
+    exact doubles, so the formula is bit-reproducible vs the SQL oracle
+    (stages/stats.py:grouped_corr)."""
+    from ..stages.stats import grouped_corr
+
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_quantity", "l_discount"],
+    )
+
+    def pct(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "disc_pct", pc.floor(pc.multiply(t["l_discount"], 100.0))
+        )
+
+    ds = ds.map_batches(pct, batch_format="pyarrow")
+    return grouped_corr(
+        ds, ["l_returnflag"], "l_quantity", "disc_pct", out="corr_qd"
+    )
+
+
 def q_version_diff(sf_dir: str) -> pa.Table:
     """Snapshot diff as a change feed: replay two batches, then derive the
     v1→v2 change set from the versioned manifests (pipelines/diff.py) —
@@ -2597,6 +2633,43 @@ JOIN (SELECT event_type,
       FROM events GROUP BY event_type) t USING (event_type)
 """
 
+ORACLES["funnel_events"] = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t_click FROM events e
+  JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t_view GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+  JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t_click GROUP BY e.user_id
+)
+SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase
+FROM s1
+LEFT JOIN s2 ON s1.user_id = s2.user_id
+LEFT JOIN s3 ON s2.user_id = s3.user_id
+"""
+
+ORACLES["corr_lineitem"] = """
+WITH b AS (
+  SELECT l_returnflag AS g, l_quantity AS x, floor(l_discount * 100.0) AS y
+  FROM lineitem WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+), s AS (
+  SELECT g, count(*)::DOUBLE AS n,
+         sum(x)::DOUBLE AS sx, sum(y)::DOUBLE AS sy,
+         sum(x*y)::DOUBLE AS sxy, sum(x*x)::DOUBLE AS sxx,
+         sum(y*y)::DOUBLE AS syy
+  FROM b GROUP BY g
+)
+SELECT g AS l_returnflag,
+       CASE WHEN n < 2 OR n*sxx - sx*sx <= 0 OR n*syy - sy*sy <= 0 THEN NULL
+            ELSE (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy))
+       END AS corr_qd
+FROM s
+"""
+
 ORACLES["zscore_events"] = """
 SELECT event_id,
        (c - avg(c) OVER w) / stddev_samp(c) OVER w AS z
@@ -2764,6 +2837,8 @@ GROUP BY text
 
 QUERIES = {
     # --- new in round 4 (oracle-backed) ---
+    "funnel_events": q_funnel_events,
+    "corr_lineitem": q_corr_lineitem,
     "asof_join_scan": q_asof_join_scan,
     "range_join_scan": q_range_join_scan,
     "tfidf_top_terms": q_tfidf_top_terms,  # gained a DuckDB oracle in r4

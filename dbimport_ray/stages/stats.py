@@ -687,3 +687,60 @@ def grouped_winsorize(
         return t.drop_columns(["_w_lo", "_w_hi"]).append_column(out, clipped)
 
     return joined.map_batches(clamp, batch_format="pyarrow")
+
+
+def grouped_corr(
+    ds: rd.Dataset,
+    keys: list[str],
+    xcol: str,
+    ycol: str,
+    out: str = "corr",
+) -> rd.Dataset:
+    """Per-group Pearson correlation from ONE sufficient-statistics pass:
+    each block pre-reduces to (n, Σx, Σy, Σxy, Σx², Σy²) per key, the
+    exchange carries only the key domain, and the tiny combine finishes
+    ``(nΣxy − ΣxΣy) / √((nΣx² − (Σx)²)(nΣy² − (Σy)²))``. Rows with a
+    NULL x or y are dropped first and groups with n < 2 or zero variance
+    emit NULL — SQL ``corr()`` semantics. With integer-valued inputs the
+    sums are exact doubles, so the result is bit-reproducible across
+    engines and partitionings (the feature-screening stage of a training
+    pipeline: which raw signals co-vary with a quality label)."""
+    kl = list(keys)
+
+    def add_prods(t: pa.Table) -> pa.Table:
+        t = t.select(kl + [xcol, ycol])
+        t = t.filter(pc.and_(pc.is_valid(t[xcol]), pc.is_valid(t[ycol])))
+        x = pc.cast(t[xcol], pa.float64())
+        y = pc.cast(t[ycol], pa.float64())
+        t = t.append_column("_cxy", pc.multiply(x, y))
+        t = t.append_column("_cxx", pc.multiply(x, x))
+        return t.append_column("_cyy", pc.multiply(y, y))
+
+    agg = grouped_agg(
+        ds.map_batches(add_prods, batch_format="pyarrow"),
+        kl,
+        [
+            (None, "count", "_cn"),
+            (xcol, "sum", "_csx"),
+            (ycol, "sum", "_csy"),
+            ("_cxy", "sum", "_csxy"),
+            ("_cxx", "sum", "_csxx"),
+            ("_cyy", "sum", "_csyy"),
+        ],
+        shuffle_blocks=1,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        f = lambda c: t[c].to_numpy(zero_copy_only=False).astype(np.float64)
+        n, sx, sy = f("_cn"), f("_csx"), f("_csy")
+        sxy, sxx, syy = f("_csxy"), f("_csxx"), f("_csyy")
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        bad = (n < 2) | (vx <= 0.0) | (vy <= 0.0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = (n * sxy - sx * sy) / np.sqrt(vx * vy)
+        cols = {k: t[k] for k in kl}
+        cols[out] = pa.array(np.where(bad, 0.0, r), pa.float64(), mask=bad)
+        return pa.table(cols)
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -479,3 +479,116 @@ def range_join(
         return ot.select(select) if select else ot
 
     return tagged.groupby(key).map_groups(per_key, batch_format="pyarrow")
+
+
+def funnel_steps(
+    ds: "rd.Dataset",
+    key: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    out_names: list[str] | None = None,
+    num_partitions: int = 8,
+) -> "rd.Dataset":
+    """Ordered conversion funnel (view → click → purchase): for each
+    entity, the time it FIRST reached step i strictly after its step-i−1
+    time; entities that never progressed carry NULL from that step on.
+
+    No per-entity task anywhere — a hot user cannot serialize a worker.
+    Stage i is a map-side pre-reduced ``min(ts)`` whose exchange carries
+    one row per entity per block (stages/stats.py:grouped_agg), the
+    step-i−1 times flow in through a hash join keyed on the entity, and
+    the strict ``ts > t_prev`` gate is a vectorized filter on the joined
+    stream. Exchange volume per stage ∝ entities reaching that stage
+    (funnels shrink monotonically), never the raw event count.
+
+    Cost model, explicit: k steps = k column-pruned passes over the
+    source + k−1 entity-keyed hash joins. Each stage's (entity, time)
+    table is ``materialize()``d — it is the narrow per-entity result
+    (16 B/entity, object-store-spillable), and pinning it keeps exactly
+    ONE join's aggregator pool live at a time; chaining k lazy joins in
+    one streaming topology reserves all k actor pools up front and can
+    starve the map tasks that feed them (observed at 8 CPUs). The final
+    assembly is one union + grouped-min — no further joins.
+
+    Reference analogue: none (its ETL is snapshot merge); this is the
+    sequence-analytics verb a change-event lake serves downstream."""
+    from .joins import compact_sparse, hash_join
+    from .stats import grouped_agg
+
+    outs = out_names or [f"t_{s}" for s in steps]
+    assert len(outs) == len(steps) and len(steps) >= 1
+
+    stage_tbls: list = []
+    prev = None
+    for i, (step, out) in enumerate(zip(steps, outs)):
+        def filt(t: pa.Table, step=step) -> pa.Table:
+            t = t.filter(
+                pc.and_(pc.equal(t[type_col], step), pc.is_valid(t[ts_col]))
+            )
+            return t.select([key, ts_col])
+
+        cand = ds.map_batches(filt, batch_format="pyarrow")
+        if prev is not None:
+            pcol = outs[i - 1]
+            gate = prev.select_columns([key, pcol]).rename_columns(
+                {key: "_funnel_k"}
+            )
+            j = hash_join(
+                cand, gate, on=(key,), right_on=("_funnel_k",),
+                num_partitions=num_partitions,
+            )
+
+            def later(t: pa.Table, pcol=pcol) -> pa.Table:
+                t = t.filter(pc.greater(t[ts_col], t[pcol]))
+                return t.select([key, ts_col])
+
+            cand = j.map_batches(later, batch_format="pyarrow")
+        # compact_sparse doubles as the materialize(): aggregate outputs
+        # can carry zero-column empty blocks that break the next join's
+        # schema broadcast
+        cur, n = compact_sparse(
+            grouped_agg(
+                cand, [key], [(ts_col, "min", out)],
+                shuffle_blocks=num_partitions,
+            ),
+            num_partitions,
+        )
+        if n == 0:
+            break  # nobody reached this step; later steps are empty too
+        stage_tbls.append(cur)
+        prev = cur
+
+    base = getattr(ds.schema(), "base_schema", None) or ds.schema()
+    key_type = base.field(key).type
+    ts_type = base.field(ts_col).type
+    if not stage_tbls:  # nobody even reached step 1: typed empty result
+        import ray.data as rd
+
+        empty = pa.schema(
+            [pa.field(key, key_type)] + [pa.field(o, ts_type) for o in outs]
+        )
+        return rd.from_arrow(empty.empty_table())
+
+    # Assemble WITHOUT joins: pad every stage table to the full output
+    # schema (typed nulls), union, and take one grouped min per column —
+    # min ignores nulls, and stage-i entities are a subset of stage-1's,
+    # so the union collapses back to exactly the stage-1 entity set.
+
+    def pad(t: pa.Table, have: str) -> pa.Table:
+        cols = {key: t[key]}
+        for o in outs:
+            cols[o] = t[have] if o == have else pa.nulls(len(t), ts_type)
+        return pa.table(cols)
+
+    padded = [
+        tbl.map_batches(lambda t, o=out: pad(t, o), batch_format="pyarrow")
+        for tbl, out in zip(stage_tbls, outs)
+    ]
+    unioned = padded[0]
+    for p in padded[1:]:
+        unioned = unioned.union(p)
+    return grouped_agg(
+        unioned, [key], [(o, "min", o) for o in outs],
+        shuffle_blocks=num_partitions,
+    )

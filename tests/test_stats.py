@@ -360,3 +360,33 @@ def test_grouped_winsorize_numpy_oracle(ray_session):
         assert np.array_equal(out.loc[m, "w"].to_numpy(), want), grp
     mc = (df["k"] == "c").to_numpy()
     assert out.loc[mc, "w"].tolist() == [5.0, -5.0]  # n=2: bounds = min/max
+
+
+def test_grouped_corr_nulls_and_degenerate_groups(ray_session):
+    """grouped_corr vs numpy corrcoef; NULL rows dropped (SQL corr()),
+    NULL result for n<2 and zero-variance groups; partition-invariant."""
+    import ray.data as rd
+
+    from dbimport_ray.stages.stats import grouped_corr
+
+    rng = np.random.default_rng(11)
+    ka = rng.integers(0, 40, 600)
+    xa = ka + rng.integers(-5, 6, 600)  # correlated with noise
+    t = pa.table({
+        "k": pa.array(["a"] * 600 + ["one", "flat", "flat", "flat", "nul", "nul"]),
+        "x": pa.array(
+            list(xa.astype(float)) + [1.0, 2.0, 3.0, 4.0, 1.0, None],
+            pa.float64()),
+        "y": pa.array(
+            list(ka.astype(float)) + [9.0, 7.0, 7.0, 7.0, 2.0, 3.0],
+            pa.float64()),
+    })
+    out = (
+        grouped_corr(rd.from_arrow(t).repartition(9), ["k"], "x", "y", out="r")
+        .to_pandas().set_index("k")["r"]
+    )
+    assert np.isclose(out["a"], np.corrcoef(xa, ka)[0, 1], rtol=1e-12)
+    import pandas as pd
+    assert pd.isna(out["one"])   # n=1
+    assert pd.isna(out["flat"])  # zero y-variance
+    assert pd.isna(out["nul"])   # null x drops the row -> n=1

@@ -207,3 +207,46 @@ def test_window_cumsum_matches_pandas(ray_session):
     exp = df.sort_values(["k", "t"]).reset_index(drop=True)
     exp["cum_sum"] = exp.groupby("k")["v"].cumsum()
     assert (out["cum_sum"] == exp["cum_sum"]).all()
+
+
+def test_funnel_steps_ordering_and_nulls(ray_session):
+    """Funnel semantics: strict after-ordering per step, NULL from the
+    first missed step on, entities without step 1 excluded, a hot entity
+    (half of all events) handled without a per-entity task."""
+    from dbimport_ray.stages.window import funnel_steps
+
+    rows = []
+    # u1: full funnel, rows deliberately out of time order
+    rows += [(1, "click", "2024-01-01T10:20"), (1, "view", "2024-01-01T10:00"),
+             (1, "purchase", "2024-01-01T10:30"), (1, "view", "2024-01-01T09:00"),
+             (1, "click", "2024-01-01T08:00")]  # click BEFORE first view: ignored
+    # u2: purchase precedes its click -> t_purchase NULL
+    rows += [(2, "view", "2024-01-01T10:00"), (2, "purchase", "2024-01-01T10:05"),
+             (2, "click", "2024-01-01T10:10")]
+    # u3: never viewed -> excluded entirely despite click+purchase
+    rows += [(3, "click", "2024-01-01T10:00"), (3, "purchase", "2024-01-01T10:01")]
+    # u4: view only
+    rows += [(4, "view", "2024-01-01T12:00")]
+    # u5 hot: 3000 interleaved events, completes the funnel
+    for i in range(1000):
+        rows += [(5, "view", f"2024-01-02T00:00:{i % 60:02d}"),
+                 (5, "click", f"2024-01-02T01:00:{i % 60:02d}"),
+                 (5, "purchase", f"2024-01-02T02:00:{i % 60:02d}")]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows]),
+        "ts": _ts(*[r[2] for r in rows]),
+    })
+    out = (
+        funnel_steps(rd.from_arrow(t).repartition(7), "user_id", "ts",
+                     "event_type", ["view", "click", "purchase"])
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    assert out["user_id"].tolist() == [1, 2, 4, 5]
+    got = {r.user_id: (r.t_view, r.t_click, r.t_purchase) for r in out.itertuples()}
+    T = pd.Timestamp
+    assert got[1] == (T("2024-01-01 09:00"), T("2024-01-01 10:20"), T("2024-01-01 10:30"))
+    assert got[2][0] == T("2024-01-01 10:00") and got[2][1] == T("2024-01-01 10:10")
+    assert pd.isna(got[2][2])
+    assert got[4][0] == T("2024-01-01 12:00") and pd.isna(got[4][1]) and pd.isna(got[4][2])
+    assert got[5] == (T("2024-01-02 00:00:00"), T("2024-01-02 01:00:00"), T("2024-01-02 02:00:00"))
