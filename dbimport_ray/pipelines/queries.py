@@ -2876,7 +2876,6 @@ QUERIES = {
     "pivot_events": q_pivot_events,
     "melt_lineitem": q_melt_lineitem,
     "grouped_median": q_grouped_median,
-    "rolling_mean": q_rolling_mean,
     "connected_components": q_connected_components,
     "hash_split_docs": q_hash_split_docs,
     "quantiles_docs": q_quantiles_docs,
@@ -2890,6 +2889,9 @@ QUERIES = {
     "decontaminate_docs": q_decontaminate_docs,
     "dup_segments": q_dup_segments,
     "incremental_dedup": q_incremental_dedup,
+    # --- oracle-backed, green in r02; kernel family re-proven via the
+    # --- r03-green rolling_mean_scan row, so it can sit past the window
+    "rolling_mean": q_rolling_mean,
     # --- oracle-backed, green in CORRECTNESS_r03 (fill to 50) ---
     "prep_corpus": q_prep_corpus,
     "cdc_merge_soft": q_cdc_merge_soft,
