@@ -1706,6 +1706,86 @@ def q_funnel_events(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_sliding_count_events(sf_dir: str) -> rd.Dataset:
+    """Time-RANGE sliding window count — per (user, ts) the number of
+    that user's events in the preceding 10 minutes inclusive (SQL
+    ``RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW``) —
+    composed entirely from skew-safe primitives: distinct-(user, ts)
+    multiplicities (one narrow group exchange), a carry-chain running
+    count cum(t) = #events ≤ t (stages/scan.py:partitioned_scan), and an
+    as-of self-join at t − Δ − 1µs that fetches cum_before(t − Δ); the
+    count is their difference. A per-user epoch sentinel (cum = 0) keeps
+    the inner as-of total. No per-user task; a hot user spreads over
+    blocks in both scans."""
+    from ..stages.stats import grouped_agg
+    from ..stages.scan import partitioned_scan
+    from ..stages.window import asof_join
+
+    delta_us = 10 * 60 * 1_000_000
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    d = grouped_agg(ds, ["user_id", "ts"], [(None, "count", "c")],
+                    shuffle_blocks=8)
+    cum = partitioned_scan(d, "user_id", ["ts"], "c", "cum", "cumsum")
+
+    def to_int(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("cum")
+        return t.set_column(i, "cum", pc.cast(pc.round(t["cum"]), pa.int64()))
+
+    cum = cum.map_batches(to_int, batch_format="pyarrow")
+
+    def mk_left(t: pa.Table) -> pa.Table:
+        qt = pc.subtract(
+            t["ts"], pa.scalar(np.timedelta64(delta_us + 1, "us"))
+        )
+        return pa.table({
+            "user_id": t["user_id"], "qt": qt, "ts": t["ts"], "cum": t["cum"],
+        })
+
+    def mk_right(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"], "rts": t["ts"], "cum_prev": t["cum"],
+        })
+
+    def mk_sentinel(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "user_id": t["user_id"],
+            "rts": pa.array(np.zeros(n, "datetime64[us]")),
+            "cum_prev": pa.array(np.zeros(n, np.int64)),
+        })
+
+    left = cum.map_batches(mk_left, batch_format="pyarrow")
+    users = grouped_agg(d, ["user_id"], [("ts", "min", "_mts")],
+                        shuffle_blocks=8)
+    right = cum.map_batches(mk_right, batch_format="pyarrow").union(
+        users.map_batches(mk_sentinel, batch_format="pyarrow")
+    )
+    j = asof_join(
+        left, right,
+        key="user_id", left_time="qt", right_time="rts",
+        value_cols=["cum_prev"], keep=["ts", "cum"],
+        left_schema=pa.schema([
+            ("user_id", pa.int64()), ("qt", pa.timestamp("us")),
+            ("ts", pa.timestamp("us")), ("cum", pa.int64()),
+        ]),
+        right_schema=pa.schema([
+            ("user_id", pa.int64()), ("rts", pa.timestamp("us")),
+            ("cum_prev", pa.int64()),
+        ]),
+        select=["user_id", "ts", "cum", "cum_prev"],
+        skew_safe=True,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"], "ts": t["ts"],
+            "n_in_window": pc.subtract(t["cum"], t["cum_prev"]),
+        })
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
 def q_corr_lineitem(sf_dir: str) -> rd.Dataset:
     """Per-group Pearson correlation (quantity vs discount percent) from
     one sufficient-statistics pass — integer-valued inputs make the sums
@@ -2633,6 +2713,15 @@ JOIN (SELECT event_type,
       FROM events GROUP BY event_type) t USING (event_type)
 """
 
+ORACLES["sliding_count_events"] = """
+SELECT DISTINCT user_id, ts,
+       count(*) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW
+       ) AS n_in_window
+FROM events
+"""
+
 ORACLES["funnel_events"] = """
 WITH s1 AS (
   SELECT user_id, min(ts) AS t_view FROM events
@@ -2839,6 +2928,7 @@ QUERIES = {
     # --- new in round 4 (oracle-backed) ---
     "funnel_events": q_funnel_events,
     "corr_lineitem": q_corr_lineitem,
+    "sliding_count_events": q_sliding_count_events,
     "asof_join_scan": q_asof_join_scan,
     "range_join_scan": q_range_join_scan,
     "tfidf_top_terms": q_tfidf_top_terms,  # gained a DuckDB oracle in r4
@@ -2865,7 +2955,6 @@ QUERIES = {
     "mongo_flatten": q_mongo_flatten,
     "list_explode": q_list_explode,
     "windowed_agg": q_windowed_agg,
-    "sessionize": q_sessionize,
     "window_lag": q_window_lag,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
@@ -2889,9 +2978,10 @@ QUERIES = {
     "decontaminate_docs": q_decontaminate_docs,
     "dup_segments": q_dup_segments,
     "incremental_dedup": q_incremental_dedup,
-    # --- oracle-backed, green in r02; kernel family re-proven via the
-    # --- r03-green rolling_mean_scan row, so it can sit past the window
+    # --- oracle-backed, green in r02; kernel families re-proven via the
+    # --- r03-green *_scan rows, so these can sit past the window
     "rolling_mean": q_rolling_mean,
+    "sessionize": q_sessionize,
     # --- oracle-backed, green in CORRECTNESS_r03 (fill to 50) ---
     "prep_corpus": q_prep_corpus,
     "cdc_merge_soft": q_cdc_merge_soft,

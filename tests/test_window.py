@@ -250,3 +250,47 @@ def test_funnel_steps_ordering_and_nulls(ray_session):
     assert pd.isna(got[2][2])
     assert got[4][0] == T("2024-01-01 12:00") and pd.isna(got[4][1]) and pd.isna(got[4][2])
     assert got[5] == (T("2024-01-02 00:00:00"), T("2024-01-02 01:00:00"), T("2024-01-02 02:00:00"))
+
+
+def test_sliding_count_duplicates_and_hot_user(ray_session):
+    """Time-RANGE sliding count: duplicate timestamps count together
+    (RANGE semantics, not ROWS), window boundary is inclusive both ends,
+    and a hot user spanning many blocks stays exact."""
+    import duckdb
+
+    from dbimport_ray.pipelines.queries import q_sliding_count_events
+
+    rows = []
+    # u1: duplicates at the same ts + one event exactly 10 min later
+    rows += [(1, "2024-01-01T10:00:00")] * 3
+    rows += [(1, "2024-01-01T10:10:00")]   # includes the 3 dups (inclusive)
+    rows += [(1, "2024-01-01T10:20:00.000001")]  # 10:10 is 10min+1µs back: out
+    # u2 hot: 2000 events 1s apart -> steady-state window = 601
+    rows += [(2, np.datetime64("2024-02-01T00:00:00") + np.timedelta64(i, "s"))
+             for i in range(2000)]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(
+            [np.datetime64(r[1], "us") for r in rows], pa.timestamp("us")),
+    })
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp()
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    out = (
+        q_sliding_count_events(d).to_pandas()
+        .sort_values(["user_id", "ts"]).reset_index(drop=True)
+    )
+    want = duckdb.sql(f"""
+        SELECT DISTINCT user_id, ts, count(*) OVER (
+          PARTITION BY user_id ORDER BY ts
+          RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW
+        ) AS n_in_window FROM '{d}/events.parquet'
+        ORDER BY user_id, ts
+    """).df()
+    assert out["n_in_window"].tolist() == want["n_in_window"].tolist()
+    u1 = out[out.user_id == 1]["n_in_window"].tolist()
+    assert u1 == [3, 4, 1]
