@@ -77,6 +77,9 @@ QUERY_NAMES = [
     "rank_features",
     "decontaminate_docs",
     "chunk_docs",
+    "funnel_events",
+    "sliding_count_events",
+    "corr_lineitem",
 ]
 
 

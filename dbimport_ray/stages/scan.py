@@ -27,6 +27,14 @@ Partitioning assumption: the carry chain is strictly sequential in BLOCK
 ORDER but touches only per-key boundary state, so wall-clock is dominated
 by the two parallel block passes; the driver step moves O(blocks ×
 window) scalars.
+
+Cost model, explicit: every scan operator is ONE range shuffle (the
+sort) + TWO full block passes, and ``sort().materialize()`` pins the
+sorted dataset in the object store for the duration (spillable — memory
+is bounded by plasma, not the heap; at 100 TB the sorted copy spills
+rather than OOMs). The materialize is load-bearing: steps 2/4 address
+blocks by position via ``to_arrow_refs``, which requires executed,
+stable block boundaries.
 """
 
 from __future__ import annotations
