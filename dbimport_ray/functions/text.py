@@ -350,3 +350,80 @@ def tfidf_top_terms(
         return t.filter(pa.array(rank < top_n)).select([id_col, "token", "score"])
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def unigram_lm_score(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out: str = "bits_per_token",
+):
+    """CCNet-style quality proxy: per-document mean ``-log2 p(token)``
+    under the corpus's OWN unigram LM (its Zipf head is cheap to encode;
+    gibberish and boilerplate-free rare-token soup score high). Two
+    passes, both vocabulary-bounded:
+
+    1. LM pass: per-block (token, Σtf) partials (the exchange carries
+       vocabulary × blocks rows, never the token stream) reduce to the
+       corpus token counts; the driver holds only the vocab-sized
+       (token, log2 c/T) table.
+    2. Score pass: the LM broadcasts once via plasma; each batch
+       re-derives its (doc, token, tf) triples locally and folds
+       ``Σ tf·logp / Σ tf`` per doc with one ``np.add.at`` — a doc's
+       rows never leave the batch that derived them. Zero-token docs
+       emit NULL.
+
+    Same tokenization as :func:`doc_token_counts` (SQL-matchable:
+    ``string_split_regex(lower(text), '\\W+')``)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def cnt_partial(t: pa.Table) -> pa.Table:
+        pairs = doc_token_counts(t, id_col, text_col)
+        g = pairs.group_by("token").aggregate([("tf", "sum")])
+        return g.rename_columns(["token", "c"])
+
+    counts = (
+        ds.map_batches(cnt_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    toks = counts["token"].to_numpy()
+    order = np.argsort(toks, kind="stable")
+    vocab = toks[order]
+    c = counts["c"].to_numpy().astype(np.float64)[order]
+    total = float(c.sum())
+    logp = np.log2(c / total) if total > 0 else c
+    state = ray.put((vocab, logp))
+
+    def score(t: pa.Table) -> pa.Table:
+        voc, w = ray.get(state)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        sort_ids = np.sort(ids)
+        pairs = doc_token_counts(t, id_col, text_col)
+        bits = np.full(len(ids), np.nan)
+        if pairs.num_rows and len(voc):
+            pid = pairs[id_col].to_numpy(zero_copy_only=False)
+            tf = pairs["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+            tk = pairs["token"].to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(voc, tk), len(voc) - 1)
+            # self-corpus LM: every token is in-vocab by construction
+            lp = w[pos] * tf
+            slot = np.searchsorted(sort_ids, pid)
+            num = np.zeros(len(ids))
+            den = np.zeros(len(ids))
+            np.add.at(num, slot, lp)
+            np.add.at(den, slot, tf)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                got = -num / den
+            bits = np.where(den > 0, got, np.nan)
+        # bits is aligned to sort_ids; un-sort back to batch order
+        inv = np.argsort(np.argsort(ids, kind="stable"), kind="stable")
+        bits = bits[inv]
+        return pa.table({
+            id_col: t[id_col],
+            out: pa.array(bits, pa.float64(), mask=np.isnan(bits)),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

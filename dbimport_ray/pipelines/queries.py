@@ -1786,6 +1786,16 @@ def q_sliding_count_events(sf_dir: str) -> rd.Dataset:
     return j.map_batches(finish, batch_format="pyarrow")
 
 
+def q_lm_score_docs(sf_dir: str) -> rd.Dataset:
+    """Unigram-LM quality proxy (bits/token under the corpus's own LM):
+    vocab-bounded token-count exchange, broadcast LM, per-batch fold
+    (functions/text.py:unigram_lm_score)."""
+    from ..functions.text import unigram_lm_score
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return unigram_lm_score(ds, "doc_id", "text", out="bits_per_token")
+
+
 def q_corr_lineitem(sf_dir: str) -> rd.Dataset:
     """Per-group Pearson correlation (quantity vs discount percent) from
     one sufficient-statistics pass — integer-valued inputs make the sums
@@ -2713,6 +2723,23 @@ JOIN (SELECT event_type,
       FROM events GROUP BY event_type) t USING (event_type)
 """
 
+ORACLES["lm_score_docs"] = r"""
+WITH toks AS (
+  SELECT doc_id, t.tok AS token
+  FROM documents, UNNEST(string_split_regex(lower(text), '\W+')) AS t(tok)
+  WHERE t.tok <> ''
+),
+c AS (SELECT token, count(*)::DOUBLE AS c FROM toks GROUP BY token),
+tot AS (SELECT sum(c) AS t FROM c),
+scored AS (
+  SELECT toks.doc_id, log2(c.c / (SELECT t FROM tot)) AS lp
+  FROM toks JOIN c USING (token)
+)
+SELECT d.doc_id, -avg(s.lp) AS bits_per_token
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+GROUP BY d.doc_id
+"""
+
 ORACLES["sliding_count_events"] = """
 SELECT DISTINCT user_id, ts,
        count(*) OVER (
@@ -2978,6 +3005,9 @@ QUERIES = {
     "decontaminate_docs": q_decontaminate_docs,
     "dup_segments": q_dup_segments,
     "incremental_dedup": q_incremental_dedup,
+    # --- oracle-backed, past the window; verifiable any time via
+    # --- `python tests/harness_check.py <sf_dir> <name>`
+    "lm_score_docs": q_lm_score_docs,
     # --- oracle-backed, green in r02; kernel families re-proven via the
     # --- r03-green *_scan rows, so these can sit past the window
     "rolling_mean": q_rolling_mean,

@@ -446,3 +446,49 @@ def test_pca_project_matches_numpy(ray_session):
         assert np.allclose(got_var, np.sort(evals)[::-1][:nc], rtol=1e-10)
     # components are orthonormal
     assert np.allclose(got_comps @ got_comps.T, np.eye(nc), atol=1e-10)
+
+
+def test_unigram_lm_score_differential(ray_session):
+    """bits/token vs a pure-python unigram LM over the same tokenization;
+    repartition-invariant, zero-token doc emits NULL."""
+    import math
+    import re
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dbimport_ray.functions.text import unigram_lm_score
+
+    docs = {
+        1: "the cat sat on the mat",
+        2: "THE the the zzyzx",          # rare token -> high bits
+        3: "cat mat cat mat",
+        4: "!!! ...",                      # zero tokens -> NULL
+        5: "on on on on on on",
+    }
+    tok = lambda s: [w for w in re.split(r"\W+", s.lower()) if w]
+    corpus = Counter(w for s in docs.values() for w in tok(s))
+    total = sum(corpus.values())
+    want = {}
+    for d, s in docs.items():
+        ws = tok(s)
+        want[d] = (
+            -sum(math.log2(corpus[w] / total) for w in ws) / len(ws)
+            if ws else None
+        )
+    t = pa.table({
+        "doc_id": pa.array(list(docs), pa.int64()),
+        "text": pa.array(list(docs.values())),
+    })
+    out = (
+        unigram_lm_score(rd.from_arrow(t).repartition(4), "doc_id", "text")
+        .to_pandas().set_index("doc_id")["bits_per_token"]
+    )
+    for d, w in want.items():
+        if w is None:
+            assert pd.isna(out[d])
+        else:
+            assert np.isclose(out[d], w, rtol=1e-12), d
