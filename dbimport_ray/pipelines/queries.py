@@ -1786,6 +1786,29 @@ def q_sliding_count_events(sf_dir: str) -> rd.Dataset:
     return j.map_batches(finish, batch_format="pyarrow")
 
 
+def q_constraint_quarantine(sf_dir: str) -> rd.Dataset:
+    """Declarative constraint screen (stages/validate.py:
+    check_constraints): one vectorized pass stamps each row with the
+    first violated rule; this query returns the quarantined side."""
+    from ..stages.validate import check_constraints
+
+    ds = _read(
+        sf_dir, "events", columns=["event_id", "event_type", "value", "ts"]
+    )
+    screened = check_constraints(ds, [
+        {"rule": "not_null", "col": "ts"},
+        {"rule": "in_set", "col": "event_type",
+         "values": ["view", "click", "purchase", "signup"]},
+        {"rule": "range", "col": "value", "lo": 0.0, "hi": 100.0},
+    ])
+
+    def bad_only(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["violation"]))
+        return t.select(["event_id", "violation"])
+
+    return screened.map_batches(bad_only, batch_format="pyarrow")
+
+
 def q_lm_score_docs(sf_dir: str) -> rd.Dataset:
     """Unigram-LM quality proxy (bits/token under the corpus's own LM):
     vocab-bounded token-count exchange, broadcast LM, per-batch fold
@@ -2723,6 +2746,23 @@ JOIN (SELECT event_type,
       FROM events GROUP BY event_type) t USING (event_type)
 """
 
+ORACLES["constraint_quarantine"] = """
+SELECT event_id,
+       CASE
+         WHEN ts IS NULL THEN 'not_null:ts'
+         WHEN event_type IS NOT NULL
+              AND event_type NOT IN ('view','click','purchase','signup')
+           THEN 'in_set:event_type'
+         WHEN value IS NOT NULL AND NOT (value >= 0.0 AND value <= 100.0)
+           THEN 'range:value'
+       END AS violation
+FROM events
+WHERE ts IS NULL
+   OR (event_type IS NOT NULL
+       AND event_type NOT IN ('view','click','purchase','signup'))
+   OR (value IS NOT NULL AND NOT (value >= 0.0 AND value <= 100.0))
+"""
+
 ORACLES["lm_score_docs"] = r"""
 WITH toks AS (
   SELECT doc_id, t.tok AS token
@@ -3008,6 +3048,7 @@ QUERIES = {
     # --- oracle-backed, past the window; verifiable any time via
     # --- `python tests/harness_check.py <sf_dir> <name>`
     "lm_score_docs": q_lm_score_docs,
+    "constraint_quarantine": q_constraint_quarantine,
     # --- oracle-backed, green in r02; kernel families re-proven via the
     # --- r03-green *_scan rows, so these can sit past the window
     "rolling_mean": q_rolling_mean,

@@ -47,3 +47,67 @@ def validate_exact(expected: int, actual: int, what: str) -> None:
     band applies."""
     if expected != actual:
         raise ValidationError(f"{what}: expected {expected} rows, got {actual}")
+
+
+def check_constraints(ds, rules: list[dict], out: str = "violation"):
+    """Declarative row-level constraint screen — the quality-gate half of
+    DBImport's validation story (its row-count bands catch volume drift;
+    this catches value drift) re-expressed as ONE vectorized
+    ``map_batches`` pass: every rule compiles to a pyarrow.compute mask,
+    rows get the FIRST violated rule's name in ``out`` (NULL = clean),
+    and callers split the stream with two filters (both sides stay lazy
+    — no extra pass, no exchange, no per-row python).
+
+    Rule forms (all null-safe: a NULL value violates not_null but no
+    other rule, matching SQL CHECK semantics where NULL checks pass)::
+
+        {"rule": "not_null", "col": c}
+        {"rule": "range",    "col": c, "lo": x, "hi": y}   # inclusive
+        {"rule": "in_set",   "col": c, "values": [...]}
+        {"rule": "regex",    "col": c, "pattern": r"..."}  # full match
+
+    Each rule's name defaults to ``rule:col`` and can be overridden with
+    ``"name"``. Uniqueness checks need an exchange by nature — use
+    ``stages/lww.py`` (dedup) or ``stages/bloom.py`` (membership) for
+    those; this stage is deliberately exchange-free.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    compiled = []
+    for r in rules:
+        name = r.get("name", f"{r['rule']}:{r['col']}")
+        compiled.append((name, dict(r)))
+
+    def screen(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        viol = np.full(n, None, dtype=object)
+        # reversed: earlier rules overwrite later ones -> first wins
+        for name, r in reversed(compiled):
+            col = t[r["col"]]
+            valid = pc.is_valid(col)
+            kind = r["rule"]
+            if kind == "not_null":
+                bad = pc.invert(valid)
+            elif kind == "range":
+                ok = pc.and_(
+                    pc.greater_equal(col, r["lo"]),
+                    pc.less_equal(col, r["hi"]),
+                )
+                bad = pc.and_(valid, pc.invert(pc.fill_null(ok, True)))
+            elif kind == "in_set":
+                ok = pc.is_in(col, value_set=pa.array(r["values"]))
+                bad = pc.and_(valid, pc.invert(ok))
+            elif kind == "regex":
+                ok = pc.match_substring_regex(
+                    pc.cast(col, pa.string()), f"^(?:{r['pattern']})$"
+                )
+                bad = pc.and_(valid, pc.invert(pc.fill_null(ok, True)))
+            else:
+                raise ValueError(f"unknown rule kind {kind!r}")
+            m = bad.to_numpy(zero_copy_only=False).astype(bool)
+            viol[m] = name
+        return t.append_column(out, pa.array(viol, pa.string()))
+
+    return ds.map_batches(screen, batch_format="pyarrow")

@@ -440,3 +440,36 @@ def test_media_resize_and_audio_features(ray_session):
     s = s16.astype(np.float32)
     want = np.sqrt((s[: (len(s) // 32) * 32].reshape(-1, 32) ** 2).mean(axis=1))
     assert np.allclose(np.array(row["energy"]), want, rtol=1e-6)
+
+
+def test_check_constraints_rules_and_precedence(ray_session):
+    """Every rule kind fires; first violated rule wins; NULL passes every
+    rule except not_null (SQL CHECK semantics); clean rows stamp NULL."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dbimport_ray.stages.validate import check_constraints
+
+    t = pa.table({
+        "id": pa.array(list(range(7)), pa.int64()),
+        "v": pa.array([5.0, -1.0, 200.0, None, 50.0, 50.0, -9.0]),
+        "s": pa.array(["ok", "ok", "ok", "ok", "bad!", None, "bad!"]),
+    })
+    out = (
+        check_constraints(rd.from_arrow(t).repartition(3), [
+            {"rule": "not_null", "col": "v"},
+            {"rule": "range", "col": "v", "lo": 0.0, "hi": 100.0},
+            {"rule": "regex", "col": "s", "pattern": r"\w+"},
+        ])
+        .to_pandas().sort_values("id")["violation"].tolist()
+    )
+    assert out == [
+        None,             # clean
+        "range:v",        # -1
+        "range:v",        # 200
+        "not_null:v",     # null v (regex on non-null s still passes)
+        "regex:s",        # bad!
+        None,             # null s passes regex (CHECK semantics)
+        "range:v",        # violates range AND regex: first rule wins
+    ]
