@@ -1786,6 +1786,37 @@ def q_sliding_count_events(sf_dir: str) -> rd.Dataset:
     return j.map_batches(finish, batch_format="pyarrow")
 
 
+def q_mix_rebalance_docs(sf_dir: str) -> rd.Dataset:
+    """Temperature-2 corpus mixing: downsample each language at
+    keep-rate min(1, K/√n_g) so sampled counts grow ∝ √n_g — the
+    data-mixing stage that keeps head languages from drowning the tail.
+    One key-domain count exchange derives the rates on the driver; the
+    selection itself is the deterministic sha-bucket mask
+    (functions/split.py:stratified_sample_mask), so membership is a pure
+    function of doc identity (rerun- and partitioning-stable). Rate
+    arithmetic is ONLY correctly-rounded IEEE ops (sqrt, divide,
+    multiply, truncate), so the SQL oracle reproduces the exact same
+    16-bit thresholds."""
+    import math
+
+    from ..functions.split import stratified_sample_mask
+    from ..stages.stats import grouped_agg
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    counts = grouped_agg(
+        ds, ["lang"], [(None, "count", "n")], shuffle_blocks=1
+    ).to_pandas()
+    rates = {
+        str(r.lang): min(1.0, 5.0 / math.sqrt(float(r.n)))
+        for r in counts.itertuples()
+    }
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(stratified_sample_mask(t["doc_id"], t["lang"], rates))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
 def q_constraint_quarantine(sf_dir: str) -> rd.Dataset:
     """Declarative constraint screen (stages/validate.py:
     check_constraints): one vectorized pass stamps each row with the
@@ -2746,6 +2777,17 @@ JOIN (SELECT event_type,
       FROM events GROUP BY event_type) t USING (event_type)
 """
 
+ORACLES["mix_rebalance_docs"] = """
+WITH n AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN n USING (lang)
+WHERE substring(sha256(CAST(d.doc_id AS VARCHAR)), 1, 4) <
+      CASE WHEN 5.0 / sqrt(n.n) >= 1.0 THEN 'g'
+           ELSE lpad(lower(to_hex(
+                  CAST(floor((5.0 / sqrt(n.n)) * 65536.0) AS INT))), 4, '0')
+      END
+"""
+
 ORACLES["constraint_quarantine"] = """
 SELECT event_id,
        CASE
@@ -3049,6 +3091,7 @@ QUERIES = {
     # --- `python tests/harness_check.py <sf_dir> <name>`
     "lm_score_docs": q_lm_score_docs,
     "constraint_quarantine": q_constraint_quarantine,
+    "mix_rebalance_docs": q_mix_rebalance_docs,
     # --- oracle-backed, green in r02; kernel families re-proven via the
     # --- r03-green *_scan rows, so these can sit past the window
     "rolling_mean": q_rolling_mean,

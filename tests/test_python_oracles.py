@@ -492,3 +492,50 @@ def test_unigram_lm_score_differential(ray_session):
             assert pd.isna(out[d])
         else:
             assert np.isclose(out[d], w, rtol=1e-12), d
+
+
+def test_mix_rebalance_inverse_sqrt_rates(ray_session):
+    """Temperature-2 mixing vs a pure-python recompute: per-group keep
+    rate min(1, K/sqrt(n_g)), sha-bucket membership, partition-invariant."""
+    import hashlib
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dbimport_ray.functions.split import stratified_sample_mask
+    from dbimport_ray.stages.stats import grouped_agg
+
+    ids = list(range(4000))
+    langs = ["en"] * 3000 + ["fr"] * 900 + ["zz"] * 100
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()), "lang": pa.array(langs)})
+    K = 5.0
+    n = {"en": 3000.0, "fr": 900.0, "zz": 100.0}
+    rates = {g: min(1.0, K / math.sqrt(c)) for g, c in n.items()}
+
+    def pick(tb):
+        return tb.filter(stratified_sample_mask(tb["doc_id"], tb["lang"], rates))
+
+    got = set()
+    for parts in (3, 11):
+        ds = rd.from_arrow(t).repartition(parts).map_batches(
+            pick, batch_format="pyarrow")
+        sel = frozenset(ds.to_pandas()["doc_id"].tolist())
+        got.add(sel)
+    assert len(got) == 1  # partition-invariant
+
+    def keep(i, g):
+        b = hashlib.sha256(str(i).encode()).hexdigest()[:4]
+        r = rates[g]
+        thr = "g" if r >= 1.0 else format(int(r * 65536), "04x")
+        return b < thr
+
+    want = {i for i, g in zip(ids, langs) if keep(i, g)}
+    assert next(iter(got)) == want
+    # sampled counts grow like sqrt: zz keeps ~K*sqrt(100)=50, en ~K*sqrt(3000)
+    sel = next(iter(got))
+    by = {"en": 0, "fr": 0, "zz": 0}
+    for i in sel:
+        by[langs[i]] += 1
+    assert 0.5 * K * math.sqrt(100) < by["zz"] <= 100
+    assert by["en"] < 0.1 * 3000  # head heavily downsampled
