@@ -105,6 +105,9 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("fsck", help="lake consistency audit (footer rows vs manifest, placement, aggregates)")
     common(sp)
     sp.add_argument("--deep", action="store_true", help="also re-hash pk placement and recompute aggregates")
+    sp = sub.add_parser("late-audit", help="detect source files the watermark protocol will never apply (late arrivals)")
+    common(sp)
+    sp.add_argument("--events", required=True, help="event parquet file/dir to audit against the consumed-input ledger")
     sp = sub.add_parser("rollback", help="re-point the table at an earlier committed version")
     common(sp)
     sp.add_argument("--to-version", type=int, required=True)
@@ -247,6 +250,15 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines.maintain import fsck
 
         res = fsck(eng, deep=args.deep)
+        print(json.dumps(res))
+        if not res["ok"]:
+            import ray as _r
+            _r.shutdown()
+            return 1
+    elif args.cmd == "late-audit":
+        from .pipelines.maintain import late_audit
+
+        res = late_audit(eng, args.events)
         print(json.dumps(res))
         if not res["ok"]:
             import ray as _r

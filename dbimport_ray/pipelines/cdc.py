@@ -461,6 +461,8 @@ class CDCEngine:
             self.ckpt.begin_batch(pending, version)
 
         ts = merge_ts or deterministic_merge_ts(pending)
+        after0 = cp.committed_seq
+        inputs = self._input_inventory(events_path, after0, pending)
 
         unified, renames = self._plan_schema(manifest, events_path)
         eff_cfg = replace(
@@ -620,16 +622,21 @@ class CDCEngine:
         retries = self.ckpt.load().retries
         self.store.commit_manifest()
         self.ckpt.commit_batch()
-        self.store.append_metrics(
-            {
-                "version": version,
-                "pending_seq": pending,
-                "merge_ts": ts.isoformat(),
-                "partitions_touched": len(metrics),
-                "retries": retries,
-                **totals,
-            }
-        )
+        rec = {
+            "version": version,
+            "pending_seq": pending,
+            "after_seq": after0,
+            "merge_ts": ts.isoformat(),
+            "partitions_touched": len(metrics),
+            "retries": retries,
+            **totals,
+        }
+        if inputs is not None:
+            # consumed-input provenance: which source files fed this
+            # batch's (after, upto] range — the late-data audit's ledger
+            # (maintain.py:late_audit). Footer metadata only.
+            rec["inputs"] = inputs
+        self.store.append_metrics(rec)
         self.store.clear_markers(version)
         self.store.clear_staging(version)
         self.store.purge_old_versions(keep_versions=2)
@@ -669,6 +676,21 @@ class CDCEngine:
         return _salt_finalize.remote(kw_ref, pid, subs, metas)
 
     # ------------------------------------------------------------------
+    def _input_inventory(self, events_path, after_seq: int, upto_seq: int):
+        """Source files whose sequence range intersects the consumed
+        ``(after, upto]`` window (files without footer stats are listed
+        too — they get scanned, so they count as consumed). None for
+        live-DB event sources, where file provenance has no meaning."""
+        if hasattr(events_path, "read_range"):
+            return None
+        from ..sources.events import file_seq_stats
+
+        return [
+            s for s in file_seq_stats(events_path, self.cfg.sequence_col)
+            if s["min_seq"] is None
+            or (s["max_seq"] > after_seq and s["min_seq"] <= upto_seq)
+        ]
+
     def _plan_schema(self, manifest: Manifest, events_path) -> tuple[pa.Schema, dict]:
         """Schema evolution, driver-side pre-stage (SURVEY.md §7.2)."""
         import pyarrow.dataset as pads

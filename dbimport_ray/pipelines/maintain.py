@@ -280,3 +280,76 @@ def fsck(engine: CDCEngine, deep: bool = False) -> dict:
         if recomputed != m.aggregates:
             errors.append("maintained aggregates drift from full recompute")
     return {"ok": not errors, "errors": errors, "checked_files": checked}
+
+
+def late_audit(engine: CDCEngine, events_path) -> dict:
+    """Detect source data the watermark protocol will NEVER apply.
+
+    Replay consumes ``(committed, upto]`` by sequence; an event file that
+    lands AFTER its range was committed is silently pruned on every later
+    read — the classic file-drop-CDC data-loss blind spot. Each batch
+    records its consumed-input inventory (footer ranges) in
+    ``_metrics.jsonl`` (cdc.py:_input_inventory); this audit joins that
+    ledger against the files on disk NOW:
+
+    - ``late_file``: never in any batch's inventory and max_seq ≤ the
+      committed watermark → none of its rows were or will be read.
+    - ``head_truncated``: first seen by a batch whose ``after_seq``
+      already exceeded the file's min_seq → the head rows below that
+      watermark were filtered out at the scan. The skipped count is
+      exact (one seq-column read of the flagged file only).
+
+    Assumes immutable event files (rows appended to an already-consumed
+    file are indistinguishable at file granularity). Clean lakes return
+    ``{"ok": True, "findings": []}``; remediation is a targeted replay of
+    the flagged files into a fresh range (re-sequence) or an explicit
+    ``reset-watermark``.
+
+    Reference analogue: DBImport's validation catches row-count drift
+    only after the fact; this pinpoints the lost files by name."""
+    from ..sources.events import file_seq_stats
+
+    seq_col = engine.cfg.sequence_col
+    committed = engine.ckpt.load().committed_seq
+    first_after: dict[str, int] = {}
+    for rec in engine.store.read_metrics():
+        a = rec.get("after_seq")
+        if a is None:
+            continue
+        for f in rec.get("inputs", []):
+            p = f["path"]
+            if p not in first_after or a < first_after[p]:
+                first_after[p] = a
+
+    findings: list[dict] = []
+    for s in file_seq_stats(events_path, seq_col):
+        p = s["path"]
+        if p not in first_after:
+            if s["max_seq"] is not None and s["max_seq"] <= committed:
+                findings.append({
+                    "path": p, "kind": "late_file",
+                    "min_seq": s["min_seq"], "max_seq": s["max_seq"],
+                    "first_seen_after": None,
+                    "skipped_rows": s["rows"],
+                })
+            continue  # in the ledger, or still ahead of the watermark
+        a0 = first_after[p]
+        if s["min_seq"] is not None and s["min_seq"] <= a0:
+            col = pq.read_table(p, columns=[seq_col])[seq_col]
+            import pyarrow.compute as pc
+
+            skipped = int(
+                pc.sum(pc.less_equal(col, a0).cast(pa.int64())).as_py() or 0
+            )
+            if skipped:
+                findings.append({
+                    "path": p, "kind": "head_truncated",
+                    "min_seq": s["min_seq"], "max_seq": s["max_seq"],
+                    "first_seen_after": a0,
+                    "skipped_rows": skipped,
+                })
+    return {
+        "ok": not findings,
+        "committed_seq": committed,
+        "findings": findings,
+    }

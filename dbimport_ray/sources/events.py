@@ -97,6 +97,36 @@ def _expand_paths(paths: str | list[str]) -> list[str]:
     return out
 
 
+def file_seq_stats(paths: str | list[str], seq_col: str) -> list[dict]:
+    """Footer-only per-file sequence inventory: (abs path, min_seq,
+    max_seq, rows). ``min_seq``/``max_seq`` are None when any row group
+    lacks statistics (the file then can't be pruned or audited by range).
+    Shared by the watermark read's file pruning and the late-data audit
+    (pipelines/maintain.py:late_audit) — metadata IO only, no row reads."""
+    out: list[dict] = []
+    for p in _expand_paths(paths):
+        md = pq.read_metadata(p)
+        idx = md.schema.to_arrow_schema().get_field_index(seq_col)
+        lo = hi = None
+        have_stats = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                have_stats = False
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if not have_stats:
+            lo = hi = None
+        out.append({
+            "path": os.path.abspath(p),
+            "min_seq": None if lo is None else int(lo),
+            "max_seq": None if hi is None else int(hi),
+            "rows": int(md.num_rows),
+        })
+    return out
+
+
 def read_events(
     paths: str | list[str],
     seq_col: str,
@@ -118,24 +148,14 @@ def read_events(
     spams schema-divergence warnings through the whole lineage."""
     if hasattr(paths, "read_range"):
         return paths.read_range(seq_col, after_seq, upto_seq, override_num_blocks)
-    files = _expand_paths(paths)
+    stats = file_seq_stats(paths, seq_col)
+    files = [s["path"] for s in stats]
     keep: list[str] = []
-    for p in files:
-        md = pq.read_metadata(p)
-        idx = md.schema.to_arrow_schema().get_field_index(seq_col)
-        lo = hi = None
-        have_stats = True
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(idx).statistics
-            if st is None or not st.has_min_max:
-                have_stats = False
-                break
-            lo = st.min if lo is None else min(lo, st.min)
-            hi = st.max if hi is None else max(hi, st.max)
-        if not have_stats or lo is None:
-            keep.append(p)  # can't prove it's dead — scan it
-        elif hi > after_seq and lo <= upto_seq:
-            keep.append(p)
+    for s in stats:
+        if s["min_seq"] is None:
+            keep.append(s["path"])  # can't prove it's dead — scan it
+        elif s["max_seq"] > after_seq and s["min_seq"] <= upto_seq:
+            keep.append(s["path"])
     flt = (pc.field(seq_col) > after_seq) & (pc.field(seq_col) <= upto_seq)
     if not keep:
         schema = pq.read_schema(files[0]).remove_metadata() if files else None

@@ -177,3 +177,39 @@ def test_fsck_clean_and_corrupted(ray_session, tmp_path):
     os.remove(p1)
     gone = fsck(eng)
     assert not gone["ok"] and any("missing file" in e for e in gone["errors"])
+
+
+def test_late_audit_detects_lost_files(tmp_path, ray_session):
+    """Consumed-input ledger + late_audit: a file landing wholly below
+    the committed watermark is flagged with its full row count; a file
+    straddling it is flagged head_truncated with the EXACT skipped count;
+    files present from the start stay clean."""
+    from dbimport_ray.pipelines.maintain import late_audit
+
+    cfg = TableConfig(name="t", pk=["k"], value_columns=["v"], num_partitions=4)
+    eng = CDCEngine(str(tmp_path / "lake"), cfg)
+    evdir = tmp_path / "events"
+    evdir.mkdir()
+    _events(evdir, "a.parquet", 100, start=1)       # seq 1..100
+    _events(evdir, "b.parquet", 100, start=101)     # seq 101..200
+    assert eng.replay(str(evdir))["status"] == "committed"  # committed=200
+    clean = late_audit(eng, str(evdir))
+    assert clean["ok"] and clean["committed_seq"] == 200
+
+    # late file entirely below the watermark: every row lost
+    _events(evdir, "late.parquet", 30, start=50)    # seq 50..79
+    # straddler: 21 rows below the watermark, 50 above
+    _events(evdir, "straddle.parquet", 71, start=180)  # seq 180..250
+    assert eng.replay(str(evdir))["status"] == "committed"  # consumes 201..250
+
+    res = late_audit(eng, str(evdir))
+    assert not res["ok"]
+    kinds = {os.path.basename(f["path"]): f for f in res["findings"]}
+    assert set(kinds) == {"late.parquet", "straddle.parquet"}
+    lf = kinds["late.parquet"]
+    assert lf["kind"] == "late_file" and lf["skipped_rows"] == 30
+    st = kinds["straddle.parquet"]
+    assert st["kind"] == "head_truncated"
+    assert st["first_seen_after"] == 200 and st["skipped_rows"] == 21
+    # the data itself proves the loss: rows 201..250 applied, 180..200 not
+    assert eng.dataset().count() == 250  # 200 originals + 50 tail rows
