@@ -108,6 +108,9 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("late-audit", help="detect source files the watermark protocol will never apply (late arrivals)")
     common(sp)
     sp.add_argument("--events", required=True, help="event parquet file/dir to audit against the consumed-input ledger")
+    sp = sub.add_parser("rescue", help="repair late-audit findings exactly: recompute affected keys at original sequence numbers")
+    common(sp)
+    sp.add_argument("--events", required=True, help="the COMPLETE event source (late files included)")
     sp = sub.add_parser("rollback", help="re-point the table at an earlier committed version")
     common(sp)
     sp.add_argument("--to-version", type=int, required=True)
@@ -264,6 +267,10 @@ def main(argv: list[str] | None = None) -> int:
             import ray as _r
             _r.shutdown()
             return 1
+    elif args.cmd == "rescue":
+        from .pipelines.maintain import rescue_late
+
+        print(json.dumps(rescue_late(eng, args.events)))
     elif args.cmd == "rollback":
         print(json.dumps(eng.rollback(args.to_version)))
     import ray

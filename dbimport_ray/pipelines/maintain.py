@@ -353,3 +353,213 @@ def late_audit(engine: CDCEngine, events_path) -> dict:
         "committed_seq": committed,
         "findings": findings,
     }
+
+
+def rescue_late(engine: CDCEngine, events_path, findings: list[dict] | None = None) -> dict:
+    """Exact repair for :func:`late_audit` findings.
+
+    The target keeps no per-row sequence, so a late event cannot be
+    judged newer-or-older against the current image in isolation.
+    What IS exact: recompute the true final image of every key the late
+    rows touch from the COMPLETE source at ORIGINAL sequence numbers
+    (the late file now participates), then rewrite only the partitions
+    holding those keys. Work is bounded by the incident — one footer
+    pass, one key-filtered LWW read of the source, and |affected pids|
+    partition merges — never the table.
+
+    Correctness notes:
+    - upto = committed watermark: events above it belong to future
+      replays; LWW makes the split order-insensitive.
+    - batch-boundary semantics are preserved: a winner op 'D' against a
+      missing (hard) or tombstoned (soft) row is dropped as a no-op, so
+      rescuing never manufactures tombstones the batch-wise replay
+      collapsed.
+    - completeness guard: if any ledger-recorded input file is gone from
+      disk the recompute would see a partial history and could CORRUPT
+      keys — refuse loudly instead.
+    - no-op winners (image already correct) are dropped by a null-safe
+      value compare, so untouched keys stay bit-identical.
+
+    The watermark does not move; a metrics record with ``after_seq=-1``
+    lists the rescued files as consumed, so the next audit is clean."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    from ..sources.events import file_seq_stats, read_events
+    from ..stages.joins import _key_array
+    from ..stages.lww import lww_dedup, make_lww_prereduce
+    from ..stages.merge import merge_partition
+    from ..stages.partitioning import PID_COL, add_partition_id
+    from .cdc import deterministic_merge_ts
+
+    cfg = engine.cfg
+    store = engine.store
+    seq = cfg.sequence_col
+    committed = engine.ckpt.load().committed_seq
+    if findings is None:
+        findings = late_audit(engine, events_path)["findings"]
+    if not findings:
+        return {"status": "noop", "rescued_keys": 0}
+
+    # completeness guard: every file the ledger ever consumed must exist
+    missing = []
+    for rec in store.read_metrics():
+        for f in rec.get("inputs", []):
+            if not os.path.exists(f["path"]):
+                missing.append(f["path"])
+    if missing:
+        raise RuntimeError(
+            f"rescue refused: {len(missing)} ledger-recorded source files "
+            f"missing (e.g. {missing[0]}) — recompute would see partial "
+            "history"
+        )
+
+    # 1. affected keys = pk tuples in the flagged files' skipped rows
+    key_tbls = []
+    for fd in findings:
+        t = pq.read_table(fd["path"], columns=cfg.pk + [seq])
+        a0 = fd["first_seen_after"]
+        bound = committed if a0 is None else a0
+        key_tbls.append(t.filter(pc.less_equal(t[seq], bound)).select(cfg.pk))
+    keys = pa.concat_tables(key_tbls).group_by(cfg.pk).aggregate([])
+    keyset = np.unique(_key_array(keys, cfg.pk))
+    kref = ray.put(keyset)
+
+    # 2. true final image per key from the complete source (late included)
+    cols = cfg.pk + cfg.value_columns + [cfg.op_col, seq]
+    ds = read_events(events_path, seq, after_seq=-1, upto_seq=committed,
+                     columns=cols)
+
+    def only_keys(t: pa.Table) -> pa.Table:
+        ks = ray.get(kref)
+        enc = _key_array(t, cfg.pk)
+        pos = np.searchsorted(ks, enc)
+        pos = np.minimum(pos, len(ks) - 1)
+        return t.filter(pa.array(ks[pos] == enc))
+
+    pre = (
+        ds.map_batches(only_keys, batch_format="pyarrow")
+        .map_batches(make_lww_prereduce(cfg.pk, seq), batch_format="pyarrow")
+        .materialize()
+    )
+    parts = [t for t in ray.get(pre.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return {"status": "noop", "rescued_keys": 0,
+                "note": "flagged rows vanished from the source"}
+    winners = lww_dedup(
+        pa.concat_tables(parts, promote_options="permissive"), cfg.pk, seq
+    )
+
+    manifest = store.load_manifest()
+    version = manifest.version + 1
+    winners = add_partition_id(winners, cfg.pk, manifest.num_partitions
+                               or cfg.num_partitions)
+    ts = deterministic_merge_ts(committed)
+
+    def _noop_mask(w: pa.Table, old: pa.Table):
+        """(mask, joined): mask is True where the winner would not change
+        the current image; downstream filters operate on the joined table
+        since the join may reorder rows."""
+        ow = old.rename_columns(
+            [c + "#o" for c in old.column_names]
+        )
+        j = w.join(ow, keys=cfg.pk, right_keys=[c + "#o" for c in cfg.pk],
+                   join_type="left outer")
+        exists = pc.is_valid(j[cfg.col_iud + "#o"]).to_numpy(zero_copy_only=False)
+        is_del = pc.equal(j[cfg.op_col], "D").to_numpy(zero_copy_only=False)
+        old_del = pc.fill_null(
+            pc.equal(j[cfg.col_iud + "#o"], "D"), False
+        ).to_numpy(zero_copy_only=False)
+        same = np.ones(j.num_rows, dtype=bool)
+        for c in cfg.value_columns:
+            a, b = j[c], j[c + "#o"]
+            eq = pc.fill_null(pc.equal(a, b), False).to_numpy(zero_copy_only=False)
+            both_null = pc.and_(
+                pc.is_null(a), pc.is_null(b)
+            ).to_numpy(zero_copy_only=False)
+            same &= eq | both_null
+        live_same = exists & ~old_del & ~is_del & same
+        dead_noop = is_del & (~exists | old_del)
+        return (live_same | dead_noop), j
+
+    touched: dict[int, dict] = {}
+    hist_files: list[str] = []
+    pids = sorted(set(winners[PID_COL].to_numpy(zero_copy_only=False).tolist()))
+    total_applied = 0
+    for pid in pids:
+        w = winners.filter(pc.equal(winners[PID_COL], pid)).drop_columns([PID_COL])
+        entry = manifest.partitions.get(str(pid))
+        old = pq.read_table(store.abs_path(entry["file"])) if entry else None
+        if old is not None and old.num_rows:
+            noop, j = _noop_mask(w, old)
+            w = j.filter(pa.array(~noop)).select(w.column_names)
+        if w.num_rows == 0:
+            continue
+        res = merge_partition(old, w, cfg, ts)
+        total_applied += w.num_rows
+        rel = store.part_file(pid, version)
+        tmp = store.abs_path(rel) + f".rescue-{os.getpid()}"
+        pq.write_table(res.table, tmp, compression="zstd")
+        os.replace(tmp, store.abs_path(rel))
+        touched[pid] = {
+            "file": rel,
+            "rows": res.table.num_rows,
+            "bytes": os.path.getsize(store.abs_path(rel)),
+            "version": version,
+            "zones": column_zones(res.table),
+        }
+        if cfg.history and res.history.num_rows:
+            hrel = store.history_file(pid, version)
+            pq.write_table(res.history, store.abs_path(hrel), compression="zstd")
+            hist_files.append(hrel)
+
+    if not touched:
+        status = {"status": "noop", "rescued_keys": 0,
+                  "note": "all late rows already superseded"}
+    else:
+        new_parts = dict(manifest.partitions)
+        for pid, e in touched.items():
+            if e["rows"] > 0:
+                new_parts[str(pid)] = e
+            else:
+                new_parts.pop(str(pid), None)
+        new_m = Manifest(
+            table=manifest.table,
+            version=version,
+            committed_seq=manifest.committed_seq,
+            schema=manifest.schema,
+            renames=manifest.renames,
+            partitions=new_parts,
+            history_files=list(manifest.history_files) + hist_files,
+            num_partitions=manifest.num_partitions,
+            aggregates=dict(manifest.aggregates),
+        )
+        store.stage_manifest(new_m)
+        store.commit_manifest()
+        if cfg.maintained_aggs:
+            from ..state.aggregates import agg_table
+
+            m2 = store.load_manifest()
+            m2.aggregates = agg_table(engine.arrow(), cfg.maintained_aggs)
+            store.stage_manifest(m2)
+            store.commit_manifest()
+        status = {
+            "status": "rescued",
+            "version": version,
+            "rescued_keys": int(len(keyset)),
+            "applied_rows": int(total_applied),
+            "partitions_touched": len(touched),
+        }
+
+    # mark the flagged files consumed so the next audit is clean
+    store.append_metrics({
+        "rescue": True,
+        "after_seq": -1,
+        "pending_seq": committed,
+        "inputs": [
+            s for s in file_seq_stats([f["path"] for f in findings], seq)
+        ],
+        **{k: v for k, v in status.items() if k != "status"},
+    })
+    return status

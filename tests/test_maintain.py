@@ -213,3 +213,68 @@ def test_late_audit_detects_lost_files(tmp_path, ray_session):
     assert st["first_seen_after"] == 200 and st["skipped_rows"] == 21
     # the data itself proves the loss: rows 201..250 applied, 180..200 not
     assert eng.dataset().count() == 250  # 200 originals + 50 tail rows
+
+
+def _opev(tmp_path, name, rows):
+    """rows: (seq, op, k, v) tuples."""
+    t = pa.table({
+        "sequence_id": pa.array([r[0] for r in rows], pa.int64()),
+        "op": pa.array([r[1] for r in rows]),
+        "k": pa.array([r[2] for r in rows]),
+        "v": pa.array([r[3] for r in rows], pa.float64()),
+    })
+    p = str(tmp_path / name)
+    pq.write_table(t, p)
+    return p
+
+
+def test_rescue_late_exact_lww_repair(tmp_path, ray_session):
+    """rescue_late recomputes the true final image per affected key at
+    ORIGINAL sequence numbers: superseded late rows are no-ops (rows stay
+    bit-identical), newest-late rows update, unseen keys insert, late
+    deletes tombstone; the audit is clean afterwards and future replays
+    continue normally."""
+    from dbimport_ray.pipelines.maintain import late_audit, rescue_late
+
+    cfg = TableConfig(name="t", pk=["k"], value_columns=["v"],
+                      num_partitions=4, soft_delete=True)
+    eng = CDCEngine(str(tmp_path / "lake"), cfg)
+    evdir = tmp_path / "events"
+    evdir.mkdir()
+    _opev(evdir, "a.parquet", [
+        (10, "I", "k1", 1.0), (20, "I", "k2", 2.0),
+        (30, "I", "k3", 3.0), (35, "I", "k4", 4.0),
+    ])
+    _opev(evdir, "b.parquet", [(110, "U", "k1", 10.0)])
+    assert eng.replay(str(evdir))["status"] == "committed"  # committed=110
+    before = {r["k"]: r for r in eng.arrow().to_pylist()}
+
+    # the late file: a superseded update, a winning update, a fresh key,
+    # and a delete that is the newest event for its key
+    _opev(evdir, "late.parquet", [
+        (50, "U", "k1", 5.0),    # loses to on-time seq 110: must be a no-op
+        (60, "U", "k2", 22.0),   # newest for k2: must apply
+        (40, "I", "k5", 7.0),    # key never seen on time: must insert
+        (45, "D", "k4", None),   # newest for k4: must tombstone
+    ])
+    aud = late_audit(eng, str(evdir))
+    assert not aud["ok"] and len(aud["findings"]) == 1
+
+    res = rescue_late(eng, str(evdir), aud["findings"])
+    assert res["status"] == "rescued" and res["rescued_keys"] == 4
+    after = {r["k"]: r for r in eng.arrow().to_pylist()}
+    assert after["k1"] == before["k1"]          # superseded: bit-identical
+    assert after["k2"]["v"] == 22.0
+    assert after["k5"]["v"] == 7.0
+    assert after["k4"]["datalake_iud"] == "D"   # soft tombstone
+    assert after["k3"] == before["k3"]          # untouched key untouched
+
+    assert late_audit(eng, str(evdir))["ok"]    # ledger marks it consumed
+
+    # watermark unmoved; a later on-time batch still applies normally
+    assert eng.ckpt.load().committed_seq == 110
+    _opev(evdir, "c.parquet", [(200, "U", "k2", 200.0)])
+    assert eng.replay(str(evdir))["status"] == "committed"
+    final = {r["k"]: r for r in eng.arrow().to_pylist()}
+    assert final["k2"]["v"] == 200.0
+    assert late_audit(eng, str(evdir))["ok"]
