@@ -1786,6 +1786,16 @@ def q_sliding_count_events(sf_dir: str) -> rd.Dataset:
     return j.map_batches(finish, batch_format="pyarrow")
 
 
+def q_robust_stats_events(sf_dir: str) -> rd.Dataset:
+    """Per-group median + MAD (robust location/scale; quantile_disc
+    semantics keep every statistic an actual group element, float-exact
+    vs the oracle) — stages/stats.py:grouped_robust_stats."""
+    from ..stages.stats import grouped_robust_stats
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_robust_stats(ds, ["event_type"], "value", shuffle_blocks=4)
+
+
 def q_mix_rebalance_docs(sf_dir: str) -> rd.Dataset:
     """Temperature-2 corpus mixing: downsample each language at
     keep-rate min(1, K/√n_g) so sampled counts grow ∝ √n_g — the
@@ -2777,6 +2787,17 @@ JOIN (SELECT event_type,
       FROM events GROUP BY event_type) t USING (event_type)
 """
 
+ORACLES["robust_stats_events"] = """
+WITH m AS (
+  SELECT event_type, quantile_disc(value, 0.5) AS med
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, min(m.med) AS med,
+       quantile_disc(abs(e.value - m.med), 0.5) AS mad
+FROM events e JOIN m USING (event_type)
+GROUP BY e.event_type
+"""
+
 ORACLES["mix_rebalance_docs"] = """
 WITH n AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang)
 SELECT d.doc_id, d.lang
@@ -3092,6 +3113,7 @@ QUERIES = {
     "lm_score_docs": q_lm_score_docs,
     "constraint_quarantine": q_constraint_quarantine,
     "mix_rebalance_docs": q_mix_rebalance_docs,
+    "robust_stats_events": q_robust_stats_events,
     # --- oracle-backed, green in r02; kernel families re-proven via the
     # --- r03-green *_scan rows, so these can sit past the window
     "rolling_mean": q_rolling_mean,

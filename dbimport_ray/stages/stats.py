@@ -744,3 +744,36 @@ def grouped_corr(
         return pa.table(cols)
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def grouped_robust_stats(
+    ds: rd.Dataset,
+    keys: list[str],
+    col: str,
+    shuffle_blocks: int | None = 4,
+) -> rd.Dataset:
+    """Per-group MEDIAN and MAD (median absolute deviation) — the robust
+    location/scale pair outlier screens want when means and stddevs are
+    poisoned by the very outliers being hunted. Two group passes, both
+    ``quantile_disc`` semantics so every statistic is an actual group
+    element (float-exact vs any engine): (1) the group median; (2) the
+    median of |x − median| with the tiny (group, median) table broadcast
+    into the stream — no third exchange. Returns one row per group:
+    (keys…, med, mad)."""
+    from .joins import broadcast_lookup_join
+
+    med = grouped_quantile(
+        ds, keys, col, 0.5, out_col="med", shuffle_blocks=shuffle_blocks
+    )
+    joined = broadcast_lookup_join(ds.select_columns(keys + [col]), med, keys, ["med"])
+
+    def absdev(t: pa.Table) -> pa.Table:
+        x = pc.cast(t[col], pa.float64())
+        m = pc.cast(t["med"], pa.float64())
+        return t.append_column("_adev", pc.abs(pc.subtract(x, m)))
+
+    dev = joined.map_batches(absdev, batch_format="pyarrow")
+    mad = grouped_quantile(
+        dev, keys, "_adev", 0.5, out_col="mad", shuffle_blocks=shuffle_blocks
+    )
+    return broadcast_lookup_join(med, mad, keys, ["mad"])

@@ -390,3 +390,34 @@ def test_grouped_corr_nulls_and_degenerate_groups(ray_session):
     assert pd.isna(out["one"])   # n=1
     assert pd.isna(out["flat"])  # zero y-variance
     assert pd.isna(out["nul"])   # null x drops the row -> n=1
+
+
+def test_grouped_robust_stats_median_mad(ray_session):
+    """median/MAD vs numpy quantile_disc recompute, including an even-n
+    group (disc picks an actual element) and a constant group (MAD 0)."""
+    import ray.data as rd
+
+    from dbimport_ray.stages.stats import grouped_robust_stats
+
+    rng = np.random.default_rng(3)
+    xa = rng.normal(50, 10, 501)
+    xb = rng.normal(0, 1, 400)      # even n
+    t = pa.table({
+        "k": pa.array(["a"] * 501 + ["b"] * 400 + ["c"] * 3),
+        "v": pa.array(list(xa) + list(xb) + [7.0, 7.0, 7.0], pa.float64()),
+    })
+    out = (
+        grouped_robust_stats(rd.from_arrow(t).repartition(6), ["k"], "v")
+        .to_pandas().set_index("k")
+    )
+
+    def qdisc(x, q=0.5):
+        s = np.sort(x)
+        return s[max(int(np.ceil(q * len(s))), 1) - 1]
+
+    for g, x in (("a", xa), ("b", xb), ("c", np.array([7.0] * 3))):
+        med = qdisc(x)
+        mad = qdisc(np.abs(x - med))
+        assert out.loc[g, "med"] == med, g
+        assert out.loc[g, "mad"] == mad, g
+    assert out.loc["c", "mad"] == 0.0
