@@ -1700,10 +1700,15 @@ def q_funnel_events(sf_dir: str) -> rd.Dataset:
     the funnel."""
     from ..stages.window import funnel_steps
 
-    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
-    return funnel_steps(
-        ds, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    steps = ["view", "click", "purchase"]
+    # prune non-funnel event types at the read (row-group filter) — each
+    # funnel stage re-reads the source, so the pushdown pays k times
+    ds = _read(
+        sf_dir, "events", columns=["user_id", "event_type", "ts"],
+        filter_columns=("event_type",),
+        filter=pc.field("event_type").isin(steps),
     )
+    return funnel_steps(ds, "user_id", "ts", "event_type", steps)
 
 
 def q_sliding_count_events(sf_dir: str) -> rd.Dataset:
@@ -1784,6 +1789,16 @@ def q_sliding_count_events(sf_dir: str) -> rd.Dataset:
         })
 
     return j.map_batches(finish, batch_format="pyarrow")
+
+
+def q_distinct_users_by_type(sf_dir: str) -> rd.Dataset:
+    """Exact count(DISTINCT user) per event type — two narrow hash
+    aggregates, the exchange carries each block's local distinct
+    (type, user) domain (stages/stats.py:distinct_count)."""
+    from ..stages.stats import distinct_count
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return distinct_count(ds, ["event_type"], "user_id", out_col="n_users")
 
 
 def q_robust_stats_events(sf_dir: str) -> rd.Dataset:
@@ -2787,6 +2802,11 @@ JOIN (SELECT event_type,
       FROM events GROUP BY event_type) t USING (event_type)
 """
 
+ORACLES["distinct_users_by_type"] = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
 ORACLES["robust_stats_events"] = """
 WITH m AS (
   SELECT event_type, quantile_disc(value, 0.5) AS med
@@ -3114,6 +3134,7 @@ QUERIES = {
     "constraint_quarantine": q_constraint_quarantine,
     "mix_rebalance_docs": q_mix_rebalance_docs,
     "robust_stats_events": q_robust_stats_events,
+    "distinct_users_by_type": q_distinct_users_by_type,
     # --- oracle-backed, green in r02; kernel families re-proven via the
     # --- r03-green *_scan rows, so these can sit past the window
     "rolling_mean": q_rolling_mean,
