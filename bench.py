@@ -80,6 +80,8 @@ QUERY_NAMES = [
     "funnel_events",
     "sliding_count_events",
     "corr_lineitem",
+    "lm_score_docs",
+    "robust_stats_events",
 ]
 
 

@@ -625,6 +625,7 @@ class CDCEngine:
         rec = {
             "version": version,
             "pending_seq": pending,
+            "upto_seq": pending,  # the consumed range is (after_seq, upto_seq]
             "after_seq": after0,
             "merge_ts": ts.isoformat(),
             "partitions_touched": len(metrics),
@@ -925,6 +926,8 @@ class CDCEngine:
         stop_file: str | None = None,
         on_batch=None,
         sleep=None,
+        audit_every_polls: int | None = None,
+        on_late=None,
     ) -> list[dict]:
         """Continuous change-event tail — the daemon shape of the
         reference's always-on server loop (bin/mainServer: poll sources,
@@ -941,6 +944,12 @@ class CDCEngine:
         mode): ``stop_file`` path appears, ``max_polls`` watermark probes
         done, or ``stop_after_batches`` committed. ``on_batch(result)``
         fires after each commit — metrics push, or test orchestration.
+
+        ``audit_every_polls=N`` runs the late-data audit
+        (maintain.py:late_audit, footer metadata only) every N polls and
+        fires ``on_late(audit)`` when the finding set CHANGES — a tailing
+        daemon then notices a file that landed below its own watermark
+        within N polls instead of at the next manual fsck.
         """
         import os as _os
         import time as _time
@@ -949,12 +958,22 @@ class CDCEngine:
         results: list[dict] = []
         interval = poll_interval_s
         polls = 0
+        last_late: frozenset = frozenset()
         while True:
             if stop_file is not None and _os.path.exists(stop_file):
                 break
             if max_polls is not None and polls >= max_polls:
                 break
             polls += 1
+            if audit_every_polls and polls % audit_every_polls == 0:
+                from .maintain import late_audit
+
+                aud = late_audit(self, events_path)
+                cur = frozenset(f["path"] for f in aud["findings"])
+                if cur != last_late:
+                    last_late = cur
+                    if aud["findings"] and on_late is not None:
+                        on_late(aud)
             newest = max_sequence(events_path, self.cfg.sequence_col)
             cp = self.ckpt.load()
             if newest > cp.committed_seq or cp.pending_seq is not None:

@@ -114,3 +114,35 @@ def test_tail_stop_file_and_backoff(split_events, tmp_path):
     )
     assert out == []
     assert sleeps == [1.0, 2.0, 4.0, 5.0]  # exponential, capped
+
+
+def test_tail_audit_hook_flags_late_file(split_events, tmp_path):
+    """audit_every_polls: a file landing below the tail's own watermark is
+    reported through on_late within N polls, once per finding-set change."""
+    src, parts = split_events
+    events_dir = str(tmp_path / "events")
+    os.makedirs(events_dir)
+    os.link(parts[0], os.path.join(events_dir, "part0.parquet"))
+    os.link(parts[1], os.path.join(events_dir, "part1.parquet"))
+
+    eng = CDCEngine(str(tmp_path / "lake"), repo_files_config(num_partitions=4))
+    late_alerts = []
+    state = {"dropped": False}
+
+    def drop_late(_s):
+        # after the first idle poll, land a file wholly below the watermark
+        if not state["dropped"]:
+            os.link(parts[0], os.path.join(events_dir, "late0.parquet"))
+            state["dropped"] = True
+
+    eng.tail(
+        events_dir,
+        max_polls=8,
+        sleep=drop_late,
+        audit_every_polls=2,
+        on_late=late_alerts.append,
+    )
+    assert len(late_alerts) == 1  # fired once, not on every poll
+    paths = [os.path.basename(f["path"]) for f in late_alerts[0]["findings"]]
+    assert paths == ["late0.parquet"]
+    assert late_alerts[0]["findings"][0]["kind"] == "late_file"
