@@ -1943,6 +1943,28 @@ def q_kmeans_embeddings(sf_dir: str) -> rd.Dataset:
     return assigned
 
 
+def q_cluster_balanced_sample(sf_dir: str) -> rd.Dataset:
+    """Diversity-preserving corpus sampling: distributed k-means over the
+    embeddings, then an EXACTLY-n deterministic sample per cluster —
+    semantic-space coverage instead of uniform-random's head bias. Pure
+    composition of existing scale-safe primitives (kmeans_distributed:
+    vectors never shuffle; sample_n_per_group: ≤ n rows per cluster per
+    block leave any task). Rows-only (iterative k-means is not
+    SQL-expressible); both legs carry their own differential oracles."""
+    from ..stages.stats import sample_n_per_group
+    from .ann import kmeans_distributed
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    assigned, _ = kmeans_distributed(ds, k=8, iters=5)
+    out = sample_n_per_group(
+        assigned.select_columns(["vec_id", "cluster"]),
+        ["cluster"], "vec_id", n=10, seed="cbs",
+        schema=pa.schema([("vec_id", pa.int64()), ("cluster", pa.int64())]),
+        shuffle_blocks=4,
+    )
+    return out.select_columns(["cluster", "vec_id"])
+
+
 def q_pca_embeddings(sf_dir: str) -> rd.Dataset:
     """Exact distributed PCA (4 components) over the embeddings table:
     one pass of (Σx, XᵀX, n) block partials (d + d² floats each), driver
@@ -3192,5 +3214,6 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "audio_features": q_audio_features,
     "kmeans_embeddings": q_kmeans_embeddings,  # rows-only: iterative
+    "cluster_balanced_sample": q_cluster_balanced_sample,  # rows-only: iterative
     "pca_embeddings": q_pca_embeddings,  # rows-only: eigendecomposition
 }

@@ -760,20 +760,40 @@ def grouped_robust_stats(
     median of |x − median| with the tiny (group, median) table broadcast
     into the stream — no third exchange. Returns one row per group:
     (keys…, med, mad)."""
-    from .joins import broadcast_lookup_join
+    import ray
+
+    from .joins import _key_array, collect_small
 
     med = grouped_quantile(
         ds, keys, col, 0.5, out_col="med", shuffle_blocks=shuffle_blocks
     )
-    joined = broadcast_lookup_join(ds.select_columns(keys + [col]), med, keys, ["med"])
+    # the (group, median) table is group-domain tiny: ship it once via
+    # plasma and look it up vectorized inside the stream — a broadcast
+    # JOIN stage would spin an actor pool (a multi-second fixed cost on
+    # small clusters) to route |groups| rows
+    med_t = collect_small(med, keys + ["med"])
+    enc = _key_array(med_t, keys)
+    order = np.argsort(enc, kind="stable")
+    state = ray.put((
+        enc[order],
+        med_t["med"].to_numpy(zero_copy_only=False).astype(np.float64)[order],
+    ))
 
     def absdev(t: pa.Table) -> pa.Table:
-        x = pc.cast(t[col], pa.float64())
-        m = pc.cast(t["med"], pa.float64())
-        return t.append_column("_adev", pc.abs(pc.subtract(x, m)))
+        kenc, mvals = ray.get(state)
+        pos = np.minimum(np.searchsorted(kenc, _key_array(t, keys)),
+                         len(kenc) - 1)
+        x = pc.cast(t[col], pa.float64()).to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_adev", pa.array(np.abs(x - mvals[pos]), pa.float64())
+        )
 
-    dev = joined.map_batches(absdev, batch_format="pyarrow")
+    dev = ds.select_columns(keys + [col]).map_batches(
+        absdev, batch_format="pyarrow"
+    )
     mad = grouped_quantile(
         dev, keys, "_adev", 0.5, out_col="mad", shuffle_blocks=shuffle_blocks
     )
-    return broadcast_lookup_join(med, mad, keys, ["mad"])
+    # both outputs are tiny — merge on the driver, no third stage
+    mad_t = collect_small(mad, keys + ["mad"])
+    return rd.from_arrow(med_t.join(mad_t, keys=keys))

@@ -539,3 +539,32 @@ def test_mix_rebalance_inverse_sqrt_rates(ray_session):
         by[langs[i]] += 1
     assert 0.5 * K * math.sqrt(100) < by["zz"] <= 100
     assert by["en"] < 0.1 * 3000  # head heavily downsampled
+
+
+def test_cluster_balanced_sample_composition(ray_session):
+    """k-means + exactly-n-per-cluster sample: every non-empty cluster
+    contributes min(n, cluster size) rows, membership is the
+    deterministic sha rank (pure function of vec_id), and reruns agree."""
+    import hashlib
+
+    from dbimport_ray.pipelines.queries import q_cluster_balanced_sample
+
+    sf = "/root/testdata/sf0.001"
+    a = q_cluster_balanced_sample(sf).to_pandas()
+    b = q_cluster_balanced_sample(sf).to_pandas()
+    key = lambda df: sorted(map(tuple, df.to_numpy().tolist()))
+    assert key(a) == key(b)  # deterministic end to end
+    sizes = a.groupby("cluster").size()
+    assert (sizes <= 10).all() and len(a) == sizes.sum()
+    # per-cluster membership = n smallest sha256(seed||id) ranks
+    from dbimport_ray.pipelines.ann import kmeans_distributed
+    from dbimport_ray.pipelines.queries import _read
+
+    assigned, _ = kmeans_distributed(
+        _read(sf, "embeddings", columns=["vec_id", "embedding"]), k=8, iters=5)
+    full = assigned.to_pandas()
+    rank = lambda i: hashlib.sha256(f"cbs{i}".encode()).hexdigest()
+    for c, grp in full.groupby("cluster"):
+        want = set(sorted(grp["vec_id"], key=lambda i: (rank(i), i))[:10])
+        got = set(a[a.cluster == c]["vec_id"])
+        assert got == want, c
