@@ -1791,6 +1791,60 @@ def q_sliding_count_events(sf_dir: str) -> rd.Dataset:
     return j.map_batches(finish, batch_format="pyarrow")
 
 
+def q_cohort_retention(sf_dir: str) -> rd.Dataset:
+    """Weekly cohort retention: users grouped by the week of their FIRST
+    event; n_users active k weeks later, per (cohort, k). Shapes: one
+    distinct-(user, week) reduce (map-side pre-dedup, exchange ∝ local
+    distinct domain), the per-user cohort derived as min(week) over that
+    SAME reduced table (weeks of a user are trunc-monotonic in ts, so
+    min(trunc(ts)) = trunc(min(ts))), one entity-keyed hash join to
+    stamp cohorts, then a key-domain count. Week math is exact: both
+    sides are week-aligned timestamps, so the µs difference is an exact
+    multiple of 7 days."""
+    from ..stages.joins import compact_sparse, hash_join
+    from ..stages.stats import grouped_agg
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def stamp(t: pa.Table) -> pa.Table:
+        wk = pc.floor_temporal(t["ts"], unit="week", week_starts_monday=True)
+        return pa.table({"user_id": t["user_id"], "wk": wk})
+
+    # the distinct (user, week) domain IS the computation's working set —
+    # compacting it (materialize + even repartition) is bounded by that
+    # domain and keeps the join's schema broadcast away from the
+    # aggregate's empty blocks
+    weeks, _ = compact_sparse(
+        grouped_agg(
+            ds.map_batches(stamp, batch_format="pyarrow"),
+            ["user_id", "wk"], [(None, "count", "_c")], shuffle_blocks=8,
+        ).drop_columns(["_c"]),
+        8,
+    )
+    cohort, _ = compact_sparse(
+        grouped_agg(
+            weeks, ["user_id"], [("wk", "min", "cohort")], shuffle_blocks=8
+        ).rename_columns({"user_id": "_cu"}),
+        8,
+    )
+    j = hash_join(weeks, cohort, on=("user_id",), right_on=("_cu",),
+                  num_partitions=8)
+
+    def weeks_out(t: pa.Table) -> pa.Table:
+        wk = t["wk"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        co = t["cohort"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        k = ((wk - co) // np.timedelta64(7, "D")).astype(np.int64)
+        return pa.table({
+            "cohort": t["cohort"], "week_k": pa.array(k, pa.int64()),
+        })
+
+    staged = j.map_batches(weeks_out, batch_format="pyarrow")
+    return grouped_agg(
+        staged, ["cohort", "week_k"], [(None, "count", "n_users")],
+        shuffle_blocks=4,
+    )
+
+
 def q_distinct_users_by_type(sf_dir: str) -> rd.Dataset:
     """Exact count(DISTINCT user) per event type — two narrow hash
     aggregates, the exchange carries each block's local distinct
@@ -2824,6 +2878,18 @@ JOIN (SELECT event_type,
       FROM events GROUP BY event_type) t USING (event_type)
 """
 
+ORACLES["cohort_retention"] = """
+WITH a AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+), f AS (
+  SELECT user_id, min(wk) AS cohort FROM a GROUP BY user_id
+)
+SELECT f.cohort, date_diff('week', f.cohort, a.wk) AS week_k,
+       count(*) AS n_users
+FROM a JOIN f ON a.user_id = f.user_id
+GROUP BY f.cohort, week_k
+"""
+
 ORACLES["distinct_users_by_type"] = """
 SELECT event_type, count(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type
@@ -3157,6 +3223,7 @@ QUERIES = {
     "mix_rebalance_docs": q_mix_rebalance_docs,
     "robust_stats_events": q_robust_stats_events,
     "distinct_users_by_type": q_distinct_users_by_type,
+    "cohort_retention": q_cohort_retention,
     # --- oracle-backed, green in r02; kernel families re-proven via the
     # --- r03-green *_scan rows, so these can sit past the window
     "rolling_mean": q_rolling_mean,

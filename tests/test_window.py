@@ -294,3 +294,50 @@ def test_sliding_count_duplicates_and_hot_user(ray_session):
     assert out["n_in_window"].tolist() == want["n_in_window"].tolist()
     u1 = out[out.user_id == 1]["n_in_window"].tolist()
     assert u1 == [3, 4, 1]
+
+
+def test_cohort_retention_week_boundaries(ray_session):
+    """Cohort week math: Monday-start truncation, a Sunday→Monday pair
+    lands in adjacent weeks, year boundaries stay exact, and multiple
+    events in one week count the user once."""
+    import os
+    import tempfile
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from dbimport_ray.pipelines.queries import q_cohort_retention
+
+    rows = [
+        (1, "2023-12-31T23:00"),  # Sunday: week of 2023-12-25
+        (1, "2024-01-01T01:00"),  # Monday: next week (k=1)
+        (1, "2024-01-01T09:00"),  # same week: still one active row
+        (2, "2024-01-03T00:00"),  # cohort = 2024-01-01 week
+        (2, "2024-01-15T00:00"),  # k=2
+        (3, "2024-01-01T00:00"),  # exactly on the boundary
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": _ts(*[r[1] for r in rows]),
+        "event_type": pa.array(["view"] * len(rows)),
+        "value": pa.array([1.0] * len(rows)),
+    })
+    d = tempfile.mkdtemp()
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    out = (
+        q_cohort_retention(d).to_pandas()
+        .sort_values(["cohort", "week_k"]).reset_index(drop=True)
+    )
+    want = duckdb.sql(f"""
+        WITH a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+                   FROM '{d}/events.parquet'),
+        f AS (SELECT user_id, min(wk) AS cohort FROM a GROUP BY user_id)
+        SELECT f.cohort, date_diff('week', f.cohort, a.wk) AS week_k,
+               count(*) AS n_users
+        FROM a JOIN f USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2
+    """).df()
+    assert out["week_k"].tolist() == want["week_k"].tolist()
+    assert out["n_users"].tolist() == want["n_users"].tolist()
+    # user 1's cohort is the 2023-12-25 week; the Monday events are k=1
+    u1 = out[out.cohort == pd.Timestamp("2023-12-25")]
+    assert u1["week_k"].tolist() == [0, 1] and u1["n_users"].tolist() == [1, 1]
