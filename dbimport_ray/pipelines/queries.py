@@ -1791,6 +1791,22 @@ def q_sliding_count_events(sf_dir: str) -> rd.Dataset:
     return j.map_batches(finish, batch_format="pyarrow")
 
 
+def q_user_activity_histogram(sf_dir: str) -> rd.Dataset:
+    """Exact histogram of per-user event counts (how many users produced
+    exactly n events): a user-keyed count with map-side partials, then a
+    tiny count-of-counts over the user-domain table — the activity-shape
+    profile a quota/abuse screen reads."""
+    from ..stages.stats import grouped_agg
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    per_user = grouped_agg(
+        ds, ["user_id"], [(None, "count", "n_events")], shuffle_blocks=8
+    )
+    return grouped_agg(
+        per_user, ["n_events"], [(None, "count", "n_users")], shuffle_blocks=2
+    )
+
+
 def q_cohort_retention(sf_dir: str) -> rd.Dataset:
     """Weekly cohort retention: users grouped by the week of their FIRST
     event; n_users active k weeks later, per (cohort, k). Shapes: one
@@ -2878,6 +2894,12 @@ JOIN (SELECT event_type,
       FROM events GROUP BY event_type) t USING (event_type)
 """
 
+ORACLES["user_activity_histogram"] = """
+SELECT n_events, count(*) AS n_users FROM (
+  SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+) GROUP BY n_events
+"""
+
 ORACLES["cohort_retention"] = """
 WITH a AS (
   SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
@@ -3224,6 +3246,7 @@ QUERIES = {
     "robust_stats_events": q_robust_stats_events,
     "distinct_users_by_type": q_distinct_users_by_type,
     "cohort_retention": q_cohort_retention,
+    "user_activity_histogram": q_user_activity_histogram,
     # --- oracle-backed, green in r02; kernel families re-proven via the
     # --- r03-green *_scan rows, so these can sit past the window
     "rolling_mean": q_rolling_mean,
