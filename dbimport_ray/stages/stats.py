@@ -764,8 +764,14 @@ def grouped_robust_stats(
 
     from .joins import _key_array, collect_small
 
-    med = grouped_quantile(
-        ds, keys, col, 0.5, out_col="med", shuffle_blocks=shuffle_blocks
+    base = getattr(ds.schema(), "base_schema", None) or ds.schema()
+    ktypes = [pa.field(k, base.field(k).type) for k in keys]
+    vtype = base.field(col).type
+    med = retype_empties(
+        grouped_quantile(
+            ds, keys, col, 0.5, out_col="med", shuffle_blocks=shuffle_blocks
+        ),
+        pa.schema(ktypes + [pa.field("med", vtype)]),
     )
     # the (group, median) table is group-domain tiny: ship it once via
     # plasma and look it up vectorized inside the stream — a broadcast
@@ -791,8 +797,12 @@ def grouped_robust_stats(
     dev = ds.select_columns(keys + [col]).map_batches(
         absdev, batch_format="pyarrow"
     )
-    mad = grouped_quantile(
-        dev, keys, "_adev", 0.5, out_col="mad", shuffle_blocks=shuffle_blocks
+    mad = retype_empties(
+        grouped_quantile(
+            dev, keys, "_adev", 0.5, out_col="mad",
+            shuffle_blocks=shuffle_blocks,
+        ),
+        pa.schema(ktypes + [pa.field("mad", pa.float64())]),
     )
     # both outputs are tiny — merge on the driver, no third stage
     mad_t = collect_small(mad, keys + ["mad"])
