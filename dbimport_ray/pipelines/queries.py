@@ -1791,6 +1791,64 @@ def q_sliding_count_events(sf_dir: str) -> rd.Dataset:
     return j.map_batches(finish, batch_format="pyarrow")
 
 
+def q_shipping_priority(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q3 shape (shipping priority): revenue of not-yet-shipped
+    BUILDING-segment orders, top 10. Multi-join plan, scale-first:
+    segment customers prune at the read → Bloom semi filters orders (no
+    key-set broadcast) → date-pruned lineitems hash-join the surviving
+    orders → map-side partial revenue sums → tiny top-10 with a
+    per-block prune (≤ 10 rows per block reach the final sort)."""
+    from ..stages.bloom import bloom_semi_join
+    from ..stages.joins import compact_sparse, hash_join
+    from ..stages.stats import grouped_agg, top_n_per_group
+
+    cutoff = np.datetime64("1998-06-01", "us")
+    cust = _read(
+        sf_dir, "customer", columns=["c_custkey"],
+        filter_columns=("c_mktsegment",),
+        filter=pc.field("c_mktsegment") == "BUILDING",
+    ).rename_columns({"c_custkey": "o_custkey"})
+    orders = _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter_columns=("o_orderdate",),
+        filter=pc.field("o_orderdate") < cutoff,
+    )
+    orders = bloom_semi_join(orders, cust, ["o_custkey"], num_partitions=8)
+    orders, n_orders = compact_sparse(
+        orders.select_columns(["o_orderkey", "o_orderdate", "o_orderpriority"]),
+        8,
+    )
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter_columns=("l_shipdate",),
+        filter=pc.field("l_shipdate") > cutoff,
+    )
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(
+            t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])
+        )
+        return pa.table({"l_orderkey": t["l_orderkey"], "_rev": r})
+
+    j = hash_join(
+        li.map_batches(rev, batch_format="pyarrow"), orders,
+        on=("l_orderkey",), right_on=("o_orderkey",), num_partitions=8,
+    )
+    agg = grouped_agg(
+        j, ["l_orderkey", "o_orderdate", "o_orderpriority"],
+        [("_rev", "sum", "revenue")], shuffle_blocks=8,
+    )
+    top = top_n_per_group(
+        agg, [], "revenue", 10, tie_cols=["o_orderdate", "l_orderkey"],
+        descending=True, shuffle_blocks=1,
+    )
+    return top.select_columns(
+        ["l_orderkey", "revenue", "o_orderdate", "o_orderpriority"]
+    )
+
+
 def q_user_activity_histogram(sf_dir: str) -> rd.Dataset:
     """Exact histogram of per-user event counts (how many users produced
     exactly n events): a user-keyed count with map-side partials, then a
@@ -2894,6 +2952,19 @@ JOIN (SELECT event_type,
       FROM events GROUP BY event_type) t USING (event_type)
 """
 
+ORACLES["shipping_priority"] = """
+SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate  > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
 ORACLES["user_activity_histogram"] = """
 SELECT n_events, count(*) AS n_users FROM (
   SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
@@ -3247,6 +3318,7 @@ QUERIES = {
     "distinct_users_by_type": q_distinct_users_by_type,
     "cohort_retention": q_cohort_retention,
     "user_activity_histogram": q_user_activity_histogram,
+    "shipping_priority": q_shipping_priority,
     # --- oracle-backed, green in r02; kernel families re-proven via the
     # --- r03-green *_scan rows, so these can sit past the window
     "rolling_mean": q_rolling_mean,
