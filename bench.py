@@ -82,6 +82,8 @@ QUERY_NAMES = [
     "corr_lineitem",
     "lm_score_docs",
     "robust_stats_events",
+    "shipping_priority",
+    "cohort_retention",
 ]
 
 

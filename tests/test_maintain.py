@@ -278,3 +278,46 @@ def test_rescue_late_exact_lww_repair(tmp_path, ray_session):
     final = {r["k"]: r for r in eng.arrow().to_pylist()}
     assert final["k2"]["v"] == 200.0
     assert late_audit(eng, str(evdir))["ok"]
+
+
+def test_rescue_late_crash_before_commit_is_invisible(tmp_path, ray_session, monkeypatch):
+    """2PC: a crash after rescue wrote its partition files but before the
+    manifest commit leaves the committed table bit-identical; rerunning
+    the rescue completes it."""
+    from dbimport_ray.pipelines.maintain import late_audit, rescue_late
+
+    cfg = TableConfig(name="t", pk=["k"], value_columns=["v"],
+                      num_partitions=4, soft_delete=True)
+    eng = CDCEngine(str(tmp_path / "lake"), cfg)
+    evdir = tmp_path / "events"
+    evdir.mkdir()
+    _opev(evdir, "a.parquet", [(10, "I", "k1", 1.0), (20, "I", "k2", 2.0)])
+    assert eng.replay(str(evdir))["status"] == "committed"
+    before = eng.arrow().sort_by([("k", "ascending")])
+
+    _opev(evdir, "late.parquet", [(15, "I", "k3", 3.0)])  # unseen key: applies
+    aud = late_audit(eng, str(evdir))
+    assert not aud["ok"]
+
+    real_commit = eng.store.commit_manifest
+    calls = {"n": 0}
+
+    def boom():
+        calls["n"] += 1
+        raise RuntimeError("injected crash before rescue commit")
+
+    monkeypatch.setattr(eng.store, "commit_manifest", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        rescue_late(eng, str(evdir), aud["findings"])
+    monkeypatch.setattr(eng.store, "commit_manifest", real_commit)
+    eng.store.abort_pending()
+
+    # committed state untouched despite the orphan v2 part files on disk
+    assert eng.arrow().sort_by([("k", "ascending")]).equals(before)
+    assert late_audit(eng, str(evdir))["findings"]  # still flagged
+
+    res = rescue_late(eng, str(evdir))
+    assert res["status"] == "rescued"
+    after = {r["k"]: r for r in eng.arrow().to_pylist()}
+    assert after["k3"]["v"] == 3.0 and after["k1"]["v"] == 1.0
+    assert late_audit(eng, str(evdir))["ok"]
