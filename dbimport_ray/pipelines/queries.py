@@ -1791,6 +1791,38 @@ def q_sliding_count_events(sf_dir: str) -> rd.Dataset:
     return j.map_batches(finish, batch_format="pyarrow")
 
 
+def q_revenue_share(sf_dir: str) -> rd.Dataset:
+    """Percent-of-total contribution per group (revenue share by return
+    flag): one key-domain exchange with map-side partials; the global
+    total folds inside the single coalesced output block — no window
+    shuffle, no second pass over the input."""
+    from ..stages.stats import grouped_agg
+
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_extendedprice", "l_discount"],
+    )
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        return pa.table({"l_returnflag": t["l_returnflag"], "_rev": r})
+
+    agg = grouped_agg(
+        ds.map_batches(rev, batch_format="pyarrow"),
+        ["l_returnflag"], [("_rev", "sum", "revenue")], shuffle_blocks=1,
+    )
+
+    def share(t: pa.Table) -> pa.Table:
+        r = t["revenue"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column("share", pa.array(r / r.sum(), pa.float64()))
+
+    # shuffle_blocks=1 → the whole (tiny) group domain sits in one block,
+    # so the total is exact within the same kernel call
+    return agg.repartition(1).map_batches(
+        share, batch_format="pyarrow", batch_size=None
+    )
+
+
 def q_shipping_priority(sf_dir: str) -> rd.Dataset:
     """TPC-H Q3 shape (shipping priority): revenue of not-yet-shipped
     BUILDING-segment orders, top 10. Multi-join plan, scale-first:
@@ -2952,6 +2984,16 @@ JOIN (SELECT event_type,
       FROM events GROUP BY event_type) t USING (event_type)
 """
 
+ORACLES["revenue_share"] = """
+WITH g AS (
+  SELECT l_returnflag, sum(l_extendedprice * (1 - l_discount)) AS revenue
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, revenue,
+       revenue / sum(revenue) OVER () AS share
+FROM g
+"""
+
 ORACLES["shipping_priority"] = """
 SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) AS revenue,
        o_orderdate, o_orderpriority
@@ -3319,6 +3361,7 @@ QUERIES = {
     "cohort_retention": q_cohort_retention,
     "user_activity_histogram": q_user_activity_histogram,
     "shipping_priority": q_shipping_priority,
+    "revenue_share": q_revenue_share,
     # --- oracle-backed, green in r02; kernel families re-proven via the
     # --- r03-green *_scan rows, so these can sit past the window
     "rolling_mean": q_rolling_mean,
