@@ -108,6 +108,9 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("late-audit", help="detect source files the watermark protocol will never apply (late arrivals)")
     common(sp)
     sp.add_argument("--events", required=True, help="event parquet file/dir to audit against the consumed-input ledger")
+    sp = sub.add_parser("drift", help="volume-drift screen over the batch ledger (inserts/updates/deletes vs recent median)")
+    common(sp)
+    sp.add_argument("--window", type=int, default=10)
     sp = sub.add_parser("rescue", help="repair late-audit findings exactly: recompute affected keys at original sequence numbers")
     common(sp)
     sp.add_argument("--events", required=True, help="the COMPLETE event source (late files included)")
@@ -262,6 +265,15 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines.maintain import late_audit
 
         res = late_audit(eng, args.events)
+        print(json.dumps(res))
+        if not res["ok"]:
+            import ray as _r
+            _r.shutdown()
+            return 1
+    elif args.cmd == "drift":
+        from .pipelines.maintain import drift_report
+
+        res = drift_report(eng, window=args.window)
         print(json.dumps(res))
         if not res["ok"]:
             import ray as _r

@@ -563,3 +563,50 @@ def rescue_late(engine: CDCEngine, events_path, findings: list[dict] | None = No
         **{k: v for k, v in status.items() if k != "status"},
     })
     return status
+
+
+def drift_report(engine: CDCEngine, window: int = 10) -> dict:
+    """Volume-drift screen over the batch ledger: for each committed
+    batch, compare its inserts/updates/deletes/rows-written against the
+    MEDIAN of the preceding ``window`` batches; flag when the deviation
+    exceeds both the sqrt-n validation band (stages/validate.py:
+    allowed_diff — the reference's tolerance, import_config.py:2807) and
+    3× the window's median absolute deviation. Reads only
+    ``_metrics.jsonl`` — no data-plane IO; the per-batch numbers were
+    recorded in the same 2PC flow as the data they describe.
+
+    This is the reference's row-count validation turned longitudinal:
+    instead of one source-vs-target check per run, the ledger itself
+    says "this batch's delete volume is 40× its recent norm" — the
+    canary for an upstream backfill, a broken producer, or a bad filter
+    pushdown."""
+    from ..stages.validate import allowed_diff
+
+    recs = [
+        r for r in engine.store.read_metrics()
+        if "upto_seq" in r or "pending_seq" in r
+    ]
+    recs = [r for r in recs if not r.get("rescue")]
+    cols = ["inserts", "updates", "deletes", "events_in"]
+    findings: list[dict] = []
+    for i, rec in enumerate(recs):
+        lo = max(0, i - window)
+        prior = recs[lo:i]
+        if len(prior) < 3:
+            continue  # not enough history to call anything a drift
+        for c in cols:
+            if c not in rec:
+                continue
+            hist = sorted(r.get(c, 0) for r in prior)
+            med = hist[len(hist) // 2]
+            mad = sorted(abs(h - med) for h in hist)[len(hist) // 2]
+            dev = abs(rec[c] - med)
+            if dev > allowed_diff(max(med, 1)) and dev > 3 * max(mad, 1):
+                findings.append({
+                    "version": rec.get("version"),
+                    "metric": c,
+                    "value": rec.get(c),
+                    "window_median": med,
+                    "window_mad": mad,
+                })
+    return {"ok": not findings, "batches": len(recs), "findings": findings}

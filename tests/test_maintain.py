@@ -321,3 +321,30 @@ def test_rescue_late_crash_before_commit_is_invisible(tmp_path, ray_session, mon
     after = {r["k"]: r for r in eng.arrow().to_pylist()}
     assert after["k3"]["v"] == 3.0 and after["k1"]["v"] == 1.0
     assert late_audit(eng, str(evdir))["ok"]
+
+
+def test_drift_report_flags_volume_anomaly(tmp_path, ray_session):
+    """Longitudinal volume screen: steady batches are clean; a batch with
+    an order-of-magnitude delete surge is flagged on the right metric."""
+    from dbimport_ray.pipelines.maintain import drift_report
+
+    cfg = TableConfig(name="t", pk=["k"], value_columns=["v"],
+                      num_partitions=4, soft_delete=True)
+    eng = CDCEngine(str(tmp_path / "lake"), cfg)
+    evdir = tmp_path / "events"
+    evdir.mkdir()
+    seq = 0
+    # five steady batches: 100 inserts each
+    for b in range(5):
+        rows = [(seq + i, "I", f"k{b}_{i}", 1.0) for i in range(100)]
+        seq += 100
+        _opev(evdir, f"b{b}.parquet", rows)
+        assert eng.replay(str(evdir))["status"] == "committed"
+    assert drift_report(eng)["ok"]
+    # anomalous batch: 90 deletes (recent delete norm is 0)
+    rows = [(seq + i, "D", f"k0_{i}", None) for i in range(90)]
+    _opev(evdir, "bad.parquet", rows)
+    assert eng.replay(str(evdir))["status"] == "committed"
+    rep = drift_report(eng)
+    assert not rep["ok"]
+    assert any(f["metric"] == "deletes" and f["value"] == 90 for f in rep["findings"])
