@@ -346,3 +346,135 @@ def pca_project(
         return pa.table(cols)
 
     return mat.map_batches(project, batch_format="pyarrow"), comps, variance
+
+
+# ---------------------------------------------------------------------------
+# Product quantization — the MEMORY scale path (codes ≤ m bytes per vector)
+# ---------------------------------------------------------------------------
+
+class _PQEncode:
+    """Actor-pool stage: L2-normalize, split into m subvectors, assign
+    each to its subspace codebook — one small matmul per subspace, uint8
+    codes out (m bytes/vector vs 8·d float64: 64× at d=64, m=8)."""
+
+    def __init__(self, books: np.ndarray, emb_col: str):
+        self.books = books  # (m, k, dsub)
+        self.emb_col = emb_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        X = _normalize(_to_matrix(t[self.emb_col]))
+        m, k, dsub = self.books.shape
+        n = X.shape[0]
+        codes = np.empty((n, m), np.uint8)
+        for j in range(m):
+            codes[:, j] = _assign_sq(
+                X[:, j * dsub:(j + 1) * dsub], self.books[j]
+            ).astype(np.uint8)
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(codes.reshape(-1), pa.uint8()), m
+        )
+        return t.drop_columns([self.emb_col]).append_column("pq_code", arr)
+
+
+class _PQScore:
+    """Actor-pool stage: asymmetric-distance (ADC) scoring. The per-query
+    (m × k) lookup tables of subvector inner products are built ONCE per
+    actor; each batch's score is m fancy-indexed adds over the uint8
+    codes — no float vectors in memory at probe time."""
+
+    def __init__(self, queries: np.ndarray, books: np.ndarray, k: int, id_col: str):
+        q = _normalize(np.asarray(queries, dtype=np.float64))
+        m, kc, dsub = books.shape
+        nq = q.shape[0]
+        self.luts = np.empty((nq, m, kc))
+        for j in range(m):
+            self.luts[:, j, :] = q[:, j * dsub:(j + 1) * dsub] @ books[j].T
+        self.k = k
+        self.id_col = id_col
+        self.m = m
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        codes = _to_matrix(t["pq_code"], dtype=np.int64)  # (n, m)
+        ids = pc.cast(t[self.id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        n = codes.shape[0]
+        nq = self.luts.shape[0]
+        sims = np.zeros((n, nq))
+        for j in range(self.m):
+            sims += self.luts[:, j, codes[:, j]].T  # (n, nq)
+        k = min(self.k, n)
+        part = np.argpartition(-sims, k - 1, axis=0)[:k]
+        qid = np.repeat(np.arange(nq, dtype=np.int64)[None, :], k, axis=0)
+        return pa.table({
+            "query_id": pa.array(qid.reshape(-1)),
+            self.id_col: pa.array(ids[part.reshape(-1)]),
+            "score": pa.array(sims[part.reshape(-1), qid.reshape(-1)]),
+        })
+
+
+class PQIndex:
+    """Product-quantization ANN index — the path that fits 10^10 vectors
+    in cluster memory: codebooks are trained per SUBSPACE on a bounded
+    driver sample (`_kmeans_fit`, same budget as IVF), vectors encode to
+    m uint8 codes in one map pass, and search scores codes against
+    per-query lookup tables (ADC) with per-block partial top-k — the
+    float vectors are never read again after encoding. Compose with
+    IVFIndex (encode within cells) for the combined memory+IO path."""
+
+    def __init__(self, root: str, books: np.ndarray, id_col: str):
+        self.root = root
+        self.books = books
+        self.id_col = id_col
+
+    @classmethod
+    def build(
+        cls,
+        ds: rd.Dataset,
+        root: str,
+        m_subvectors: int = 16,
+        n_centroids: int = 256,
+        emb_col: str = "embedding",
+        id_col: str = "vec_id",
+        sample_rows: int = 10_000,
+        seed: int = 7,
+    ) -> "PQIndex":
+        import os
+
+        import ray as _ray
+
+        sample = np.concatenate([
+            _to_matrix(t[emb_col])
+            for t in _ray.get(ds.limit(sample_rows).to_arrow_refs())
+            if t.num_rows
+        ])
+        sample = _normalize(sample)
+        d = sample.shape[1]
+        assert d % m_subvectors == 0, (d, m_subvectors)
+        dsub = d // m_subvectors
+        kc = min(n_centroids, sample.shape[0])
+        books = np.stack([
+            _kmeans_fit(
+                sample[:, j * dsub:(j + 1) * dsub], kc, seed=seed + j
+            )
+            for j in range(m_subvectors)
+        ])
+        os.makedirs(root, exist_ok=True)
+        codes = ds.map_batches(_PQEncode(books, emb_col), batch_format="pyarrow")
+        codes.write_parquet(root)
+        np.save(os.path.join(root, "_codebooks.npy"), books)
+        return cls(root, books, id_col)
+
+    @classmethod
+    def load(cls, root: str, id_col: str = "vec_id") -> "PQIndex":
+        import os
+
+        return cls(root, np.load(os.path.join(root, "_codebooks.npy")), id_col)
+
+    def search(self, queries: np.ndarray, k: int) -> rd.Dataset:
+        ds = rd.read_parquet(self.root, columns=[self.id_col, "pq_code"])
+        partial = ds.map_batches(
+            _PQScore(queries, self.books, k, self.id_col),
+            batch_format="pyarrow",
+        )
+        return partial.groupby("query_id").map_groups(
+            lambda g: _final_topk(g, k, self.id_col), batch_format="pyarrow"
+        )

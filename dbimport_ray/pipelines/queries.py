@@ -2103,6 +2103,20 @@ def q_kmeans_embeddings(sf_dir: str) -> rd.Dataset:
     return assigned
 
 
+def q_ann_pq(sf_dir: str) -> rd.Dataset:
+    """Product-quantized ANN (pipelines/ann.py:PQIndex): codebooks from a
+    bounded sample, one encode pass to m uint8 codes, ADC search over
+    lookup tables — the memory scale path (float vectors never re-read
+    at probe time). Rows-only (quantized scores have no SQL oracle);
+    recall-vs-brute-force asserted in pytest."""
+    from .ann import PQIndex
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    idx = PQIndex.build(ds, _scratch("pq_index"))
+    q = np.ones((1, EMB_DIM), dtype=np.float64)
+    return idx.search(q, 10).select_columns(["query_id", "vec_id"])
+
+
 def q_cluster_balanced_sample(sf_dir: str) -> rd.Dataset:
     """Diversity-preserving corpus sampling: distributed k-means over the
     embeddings, then an EXACTLY-n deterministic sample per cluster —
@@ -3420,5 +3434,6 @@ QUERIES = {
     "audio_features": q_audio_features,
     "kmeans_embeddings": q_kmeans_embeddings,  # rows-only: iterative
     "cluster_balanced_sample": q_cluster_balanced_sample,  # rows-only: iterative
+    "ann_pq": q_ann_pq,  # rows-only: quantized scores
     "pca_embeddings": q_pca_embeddings,  # rows-only: eigendecomposition
 }
