@@ -341,3 +341,46 @@ def test_cohort_retention_week_boundaries(ray_session):
     # user 1's cohort is the 2023-12-25 week; the Monday events are k=1
     u1 = out[out.cohort == pd.Timestamp("2023-12-25")]
     assert u1["week_k"].tolist() == [0, 1] and u1["n_users"].tolist() == [1, 1]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 2000)),
+        min_size=1, max_size=300,
+    )
+)
+def test_sliding_count_property_vs_duckdb(ray_session, pairs):
+    """Random (user, second-offset) streams — heavy duplication by
+    construction — match DuckDB's RANGE window count exactly."""
+    import os
+    import tempfile
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from dbimport_ray.pipelines.queries import q_sliding_count_events
+
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    t = pa.table({
+        "user_id": pa.array([u for u, _ in pairs], pa.int64()),
+        "ts": pa.array([base + np.timedelta64(s, "s") for _, s in pairs],
+                       pa.timestamp("us")),
+    })
+    d = tempfile.mkdtemp()
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    out = (
+        q_sliding_count_events(d).to_pandas()
+        .sort_values(["user_id", "ts"]).reset_index(drop=True)
+    )
+    want = duckdb.sql(f"""
+        SELECT DISTINCT user_id, ts, count(*) OVER (
+          PARTITION BY user_id ORDER BY ts
+          RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW
+        ) AS n FROM '{d}/events.parquet' ORDER BY user_id, ts
+    """).df()
+    assert out["n_in_window"].tolist() == want["n"].tolist()
