@@ -530,6 +530,13 @@ def funnel_steps(
 
         cand = ds.map_batches(filt, batch_format="pyarrow")
         if prev is not None:
+            # compact the (narrow) candidate stream: a step with zero
+            # events anywhere would reach the join as schema-less empty
+            # blocks and break its key resolution; the join materializes
+            # its inputs regardless, so the extra copy is already paid
+            cand, n_cand = compact_sparse(cand, num_partitions)
+            if n_cand == 0:
+                break  # nobody performed this step; later steps empty too
             pcol = outs[i - 1]
             gate = prev.select_columns([key, pcol]).rename_columns(
                 {key: "_funnel_k"}

@@ -384,3 +384,57 @@ def test_sliding_count_property_vs_duckdb(ray_session, pairs):
         ) AS n FROM '{d}/events.parquet' ORDER BY user_id, ts
     """).df()
     assert out["n_in_window"].tolist() == want["n"].tolist()
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 2),
+                  st.integers(0, 500)),
+        min_size=1, max_size=200,
+    )
+)
+def test_funnel_property_vs_bruteforce(ray_session, triples):
+    """Random (user, step, second) streams vs a per-user brute-force
+    funnel walk (strictly-after chaining, min at each step)."""
+    from dbimport_ray.stages.window import funnel_steps
+
+    steps = ["view", "click", "purchase"]
+    base = np.datetime64("2024-04-01T00:00:00", "us")
+    t = pa.table({
+        "u": pa.array([u for u, _, _ in triples], pa.int64()),
+        "et": pa.array([steps[s] for _, s, _ in triples]),
+        "ts": pa.array([base + np.timedelta64(sec, "s")
+                        for _, _, sec in triples], pa.timestamp("us")),
+    })
+    out = (
+        funnel_steps(rd.from_arrow(t).repartition(3), "u", "ts", "et", steps)
+        .to_pandas().set_index("u").sort_index()
+    )
+
+    # brute force per user
+    want = {}
+    df = t.to_pandas()
+    for u, g in df.groupby("u"):
+        prev, times = None, []
+        ok = True
+        for s in steps:
+            cand = g[g.et == s]["ts"]
+            if prev is not None:
+                cand = cand[cand > prev]
+            if not ok or cand.empty:
+                ok = False
+                times.append(None)
+            else:
+                prev = cand.min()
+                times.append(prev)
+        if times[0] is not None:
+            want[u] = times
+    assert sorted(out.index.tolist()) == sorted(want)
+    for u, (tv, tc, tp) in want.items():
+        row = out.loc[u]
+        for col, exp in zip(["t_view", "t_click", "t_purchase"], (tv, tc, tp)):
+            if exp is None:
+                assert pd.isna(row[col]), (u, col)
+            else:
+                assert row[col] == exp, (u, col)
