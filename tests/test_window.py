@@ -438,3 +438,48 @@ def test_funnel_property_vs_bruteforce(ray_session, triples):
                 assert pd.isna(row[col]), (u, col)
             else:
                 assert row[col] == exp, (u, col)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 40)),
+        min_size=1, max_size=150,
+    )
+)
+def test_cohort_retention_property_vs_duckdb(ray_session, pairs):
+    """Random (user, day-offset) streams vs DuckDB's date_trunc/date_diff
+    cohort rollup — covers multi-week users, single-event users, and
+    users whose events all collapse into one week."""
+    import os
+    import tempfile
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from dbimport_ray.pipelines.queries import q_cohort_retention
+
+    base = np.datetime64("2024-02-15T12:00:00", "us")  # mid-week anchor
+    t = pa.table({
+        "user_id": pa.array([u for u, _ in pairs], pa.int64()),
+        "ts": pa.array([base + np.timedelta64(d, "D") for _, d in pairs],
+                       pa.timestamp("us")),
+    })
+    d = tempfile.mkdtemp()
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    out = (
+        q_cohort_retention(d).to_pandas()
+        .sort_values(["cohort", "week_k"]).reset_index(drop=True)
+    )
+    want = duckdb.sql(f"""
+        WITH a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+                   FROM '{d}/events.parquet'),
+        f AS (SELECT user_id, min(wk) AS cohort FROM a GROUP BY user_id)
+        SELECT f.cohort, date_diff('week', f.cohort, a.wk) AS week_k,
+               count(*) AS n_users
+        FROM a JOIN f USING (user_id)
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """).df()
+    assert out["week_k"].tolist() == want["week_k"].tolist()
+    assert out["n_users"].tolist() == want["n_users"].tolist()
+    assert out["cohort"].tolist() == want["cohort"].tolist()
