@@ -407,10 +407,14 @@ def test_funnel_property_vs_bruteforce(ray_session, triples):
         "ts": pa.array([base + np.timedelta64(sec, "s")
                         for _, _, sec in triples], pa.timestamp("us")),
     })
-    out = (
-        funnel_steps(rd.from_arrow(t).repartition(3), "u", "ts", "et", steps)
-        .to_pandas().set_index("u").sort_index()
-    )
+    res = funnel_steps(rd.from_arrow(t).repartition(3), "u", "ts", "et", steps)
+    out = res.to_pandas()
+    if out.empty and not len(out.columns):
+        # ray's to_pandas drops columns on an all-empty dataset even when
+        # the dataset schema is typed; rebuild the frame from the schema
+        out = pd.DataFrame({f.name: pd.Series(dtype="object")
+                            for f in res.schema().base_schema})
+    out = out.set_index("u").sort_index()
 
     # brute force per user
     want = {}
