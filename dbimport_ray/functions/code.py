@@ -1,0 +1,135 @@
+"""Line-structure profiling for source-code corpora.
+
+The engine's payload is a lake of source-code files ``(repo, path,
+commit, lang, content)`` (BASELINE.json input_hint); these kernels
+compute the per-file structural metrics a code-curation pipeline gates
+on — line counts, blank-line counts, longest line, mean line length,
+comment-line counts — the code-corpus analogue of the prose metrics in
+``functions/text.py``. DBImport itself has no text plane (its scalar
+surface is type normalization + anonymization, SURVEY.md §2.8); this is
+a beyond-reference operator for the 100 TB training-data path.
+
+Shape: embarrassingly parallel, zero exchange. One ``split_pattern``
+turns each file into a list of lines; the per-line metrics are computed
+ONCE over the flattened line buffer and reduced back to one row per
+file with ``np.*.reduceat`` on the list offsets — no per-row Python, no
+per-line Python, just three vectorized passes regardless of how many
+lines a file has. At 100 TB the operator is a plain ``map_batches``
+stage: each batch's work ∝ its own bytes, nothing ships.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _flat_lines(
+    col: pa.ChunkedArray | pa.Array, sep: str
+) -> tuple[pa.Array, np.ndarray]:
+    """Split every string into lines; return (flattened line array,
+    int64 offsets of length n+1 delimiting each row's lines)."""
+    s = pc.cast(col, pa.string())
+    lists = pc.split_pattern(s, sep)
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    # large_list offsets are int64 already; list offsets are int32.
+    # flatten() re-bases a sliced array's values, so re-base the offsets
+    # the same way (offsets[0] is nonzero on slices).
+    offsets = np.asarray(lists.offsets).astype(np.int64)
+    return lists.flatten(), offsets - offsets[0]
+
+
+def line_stats(
+    t: pa.Table,
+    text_col: str,
+    id_cols: list[str],
+    sep: str = "\n",
+    comment_prefix: str | None = None,
+) -> pa.Table:
+    """Per-document line-structure profile.
+
+    Output columns: ``id_cols…, n_lines, n_blank, max_line_len,
+    avg_line_len`` and, when ``comment_prefix`` is given, ``n_comment``
+    (lines whose whitespace-stripped form starts with the prefix).
+
+    ``avg_line_len`` is mean characters per line as float64 (blank
+    lines included — they count toward the denominator). Null texts
+    yield null metrics. ``split_pattern`` always yields >= 1 line per
+    non-null string, so every reduceat segment is non-empty.
+    """
+    out_schema = _out_schema(t, id_cols, comment_prefix)
+    if t.num_rows == 0:
+        return out_schema.empty_table()
+
+    col = t[text_col]
+    valid = pc.is_valid(col)
+    all_valid = bool(pc.all(valid).as_py()) if t.num_rows else True
+    if not all_valid:
+        # compute over the valid subset, then scatter back through a
+        # null-padded take — keeps the kernel itself branch-free
+        idx = np.flatnonzero(np.asarray(valid))
+        sub = line_stats(
+            t.filter(valid), text_col, id_cols, sep, comment_prefix
+        )
+        take = np.full(t.num_rows, -1, dtype=np.int64)
+        take[idx] = np.arange(len(idx))
+        metrics = sub.drop_columns(id_cols).take(
+            pa.array(np.where(take < 0, None, take), type=pa.int64())
+        )
+        cols = {c: t[c] for c in id_cols}
+        for name in metrics.column_names:
+            cols[name] = metrics[name]
+        return pa.table(cols, schema=out_schema)
+
+    flat, offsets = _flat_lines(col, sep)
+    lens = pc.utf8_length(flat).to_numpy().astype(np.int64)
+    starts = offsets[:-1]
+    n_lines = np.diff(offsets)
+    total = np.add.reduceat(lens, starts)
+    mx = np.maximum.reduceat(lens, starts)
+    blank = np.add.reduceat((lens == 0).astype(np.int64), starts)
+    cols: dict[str, pa.Array | pa.ChunkedArray] = {c: t[c] for c in id_cols}
+    cols["n_lines"] = pa.array(n_lines, type=pa.int64())
+    cols["n_blank"] = pa.array(blank, type=pa.int64())
+    cols["max_line_len"] = pa.array(mx, type=pa.int64())
+    cols["avg_line_len"] = pa.array(
+        total / n_lines.astype(np.float64), type=pa.float64()
+    )
+    if comment_prefix is not None:
+        is_c = pc.starts_with(
+            pc.utf8_ltrim_whitespace(flat), comment_prefix
+        ).to_numpy(zero_copy_only=False)
+        cols["n_comment"] = pa.array(
+            np.add.reduceat(is_c.astype(np.int64), starts), type=pa.int64()
+        )
+    return pa.table(cols, schema=out_schema)
+
+
+def _out_schema(
+    t: pa.Table, id_cols: list[str], comment_prefix: str | None
+) -> pa.Schema:
+    fields = [t.schema.field(c) for c in id_cols] + [
+        pa.field("n_lines", pa.int64()),
+        pa.field("n_blank", pa.int64()),
+        pa.field("max_line_len", pa.int64()),
+        pa.field("avg_line_len", pa.float64()),
+    ]
+    if comment_prefix is not None:
+        fields.append(pa.field("n_comment", pa.int64()))
+    return pa.schema(fields)
+
+
+def line_stats_ds(
+    ds,
+    text_col: str,
+    id_cols: list[str],
+    sep: str = "\n",
+    comment_prefix: str | None = None,
+):
+    """Dataset wrapper: one stateless ``map_batches`` stage."""
+    return ds.map_batches(
+        lambda t: line_stats(t, text_col, id_cols, sep, comment_prefix),
+        batch_format="pyarrow",
+    )

@@ -2417,6 +2417,33 @@ def q_repetition_filter(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_code_line_profile(sf_dir: str) -> rd.Dataset:
+    """Line-structure profile of code-shaped files (functions/code.py):
+    per file — line count, blank lines, longest line, mean line length,
+    comment lines. The file corpus is derived deterministically from
+    ``documents`` in a SQL-reproducible way (``// <lang>`` header +
+    newline-for-space body) so the vectorized split→reduceat kernel is
+    hash-checked against a DuckDB list-aggregate oracle; the same kernel
+    profiles the lake's real multi-line content in tests/test_code.py."""
+    from ..functions.code import line_stats
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def to_file(t: pa.Table) -> pa.Table:
+        body = pc.replace_substring(t["text"], " ", "\n")
+        content = pc.binary_join_element_wise(
+            pc.binary_join_element_wise("// ", t["lang"], "\n", ""), body, ""
+        )
+        return pa.table({"doc_id": t["doc_id"], "content": content})
+
+    return docs.map_batches(to_file, batch_format="pyarrow").map_batches(
+        lambda t: line_stats(
+            t, "content", ["doc_id"], sep="\n", comment_prefix="//"
+        ),
+        batch_format="pyarrow",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL
 # ---------------------------------------------------------------------------
@@ -3302,6 +3329,24 @@ SELECT doc_id, n_words, dup_word_frac, top_word_frac, top_bigram_frac FROM rep
 WHERE dup_word_frac <= 0.6 AND top_word_frac <= 0.12 AND top_bigram_frac <= 0.06
 """
 
+ORACLES["code_line_profile"] = """
+WITH files AS (
+  SELECT doc_id,
+         '// ' || lang || chr(10) || replace(text, ' ', chr(10)) AS content
+  FROM documents
+), split AS (
+  SELECT doc_id, string_split(content, chr(10)) AS ls FROM files
+)
+SELECT doc_id,
+       len(ls) AS n_lines,
+       len(list_filter(ls, x -> length(x) = 0)) AS n_blank,
+       list_max(list_transform(ls, x -> length(x))) AS max_line_len,
+       CAST(list_sum(list_transform(ls, x -> length(x))) AS DOUBLE)
+         / len(ls) AS avg_line_len,
+       len(list_filter(ls, x -> starts_with(ltrim(x), '//'))) AS n_comment
+FROM split
+"""
+
 ORACLES["incremental_dedup"] = """
 WITH r1 AS (SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0),
 r2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1)
@@ -3436,4 +3481,5 @@ QUERIES = {
     "cluster_balanced_sample": q_cluster_balanced_sample,  # rows-only: iterative
     "ann_pq": q_ann_pq,  # rows-only: quantized scores
     "pca_embeddings": q_pca_embeddings,  # rows-only: eigendecomposition
+    "code_line_profile": q_code_line_profile,
 }

@@ -1,0 +1,132 @@
+"""Line-structure profiler (functions/code.py) vs a per-document
+brute-force Python oracle, including the CDC lake's own code-shaped
+content."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dbimport_ray.functions.code import line_stats
+
+
+def brute(text: str | None, sep: str, prefix: str | None):
+    if text is None:
+        return None
+    lines = text.split(sep)
+    lens = [len(l) for l in lines]
+    row = {
+        "n_lines": len(lines),
+        "n_blank": sum(1 for l in lines if l == ""),
+        "max_line_len": max(lens),
+        "avg_line_len": sum(lens) / len(lines),
+    }
+    if prefix is not None:
+        row["n_comment"] = sum(1 for l in lines if l.lstrip().startswith(prefix))
+    return row
+
+
+def check(texts, sep="\n", prefix=None):
+    t = pa.table(
+        {"id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    out = line_stats(t, "text", ["id"], sep=sep, comment_prefix=prefix)
+    assert out.num_rows == len(texts)
+    for i, text in enumerate(texts):
+        want = brute(text, sep, prefix)
+        got = {c: out[c][i].as_py() for c in out.column_names if c != "id"}
+        if want is None:
+            assert all(v is None for v in got.values()), (i, got)
+        else:
+            for k, v in want.items():
+                if k == "avg_line_len":
+                    assert got[k] == pytest.approx(v), (i, k)
+                else:
+                    assert got[k] == v, (i, k)
+
+
+def test_basic_shapes():
+    check(
+        [
+            "def f():\n    return 1\n\n# done",
+            "",              # one empty line
+            "single",
+            "\n\n\n",        # four blank lines
+            "x\n",           # trailing newline -> trailing blank line
+            None,            # null text -> null metrics
+            "\t# indented comment\nbody",
+        ],
+        prefix="#",
+    )
+
+
+def test_empty_table_typed():
+    t = pa.table({"id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+    out = line_stats(t, "text", ["id"], comment_prefix="//")
+    assert out.num_rows == 0
+    assert out.column_names == [
+        "id", "n_lines", "n_blank", "max_line_len", "avg_line_len", "n_comment"
+    ]
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.text(alphabet=" \n\t#/abcZ09", max_size=60),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_property_vs_bruteforce(texts):
+    check(texts, prefix="//")
+
+
+def test_lake_content_profile(ray_session, tmp_path):
+    """Thematic: profile the datagen's code-shaped file contents (header
+    comment line + repeated body lines) straight off the change stream."""
+    import pyarrow.parquet as pq
+
+    from dbimport_ray.datagen import generate_events
+
+    p = str(tmp_path / "ev")
+    generate_events(p, num_keys=200, num_events=1000, seed=7)
+    t = pq.read_table(p).filter(
+        pa.compute.is_valid(pq.read_table(p)["content"])
+    )
+    out = line_stats(
+        t, "content", ["sequence_id"], comment_prefix="//"
+    )
+    assert out.num_rows == t.num_rows
+    texts = t["content"].to_pylist()
+    for i in (0, out.num_rows // 2, out.num_rows - 1):
+        want = brute(texts[i], "\n", "//")
+        got = {c: out[c][i].as_py() for c in out.column_names if c != "sequence_id"}
+        assert got["n_comment"] >= 1  # the // header line
+        for k, v in want.items():
+            if k == "avg_line_len":
+                assert got[k] == pytest.approx(v)
+            else:
+                assert got[k] == v
+
+
+def test_ds_wrapper(ray_session):
+    import ray.data as rd
+
+    from dbimport_ray.functions.code import line_stats_ds
+
+    t = pa.table(
+        {"id": pa.array([1, 2], pa.int64()),
+         "text": pa.array(["a\nbb\n", "// c"], pa.string())}
+    )
+    out = line_stats_ds(
+        rd.from_arrow(t), "text", ["id"], comment_prefix="//"
+    ).to_pandas().set_index("id").sort_index()
+    assert out.loc[1, "n_lines"] == 3 and out.loc[1, "n_blank"] == 1
+    assert out.loc[2, "n_comment"] == 1
