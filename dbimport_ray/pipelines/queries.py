@@ -1864,13 +1864,29 @@ def q_shipping_priority(sf_dir: str) -> rd.Dataset:
         )
         return pa.table({"l_orderkey": t["l_orderkey"], "_rev": r})
 
-    j = hash_join(
-        li.map_batches(rev, batch_format="pyarrow"), orders,
-        on=("l_orderkey",), right_on=("o_orderkey",), num_partitions=8,
-    )
+    li_rev = li.map_batches(rev, batch_format="pyarrow")
+    if n_orders <= 2_000_000:
+        # surviving orders fit a broadcast: enrich the fact stream in
+        # place — no lineitem shuffle (compact_sparse already counted
+        # them, so the dispatch is free; hash_join is the >2M fallback)
+        from ..stages.joins import broadcast_lookup_join
+
+        j = broadcast_lookup_join(
+            li_rev, orders, keys=["l_orderkey"],
+            dim_keys=["o_orderkey"],
+            value_cols=["o_orderdate", "o_orderpriority"], how="inner",
+        )
+    else:
+        j = hash_join(
+            li_rev, orders,
+            on=("l_orderkey",), right_on=("o_orderkey",), num_partitions=8,
+        )
     agg = grouped_agg(
         j, ["l_orderkey", "o_orderdate", "o_orderpriority"],
         [("_rev", "sum", "revenue")], shuffle_blocks=8,
+        # group domain ≤ n_orders (just counted): driver-combine the
+        # narrow partials instead of a Ray exchange when it's small
+        combine_small=n_orders <= 2_000_000,
     )
     top = top_n_per_group(
         agg, [], "revenue", 10, tie_cols=["o_orderdate", "l_orderkey"],

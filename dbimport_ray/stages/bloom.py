@@ -36,9 +36,20 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count
 
-from .joins import _key_array, hash_join
+from .joins import _key_array, broadcast_anti_join, broadcast_semi_join, hash_join
 
 _BLOOM_HASH_KEY = "dbimport_ray_blm"  # exactly 16 bytes; pinned
+
+# Below this many distinct filter keys the exact key set broadcasts
+# outright (one plasma object, numpy sorted-array probe) and the bloom
+# build + verify join are pure overhead: the distinct build already
+# counted the keys, so the dispatch is free. 2M keys ≈ tens of MB — the
+# same envelope the engine's other broadcast sides use; above it the
+# bitmap's ~1.2 bytes/key wins. Env-tunable for constrained workers.
+def _broadcast_max_keys() -> int:
+    import os
+
+    return int(os.environ.get("DBIMPORT_RAY_BLOOM_BROADCAST_MAX", 2_000_000))
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
@@ -106,8 +117,22 @@ def build_bloom(keys_ds: rd.Dataset, on: list[str], m: int, k: int, fan_in: int 
     return refs[0]
 
 
+def _unique_partials(right: rd.Dataset, on: list[str]) -> rd.Dataset:
+    """Per-block distinct key tuples (map-side, no exchange),
+    materialized. Its row count is an UPPER BOUND on the distinct key
+    count — enough to dispatch small filter sides to the broadcast path
+    without ever paying a shuffle."""
+    def block_unique(t: pa.Table) -> pa.Table:
+        return t.group_by(list(on)).aggregate([])
+
+    return right.select_columns(list(on)).map_batches(
+        block_unique, batch_format="pyarrow"
+    ).materialize()
+
+
 def _distinct_keys(
-    right: rd.Dataset, on: list[str], shuffle_blocks: int = 8
+    right: rd.Dataset, on: list[str], shuffle_blocks: int = 8,
+    partials: rd.Dataset | None = None,
 ) -> tuple[rd.Dataset, int]:
     """Materialized distinct key tuples of ``right`` with a MAP-SIDE
     partial: per-block pyarrow distinct first (the exchange then carries
@@ -116,12 +141,8 @@ def _distinct_keys(
     of partitions instead of one per input block — the raw
     ``groupby(on)`` over a 64-block read spent ~4× the whole build in
     per-partition operator overhead."""
-    def block_unique(t: pa.Table) -> pa.Table:
-        return t.group_by(list(on)).aggregate([])
-
-    partials = right.select_columns(list(on)).map_batches(
-        block_unique, batch_format="pyarrow"
-    )
+    if partials is None:
+        partials = _unique_partials(right, on)
     cnt = "_n"
     agg = (
         partials.repartition(shuffle_blocks)
@@ -177,9 +198,17 @@ def bloom_semi_join(
     hash join of the survivors against the distinct right keys. Output
     column set = ``left``'s columns; key columns must share names/types
     across sides (rename upstream)."""
-    distinct, n = _distinct_keys(right, on)
-    if n == 0:
+    partials = _unique_partials(right, on)
+    ub = partials.count()  # upper bound on distinct keys, exchange-free
+    if ub == 0:
         return left.limit(0)
+    if ub <= _broadcast_max_keys():
+        # small filter side: exact key-set broadcast beats bloom+verify —
+        # the per-block uniques ship straight to plasma (np.unique in the
+        # collector dedups across blocks); zero exchange anywhere, no
+        # aggregator pool, same exact result
+        return broadcast_semi_join(left, partials, list(on))
+    distinct, n = _distinct_keys(right, on, partials=partials)
     m, k = bloom_params(n, fpp)
     words_ref = build_bloom(distinct, on, m, k)
     survivors = _probe_stage(
@@ -210,9 +239,13 @@ def bloom_anti_join(
     column-pruned streaming reads rather than materializing the whole
     probe side in the object store; swap for a flagged single pass +
     ``materialize()`` only if the upstream is expensive to recompute."""
-    distinct, n = _distinct_keys(right, on)
-    if n == 0:
+    partials = _unique_partials(right, on)
+    ub = partials.count()
+    if ub == 0:
         return left
+    if ub <= _broadcast_max_keys():
+        return broadcast_anti_join(left, partials, list(on))
+    distinct, n = _distinct_keys(right, on, partials=partials)
     m, k = bloom_params(n, fpp)
     words_ref = build_bloom(distinct, on, m, k)
     kw = dict(words_ref=words_ref, on=on, m=m, k=k)

@@ -118,28 +118,22 @@ def _key_array(table: pa.Table, keys: list[str]) -> np.ndarray:
     return pc.binary_join_element_wise(*parts, "").to_numpy(zero_copy_only=False)
 
 
-class _BroadcastMembership:
-    """Actor-pool filter: the broadcast key set is fetched from plasma once
-    per actor (constructor ObjectRef), each batch is one sorted-array
-    membership probe."""
-
-    def __init__(self, keys_ref, join_keys: list[str], keep_matches: bool):
-        keys = ray.get(keys_ref) if isinstance(keys_ref, ray.ObjectRef) else keys_ref
-        self.sorted_keys = np.sort(np.asarray(keys))
-        self.join_keys = join_keys
-        self.keep = keep_matches
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        probe = _key_array(batch, self.join_keys)
-        idx = np.searchsorted(self.sorted_keys, probe)
-        idx_clip = np.minimum(idx, len(self.sorted_keys) - 1) if len(self.sorted_keys) else idx
-        found = (
-            (self.sorted_keys[idx_clip] == probe)
-            if len(self.sorted_keys)
-            else np.zeros(len(probe), dtype=bool)
-        )
-        mask = found if self.keep else ~found
-        return batch.filter(pa.array(mask))
+def _membership_filter(
+    batch: pa.Table, keys_ref, join_keys: list[str], keep_matches: bool
+) -> pa.Table:
+    """Task-pool filter: the broadcast key set (pre-SORTED — np.unique
+    output — before ray.put) resolves zero-copy from local plasma per
+    task; each batch is one searchsorted membership probe. Plain tasks,
+    not an actor pool: there is no per-worker state to build, so tasks
+    skip actor startup latency and autoscale with the stage."""
+    keys = ray.get(keys_ref) if isinstance(keys_ref, ray.ObjectRef) else keys_ref
+    probe = _key_array(batch, join_keys)
+    if len(keys):
+        idx_clip = np.minimum(np.searchsorted(keys, probe), len(keys) - 1)
+        found = keys[idx_clip] == probe
+    else:
+        found = np.zeros(len(probe), dtype=bool)
+    return batch.filter(pa.array(found if keep_matches else ~found))
 
 
 def _collect_keys(small: rd.Dataset | pa.Table, keys: list[str]) -> np.ndarray:
@@ -156,17 +150,15 @@ def _collect_keys(small: rd.Dataset | pa.Table, keys: list[str]) -> np.ndarray:
 def broadcast_semi_join(
     big: rd.Dataset, small: rd.Dataset | pa.Table, keys: list[str], concurrency=None
 ) -> rd.Dataset:
-    """Rows of ``big`` whose key exists in ``small`` (no shuffle of big)."""
+    """Rows of ``big`` whose key exists in ``small`` (no shuffle of big).
+    ``_collect_keys`` output is already sorted (np.unique), so probe
+    tasks need no per-worker index build — see _membership_filter."""
     ref = ray.put(_collect_keys(small, keys))
     return big.map_batches(
-        _BroadcastMembership,
-        fn_constructor_kwargs=dict(keys_ref=ref, join_keys=keys, keep_matches=True),
+        _membership_filter,
+        fn_kwargs=dict(keys_ref=ref, join_keys=keys, keep_matches=True),
         batch_format="pyarrow",
-        # autoscaling (1, 4): a FIXED 4-actor pool holds every CPU slot on
-        # a 4-CPU cluster while idle, starving the upstream map/read tasks
-        # that must produce its input — the classic streaming-executor
-        # deadlock. min=1 guarantees forward progress at any cluster size.
-        concurrency=concurrency or (1, 4),
+        concurrency=concurrency,
     )
 
 
@@ -189,60 +181,64 @@ def collect_small(ds: rd.Dataset | pa.Table, columns: list[str], max_rows: int =
     return tbl.combine_chunks()
 
 
-class _BroadcastLookup:
-    """Actor-pool enrichment join: the dimension table is fetched from
-    plasma once per actor (constructor ObjectRef) and indexed by sorted key;
-    each batch is one searchsorted probe + one ``take`` of the matching
-    dimension rows. ``how='inner'`` drops unmatched fact rows, ``'left'``
-    emits typed nulls for them."""
+def _build_lookup_index(
+    tbl: pa.Table, dim_keys: list[str], value_cols: list[str]
+) -> tuple[np.ndarray, pa.Table]:
+    """Sorted-key index over a unique-keyed dimension table, built ONCE
+    on the driver before broadcast so probe tasks carry no setup work."""
+    k = _key_array(tbl, dim_keys)
+    if len(np.unique(k)) != len(k):
+        raise ValueError(
+            "broadcast_lookup_join dimension side has duplicate keys "
+            f"on {dim_keys}; pre-aggregate it to one row per key"
+        )
+    order = np.argsort(k, kind="stable")
+    return k[order], tbl.select(value_cols).take(pa.array(order))
 
-    def __init__(self, dim_ref, join_keys, dim_keys, value_cols, how):
-        dim = ray.get(dim_ref) if isinstance(dim_ref, ray.ObjectRef) else dim_ref
-        k = _key_array(dim, dim_keys)
-        if len(np.unique(k)) != len(k):
-            raise ValueError(
-                "broadcast_lookup_join dimension side has duplicate keys "
-                f"on {dim_keys}; pre-aggregate it to one row per key"
-            )
-        order = np.argsort(k, kind="stable")
-        self.sorted_keys = k[order]
-        self.values = dim.select(value_cols).take(pa.array(order))
-        self.join_keys = list(join_keys)
-        self.value_cols = list(value_cols)
-        self.how = how
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        probe = _key_array(batch, self.join_keys)
-        n = len(self.sorted_keys)
-        if n == 0:
-            found = np.zeros(len(probe), dtype=bool)
-            idx_clip = np.zeros(len(probe), dtype=np.int64)
-        else:
-            idx = np.searchsorted(self.sorted_keys, probe)
-            idx_clip = np.minimum(idx, n - 1)
-            found = self.sorted_keys[idx_clip] == probe
-        if self.how == "inner":
-            mask = pa.array(found)
-            batch = batch.filter(mask)
-            taken = self.values.take(pa.array(idx_clip[found]))
-            for c in self.value_cols:
-                batch = batch.append_column(c, taken[c])
-            return batch
-        # left: take matched rows, null out the misses
-        if n == 0:
-            # empty dimension side: take() on a 0-row table is out of
-            # bounds — every probe row misses, emit typed nulls directly
-            for c in self.value_cols:
-                batch = batch.append_column(
-                    c, pa.nulls(batch.num_rows, self.values[c].type)
-                )
-            return batch
-        taken = self.values.take(pa.array(idx_clip))
-        miss = pa.array(~found)
-        for c in self.value_cols:
-            col = pc.if_else(miss, pa.scalar(None, taken[c].type), taken[c])
-            batch = batch.append_column(c, col)
+def _lookup_probe(
+    batch: pa.Table, index_ref, join_keys: list[str],
+    value_cols: list[str], how: str,
+) -> pa.Table:
+    """Task-pool enrichment join: the pre-sorted (keys, values) index
+    resolves zero-copy from local plasma per task; each batch is one
+    searchsorted probe + one ``take`` of the matching dimension rows.
+    ``how='inner'`` drops unmatched fact rows, ``'left'`` emits typed
+    nulls for them. Plain tasks (no actor pool): the index is prebuilt,
+    so there is no per-worker state and no actor startup latency."""
+    sorted_keys, values = (
+        ray.get(index_ref) if isinstance(index_ref, ray.ObjectRef) else index_ref
+    )
+    probe = _key_array(batch, join_keys)
+    n = len(sorted_keys)
+    if n == 0:
+        found = np.zeros(len(probe), dtype=bool)
+        idx_clip = np.zeros(len(probe), dtype=np.int64)
+    else:
+        idx = np.searchsorted(sorted_keys, probe)
+        idx_clip = np.minimum(idx, n - 1)
+        found = sorted_keys[idx_clip] == probe
+    if how == "inner":
+        batch = batch.filter(pa.array(found))
+        taken = values.take(pa.array(idx_clip[found]))
+        for c in value_cols:
+            batch = batch.append_column(c, taken[c])
         return batch
+    # left: take matched rows, null out the misses
+    if n == 0:
+        # empty dimension side: take() on a 0-row table is out of
+        # bounds — every probe row misses, emit typed nulls directly
+        for c in value_cols:
+            batch = batch.append_column(
+                c, pa.nulls(batch.num_rows, values[c].type)
+            )
+        return batch
+    taken = values.take(pa.array(idx_clip))
+    miss = pa.array(~found)
+    for c in value_cols:
+        col = pc.if_else(miss, pa.scalar(None, taken[c].type), taken[c])
+        batch = batch.append_column(c, col)
+    return batch
 
 
 def broadcast_lookup_join(
@@ -264,22 +260,17 @@ def broadcast_lookup_join(
     first, so the fact table is touched exactly once."""
     dim_keys = dim_keys or keys
     tbl = collect_small(dim, list(dim_keys) + list(value_cols))
-    ref = ray.put(tbl)
+    ref = ray.put(_build_lookup_index(tbl, list(dim_keys), list(value_cols)))
     return big.map_batches(
-        _BroadcastLookup,
-        fn_constructor_kwargs=dict(
-            dim_ref=ref,
+        _lookup_probe,
+        fn_kwargs=dict(
+            index_ref=ref,
             join_keys=keys,
-            dim_keys=dim_keys,
-            value_cols=value_cols,
+            value_cols=list(value_cols),
             how=how,
         ),
         batch_format="pyarrow",
-        # autoscaling (1, 4): a FIXED 4-actor pool holds every CPU slot on
-        # a 4-CPU cluster while idle, starving the upstream map/read tasks
-        # that must produce its input — the classic streaming-executor
-        # deadlock. min=1 guarantees forward progress at any cluster size.
-        concurrency=concurrency or (1, 4),
+        concurrency=concurrency,
     )
 
 
@@ -290,12 +281,8 @@ def broadcast_anti_join(
     delete-detection anti-join shape (etl_operations.py:362-393)."""
     ref = ray.put(_collect_keys(small, keys))
     return big.map_batches(
-        _BroadcastMembership,
-        fn_constructor_kwargs=dict(keys_ref=ref, join_keys=keys, keep_matches=False),
+        _membership_filter,
+        fn_kwargs=dict(keys_ref=ref, join_keys=keys, keep_matches=False),
         batch_format="pyarrow",
-        # autoscaling (1, 4): a FIXED 4-actor pool holds every CPU slot on
-        # a 4-CPU cluster while idle, starving the upstream map/read tasks
-        # that must produce its input — the classic streaming-executor
-        # deadlock. min=1 guarantees forward progress at any cluster size.
-        concurrency=concurrency or (1, 4),
+        concurrency=concurrency,
     )

@@ -476,6 +476,8 @@ def grouped_agg(
     keys: list[str],
     specs: list[tuple[str | None, str, str]],
     shuffle_blocks: int = 4,
+    combine_small: bool = False,
+    max_combine_rows: int = 5_000_000,
 ) -> rd.Dataset:
     """Grouped sum/count/min/max with an explicit MAP-SIDE PARTIAL: each
     batch pre-aggregates with pyarrow ``group_by`` (one row per distinct
@@ -488,6 +490,13 @@ def grouped_agg(
 
     ``specs``: (column, op, alias) with op ∈ sum|count|min|max;
     op='count' counts rows (column ignored).
+
+    ``combine_small=True``: the caller KNOWS the group domain is small
+    (an upstream count bounds it, e.g. after a semi join) — skip the Ray
+    exchange entirely and combine the per-block partials with one
+    vectorized pyarrow ``group_by`` on the driver. The collected volume
+    is ≤ groups × blocks narrow rows, guarded by ``max_combine_rows``
+    (raises rather than OOMs — fall back to the exchange path then).
     """
     from ray.data.aggregate import Max as RMax
     from ray.data.aggregate import Min as RMin
@@ -506,6 +515,17 @@ def grouped_agg(
         # pyarrow group_by output order: keys first, then aggregates
         return g.rename_columns(kl + aliases)
 
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    if combine_small:
+        from .joins import collect_small
+
+        t = collect_small(partials, kl + aliases, max_rows=max_combine_rows)
+        plan2 = [
+            (a, ("sum" if op in ("sum", "count") else op))
+            for (_, op, _), a in zip(specs, aliases)
+        ]
+        out = t.group_by(kl).aggregate(plan2).rename_columns(kl + aliases)
+        return rd.from_arrow(out)
     combiners = []
     for (_, op, alias) in specs:
         if op in ("sum", "count"):
@@ -514,7 +534,6 @@ def grouped_agg(
             combiners.append(RMin(alias, alias_name=alias))
         else:
             combiners.append(RMax(alias, alias_name=alias))
-    partials = ds.map_batches(partial, batch_format="pyarrow")
     return partials.repartition(shuffle_blocks).groupby(kl).aggregate(*combiners)
 
 

@@ -520,7 +520,7 @@ def funnel_steps(
     assert len(outs) == len(steps) and len(steps) >= 1
 
     stage_tbls: list = []
-    prev = None
+    prev, n_prev = None, 0
     for i, (step, out) in enumerate(zip(steps, outs)):
         def filt(t: pa.Table, step=step) -> pa.Table:
             t = t.filter(
@@ -530,21 +530,33 @@ def funnel_steps(
 
         cand = ds.map_batches(filt, batch_format="pyarrow")
         if prev is not None:
-            # compact the (narrow) candidate stream: a step with zero
-            # events anywhere would reach the join as schema-less empty
-            # blocks and break its key resolution; the join materializes
-            # its inputs regardless, so the extra copy is already paid
-            cand, n_cand = compact_sparse(cand, num_partitions)
-            if n_cand == 0:
-                break  # nobody performed this step; later steps empty too
             pcol = outs[i - 1]
-            gate = prev.select_columns([key, pcol]).rename_columns(
-                {key: "_funnel_k"}
-            )
-            j = hash_join(
-                cand, gate, on=(key,), right_on=("_funnel_k",),
-                num_partitions=num_partitions,
-            )
+            if n_prev <= 2_000_000:
+                # the gate is one row per surviving entity and its count
+                # is already known from the previous stage's compact:
+                # broadcast it into the candidate stream (inner lookup,
+                # zero exchange, no join actor pool) instead of hashing
+                from .joins import broadcast_lookup_join
+
+                j = broadcast_lookup_join(
+                    cand, prev, keys=[key], value_cols=[pcol], how="inner"
+                )
+            else:
+                # compact the (narrow) candidate stream: a step with zero
+                # events anywhere would reach the join as schema-less
+                # empty blocks and break its key resolution; the join
+                # materializes its inputs regardless, so the extra copy
+                # is already paid
+                cand, n_cand = compact_sparse(cand, num_partitions)
+                if n_cand == 0:
+                    break  # nobody performed this step
+                gate = prev.select_columns([key, pcol]).rename_columns(
+                    {key: "_funnel_k"}
+                )
+                j = hash_join(
+                    cand, gate, on=(key,), right_on=("_funnel_k",),
+                    num_partitions=num_partitions,
+                )
 
             def later(t: pa.Table, pcol=pcol) -> pa.Table:
                 t = t.filter(pc.greater(t[ts_col], t[pcol]))
@@ -564,7 +576,7 @@ def funnel_steps(
         if n == 0:
             break  # nobody reached this step; later steps are empty too
         stage_tbls.append(cur)
-        prev = cur
+        prev, n_prev = cur, n
 
     base = getattr(ds.schema(), "base_schema", None) or ds.schema()
     key_type = base.field(key).type

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pytest
 import ray.data as rd
 
 from dbimport_ray.stages.bloom import (
@@ -36,7 +37,14 @@ def test_bloom_no_false_negatives_and_low_fp(ray_session):
     assert fp < 0.05, fp
 
 
-def test_bloom_semi_join_exact(ray_session):
+@pytest.fixture()
+def force_bloom_path(monkeypatch):
+    """Small right sides auto-dispatch to the exact broadcast; pin the
+    threshold to 0 so these tests keep exercising the bitmap path."""
+    monkeypatch.setenv("DBIMPORT_RAY_BLOOM_BROADCAST_MAX", "0")
+
+
+def test_bloom_semi_join_exact(ray_session, force_bloom_path):
     rng = np.random.default_rng(3)
     left = pa.table({
         "k": rng.integers(0, 5000, size=30_000),
@@ -73,7 +81,33 @@ def test_bloom_composite_key(ray_session):
     assert res["p"].tolist() == [20, 30]
 
 
-def test_bloom_anti_join_exact(ray_session):
+def test_dispatch_paths_agree(ray_session, monkeypatch):
+    """Broadcast fast path (auto, small key set) and forced bitmap path
+    return identical row sets for both semi and anti."""
+    from dbimport_ray.stages.bloom import bloom_anti_join
+
+    rng = np.random.default_rng(11)
+    left = rd.from_arrow(pa.table({
+        "k": rng.integers(0, 300, size=5_000), "v": np.arange(5_000),
+    })).repartition(4)
+    right = rd.from_arrow(pa.table({"k": rng.choice(300, 60, replace=False)}))
+    got = {}
+    for tag, thresh in (("broadcast", "2000000"), ("bloom", "0")):
+        monkeypatch.setenv("DBIMPORT_RAY_BLOOM_BROADCAST_MAX", thresh)
+        got[tag, "semi"] = sorted(
+            bloom_semi_join(left, right, ["k"], num_partitions=2)
+            .to_pandas()["v"].tolist()
+        )
+        got[tag, "anti"] = sorted(
+            bloom_anti_join(left, right, ["k"], num_partitions=2)
+            .to_pandas()["v"].tolist()
+        )
+    assert got["broadcast", "semi"] == got["bloom", "semi"]
+    assert got["broadcast", "anti"] == got["bloom", "anti"]
+    assert len(got["bloom", "semi"]) + len(got["bloom", "anti"]) == 5_000
+
+
+def test_bloom_anti_join_exact(ray_session, force_bloom_path):
     import numpy as np
 
     from dbimport_ray.stages.bloom import bloom_anti_join
