@@ -105,6 +105,10 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("fsck", help="lake consistency audit (footer rows vs manifest, placement, aggregates)")
     common(sp)
     sp.add_argument("--deep", action="store_true", help="also re-hash pk placement and recompute aggregates")
+    sp = sub.add_parser("vacuum", help="expire versions beyond the retention horizon (purgeIcebergVersions analogue)")
+    common(sp)
+    sp.add_argument("--keep-versions", type=int, default=2)
+    sp.add_argument("--prune-history", action="store_true", help="also drop history audit files below the horizon")
     sp = sub.add_parser("late-audit", help="detect source files the watermark protocol will never apply (late arrivals)")
     common(sp)
     sp.add_argument("--events", required=True, help="event parquet file/dir to audit against the consumed-input ledger")
@@ -256,6 +260,18 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines.maintain import fsck
 
         res = fsck(eng, deep=args.deep)
+        print(json.dumps(res))
+        if not res["ok"]:
+            import ray as _r
+            _r.shutdown()
+            return 1
+    elif args.cmd == "vacuum":
+        from .pipelines.maintain import vacuum
+
+        res = vacuum(
+            eng, keep_versions=args.keep_versions,
+            prune_history=args.prune_history,
+        )
         print(json.dumps(res))
         if not res["ok"]:
             import ray as _r

@@ -220,6 +220,119 @@ def validate_custom(engine: CDCEngine, source_value: dict, target_fn) -> dict:
     return {"ok": True, "value": tgt}
 
 
+def vacuum(
+    engine: CDCEngine, keep_versions: int = 2, prune_history: bool = False
+) -> dict:
+    """Version GC — reclaim part files, versioned manifests and stale
+    staging/marker scratch older than a retention horizon.
+
+    Every committed batch writes new immutable ``part-PID-vVER`` files;
+    at 10^10-event scale the superseded versions accumulate without
+    bound unless something deletes them. ``vacuum`` keeps the newest
+    ``keep_versions`` committed versions fully intact — time travel
+    (``dataset(version=...)``), ``diff_versions`` and ``rollback``
+    keep working within that horizon and fail loudly beyond it (the
+    rollback guard in state/manifest.py:227 already names the GC
+    horizon). Reference parity: DBImport expires Iceberg snapshots on
+    every merge-table import —
+    ``purgeIcebergVersionsOnTargetTable`` calls
+    ``system.expire_snapshots(older_than=..., retain_last=1)``
+    (/root/reference/bin/DBImportOperation/import_operations.py:1513,
+    :1528); here the same retention verb runs over the manifest store.
+
+    Safety rules, in order:
+    - refuses to run while a batch is in flight (pending checkpoint or
+      pending manifest) — the pending version's files are not yet
+      reachable from any committed manifest;
+    - a data file is deleted ONLY if (a) it is referenced by NO kept
+      manifest and (b) its encoded version is below the horizon — (a)
+      alone protects old files still live in kept manifests (a
+      partition untouched for many batches keeps its old file), (b) is
+      belt-and-braces against unparseable references;
+    - history files are the audit log and are kept by default;
+      ``prune_history=True`` drops history below the horizon and
+      rewrites the affected manifests' cumulative ``history_files``
+      lists atomically (explicitly trading audit depth for space).
+    """
+    import re
+
+    from dataclasses import asdict
+
+    from ..state.manifest import _atomic_write_json
+
+    store = engine.store
+    if engine.ckpt.load().pending_seq is not None or store.load_pending_manifest():
+        return {
+            "ok": False,
+            "err": "batch in flight (pending checkpoint/manifest); "
+            "commit or abort before vacuum",
+        }
+    current = store.load_manifest()
+    horizon = max(1, current.version - max(1, keep_versions) + 1)
+    kept: list[Manifest] = []
+    for v in range(horizon, current.version + 1):
+        try:
+            kept.append(store.load_manifest(version=v))
+        except FileNotFoundError:
+            pass
+    if not any(m.version == current.version for m in kept):
+        kept.append(current)
+    purged = store.purge_old_versions(keep_versions=max(1, keep_versions))
+    deleted, reclaimed = purged["files"], purged["bytes"]
+
+    manifests_deleted = 0
+    mdir = os.path.join(store.root, "_manifests")
+    if os.path.isdir(mdir):
+        for name in sorted(os.listdir(mdir)):
+            mv = re.match(r"v(\d+)\.json$", name)
+            if mv and int(mv.group(1)) < horizon:
+                os.remove(os.path.join(mdir, name))
+                manifests_deleted += 1
+
+    # stale scratch: staging + markers of already-committed versions
+    store.clear_staging(None)
+    marker_root = os.path.join(store.root, "_pending")
+    if os.path.isdir(marker_root):
+        for name in sorted(os.listdir(marker_root)):
+            mv = re.match(r"v(\d+)$", name)
+            if mv and int(mv.group(1)) <= current.version:
+                shutil.rmtree(os.path.join(marker_root, name), ignore_errors=True)
+
+    hist_deleted = 0
+    if prune_history:
+        hpat = re.compile(r"history/hist-\d+-v(\d+)\.parquet$")
+        drop = {
+            f for f in current.history_files
+            if (hm := hpat.match(f)) and int(hm.group(1)) < horizon
+        }
+        for f in sorted(drop):
+            p = store.abs_path(f)
+            if os.path.exists(p):
+                reclaimed += os.path.getsize(p)
+                os.remove(p)
+            hist_deleted += 1
+        if drop:
+            for m in kept:
+                m.history_files = [f for f in m.history_files if f not in drop]
+                _atomic_write_json(
+                    store.versioned_manifest_path(m.version), asdict(m)
+                )
+            current.history_files = [
+                f for f in current.history_files if f not in drop
+            ]
+            _atomic_write_json(store.manifest_path, asdict(current))
+
+    return {
+        "ok": True,
+        "horizon": horizon,
+        "kept_versions": [m.version for m in kept],
+        "data_files_deleted": len(deleted),
+        "history_files_deleted": hist_deleted,
+        "manifests_deleted": manifests_deleted,
+        "bytes_reclaimed": reclaimed,
+    }
+
+
 def fsck(engine: CDCEngine, deep: bool = False) -> dict:
     """Lake consistency check — every invariant the commit protocol is
     supposed to uphold, verified from the artifacts alone (the analogue of

@@ -278,10 +278,24 @@ class TableStore:
 
     # --- version GC (purgeIcebergVersions analogue,
     #     import_operations.py:1513) ---------------------------------------
-    def purge_old_versions(self, keep_versions: int = 2) -> list[str]:
+    def purge_old_versions(self, keep_versions: int = 2) -> dict:
+        """Delete superseded part files. A file survives if it is live in
+        the CURRENT manifest or if any kept version (the newest
+        ``keep_versions``) could reference it — i.e. its encoded version
+        is above the cutoff. Runs automatically at every commit
+        (pipelines/cdc.py); ``pipelines/maintain.py:vacuum`` composes it
+        with manifest/staging/marker/history retention for the offline
+        verb. Returns {"files": [rel, ...], "bytes": reclaimed}."""
         m = self.load_manifest()
-        live = {p["file"] for p in m.partitions.values()}
-        removed = []
+        live = set()
+        for v in range(max(1, m.version - keep_versions + 1), m.version + 1):
+            try:
+                mv = self.load_manifest(version=v)
+            except FileNotFoundError:
+                continue
+            live |= {p["file"] for p in mv.partitions.values()}
+        live |= {p["file"] for p in m.partitions.values()}
+        removed, nbytes = [], 0
         cutoff = m.version - keep_versions
         data_dir = os.path.join(self.root, "data")
         for fn in os.listdir(data_dir):
@@ -293,6 +307,8 @@ class TableStore:
             except (IndexError, ValueError):
                 continue
             if ver <= cutoff:
-                os.remove(os.path.join(data_dir, fn))
+                p = os.path.join(data_dir, fn)
+                nbytes += os.path.getsize(p)
+                os.remove(p)
                 removed.append(rel)
-        return removed
+        return {"files": removed, "bytes": nbytes}

@@ -348,3 +348,79 @@ def test_drift_report_flags_volume_anomaly(tmp_path, ray_session):
     rep = drift_report(eng)
     assert not rep["ok"]
     assert any(f["metric"] == "deletes" and f["value"] == 90 for f in rep["findings"])
+
+
+def test_vacuum_retention_and_safety(tmp_path, ray_session):
+    from dbimport_ray.pipelines.maintain import fsck, vacuum
+
+    cfg = TableConfig(name="t", pk=["k"], value_columns=["v"], num_partitions=4)
+    eng = CDCEngine(str(tmp_path / "lake"), cfg)
+    ev1 = _events(tmp_path, "e1.parquet", 40)
+    ev2 = _events(tmp_path, "e2.parquet", 40, start=41)
+    ev3 = _events(tmp_path, "e3.parquet", 40, start=81)
+    eng.replay(ev1, upto_seq=40)     # v1
+    eng.replay([ev1, ev2], upto_seq=80)   # v2
+    eng.replay([ev1, ev2, ev3], upto_seq=120)  # v3
+    before = eng.arrow().sort_by([("k", "ascending")])
+    data_dir = tmp_path / "lake" / "t" / "data"
+    # commit-time auto-purge (keep 2) already removed the v1 part files
+    assert not [f for f in os.listdir(data_dir) if f.endswith("-v000001.parquet")]
+    v2_files = [f for f in os.listdir(data_dir) if f.endswith("-v000002.parquet")]
+    assert v2_files  # within the auto horizon, still on disk
+
+    res = vacuum(eng, keep_versions=1)
+    assert res["ok"] and res["horizon"] == 3
+    assert res["data_files_deleted"] == len(v2_files)
+    assert res["bytes_reclaimed"] > 0
+    assert res["manifests_deleted"] == 2  # v1, v2 manifests expired
+    # current state intact, fsck clean, history untouched by default
+    assert eng.arrow().sort_by([("k", "ascending")]).equals(before)
+    assert fsck(eng)["ok"]
+    assert eng.history().num_rows == 120
+    # time travel works inside the horizon, fails loudly beyond it
+    assert eng.store.load_manifest(version=3).version == 3
+    with pytest.raises(FileNotFoundError):
+        eng.store.load_manifest(version=2)
+    # idempotent
+    res2 = vacuum(eng, keep_versions=1)
+    assert res2["ok"] and res2["data_files_deleted"] == 0
+    # replay continues cleanly after vacuum
+    ev4 = _events(tmp_path, "e4.parquet", 10, start=121)
+    assert eng.replay([ev1, ev2, ev3, ev4], upto_seq=130)["status"] == "committed"
+    assert eng.dataset().count() == 130
+
+
+def test_vacuum_refuses_mid_batch(tmp_path, ray_session):
+    from dbimport_ray.pipelines.maintain import vacuum
+
+    cfg = TableConfig(name="t", pk=["k"], value_columns=["v"], num_partitions=2)
+    eng = CDCEngine(str(tmp_path / "lake"), cfg)
+    ev = _events(tmp_path, "e.parquet", 30)
+    eng.replay(ev, upto_seq=15)
+    ev2 = _events(tmp_path, "e2.parquet", 15, start=16)
+    with pytest.raises(RuntimeError):
+        eng.replay([ev, ev2], fail_before_commit=True)
+    res = vacuum(eng)
+    assert not res["ok"] and "in flight" in res["err"]
+    # after the resume commits, vacuum runs
+    assert eng.replay([ev, ev2])["status"] == "committed"
+    assert vacuum(eng)["ok"]
+
+
+def test_vacuum_prune_history(tmp_path, ray_session):
+    from dbimport_ray.pipelines.maintain import fsck, vacuum
+
+    cfg = TableConfig(name="t", pk=["k"], value_columns=["v"], num_partitions=2)
+    eng = CDCEngine(str(tmp_path / "lake"), cfg)
+    ev1 = _events(tmp_path, "e1.parquet", 20)
+    ev2 = _events(tmp_path, "e2.parquet", 20, start=21)
+    ev3 = _events(tmp_path, "e3.parquet", 20, start=41)
+    eng.replay(ev1, upto_seq=20)
+    eng.replay([ev1, ev2], upto_seq=40)
+    eng.replay([ev1, ev2, ev3], upto_seq=60)
+    assert eng.history().num_rows == 60
+    res = vacuum(eng, keep_versions=2, prune_history=True)
+    assert res["ok"] and res["history_files_deleted"] > 0
+    # audit now starts at the horizon; manifests rewritten consistently
+    assert eng.history().num_rows == 40
+    assert fsck(eng)["ok"]
