@@ -346,10 +346,19 @@ def duplicate_segments(
     ).materialize()  # consumed twice (count exchange + join probe)
     counts = segs.groupby("seg_hash").aggregate(Count(alias_name="seg_count"))
     counts, n = compact_sparse(counts, num_partitions)
-    flagged = hash_join(
-        segs, counts, on=("seg_hash",),
-        num_partitions=eff_join_parts(n, num_partitions),
-    )
+    if n <= 2_000_000:
+        # hash→count domain fits a broadcast: enrich the segment stream
+        # in place, no second exchange
+        from ..stages.joins import broadcast_lookup_join
+
+        flagged = broadcast_lookup_join(
+            segs, counts, keys=["seg_hash"], value_cols=["seg_count"]
+        )
+    else:
+        flagged = hash_join(
+            segs, counts, on=("seg_hash",),
+            num_partitions=eff_join_parts(n, num_partitions),
+        )
 
     def mark(tbl: pa.Table) -> pa.Table:
         dup = pc.cast(
@@ -440,15 +449,16 @@ class DedupIndex:
             .groupby("content_hash")
             .aggregate(Min(id_col, alias_name="keep_id"))
         )
-        from ..stages.joins import eff_join_parts
+        from ..stages.joins import semi_join_sized
 
-        winners, n = compact_sparse(winners, num_partitions)
-        survivors = hash_join(
-            hashed,
-            winners.select_columns(["keep_id"]),
-            on=(id_col,),
-            right_on=("keep_id",),
-            num_partitions=eff_join_parts(n, num_partitions),
+        winners, n = compact_sparse(
+            winners.select_columns(["keep_id"]).rename_columns(
+                {"keep_id": id_col}
+            ),
+            num_partitions,
+        )
+        survivors = semi_join_sized(
+            hashed, winners, [id_col], n, num_partitions
         ).materialize()  # consumed twice: index append + caller read
 
         new_hashes = pa.concat_tables(

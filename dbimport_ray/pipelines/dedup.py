@@ -81,11 +81,12 @@ def exact_dedup(
         .select_columns(["keep_id"])
     )
     # aggregate outputs can contain empty blocks — compact the narrow side
-    winners, _ = compact_sparse(winners, num_partitions)
-    out = hash_join(
-        ds, winners, on=(id_col,), right_on=("keep_id",),
-        num_partitions=num_partitions,
+    from ..stages.joins import semi_join_sized
+
+    winners, n_keep = compact_sparse(
+        winners.rename_columns({"keep_id": id_col}), num_partitions
     )
+    out = semi_join_sized(ds, winners, [id_col], n_keep, num_partitions)
     if keep_cols:
         out = out.select_columns(keep_cols)
     return out
@@ -125,6 +126,7 @@ class MinHashSignatures:
         # affine universal hashing over the Mersenne prime 2^61-1
         self.a = rng.integers(1, int(_MERSENNE), size=self.H, dtype=np.uint64)
         self.b = rng.integers(0, int(_MERSENNE), size=self.H, dtype=np.uint64)
+        self._hv_buf = self._fb_buf = None  # chunk buffers, see signatures()
 
     def shingle_hashes(self, texts: pa.ChunkedArray | pa.Array):
         """token k-shingles per doc → (uint64 hashes, doc parent index).
@@ -158,11 +160,49 @@ class MinHashSignatures:
         base, parent = self.shingle_hashes(texts)
         n_docs = len(texts)
         sig = np.full((n_docs, self.H), np.iinfo(np.uint64).max, dtype=np.uint64)
-        if len(base):
-            with np.errstate(over="ignore"):
-                # (n_shingles, H) universal hashes, then segmented min by doc
-                hv = (base[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
-            np.minimum.at(sig, parent, hv)
+        nb = len(base)
+        if not nb:
+            return sig
+        # Stream the (n_shingles, H) hash matrix through two REUSED chunk
+        # buffers instead of materializing it: the one-shot expression
+        # allocated ~4 temporaries of n_shingles×H×8 B, and on this class
+        # of host the FIRST TOUCH of fresh pages costs ~50 MB/s while the
+        # same arithmetic on warm memory runs at >5 GB/s (measured: 9.2 s
+        # cold vs 0.18 s warm for the identical 133 MB op) — so per-task
+        # memory, not FLOPs, was the whole stage. Constant ~64 MB per
+        # task regardless of batch size is also the right scale shape.
+        # The mod by the Mersenne prime is the fold identity
+        # (2^61 ≡ 1 mod M): bit-identical to %, no 64-bit division; the
+        # conditional subtract is minimum(hv, hv - M) — uint64 wraparound
+        # makes hv - M larger than hv exactly when hv < M.
+        ch = 1 << 14  # 16k×H×8B = 8 MB/buffer: small enough that even
+        # ~20 MB/s first-touch zeroing costs <1 s once per actor
+        if self._hv_buf is None or len(self._hv_buf) < min(ch, nb):
+            m0 = min(ch, nb)
+            # actor state: allocated once per actor, reused every batch
+            self._hv_buf = np.empty((m0, self.H), dtype=np.uint64)
+            self._fb_buf = np.empty((m0, self.H), dtype=np.uint64)
+            self._seg_buf = np.empty((m0, self.H), dtype=np.uint64)
+        hv_buf, fb_buf, seg_buf = self._hv_buf, self._fb_buf, self._seg_buf
+        with np.errstate(over="ignore"):
+            for off in range(0, nb, ch):
+                end = min(off + ch, nb)
+                m = end - off
+                hv, fb = hv_buf[:m], fb_buf[:m]
+                np.multiply(base[off:end, None], self.a[None, :], out=hv)
+                np.add(hv, self.b[None, :], out=hv)
+                np.right_shift(hv, np.uint64(61), out=fb)
+                np.bitwise_and(hv, _MERSENNE, out=hv)
+                np.add(hv, fb, out=hv)
+                np.subtract(hv, _MERSENNE, out=fb)
+                np.minimum(hv, fb, out=hv)
+                # segmented per-doc min: parent is nondecreasing, so each
+                # chunk reduces with one reduceat; chunk-straddling docs
+                # merge through the (tiny) minimum.at on segment rows
+                p = parent[off:end]
+                st = np.flatnonzero(np.r_[True, p[1:] != p[:-1]])
+                mins = np.minimum.reduceat(hv, st, axis=0, out=seg_buf[: len(st)])
+                np.minimum.at(sig, p[st], mins)
         return sig
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -335,16 +375,10 @@ def minhash_lsh_dedup(
     survivors = clusters.filter(
         expr=f"{id_col} == rep"
     ).select_columns([id_col])
-    survivors, n_keep = compact_sparse(
-        survivors.rename_columns({id_col: "__keep_id"}), num_partitions
-    )
-    from ..stages.joins import eff_join_parts
+    survivors, n_keep = compact_sparse(survivors, num_partitions)
+    from ..stages.joins import semi_join_sized
 
-    return hash_join(
-        ds, survivors,
-        on=(id_col,), right_on=("__keep_id",),
-        num_partitions=eff_join_parts(n_keep, num_partitions),
-    )
+    return semi_join_sized(ds, survivors, [id_col], n_keep, num_partitions)
 
 
 # ---------------------------------------------------------------------------
@@ -419,6 +453,22 @@ def join_pair_texts(
     pairs, n_pairs = compact_sparse(pairs, num_partitions)
     if n_pairs == 0:
         return _empty_pair_texts(left_key, right_key)
+    if n_pairs <= 2_000_000:
+        # the pair-id set fits a broadcast: pre-filter each doc side to
+        # the ids that actually appear in a pair, so the text joins
+        # exchange ∝ pairs instead of ∝ corpus
+        from ..stages.joins import broadcast_semi_join
+
+        left_docs = broadcast_semi_join(
+            left_docs,
+            pairs.select_columns([left_key]).rename_columns({left_key: "__lid"}),
+            ["__lid"],
+        )
+        right_docs = broadcast_semi_join(
+            right_docs,
+            pairs.select_columns([right_key]).rename_columns({right_key: "__rid"}),
+            ["__rid"],
+        )
     out = hash_join(
         pairs, left_docs, on=(left_key,), right_on=("__lid",),
         num_partitions=eff_join_parts(n_pairs, num_partitions), pools=2,

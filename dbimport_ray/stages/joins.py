@@ -162,6 +162,33 @@ def broadcast_semi_join(
     )
 
 
+def semi_join_sized(
+    big: rd.Dataset,
+    keys_ds: rd.Dataset,
+    on: list[str],
+    n_keys: int,
+    num_partitions: int = 16,
+    broadcast_max: int = 2_000_000,
+) -> rd.Dataset:
+    """Exact semi join where the key-set size was already counted (the
+    compact_sparse pattern): broadcast the sorted key set when it fits
+    (one probe stage, zero exchange of ``big``), hash join otherwise.
+    Key column names must match across sides."""
+    if n_keys <= broadcast_max:
+        return broadcast_semi_join(big, keys_ds, list(on))
+    renames = {c: f"__sjs_{c}" for c in on}
+    joined = hash_join(
+        big, keys_ds.rename_columns(renames),
+        on=tuple(on), right_on=tuple(renames[c] for c in on),
+        num_partitions=eff_join_parts(n_keys, num_partitions),
+    )
+    # drop the (possibly suffixed) right-side key echoes → semi semantics
+    return joined.map_batches(
+        lambda t: t.select([c for c in t.column_names if not c.startswith("__sjs_")]),
+        batch_format="pyarrow",
+    )
+
+
 def collect_small(ds: rd.Dataset | pa.Table, columns: list[str], max_rows: int = 5_000_000) -> pa.Table:
     """Collect a SMALL side (dimension table, aggregate output) to one Arrow
     table for broadcasting. Guarded: raises if the side exceeds ``max_rows``
