@@ -131,6 +131,12 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("clear-stage")
     common(sp, data_plane=False)
     sp = sub.add_parser(
+        "force-unlock",
+        help="break the table's single-writer lock (operator escape hatch; "
+        "verify the holder is really gone first)",
+    )
+    common(sp, data_plane=False)
+    sp = sub.add_parser(
         "credential",
         help="encrypted credential store (manage --encryptCredentials analogue)",
     )
@@ -181,7 +187,8 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(cand, sort_keys=True))
         return 0
 
-    if args.cmd in ("status", "metrics", "reset-watermark", "clear-stage"):
+    if args.cmd in ("status", "metrics", "reset-watermark", "clear-stage",
+                    "force-unlock"):
         import os
 
         from .state.checkpoint import CheckpointStore
@@ -217,6 +224,15 @@ def main(argv: list[str] | None = None) -> int:
             cp.stage = 0
             ckpt.save(cp)
             print(json.dumps({"cleared": True, "committed_seq": cp.committed_seq}))
+        elif args.cmd == "force-unlock":
+            lk = store.writer_lock
+            info = lk._read()
+            try:
+                os.unlink(lk.path)
+                broken = True
+            except FileNotFoundError:
+                broken = False
+            print(json.dumps({"broken": broken, "holder": info}))
         return 0
 
     _init_ray()

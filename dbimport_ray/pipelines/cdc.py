@@ -442,7 +442,27 @@ class CDCEngine:
         override_num_blocks: int | None = None,
         fail_before_commit: bool = False,
     ) -> dict:
-        """Apply one micro-batch of change events; returns batch metrics."""
+        """Apply one micro-batch of change events; returns batch metrics.
+
+        Holds the table's single-writer lock for the whole batch: two
+        drivers replaying the same table concurrently would both stage
+        version N+1 and the later commit would clobber the earlier one's
+        partition files — now the second raises ``WriterLockHeld`` instead
+        (stale locks from dead pids are broken automatically)."""
+        with self.store.writer_lock:
+            return self._replay_locked(
+                events_path, upto_seq, merge_ts, override_num_blocks,
+                fail_before_commit,
+            )
+
+    def _replay_locked(
+        self,
+        events_path: str | list[str],
+        upto_seq: int | None = None,
+        merge_ts: datetime | None = None,
+        override_num_blocks: int | None = None,
+        fail_before_commit: bool = False,
+    ) -> dict:
         manifest = self.store.load_manifest()
         self._adopt_partition_modulus(manifest)
         cp = self.ckpt.load()
@@ -863,9 +883,22 @@ class CDCEngine:
         only ``_staging/v``; the checkpoint/pending protocol still advances
         strictly one batch at a time, and prestaging is skipped whenever
         the incoming schema differs from the live one (schema evolution
-        must see the post-commit manifest)."""
+        must see the post-commit manifest). The single-writer lock is held
+        across the whole stream (reentrant under each inner replay)."""
         import threading
 
+        with self.store.writer_lock:
+            return self._replay_stream_locked(
+                events_path, boundaries, override_num_blocks, threading
+            )
+
+    def _replay_stream_locked(
+        self,
+        events_path: str | list[str],
+        boundaries: list[int],
+        override_num_blocks: int | None,
+        threading,
+    ) -> list[dict]:
         if any(b2 <= b1 for b1, b2 in zip(boundaries, boundaries[1:])):
             raise ValueError(
                 f"replay_stream boundaries must be strictly ascending: {boundaries}"
@@ -959,6 +992,23 @@ class CDCEngine:
         interval = poll_interval_s
         polls = 0
         last_late: frozenset = frozenset()
+        # the daemon IS the table's writer for its whole life: hold the
+        # single-writer lock across the poll loop (reentrant under each
+        # inner replay) so a second tail / ad-hoc replay fails fast
+        with self.store.writer_lock:
+            return self._tail_loop(
+                events_path, do_sleep, results, interval, polls, last_late,
+                poll_interval_s, max_interval_s, backoff, max_polls,
+                stop_after_batches, stop_file, on_batch,
+                audit_every_polls, on_late, _os,
+            )
+
+    def _tail_loop(
+        self, events_path, do_sleep, results, interval, polls, last_late,
+        poll_interval_s, max_interval_s, backoff, max_polls,
+        stop_after_batches, stop_file, on_batch, audit_every_polls,
+        on_late, _os,
+    ) -> list[dict]:
         while True:
             if stop_file is not None and _os.path.exists(stop_file):
                 break

@@ -175,12 +175,24 @@ def compact_history(engine: CDCEngine, target_file_rows: int = 1_000_000) -> dic
 def replicate_lake(engine: CDCEngine, dest_root: str) -> dict:
     """Copy the committed table (files + manifest) to another lake root —
     the DistCp multi-cluster copy phase (copy_operations.py:278), commit
-    protocol preserved: files first, manifest rename last."""
+    protocol preserved: files first, manifest rename last. Takes the
+    DESTINATION's writer lock — the replica dir is a table like any other
+    and a concurrent writer there would race the manifest rename."""
+    from ..state.manifest import WriterLock
+
     store = engine.store
     manifest = store.load_manifest()
     dest = os.path.join(dest_root, engine.cfg.name)
     os.makedirs(os.path.join(dest, "data"), exist_ok=True)
     os.makedirs(os.path.join(dest, "history"), exist_ok=True)
+    dest_lock = WriterLock(
+        os.path.join(dest, "_writer.lock"), owner=f"replicate:{engine.cfg.name}"
+    )
+    with dest_lock:
+        return _replicate_files(store, manifest, dest)
+
+
+def _replicate_files(store, manifest, dest: str) -> dict:
     copied = 0
     for e in manifest.partitions.values():
         src = store.abs_path(e["file"])
@@ -224,7 +236,9 @@ def vacuum(
     engine: CDCEngine, keep_versions: int = 2, prune_history: bool = False
 ) -> dict:
     """Version GC — reclaim part files, versioned manifests and stale
-    staging/marker scratch older than a retention horizon.
+    staging/marker scratch older than a retention horizon. Runs under the
+    table's single-writer lock: deleting superseded part files while
+    another driver is mid-stage would race its version numbering.
 
     Every committed batch writes new immutable ``part-PID-vVER`` files;
     at 10^10-event scale the superseded versions accumulate without
@@ -254,6 +268,13 @@ def vacuum(
       rewrites the affected manifests' cumulative ``history_files``
       lists atomically (explicitly trading audit depth for space).
     """
+    with engine.store.writer_lock:
+        return _vacuum_locked(engine, keep_versions, prune_history)
+
+
+def _vacuum_locked(
+    engine: CDCEngine, keep_versions: int, prune_history: bool
+) -> dict:
     import re
 
     from dataclasses import asdict
@@ -494,7 +515,16 @@ def rescue_late(engine: CDCEngine, events_path, findings: list[dict] | None = No
       value compare, so untouched keys stay bit-identical.
 
     The watermark does not move; a metrics record with ``after_seq=-1``
-    lists the rescued files as consumed, so the next audit is clean."""
+    lists the rescued files as consumed, so the next audit is clean.
+    Runs under the table's single-writer lock (it rewrites committed
+    partition files and the manifest)."""
+    with engine.store.writer_lock:
+        return _rescue_late_locked(engine, events_path, findings)
+
+
+def _rescue_late_locked(
+    engine: CDCEngine, events_path, findings: list[dict] | None
+) -> dict:
     import numpy as np
     import pyarrow.compute as pc
     import ray

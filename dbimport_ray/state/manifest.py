@@ -44,6 +44,117 @@ def _atomic_write_json(path: str, obj: Any) -> None:
     os.replace(tmp, path)
 
 
+class WriterLockHeld(RuntimeError):
+    """Another live writer holds this table's lock."""
+
+
+class WriterLock:
+    """Single-writer guard for one lake table.
+
+    The 2PC manifest swap makes each batch atomic, but nothing stopped TWO
+    drivers from running ``replay()`` concurrently against the same table —
+    both would stage under the same next version and the second commit would
+    silently clobber the first's partition files (the analogue of DBImport's
+    Airflow pool + one-DAG-per-table serialization, Schedule/Airflow.py).
+    This lock makes that a hard error instead.
+
+    Protocol: ``O_CREAT|O_EXCL`` on ``_writer.lock`` containing
+    ``{pid, host, owner, ts}``. On contention: a lock whose pid is dead on
+    the SAME host is stale and is broken; a lock from ANOTHER host (shared
+    filesystem) is honored until its lease age exceeds ``lease_sec`` —
+    liveness can't be probed cross-host, so the lease is the only safe
+    staleness signal there. Reentrant within one process via a depth
+    counter (``tail`` holds the lock across its ``replay()`` loop).
+    """
+
+    def __init__(self, path: str, owner: str = "writer", lease_sec: float = 3600.0):
+        self.path = path
+        self.owner = owner
+        self.lease_sec = lease_sec
+        self._depth = 0
+
+    # -- helpers ------------------------------------------------------------
+    def _read(self) -> dict | None:
+        try:
+            with open(self.path) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
+    def _is_stale(self, info: dict | None) -> bool:
+        import socket
+        import time as _time
+
+        if info is None:
+            return True  # unreadable/vanished → contend for it again
+        if info.get("host") == socket.gethostname():
+            try:
+                os.kill(int(info["pid"]), 0)
+                return False  # same host, pid alive → held
+            except (ProcessLookupError, ValueError):
+                return True
+            except PermissionError:
+                return False  # alive but other uid
+        return (_time.time() - float(info.get("ts", 0))) > self.lease_sec
+
+    # -- acquire/release ----------------------------------------------------
+    def acquire(self) -> None:
+        import socket
+        import time as _time
+
+        if self._depth > 0:
+            self._depth += 1
+            return
+        for _ in range(3):  # EEXIST → stale-check → break → retry race
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                info = self._read()
+                if self._is_stale(info):
+                    try:
+                        os.unlink(self.path)
+                    except FileNotFoundError:
+                        pass
+                    continue
+                raise WriterLockHeld(
+                    f"table locked by pid {info.get('pid')}@{info.get('host')} "
+                    f"(owner={info.get('owner')}, since ts={info.get('ts')}): "
+                    f"{self.path}"
+                )
+            with os.fdopen(fd, "w") as f:
+                json.dump(
+                    {
+                        "pid": os.getpid(),
+                        "host": socket.gethostname(),
+                        "owner": self.owner,
+                        "ts": _time.time(),
+                    },
+                    f,
+                )
+                f.flush()
+                os.fsync(f.fileno())
+            self._depth = 1
+            return
+        raise WriterLockHeld(f"could not win the lock race: {self.path}")
+
+    def release(self) -> None:
+        if self._depth == 0:
+            return
+        self._depth -= 1
+        if self._depth == 0:
+            try:
+                os.unlink(self.path)
+            except FileNotFoundError:
+                pass
+
+    def __enter__(self) -> "WriterLock":
+        self.acquire()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.release()
+
+
 def schema_to_json(schema: pa.Schema) -> list[dict]:
     return [{"name": f.name, "type": str(f.type)} for f in schema]
 
@@ -119,6 +230,10 @@ class TableStore:
         self.table = table
         os.makedirs(os.path.join(self.root, "data"), exist_ok=True)
         os.makedirs(os.path.join(self.root, "history"), exist_ok=True)
+        # one lock object per store → reentrant within this process
+        self.writer_lock = WriterLock(
+            os.path.join(self.root, "_writer.lock"), owner=table
+        )
 
     # --- paths -------------------------------------------------------------
     @property

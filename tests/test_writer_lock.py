@@ -1,0 +1,124 @@
+"""Single-writer lock: two drivers replaying one table must not interleave.
+
+The 2PC manifest swap makes each batch atomic, but before the lock two
+concurrent ``replay()`` calls would both stage version N+1 and the later
+commit clobbered the earlier one's partition files. These tests pin the
+guard: contention raises, stale locks from dead pids are broken, the lock
+is reentrant inside one engine (tail → replay), and mutating maintenance
+verbs (vacuum) contend with a live writer.
+"""
+
+import json
+import os
+import socket
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from dbimport_ray import CDCEngine
+from dbimport_ray.config import TableConfig
+from dbimport_ray.state.manifest import WriterLock, WriterLockHeld
+
+
+def _write(tmp_path, name, seqs, ops, keys, vals):
+    t = pa.table(
+        {
+            "sequence_id": pa.array(seqs, pa.int64()),
+            "op": pa.array(ops),
+            "k": pa.array(keys),
+            "v": pa.array(vals, pa.float64()),
+        }
+    )
+    p = str(tmp_path / name)
+    pq.write_table(t, p)
+    return p
+
+
+def _engine(tmp_path) -> CDCEngine:
+    cfg = TableConfig(
+        name="t", pk=["k"], value_columns=["v"], num_partitions=4
+    )
+    return CDCEngine(str(tmp_path / "lake"), cfg)
+
+
+def test_contention_raises(tmp_path):
+    a = WriterLock(str(tmp_path / "l.lock"), owner="a")
+    b = WriterLock(str(tmp_path / "l.lock"), owner="b")
+    a.acquire()
+    # b is a DIFFERENT lock object (simulates a second driver process whose
+    # pid happens to be alive — ours is)
+    with pytest.raises(WriterLockHeld):
+        b.acquire()
+    a.release()
+    b.acquire()  # free now
+    b.release()
+    assert not os.path.exists(str(tmp_path / "l.lock"))
+
+
+def test_stale_same_host_lock_is_broken(tmp_path):
+    path = str(tmp_path / "l.lock")
+    with open(path, "w") as f:
+        json.dump(
+            {"pid": 2**22 + 12345, "host": socket.gethostname(),
+             "owner": "dead", "ts": 0}, f,
+        )
+    lk = WriterLock(path)
+    lk.acquire()  # dead pid on this host → stale → broken, no raise
+    assert json.load(open(path))["pid"] == os.getpid()
+    lk.release()
+
+
+def test_foreign_host_lock_honored_until_lease(tmp_path):
+    import time
+
+    path = str(tmp_path / "l.lock")
+    with open(path, "w") as f:
+        json.dump(
+            {"pid": 1, "host": "other-node", "owner": "remote",
+             "ts": time.time()}, f,
+        )
+    with pytest.raises(WriterLockHeld):
+        WriterLock(path, lease_sec=3600).acquire()
+    # expired lease → breakable
+    lk = WriterLock(path, lease_sec=0.0)
+    lk.acquire()
+    lk.release()
+
+
+def test_reentrant_within_engine(tmp_path):
+    lk = WriterLock(str(tmp_path / "l.lock"))
+    with lk:
+        with lk:  # tail holds across its replay loop
+            assert os.path.exists(str(tmp_path / "l.lock"))
+        assert os.path.exists(str(tmp_path / "l.lock"))
+    assert not os.path.exists(str(tmp_path / "l.lock"))
+
+
+def test_second_engine_replay_fails_fast(tmp_path, ray_session):
+    ev = _write(tmp_path, "b1.parquet", [1, 2], ["I", "I"], ["a", "b"], [1, 2])
+    eng1 = _engine(tmp_path)
+    eng2 = _engine(tmp_path)
+    eng1.store.writer_lock.acquire()  # driver 1 mid-batch
+    with pytest.raises(WriterLockHeld):
+        eng2.replay(ev)
+    # maintenance contends too
+    from dbimport_ray.pipelines.maintain import vacuum
+
+    with pytest.raises(WriterLockHeld):
+        vacuum(eng2)
+    eng1.store.writer_lock.release()
+    r = eng2.replay(ev)  # and succeeds once the writer is gone
+    assert r["rows"] == 2
+
+
+def test_replay_cleans_lock_and_is_rerunnable(tmp_path, ray_session):
+    ev1 = _write(tmp_path, "b1.parquet", [1, 2], ["I", "I"], ["a", "b"], [1, 2])
+    eng = _engine(tmp_path)
+    eng.replay(ev1)
+    assert not os.path.exists(eng.store.writer_lock.path)
+    ev2 = _write(tmp_path, "b2.parquet", [3], ["U"], ["a"], [9])
+    r = eng.replay([ev1, ev2])
+    assert r["status"] == "committed"
+    assert eng.store.load_manifest().total_rows() == 2
+    assert not os.path.exists(eng.store.writer_lock.path)
