@@ -109,6 +109,9 @@ def main(argv: list[str] | None = None) -> int:
     common(sp)
     sp.add_argument("--keep-versions", type=int, default=2)
     sp.add_argument("--prune-history", action="store_true", help="also drop history audit files below the horizon")
+    sp = sub.add_parser("align", help="force-rewrite partition files whose physical schema lags the manifest (pay down cast-on-read debt)")
+    common(sp)
+    sp.add_argument("--dry-run", action="store_true", help="report stale partitions without rewriting")
     sp = sub.add_parser("late-audit", help="detect source files the watermark protocol will never apply (late arrivals)")
     common(sp)
     sp.add_argument("--events", required=True, help="event parquet file/dir to audit against the consumed-input ledger")
@@ -288,6 +291,15 @@ def main(argv: list[str] | None = None) -> int:
             eng, keep_versions=args.keep_versions,
             prune_history=args.prune_history,
         )
+        print(json.dumps(res))
+        if not res["ok"]:
+            import ray as _r
+            _r.shutdown()
+            return 1
+    elif args.cmd == "align":
+        from .pipelines.maintain import align_schema
+
+        res = align_schema(eng, dry_run=args.dry_run)
         print(json.dumps(res))
         if not res["ok"]:
             import ray as _r

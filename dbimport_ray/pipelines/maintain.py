@@ -172,6 +172,124 @@ def compact_history(engine: CDCEngine, target_file_rows: int = 1_000_000) -> dic
     return {"compacted": len(files), "files": len(new_files), "rows": new_rows}
 
 
+def align_schema(engine: CDCEngine, dry_run: bool = False) -> dict:
+    """Pay down lazy schema-evolution debt: force-rewrite every partition
+    file whose PHYSICAL parquet schema lags the manifest schema.
+
+    Schema evolution is cast-on-read — a partition untouched since before
+    an evolve keeps its old physical file and every read re-aligns it
+    (``align_to_schema``); the file is only rewritten when a merge next
+    touches that partition. For a table where evolution outpaces key churn
+    that read tax never goes away. ``align`` rewrites the stale files once,
+    through the same 2PC manifest swap as a batch (Iceberg
+    ``rewrite_data_files`` / DBImport's alter-cycle full rewrite analogue,
+    import_operations.py:2105 addHiveDBImportColumns path).
+
+    Cost ∝ stale partitions only: footer-only staleness probe (no data IO
+    for aligned files), one ray task per stale partition, commit carries
+    untouched entries forward. The watermark does not move. Runs under the
+    single-writer lock; refuses mid-batch. ``dry_run`` reports staleness
+    without rewriting."""
+    with engine.store.writer_lock:
+        return _align_schema_locked(engine, dry_run)
+
+
+def _align_schema_locked(engine: CDCEngine, dry_run: bool) -> dict:
+    import ray
+
+    from ..sources.lake import cfg_with_schema
+    from ..stages.merge import target_schema
+    from ..state.schema_evolution import align_to_schema
+
+    store, cfg = engine.store, engine.cfg
+    if engine.ckpt.load().pending_seq is not None or store.load_pending_manifest():
+        return {
+            "ok": False,
+            "err": "batch in flight (pending checkpoint/manifest); "
+            "commit or abort before align",
+        }
+    manifest = store.load_manifest()
+    engine._adopt_partition_modulus(manifest)
+    schema = manifest.arrow_schema()
+    if schema is None or not manifest.partitions:
+        return {"ok": True, "stale": 0, "rewritten": 0, "version": manifest.version}
+    vtypes = {f.name: f.type for f in schema}
+    tgt = target_schema(cfg_with_schema(cfg, schema), vtypes)
+
+    stale: list[tuple[str, dict]] = []
+    for pid, e in manifest.partitions.items():
+        phys = pq.read_schema(store.abs_path(e["file"]))  # footer only
+        if [(f.name, f.type) for f in phys] != [(f.name, f.type) for f in tgt]:
+            stale.append((pid, e))
+    if dry_run or not stale:
+        return {
+            "ok": True, "stale": len(stale), "rewritten": 0,
+            "version": manifest.version,
+            "stale_pids": sorted(int(p) for p, _ in stale),
+        }
+
+    version = manifest.version + 1
+    root, table = engine.lake_root, cfg.name
+    tgt_ref = ray.put(tgt)
+    renames_ref = ray.put(dict(manifest.renames))
+
+    # Raw ray tasks, same rationale as the merge dispatch: ≤P tiny work
+    # items known up front. tmp→rename per file keeps retries idempotent;
+    # nothing is visible until the manifest swap below.
+    @ray.remote
+    def _rewrite(pid: str, rel_old: str, tgt, renames) -> dict:
+        from ..state.manifest import TableStore
+
+        st = TableStore(root, table)
+        t = pq.read_table(st.abs_path(rel_old))
+        t = align_to_schema(t, tgt, renames)
+        rel = st.part_file(int(pid), version)
+        abs_path = st.abs_path(rel)
+        tmp = abs_path + f".attempt-{os.getpid()}"
+        pq.write_table(t, tmp, compression="zstd")
+        os.replace(tmp, abs_path)
+        return {
+            "pid": pid, "file": rel, "rows": t.num_rows,
+            "bytes": os.path.getsize(abs_path),
+            "zones": column_zones(t) if t.num_rows else {},
+        }
+
+    results = ray.get(
+        [_rewrite.remote(pid, e["file"], tgt_ref, renames_ref) for pid, e in stale]
+    )
+
+    new_parts = dict(manifest.partitions)
+    for r in results:
+        old = manifest.partitions[r["pid"]]
+        if r["rows"] != old["rows"]:  # align never changes row counts
+            raise RuntimeError(
+                f"align row drift pid {r['pid']}: {old['rows']} → {r['rows']}"
+            )
+        new_parts[r["pid"]] = {
+            "file": r["file"], "rows": r["rows"], "bytes": r["bytes"],
+            "version": version, "zones": r["zones"],
+        }
+    new_m = Manifest(
+        table=manifest.table,
+        version=version,
+        committed_seq=manifest.committed_seq,
+        schema=manifest.schema,
+        renames=manifest.renames,
+        partitions=new_parts,
+        history_files=list(manifest.history_files),
+        num_partitions=manifest.num_partitions,
+        aggregates=dict(manifest.aggregates),
+    )
+    store.stage_manifest(new_m)
+    store.commit_manifest()
+    store.purge_old_versions(keep_versions=2)
+    return {
+        "ok": True, "stale": len(stale), "rewritten": len(results),
+        "version": version,
+        "stale_pids": sorted(int(p) for p, _ in stale),
+    }
+
+
 def replicate_lake(engine: CDCEngine, dest_root: str) -> dict:
     """Copy the committed table (files + manifest) to another lake root —
     the DistCp multi-cluster copy phase (copy_operations.py:278), commit

@@ -1,0 +1,106 @@
+"""align verb: force-rewrite partition files whose physical parquet schema
+lags the manifest schema (the cast-on-read debt left by lazy schema
+evolution). Work ∝ stale partitions; 2PC commit; row counts invariant."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from dbimport_ray import CDCEngine
+from dbimport_ray.config import TableConfig
+from dbimport_ray.pipelines.maintain import align_schema
+
+
+def _write(tmp_path, name, cols: dict):
+    p = str(tmp_path / name)
+    pq.write_table(pa.table(cols), p)
+    return p
+
+
+def _cfg(**kw):
+    d = dict(
+        name="t", pk=["k"], value_columns=["v"], num_partitions=4,
+        history=False,
+    )
+    d.update(kw)
+    return TableConfig(**d)
+
+
+def _evolved_engine(tmp_path):
+    """Batch 1 seeds many keys (all partitions); batch 2 adds a column but
+    touches ONE key → only that key's partition is rewritten, the rest
+    keep their old physical schema."""
+    keys = [f"k{i}" for i in range(16)]
+    b1 = _write(tmp_path, "b1.parquet", {
+        "sequence_id": pa.array(range(1, 17), pa.int64()),
+        "op": ["I"] * 16, "k": keys,
+        "v": pa.array([float(i) for i in range(16)]),
+    })
+    b2 = _write(tmp_path, "b2.parquet", {
+        "sequence_id": pa.array([17], pa.int64()), "op": ["U"],
+        "k": ["k0"], "v": pa.array([99.0]), "extra": ["hello"],
+    })
+    eng = CDCEngine(str(tmp_path / "lake"), _cfg())
+    eng.replay(b1, upto_seq=16)
+    eng.replay(b2, upto_seq=17)
+    return eng
+
+
+def _physical_schemas(eng):
+    m = eng.store.load_manifest()
+    return {
+        pid: pq.read_schema(eng.store.abs_path(e["file"]))
+        for pid, e in m.partitions.items()
+    }
+
+
+def test_align_rewrites_only_stale_partitions(tmp_path, ray_session):
+    eng = _evolved_engine(tmp_path)
+    before = eng.arrow().sort_by([("k", "ascending")])
+    phys = _physical_schemas(eng)
+    n_stale = sum(1 for s in phys.values() if "extra" not in s.names)
+    assert n_stale >= 1  # at least one partition kept the old layout
+
+    dry = align_schema(eng, dry_run=True)
+    assert dry["ok"] and dry["stale"] == n_stale and dry["rewritten"] == 0
+
+    v0 = eng.store.load_manifest().version
+    res = align_schema(eng)
+    assert res["ok"] and res["rewritten"] == n_stale
+    assert res["version"] == v0 + 1
+
+    # every physical file now carries the evolved schema…
+    for s in _physical_schemas(eng).values():
+        assert "extra" in s.names
+    # …and the logical table is unchanged
+    after = eng.arrow().sort_by([("k", "ascending")])
+    assert after.equals(before)
+
+    # idempotent: second align is a no-op and does not bump the version
+    res2 = align_schema(eng)
+    assert res2["ok"] and res2["stale"] == 0 and res2["rewritten"] == 0
+    assert eng.store.load_manifest().version == v0 + 1
+
+
+def test_align_noop_on_unevolved_table(tmp_path, ray_session):
+    b1 = _write(tmp_path, "b1.parquet", {
+        "sequence_id": pa.array([1, 2], pa.int64()), "op": ["I", "I"],
+        "k": ["a", "b"], "v": pa.array([1.0, 2.0]),
+    })
+    eng = CDCEngine(str(tmp_path / "lake"), _cfg())
+    eng.replay(b1, upto_seq=2)
+    v0 = eng.store.load_manifest().version
+    res = align_schema(eng)
+    assert res == {
+        "ok": True, "stale": 0, "rewritten": 0, "version": v0,
+        "stale_pids": [],
+    }
+
+
+def test_align_refuses_mid_batch(tmp_path, ray_session):
+    eng = _evolved_engine(tmp_path)
+    cp = eng.ckpt.load()
+    cp.pending_seq = 999
+    cp.pending_version = 99
+    eng.ckpt.save(cp)
+    res = align_schema(eng)
+    assert not res["ok"] and "in flight" in res["err"]
