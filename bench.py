@@ -84,6 +84,7 @@ QUERY_NAMES = [
     "robust_stats_events",
     "shipping_priority",
     "cohort_retention",
+    "repeated_spans",
 ]
 
 

@@ -767,3 +767,173 @@ def embedding_dedup_clusters(
         .groupby(id_col)
         .aggregate(Min("rep", alias_name="rep"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Repeated n-gram spans (exact substring-contamination detection)
+# ---------------------------------------------------------------------------
+
+def _kgram_positions(
+    t: pa.Table, id_col: str, text_col: str, k: int
+) -> pa.Table:
+    """map_batches stage: every k-token window of every doc → one narrow
+    row ``(h uint64→int64, id, pos)`` where ``pos`` is the window's first
+    token index within the doc (empty tokens dropped, same tokenizer as
+    the minhash shingles — so a DuckDB ``string_split_regex`` oracle can
+    reproduce it exactly)."""
+    texts = pc.utf8_lower(pc.cast(t[text_col], pa.string()))
+    tokens = pc.split_pattern_regex(texts, r"\W+")
+    flat = pc.list_flatten(tokens)
+    parent = pc.list_parent_indices(tokens)
+    mask = pc.not_equal(flat, "")
+    flat = (
+        flat.filter(mask).combine_chunks()
+        if isinstance(flat, pa.ChunkedArray)
+        else flat.filter(mask)
+    )
+    par = parent.filter(mask).to_numpy(zero_copy_only=False)
+    n = len(flat)
+    empty = pa.table({
+        "h": pa.array([], pa.int64()),
+        id_col: pa.array([], t.schema.field(id_col).type),
+        "pos": pa.array([], pa.int64()),
+    })
+    if n < k:
+        return empty
+    # per-doc token position after the empty filter: arange minus the
+    # doc's first flat index (parent is nondecreasing within a batch)
+    starts = np.flatnonzero(np.r_[True, par[1:] != par[:-1]])
+    seg_len = np.diff(np.r_[starts, n])
+    pos = np.arange(n, dtype=np.int64) - np.repeat(starts, seg_len)
+    m = n - k + 1
+    same_doc = par[:m] == par[k - 1 :]
+    if not same_doc.any():
+        return empty
+    parts = [flat.slice(j, m) for j in range(k)]
+    joined = pc.binary_join_element_wise(*parts, " ").filter(pa.array(same_doc))
+    h = _hash_strings(joined.to_numpy(zero_copy_only=False)).astype(np.int64)
+    kept_parent = par[:m][same_doc]
+    return pa.table({
+        "h": pa.array(h),
+        id_col: t[id_col].take(pa.array(kept_parent)),
+        "pos": pa.array(pos[:m][same_doc]),
+    })
+
+
+def _span_merge_kernel(t: pa.Table, id_col: str, k: int) -> pa.Table:
+    """One coarse bucket = many docs: a single lexsort orders (id, pos);
+    islands break where the doc changes or the position gap exceeds k
+    (windows no longer overlap/touch); reduceat yields each island's
+    [min, max] in one pass. No per-doc Python."""
+    if t.num_rows == 0:
+        return pa.table({
+            id_col: pa.array([], t.schema.field(id_col).type),
+            "span_start": pa.array([], pa.int64()),
+            "span_end": pa.array([], pa.int64()),
+            "span_tokens": pa.array([], pa.int64()),
+        })
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    pos = t["pos"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((pos, ids))
+    ids_s, pos_s = ids[order], pos[order]
+    brk = np.zeros(len(ids_s), dtype=bool)
+    brk[0] = True
+    brk[1:] = (ids_s[1:] != ids_s[:-1]) | (pos_s[1:] - pos_s[:-1] > k)
+    starts = np.flatnonzero(brk)
+    ends = np.r_[starts[1:], len(pos_s)] - 1
+    span_start = pos_s[starts]
+    span_end = pos_s[ends] + k
+    return pa.table({
+        id_col: pa.array(ids_s[starts]),
+        "span_start": pa.array(span_start.astype(np.int64)),
+        "span_end": pa.array(span_end.astype(np.int64)),
+        "span_tokens": pa.array((span_end - span_start).astype(np.int64)),
+    })
+
+
+def repeated_spans(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Maximal repeated k-token spans across the corpus — the exact
+    substring-contamination primitive of "Deduplicating Training Data
+    Makes Language Models Better" (Lee et al., 2022), re-expressed without
+    a suffix array: (1) every k-token window → a narrow ``(hash, id,
+    pos)`` row; (2) windows whose hash occurs ≥2 times anywhere in the
+    corpus are duplicated; (3) per doc, duplicated windows whose positions
+    overlap/touch (gap ≤ k) merge into one maximal span ``[span_start,
+    span_end)`` with ``span_tokens = span_end - span_start``.
+
+    Scale shape: the only wide exchanges carry (hash) for the count and
+    (id, pos) for the merge — ~24 B/window; text never shuffles. The
+    duplicated-hash set rides :func:`semi_join_sized` (broadcast when it
+    fits, hash join beyond), and the span merge is the coarse-bucket
+    lexsort kernel, not a group per doc. Beyond-reference op (DBImport has
+    no corpus analysis); SQL-reproducible, so hash-checked by the DuckDB
+    oracle (lead-window k-grams + gaps-and-islands)."""
+    from ..stages.joins import compact_sparse, semi_join_sized
+    from ray.data.aggregate import Count
+
+    kg = ds.map_batches(
+        lambda t: _kgram_positions(t, id_col, text_col, k),
+        batch_format="pyarrow",
+    ).materialize()  # consumed twice: count exchange + duplicated probe
+    dup = (
+        kg.groupby("h")
+        .aggregate(Count(alias_name="cnt"))
+        .filter(expr="cnt >= 2")
+        .select_columns(["h"])
+    )
+    dup, n_dup = compact_sparse(dup, num_partitions)
+    if n_dup == 0:  # nothing repeats (or no k-grams at all)
+        id_type = (
+            kg.schema().base_schema.field(id_col).type
+            if kg.schema() is not None else pa.int64()
+        )
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], id_type),
+            "span_start": pa.array([], pa.int64()),
+            "span_end": pa.array([], pa.int64()),
+            "span_tokens": pa.array([], pa.int64()),
+        }))
+    hits = semi_join_sized(
+        kg, dup, ["h"], n_dup, num_partitions
+    ).select_columns([id_col, "pos"])
+    nb = 64
+
+    def add_bkt(t: pa.Table) -> pa.Table:
+        return t.append_column("_bkt", _coarse_bucket(t, [id_col], nb))
+
+    span_schema = pa.schema([
+        (id_col, pa.int64()), ("span_start", pa.int64()),
+        ("span_end", pa.int64()), ("span_tokens", pa.int64()),
+    ])
+
+    def retype(t: pa.Table) -> pa.Table:
+        # the group exchange emits surplus partitions as ZERO-COLUMN
+        # blocks (graph.py retype rationale) — re-type before they ride
+        # the lineage
+        return span_schema.empty_table() if t.num_columns == 0 else t
+
+    # size the group exchange to the MEASURED duplicated-row count
+    # (eff_join_parts rationale): hits is sparse when duplication is rare,
+    # and a wider exchange would emit its surplus partitions as
+    # zero-column blocks. The extra narrow copy is cheap (id+pos rows).
+    from ..stages.joins import eff_join_parts
+
+    hits, n_hits = compact_sparse(hits, min(nb, num_partitions))
+    if n_hits == 0:
+        return rd.from_arrow(span_schema.empty_table())
+    parts = eff_join_parts(n_hits, min(nb, num_partitions))
+    return (
+        hits.map_batches(add_bkt, batch_format="pyarrow")
+        .repartition(parts)
+        .groupby("_bkt")
+        .map_groups(
+            lambda g: _span_merge_kernel(g, id_col, k), batch_format="pyarrow"
+        )
+        .map_batches(retype, batch_format="pyarrow")
+    )

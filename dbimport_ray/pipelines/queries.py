@@ -1481,6 +1481,20 @@ def q_tfidf_top_terms(sf_dir: str) -> rd.Dataset:
     return tfidf_top_terms(ds, top_n=3)
 
 
+def q_repeated_spans(sf_dir: str) -> rd.Dataset:
+    """Maximal repeated 3-token spans across the documents corpus
+    (pipelines/dedup.py:repeated_spans — the Lee et al. exact-substring
+    contamination primitive without a suffix array): duplicated k-gram
+    windows found by one narrow (hash) count exchange, merged per doc by
+    the coarse-bucket lexsort kernel. Hash-checked: the DuckDB oracle
+    rebuilds the same k-grams with lead windows and merges spans with
+    gaps-and-islands."""
+    from .dedup import repeated_spans
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return repeated_spans(ds, text_col="text", id_col="doc_id", k=3)
+
+
 def q_approx_distinct_by_type(sf_dir: str) -> rd.Dataset:
     """Per-group HLL distinct users per event_type — sketch rows (4 KiB
     per group per block) are the only exchange; python-oracle pytest
@@ -3000,6 +3014,50 @@ scored AS (
 SELECT doc_id, token, score FROM scored WHERE rn <= 3
 """
 
+ORACLES["repeated_spans"] = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(toks) AS tok,
+         unnest(range(len(toks))) AS pos
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\W+'),
+                       x -> x <> '') AS toks
+    FROM documents
+  )
+),
+kg AS (
+  SELECT doc_id, pos,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+           AS kgram,
+         lead(tok, 2) OVER w IS NOT NULL AS valid
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+kgv AS (SELECT doc_id, pos, kgram FROM kg WHERE valid),
+dup AS (SELECT kgram FROM kgv GROUP BY kgram HAVING count(*) >= 2),
+hits AS (
+  SELECT doc_id, pos FROM kgv WHERE kgram IN (SELECT kgram FROM dup)
+),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= 3
+              THEN 0 ELSE 1 END AS brk
+  FROM hits
+),
+isl2 AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+)
+SELECT doc_id,
+       min(pos)     AS span_start,
+       max(pos) + 3 AS span_end,
+       max(pos) + 3 - min(pos) AS span_tokens
+FROM isl2
+GROUP BY doc_id, island
+"""
+
 ORACLES["asof_join_scan"] = ORACLES["asof_join"]
 ORACLES["range_join_scan"] = ORACLES["range_join"]
 ORACLES["sessionize_scan"] = ORACLES["sessionize"]
@@ -3380,6 +3438,7 @@ QUERIES = {
     "asof_join_scan": q_asof_join_scan,
     "range_join_scan": q_range_join_scan,
     "tfidf_top_terms": q_tfidf_top_terms,  # gained a DuckDB oracle in r4
+    "repeated_spans": q_repeated_spans,
     "repetition_stats": q_repetition_stats,
     "repetition_filter": q_repetition_filter,
     "row_number_scan": q_row_number_scan,

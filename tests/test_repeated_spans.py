@@ -1,0 +1,93 @@
+"""repeated_spans: maximal repeated k-token spans (exact substring
+contamination). Hand-built corpus with known spans + an independent
+pure-python brute-force oracle over real testdata docs."""
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from dbimport_ray.pipelines.dedup import repeated_spans
+
+SF = "/root/testdata/sf0.001"
+
+
+def _py_spans(docs: list[tuple[int, str]], k: int = 3):
+    """Brute force: dict-count every k-gram, merge duplicated windows per
+    doc with a plain loop. Shares nothing with the engine kernel."""
+    toks = {
+        i: [t for t in re.split(r"\W+", s.lower()) if t] for i, s in docs
+    }
+    counts: dict[tuple, int] = {}
+    for i, ts in toks.items():
+        for p in range(len(ts) - k + 1):
+            g = tuple(ts[p : p + k])
+            counts[g] = counts.get(g, 0) + 1
+    out = []
+    for i, ts in toks.items():
+        hits = [
+            p for p in range(len(ts) - k + 1)
+            if counts[tuple(ts[p : p + k])] >= 2
+        ]
+        if not hits:
+            continue
+        start = prev = hits[0]
+        for p in hits[1:]:
+            if p - prev > k:
+                out.append((i, start, prev + k, prev + k - start))
+                start = p
+            prev = p
+        out.append((i, start, prev + k, prev + k - start))
+    return sorted(out)
+
+
+def _run(docs: list[tuple[int, str]], k: int = 3, parts: int = 3):
+    t = pa.table({
+        "doc_id": pa.array([i for i, _ in docs], pa.int64()),
+        "text": [s for _, s in docs],
+    })
+    ds = rd.from_arrow(t).repartition(parts)
+    res = repeated_spans(ds, k=k).to_pandas()
+    return sorted(
+        (int(r.doc_id), int(r.span_start), int(r.span_end), int(r.span_tokens))
+        for r in res.itertuples()
+    )
+
+
+def test_hand_corpus(ray_session):
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "a quick brown fox leaps high"),          # shares "quick brown fox"
+        (3, "entirely unique words here nothing repeats"),
+        (4, "the quick brown fox jumps over whatever"),  # longer shared prefix with 1
+    ]
+    got = _run(docs)
+    exp = _py_spans(docs)
+    assert got == exp
+    # doc 3 contributes nothing; every other doc has at least one span
+    assert {d for d, *_ in got} == {1, 2, 4}
+    # doc 1 and 4 share a 6-token prefix -> one merged span of >= 6 tokens
+    d1 = [s for s in got if s[0] == 1]
+    assert any(s[3] >= 6 for s in d1)
+
+
+def test_within_doc_repeat_counts(ray_session):
+    # the duplicate occurs INSIDE one doc -> still a repeated span
+    docs = [(7, "alpha beta gamma delta alpha beta gamma epsilon")]
+    got = _run(docs, parts=1)
+    assert got == _py_spans(docs)
+    assert got  # both occurrences of "alpha beta gamma" flagged
+
+
+def test_real_docs_match_python_oracle(ray_session):
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    docs = list(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))[:60]
+    assert _run(docs, parts=4) == _py_spans(docs)
+
+
+def test_empty_and_short_docs(ray_session):
+    docs = [(1, ""), (2, "one two"), (3, "one two")]  # all shorter than k
+    assert _run(docs, parts=1) == []
