@@ -85,6 +85,7 @@ QUERY_NAMES = [
     "shipping_priority",
     "cohort_retention",
     "repeated_spans",
+    "remove_repeated_spans",
 ]
 
 

@@ -937,3 +937,122 @@ def repeated_spans(
         )
         .map_batches(retype, batch_format="pyarrow")
     )
+
+
+def _excise_kernel(
+    t: pa.Table, id_col: str, text_col: str, k: int,
+    span_doc: np.ndarray, span_start: np.ndarray, span_end: np.ndarray,
+) -> pa.Table:
+    """Remove the covered token windows from each doc's (lowercased)
+    token stream and re-join with single spaces — the canonical form the
+    DuckDB oracle reproduces with string_agg. Fully vectorized: one
+    searchsorted maps batch rows to their span slices, one scatter-add
+    diff/cumsum builds the global cover mask, one ListArray+binary_join
+    rebuilds the strings."""
+    n_rows = t.num_rows
+    texts = pc.utf8_lower(pc.cast(t[text_col], pa.string()))
+    tokens = pc.split_pattern_regex(texts, r"\W+")
+    flat = pc.list_flatten(tokens)
+    parent = pc.list_parent_indices(tokens)
+    mask = pc.not_equal(flat, "")
+    flat = (
+        flat.filter(mask).combine_chunks()
+        if isinstance(flat, pa.ChunkedArray)
+        else flat.filter(mask)
+    )
+    par = parent.filter(mask).to_numpy(zero_copy_only=False)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    n_flat = len(flat)
+    # first flat index of each batch row's doc (rows with zero tokens get
+    # the next doc's start — their span slice is empty anyway)
+    row_counts = np.bincount(par, minlength=n_rows) if n_flat else np.zeros(
+        n_rows, dtype=np.int64
+    )
+    row_first = np.r_[0, np.cumsum(row_counts)[:-1]]
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    lo = np.searchsorted(span_doc, ids, side="left")
+    hi = np.searchsorted(span_doc, ids, side="right")
+    cnt = hi - lo
+    covered = np.zeros(n_flat + 1, dtype=np.int64)
+    tot = int(cnt.sum())
+    if tot and n_flat:
+        rows_rep = np.repeat(np.arange(n_rows), cnt)
+        offs = np.cumsum(cnt) - cnt
+        span_idx = np.repeat(lo, cnt) + (np.arange(tot) - np.repeat(offs, cnt))
+        base = row_first[rows_rep]
+        s = base + span_start[span_idx]
+        e = base + np.minimum(span_end[span_idx], row_counts[rows_rep])
+        np.add.at(covered, s, 1)
+        np.add.at(covered, e, -1)
+    cover_mask = np.cumsum(covered[:-1]) > 0
+    keep = ~cover_mask
+    kept_vals = flat.filter(pa.array(keep)) if n_flat else flat
+    kept_par = par[keep] if n_flat else par
+    kept_counts = np.bincount(kept_par, minlength=n_rows) if len(kept_par) else (
+        np.zeros(n_rows, dtype=np.int64)
+    )
+    offsets = np.r_[0, np.cumsum(kept_counts)].astype(np.int32)
+    lst = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), kept_vals)
+    clean = pc.binary_join(lst, " ")
+    removed = (row_counts - kept_counts).astype(np.int64)
+    return pa.table({
+        id_col: t[id_col],
+        "clean_text": clean,
+        "n_removed": pa.array(removed),
+    })
+
+
+def remove_repeated_spans(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_partitions: int = 16,
+    broadcast_max: int = 2_000_000,
+) -> rd.Dataset:
+    """The ExactSubstr dedup ACTION of Lee et al. (2022): excise every
+    maximal repeated k-token span (:func:`repeated_spans`) from each
+    document's canonical token stream → ``(id, clean_text, n_removed)``.
+
+    Scale shape: the span set is narrow (id + two ints per span) and is
+    BROADCAST to the excise tasks when it fits (``ray.put`` once, zero
+    text movement — the text is rewritten in place per batch); beyond
+    ``broadcast_max`` spans, pre-filter the span side per partition and
+    raise — the composition path for that regime is repeated_spans →
+    partitioned pack-join, documented here rather than silently
+    broadcast-OOMing. Every input doc gets an output row (docs without
+    spans pass through canonicalized)."""
+    from ..stages.joins import collect_small, compact_sparse
+
+    spans = repeated_spans(
+        ds, text_col=text_col, id_col=id_col, k=k,
+        num_partitions=num_partitions,
+    )
+    spans, n_spans = compact_sparse(spans, num_partitions)
+    if n_spans > broadcast_max:
+        raise NotImplementedError(
+            f"{n_spans} spans exceed broadcast_max={broadcast_max}; at this "
+            "scale run repeated_spans() yourself, pack spans per doc and "
+            "hash-join them onto the corpus partition-wise"
+        )
+    packed = collect_small(
+        spans, [id_col, "span_start", "span_end"], max_rows=broadcast_max
+    )
+    doc = packed[id_col].to_numpy(zero_copy_only=False)
+    order = np.argsort(doc, kind="stable")
+    import ray as _ray
+
+    ref = _ray.put((
+        doc[order],
+        packed["span_start"].to_numpy(zero_copy_only=False)[order],
+        packed["span_end"].to_numpy(zero_copy_only=False)[order],
+    ))
+
+    def excise(t: pa.Table, spans_ref=ref) -> pa.Table:
+        sd, ss, se = _ray.get(spans_ref) if isinstance(
+            spans_ref, _ray.ObjectRef
+        ) else spans_ref
+        return _excise_kernel(t, id_col, text_col, k, sd, ss, se)
+
+    return ds.map_batches(excise, batch_format="pyarrow")

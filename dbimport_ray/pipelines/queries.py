@@ -1495,6 +1495,19 @@ def q_repeated_spans(sf_dir: str) -> rd.Dataset:
     return repeated_spans(ds, text_col="text", id_col="doc_id", k=3)
 
 
+def q_remove_repeated_spans(sf_dir: str) -> rd.Dataset:
+    """ExactSubstr dedup action (pipelines/dedup.py:remove_repeated_spans):
+    excise every maximal repeated 3-token span from each doc's canonical
+    token stream → (doc_id, clean_text, n_removed). Span set broadcast via
+    ray.put (narrow); text rewritten in place per batch, never shuffled.
+    Hash-checked: the oracle rebuilds spans with gaps-and-islands, anti-
+    joins covered positions and string_aggs the survivors."""
+    from .dedup import remove_repeated_spans
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return remove_repeated_spans(ds, text_col="text", id_col="doc_id", k=3)
+
+
 def q_approx_distinct_by_type(sf_dir: str) -> rd.Dataset:
     """Per-group HLL distinct users per event_type — sketch rows (4 KiB
     per group per block) are the only exchange; python-oracle pytest
@@ -3058,6 +3071,74 @@ FROM isl2
 GROUP BY doc_id, island
 """
 
+ORACLES["remove_repeated_spans"] = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(toks) AS tok,
+         unnest(range(len(toks))) AS pos
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\W+'),
+                       x -> x <> '') AS toks
+    FROM documents
+  )
+),
+kg AS (
+  SELECT doc_id, pos,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+           AS kgram,
+         lead(tok, 2) OVER w IS NOT NULL AS valid
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+kgv AS (SELECT doc_id, pos, kgram FROM kg WHERE valid),
+dup AS (SELECT kgram FROM kgv GROUP BY kgram HAVING count(*) >= 2),
+hits AS (
+  SELECT doc_id, pos FROM kgv WHERE kgram IN (SELECT kgram FROM dup)
+),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= 3
+              THEN 0 ELSE 1 END AS brk
+  FROM hits
+),
+isl2 AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, min(pos) AS span_start, max(pos) + 3 AS span_end
+  FROM isl2 GROUP BY doc_id, island
+),
+covered AS (
+  SELECT t.doc_id, t.pos
+  FROM tok t JOIN spans s
+    ON t.doc_id = s.doc_id
+   AND t.pos >= s.span_start AND t.pos < s.span_end
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM tok t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM covered c WHERE c.doc_id = t.doc_id AND c.pos = t.pos
+  )
+),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+),
+removed AS (
+  SELECT doc_id, count(*) AS n_removed FROM covered GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       coalesce(r.n_removed, 0)   AS n_removed
+FROM documents d
+LEFT JOIN agg a USING (doc_id)
+LEFT JOIN removed r USING (doc_id)
+"""
+
 ORACLES["asof_join_scan"] = ORACLES["asof_join"]
 ORACLES["range_join_scan"] = ORACLES["range_join"]
 ORACLES["sessionize_scan"] = ORACLES["sessionize"]
@@ -3439,6 +3520,7 @@ QUERIES = {
     "range_join_scan": q_range_join_scan,
     "tfidf_top_terms": q_tfidf_top_terms,  # gained a DuckDB oracle in r4
     "repeated_spans": q_repeated_spans,
+    "remove_repeated_spans": q_remove_repeated_spans,
     "repetition_stats": q_repetition_stats,
     "repetition_filter": q_repetition_filter,
     "row_number_scan": q_row_number_scan,

@@ -91,3 +91,78 @@ def test_real_docs_match_python_oracle(ray_session):
 def test_empty_and_short_docs(ray_session):
     docs = [(1, ""), (2, "one two"), (3, "one two")]  # all shorter than k
     assert _run(docs, parts=1) == []
+
+
+# ---------------------------------------------------------------------------
+# remove_repeated_spans (the ExactSubstr dedup ACTION)
+# ---------------------------------------------------------------------------
+
+def _py_remove(docs: list[tuple[int, str]], k: int = 3):
+    """Brute force: tokenize, mark every position covered by a merged
+    duplicated span, rebuild the survivors with single spaces."""
+    spans = _py_spans(docs, k)
+    toks = {
+        i: [t for t in re.split(r"\W+", s.lower()) if t] for i, s in docs
+    }
+    out = []
+    for i, ts in toks.items():
+        cov = np.zeros(len(ts), dtype=bool)
+        for d, s, e, _ in spans:
+            if d == i:
+                cov[s:min(e, len(ts))] = True
+        kept = [t for t, c in zip(ts, cov) if not c]
+        out.append((i, " ".join(kept), int(cov.sum())))
+    return sorted(out)
+
+
+def _run_remove(docs: list[tuple[int, str]], k: int = 3, parts: int = 3):
+    from dbimport_ray.pipelines.dedup import remove_repeated_spans
+
+    t = pa.table({
+        "doc_id": pa.array([i for i, _ in docs], pa.int64()),
+        "text": [s for _, s in docs],
+    })
+    ds = rd.from_arrow(t).repartition(parts)
+    res = remove_repeated_spans(ds, k=k).to_pandas()
+    return sorted(
+        (int(r.doc_id), str(r.clean_text), int(r.n_removed))
+        for r in res.itertuples()
+    )
+
+
+def test_remove_hand_corpus(ray_session):
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "a quick brown fox leaps high"),
+        (3, "entirely unique words here nothing repeats"),
+        (4, "the quick brown fox jumps over whatever"),
+    ]
+    got = _run_remove(docs)
+    assert got == _py_remove(docs)
+    by = {d: (txt, n) for d, txt, n in got}
+    assert by[3] == ("entirely unique words here nothing repeats", 0)
+    assert by[2][1] > 0 and "leaps high" in by[2][0]
+
+
+def test_remove_whole_doc_covered(ray_session):
+    # doc 2 is a verbatim prefix-copy of doc 1 -> every token duplicated
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),
+    ]
+    got = _run_remove(docs, parts=1)
+    assert got == _py_remove(docs)
+    assert all(txt == "" and n == 6 for _, txt, n in got)
+
+
+def test_remove_real_docs_match_python_oracle(ray_session):
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    docs = list(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))[:60]
+    assert _run_remove(docs, parts=4) == _py_remove(docs)
+
+
+def test_remove_no_spans_passthrough(ray_session):
+    docs = [(1, "one Two THREE"), (2, "four five six")]
+    got = _run_remove(docs, parts=1)
+    # canonical form: lowercased, single-spaced, nothing removed
+    assert got == [(1, "one two three", 0), (2, "four five six", 0)]
