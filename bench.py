@@ -137,7 +137,7 @@ def run_headline() -> dict:
     # best of N attempts: this VM alternates between quiet and degraded
     # periods (>2× swings on identical runs, BASELINE.md) — the best run is
     # the engine's uncontended capability
-    attempts = int(os.environ.get("BENCH_ATTEMPTS", "2"))
+    attempts = int(os.environ.get("BENCH_ATTEMPTS", "3"))
     best_dt, rows = None, 0
     for _ in range(attempts):
         shutil.rmtree(lake, ignore_errors=True)
