@@ -902,6 +902,15 @@ def repeated_spans(
     hits = semi_join_sized(
         kg, dup, ["h"], n_dup, num_partitions
     ).select_columns([id_col, "pos"])
+    return _merge_hits_to_spans(hits, id_col, k, num_partitions)
+
+
+def _merge_hits_to_spans(
+    hits: rd.Dataset, id_col: str, k: int, num_partitions: int
+) -> rd.Dataset:
+    """(id, pos) window hits → maximal spans per doc. Shared tail of the
+    self-duplication (repeated_spans) and cross-corpus
+    (benchmark_overlap_spans) paths."""
     nb = 64
 
     def add_bkt(t: pa.Table) -> pa.Table:
@@ -922,7 +931,7 @@ def repeated_spans(
     # (eff_join_parts rationale): hits is sparse when duplication is rare,
     # and a wider exchange would emit its surplus partitions as
     # zero-column blocks. The extra narrow copy is cheap (id+pos rows).
-    from ..stages.joins import eff_join_parts
+    from ..stages.joins import compact_sparse, eff_join_parts
 
     hits, n_hits = compact_sparse(hits, min(nb, num_partitions))
     if n_hits == 0:
@@ -937,6 +946,67 @@ def repeated_spans(
         )
         .map_batches(retype, batch_format="pyarrow")
     )
+
+
+def benchmark_overlap_spans(
+    corpus: rd.Dataset,
+    benchmark: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_partitions: int = 16,
+    max_grams: int = 50_000_000,
+) -> rd.Dataset:
+    """Span-level test-set decontamination: maximal spans of CORPUS docs
+    covered by k-grams that also occur anywhere in the BENCHMARK corpus
+    (Lee et al. 2022 §5 train-test overlap, upgraded from the per-doc
+    flag of curate.decontaminate to exact token ranges).
+
+    Scale shape: the benchmark's distinct gram hashes are reduced
+    map-side per block, collected once (guarded: ``max_grams`` × 8 B),
+    sorted and broadcast via ``ray.put`` — so the corpus side is a PURE
+    MAP (searchsorted membership per batch, no count exchange at all,
+    unlike the self-duplication path which must count corpus-wide).
+    Only the matched (id, pos) hits enter the narrow island-merge
+    exchange. Partitioning assumption: the benchmark (not the corpus)
+    fits one node's heap as a uint64 array."""
+    import ray as _ray
+
+    def bench_partial(t: pa.Table) -> pa.Table:
+        kgt = _kgram_positions(t, id_col, text_col, k)
+        h = np.unique(kgt["h"].to_numpy(zero_copy_only=False))
+        return pa.table({"h": pa.array(h)})
+
+    parts = benchmark.map_batches(bench_partial, batch_format="pyarrow")
+    tbl = pa.concat_tables(
+        [pa.table(b) for b in parts.iter_batches(batch_format="pyarrow")]
+        or [pa.schema([("h", pa.int64())]).empty_table()]
+    )
+    if tbl.num_rows > max_grams:
+        raise ValueError(
+            f"benchmark gram set too large to broadcast ({tbl.num_rows} > "
+            f"{max_grams}); shrink the benchmark or raise max_grams"
+        )
+    bench = np.unique(tbl["h"].to_numpy(zero_copy_only=False))
+    span_schema = pa.schema([
+        (id_col, pa.int64()), ("span_start", pa.int64()),
+        ("span_end", pa.int64()), ("span_tokens", pa.int64()),
+    ])
+    if not len(bench):
+        return rd.from_arrow(span_schema.empty_table())
+    ref = _ray.put(bench)
+
+    def probe(t: pa.Table, bench_ref=ref) -> pa.Table:
+        b = _ray.get(bench_ref) if isinstance(bench_ref, _ray.ObjectRef) else bench_ref
+        kgt = _kgram_positions(t, id_col, text_col, k)
+        h = kgt["h"].to_numpy(zero_copy_only=False)
+        if not len(h):
+            return kgt.select([id_col, "pos"])
+        idx = np.minimum(np.searchsorted(b, h), len(b) - 1)
+        return kgt.filter(pa.array(b[idx] == h)).select([id_col, "pos"])
+
+    hits = corpus.map_batches(probe, batch_format="pyarrow")
+    return _merge_hits_to_spans(hits, id_col, k, num_partitions)
 
 
 def _excise_kernel(

@@ -1508,6 +1508,26 @@ def q_remove_repeated_spans(sf_dir: str) -> rd.Dataset:
     return remove_repeated_spans(ds, text_col="text", id_col="doc_id", k=3)
 
 
+def q_benchmark_overlap_spans(sf_dir: str) -> rd.Dataset:
+    """Span-level test-set decontamination
+    (pipelines/dedup.py:benchmark_overlap_spans): every 19th doc plays the
+    benchmark; the rest is the corpus. Benchmark gram hashes broadcast
+    once; the corpus side is a pure map — no corpus-wide count exchange.
+    Hash-checked against a two-corpus DuckDB oracle."""
+    from .dedup import benchmark_overlap_spans
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def is_bench(t: pa.Table, keep: bool) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        m = (ids % 19 == 0) if keep else (ids % 19 != 0)
+        return t.filter(pa.array(m))
+
+    bench = docs.map_batches(lambda t: is_bench(t, True), batch_format="pyarrow")
+    corpus = docs.map_batches(lambda t: is_bench(t, False), batch_format="pyarrow")
+    return benchmark_overlap_spans(corpus, bench, k=3)
+
+
 def q_approx_distinct_by_type(sf_dir: str) -> rd.Dataset:
     """Per-group HLL distinct users per event_type — sketch rows (4 KiB
     per group per block) are the only exchange; python-oracle pytest
@@ -3139,6 +3159,67 @@ LEFT JOIN agg a USING (doc_id)
 LEFT JOIN removed r USING (doc_id)
 """
 
+ORACLES["benchmark_overlap_spans"] = r"""
+WITH tokc AS (
+  SELECT doc_id,
+         unnest(toks) AS tok,
+         unnest(range(len(toks))) AS pos
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\W+'),
+                       x -> x <> '') AS toks
+    FROM documents WHERE doc_id % 19 <> 0
+  )
+),
+tokb AS (
+  SELECT doc_id,
+         unnest(toks) AS tok,
+         unnest(range(len(toks))) AS pos
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\W+'),
+                       x -> x <> '') AS toks
+    FROM documents WHERE doc_id % 19 = 0
+  )
+),
+kgc AS (
+  SELECT doc_id, pos,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+           AS kgram,
+         lead(tok, 2) OVER w IS NOT NULL AS valid
+  FROM tokc WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+kgb AS (
+  SELECT DISTINCT
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+           AS kgram
+  FROM tokb WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(tok, 2) OVER w IS NOT NULL
+),
+hits AS (
+  SELECT doc_id, pos FROM kgc
+  WHERE valid AND kgram IN (SELECT kgram FROM kgb)
+),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= 3
+              THEN 0 ELSE 1 END AS brk
+  FROM hits
+),
+isl2 AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+)
+SELECT doc_id,
+       min(pos)     AS span_start,
+       max(pos) + 3 AS span_end,
+       max(pos) + 3 - min(pos) AS span_tokens
+FROM isl2
+GROUP BY doc_id, island
+"""
+
 ORACLES["asof_join_scan"] = ORACLES["asof_join"]
 ORACLES["range_join_scan"] = ORACLES["range_join"]
 ORACLES["sessionize_scan"] = ORACLES["sessionize"]
@@ -3521,6 +3602,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,  # gained a DuckDB oracle in r4
     "repeated_spans": q_repeated_spans,
     "remove_repeated_spans": q_remove_repeated_spans,
+    "benchmark_overlap_spans": q_benchmark_overlap_spans,
     "repetition_stats": q_repetition_stats,
     "repetition_filter": q_repetition_filter,
     "row_number_scan": q_row_number_scan,

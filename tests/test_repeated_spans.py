@@ -166,3 +166,74 @@ def test_remove_no_spans_passthrough(ray_session):
     got = _run_remove(docs, parts=1)
     # canonical form: lowercased, single-spaced, nothing removed
     assert got == [(1, "one two three", 0), (2, "four five six", 0)]
+
+
+# ---------------------------------------------------------------------------
+# benchmark_overlap_spans (cross-corpus / test-set decontamination spans)
+# ---------------------------------------------------------------------------
+
+def _py_overlap(corpus, bench, k: int = 3):
+    tok = lambda s: [t for t in re.split(r"\W+", s.lower()) if t]
+    bench_set = set()
+    for _, s in bench:
+        ts = tok(s)
+        for p in range(len(ts) - k + 1):
+            bench_set.add(tuple(ts[p : p + k]))
+    out = []
+    for i, s in corpus:
+        ts = tok(s)
+        hits = [
+            p for p in range(len(ts) - k + 1)
+            if tuple(ts[p : p + k]) in bench_set
+        ]
+        if not hits:
+            continue
+        start = prev = hits[0]
+        for p in hits[1:]:
+            if p - prev > k:
+                out.append((i, start, prev + k, prev + k - start))
+                start = p
+            prev = p
+        out.append((i, start, prev + k, prev + k - start))
+    return sorted(out)
+
+
+def _run_overlap(corpus, bench, k: int = 3, parts: int = 3):
+    from dbimport_ray.pipelines.dedup import benchmark_overlap_spans
+
+    mk = lambda docs: rd.from_arrow(pa.table({
+        "doc_id": pa.array([i for i, _ in docs], pa.int64()),
+        "text": [s for _, s in docs],
+    })).repartition(parts)
+    res = benchmark_overlap_spans(mk(corpus), mk(bench), k=k).to_pandas()
+    return sorted(
+        (int(r.doc_id), int(r.span_start), int(r.span_end), int(r.span_tokens))
+        for r in res.itertuples()
+    )
+
+
+def test_overlap_hand_corpus(ray_session):
+    bench = [(100, "the secret answer is forty two exactly")]
+    corpus = [
+        (1, "we believe the secret answer is forty two exactly as stated"),
+        (2, "no contamination in this one at all"),
+        (3, "repeating inside corpus repeating inside corpus"),  # self-dup only
+    ]
+    got = _run_overlap(corpus, bench)
+    exp = _py_overlap(corpus, bench)
+    assert got == exp
+    # within-corpus duplication alone must NOT flag (doc 3)
+    assert {d for d, *_ in got} == {1}
+
+
+def test_overlap_real_docs_match_python_oracle(ray_session):
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    docs = list(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))[:80]
+    bench = [d for d in docs if d[0] % 7 == 0]
+    corpus = [d for d in docs if d[0] % 7 != 0]
+    assert _run_overlap(corpus, bench, parts=4) == _py_overlap(corpus, bench)
+
+
+def test_overlap_empty_benchmark(ray_session):
+    corpus = [(1, "some words repeated some words repeated")]
+    assert _run_overlap(corpus, [], parts=1) == []
