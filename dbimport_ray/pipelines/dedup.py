@@ -1093,18 +1093,39 @@ def remove_repeated_spans(
     partitioned pack-join, documented here rather than silently
     broadcast-OOMing. Every input doc gets an output row (docs without
     spans pass through canonicalized)."""
-    from ..stages.joins import collect_small, compact_sparse
-
     spans = repeated_spans(
         ds, text_col=text_col, id_col=id_col, k=k,
         num_partitions=num_partitions,
     )
+    return excise_spans(
+        ds, spans, text_col=text_col, id_col=id_col, k=k,
+        num_partitions=num_partitions, broadcast_max=broadcast_max,
+    )
+
+
+def excise_spans(
+    ds: rd.Dataset,
+    spans: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_partitions: int = 16,
+    broadcast_max: int = 2_000_000,
+) -> rd.Dataset:
+    """Excise an ARBITRARY span set (``(id, span_start, span_end)`` rows
+    from :func:`repeated_spans` or :func:`benchmark_overlap_spans`) from
+    each doc's canonical token stream → (id, clean_text, n_removed).
+    Same broadcast shape as remove_repeated_spans — this is the action
+    half, decoupled so test-set decontamination composes:
+    ``excise_spans(corpus, benchmark_overlap_spans(corpus, bench))``."""
+    from ..stages.joins import collect_small, compact_sparse
+
     spans, n_spans = compact_sparse(spans, num_partitions)
     if n_spans > broadcast_max:
         raise NotImplementedError(
             f"{n_spans} spans exceed broadcast_max={broadcast_max}; at this "
-            "scale run repeated_spans() yourself, pack spans per doc and "
-            "hash-join them onto the corpus partition-wise"
+            "scale pack spans per doc and hash-join them onto the corpus "
+            "partition-wise"
         )
     packed = collect_small(
         spans, [id_col, "span_start", "span_end"], max_rows=broadcast_max

@@ -1528,6 +1528,25 @@ def q_benchmark_overlap_spans(sf_dir: str) -> rd.Dataset:
     return benchmark_overlap_spans(corpus, bench, k=3)
 
 
+def q_decontaminate_excise(sf_dir: str) -> rd.Dataset:
+    """Composition: benchmark_overlap_spans → excise_spans. Every corpus
+    doc (doc_id % 19 != 0) comes back with the benchmark-contaminated
+    token ranges removed from its canonical token stream."""
+    from .dedup import benchmark_overlap_spans, excise_spans
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def split(t: pa.Table, keep_bench: bool) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        m = (ids % 19 == 0) if keep_bench else (ids % 19 != 0)
+        return t.filter(pa.array(m))
+
+    bench = docs.map_batches(lambda t: split(t, True), batch_format="pyarrow")
+    corpus = docs.map_batches(lambda t: split(t, False), batch_format="pyarrow")
+    spans = benchmark_overlap_spans(corpus, bench, k=3)
+    return excise_spans(corpus, spans, k=3)
+
+
 def q_approx_distinct_by_type(sf_dir: str) -> rd.Dataset:
     """Per-group HLL distinct users per event_type — sketch rows (4 KiB
     per group per block) are the only exchange; python-oracle pytest
@@ -3220,6 +3239,91 @@ FROM isl2
 GROUP BY doc_id, island
 """
 
+ORACLES["decontaminate_excise"] = r"""
+WITH tokc AS (
+  SELECT doc_id,
+         unnest(toks) AS tok,
+         unnest(range(len(toks))) AS pos
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\W+'),
+                       x -> x <> '') AS toks
+    FROM documents WHERE doc_id % 19 <> 0
+  )
+),
+tokb AS (
+  SELECT doc_id,
+         unnest(toks) AS tok,
+         unnest(range(len(toks))) AS pos
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\W+'),
+                       x -> x <> '') AS toks
+    FROM documents WHERE doc_id % 19 = 0
+  )
+),
+kgc AS (
+  SELECT doc_id, pos,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+           AS kgram,
+         lead(tok, 2) OVER w IS NOT NULL AS valid
+  FROM tokc WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+kgb AS (
+  SELECT DISTINCT
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+           AS kgram
+  FROM tokb WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(tok, 2) OVER w IS NOT NULL
+),
+hits AS (
+  SELECT doc_id, pos FROM kgc
+  WHERE valid AND kgram IN (SELECT kgram FROM kgb)
+),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= 3
+              THEN 0 ELSE 1 END AS brk
+  FROM hits
+),
+isl2 AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, min(pos) AS span_start, max(pos) + 3 AS span_end
+  FROM isl2 GROUP BY doc_id, island
+),
+covered AS (
+  SELECT t.doc_id, t.pos
+  FROM tokc t JOIN spans s
+    ON t.doc_id = s.doc_id
+   AND t.pos >= s.span_start AND t.pos < s.span_end
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM tokc t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM covered c WHERE c.doc_id = t.doc_id AND c.pos = t.pos
+  )
+),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+),
+removed AS (
+  SELECT doc_id, count(*) AS n_removed FROM covered GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       coalesce(r.n_removed, 0)   AS n_removed
+FROM (SELECT doc_id FROM documents WHERE doc_id % 19 <> 0) d
+LEFT JOIN agg a USING (doc_id)
+LEFT JOIN removed r USING (doc_id)
+"""
+
 ORACLES["asof_join_scan"] = ORACLES["asof_join"]
 ORACLES["range_join_scan"] = ORACLES["range_join"]
 ORACLES["sessionize_scan"] = ORACLES["sessionize"]
@@ -3603,6 +3707,7 @@ QUERIES = {
     "repeated_spans": q_repeated_spans,
     "remove_repeated_spans": q_remove_repeated_spans,
     "benchmark_overlap_spans": q_benchmark_overlap_spans,
+    "decontaminate_excise": q_decontaminate_excise,
     "repetition_stats": q_repetition_stats,
     "repetition_filter": q_repetition_filter,
     "row_number_scan": q_row_number_scan,

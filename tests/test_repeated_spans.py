@@ -237,3 +237,42 @@ def test_overlap_real_docs_match_python_oracle(ray_session):
 def test_overlap_empty_benchmark(ray_session):
     corpus = [(1, "some words repeated some words repeated")]
     assert _run_overlap(corpus, [], parts=1) == []
+
+
+def test_excise_spans_composition(ray_session):
+    """excise_spans(corpus, benchmark_overlap_spans(...)) removes exactly
+    the benchmark-covered ranges (independent python recompute)."""
+    from dbimport_ray.pipelines.dedup import (
+        benchmark_overlap_spans, excise_spans,
+    )
+
+    bench = [(100, "the secret answer is forty two exactly")]
+    corpus = [
+        (1, "we believe the secret answer is forty two exactly as stated"),
+        (2, "no contamination in this one at all"),
+    ]
+    mk = lambda docs, parts: rd.from_arrow(pa.table({
+        "doc_id": pa.array([i for i, _ in docs], pa.int64()),
+        "text": [s for _, s in docs],
+    })).repartition(parts)
+    spans = benchmark_overlap_spans(mk(corpus, 2), mk(bench, 1), k=3)
+    got = sorted(
+        (int(r.doc_id), str(r.clean_text), int(r.n_removed))
+        for r in excise_spans(mk(corpus, 2), spans, k=3)
+        .to_pandas().itertuples()
+    )
+    # python recompute
+    overlap = _py_overlap(corpus, bench)
+    exp = []
+    tok = lambda s: [t for t in re.split(r"\W+", s.lower()) if t]
+    for i, s in corpus:
+        ts = tok(s)
+        cov = np.zeros(len(ts), dtype=bool)
+        for d, st, en, _ in overlap:
+            if d == i:
+                cov[st:min(en, len(ts))] = True
+        exp.append((i, " ".join(t for t, c in zip(ts, cov) if not c),
+                    int(cov.sum())))
+    assert got == sorted(exp)
+    by = {d: n for d, _, n in got}
+    assert by[1] > 0 and by[2] == 0
