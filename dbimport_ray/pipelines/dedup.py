@@ -11,6 +11,13 @@ needs, each expressed Ray-Data-first:
 - ``ngram_jaccard``          — exact n-gram Jaccard verification kernel.
 - ``embedding_dedup``        — cosine near-dup via random-hyperplane LSH
                                buckets + within-bucket verification.
+- ``repeated_spans``         — maximal repeated k-token spans (Lee et al.
+                               2022 ExactSubstr, no suffix array).
+- ``remove_repeated_spans`` / ``excise_spans`` — the excision ACTION over
+                               any span set (canonical token stream out).
+- ``benchmark_overlap_spans`` — span-level test-set decontamination
+                               (benchmark grams broadcast; corpus side a
+                               pure map).
 
 Scale notes: every pipeline shuffles only *narrow* columns (ids, hashes,
 signatures); full text/content never moves through a groupby. Signature

@@ -104,3 +104,21 @@ def test_align_refuses_mid_batch(tmp_path, ray_session):
     eng.ckpt.save(cp)
     res = align_schema(eng)
     assert not res["ok"] and "in flight" in res["err"]
+
+
+def test_align_then_vacuum_and_read(tmp_path, ray_session):
+    """align bumps the version; vacuum prunes superseded files past the
+    horizon; the table stays readable and correct throughout."""
+    from dbimport_ray.pipelines.maintain import vacuum
+
+    eng = _evolved_engine(tmp_path)
+    before = eng.arrow().sort_by([("k", "ascending")])
+    align_schema(eng)
+    res = vacuum(eng, keep_versions=2)
+    assert res["ok"]
+    after = eng.arrow().sort_by([("k", "ascending")])
+    assert after.equals(before)
+    # current + previous version survive the horizon (time travel works)
+    m = eng.store.load_manifest()
+    prev = eng.store.load_manifest(version=m.version - 1)
+    assert prev.total_rows() == m.total_rows()
