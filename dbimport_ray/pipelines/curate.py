@@ -614,3 +614,100 @@ def pack_chunks(
         return t.drop_columns([gk, cum]).append_column(out, shard)
 
     return scanned.map_batches(finish, batch_format="pyarrow")
+
+
+def _greedy_pack_kernel(
+    t: pa.Table,
+    id_col: str,
+    cost_col: str,
+    budget: float,
+    group_size: int,
+    out: str,
+) -> pa.Table:
+    """One COARSE bucket = many pack groups: a single lexsort orders every
+    group by id; per group, greedy fill runs as O(shards) searchsorted
+    jumps over the group's cost cumsum (each jump lands on the last doc
+    that still fits the open shard), not a per-row loop. A document larger
+    than the budget occupies a shard alone."""
+    from .dedup import _segments_by
+
+    ids = pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+    grp = pc.cast(t["pack_group"], pa.int64()).to_numpy(zero_copy_only=False)
+    cost = pc.cast(t[cost_col], pa.float64()).to_numpy(zero_copy_only=False)
+    order, starts = _segments_by([grp, ids])
+    ids_s, grp_s, cost_s = ids[order], grp[order], cost[order]
+    n = len(ids_s)
+    ends = np.r_[starts[1:], n]
+    local = np.empty(n, dtype=np.int64)
+    for s0, e0 in zip(starts, ends):
+        cs = np.cumsum(cost_s[s0:e0])
+        m = e0 - s0
+        s, shard = 0, 0
+        while s < m:
+            base = cs[s - 1] if s else 0.0
+            j = int(np.searchsorted(cs, base + budget, side="right"))
+            if j <= s:  # single document over budget → its own shard
+                j = s + 1
+            local[s0 + s : s0 + j] = shard
+            shard += 1
+            s = j
+    shard_id = grp_s * np.int64(group_size) + local
+    return pa.table(
+        {
+            id_col: pa.array(ids_s),
+            "pack_group": pa.array(grp_s),
+            # original dtype, reordered (cost_s is the float64 cumsum copy)
+            cost_col: pc.take(t[cost_col], pa.array(order)),
+            out: pa.array(shard_id),
+        }
+    )
+
+
+def pack_docs_greedy(
+    ds: rd.Dataset,
+    budget: float,
+    cost_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    group_size: int = 64,
+    out: str = "shard_id",
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Greedy WHOLE-document packing into fixed-cost training shards: in
+    ascending id order, a document joins the open shard while the shard's
+    total cost stays ≤ ``budget``; the first overflow starts a new shard
+    (unlike :func:`pack_chunks`' offset sharding, no document is split —
+    the sequence-packing rule a context-window batcher uses).
+
+    Greedy-with-reset is order-sequential (a shard boundary moves every
+    boundary after it), so it cannot ride the associative carry chain in
+    ``stages/scan.py``. Instead the corpus is cut into deterministic PACK
+    GROUPS (``id // group_size``) that pack independently — one possibly
+    underfull final shard per group is the price of parallelism, bounded
+    by ``budget × n_groups`` wasted capacity. Groups route through the
+    same bounded coarse-bucket exchange as the LSH kernels
+    (``hash(group) % num_buckets`` → one lexsort + one O(shards·log rows)
+    jump pass per coarse bucket), so there is no per-tiny-group Python
+    task, no global sort, and the result is partition-invariant:
+    ``shard_id = pack_group * group_size + local_shard`` (a group of
+    ``group_size`` docs can open at most ``group_size`` shards, so ids
+    never collide).
+
+    Output columns: ``(id_col, pack_group, cost_col, out)``.
+    """
+    from .dedup import _coarse_bucket
+
+    def add_group(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        t = t.append_column("pack_group", pa.array(ids // np.int64(group_size)))
+        return t.append_column("_bkt", _coarse_bucket(t, ["pack_group"], num_buckets))
+
+    return (
+        ds.map_batches(add_group, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(
+            lambda g: _greedy_pack_kernel(
+                g, id_col, cost_col, float(budget), group_size, out
+            ),
+            batch_format="pyarrow",
+        )
+    )

@@ -2414,6 +2414,55 @@ def q_pack_chunks(sf_dir: str) -> rd.Dataset:
     return packed.select_columns(["doc_id", "chunk_idx", "n_tokens", "shard_id"])
 
 
+def q_pack_docs_greedy(sf_dir: str) -> rd.Dataset:
+    """Greedy whole-document sequence packing (no doc is split): docs in
+    id order fill a 256-token shard until the next doc would overflow.
+    Parallel via deterministic pack groups (id // 64) + the coarse-bucket
+    exchange; the oracle replays the same greedy recurrence as a DuckDB
+    recursive CTE."""
+    from .curate import pack_docs_greedy
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tok(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pc.cast(token_count(t["text"]), pa.int64()),
+            }
+        )
+
+    return pack_docs_greedy(
+        ds.map_batches(tok, batch_format="pyarrow"),
+        budget=256.0, cost_col="n_tokens", id_col="doc_id", group_size=64,
+    )
+
+
+def q_source_cap_docs(sf_dir: str) -> rd.Dataset:
+    """Per-source frequency cap (domain capping, as in C4/RefinedWeb-style
+    corpus prep): keep at most 40 docs per source, picked by a
+    deterministic sha256(doc_id) order — a pure function of record
+    identity, so re-runs/backfills keep the same docs. Map-side top-n
+    prune ships ≤ 40 rows per source per block (skew-safe)."""
+    from ..functions.anonymize import hash_column
+    from ..stages.stats import top_n_per_group
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def dig(t: pa.Table) -> pa.Table:
+        return t.append_column("pick", hash_column(t["doc_id"]))
+
+    capped = top_n_per_group(
+        ds.map_batches(dig, batch_format="pyarrow"),
+        ["source"], "pick", 40, tie_cols=["doc_id"], descending=False,
+        schema=pa.schema(
+            [("doc_id", pa.int64()), ("source", pa.string()),
+             ("pick", pa.string())]
+        ),
+    )
+    return capped.select_columns(["doc_id", "source"])
+
+
 def q_decontaminate_docs(sf_dir: str) -> rd.Dataset:
     """Train-test-overlap guard: flag corpus docs (source != src0)
     sharing any token 5-gram with the benchmark slice (source == src0).
@@ -3591,6 +3640,45 @@ SELECT doc_id, chunk_idx, n_tokens,
 FROM ch
 """
 
+# Greedy whole-doc packing replayed as a recursive CTE: one frontier row
+# per pack group advances rn by 1 each step, threading (shard, fill)
+# through the same fill + t > budget recurrence the engine's jump kernel
+# implements (curate.py:_greedy_pack_kernel).
+ORACLES["pack_docs_greedy"] = r"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, doc_id // 64 AS pack_group,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+         CAST(row_number() OVER (PARTITION BY doc_id // 64 ORDER BY doc_id)
+              AS BIGINT) AS rn
+  FROM documents
+), rec AS (
+  SELECT pack_group, rn, doc_id, n_tokens,
+         CAST(0 AS BIGINT) AS shard, CAST(n_tokens AS DOUBLE) AS fill
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.pack_group, d.rn, d.doc_id, d.n_tokens,
+         CASE WHEN rec.fill + d.n_tokens > 256.0
+              THEN rec.shard + 1 ELSE rec.shard END,
+         CASE WHEN rec.fill + d.n_tokens > 256.0
+              THEN CAST(d.n_tokens AS DOUBLE)
+              ELSE rec.fill + d.n_tokens END
+  FROM rec JOIN d ON d.pack_group = rec.pack_group AND d.rn = rec.rn + 1
+)
+SELECT doc_id, pack_group, n_tokens,
+       pack_group * 64 + shard AS shard_id
+FROM rec
+"""
+
+ORACLES["source_cap_docs"] = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) WHERE rn <= 40
+"""
+
 ORACLES["decontaminate_docs"] = _TOKS_CTE + r"""
 , g AS (
   SELECT doc_id, source,
@@ -3808,6 +3896,10 @@ QUERIES = {
     "anonymize_first4": q_anonymize_first4,
     "groupby_pk_max": q_groupby_pk_max,
     "agg_lineitem": q_agg_lineitem,
+    # --- new in round 4 wave 3 (oracle-backed; past the window, checked
+    # --- via tests/harness_check.py) ---
+    "pack_docs_greedy": q_pack_docs_greedy,
+    "source_cap_docs": q_source_cap_docs,
     # --- rows-only (no SQL-expressible oracle; pytest-verified) ---
     "approx_quantiles_docs": q_approx_quantiles_docs,
     "approx_distinct_by_type": q_approx_distinct_by_type,

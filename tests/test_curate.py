@@ -268,3 +268,104 @@ def test_pack_chunks_oracle():
     shards = [s for _, _, _, s in got]
     assert shards == sorted(shards) or True  # sorted(got) already orders rows
     assert min(shards) == 0
+
+
+def test_pack_docs_greedy_oracle():
+    """Greedy whole-doc packing vs a sequential pure-Python oracle over
+    shuffled, multi-block input: per pack group (id // group_size) in id
+    order, a doc joins the open shard while fill + cost <= budget; an
+    oversize doc (cost > budget) holds a shard alone. Also asserts the
+    shard-capacity invariant and partition invariance (4 vs 1 blocks)."""
+    import numpy as np
+
+    from dbimport_ray.pipelines.curate import pack_docs_greedy
+
+    rng = np.random.default_rng(11)
+    n, group_size, budget = 400, 32, 100
+    ids = rng.permutation(n).astype("int64")
+    cost = rng.integers(1, 70, n).astype("int64")
+    cost[::97] = 150  # oversize docs
+    t = pa.table({"doc_id": pa.array(ids), "n_tokens": pa.array(cost)})
+
+    def run(blocks):
+        ds = rd.from_arrow(t).repartition(blocks)
+        out = pack_docs_greedy(
+            ds, budget=float(budget), cost_col="n_tokens",
+            id_col="doc_id", group_size=group_size,
+        )
+        return sorted(
+            (r["doc_id"], r["pack_group"], r["n_tokens"], r["shard_id"])
+            for r in _as_rows(out)
+        )
+
+    got = run(4)
+    assert got == run(1)  # partition-invariant
+
+    # sequential greedy oracle per group
+    by_group = {}
+    for i, c in sorted(zip(ids.tolist(), cost.tolist())):
+        by_group.setdefault(i // group_size, []).append((i, c))
+    want = []
+    for g, rows in sorted(by_group.items()):
+        fill, shard = None, -1
+        for i, c in rows:
+            if fill is None or fill + c > budget:
+                shard, fill = shard + 1, c
+            else:
+                fill += c
+            want.append((i, g, c, g * group_size + shard))
+    assert got == sorted(want)
+
+    # capacity invariant: every shard holds <= budget unless it is a
+    # single oversize doc
+    shard_sum, shard_rows = {}, {}
+    for _, _, c, s in got:
+        shard_sum[s] = shard_sum.get(s, 0) + c
+        shard_rows[s] = shard_rows.get(s, 0) + 1
+    for s, tot in shard_sum.items():
+        assert tot <= budget or shard_rows[s] == 1
+
+
+def test_source_cap_docs_invariants():
+    """Per-source cap: <= n docs per source, picked by the deterministic
+    sha256(doc_id) order — same winners regardless of partitioning."""
+    import numpy as np
+
+    from dbimport_ray.functions.anonymize import hash_column
+    from dbimport_ray.stages.stats import top_n_per_group
+
+    rng = np.random.default_rng(5)
+    ids = np.arange(300, dtype="int64")
+    src = np.array([f"s{int(x)}" for x in rng.integers(0, 4, 300)])
+    t = pa.table({"doc_id": pa.array(ids), "source": pa.array(src)})
+
+    def run(blocks):
+        ds = rd.from_arrow(t).repartition(blocks)
+        ds = ds.map_batches(
+            lambda b: b.append_column("pick", hash_column(b["doc_id"])),
+            batch_format="pyarrow",
+        )
+        out = top_n_per_group(
+            ds, ["source"], "pick", 10, tie_cols=["doc_id"], descending=False,
+            schema=pa.schema(
+                [("doc_id", pa.int64()), ("source", pa.string()),
+                 ("pick", pa.string())]
+            ),
+        )
+        return sorted((r["source"], r["doc_id"]) for r in _as_rows(out))
+
+    got = run(6)
+    assert got == run(1)
+    # oracle: smallest-10 digests per source
+    import hashlib
+
+    by_src = {}
+    for i, s in zip(ids.tolist(), src.tolist()):
+        d = hashlib.sha256(str(i).encode()).hexdigest()
+        by_src.setdefault(s, []).append((d, i))
+    want = sorted(
+        (s, i)
+        for s, rows in by_src.items()
+        for _, i in sorted(rows)[:10]
+    )
+    assert got == want
