@@ -86,6 +86,8 @@ QUERY_NAMES = [
     "cohort_retention",
     "repeated_spans",
     "remove_repeated_spans",
+    "pack_docs_greedy",
+    "source_cap_docs",
 ]
 
 
