@@ -88,6 +88,7 @@ QUERY_NAMES = [
     "remove_repeated_spans",
     "pack_docs_greedy",
     "source_cap_docs",
+    "prep_corpus_packed",
 ]
 
 

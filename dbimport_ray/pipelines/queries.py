@@ -1350,6 +1350,59 @@ def q_prep_corpus(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_prep_corpus_packed(sf_dir: str) -> rd.Dataset:
+    """The COMPLETE training-data prep composition, gate → dedup → cap →
+    pack, each stage the scale-safe primitive it reuses: the integer-exact
+    quality gate (vectorized, no float drift), exact dedup (narrow
+    (hash, id) exchange + join restore), per-source frequency cap
+    (deterministic sha order, map-side top-n prune), and greedy whole-doc
+    shard packing (coarse-bucket pack groups). One SQL oracle replays all
+    four stages, recursive CTE included — end-to-end hash-checked."""
+    from ..functions.anonymize import hash_column
+    from ..functions.text import PUNCT_RE, _stopword_count, token_count
+    from ..stages.stats import top_n_per_group
+    from .curate import pack_docs_greedy
+    from .dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def gate(t: pa.Table) -> pa.Table:
+        s = pc.cast(t["text"], pa.string())
+        n_tokens = pc.cast(token_count(s), pa.int64())
+        n_punct = pc.cast(pc.count_substring_regex(s, PUNCT_RE), pa.int64())
+        n_chars = pc.cast(pc.utf8_length(s), pa.int64())
+        n_stop = pc.cast(_stopword_count(s), pa.int64())
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(n_tokens, 20),
+                pc.less_equal(pc.multiply(n_punct, 5), n_chars),
+            ),
+            pc.greater_equal(n_stop, 1),
+        )
+        return t.append_column("n_tokens", n_tokens).filter(keep)
+
+    gated = ds.map_batches(gate, batch_format="pyarrow")
+    deduped = exact_dedup(
+        gated, "text", "doc_id", keep_cols=["doc_id", "source", "n_tokens"]
+    )
+
+    def dig(t: pa.Table) -> pa.Table:
+        return t.append_column("pick", hash_column(t["doc_id"]))
+
+    capped = top_n_per_group(
+        deduped.map_batches(dig, batch_format="pyarrow"),
+        ["source"], "pick", 40, tie_cols=["doc_id"], descending=False,
+        schema=pa.schema(
+            [("doc_id", pa.int64()), ("source", pa.string()),
+             ("n_tokens", pa.int64()), ("pick", pa.string())]
+        ),
+    )
+    return pack_docs_greedy(
+        capped.select_columns(["doc_id", "n_tokens"]),
+        budget=256.0, cost_col="n_tokens", id_col="doc_id", group_size=64,
+    )
+
+
 def q_window_cumsum_scan(sf_dir: str) -> rd.Dataset:
     """The SKEW-SAFE running total (stages/scan.py distributed scan:
     range-sort + per-block local cumsum + scalar carry chain) — same
@@ -3091,6 +3144,59 @@ FROM (
 ) WHERE rn = 1
 """
 
+# The full prep composition — gate, dedup, cap and greedy pack replayed in
+# one statement (WITH RECURSIVE heads the chain; only `rec` recurses).
+ORACLES["prep_corpus_packed"] = rf"""
+WITH RECURSIVE m AS (
+  SELECT doc_id, source, text,
+         len(regexp_extract_all(text, '\S+')) AS n_tokens,
+         len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '{_STOP_PAT}')) AS n_stop
+  FROM documents
+), f AS (
+  SELECT doc_id, source, n_tokens, text FROM m
+  WHERE n_tokens >= 20 AND n_punct * 5 <= n_chars AND n_stop >= 1
+), dd AS (
+  SELECT doc_id, source, n_tokens
+  FROM (
+    SELECT doc_id, source, n_tokens,
+           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM f
+  ) WHERE rn = 1
+), cap AS (
+  SELECT doc_id, n_tokens
+  FROM (
+    SELECT doc_id, n_tokens,
+           row_number() OVER (
+             PARTITION BY source
+             ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+    FROM dd
+  ) WHERE rn <= 40
+), d AS (
+  SELECT doc_id, doc_id // 64 AS pack_group,
+         CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(row_number() OVER (PARTITION BY doc_id // 64 ORDER BY doc_id)
+              AS BIGINT) AS rn
+  FROM cap
+), rec AS (
+  SELECT pack_group, rn, doc_id, n_tokens,
+         CAST(0 AS BIGINT) AS shard, CAST(n_tokens AS DOUBLE) AS fill
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.pack_group, d.rn, d.doc_id, d.n_tokens,
+         CASE WHEN rec.fill + d.n_tokens > 256.0
+              THEN rec.shard + 1 ELSE rec.shard END,
+         CASE WHEN rec.fill + d.n_tokens > 256.0
+              THEN CAST(d.n_tokens AS DOUBLE)
+              ELSE rec.fill + d.n_tokens END
+  FROM rec JOIN d ON d.pack_group = rec.pack_group AND d.rn = rec.rn + 1
+)
+SELECT doc_id, pack_group, n_tokens,
+       pack_group * 64 + shard AS shard_id
+FROM rec
+"""
+
 # TF-IDF is SQL-expressible with the same \W+ tokenizer (both engines run
 # RE2), float division and ln(); row_number reproduces the deterministic
 # (score desc, token asc) top-3 pick. Integer / in DuckDB is float division.
@@ -3900,6 +4006,7 @@ QUERIES = {
     # --- via tests/harness_check.py) ---
     "pack_docs_greedy": q_pack_docs_greedy,
     "source_cap_docs": q_source_cap_docs,
+    "prep_corpus_packed": q_prep_corpus_packed,
     # --- rows-only (no SQL-expressible oracle; pytest-verified) ---
     "approx_quantiles_docs": q_approx_quantiles_docs,
     "approx_distinct_by_type": q_approx_distinct_by_type,
