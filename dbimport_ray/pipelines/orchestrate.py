@@ -38,6 +38,15 @@ class TableJob:
     # → always allowed; a window crossing midnight (22:00→04:00) works.
     window_start: dtime | None = None
     window_stop: dtime | None = None
+    # Per-table retry budget (reference: configSchema.py:63 ``retries``
+    # — "How many retries should the Task do in Airflow before it
+    # fails"). Retrying a replay is always safe here: the 2PC manifest
+    # plus the pending checkpoint make re-entry resume mid-batch instead
+    # of double-applying, so the orchestrator just re-invokes. Each
+    # attempt after the first is appended to the table's metrics JSONL
+    # (the import_retries_log analogue, import_stage.py:1019-1027).
+    retries: int = 0
+    retry_backoff_s: float = 0.0
 
 
 def in_time_window(
@@ -90,12 +99,35 @@ def run_tables(
                     0.0,
                     {"window": f"{job.window_start}-{job.window_stop}"},
                 )
-            res = job.engine.replay(
-                job.events_path,
-                upto_seq=job.upto_seq,
-                override_num_blocks=job.override_num_blocks,
-            )
-            return JobResult(name, res.get("status", "?"), round(time.monotonic() - t0, 3), res)
+            last_err: Exception | None = None
+            for attempt in range(job.retries + 1):
+                if attempt:
+                    # import_retries_log analogue: one JSONL row per retry
+                    job.engine.store.append_metrics(
+                        {
+                            "kind": "retry",
+                            "table": name,
+                            "attempt": attempt,
+                            "error": f"{type(last_err).__name__}: {last_err}",
+                            "ts": time.time(),
+                        }
+                    )
+                    if job.retry_backoff_s:
+                        time.sleep(job.retry_backoff_s * (2 ** (attempt - 1)))
+                try:
+                    res = job.engine.replay(
+                        job.events_path,
+                        upto_seq=job.upto_seq,
+                        override_num_blocks=job.override_num_blocks,
+                    )
+                    res = dict(res, attempts=attempt + 1)
+                    return JobResult(
+                        name, res.get("status", "?"),
+                        round(time.monotonic() - t0, 3), res,
+                    )
+                except Exception as e:  # noqa: BLE001 — per-table isolation
+                    last_err = e
+            raise last_err  # budget exhausted → the outer handler reports
         except Exception as e:  # isolate per-table failures (Airflow task unit)
             return JobResult(
                 name, "failed", round(time.monotonic() - t0, 3), error=f"{type(e).__name__}: {e}"

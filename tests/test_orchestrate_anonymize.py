@@ -97,3 +97,45 @@ def test_time_window_gate(tmp_path, ray_session):
     res = run_tables([job], now=dtime(2, 30))
     assert res[0].status == "committed"
     assert eng.ckpt.load().committed_seq == 2
+
+
+def test_retry_budget_and_log(tmp_path, ray_session):
+    """Per-table retries (reference: configSchema.py:63 `retries`,
+    import_stage.py:1019 import_retries_log): a replay that fails twice
+    then succeeds commits within a retries=2 budget, each retry logged to
+    the table's metrics JSONL; with retries=1 the same failure pattern
+    reports `failed` after exhausting the budget."""
+    from dbimport_ray.pipelines.orchestrate import TableJob, run_tables
+
+    def flaky_engine(name, fail_times):
+        cfg = TableConfig(
+            name=name, pk=["k"], value_columns=["v"], num_partitions=2
+        )
+        eng = CDCEngine(str(tmp_path / "lake"), cfg)
+        real, state = eng.replay, {"left": fail_times}
+
+        def replay(*a, **kw):
+            if state["left"] > 0:
+                state["left"] -= 1
+                raise RuntimeError("transient source outage")
+            return real(*a, **kw)
+
+        eng.replay = replay
+        return eng
+
+    ev = _events(tmp_path, "retry_ev.parquet", ["ra", "rb"])
+
+    ok = flaky_engine("t_retry_ok", fail_times=2)
+    [res] = run_tables([TableJob(engine=ok, events_path=ev, retries=2)])
+    assert res.status == "committed"
+    assert res.detail["attempts"] == 3
+    retry_rows = [
+        m for m in ok.store.read_metrics() if m.get("kind") == "retry"
+    ]
+    assert [m["attempt"] for m in retry_rows] == [1, 2]
+    assert all("transient source outage" in m["error"] for m in retry_rows)
+
+    exhausted = flaky_engine("t_retry_fail", fail_times=2)
+    [res] = run_tables([TableJob(engine=exhausted, events_path=ev, retries=1)])
+    assert res.status == "failed"
+    assert "transient source outage" in res.error
