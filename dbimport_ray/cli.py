@@ -140,6 +140,19 @@ def main(argv: list[str] | None = None) -> int:
     )
     common(sp, data_plane=False)
     sp = sub.add_parser(
+        "curate",
+        help="quality-gate, dedup, cap and pack a documents table into "
+             "partitioned training shards",
+    )
+    sp.add_argument("--input", required=True, help="documents parquet file/dir")
+    sp.add_argument("--out", required=True, help="output shard root")
+    sp.add_argument("--budget", type=float, default=2048.0, help="tokens per shard")
+    sp.add_argument("--cap-per-source", type=int, default=0, help="0 = no cap")
+    sp.add_argument("--group-size", type=int, default=4096, help="docs per pack group")
+    sp.add_argument("--shard-dirs", type=int, default=64, help="output partition dirs")
+    sp.add_argument("--min-tokens", type=int, default=20, help="quality-gate floor")
+
+    sp = sub.add_parser(
         "credential",
         help="encrypted credential store (manage --encryptCredentials analogue)",
     )
@@ -236,6 +249,20 @@ def main(argv: list[str] | None = None) -> int:
             except FileNotFoundError:
                 broken = False
             print(json.dumps({"broken": broken, "holder": info}))
+        return 0
+
+    if args.cmd == "curate":
+        _init_ray()
+        from .pipelines.curate import curate_to_shards
+
+        print(json.dumps(curate_to_shards(
+            args.input, args.out,
+            budget=args.budget,
+            cap_per_source=args.cap_per_source,
+            group_size=args.group_size,
+            shard_dirs=args.shard_dirs,
+            min_tokens=args.min_tokens,
+        ), sort_keys=True))
         return 0
 
     _init_ray()

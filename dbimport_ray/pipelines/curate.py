@@ -36,6 +36,7 @@ there is no per-document Python in any hot path.
 
 from __future__ import annotations
 
+import json
 import os
 import uuid
 
@@ -623,6 +624,7 @@ def _greedy_pack_kernel(
     budget: float,
     group_size: int,
     out: str,
+    keep_cols: list[str] | None = None,
 ) -> pa.Table:
     """One COARSE bucket = many pack groups: a single lexsort orders every
     group by id; per group, greedy fill runs as O(shards) searchsorted
@@ -652,15 +654,17 @@ def _greedy_pack_kernel(
             shard += 1
             s = j
     shard_id = grp_s * np.int64(group_size) + local
-    return pa.table(
-        {
-            id_col: pa.array(ids_s),
-            "pack_group": pa.array(grp_s),
-            # original dtype, reordered (cost_s is the float64 cumsum copy)
-            cost_col: pc.take(t[cost_col], pa.array(order)),
-            out: pa.array(shard_id),
-        }
-    )
+    take = pa.array(order)
+    cols = {
+        id_col: pa.array(ids_s),
+        "pack_group": pa.array(grp_s),
+        # original dtype, reordered (cost_s is the float64 cumsum copy)
+        cost_col: pc.take(t[cost_col], take),
+        out: pa.array(shard_id),
+    }
+    for c in keep_cols or []:  # payload passthrough (e.g. text), reordered
+        cols[c] = pc.take(t[c], take)
+    return pa.table(cols)
 
 
 def pack_docs_greedy(
@@ -671,6 +675,7 @@ def pack_docs_greedy(
     group_size: int = 64,
     out: str = "shard_id",
     num_buckets: int = 64,
+    keep_cols: list[str] | None = None,
 ) -> rd.Dataset:
     """Greedy WHOLE-document packing into fixed-cost training shards: in
     ascending id order, a document joins the open shard while the shard's
@@ -692,7 +697,9 @@ def pack_docs_greedy(
     ``group_size`` docs can open at most ``group_size`` shards, so ids
     never collide).
 
-    Output columns: ``(id_col, pack_group, cost_col, out)``.
+    Output columns: ``(id_col, pack_group, cost_col, out, *keep_cols)`` —
+    ``keep_cols`` rides the same exchange (use it to carry the payload
+    text into a shard writer without a restore join).
     """
     from .dedup import _coarse_bucket
 
@@ -706,8 +713,112 @@ def pack_docs_greedy(
         .groupby("_bkt")
         .map_groups(
             lambda g: _greedy_pack_kernel(
-                g, id_col, cost_col, float(budget), group_size, out
+                g, id_col, cost_col, float(budget), group_size, out,
+                keep_cols=keep_cols,
             ),
             batch_format="pyarrow",
         )
     )
+
+
+def curate_to_shards(
+    docs_path: str | list[str],
+    out_dir: str,
+    budget: float = 2048.0,
+    cap_per_source: int = 0,
+    group_size: int = 4096,
+    shard_dirs: int = 64,
+    min_tokens: int = 20,
+) -> dict:
+    """The curation chain as a PRODUCT surface: read a documents Parquet
+    table (doc_id, source, text), run quality gate → exact dedup →
+    optional per-source cap → greedy whole-doc packing, and WRITE the
+    packed corpus as partitioned Parquet — one ``shard_dir=N`` directory
+    per ``shard_id % shard_dirs`` bucket, so a downstream trainer (or a
+    re-run) addresses output partition-by-partition instead of one giant
+    file. The text payload rides the pack exchange via ``keep_cols`` —
+    no restore join between packing and writing.
+
+    The write is job-level idempotent: a ``_DONE`` marker is written
+    after a complete run; re-running with the marker present returns
+    ``{"status": "noop"}`` without touching data (fine-grained mid-batch
+    resume belongs to the CDC lake path with its 2PC manifest — this is
+    a one-shot batch job, rerun-from-scratch safe because every stage is
+    a pure function of the input)."""
+    import ray.data as rd
+
+    from ..functions.anonymize import hash_column
+    from ..functions.text import PUNCT_RE, _stopword_count, token_count
+    from ..stages.stats import top_n_per_group
+
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done):
+        return {"status": "noop", "out_dir": out_dir}
+
+    from .dedup import exact_dedup
+
+    ds = rd.read_parquet(docs_path, columns=["doc_id", "source", "text"])
+    n_in = ds.count()
+
+    def gate(t: pa.Table) -> pa.Table:
+        s = pc.cast(t["text"], pa.string())
+        n_tokens = pc.cast(token_count(s), pa.int64())
+        n_punct = pc.cast(pc.count_substring_regex(s, PUNCT_RE), pa.int64())
+        n_chars = pc.cast(pc.utf8_length(s), pa.int64())
+        n_stop = pc.cast(_stopword_count(s), pa.int64())
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(n_tokens, min_tokens),
+                pc.less_equal(pc.multiply(n_punct, 5), n_chars),
+            ),
+            pc.greater_equal(n_stop, 1),
+        )
+        return t.append_column("n_tokens", n_tokens).filter(keep)
+
+    cur = exact_dedup(
+        ds.map_batches(gate, batch_format="pyarrow"),
+        "text", "doc_id",
+        keep_cols=["doc_id", "source", "n_tokens", "text"],
+    )
+    if cap_per_source:
+        cur = top_n_per_group(
+            cur.map_batches(
+                lambda t: t.append_column("pick", hash_column(t["doc_id"])),
+                batch_format="pyarrow",
+            ),
+            ["source"], "pick", cap_per_source,
+            tie_cols=["doc_id"], descending=False,
+            schema=pa.schema(
+                [("doc_id", pa.int64()), ("source", pa.string()),
+                 ("n_tokens", pa.int64()), ("text", pa.string()),
+                 ("pick", pa.string())]
+            ),
+        ).select_columns(["doc_id", "source", "n_tokens", "text"])
+    packed = pack_docs_greedy(
+        cur, budget=budget, cost_col="n_tokens", id_col="doc_id",
+        group_size=group_size, keep_cols=["source", "text"],
+    )
+
+    sd = np.int64(shard_dirs)
+
+    def add_dir(t: pa.Table) -> pa.Table:
+        s = t["shard_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("shard_dir", pa.array(s % sd))
+
+    packed.map_batches(add_dir, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["shard_dir"]
+    )
+    out = rd.read_parquet(out_dir)
+    n_out, n_shards = out.count(), out.unique("shard_id")
+    stats = {
+        "status": "committed",
+        "out_dir": out_dir,
+        "docs_in": int(n_in),
+        "docs_out": int(n_out),
+        "shards": len(n_shards),
+        "shard_dirs": shard_dirs,
+        "budget": budget,
+    }
+    with open(done, "w") as f:
+        json.dump(stats, f, sort_keys=True)
+    return stats

@@ -369,3 +369,107 @@ def test_source_cap_docs_invariants():
         for _, i in sorted(rows)[:10]
     )
     assert got == want
+
+
+def test_curate_to_shards_end_to_end(tmp_path):
+    """The curate product surface: gate → dedup → cap → pack → partitioned
+    parquet write. Oracle re-derives the surviving doc set in plain
+    Python; the written shards must hold exactly those docs, every shard
+    within budget (or a single oversize doc), and a rerun must noop."""
+    import json
+    import re
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from dbimport_ray.pipelines.curate import curate_to_shards
+
+    rng = np.random.default_rng(3)
+    rows = []
+    words = ["the", "alpha", "beta", "gamma", "delta", "code", "data"]
+    for i in range(120):
+        n = int(rng.integers(5, 60))
+        text = " ".join(rng.choice(words, n))
+        rows.append((i, f"s{i % 3}", text))
+    # force duplicates and a gate failure
+    rows[7] = (7, "s1", rows[3][2])
+    rows[11] = (11, "s2", "!!! ??? ...")
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "source": pa.array([r[1] for r in rows], pa.string()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    src_path = str(tmp_path / "docs.parquet")
+    pq.write_table(t, src_path)
+    out_dir = str(tmp_path / "shards")
+
+    budget, cap, gsz = 120.0, 30, 16
+    stats = curate_to_shards(
+        src_path, out_dir, budget=budget, cap_per_source=cap,
+        group_size=gsz, shard_dirs=4,
+    )
+    assert stats["status"] == "committed"
+
+    # python oracle: gate (>=20 toks, punct*5<=chars, >=1 stopword),
+    # dedup min-id per text, cap 30 per source by sha order
+    import hashlib
+
+    def toks(s):
+        return re.findall(r"\S+", s)
+
+    survivors = {}
+    for i, src, text in rows:
+        nt = len(toks(text))
+        npunct = len(re.findall(r"[^\w\s]", text))
+        nstop = len(re.findall(r"\b(the)\b", text))
+        if nt >= 20 and npunct * 5 <= len(text) and nstop >= 1:
+            survivors.setdefault(text, []).append((i, src, nt))
+    dd = [min(v) for v in survivors.values()]  # min doc_id per text
+    by_src = {}
+    for i, src, nt in dd:
+        by_src.setdefault(src, []).append(
+            (hashlib.sha256(str(i).encode()).hexdigest(), i, nt)
+        )
+    kept = sorted(
+        (i, nt) for v in by_src.values() for _, i, nt in sorted(v)[:cap]
+    )
+
+    got = pq.read_table(out_dir).combine_chunks()
+    got_ids = sorted(
+        zip(got["doc_id"].to_pylist(), got["n_tokens"].to_pylist())
+    )
+    assert got_ids == kept
+    assert stats["docs_out"] == len(kept)
+
+    # capacity invariant + greedy oracle per pack group
+    fills, counts = {}, {}
+    for i, nt, s in zip(
+        got["doc_id"].to_pylist(), got["n_tokens"].to_pylist(),
+        got["shard_id"].to_pylist(),
+    ):
+        fills[s] = fills.get(s, 0) + nt
+        counts[s] = counts.get(s, 0) + 1
+    assert all(f <= budget or counts[s] == 1 for s, f in fills.items())
+    exp_shard = {}
+    by_group = {}
+    for i, nt in kept:
+        by_group.setdefault(i // gsz, []).append((i, nt))
+    for g, v in by_group.items():
+        fill, shard = None, -1
+        for i, nt in sorted(v):
+            if fill is None or fill + nt > budget:
+                shard, fill = shard + 1, nt
+            else:
+                fill += nt
+            exp_shard[i] = g * gsz + shard
+    got_shard = dict(
+        zip(got["doc_id"].to_pylist(), got["shard_id"].to_pylist())
+    )
+    assert got_shard == exp_shard
+
+    # idempotent rerun + marker content
+    assert curate_to_shards(src_path, out_dir)["status"] == "noop"
+    marker = json.load(open(out_dir + "/_DONE"))
+    assert marker["docs_out"] == len(kept)
