@@ -151,6 +151,9 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--group-size", type=int, default=4096, help="docs per pack group")
     sp.add_argument("--shard-dirs", type=int, default=64, help="output partition dirs")
     sp.add_argument("--min-tokens", type=int, default=20, help="quality-gate floor")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--source-col", default="source")
+    sp.add_argument("--text-col", default="text")
 
     sp = sub.add_parser(
         "credential",
@@ -262,6 +265,9 @@ def main(argv: list[str] | None = None) -> int:
             group_size=args.group_size,
             shard_dirs=args.shard_dirs,
             min_tokens=args.min_tokens,
+            id_col=args.id_col,
+            source_col=args.source_col,
+            text_col=args.text_col,
         ), sort_keys=True))
         return 0
 

@@ -722,13 +722,16 @@ def pack_docs_greedy(
 
 
 def curate_to_shards(
-    docs_path: str | list[str],
+    docs: str | list[str] | rd.Dataset,
     out_dir: str,
     budget: float = 2048.0,
     cap_per_source: int = 0,
     group_size: int = 4096,
     shard_dirs: int = 64,
     min_tokens: int = 20,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
 ) -> dict:
     """The curation chain as a PRODUCT surface: read a documents Parquet
     table (doc_id, source, text), run quality gate → exact dedup →
@@ -744,9 +747,14 @@ def curate_to_shards(
     ``{"status": "noop"}`` without touching data (fine-grained mid-batch
     resume belongs to the CDC lake path with its 2PC manifest — this is
     a one-shot batch job, rerun-from-scratch safe because every stage is
-    a pure function of the input)."""
-    import ray.data as rd
+    a pure function of the input).
 
+    ``docs`` may be parquet path(s) OR an existing Dataset — e.g. a CDC
+    lake table (``engine.dataset()``), closing the loop from continuous
+    ingest to packed training shards. Column names are mapped via
+    ``id_col/source_col/text_col``; a non-integer id (the lake's string
+    keys) is replaced by its deterministic 64-bit content hash so pack
+    groups stay integer arithmetic."""
     from ..functions.anonymize import hash_column
     from ..functions.text import PUNCT_RE, _stopword_count, token_count
     from ..stages.stats import top_n_per_group
@@ -757,7 +765,30 @@ def curate_to_shards(
 
     from .dedup import exact_dedup
 
-    ds = rd.read_parquet(docs_path, columns=["doc_id", "source", "text"])
+    if isinstance(docs, rd.Dataset):
+        ds = docs.select_columns([id_col, source_col, text_col])
+    else:
+        ds = rd.read_parquet(docs, columns=[id_col, source_col, text_col])
+    renames = {
+        old: new
+        for old, new in ((id_col, "doc_id"), (source_col, "source"),
+                         (text_col, "text"))
+        if old != new
+    }
+    if renames:
+        ds = ds.rename_columns(renames)
+    if not pa.types.is_integer(ds.schema().base_schema.field("doc_id").type):
+
+        def int_id(t: pa.Table) -> pa.Table:
+            h = _hash_strings(
+                pc.cast(t["doc_id"], pa.string()).to_numpy(zero_copy_only=False)
+            ).astype(np.int64)
+            i = t.schema.get_field_index("doc_id")
+            # clear the sign bit: pack groups divide by group_size and
+            # the group→shard encoding assumes non-negative ids
+            return t.set_column(i, "doc_id", pa.array(np.abs(h)))
+
+        ds = ds.map_batches(int_id, batch_format="pyarrow")
     n_in = ds.count()
 
     def gate(t: pa.Table) -> pa.Table:

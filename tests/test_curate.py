@@ -473,3 +473,43 @@ def test_curate_to_shards_end_to_end(tmp_path):
     assert curate_to_shards(src_path, out_dir)["status"] == "noop"
     marker = json.load(open(out_dir + "/_DONE"))
     assert marker["docs_out"] == len(kept)
+
+
+def test_curate_lake_table_to_shards(tmp_path):
+    """Ingest-to-training-data loop: events CDC-replayed into the lake,
+    then the committed table (string keys) curated straight into packed
+    shards — ids hashed to int64, repo as the cap source, content as the
+    text payload."""
+    import pyarrow.parquet as pq
+
+    from dbimport_ray import CDCEngine, repo_files_config
+    from dbimport_ray.datagen import generate_events
+    from dbimport_ray.pipelines.curate import curate_to_shards
+
+    ev = str(tmp_path / "events.parquet")
+    generate_events(ev, num_keys=300, num_events=1200, seed=13)
+    eng = CDCEngine(str(tmp_path / "lake"), repo_files_config(num_partitions=4))
+    assert eng.replay(ev)["status"] == "committed"
+    live = eng.dataset()
+    n_live = live.count()
+    assert n_live > 0
+
+    out = str(tmp_path / "shards")
+    stats = curate_to_shards(
+        eng.dataset(), out, budget=40.0, group_size=64, shard_dirs=4,
+        min_tokens=5, id_col="path", source_col="repo", text_col="content",
+    )
+    assert stats["status"] == "committed"
+    assert 0 < stats["docs_out"] <= n_live
+    got = pq.read_table(out).combine_chunks()
+    assert got.num_rows == stats["docs_out"]
+    assert got.schema.field("doc_id").type == pa.int64()
+    # dedup really ran: every surviving text is unique
+    texts = got["text"].to_pylist()
+    assert len(texts) == len(set(texts))
+    # capacity invariant over the written shards
+    fills, counts = {}, {}
+    for nt, s in zip(got["n_tokens"].to_pylist(), got["shard_id"].to_pylist()):
+        fills[s] = fills.get(s, 0) + nt
+        counts[s] = counts.get(s, 0) + 1
+    assert all(f <= 40.0 or counts[s] == 1 for s, f in fills.items())
