@@ -839,14 +839,34 @@ def curate_to_shards(
     packed.map_batches(add_dir, batch_format="pyarrow").write_parquet(
         out_dir, partition_cols=["shard_dir"]
     )
-    out = rd.read_parquet(out_dir)
-    n_out, n_shards = out.count(), out.unique("shard_id")
+    # shard index for the trainer: one row per shard (docs, tokens, dir),
+    # built from a column-pruned read-back of the narrow columns only
+    out = rd.read_parquet(out_dir, columns=["shard_id", "n_tokens"])
+    from ray.data.aggregate import Count, Sum
+
+    idx = (
+        out.groupby("shard_id")
+        .aggregate(Count(alias_name="docs"), Sum("n_tokens", alias_name="tokens"))
+        .sort("shard_id")
+        .take_all()  # one row per shard — bounded by corpus_tokens/budget
+    )
+    index = {
+        int(r["shard_id"]): {
+            "docs": int(r["docs"]),
+            "tokens": int(r["tokens"]),
+            "dir": f"shard_dir={int(r['shard_id']) % shard_dirs}",
+        }
+        for r in idx
+    }
+    with open(os.path.join(out_dir, "_shards.json"), "w") as f:
+        json.dump(index, f, sort_keys=True)
     stats = {
         "status": "committed",
         "out_dir": out_dir,
         "docs_in": int(n_in),
-        "docs_out": int(n_out),
-        "shards": len(n_shards),
+        "docs_out": int(sum(v["docs"] for v in index.values())),
+        "shards": len(index),
+        "tokens_out": int(sum(v["tokens"] for v in index.values())),
         "shard_dirs": shard_dirs,
         "budget": budget,
     }

@@ -513,3 +513,57 @@ def test_curate_lake_table_to_shards(tmp_path):
         fills[s] = fills.get(s, 0) + nt
         counts[s] = counts.get(s, 0) + 1
     assert all(f <= 40.0 or counts[s] == 1 for s, f in fills.items())
+
+
+def test_pack_greedy_kernel_property():
+    """Property differential: the jump-searchsorted kernel equals the
+    sequential greedy recurrence for arbitrary ids, costs, budgets and
+    group sizes (hypothesis-driven, kernel-level — no Ray)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import numpy as np
+
+    from dbimport_ray.pipelines.curate import _greedy_pack_kernel
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        ids=st.lists(
+            st.integers(min_value=0, max_value=500),
+            min_size=1, max_size=80, unique=True,
+        ),
+        costs=st.data(),
+        budget=st.integers(min_value=1, max_value=200),
+        gsz=st.sampled_from([1, 4, 16, 64]),
+    )
+    def check(ids, costs, budget, gsz):
+        cost = [
+            costs.draw(st.integers(min_value=1, max_value=300))
+            for _ in ids
+        ]
+        t = pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(cost, pa.int64()),
+                "pack_group": pa.array([i // gsz for i in ids], pa.int64()),
+            }
+        )
+        got = _greedy_pack_kernel(
+            t, "doc_id", "n_tokens", float(budget), gsz, "shard_id"
+        )
+        got_map = dict(
+            zip(got["doc_id"].to_pylist(), got["shard_id"].to_pylist())
+        )
+        by_group = {}
+        for i, c in sorted(zip(ids, cost)):
+            by_group.setdefault(i // gsz, []).append((i, c))
+        for g, rows in by_group.items():
+            fill, shard = None, -1
+            for i, c in rows:
+                if fill is None or fill + c > budget:
+                    shard, fill = shard + 1, c
+                else:
+                    fill += c
+                assert got_map[i] == g * gsz + shard
+
+    check()
