@@ -107,6 +107,53 @@ def scrub_pii(col: pa.Array | pa.ChunkedArray) -> pa.ChunkedArray:
     return s
 
 
+# --- secret scrubbing (code corpora) ------------------------------------
+# The code-payload analogue of PII scrubbing: a training corpus of source
+# repositories must redact credentials committed into code. Same kernel
+# family — ordered vectorized RE2 rewrites, SQL-reproducible (DuckDB
+# regexp_replace with the 'g' flag is RE2 too). Order matters: the PEM
+# block first (its base64 body would otherwise be eaten by the blob
+# pattern), then the short structured keys, then assignment-style
+# credentials, then long base64 runs as the entropy proxy.
+SECRET_PATTERNS: list[tuple[str, str]] = [
+    (
+        r"-----BEGIN [A-Z ]*PRIVATE KEY-----[A-Za-z0-9+/=\s]*"
+        r"-----END [A-Z ]*PRIVATE KEY-----",
+        "<PRIVATE_KEY>",
+    ),
+    (r"\bAKIA[0-9A-Z]{16}\b", "<AWS_KEY>"),
+    (
+        r"(?i)\b(api[_-]?key|secret|token|password|passwd)\s*[:=]\s*"
+        r"['\"][^'\"]{6,}['\"]",
+        "<CREDENTIAL>",
+    ),
+    (r"\b[A-Za-z0-9+/]{40,}={0,2}\b", "<B64_BLOB>"),
+]
+
+_SECRET_TOKEN_RE = r"<PRIVATE_KEY>|<AWS_KEY>|<CREDENTIAL>|<B64_BLOB>"
+
+
+def scrub_secrets(col: pa.Array | pa.ChunkedArray) -> pa.ChunkedArray:
+    """Redact committed credentials inside a string column (PEM private
+    keys, AWS access key ids, assignment-style secrets, long base64
+    runs). Null-preserving, pure pyarrow.compute — zero Python per row."""
+    s = pc.cast(_as_chunked(col), pa.string())
+    for pat, token in SECRET_PATTERNS:
+        s = pc.replace_substring_regex(s, pat, token)
+    return s
+
+
+def count_secret_tokens(scrubbed: pa.Array | pa.ChunkedArray):
+    """Redaction-token count per row of an already-scrubbed column — the
+    per-doc secret tally (int64), same expression both engines."""
+    return pc.cast(
+        pc.count_substring_regex(
+            pc.cast(_as_chunked(scrubbed), pa.string()), _SECRET_TOKEN_RE
+        ),
+        pa.int64(),
+    )
+
+
 def normalize_text(col: pa.Array | pa.ChunkedArray) -> pa.ChunkedArray:
     """Canonical text normalization for dedup/fingerprint pre-passes:
     lowercase, collapse runs of whitespace to one space, trim. Matches
