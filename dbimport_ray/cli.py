@@ -154,6 +154,8 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--id-col", default="doc_id")
     sp.add_argument("--source-col", default="source")
     sp.add_argument("--text-col", default="text")
+    sp.add_argument("--scrub-secrets", action="store_true",
+                    help="redact committed credentials before gate/dedup")
 
     sp = sub.add_parser(
         "credential",
@@ -268,6 +270,7 @@ def main(argv: list[str] | None = None) -> int:
             id_col=args.id_col,
             source_col=args.source_col,
             text_col=args.text_col,
+            scrub=args.scrub_secrets,
         ), sort_keys=True))
         return 0
 

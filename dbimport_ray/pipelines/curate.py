@@ -732,6 +732,7 @@ def curate_to_shards(
     id_col: str = "doc_id",
     source_col: str = "source",
     text_col: str = "text",
+    scrub: bool = False,
 ) -> dict:
     """The curation chain as a PRODUCT surface: read a documents Parquet
     table (doc_id, source, text), run quality gate → exact dedup →
@@ -789,6 +790,16 @@ def curate_to_shards(
             return t.set_column(i, "doc_id", pa.array(np.abs(h)))
 
         ds = ds.map_batches(int_id, batch_format="pyarrow")
+    if scrub:
+        # redact committed credentials BEFORE gate/dedup so identical
+        # files differing only in embedded secrets collapse to one doc
+        from ..functions.anonymize import scrub_secrets
+
+        def do_scrub(t: pa.Table) -> pa.Table:
+            i = t.schema.get_field_index("text")
+            return t.set_column(i, "text", scrub_secrets(t["text"]))
+
+        ds = ds.map_batches(do_scrub, batch_format="pyarrow")
     n_in = ds.count()
 
     def gate(t: pa.Table) -> pa.Table:

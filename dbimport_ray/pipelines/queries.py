@@ -2414,6 +2414,33 @@ _PEM = (
 )
 
 
+def q_cluster_split_docs(sf_dir: str) -> rd.Dataset:
+    """Leakage-safe train/valid/test split: near-duplicate clusters
+    (MinHash+LSH) are assigned to a split ATOMICALLY by hashing the
+    cluster representative — two near-identical docs can never straddle
+    train and test (the contamination a per-doc hash split permits).
+    Rows-only (MinHash is not SQL-expressible); the cluster/split
+    mechanics are pytest-verified."""
+    from ..functions.split import split_by_hash
+    from .dedup import minhash_lsh_clusters
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    clusters = minhash_lsh_clusters(ds, "text", "doc_id")
+
+    def lab(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "rep": t["rep"],
+                "split": split_by_hash(
+                    t["rep"], {"train": 0.8, "valid": 0.1, "test": 0.1}
+                ),
+            }
+        )
+
+    return clusters.map_batches(lab, batch_format="pyarrow")
+
+
 def q_secret_scrub_docs(sf_dir: str) -> rd.Dataset:
     """Committed-credential redaction for CODE corpora (the code-payload
     PII analogue): AWS key ids, assignment-style secrets, PEM private-key
@@ -4078,6 +4105,7 @@ QUERIES = {
     "prep_corpus_packed": q_prep_corpus_packed,
     "secret_scrub_docs": q_secret_scrub_docs,
     # --- rows-only (no SQL-expressible oracle; pytest-verified) ---
+    "cluster_split_docs": q_cluster_split_docs,
     "approx_quantiles_docs": q_approx_quantiles_docs,
     "approx_distinct_by_type": q_approx_distinct_by_type,
     "approx_distinct_users": q_approx_distinct_users,
