@@ -45,9 +45,20 @@ def _tag_distinct(ds: rd.Dataset, on: list[str], left: bool) -> rd.Dataset:
     return ds.map_batches(prune, batch_format="pyarrow")
 
 
-def _membership(left: rd.Dataset, right: rd.Dataset, on: list[str]) -> rd.Dataset:
+def _membership(
+    left: rd.Dataset, right: rd.Dataset, on: list[str],
+    shuffle_blocks: int | None = 8,
+) -> rd.Dataset:
     keys = list(on)
     tagged = _tag_distinct(left, keys, True).union(_tag_distinct(right, keys, False))
+    if shuffle_blocks:
+        # coalesce the narrow tagged domain below the input block count
+        # before the sort aggregate: the groupby makes one range
+        # partition per input block, so a wide input pays per-block
+        # Aggregate overhead (and surplus empty partitions) for a domain
+        # that fits in a handful of blocks. Measured at sf0.1
+        # (part ∩ lineitem, 32 cpus, warm): 3.9 s → 3.2 s.
+        tagged = tagged.repartition(shuffle_blocks)
     return tagged.groupby(keys).aggregate(
         Max(_L, alias_name=_L), Max(_R, alias_name=_R)
     )
