@@ -89,6 +89,8 @@ QUERY_NAMES = [
     "pack_docs_greedy",
     "source_cap_docs",
     "prep_corpus_packed",
+    "secret_scrub_docs",
+    "import_graph_docs",
 ]
 
 

@@ -121,6 +121,86 @@ def _out_schema(
     return pa.schema(fields)
 
 
+# ---------------------------------------------------------------------------
+# License-header classification
+# ---------------------------------------------------------------------------
+# Ordered (slug, RE2 pattern) pairs; first match wins. Patterns target the
+# distinctive phrases of each license's standard header, the same signals
+# scancode/go-license-detector key on. Matching runs only over the first
+# ``header_chars`` code units of each file — license headers live at the
+# top, and slicing keeps the regex cost independent of file size.
+LICENSE_PATTERNS: list[tuple[str, str]] = [
+    ("apache-2.0", r"Apache License"),
+    ("gpl-3.0", r"GNU General Public License|\bGPL\b"),
+    ("mit", r"MIT License|Permission is hereby granted"),
+    ("bsd-3-clause", r"Redistribution and use in source and binary forms"),
+]
+
+PERMISSIVE = {"apache-2.0", "mit", "bsd-3-clause"}
+
+
+def classify_license(
+    col: pa.ChunkedArray | pa.Array, header_chars: int = 512
+) -> pa.Array:
+    """First-match-wins license slug per file (``'unknown'`` when no
+    pattern hits, null for null input). One vectorized
+    ``match_substring_regex`` per pattern over the sliced header — no
+    per-row Python."""
+    s = pc.cast(col, pa.string())
+    head = pc.utf8_slice_codeunits(s, 0, header_chars)
+    n = len(s)
+    out = np.full(n, "unknown", dtype=object)
+    decided = np.zeros(n, dtype=bool)
+    for slug, pat in LICENSE_PATTERNS:
+        hit = pc.match_substring_regex(head, pat).to_numpy(
+            zero_copy_only=False
+        )
+        take = ~decided & (hit == True)  # noqa: E712  (hit may hold None)
+        out[take] = slug
+        decided |= take
+    valid = pc.is_valid(s).to_numpy(zero_copy_only=False)
+    out[~valid] = None
+    return pa.array(out, type=pa.string())
+
+
+# ---------------------------------------------------------------------------
+# Import-statement extraction (dependency edges)
+# ---------------------------------------------------------------------------
+_IMPORT_RE = r"^\s*(?:import|from)\s+([A-Za-z_][A-Za-z0-9_.]*)"
+_IMPORT_RE_NAMED = r"^\s*(?:import|from)\s+(?P<m>[A-Za-z_][A-Za-z0-9_.]*)"
+
+
+def extract_import_edges(
+    t: pa.Table, text_col: str, id_col: str
+) -> pa.Table:
+    """Explode each file's import statements into ``(id_col, module)``
+    edge rows — the map side of a dependency-graph build. Vectorized:
+    split to lines once, repeat the file id by each file's line count,
+    one ``extract_regex`` over the flat line buffer, filter to matches.
+    Files with no imports contribute no rows; output may be empty."""
+    schema = pa.schema(
+        [t.schema.field(id_col), pa.field("module", pa.string())]
+    )
+    if t.num_rows == 0:
+        return schema.empty_table()
+    flat, offsets = _flat_lines(t[text_col], "\n")
+    ids = t[id_col].combine_chunks() if isinstance(
+        t[id_col], pa.ChunkedArray
+    ) else t[id_col]
+    line_ids = ids.take(
+        pa.array(
+            np.repeat(np.arange(len(offsets) - 1), np.diff(offsets)),
+            type=pa.int64(),
+        )
+    )
+    m = pc.extract_regex(flat, _IMPORT_RE_NAMED)
+    ok = pc.is_valid(m)
+    if not bool(pc.any(ok).as_py()):
+        return schema.empty_table()
+    mods = pc.struct_field(m, "m").filter(ok)
+    return pa.table({id_col: line_ids.filter(ok), "module": mods}, schema=schema)
+
+
 def line_stats_ds(
     ds,
     text_col: str,

@@ -2694,6 +2694,86 @@ def q_code_line_profile(sf_dir: str) -> rd.Dataset:
     )
 
 
+_LIC_HDRS = [
+    "/* Licensed under the Apache License, Version 2.0 */\n",
+    "/* MIT License: Permission is hereby granted, free of charge */\n",
+    "/* This program is free software: GNU General Public License v3 */\n",
+    "/* Redistribution and use in source and binary forms permitted */\n",
+    "",
+]
+
+
+def q_license_detect_docs(sf_dir: str) -> rd.Dataset:
+    """License-header classification for a code lake (functions/code.py
+    classify_license): first-match-wins over the scancode-style header
+    phrases, plus a permissive flag — the gate a code-corpus curation
+    run applies before training. The synthetic corpus carries no
+    headers, so each doc gets a deterministic one by ``doc_id % 5``
+    (the SQL oracle builds the identical string); one vectorized regex
+    pass per pattern over a 512-char header slice, zero exchange."""
+    from ..functions.code import PERMISSIVE, classify_license
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    hdrs = np.array(_LIC_HDRS, dtype=object)
+    permissive_set = pa.array(sorted(PERMISSIVE))
+
+    def f(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy()
+        content = pc.binary_join_element_wise(
+            pa.array(hdrs[did % 5], type=pa.string()), t["text"], ""
+        )
+        lic = classify_license(content)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "license": lic,
+                "permissive": pc.is_in(lic, value_set=permissive_set),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def q_import_graph_docs(sf_dir: str) -> rd.Dataset:
+    """Dependency-graph fan-in over a code lake: explode each file's
+    import statements into (file, module) edges (functions/code.py
+    extract_import_edges — vectorized line split + one extract_regex),
+    then aggregate per module: distinct importing files and total import
+    statements. Import lines are synthesized deterministically from
+    ``doc_id`` (two ``import``s + one ``from``, with planned collisions
+    when ``doc_id % 7 == (3 * doc_id) % 7``) so the DuckDB oracle builds
+    the identical corpus. The exchange carries only distinct
+    (module, doc) pairs — batch-local edges collapse before shipping."""
+    from ..functions.code import extract_import_edges
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_code(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy()
+        content = pc.binary_join_element_wise(
+            t["text"],
+            "\nimport mod_", pa.array((did % 7).astype(str)),
+            "\nfrom pkg_", pa.array((did % 3).astype(str)),
+            " import util\nimport mod_", pa.array((did * 3 % 7).astype(str)),
+            "",
+        )
+        return pa.table({"doc_id": t["doc_id"], "content": content})
+
+    edges = docs.map_batches(to_code, batch_format="pyarrow").map_batches(
+        lambda t: extract_import_edges(t, "content", "doc_id"),
+        batch_format="pyarrow",
+    )
+    pairs = edges.groupby(["module", "doc_id"]).aggregate(
+        Count(alias_name="n")
+    )
+    # the module domain is tiny relative to the pair table's block count:
+    # coalesce before the second exchange so no range partition is empty
+    # (zero-column-block spam — see q_grouped_median)
+    return pairs.repartition(4).groupby("module").aggregate(
+        Count(alias_name="n_files"), Sum("n", alias_name="n_imports")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL
 # ---------------------------------------------------------------------------
@@ -3977,6 +4057,63 @@ SELECT doc_id,
 FROM split
 """
 
+ORACLES["license_detect_docs"] = r"""
+WITH f AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 5 AS INTEGER)
+           WHEN 0 THEN '/* Licensed under the Apache License, Version 2.0 */' || chr(10)
+           WHEN 1 THEN '/* MIT License: Permission is hereby granted, free of charge */' || chr(10)
+           WHEN 2 THEN '/* This program is free software: GNU General Public License v3 */' || chr(10)
+           WHEN 3 THEN '/* Redistribution and use in source and binary forms permitted */' || chr(10)
+           ELSE '' END || text AS content
+  FROM documents
+), c AS (
+  SELECT doc_id,
+    CASE
+      WHEN regexp_matches(substr(content, 1, 512), 'Apache License')
+        THEN 'apache-2.0'
+      WHEN regexp_matches(substr(content, 1, 512),
+                          'GNU General Public License|\bGPL\b')
+        THEN 'gpl-3.0'
+      WHEN regexp_matches(substr(content, 1, 512),
+                          'MIT License|Permission is hereby granted')
+        THEN 'mit'
+      WHEN regexp_matches(substr(content, 1, 512),
+                          'Redistribution and use in source and binary forms')
+        THEN 'bsd-3-clause'
+      ELSE 'unknown' END AS license
+  FROM f
+)
+SELECT doc_id, license,
+       license IN ('apache-2.0', 'bsd-3-clause', 'mit') AS permissive
+FROM c
+"""
+
+ORACLES["import_graph_docs"] = r"""
+WITH f AS (
+  SELECT doc_id,
+         text || chr(10) || 'import mod_' || CAST(doc_id % 7 AS VARCHAR)
+              || chr(10) || 'from pkg_' || CAST(doc_id % 3 AS VARCHAR)
+              || ' import util'
+              || chr(10) || 'import mod_' || CAST(doc_id * 3 % 7 AS VARCHAR)
+           AS content
+  FROM documents
+), lines AS (
+  SELECT doc_id, unnest(string_split(content, chr(10))) AS line FROM f
+), edges AS (
+  SELECT doc_id,
+         regexp_extract(line,
+           '^\s*(?:import|from)\s+([A-Za-z_][A-Za-z0-9_.]*)', 1) AS module
+  FROM lines
+  WHERE regexp_matches(line, '^\s*(?:import|from)\s+[A-Za-z_]')
+)
+SELECT module,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_files,
+       CAST(COUNT(*) AS BIGINT) AS n_imports
+FROM edges
+GROUP BY module
+"""
+
 ORACLES["incremental_dedup"] = """
 WITH r1 AS (SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0),
 r2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1)
@@ -4104,6 +4241,8 @@ QUERIES = {
     "source_cap_docs": q_source_cap_docs,
     "prep_corpus_packed": q_prep_corpus_packed,
     "secret_scrub_docs": q_secret_scrub_docs,
+    "license_detect_docs": q_license_detect_docs,
+    "import_graph_docs": q_import_graph_docs,
     # --- rows-only (no SQL-expressible oracle; pytest-verified) ---
     "cluster_split_docs": q_cluster_split_docs,
     "approx_quantiles_docs": q_approx_quantiles_docs,

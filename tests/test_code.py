@@ -130,3 +130,76 @@ def test_ds_wrapper(ray_session):
     ).to_pandas().set_index("id").sort_index()
     assert out.loc[1, "n_lines"] == 3 and out.loc[1, "n_blank"] == 1
     assert out.loc[2, "n_comment"] == 1
+
+
+# ---------------------------------------------------------------------------
+# License classification + import extraction (round-4 wave 4)
+# ---------------------------------------------------------------------------
+
+def test_classify_license_priority_and_nulls():
+    from dbimport_ray.functions.code import classify_license
+
+    texts = pa.array(
+        [
+            "/* Licensed under the Apache License, Version 2.0 */",
+            "# MIT License",
+            "Permission is hereby granted, free of charge",
+            "GNU General Public License v3",
+            "under the GPL only",
+            "Redistribution and use in source and binary forms",
+            # priority: Apache listed before MIT — dual-phrase header
+            # resolves to the first pattern in LICENSE_PATTERNS
+            "Apache License ... Permission is hereby granted",
+            "plain code, no header",
+            None,
+            "",
+        ]
+    )
+    assert classify_license(texts).to_pylist() == [
+        "apache-2.0", "mit", "mit", "gpl-3.0", "gpl-3.0",
+        "bsd-3-clause", "apache-2.0", "unknown", None, "unknown",
+    ]
+
+
+def test_classify_license_header_slice():
+    from dbimport_ray.functions.code import classify_license
+
+    # the phrase sits past the header window → not detected
+    deep = ("x" * 600) + " Apache License"
+    near = ("x" * 100) + " Apache License"
+    got = classify_license(pa.array([deep, near])).to_pylist()
+    assert got == ["unknown", "apache-2.0"]
+
+
+def test_extract_import_edges_brute():
+    import re
+
+    from dbimport_ray.functions.code import extract_import_edges
+
+    texts = [
+        "import os\nfrom foo.bar import baz\nx = 1\n  import numpy as np",
+        "# import commented? still a line start after strip\nimport a_b.c",
+        "from  spaced   import x\nnothing here\nimportant = 1",
+        "plain",
+        None,
+        "",
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    got = extract_import_edges(t, "text", "doc_id")
+    pat = re.compile(r"^\s*(?:import|from)\s+([A-Za-z_][A-Za-z0-9_.]*)")
+    want = []
+    for i, s in enumerate(texts):
+        if s is None:
+            continue
+        for line in s.split("\n"):
+            m = pat.match(line)
+            if m:
+                want.append((i, m.group(1)))
+    assert list(zip(got["doc_id"].to_pylist(),
+                    got["module"].to_pylist())) == want
+    # empty input keeps the typed schema
+    empty = extract_import_edges(t.slice(0, 0), "text", "doc_id")
+    assert empty.num_rows == 0 and empty.schema.equals(got.schema)
