@@ -158,6 +158,27 @@ def main(argv: list[str] | None = None) -> int:
                     help="redact committed credentials before gate/dedup")
 
     sp = sub.add_parser(
+        "savepoint",
+        help="replay EVERY table in the spec to one global sequence "
+             "barrier and record an atomic cross-table savepoint",
+    )
+    sp.add_argument("--lake", required=True)
+    sp.add_argument("--spec", required=True,
+                    help='JSON file: {"tables": [{"name", "pk", "values", '
+                         '"events", "partitions", "hard_delete"}, ...]}')
+    sp.add_argument("--barrier", type=int, required=True)
+    sp.add_argument("--savepoint-dir", default=None,
+                    help="default <lake>/_savepoints")
+    sp.add_argument("--table-concurrency", type=int, default=4)
+    sp = sub.add_parser(
+        "restore-savepoint",
+        help="all-or-nothing rollback of every table to a savepoint",
+    )
+    sp.add_argument("--lake", required=True)
+    sp.add_argument("--spec", required=True)
+    sp.add_argument("--savepoint", required=True, help="savepoint JSON path")
+
+    sp = sub.add_parser(
         "credential",
         help="encrypted credential store (manage --encryptCredentials analogue)",
     )
@@ -254,6 +275,58 @@ def main(argv: list[str] | None = None) -> int:
             except FileNotFoundError:
                 broken = False
             print(json.dumps({"broken": broken, "holder": info}))
+        return 0
+
+    if args.cmd in ("savepoint", "restore-savepoint"):
+        import os
+
+        from .config import TableConfig
+        from .pipelines.cdc import CDCEngine
+
+        with open(args.spec) as f:
+            spec = json.load(f)
+        engines, events = [], []
+        for t in spec["tables"]:
+            cfg = TableConfig(
+                name=t["name"],
+                pk=t["pk"].split(",") if isinstance(t["pk"], str) else t["pk"],
+                value_columns=(
+                    t.get("values", "").split(",")
+                    if isinstance(t.get("values", ""), str) and t.get("values")
+                    else t.get("values") or []
+                ),
+                mode=t.get("mode", "cdc"),
+                num_partitions=int(t.get("partitions", 16)),
+                soft_delete=not t.get("hard_delete", False),
+                keep_versions=int(t.get("keep_versions", 2)),
+            )
+            engines.append(CDCEngine(args.lake, cfg))
+            events.append(t.get("events"))
+        if args.cmd == "savepoint":
+            _init_ray()
+            from .pipelines.orchestrate import TableJob, consistent_replay
+
+            jobs = [
+                TableJob(engine=e, events_path=ev)
+                for e, ev in zip(engines, events)
+            ]
+            res = consistent_replay(
+                jobs, args.barrier,
+                args.savepoint_dir or os.path.join(args.lake, "_savepoints"),
+                table_concurrency=args.table_concurrency,
+            )
+            print(json.dumps({
+                "ok": res["ok"], "savepoint": res["savepoint"],
+                "results": [
+                    {"table": r.table, "status": r.status, "error": r.error}
+                    for r in res["results"]
+                ],
+            }, sort_keys=True))
+            return 0 if res["ok"] else 1
+        from .pipelines.orchestrate import restore_savepoint
+
+        print(json.dumps(restore_savepoint(engines, args.savepoint),
+                         sort_keys=True))
         return 0
 
     if args.cmd == "curate":

@@ -57,6 +57,13 @@ class TableConfig:
     # holds both partition images), folded into the manifest at commit.
     # None → zero overhead. Group domain must be bounded.
     maintained_aggs: dict | None = None
+    # Commit-time version retention: every committed batch purges part
+    # files/manifests older than this horizon (the per-commit
+    # expire-snapshots analogue; ``vacuum`` prunes further on demand).
+    # Time travel, diff_versions, rollback and cross-table savepoints
+    # (pipelines/orchestrate.py) only reach back this far — widen it for
+    # savepoint/rollback workflows that must span more batches.
+    keep_versions: int = 2
 
     @property
     def system_columns(self) -> list[str]:

@@ -660,7 +660,9 @@ class CDCEngine:
         self.store.append_metrics(rec)
         self.store.clear_markers(version)
         self.store.clear_staging(version)
-        self.store.purge_old_versions(keep_versions=2)
+        self.store.purge_old_versions(
+            keep_versions=max(1, self.cfg.keep_versions)
+        )
         return {
             "status": "committed",
             "version": version,

@@ -16,9 +16,10 @@ matching Airflow's per-task retry/resume unit.
 
 from __future__ import annotations
 
+import os
 import time
 from concurrent.futures import ThreadPoolExecutor
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 from datetime import datetime
 from datetime import time as dtime
 
@@ -135,3 +136,128 @@ def run_tables(
 
     with ThreadPoolExecutor(max_workers=max(1, table_concurrency)) as pool:
         return list(pool.map(_run, ordered))
+
+
+# ---------------------------------------------------------------------------
+# Cross-table consistent snapshots (savepoints)
+# ---------------------------------------------------------------------------
+# CDC streams from one upstream database share a single global order (the
+# binlog position / Oracle SCN / MSSQL CT version that DBImport's
+# incr_maxvalue watermarks track per table,
+# /root/reference/bin/DBImportConfig/import_config.py:2519-2566). A
+# multi-table lake snapshot is transactionally consistent only when every
+# table stopped applying at the SAME position — table A at seq 120 joined
+# against table B at seq 80 shows a cross-table state the source database
+# never passed through. ``consistent_replay`` drives every table to one
+# barrier sequence and then records an atomic savepoint
+# ``{table: manifest version}``; ``restore_savepoint`` is the all-or-nothing
+# rollback to that consistent frontier (each table's own rollback already
+# realigns its watermark, cdc.py:rollback).
+
+_OK_STATUSES = {"committed", "noop"}
+
+
+def savepoint_path(savepoint_dir: str, barrier_seq: int) -> str:
+    return os.path.join(savepoint_dir, f"sp-{barrier_seq:012d}.json")
+
+
+def consistent_replay(
+    jobs: list[TableJob],
+    barrier_seq: int,
+    savepoint_dir: str,
+    table_concurrency: int = 4,
+    now: dtime | None = None,
+) -> dict:
+    """Replay EVERY table up to ``barrier_seq`` and, iff all of them
+    land there (committed or noop), write the savepoint file atomically.
+
+    Any per-table failure (or a table skipped by its time window — a
+    skipped table breaks the barrier) leaves NO savepoint. Tables that
+    did commit are simply ahead-but-consistent-with-the-stream; re-running
+    converges (their replay is a noop) and then the savepoint writes —
+    the same idempotent-retry contract as a single table's 2PC."""
+    from ..state.manifest import _atomic_write_json
+
+    jobs = [replace(j, upto_seq=barrier_seq) for j in jobs]
+    results = run_tables(jobs, table_concurrency=table_concurrency, now=now)
+    ok = all(r.status in _OK_STATUSES for r in results)
+    ahead = []
+    path = None
+    if ok:
+        tables = {}
+        for j in jobs:
+            m = j.engine.store.load_manifest()
+            if m.committed_seq > barrier_seq:
+                # the table already applied events PAST the barrier (a
+                # noop replay can hide that) — a savepoint here would
+                # claim a consistency point the table is not at
+                ahead.append(j.engine.cfg.name)
+                continue
+            tables[j.engine.cfg.name] = {
+                "root": j.engine.store.root,
+                "version": m.version,
+                "committed_seq": m.committed_seq,
+            }
+        if ahead:
+            ok = False
+        else:
+            os.makedirs(savepoint_dir, exist_ok=True)
+            path = savepoint_path(savepoint_dir, barrier_seq)
+            _atomic_write_json(
+                path, {"barrier_seq": barrier_seq, "tables": tables}
+            )
+    return {"ok": ok, "savepoint": path, "results": results,
+            "ahead_of_barrier": ahead}
+
+
+def restore_savepoint(engines: list[CDCEngine], path: str) -> dict:
+    """All-or-nothing rollback of every table to a savepoint's versions.
+
+    Phase 1 proves each table CAN roll back (the recorded manifest
+    version still exists and none of its data files were GC'd) before
+    phase 2 touches anything — a restore must never leave the set
+    half-rolled-back, which is exactly the inconsistency savepoints
+    exist to prevent. Vacuum horizons apply: keep enough versions to
+    cover the savepoints you intend to honor."""
+    import json
+
+    with open(path) as f:
+        sp = json.load(f)
+    by_name = {e.cfg.name: e for e in engines}
+    missing = sorted(set(sp["tables"]) - set(by_name))
+    extra = sorted(set(by_name) - set(sp["tables"]))
+    if missing or extra:
+        raise ValueError(
+            f"engine set does not match savepoint: missing={missing} extra={extra}"
+        )
+    # phase 1: every table must be restorable
+    for name, rec in sp["tables"].items():
+        eng = by_name[name]
+        try:
+            m = eng.store.load_manifest(version=rec["version"])
+        except FileNotFoundError as e:
+            raise FileNotFoundError(
+                f"savepoint unrestorable: table {name} v{rec['version']} "
+                f"manifest GC'd ({e}); vacuumed past the savepoint horizon"
+            ) from e
+        gone = [
+            e["file"] for e in m.partitions.values()
+            if not os.path.exists(eng.store.abs_path(e["file"]))
+        ]
+        if gone:
+            raise FileNotFoundError(
+                f"savepoint unrestorable: table {name} v{rec['version']} is "
+                f"missing {len(gone)} data files (e.g. {gone[0]}); vacuumed "
+                "past the savepoint horizon"
+            )
+    # phase 2: apply
+    out = {}
+    for name, rec in sp["tables"].items():
+        eng = by_name[name]
+        cur = eng.store.load_manifest()
+        if cur.version == rec["version"]:
+            out[name] = {"status": "noop", "version": cur.version}
+        else:
+            r = eng.rollback(rec["version"])
+            out[name] = {"status": "rolled_back", **r}
+    return {"ok": True, "barrier_seq": sp["barrier_seq"], "tables": out}

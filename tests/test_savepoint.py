@@ -1,0 +1,199 @@
+"""Cross-table consistent snapshots: consistent_replay + savepoints.
+
+CDC streams from one source database share a global sequence; a
+multi-table snapshot is consistent only at one barrier across all
+tables. These tests drive two tables through two barriers, restore the
+first savepoint, and assert bit-equal table states, watermark
+realignment (replay re-converges), all-or-nothing failure semantics and
+the GC-horizon guard.
+"""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from dbimport_ray import CDCEngine
+from dbimport_ray.config import TableConfig
+from dbimport_ray.pipelines.orchestrate import (
+    TableJob,
+    consistent_replay,
+    restore_savepoint,
+    savepoint_path,
+)
+
+
+def _events(tmp_path, name, rows):
+    """rows: list of (seq, op, k, v) sharing ONE global sequence."""
+    t = pa.table(
+        {
+            "sequence_id": pa.array([r[0] for r in rows], pa.int64()),
+            "op": pa.array([r[1] for r in rows]),
+            "k": pa.array([r[2] for r in rows]),
+            "v": pa.array([r[3] for r in rows]),
+        }
+    )
+    p = str(tmp_path / name)
+    pq.write_table(t, p)
+    return p
+
+
+def _cfg(name, keep_versions=2):
+    return TableConfig(name=name, pk=["k"], value_columns=["v"],
+                       num_partitions=2, keep_versions=keep_versions)
+
+
+def _sorted(t: pa.Table) -> pa.Table:
+    return t.sort_by([("k", "ascending")])
+
+
+def _mk(tmp_path, keep_versions=2):
+    # one global order 1..8, interleaved across the two tables
+    ev0 = _events(
+        tmp_path, "ev0.parquet",
+        [(1, "I", "a", "a1"), (3, "I", "b", "b1"),
+         (5, "U", "a", "a2"), (7, "D", "b", "")],
+    )
+    ev1 = _events(
+        tmp_path, "ev1.parquet",
+        [(2, "I", "x", "x1"), (4, "U", "x", "x2"), (8, "I", "y", "y1")],
+    )
+    e0 = CDCEngine(str(tmp_path / "lake"), _cfg("t0", keep_versions))
+    e1 = CDCEngine(str(tmp_path / "lake"), _cfg("t1", keep_versions))
+    jobs = [TableJob(engine=e0, events_path=ev0),
+            TableJob(engine=e1, events_path=ev1)]
+    return e0, e1, jobs, ev0, ev1
+
+
+def test_savepoint_roundtrip(tmp_path, ray_session):
+    e0, e1, jobs, _, _ = _mk(tmp_path)
+    sp = str(tmp_path / "sp")
+
+    r1 = consistent_replay(jobs, barrier_seq=4, savepoint_dir=sp)
+    assert r1["ok"] and os.path.exists(r1["savepoint"])
+    state0_b4, state1_b4 = _sorted(e0.arrow()), _sorted(e1.arrow())
+    # barrier 4: t0 has a,b inserts; t1 has x updated to x2
+    assert state0_b4.num_rows == 2
+    assert state1_b4["v"].to_pylist() == ["x2"]
+    rec = json.load(open(r1["savepoint"]))
+    assert rec["barrier_seq"] == 4 and set(rec["tables"]) == {"t0", "t1"}
+
+    r2 = consistent_replay(jobs, barrier_seq=8, savepoint_dir=sp)
+    assert r2["ok"] and r2["savepoint"] != r1["savepoint"]
+    state0_b8, state1_b8 = _sorted(e0.arrow()), _sorted(e1.arrow())
+    assert not state0_b8.equals(state0_b4)  # moved past barrier 4
+
+    # restore barrier 4: bit-equal states, both tables rolled back
+    res = restore_savepoint([e0, e1], r1["savepoint"])
+    assert res["ok"] and res["barrier_seq"] == 4
+    assert all(v["status"] == "rolled_back" for v in res["tables"].values())
+    assert _sorted(e0.arrow()).equals(state0_b4)
+    assert _sorted(e1.arrow()).equals(state1_b4)
+
+    # watermark realigned: replaying forward (same boundary) reconverges
+    # bit-exactly to the barrier-8 state
+    r3 = consistent_replay(jobs, barrier_seq=8, savepoint_dir=sp)
+    assert r3["ok"]
+    assert _sorted(e0.arrow()).equals(state0_b8)
+    assert _sorted(e1.arrow()).equals(state1_b8)
+
+    # restoring a savepoint we are already at is a per-table noop
+    res2 = restore_savepoint([e0, e1], r3["savepoint"])
+    assert all(v["status"] == "noop" for v in res2["tables"].values())
+
+
+def test_failure_leaves_no_savepoint_then_converges(tmp_path, ray_session):
+    e0, e1, _, ev0, ev1 = _mk(tmp_path)
+    sp = str(tmp_path / "sp")
+    bad = [TableJob(engine=e0, events_path=ev0),
+           TableJob(engine=e1, events_path=str(tmp_path / "missing.parquet"))]
+    r = consistent_replay(bad, barrier_seq=4, savepoint_dir=sp)
+    assert not r["ok"] and r["savepoint"] is None
+    assert not os.path.exists(savepoint_path(sp, 4))
+
+    # retry with the path fixed: t0 is a noop (already at the barrier),
+    # t1 catches up, and only then does the savepoint write
+    good = [TableJob(engine=e0, events_path=ev0),
+            TableJob(engine=e1, events_path=ev1)]
+    r2 = consistent_replay(good, barrier_seq=4, savepoint_dir=sp)
+    by = {x.table: x for x in r2["results"]}
+    assert by["t0"].status == "noop" and by["t1"].status == "committed"
+    assert r2["ok"] and os.path.exists(savepoint_path(sp, 4))
+
+    # a table already PAST the barrier makes the savepoint unclaimable:
+    # its noop replay hides applied events beyond the barrier
+    consistent_replay(good, barrier_seq=8, savepoint_dir=sp)
+    r3 = consistent_replay(good, barrier_seq=6, savepoint_dir=sp)
+    assert not r3["ok"] and r3["savepoint"] is None
+    assert set(r3["ahead_of_barrier"]) == {"t0", "t1"}
+    assert not os.path.exists(savepoint_path(sp, 6))
+
+
+def test_restore_guards(tmp_path, ray_session):
+    from dbimport_ray.pipelines.maintain import vacuum
+
+    # retention must span the savepoints the workflow intends to honor:
+    # keep_versions=4 keeps v1 alive across the three barriers below
+    # (commit-time GC defaults to 2 — TableConfig.keep_versions)
+    e0, e1, jobs, _, _ = _mk(tmp_path, keep_versions=4)
+    sp = str(tmp_path / "sp")
+    r1 = consistent_replay(jobs, barrier_seq=2, savepoint_dir=sp)
+    consistent_replay(jobs, barrier_seq=5, savepoint_dir=sp)
+    consistent_replay(jobs, barrier_seq=8, savepoint_dir=sp)
+    # within retention: the earliest savepoint is still restorable
+    restore_savepoint([e0, e1], r1["savepoint"])
+    consistent_replay(jobs, barrier_seq=5, savepoint_dir=sp)
+    consistent_replay(jobs, barrier_seq=8, savepoint_dir=sp)
+
+    # engine-set mismatch refuses outright
+    with pytest.raises(ValueError, match="does not match"):
+        restore_savepoint([e0], r1["savepoint"])
+
+    # vacuum ONE table past the savepoint horizon → restore refuses and
+    # touches NOTHING (all-or-nothing: the other table keeps its version)
+    assert vacuum(e1, keep_versions=1)["ok"]
+    v0_before = e0.store.load_manifest().version
+    with pytest.raises(FileNotFoundError, match="t1"):
+        restore_savepoint([e0, e1], r1["savepoint"])
+    assert e0.store.load_manifest().version == v0_before
+
+
+def test_savepoint_cli_roundtrip(tmp_path, ray_session):
+    import io
+    from contextlib import redirect_stdout
+
+    from dbimport_ray.cli import main
+
+    _, _, _, ev0, ev1 = _mk(tmp_path)
+    lake = str(tmp_path / "lake2")
+    spec = {
+        "tables": [
+            {"name": "t0", "pk": "k", "values": "v", "partitions": 2,
+             "events": ev0},
+            {"name": "t1", "pk": "k", "values": "v", "partitions": 2,
+             "events": ev1},
+        ]
+    }
+    spec_path = str(tmp_path / "spec.json")
+    with open(spec_path, "w") as f:
+        json.dump(spec, f)
+
+    def run(argv, expect_rc=0):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            rc = main(argv)
+        assert rc == expect_rc
+        return json.loads(buf.getvalue().strip())
+
+    r1 = run(["savepoint", "--lake", lake, "--spec", spec_path,
+              "--barrier", "4"])
+    assert r1["ok"] and os.path.exists(r1["savepoint"])
+    r2 = run(["savepoint", "--lake", lake, "--spec", spec_path,
+              "--barrier", "8"])
+    assert r2["ok"]
+    res = run(["restore-savepoint", "--lake", lake, "--spec", spec_path,
+               "--savepoint", r1["savepoint"]])
+    assert res["ok"] and res["barrier_seq"] == 4
+    assert all(v["status"] == "rolled_back" for v in res["tables"].values())
