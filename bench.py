@@ -91,6 +91,7 @@ QUERY_NAMES = [
     "prep_corpus_packed",
     "secret_scrub_docs",
     "import_graph_docs",
+    "heavy_hitters_tokens",
 ]
 
 

@@ -2694,6 +2694,26 @@ def q_code_line_profile(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_heavy_hitters_tokens(sf_dir: str) -> rd.Dataset:
+    """Exact corpus top-20 tokens WITHOUT exchanging the vocabulary —
+    the two-round threshold kernel (stages/stats.py
+    heavy_hitters_exact): per-block truncated summaries with a proven
+    error bound, candidate pruning by lower/upper bounds, exact recount
+    of survivors against a broadcast candidate set. Same answer as
+    ``vocab_top_tokens`` (one shared oracle shape) but every exchange is
+    bounded by ``summary_size``/candidates instead of the token domain —
+    the shape that survives a web-scale vocabulary. Exactness is proved
+    per run (raises rather than silently approximating)."""
+    from ..functions.text import token_frequency_partial
+    from ..stages.stats import heavy_hitters_exact
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return heavy_hitters_exact(
+        ds, token_frequency_partial, key="token", count_col="n",
+        k=20, summary_size=512,
+    )
+
+
 _LIC_HDRS = [
     "/* Licensed under the Apache License, Version 2.0 */\n",
     "/* MIT License: Permission is hereby granted, free of charge */\n",
@@ -4057,6 +4077,12 @@ SELECT doc_id,
 FROM split
 """
 
+ORACLES["heavy_hitters_tokens"] = """
+SELECT t AS token, count(*) AS n FROM (
+  SELECT unnest(string_split_regex(lower(text), '\\W+')) AS t FROM documents
+) WHERE t <> '' GROUP BY t ORDER BY n DESC, token LIMIT 20
+"""
+
 ORACLES["license_detect_docs"] = r"""
 WITH f AS (
   SELECT doc_id,
@@ -4243,6 +4269,7 @@ QUERIES = {
     "secret_scrub_docs": q_secret_scrub_docs,
     "license_detect_docs": q_license_detect_docs,
     "import_graph_docs": q_import_graph_docs,
+    "heavy_hitters_tokens": q_heavy_hitters_tokens,
     # --- rows-only (no SQL-expressible oracle; pytest-verified) ---
     "cluster_split_docs": q_cluster_split_docs,
     "approx_quantiles_docs": q_approx_quantiles_docs,

@@ -826,3 +826,172 @@ def grouped_robust_stats(
     # both outputs are tiny — merge on the driver, no third stage
     mad_t = collect_small(mad, keys + ["mad"])
     return rd.from_arrow(med_t.join(mad_t, keys=keys))
+
+
+# ---------------------------------------------------------------------------
+# Provably-exact distributed top-k over an UNBOUNDED key domain
+# ---------------------------------------------------------------------------
+def heavy_hitters_exact(
+    ds: rd.Dataset,
+    partial_fn,
+    key: str = "token",
+    count_col: str = "n",
+    k: int = 20,
+    summary_size: int = 4096,
+    shuffle_blocks: int = 4,
+    max_candidates: int = 5_000_000,
+) -> rd.Dataset:
+    """Exact frequency top-k when the key domain is too large to exchange
+    (a web-scale token/URL/path vocabulary). :func:`top_k_by_count` and
+    the vocab queries ship one row per DISTINCT key — correct, but the
+    exchange grows with the vocabulary. This kernel bounds every exchange
+    independent of the domain via a two-round threshold algorithm
+    (Misra–Gries / TPUT family):
+
+    round 1 — each block computes exact local counts (``partial_fn``) and
+      keeps only its top ``summary_size`` rows, emitting the largest
+      DROPPED count as the block's error bound (0 when nothing dropped).
+      Any key absent from every block summary has true count
+      ≤ Σ block bounds (= ``bound_total``), because it sat at or below
+      each block's drop line. The survivors' partial sums are LOWER
+      bounds; lb + bound_total is an UPPER bound.
+    round 2 — candidates that could still reach the top k
+      (ub ≥ k-th best lb) are recounted EXACTLY against a broadcast
+      candidate set (plasma ref, read per task) and the top k of those
+      exact counts is returned.
+
+    Exactness is PROVED per run, never assumed: the result raises unless
+    the k-th exact count strictly exceeds both ``bound_total`` (so no
+    non-candidate can reach it) and every pruned candidate's upper bound
+    — the "no silent caps" contract; on failure rerun with a larger
+    ``summary_size``. Cost model: two passes over the input + one
+    candidate-domain exchange (≤ summary_size per block in round 1,
+    pruned candidates in round 2); the truncated-summary table is
+    materialized (≤ blocks × (summary_size+1) narrow rows).
+    """
+    import ray
+
+    def truncate(t: pa.Table) -> pa.Table:
+        part = partial_fn(t)
+        part = part.combine_chunks()
+        kc, nc = part[key], part[count_col]
+        if part.num_rows <= summary_size:
+            return pa.table({key: kc, count_col: pc.cast(nc, pa.int64())})
+        n = nc.to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.argpartition(n, -summary_size)
+        keep, drop = idx[-summary_size:], idx[:-summary_size]
+        bound = int(n[drop].max())
+        out_keys = pa.concat_arrays(
+            [kc.take(pa.array(keep)).combine_chunks(),
+             pa.array([None], type=kc.type)]
+        )
+        out_n = pa.array(np.concatenate([n[keep], [bound]]), pa.int64())
+        return pa.table({key: out_keys, count_col: out_n})
+
+    tp = ds.map_batches(truncate, batch_format="pyarrow").materialize()
+    sch = tp.schema()
+    if sch is not None:
+        key_type = sch.base_schema.field(key).type
+    else:
+        # fully-empty input: Ray reports no schema — derive the output
+        # type by running the kernel on one empty input batch
+        in_sch = ds.schema()
+        probe = truncate(
+            in_sch.base_schema.empty_table() if in_sch is not None
+            else pa.table({})
+        )
+        key_type = probe.schema.field(key).type
+
+    def split_bounds(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_null(t[key])).select([count_col])
+
+    bound_total = int(
+        tp.map_batches(split_bounds, batch_format="pyarrow").sum(count_col)
+        or 0
+    )
+    surv = tp.map_batches(
+        lambda t: t.filter(pc.is_valid(t[key])), batch_format="pyarrow"
+    )
+    cand = grouped_agg(
+        surv, [key], [(count_col, "sum", "lb")], shuffle_blocks=shuffle_blocks
+    )
+    # k-th best lower bound (tiny pull: k rows)
+    top_lb = (
+        cand.repartition(1).sort(["lb", key], descending=[True, False])
+        .limit(k).take_all()
+    )
+    if not top_lb:
+        return rd.from_arrow(
+            pa.schema([pa.field(key, key_type),
+                       pa.field(count_col, pa.int64())]).empty_table()
+        )
+    kth_lb = int(top_lb[-1]["lb"])
+    kept = cand.map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(pc.add(t["lb"], bound_total), kth_lb)
+        ),
+        batch_format="pyarrow",
+    )
+    pruned_ub = cand.map_batches(
+        lambda t: pa.table({
+            "ub": pc.cast(
+                pc.add(
+                    t.filter(
+                        pc.less(pc.add(t["lb"], bound_total), kth_lb)
+                    )["lb"],
+                    bound_total,
+                ),
+                pa.int64(),
+            )
+        }),
+        batch_format="pyarrow",
+    ).max("ub")
+    pruned_ub = int(pruned_ub) if pruned_ub is not None else 0
+    from .joins import collect_small
+
+    cand_keys = collect_small(kept, [key], max_rows=max_candidates)[key]
+    cand_ref = ray.put(cand_keys.combine_chunks())
+
+    def recount(t: pa.Table) -> pa.Table:
+        part = partial_fn(t)
+        mask = pc.is_in(part[key], value_set=ray.get(cand_ref))
+        sel = part.filter(mask)
+        return pa.table(
+            {key: sel[key], count_col: pc.cast(sel[count_col], pa.int64())}
+        )
+
+    exact = grouped_agg(
+        ds.map_batches(recount, batch_format="pyarrow"),
+        [key], [(count_col, "sum", count_col)],
+        shuffle_blocks=shuffle_blocks,
+    )
+    top = (
+        exact.repartition(1)
+        .sort([count_col, key], descending=[True, False])
+        .limit(k)
+        .take_all()
+    )
+    kth_exact = int(top[-1][count_col]) if len(top) >= k else 0
+    if len(top) >= k and (kth_exact <= bound_total or kth_exact <= pruned_ub):
+        raise ValueError(
+            f"top-{k} not provably exact: kth count {kth_exact} vs "
+            f"bound_total {bound_total} / pruned ub {pruned_ub}; "
+            "increase summary_size"
+        )
+    if len(top) < k and bound_total > 0:
+        # fewer candidates than k while blocks dropped keys: a key dropped
+        # from EVERY summary could legitimately own one of the empty slots
+        raise ValueError(
+            f"only {len(top)} candidates for top-{k} with nonzero bound "
+            f"{bound_total}; increase summary_size"
+        )
+    return rd.from_arrow(
+        pa.table(
+            {
+                key: pa.array([r[key] for r in top], key_type),
+                count_col: pa.array(
+                    [int(r[count_col]) for r in top], pa.int64()
+                ),
+            }
+        )
+    )

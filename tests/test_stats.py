@@ -421,3 +421,69 @@ def test_grouped_robust_stats_median_mad(ray_session):
         assert out.loc[g, "med"] == med, g
         assert out.loc[g, "mad"] == mad, g
     assert out.loc["c", "mad"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Provably-exact heavy hitters (two-round threshold kernel)
+# ---------------------------------------------------------------------------
+
+def _make_hh_partial():
+    # defined inside a factory so it pickles BY VALUE (a module-level
+    # function in a test file is pickled by reference to a module Ray
+    # workers cannot import)
+    def pf(t):
+        out = t.group_by("k").aggregate([("k", "count")])
+        return out.rename_columns(["k", "n"])
+    return pf
+
+
+def test_heavy_hitters_exact_vs_counter(ray_session):
+    import collections
+
+    import ray.data as rd
+
+    from dbimport_ray.stages.stats import heavy_hitters_exact
+
+    rng = np.random.default_rng(7)
+    # 10 planted heavies (counts 500, 460, …, 140) over a 2000-key tail
+    keys = [f"h{i:02d}" for i in range(10) for _ in range(500 - 40 * i)]
+    keys += [f"t{i:04d}" for i in range(2000) for _ in range(int(rng.integers(1, 4)))]
+    rng.shuffle(keys)
+    ds = rd.from_arrow(pa.table({"k": pa.array(keys)})).repartition(8)
+
+    # summary_size=32 forces every block to truncate (tail ≫ 32 distinct):
+    # the bound/candidate/recount machinery runs for real
+    got = heavy_hitters_exact(
+        ds, _make_hh_partial(), key="k", count_col="n", k=10, summary_size=32
+    ).take_all()
+    cnt = collections.Counter(keys)
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r["k"], r["n"]) for r in got] == want
+
+
+def test_heavy_hitters_raises_when_not_provable(ray_session):
+    import ray.data as rd
+
+    from dbimport_ray.stages.stats import heavy_hitters_exact
+
+    # a flat distribution (300 keys × 4) can never be proved exact once
+    # truncation drops anything: bound == every count
+    import pytest
+
+    keys = [f"k{i:03d}" for i in range(300) for _ in range(4)]
+    ds = rd.from_arrow(pa.table({"k": pa.array(keys)})).repartition(4)
+    with pytest.raises(ValueError, match="summary_size"):
+        heavy_hitters_exact(
+            ds, _make_hh_partial(), key="k", count_col="n", k=10, summary_size=8
+        )
+
+
+def test_heavy_hitters_empty_input(ray_session):
+    import ray.data as rd
+
+    from dbimport_ray.stages.stats import heavy_hitters_exact
+
+    ds = rd.from_arrow(pa.table({"k": pa.array([], pa.string())}))
+    out = heavy_hitters_exact(ds, _make_hh_partial(), key="k", count_col="n", k=5)
+    assert out.count() == 0
+    assert set(out.schema().base_schema.names) == {"k", "n"}
