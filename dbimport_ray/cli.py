@@ -115,6 +115,11 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("late-audit", help="detect source files the watermark protocol will never apply (late arrivals)")
     common(sp)
     sp.add_argument("--events", required=True, help="event parquet file/dir to audit against the consumed-input ledger")
+    sp = sub.add_parser("archive", help="move fully-consumed source event files out of the live ingest dir (ledger-verified; straddlers/late files held)")
+    common(sp)
+    sp.add_argument("--events", required=True, help="live ingest file/dir")
+    sp.add_argument("--dest", required=True, help="archive directory")
+    sp.add_argument("--dry-run", action="store_true", help="list archivable/held without moving")
     sp = sub.add_parser("drift", help="volume-drift screen over the batch ledger (inserts/updates/deletes vs recent median)")
     common(sp)
     sp.add_argument("--window", type=int, default=10)
@@ -409,6 +414,17 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines.maintain import align_schema
 
         res = align_schema(eng, dry_run=args.dry_run)
+        print(json.dumps(res))
+        if not res["ok"]:
+            import ray as _r
+            _r.shutdown()
+            return 1
+    elif args.cmd == "archive":
+        from .pipelines.maintain import archive_consumed
+
+        res = archive_consumed(
+            eng, args.events, args.dest, dry_run=args.dry_run
+        )
         print(json.dumps(res))
         if not res["ok"]:
             import ray as _r

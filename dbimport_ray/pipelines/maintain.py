@@ -607,6 +607,97 @@ def late_audit(engine: CDCEngine, events_path) -> dict:
     }
 
 
+def archive_consumed(
+    engine: CDCEngine, events_path, dest_dir: str, dry_run: bool = False
+) -> dict:
+    """Move FULLY-CONSUMED source event files out of the live ingest
+    directory — the retention verb for the source side. At 10^10-event
+    scale the landing directory grows without bound, and every replay's
+    watermark read still lists and footer-probes all of it; archiving
+    keeps the live directory proportional to the unconsumed tail.
+
+    A file is archivable only when ALL of:
+    - some committed batch recorded it in the consumed-input ledger
+      (cdc.py:_input_inventory — the same provenance :func:`late_audit`
+      uses), so its content provably fed the lake;
+    - its ``max_seq`` ≤ the committed watermark (a straddler whose tail
+      is still ahead must stay readable);
+    - its head was NOT truncated at first sight (``min_seq`` >
+      the ``after_seq`` of the first batch that read it) — a truncated
+      file holds never-applied rows, which :func:`rescue_late` must see;
+      run the audit/rescue first, then archive.
+
+    Everything else is HELD with a named reason (never silently skipped).
+    Refuses mid-batch (pending checkpoint). Files move with their
+    basename into ``dest_dir``; a basename collision holds the file. The
+    move is logged in the metrics ledger (``kind: archive``). If a later
+    :func:`rescue_late` is ever needed, pass ``[live_dir, dest_dir]`` —
+    replay and rescue accept path lists, and rescue needs the COMPLETE
+    source to recompute affected keys."""
+    import time
+
+    from ..sources.events import file_seq_stats
+
+    seq_col = engine.cfg.sequence_col
+    cp = engine.ckpt.load()
+    if cp.pending_seq is not None:
+        return {"ok": False, "err": "batch in flight; commit or abort first"}
+    committed = cp.committed_seq
+
+    first_after: dict[str, int] = {}
+    for rec in engine.store.read_metrics():
+        a = rec.get("after_seq")
+        if a is None:
+            continue
+        for f in rec.get("inputs", []):
+            p = f["path"]
+            if p not in first_after or a < first_after[p]:
+                first_after[p] = a
+
+    candidates: list[dict] = []
+    held: list[dict] = []
+    for s in file_seq_stats(events_path, seq_col):
+        p = s["path"]
+        if p not in first_after:
+            held.append({"path": p, "reason": "not in consumed ledger "
+                         "(unread tail or late file — audit first)"})
+        elif s["max_seq"] is None or s["max_seq"] > committed:
+            held.append({"path": p, "reason": "tail beyond committed "
+                         f"watermark ({s['max_seq']} > {committed})"})
+        elif s["min_seq"] is not None and s["min_seq"] <= first_after[p]:
+            held.append({"path": p, "reason": "head truncated at first "
+                         "sight — rescue_late before archiving"})
+        else:
+            candidates.append(s)
+
+    moved: list[str] = []
+    rows = 0
+    if not dry_run and candidates:
+        os.makedirs(dest_dir, exist_ok=True)
+        for s in candidates:
+            dst = os.path.join(dest_dir, os.path.basename(s["path"]))
+            if os.path.exists(dst):
+                held.append({"path": s["path"],
+                             "reason": f"basename collision at {dst}"})
+                continue
+            shutil.move(s["path"], dst)
+            moved.append(dst)
+            rows += int(s["rows"] or 0)
+        engine.store.append_metrics({
+            "kind": "archive", "table": engine.cfg.name,
+            "files": len(moved), "rows": rows,
+            "dest": dest_dir, "ts": time.time(),
+        })
+    return {
+        "ok": True,
+        "dry_run": dry_run,
+        "archivable": [s["path"] for s in candidates],
+        "moved": moved,
+        "rows": rows,
+        "held": held,
+    }
+
+
 def rescue_late(engine: CDCEngine, events_path, findings: list[dict] | None = None) -> dict:
     """Exact repair for :func:`late_audit` findings.
 

@@ -926,6 +926,20 @@ def heavy_hitters_exact(
                        pa.field(count_col, pa.int64())]).empty_table()
         )
     kth_lb = int(top_lb[-1]["lb"])
+    if bound_total == 0:
+        # no block dropped anything → the round-1 sums ARE exact counts
+        # and top_lb is already the sorted top-k; skip the recount pass
+        # (common when summary_size covers the per-block distinct domain)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    key: pa.array([r[key] for r in top_lb], key_type),
+                    count_col: pa.array(
+                        [int(r["lb"]) for r in top_lb], pa.int64()
+                    ),
+                }
+            )
+        )
     kept = cand.map_batches(
         lambda t: t.filter(
             pc.greater_equal(pc.add(t["lb"], bound_total), kth_lb)

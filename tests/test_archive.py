@@ -1,0 +1,126 @@
+"""Source-side retention: archive_consumed moves fully-applied event
+files out of the live ingest directory, ledger-verified, and never
+changes what a continued replay produces.
+"""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from dbimport_ray import CDCEngine
+from dbimport_ray.config import TableConfig
+from dbimport_ray.pipelines.maintain import archive_consumed
+
+
+def _write(path, lo, hi):
+    n = hi - lo + 1
+    t = pa.table(
+        {
+            "sequence_id": pa.array(range(lo, hi + 1), pa.int64()),
+            "op": pa.array(["I"] * n),
+            "k": pa.array([f"k{(lo + i) % 40:03d}" for i in range(n)]),
+            "v": pa.array([f"v{lo + i}" for i in range(n)]),
+        }
+    )
+    pq.write_table(t, path)
+
+
+def _mk(tmp_path, sub):
+    live = tmp_path / sub
+    live.mkdir()
+    _write(str(live / "f1.parquet"), 1, 100)
+    _write(str(live / "f2.parquet"), 101, 200)
+    _write(str(live / "f3.parquet"), 201, 300)
+    return str(live)
+
+
+def _cfg():
+    return TableConfig(name="t", pk=["k"], value_columns=["v"], num_partitions=4)
+
+
+def test_archive_consumed_roundtrip(tmp_path, ray_session):
+    live = _mk(tmp_path, "live")
+    dest = str(tmp_path / "arch")
+    eng = CDCEngine(str(tmp_path / "lake"), _cfg())
+    assert eng.replay(live, upto_seq=150)["status"] == "committed"
+
+    # dry run: only the fully-consumed f1 is archivable; the straddler f2
+    # (tail beyond the watermark) and unread f3 are held with reasons
+    dr = archive_consumed(eng, live, dest, dry_run=True)
+    assert dr["ok"] and dr["dry_run"]
+    assert [os.path.basename(p) for p in dr["archivable"]] == ["f1.parquet"]
+    reasons = {os.path.basename(h["path"]): h["reason"] for h in dr["held"]}
+    assert "watermark" in reasons["f2.parquet"]
+    assert "ledger" in reasons["f3.parquet"]
+    assert os.path.exists(os.path.join(live, "f1.parquet"))  # nothing moved
+
+    res = archive_consumed(eng, live, dest)
+    assert res["ok"] and res["rows"] == 100
+    assert not os.path.exists(os.path.join(live, "f1.parquet"))
+    assert os.path.exists(os.path.join(dest, "f1.parquet"))
+    # the move is ledgered
+    kinds = [r.get("kind") for r in eng.store.read_metrics()]
+    assert "archive" in kinds
+
+    # continuing the replay from the thinned live dir converges to the
+    # same state as an untouched control lake
+    assert eng.replay(live, upto_seq=300)["status"] == "committed"
+    ctl_live = _mk(tmp_path, "ctl_live")
+    ctl = CDCEngine(str(tmp_path / "ctl_lake"), _cfg())
+    ctl.replay(ctl_live, upto_seq=150)
+    ctl.replay(ctl_live, upto_seq=300)
+    order = [("k", "ascending")]
+    assert eng.arrow().sort_by(order).equals(ctl.arrow().sort_by(order))
+
+    # after the second batch everything is consumed: f2 and f3 archive too
+    res2 = archive_consumed(eng, live, dest)
+    assert sorted(os.path.basename(p) for p in res2["moved"]) == [
+        "f2.parquet", "f3.parquet"
+    ]
+    assert res2["rows"] == 200 and not res2["held"]
+
+    # audit on the thinned dir stays clean (archived files are invisible)
+    from dbimport_ray.pipelines.maintain import late_audit
+
+    assert late_audit(eng, live)["ok"]
+
+
+def test_archive_holds_late_files_and_pending(tmp_path, ray_session):
+    live = _mk(tmp_path, "live")
+    dest = str(tmp_path / "arch")
+    eng = CDCEngine(str(tmp_path / "lake"), _cfg())
+    eng.replay(live, upto_seq=300)
+
+    # a file landing NOW with seqs below the watermark is a late file:
+    # held (and late_audit flags it) — archive never buries evidence
+    _write(os.path.join(live, "late.parquet"), 50, 60)
+    res = archive_consumed(eng, live, dest)
+    held = {os.path.basename(h["path"]) for h in res["held"]}
+    assert "late.parquet" in held
+    assert "late.parquet" not in {os.path.basename(p) for p in res["moved"]}
+
+    # mid-batch refusal
+    cp = eng.ckpt.load()
+    cp.pending_seq = 999
+    eng.ckpt.save(cp)
+    ref = archive_consumed(eng, live, dest)
+    assert not ref["ok"] and "in flight" in ref["err"]
+    cp.pending_seq = None
+    eng.ckpt.save(cp)
+
+
+def test_archive_basename_collision(tmp_path, ray_session):
+    live = _mk(tmp_path, "live")
+    dest = str(tmp_path / "arch")
+    os.makedirs(dest)
+    _write(os.path.join(dest, "f1.parquet"), 999, 999)  # pre-existing
+    eng = CDCEngine(str(tmp_path / "lake"), _cfg())
+    eng.replay(live, upto_seq=300)
+    res = archive_consumed(eng, live, dest)
+    reasons = {os.path.basename(h["path"]): h["reason"] for h in res["held"]}
+    assert "collision" in reasons["f1.parquet"]
+    assert os.path.exists(os.path.join(live, "f1.parquet"))  # untouched
+    assert sorted(os.path.basename(p) for p in res["moved"]) == [
+        "f2.parquet", "f3.parquet"
+    ]
