@@ -161,6 +161,9 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--text-col", default="text")
     sp.add_argument("--scrub-secrets", action="store_true",
                     help="redact committed credentials before gate/dedup")
+    sp.add_argument("--deny-licenses", default="",
+                    help="comma-separated license slugs to drop (e.g. "
+                         "gpl-3.0 or gpl-3.0,unknown for permissive-only)")
 
     sp = sub.add_parser(
         "savepoint",
@@ -349,6 +352,9 @@ def main(argv: list[str] | None = None) -> int:
             source_col=args.source_col,
             text_col=args.text_col,
             scrub=args.scrub_secrets,
+            deny_licenses=(
+                args.deny_licenses.split(",") if args.deny_licenses else None
+            ),
         ), sort_keys=True))
         return 0
 

@@ -733,6 +733,7 @@ def curate_to_shards(
     source_col: str = "source",
     text_col: str = "text",
     scrub: bool = False,
+    deny_licenses: list[str] | tuple[str, ...] | None = None,
 ) -> dict:
     """The curation chain as a PRODUCT surface: read a documents Parquet
     table (doc_id, source, text), run quality gate → exact dedup →
@@ -801,6 +802,22 @@ def curate_to_shards(
 
         ds = ds.map_batches(do_scrub, batch_format="pyarrow")
     n_in = ds.count()
+    if deny_licenses:
+        # license gate for CODE corpora: drop files whose header matches a
+        # denied license slug (functions/code.py classify_license — e.g.
+        # deny ["gpl-3.0"] to keep only permissive-or-unknown files, or
+        # add "unknown" for a permissive-only corpus). Header-slice regex,
+        # zero exchange; docs with null text drop here (the quality gate
+        # would drop them anyway).
+        from ..functions.code import classify_license
+
+        deny_set = pa.array(sorted(set(deny_licenses)))
+
+        def lic_gate(t: pa.Table) -> pa.Table:
+            lic = classify_license(t["text"])
+            return t.filter(pc.invert(pc.is_in(lic, value_set=deny_set)))
+
+        ds = ds.map_batches(lic_gate, batch_format="pyarrow")
 
     def gate(t: pa.Table) -> pa.Table:
         s = pc.cast(t["text"], pa.string())

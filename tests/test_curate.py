@@ -625,3 +625,42 @@ def test_cluster_split_leakage_guard(tmp_path):
     assert any(
         per_doc[a] != per_doc[b] for a, b in [(0, 30), (5, 41), (9, 52)]
     ) or True
+
+
+def test_curate_license_gate(tmp_path):
+    """deny_licenses drops files whose header matches a denied slug
+    before gate/dedup; everything else flows through unchanged."""
+    import pyarrow.parquet as pq
+
+    from dbimport_ray.pipelines.curate import curate_to_shards
+
+    base = "the alpha beta gamma delta code data " * 5  # passes the gate
+    rows = [
+        (0, "s0", "/* GNU General Public License v3 */\n" + base),
+        (1, "s0", "# Licensed under the Apache License, Version 2.0\n" + base + "x"),
+        (2, "s1", base + "y"),  # no header → unknown
+        (3, "s1", "/* GPL */\n" + base + "z"),
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "source": pa.array([r[1] for r in rows], pa.string()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(t, src)
+
+    out = str(tmp_path / "shards")
+    st = curate_to_shards(src, out, budget=512.0, shard_dirs=2,
+                          deny_licenses=["gpl-3.0"])
+    assert st["status"] == "committed"
+    kept = pq.read_table(out).column("doc_id").to_pylist()
+    assert sorted(kept) == [1, 2]  # both GPL files dropped, others kept
+
+    # permissive-only: deny unknown too
+    out2 = str(tmp_path / "shards2")
+    st2 = curate_to_shards(src, out2, budget=512.0, shard_dirs=2,
+                           deny_licenses=["gpl-3.0", "unknown"])
+    kept2 = pq.read_table(out2).column("doc_id").to_pylist()
+    assert kept2 == [1]
