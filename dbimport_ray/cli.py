@@ -126,6 +126,9 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("rescue", help="repair late-audit findings exactly: recompute affected keys at original sequence numbers")
     common(sp)
     sp.add_argument("--events", required=True, help="the COMPLETE event source (late files included)")
+    sp = sub.add_parser("quarantine", help="dump the dead-letter queue (constraint-rejected change events)")
+    common(sp, data_plane=False)
+    sp.add_argument("--out", default=None, help="write rows to this parquet path (default: print summary)")
     sp = sub.add_parser("rollback", help="re-point the table at an earlier committed version")
     common(sp)
     sp.add_argument("--to-version", type=int, required=True)
@@ -238,7 +241,7 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd in ("status", "metrics", "reset-watermark", "clear-stage",
-                    "force-unlock"):
+                    "force-unlock", "quarantine"):
         import os
 
         from .state.checkpoint import CheckpointStore
@@ -274,6 +277,34 @@ def main(argv: list[str] | None = None) -> int:
             cp.stage = 0
             ckpt.save(cp)
             print(json.dumps({"cleared": True, "committed_seq": cp.committed_seq}))
+        elif args.cmd == "quarantine":
+            import pyarrow as _pa
+            import pyarrow.parquet as _pq
+
+            files = []
+            for rec in store.read_metrics():
+                files.extend(rec.get("quarantine_files", []))
+            tabs = [
+                _pq.read_table(store.abs_path(f))
+                for f in files if os.path.exists(store.abs_path(f))
+            ]
+            t = (_pa.concat_tables(tabs, promote_options="permissive")
+                 if tabs else None)
+            by_rule: dict[str, int] = {}
+            if t is not None and "violation" in t.column_names:
+                import collections
+
+                by_rule = dict(collections.Counter(
+                    t["violation"].to_pylist()
+                ))
+            if args.out and t is not None:
+                _pq.write_table(t, args.out)
+            print(json.dumps({
+                "rows": 0 if t is None else t.num_rows,
+                "files": len(files),
+                "by_violation": by_rule,
+                "out": args.out if (args.out and t is not None) else None,
+            }, sort_keys=True))
         elif args.cmd == "force-unlock":
             lk = store.writer_lock
             info = lk._read()

@@ -57,6 +57,13 @@ class TableConfig:
     # holds both partition images), folded into the manifest at commit.
     # None → zero overhead. Group domain must be bounded.
     maintained_aggs: dict | None = None
+    # Dead-letter quarantine: declarative row constraints
+    # (stages/validate.py forms — not_null/range/in_set/regex) evaluated
+    # on the NORMALIZED event image during staging; violating change
+    # events are diverted to quarantine/vN/ parquet (with a ``violation``
+    # column) instead of reaching the merge, and counted in the batch
+    # metrics. None → zero overhead.
+    constraints: list[dict] | None = None
     # Commit-time version retention: every committed batch purges part
     # files/manifests older than this horizon (the per-commit
     # expire-snapshots analogue; ``vacuum`` prunes further on demand).

@@ -506,6 +506,11 @@ class CDCEngine:
             print(f"[phase] staging {time.monotonic() - _t_phase:.2f}s")
             _t_phase = time.monotonic()
 
+        # dead-letter split: pid == QUARANTINE_PID frag rows reference the
+        # rejected-event files the stage writer diverted (cfg.constraints)
+        quar_frags = [r for r in frags if int(r["pid"]) < 0]
+        frags = [r for r in frags if int(r["pid"]) >= 0]
+
         # --- ETL PHASE: per-partition merges over the staged slices --------
         staged_bytes: dict[int, int] = {}
         staged_files: dict[int, list[str]] = {}
@@ -635,6 +640,24 @@ class CDCEngine:
                 totals[k] += int(m[k])
         self.ckpt.set_stage(STAGE_VALIDATED)
 
+        # finalize quarantined-event files BEFORE the manifest commit so
+        # the staging sweep below cannot take the batch's rejects with it;
+        # idempotent under resume (a file already moved is skipped — the
+        # ledger below names the final paths)
+        quar_files: list[str] = []
+        quar_rows = 0
+        if quar_frags:
+            qdir = self.store.abs_path(f"quarantine/v{version:06d}")
+            os.makedirs(qdir, exist_ok=True)
+            staging_dir = self.store.staging_dir(version)
+            for r in quar_frags:
+                src = os.path.join(staging_dir, r["file"])
+                dst = os.path.join(qdir, r["file"])
+                if os.path.exists(src):
+                    os.replace(src, dst)
+                quar_files.append(f"quarantine/v{version:06d}/{r['file']}")
+                quar_rows += int(r["rows"])
+
         # --- two-phase commit ----------------------------------------------
         self.store.stage_manifest(new_m)
         if fail_before_commit:
@@ -657,6 +680,11 @@ class CDCEngine:
             # batch's (after, upto] range — the late-data audit's ledger
             # (maintain.py:late_audit). Footer metadata only.
             rec["inputs"] = inputs
+        if quar_frags:
+            # dead-letter ledger: the batch's rejected events by file —
+            # engine.quarantine() reads exactly these paths
+            rec["quarantined"] = quar_rows
+            rec["quarantine_files"] = quar_files
         self.store.append_metrics(rec)
         self.store.clear_markers(version)
         self.store.clear_staging(version)
@@ -778,6 +806,15 @@ class CDCEngine:
                 return staged["frags"]
             # stale or legacy-format staging for this version → rebuild
         self.store.clear_staging(version)
+        # a stale staging rebuild also invalidates that attempt's diverted
+        # quarantine files — wipe them so the re-commit ledgers only the
+        # rebuild's files (same only-ledgered-files-are-read contract)
+        import shutil as _sh
+
+        _sh.rmtree(
+            self.store.abs_path(f"quarantine/v{version:06d}"),
+            ignore_errors=True,
+        )
         os.makedirs(staging, exist_ok=True)
         ds = read_events(
             events_path,
@@ -816,7 +853,10 @@ class CDCEngine:
                 batch_format="pyarrow",
             )
         frags = ds.map_batches(
-            make_stage_writer(staging), batch_format="pyarrow", **conc_kw
+            make_stage_writer(
+                staging, rules=self.cfg.constraints, op_col=self.cfg.op_col
+            ),
+            batch_format="pyarrow", **conc_kw
         ).take_all()
         frags = [
             {k: (int(v) if k != "file" else v) for k, v in r.items()} for r in frags
@@ -1133,3 +1173,23 @@ class CDCEngine:
         from ..sources.lake import read_history_arrow
 
         return read_history_arrow(self.store)
+
+    def quarantine(self) -> pa.Table:
+        """Every change event the constraint screen rejected
+        (cfg.constraints), concatenated from the ledger-recorded
+        quarantine files — the dead-letter queue. Each row carries the
+        full normalized event image plus ``violation`` (the first
+        violated rule's name). Audit data: vacuum leaves it alone, like
+        history. Empty (zero-column) table when nothing was ever
+        quarantined."""
+        files = []
+        for rec in self.store.read_metrics():
+            files.extend(rec.get("quarantine_files", []))
+        tables = [
+            pq.read_table(self.store.abs_path(f))
+            for f in files
+            if os.path.exists(self.store.abs_path(f))
+        ]
+        if not tables:
+            return pa.table({})
+        return pa.concat_tables(tables, promote_options="permissive")

@@ -30,21 +30,91 @@ from .partitioning import PID_COL
 STAGE_META_COLS = ("pid", "file", "rows", "bytes")
 
 
-def make_stage_writer(staging_dir: str):
+QUARANTINE_PID = -1  # frag rows with this pid reference a quarantine file
+
+
+def make_stage_writer(
+    staging_dir: str,
+    rules: list[dict] | None = None,
+    op_col: str | None = None,
+    delete_op: str = "D",
+):
     """map_batches task body: write one pid-sorted file per block, emit
-    manifest rows."""
+    manifest rows.
+
+    ``rules`` (optional, stages/validate.py forms) turns on the
+    dead-letter path: rows violating a declarative constraint are split
+    out of the batch BEFORE staging, written to a ``quar-*.parquet`` file
+    beside the staged file (with a ``violation`` column naming the first
+    violated rule), and reported as a frag row with ``pid ==
+    QUARANTINE_PID`` — same orphan-safety contract as staged files (only
+    manifest-recorded files are ever read; a retried task's duplicates
+    are inert). The commit finalizes recorded quarantine files into
+    ``quarantine/vN/`` (cdc.py) so the batch's rejects survive the
+    staging sweep.
+
+    Constraints apply to row IMAGES only: when ``op_col`` is given, rows
+    whose op equals ``delete_op`` are exempt — key-only deletes (the
+    MSSQL-CT shape) carry null value columns by design and must never be
+    quarantined by a not_null rule."""
+    compiled = None
+    if rules:
+        from .validate import compile_rules
+
+        compiled = compile_rules(rules)
+
+    def _empty_frags() -> pa.Table:
+        return pa.table(
+            {
+                "pid": pa.array([], pa.int32()),
+                "file": pa.array([], pa.string()),
+                "rg": pa.array([], pa.int32()),
+                "rows": pa.array([], pa.int64()),
+                "bytes": pa.array([], pa.int64()),
+            }
+        )
 
     def _write(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.table(
-                {
-                    "pid": pa.array([], pa.int32()),
-                    "file": pa.array([], pa.string()),
-                    "rg": pa.array([], pa.int32()),
-                    "rows": pa.array([], pa.int64()),
-                    "bytes": pa.array([], pa.int64()),
-                }
+            return _empty_frags()
+        quar_frag = None
+        if compiled is not None:
+            from .validate import violation_stamp
+
+            viol = violation_stamp(batch, compiled)
+            bad_mask = pa.compute.is_valid(viol)
+            if op_col is not None and op_col in batch.column_names:
+                bad_mask = pa.compute.and_(
+                    bad_mask,
+                    pa.compute.fill_null(
+                        pa.compute.not_equal(batch[op_col], delete_op), True
+                    ),
+                )
+            # anding with a table column can yield a ChunkedArray, which
+            # Array.filter rejects as a mask — flatten it
+            bad_mask = pa.array(
+                bad_mask.to_numpy(zero_copy_only=False), pa.bool_()
             )
+            if pa.compute.any(bad_mask).as_py():
+                bad = batch.filter(bad_mask).append_column("violation", viol.filter(bad_mask))
+                qname = f"quar-{uuid.uuid4().hex}.parquet"
+                qfinal = os.path.join(staging_dir, qname)
+                pq.write_table(bad, qfinal + ".tmp", compression="snappy")
+                os.replace(qfinal + ".tmp", qfinal)
+                quar_frag = pa.table(
+                    {
+                        "pid": pa.array([QUARANTINE_PID], pa.int32()),
+                        "file": pa.array([qname], pa.string()),
+                        "rg": pa.array([-1], pa.int32()),
+                        "rows": pa.array([bad.num_rows], pa.int64()),
+                        "bytes": pa.array(
+                            [os.path.getsize(qfinal)], pa.int64()
+                        ),
+                    }
+                )
+                batch = batch.filter(pa.compute.invert(bad_mask))
+                if batch.num_rows == 0:
+                    return quar_frag
         pid_np = batch[PID_COL].to_numpy(zero_copy_only=False)
         order = np.argsort(pid_np, kind="stable")
         batch = batch.take(pa.array(order))
@@ -79,7 +149,7 @@ def make_stage_writer(staging_dir: str):
         os.replace(tmp, final)
         total = os.path.getsize(final)
         nb = [int(total * r / batch.num_rows) for r in rows]  # pro-rata bytes
-        return pa.table(
+        frags = pa.table(
             {
                 "pid": pa.array(pids, pa.int32()),
                 "file": pa.array([name] * len(pids), pa.string()),
@@ -91,6 +161,9 @@ def make_stage_writer(staging_dir: str):
                 "bytes": pa.array(nb, pa.int64()),
             }
         )
+        if quar_frag is not None:
+            frags = pa.concat_tables([frags, quar_frag])
+        return frags
 
     return _write
 

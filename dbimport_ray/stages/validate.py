@@ -75,39 +75,53 @@ def check_constraints(ds, rules: list[dict], out: str = "violation"):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    compiled = []
-    for r in rules:
-        name = r.get("name", f"{r['rule']}:{r['col']}")
-        compiled.append((name, dict(r)))
+    compiled = compile_rules(rules)
 
     def screen(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        viol = np.full(n, None, dtype=object)
-        # reversed: earlier rules overwrite later ones -> first wins
-        for name, r in reversed(compiled):
-            col = t[r["col"]]
-            valid = pc.is_valid(col)
-            kind = r["rule"]
-            if kind == "not_null":
-                bad = pc.invert(valid)
-            elif kind == "range":
-                ok = pc.and_(
-                    pc.greater_equal(col, r["lo"]),
-                    pc.less_equal(col, r["hi"]),
-                )
-                bad = pc.and_(valid, pc.invert(pc.fill_null(ok, True)))
-            elif kind == "in_set":
-                ok = pc.is_in(col, value_set=pa.array(r["values"]))
-                bad = pc.and_(valid, pc.invert(ok))
-            elif kind == "regex":
-                ok = pc.match_substring_regex(
-                    pc.cast(col, pa.string()), f"^(?:{r['pattern']})$"
-                )
-                bad = pc.and_(valid, pc.invert(pc.fill_null(ok, True)))
-            else:
-                raise ValueError(f"unknown rule kind {kind!r}")
-            m = bad.to_numpy(zero_copy_only=False).astype(bool)
-            viol[m] = name
-        return t.append_column(out, pa.array(viol, pa.string()))
+        return t.append_column(out, violation_stamp(t, compiled))
 
     return ds.map_batches(screen, batch_format="pyarrow")
+
+
+def compile_rules(rules: list[dict]) -> list[tuple[str, dict]]:
+    """Name + normalize the rule list once (shared by the query-side
+    screen and the replay-side quarantine hook)."""
+    return [(r.get("name", f"{r['rule']}:{r['col']}"), dict(r)) for r in rules]
+
+
+def violation_stamp(t, compiled: list[tuple[str, dict]]):
+    """One vectorized pass: the FIRST violated rule's name per row
+    (NULL = clean), SQL CHECK null semantics (NULL violates not_null
+    but passes every other rule)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = t.num_rows
+    viol = np.full(n, None, dtype=object)
+    # reversed: earlier rules overwrite later ones -> first wins
+    for name, r in reversed(compiled):
+        col = t[r["col"]]
+        valid = pc.is_valid(col)
+        kind = r["rule"]
+        if kind == "not_null":
+            bad = pc.invert(valid)
+        elif kind == "range":
+            ok = pc.and_(
+                pc.greater_equal(col, r["lo"]),
+                pc.less_equal(col, r["hi"]),
+            )
+            bad = pc.and_(valid, pc.invert(pc.fill_null(ok, True)))
+        elif kind == "in_set":
+            ok = pc.is_in(col, value_set=pa.array(r["values"]))
+            bad = pc.and_(valid, pc.invert(ok))
+        elif kind == "regex":
+            ok = pc.match_substring_regex(
+                pc.cast(col, pa.string()), f"^(?:{r['pattern']})$"
+            )
+            bad = pc.and_(valid, pc.invert(pc.fill_null(ok, True)))
+        else:
+            raise ValueError(f"unknown rule kind {kind!r}")
+        m = bad.to_numpy(zero_copy_only=False).astype(bool)
+        viol[m] = name
+    return pa.array(viol, pa.string())

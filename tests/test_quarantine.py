@@ -1,0 +1,135 @@
+"""Dead-letter quarantine: constraint-violating change events divert to
+quarantine/vN parquet during staging instead of reaching the merge —
+ledgered, crash-safe, and invisible to the committed table.
+"""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from dbimport_ray import CDCEngine
+from dbimport_ray.config import TableConfig
+
+
+def _events(tmp_path, name, rows):
+    t = pa.table(
+        {
+            "sequence_id": pa.array([r[0] for r in rows], pa.int64()),
+            "op": pa.array([r[1] for r in rows]),
+            "k": pa.array([r[2] for r in rows]),
+            "v": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+    p = str(tmp_path / name)
+    pq.write_table(t, p)
+    return p
+
+
+RULES = [{"rule": "range", "col": "v", "lo": 0, "hi": 100}]
+
+
+def _cfg(constraints=RULES):
+    return TableConfig(name="t", pk=["k"], value_columns=["v"],
+                       num_partitions=4, constraints=constraints)
+
+
+def test_quarantine_diverts_and_ledgers(tmp_path, ray_session):
+    ev = _events(tmp_path, "b1.parquet", [
+        (1, "I", "a", 5), (2, "I", "b", 999),      # b's insert is bad
+        (3, "I", "c", 7), (4, "U", "a", -3),       # a's update is bad
+    ])
+    eng = CDCEngine(str(tmp_path / "lake"), _cfg())
+    res = eng.replay(ev, upto_seq=4)
+    assert res["status"] == "committed"
+
+    # the table sees only the clean events: a keeps its insert image,
+    # b never appears, c lands
+    tbl = eng.arrow().sort_by([("k", "ascending")])
+    assert tbl["k"].to_pylist() == ["a", "c"]
+    assert tbl["v"].to_pylist() == [5, 7]
+
+    q = eng.quarantine()
+    assert q.num_rows == 2
+    got = sorted(zip(q["k"].to_pylist(), q["v"].to_pylist(),
+                     q["violation"].to_pylist()))
+    assert got == [("a", -3, "range:v"), ("b", 999, "range:v")]
+
+    # ledgered in the batch metrics, files live under quarantine/vN
+    rec = [r for r in eng.store.read_metrics() if r.get("quarantined")]
+    assert len(rec) == 1 and rec[0]["quarantined"] == 2
+    for f in rec[0]["quarantine_files"]:
+        assert f.startswith("quarantine/v") and os.path.exists(
+            eng.store.abs_path(f)
+        )
+
+    # watermark advanced over the rejected events: a rerun is a noop and
+    # quarantine does not grow
+    assert eng.replay(ev, upto_seq=4)["status"] == "noop"
+    assert eng.quarantine().num_rows == 2
+
+
+def test_quarantine_crash_resume_no_duplicates(tmp_path, ray_session):
+    ev = _events(tmp_path, "b1.parquet", [
+        (1, "I", "a", 5), (2, "I", "b", 999),
+    ])
+    eng = CDCEngine(str(tmp_path / "lake"), _cfg())
+    with pytest.raises(RuntimeError, match="injected"):
+        eng.replay(ev, upto_seq=2, fail_before_commit=True)
+    # resume completes the batch; the crash-window quarantine move must
+    # not double-count or lose the rejected row
+    assert eng.replay(ev)["status"] == "committed"
+    q = eng.quarantine()
+    assert q.num_rows == 1 and q["k"].to_pylist() == ["b"]
+    assert eng.arrow()["k"].to_pylist() == ["a"]
+
+
+def test_quarantine_off_by_default(tmp_path, ray_session):
+    ev = _events(tmp_path, "b1.parquet", [(1, "I", "a", 999)])
+    eng = CDCEngine(str(tmp_path / "lake"), _cfg(constraints=None))
+    eng.replay(ev, upto_seq=1)
+    assert eng.arrow()["v"].to_pylist() == [999]  # nothing screened
+    assert eng.quarantine().num_rows == 0
+
+
+def test_key_only_deletes_exempt(tmp_path, ray_session):
+    """Constraints apply to row IMAGES: a key-only delete (null value
+    columns, the MSSQL-CT shape) must never be quarantined by not_null."""
+    ev = _events(tmp_path, "b1.parquet", [
+        (1, "I", "a", 5), (2, "I", "b", 6), (3, "D", "b", None),
+        (4, "I", "c", None),  # a real null-image INSERT is quarantined
+    ])
+    cfg = TableConfig(name="t", pk=["k"], value_columns=["v"],
+                      num_partitions=4, soft_delete=False,
+                      constraints=[{"rule": "not_null", "col": "v"}])
+    eng = CDCEngine(str(tmp_path / "lake"), cfg)
+    assert eng.replay(ev, upto_seq=4)["status"] == "committed"
+    tbl = eng.arrow().sort_by([("k", "ascending")])
+    assert tbl["k"].to_pylist() == ["a"]  # b deleted (hard), c quarantined
+    q = eng.quarantine()
+    assert q["k"].to_pylist() == ["c"]
+    assert q["violation"].to_pylist() == ["not_null:v"]
+
+
+def test_quarantine_cli(tmp_path, ray_session):
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    from dbimport_ray.cli import main
+
+    ev = _events(tmp_path, "b1.parquet", [
+        (1, "I", "a", 5), (2, "I", "b", 999),
+    ])
+    eng = CDCEngine(str(tmp_path / "lake"), _cfg())
+    eng.replay(ev, upto_seq=2)
+    out = str(tmp_path / "dlq.parquet")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["quarantine", "--lake", str(tmp_path / "lake"),
+                   "--table", "t", "--out", out])
+    assert rc == 0
+    res = json.loads(buf.getvalue().strip())
+    assert res["rows"] == 1 and res["by_violation"] == {"range:v": 1}
+    assert pq.read_table(out)["k"].to_pylist() == ["b"]
