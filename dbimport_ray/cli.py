@@ -126,6 +126,12 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("rescue", help="repair late-audit findings exactly: recompute affected keys at original sequence numbers")
     common(sp)
     sp.add_argument("--events", required=True, help="the COMPLETE event source (late files included)")
+    sp = sub.add_parser("changefeed", help="outbound CDC: emit the diff between two committed versions as a replayable event stream")
+    common(sp)
+    sp.add_argument("--from-version", type=int, required=True, help="0 = empty table (full feed)")
+    sp.add_argument("--to-version", type=int, default=None)
+    sp.add_argument("--base-seq", type=int, default=0, help="replica committed watermark for incremental feeds")
+    sp.add_argument("--out", required=True, help="output parquet path")
     sp = sub.add_parser("quarantine", help="dump the dead-letter queue (constraint-rejected change events)")
     common(sp, data_plane=False)
     sp.add_argument("--out", default=None, help="write rows to this parquet path (default: print summary)")
@@ -456,6 +462,19 @@ def main(argv: list[str] | None = None) -> int:
             import ray as _r
             _r.shutdown()
             return 1
+    elif args.cmd == "changefeed":
+        from .pipelines.diff import changefeed
+
+        t = changefeed(
+            eng, args.from_version, args.to_version,
+            base_seq=args.base_seq, out_path=args.out,
+        )
+        ops = t["op"].to_pylist()
+        print(json.dumps({
+            "rows": t.num_rows, "out": args.out,
+            "inserts": ops.count("I"), "updates": ops.count("U"),
+            "deletes": ops.count("D"),
+        }, sort_keys=True))
     elif args.cmd == "archive":
         from .pipelines.maintain import archive_consumed
 

@@ -100,7 +100,16 @@ def diff_versions(
     ``partitions_read`` / ``partitions_total``). Output: pk + value
     columns + ``datalake_iud`` of the driving image (new for I/U, old
     for D) + ``change_op``."""
-    m_old: Manifest = store.load_manifest(version=v_old)
+    if v_old == 0:
+        # version 0 is the empty table (no stored manifest): a v0→vN
+        # diff is the FULL feed — every live row surfaces as an insert
+        m_old = Manifest(
+            table=cfg.name, version=0, committed_seq=-1, schema=None,
+            renames={}, partitions={}, history_files=[],
+            num_partitions=cfg.num_partitions, aggregates={},
+        )
+    else:
+        m_old = store.load_manifest(version=v_old)
     m_new: Manifest = store.load_manifest(version=v_new)
     schema = m_new.arrow_schema() or m_old.arrow_schema()
     vals = [n for n in (schema.names if schema else []) if n not in cfg.pk]
@@ -130,3 +139,59 @@ def diff_versions(
         cols["change_op"] = pa.array([], pa.string())
         return pa.table(cols)
     return pa.concat_tables(ray.get(futs))
+
+
+def changefeed(
+    engine,
+    v_old: int,
+    v_new: int | None = None,
+    base_seq: int = 0,
+    out_path: str | None = None,
+) -> pa.Table:
+    """OUTBOUND CDC: re-express the diff between two committed versions
+    as a replayable event stream in the engine's own input format
+    (``sequence_id, op, pk…, user value columns…``) — logical
+    lake-to-lake replication. ``replicate_lake`` copies files byte-wise;
+    a changefeed replayed into another lake mirrors the LIVE state
+    logically, so the replica may use a different partition count,
+    constraints, or anonymization.
+
+    Op mapping: a transition whose NEW image is the soft-delete
+    tombstone (``datalake_iud == 'D'``) and a physical removal
+    (``change_op == 'D'``) both emit ``D``; everything else keeps its
+    change_op. System columns are stripped — the replica stamps its own.
+    Events are ordered deterministically by pk and numbered
+    ``base_seq + 1 …`` (pass the replica's committed watermark as
+    ``base_seq`` for incremental feeds). Delete events for keys the
+    replica never saw collapse to nothing there (standard batch-collapse
+    semantics) — the replica mirrors live state, not tombstone history.
+
+    Cost model inherits :func:`diff_versions`: only partitions whose
+    manifest entries changed between the versions are read."""
+    import pyarrow.compute as pc
+
+    cfg = engine.cfg
+    t = diff_versions(engine.store, cfg, v_old, v_new)
+    sys_cols = set(cfg.system_columns) | {cfg.col_timestamp}
+    user_vals = [
+        c for c in t.column_names
+        if c not in cfg.pk and c not in sys_cols and c != "change_op"
+    ]
+    if t.num_rows:
+        t = t.sort_by([(c, "ascending") for c in cfg.pk])
+    iud = pc.fill_null(pc.cast(t[cfg.col_iud], pa.string()), "")
+    change = t["change_op"]
+    is_del = pc.or_(pc.equal(change, "D"), pc.equal(iud, "D"))
+    op = pc.if_else(is_del, pa.scalar("D"), change)
+    cols: dict = {
+        cfg.sequence_col: pa.array(
+            np.arange(base_seq + 1, base_seq + 1 + t.num_rows, dtype=np.int64)
+        ),
+        cfg.op_col: pc.cast(op, pa.string()),
+    }
+    for c in list(cfg.pk) + user_vals:
+        cols[c] = t[c]
+    out = pa.table(cols)
+    if out_path:
+        pq.write_table(out, out_path)
+    return out
