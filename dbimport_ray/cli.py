@@ -132,6 +132,11 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--to-version", type=int, default=None)
     sp.add_argument("--base-seq", type=int, default=0, help="replica committed watermark for incremental feeds")
     sp.add_argument("--out", required=True, help="output parquet path")
+    sp = sub.add_parser("mirror", help="logical replication: catch a replica lake up to this table's current version via changefeed")
+    common(sp)
+    sp.add_argument("--replica-lake", required=True)
+    sp.add_argument("--replica-partitions", type=int, default=None,
+                    help="replica partition count (default: same as source)")
     sp = sub.add_parser("quarantine", help="dump the dead-letter queue (constraint-rejected change events)")
     common(sp, data_plane=False)
     sp.add_argument("--out", default=None, help="write rows to this parquet path (default: print summary)")
@@ -462,6 +467,19 @@ def main(argv: list[str] | None = None) -> int:
             import ray as _r
             _r.shutdown()
             return 1
+    elif args.cmd == "mirror":
+        from dataclasses import replace as _replace
+
+        from .pipelines.diff import mirror_lake
+
+        rep_cfg = (
+            _replace(eng.cfg, num_partitions=args.replica_partitions)
+            if args.replica_partitions else eng.cfg
+        )
+        from .pipelines.cdc import CDCEngine as _Eng
+
+        rep = _Eng(args.replica_lake, rep_cfg)
+        print(json.dumps(mirror_lake(eng, rep), sort_keys=True))
     elif args.cmd == "changefeed":
         from .pipelines.diff import changefeed
 

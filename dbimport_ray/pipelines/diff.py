@@ -19,6 +19,8 @@ delete / truncate — surface as 'D').
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -195,3 +197,61 @@ def changefeed(
     if out_path:
         pq.write_table(out, out_path)
     return out
+
+
+def mirror_lake(src, rep, scratch_dir: str | None = None) -> dict:
+    """Catch a replica lake up to the source's CURRENT version by
+    logical replication: one :func:`changefeed` from the last mirrored
+    source version (recorded as a ``kind: mirror`` row in the replica's
+    metrics ledger) to the source head, replayed into the replica. Run
+    it from a cron/tail loop for continuous mirroring.
+
+    One diff collapses any number of source batches — intermediate churn
+    (a key updated five times) ships once. Maintenance-only version
+    bumps (rehash, align) produce an empty feed: the mirror watermark
+    still advances, nothing replays. Source vacuum horizons apply: if
+    the last mirrored version was GC'd on the source, the mirror falls
+    back to a FULL feed from version 0 (the replica replay is an upsert,
+    so re-asserting already-mirrored rows is convergent, not
+    duplicating). Caveat on that fallback: a SOFT-delete source ships
+    its tombstones in the full feed, so replica deletes converge; a
+    hard-delete source's vanished rows are simply absent from a full
+    feed and a stale replica would keep them — size the source's
+    ``keep_versions`` to the mirror cadence, or rebuild the replica,
+    for hard-delete tables."""
+    import tempfile
+
+    src_v = src.store.load_manifest().version
+    last = 0
+    for rec in rep.store.read_metrics():
+        if rec.get("kind") == "mirror" and rec.get("src_table") == src.cfg.name:
+            last = max(last, int(rec.get("src_version", 0)))
+    if src_v <= last:
+        return {"status": "noop", "src_version": src_v, "mirrored_from": last}
+
+    base = rep.ckpt.load().committed_seq
+    d = scratch_dir or tempfile.mkdtemp(prefix="mirror_feed_")
+    os.makedirs(d, exist_ok=True)
+    feed = os.path.join(d, f"feed-{src.cfg.name}-v{last}-v{src_v}.parquet")
+    try:
+        t = changefeed(src, last, src_v, base_seq=max(base, 0), out_path=feed)
+    except FileNotFoundError:
+        # source vacuumed past `last` → full re-sync (convergent upsert)
+        last = 0
+        t = changefeed(src, 0, src_v, base_seq=max(base, 0), out_path=feed)
+    res = {"status": "mirrored", "rows": t.num_rows,
+           "src_version": src_v, "mirrored_from": last}
+    if t.num_rows:
+        r = rep.replay(feed)
+        res["replay"] = r["status"]
+    import time as _time
+
+    rep.store.append_metrics({
+        "kind": "mirror", "src_table": src.cfg.name,
+        "src_version": src_v, "rows": t.num_rows, "ts": _time.time(),
+    })
+    try:
+        os.remove(feed)
+    except OSError:
+        pass
+    return res

@@ -167,3 +167,65 @@ def test_changefeed_cli(ray_session, tmp_path):
     res = json.loads(buf.getvalue().strip())
     assert res["rows"] > 0 and res["rows"] == res["inserts"] + res["deletes"]
     assert pq.read_metadata(out).num_rows == res["rows"]
+
+
+def test_mirror_lake_catchup_and_noop(ray_session, tmp_path):
+    """mirror_lake: one call catches the replica up across multiple
+    source batches, a second call noops, later batches mirror
+    incrementally, and the mirror watermark lives in the replica ledger."""
+    from dbimport_ray.pipelines.diff import mirror_lake
+
+    ev = os.path.join(str(tmp_path), "ev.parquet")
+    generate_events(ev, num_keys=600, num_events=4500, seed=53)
+    src = CDCEngine(os.path.join(str(tmp_path), "src"),
+                    repo_files_config(num_partitions=6))
+    src.replay(ev, upto_seq=1499)   # v1
+    src.replay(ev, upto_seq=2999)   # v2
+
+    def live(eng):
+        t = eng.arrow()
+        return sorted(
+            (r["repo"], r["path"], r["commit"], r["content"])
+            for r in t.to_pylist() if r["datalake_iud"] != "D"
+        )
+
+    rep = CDCEngine(os.path.join(str(tmp_path), "rep"),
+                    repo_files_config(num_partitions=4))
+    r1 = mirror_lake(src, rep, scratch_dir=str(tmp_path / "scratch"))
+    assert r1["status"] == "mirrored" and r1["src_version"] == 2
+    assert live(rep) == live(src)
+
+    assert mirror_lake(src, rep)["status"] == "noop"
+
+    src.replay(ev)                  # v3
+    r2 = mirror_lake(src, rep, scratch_dir=str(tmp_path / "scratch"))
+    assert r2["status"] == "mirrored" and r2["mirrored_from"] == 2
+    assert live(rep) == live(src)
+    marks = [m for m in rep.store.read_metrics() if m.get("kind") == "mirror"]
+    assert [m["src_version"] for m in marks] == [2, 3]
+
+
+def test_mirror_cli(ray_session, tmp_path):
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    from dbimport_ray.cli import main
+
+    ev = os.path.join(str(tmp_path), "ev.parquet")
+    generate_events(ev, num_keys=150, num_events=1000, seed=59)
+    src = CDCEngine(os.path.join(str(tmp_path), "src"),
+                    repo_files_config(num_partitions=4))
+    src.replay(ev)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main([
+            "mirror", "--lake", os.path.join(str(tmp_path), "src"),
+            "--table", "repo_files", "--pk", "repo,path",
+            "--values", "commit,lang,content",
+            "--replica-lake", os.path.join(str(tmp_path), "rep"),
+            "--replica-partitions", "2",
+        ])
+    assert rc == 0
+    res = json.loads(buf.getvalue().strip())
+    assert res["status"] == "mirrored" and res["rows"] > 0
