@@ -229,3 +229,41 @@ def test_mirror_cli(ray_session, tmp_path):
     assert rc == 0
     res = json.loads(buf.getvalue().strip())
     assert res["status"] == "mirrored" and res["rows"] > 0
+
+
+def test_mirror_carries_schema_evolution(ray_session, tmp_path):
+    """A column added on the source mid-stream rides the changefeed and
+    evolves the replica's schema on replay."""
+    import pyarrow as pa
+
+    from dbimport_ray.config import TableConfig
+    from dbimport_ray.pipelines.diff import mirror_lake
+
+    def write(path, rows, extra=False):
+        cols = {
+            "sequence_id": pa.array([r[0] for r in rows], pa.int64()),
+            "op": pa.array([r[1] for r in rows]),
+            "k": pa.array([r[2] for r in rows]),
+            "v": pa.array([r[3] for r in rows]),
+        }
+        if extra:
+            cols["stars"] = pa.array([r[4] for r in rows], pa.int64())
+        pq.write_table(pa.table(cols), path)
+        return path
+
+    cfg = lambda p: TableConfig(name="t", pk=["k"], value_columns=["v"],
+                                num_partitions=p)
+    src = CDCEngine(os.path.join(str(tmp_path), "src"), cfg(3))
+    rep = CDCEngine(os.path.join(str(tmp_path), "rep"), cfg(2))
+    b1 = write(os.path.join(str(tmp_path), "b1.parquet"),
+               [(1, "I", "a", "a1"), (2, "I", "b", "b1")])
+    src.replay(b1)
+    mirror_lake(src, rep, scratch_dir=os.path.join(str(tmp_path), "s"))
+    b2 = write(os.path.join(str(tmp_path), "b2.parquet"),
+               [(3, "U", "a", "a2", 7), (4, "I", "c", "c1", 9)], extra=True)
+    src.replay(b2)
+    mirror_lake(src, rep, scratch_dir=os.path.join(str(tmp_path), "s"))
+    t = rep.arrow().sort_by([("k", "ascending")])
+    assert "stars" in t.column_names
+    assert t["k"].to_pylist() == ["a", "b", "c"]
+    assert t["stars"].to_pylist() == [7, None, 9]
