@@ -903,13 +903,18 @@ class CDCEngine:
             override_num_blocks=override_num_blocks,
         )
         self.ckpt.set_stage(STAGE_STAGED)
-        return {
+        data = [f for f in frags if int(f["pid"]) >= 0]
+        quar = sum(int(f["rows"]) for f in frags if int(f["pid"]) < 0)
+        out = {
             "status": "staged",
             "pending_seq": pending,
             "version": version,
-            "staged_fragments": len(frags),
-            "staged_rows": sum(int(f["rows"]) for f in frags),
+            "staged_fragments": len(data),
+            "staged_rows": sum(int(f["rows"]) for f in data),
         }
+        if quar:
+            out["quarantined"] = quar
+        return out
 
     # ------------------------------------------------------------------
     def replay_stream(

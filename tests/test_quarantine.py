@@ -133,3 +133,17 @@ def test_quarantine_cli(tmp_path, ray_session):
     res = json.loads(buf.getvalue().strip())
     assert res["rows"] == 1 and res["by_violation"] == {"range:v": 1}
     assert pq.read_table(out)["k"].to_pylist() == ["b"]
+
+
+def test_stage_only_reports_quarantined(tmp_path, ray_session):
+    ev = _events(tmp_path, "b1.parquet", [
+        (1, "I", "a", 5), (2, "I", "b", 999),
+    ])
+    eng = CDCEngine(str(tmp_path / "lake"), _cfg())
+    st = eng.stage_only(ev, upto_seq=2)
+    assert st["status"] == "staged"
+    assert st["staged_rows"] == 1 and st["quarantined"] == 1
+    # the follow-up replay adopts the prestaged batch and finalizes the
+    # quarantine file
+    assert eng.replay(ev, upto_seq=2)["status"] == "committed"
+    assert eng.quarantine()["k"].to_pylist() == ["b"]
