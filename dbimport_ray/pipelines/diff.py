@@ -90,18 +90,17 @@ def _diff_partition(
     return pa.concat_tables([p for p in parts])
 
 
-def diff_versions(
+def _diff_futures(
     store: TableStore,
     cfg: TableConfig,
     v_old: int,
     v_new: int | None = None,
     stats: dict | None = None,
-) -> pa.Table:
-    """Change set between two committed versions. Only partitions whose
-    manifest entries differ are read (``stats={}`` receives
-    ``partitions_read`` / ``partitions_total``). Output: pk + value
-    columns + ``datalake_iud`` of the driving image (new for I/U, old
-    for D) + ``change_op``."""
+):
+    """Launch one :func:`_diff_partition` task per CHANGED partition and
+    return ``(futures, out_cols, schema)`` — the shared engine under
+    :func:`diff_versions` (driver gather) and the partitioned
+    :func:`changefeed` writer (no driver gather)."""
     if v_old == 0:
         # version 0 is the empty table (no stored manifest): a v0→vN
         # diff is the FULL feed — every live row surfaces as an insert
@@ -135,12 +134,113 @@ def diff_versions(
         )
     if stats is not None:
         stats.update(partitions_read=len(futs), partitions_total=total)
+    return futs, out_cols, schema
+
+
+def diff_versions(
+    store: TableStore,
+    cfg: TableConfig,
+    v_old: int,
+    v_new: int | None = None,
+    stats: dict | None = None,
+) -> pa.Table:
+    """Change set between two committed versions. Only partitions whose
+    manifest entries differ are read (``stats={}`` receives
+    ``partitions_read`` / ``partitions_total``). Output: pk + value
+    columns + ``datalake_iud`` of the driving image (new for I/U, old
+    for D) + ``change_op``. Driver-side gather — right for inspection
+    and bounded diffs; the partitioned :func:`changefeed` path never
+    materializes the feed on the driver."""
+    futs, out_cols, schema = _diff_futures(store, cfg, v_old, v_new, stats)
     if not futs:
         types = {f.name: f.type for f in schema} if schema else {}
         cols = {c: pa.array([], types.get(c, pa.string())) for c in out_cols}
         cols["change_op"] = pa.array([], pa.string())
         return pa.table(cols)
     return pa.concat_tables(ray.get(futs))
+
+
+def _shape_feed_table(
+    t: pa.Table,
+    pk: list[str],
+    sys_cols: set[str],
+    iud_col: str,
+    seq_col: str,
+    op_col: str,
+    base: int,
+) -> pa.Table:
+    """Diff rows → replayable events (shared by the driver-side and the
+    per-partition feed writers)."""
+    import pyarrow.compute as pc
+
+    user_vals = [
+        c for c in t.column_names
+        if c not in pk and c not in sys_cols and c != "change_op"
+    ]
+    if t.num_rows:
+        t = t.sort_by([(c, "ascending") for c in pk])
+    iud = pc.fill_null(pc.cast(t[iud_col], pa.string()), "")
+    change = t["change_op"]
+    is_del = pc.or_(pc.equal(change, "D"), pc.equal(iud, "D"))
+    op = pc.if_else(is_del, pa.scalar("D"), change)
+    cols: dict = {
+        seq_col: pa.array(
+            np.arange(base + 1, base + 1 + t.num_rows, dtype=np.int64)
+        ),
+        op_col: pc.cast(op, pa.string()),
+    }
+    for c in list(pk) + user_vals:
+        cols[c] = t[c]
+    return pa.table(cols)
+
+
+@ray.remote
+def _write_feed_part(
+    t: pa.Table,
+    pk: list[str],
+    sys_cols: set[str],
+    iud_col: str,
+    seq_col: str,
+    op_col: str,
+    base: int,
+    path: str,
+) -> int:
+    out = _shape_feed_table(t, pk, sys_cols, iud_col, seq_col, op_col, base)
+    if out.num_rows:
+        pq.write_table(out, path, compression="snappy")
+    return out.num_rows
+
+
+def changefeed_to_dir(
+    engine,
+    v_old: int,
+    out_dir: str,
+    v_new: int | None = None,
+    base_seq: int = 0,
+) -> dict:
+    """The 100-TB shape of :func:`changefeed`: each changed partition's
+    diff task hands its rows to a writer task that lands ONE feed file in
+    ``out_dir`` — the feed never concatenates on the driver and the
+    output is partition-addressable, never one giant file. Every part
+    numbers its events ``base_seq + 1 …`` independently: a pk lives in
+    exactly one partition and appears at most once per feed, so per-KEY
+    sequence uniqueness (all LWW needs) holds, and the watermark
+    advances past ``base_seq`` by the largest part. Returns
+    ``{rows, files}``."""
+    cfg = engine.cfg
+    futs, _, _ = _diff_futures(engine.store, cfg, v_old, v_new)
+    os.makedirs(out_dir, exist_ok=True)
+    sys_cols = set(cfg.system_columns) | {cfg.col_timestamp}
+    wf = [
+        _write_feed_part.remote(
+            f, list(cfg.pk), sys_cols, cfg.col_iud,
+            cfg.sequence_col, cfg.op_col, base_seq,
+            os.path.join(out_dir, f"feed-{i:05d}.parquet"),
+        )
+        for i, f in enumerate(futs)
+    ]
+    counts = ray.get(wf)
+    return {"rows": int(sum(counts)), "files": sum(1 for c in counts if c)}
 
 
 def changefeed(
@@ -169,31 +269,15 @@ def changefeed(
     semantics) — the replica mirrors live state, not tombstone history.
 
     Cost model inherits :func:`diff_versions`: only partitions whose
-    manifest entries changed between the versions are read."""
-    import pyarrow.compute as pc
-
+    manifest entries changed between the versions are read. This is the
+    driver-gather variant (inspection, bounded diffs, single-file
+    export); :func:`changefeed_to_dir` is the partitioned scale path."""
     cfg = engine.cfg
     t = diff_versions(engine.store, cfg, v_old, v_new)
-    sys_cols = set(cfg.system_columns) | {cfg.col_timestamp}
-    user_vals = [
-        c for c in t.column_names
-        if c not in cfg.pk and c not in sys_cols and c != "change_op"
-    ]
-    if t.num_rows:
-        t = t.sort_by([(c, "ascending") for c in cfg.pk])
-    iud = pc.fill_null(pc.cast(t[cfg.col_iud], pa.string()), "")
-    change = t["change_op"]
-    is_del = pc.or_(pc.equal(change, "D"), pc.equal(iud, "D"))
-    op = pc.if_else(is_del, pa.scalar("D"), change)
-    cols: dict = {
-        cfg.sequence_col: pa.array(
-            np.arange(base_seq + 1, base_seq + 1 + t.num_rows, dtype=np.int64)
-        ),
-        cfg.op_col: pc.cast(op, pa.string()),
-    }
-    for c in list(cfg.pk) + user_vals:
-        cols[c] = t[c]
-    out = pa.table(cols)
+    out = _shape_feed_table(
+        t, list(cfg.pk), set(cfg.system_columns) | {cfg.col_timestamp},
+        cfg.col_iud, cfg.sequence_col, cfg.op_col, base_seq,
+    )
     if out_path:
         pq.write_table(out, out_path)
     return out
@@ -231,27 +315,27 @@ def mirror_lake(src, rep, scratch_dir: str | None = None) -> dict:
 
     base = rep.ckpt.load().committed_seq
     d = scratch_dir or tempfile.mkdtemp(prefix="mirror_feed_")
-    os.makedirs(d, exist_ok=True)
-    feed = os.path.join(d, f"feed-{src.cfg.name}-v{last}-v{src_v}.parquet")
+    feed = os.path.join(d, f"feed-{src.cfg.name}-v{last}-v{src_v}")
+    import shutil as _sh
+
+    _sh.rmtree(feed, ignore_errors=True)
     try:
-        t = changefeed(src, last, src_v, base_seq=max(base, 0), out_path=feed)
+        st = changefeed_to_dir(src, last, feed, src_v, base_seq=max(base, 0))
     except FileNotFoundError:
         # source vacuumed past `last` → full re-sync (convergent upsert)
         last = 0
-        t = changefeed(src, 0, src_v, base_seq=max(base, 0), out_path=feed)
-    res = {"status": "mirrored", "rows": t.num_rows,
+        _sh.rmtree(feed, ignore_errors=True)
+        st = changefeed_to_dir(src, 0, feed, src_v, base_seq=max(base, 0))
+    res = {"status": "mirrored", "rows": st["rows"],
            "src_version": src_v, "mirrored_from": last}
-    if t.num_rows:
+    if st["rows"]:
         r = rep.replay(feed)
         res["replay"] = r["status"]
     import time as _time
 
     rep.store.append_metrics({
         "kind": "mirror", "src_table": src.cfg.name,
-        "src_version": src_v, "rows": t.num_rows, "ts": _time.time(),
+        "src_version": src_v, "rows": st["rows"], "ts": _time.time(),
     })
-    try:
-        os.remove(feed)
-    except OSError:
-        pass
+    _sh.rmtree(feed, ignore_errors=True)
     return res
