@@ -261,3 +261,37 @@ def restore_savepoint(engines: list[CDCEngine], path: str) -> dict:
             r = eng.rollback(rec["version"])
             out[name] = {"status": "rolled_back", **r}
     return {"ok": True, "barrier_seq": sp["barrier_seq"], "tables": out}
+
+
+def mirror_tables(
+    pairs: list[tuple[CDCEngine, CDCEngine]],
+    table_concurrency: int = 4,
+    scratch_dir: str | None = None,
+) -> list[JobResult]:
+    """Whole-lake logical replication: one :func:`pipelines.diff.mirror_lake`
+    per (source, replica) pair through the same thread pool and
+    per-table failure isolation as :func:`run_tables`. Each table's
+    mirror is independently resumable (its watermark lives in its
+    replica's ledger), so a failed table reports and retries next run
+    while the others proceed. For a transactionally consistent replica
+    set, drive the sources to a barrier first (:func:`consistent_replay`)
+    and mirror after the savepoint lands."""
+    from .diff import mirror_lake
+
+    def _one(pair: tuple[CDCEngine, CDCEngine]) -> JobResult:
+        src, rep = pair
+        t0 = time.monotonic()
+        try:
+            res = mirror_lake(src, rep, scratch_dir=scratch_dir)
+            return JobResult(
+                src.cfg.name, res["status"],
+                round(time.monotonic() - t0, 3), res,
+            )
+        except Exception as e:  # noqa: BLE001 — per-table isolation
+            return JobResult(
+                src.cfg.name, "failed", round(time.monotonic() - t0, 3),
+                error=f"{type(e).__name__}: {e}",
+            )
+
+    with ThreadPoolExecutor(max_workers=max(1, table_concurrency)) as pool:
+        return list(pool.map(_one, pairs))

@@ -197,3 +197,23 @@ def test_savepoint_cli_roundtrip(tmp_path, ray_session):
                "--savepoint", r1["savepoint"]])
     assert res["ok"] and res["barrier_seq"] == 4
     assert all(v["status"] == "rolled_back" for v in res["tables"].values())
+
+
+def test_mirror_tables_multi(tmp_path, ray_session):
+    """Whole-lake replication: both tables mirror in one call, failures
+    stay isolated, and a rerun noops per table."""
+    from dbimport_ray.pipelines.orchestrate import mirror_tables
+
+    e0, e1, jobs, _, _ = _mk(tmp_path)
+    consistent_replay(jobs, barrier_seq=8, savepoint_dir=str(tmp_path / "sp"))
+    r0 = CDCEngine(str(tmp_path / "rep"), _cfg("t0"))
+    r1 = CDCEngine(str(tmp_path / "rep"), _cfg("t1"))
+    res = mirror_tables([(e0, r0), (e1, r1)],
+                        scratch_dir=str(tmp_path / "scr"))
+    assert [x.status for x in res] == ["mirrored", "mirrored"]
+    for src, rep in ((e0, r0), (e1, r1)):
+        a = src.arrow().sort_by([("k", "ascending")])
+        b = rep.arrow().sort_by([("k", "ascending")])
+        assert a.select(["k", "v"]).equals(b.select(["k", "v"]))
+    res2 = mirror_tables([(e0, r0), (e1, r1)])
+    assert [x.status for x in res2] == ["noop", "noop"]
