@@ -388,11 +388,89 @@ def skew() -> None:
     ray.shutdown()
 
 
+def mor() -> None:
+    """Write-amplification A/B: copy-on-write vs merge-on-read
+    (stages/mor.py) on the amplification-worst-case shape — a large base
+    (one insert batch over every key) followed by several SMALL update
+    batches whose keys spread across every partition. COW rewrites all
+    touched partitions' full base files per update batch; MOR lands one
+    delta file per partition per batch. Reports update-phase wall time and
+    ledger-recorded data bytes written for both formats (base build
+    excluded), plus a fold-read pass so the read tax is visible too."""
+    import ray
+
+    from dbimport_ray.config import repo_files_config
+    from dbimport_ray.datagen import cached_events
+    from dbimport_ray.pipelines.cdc import CDCEngine
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    n_keys = int(os.environ.get("MOR_KEYS", "100000"))
+    upd_batches = int(os.environ.get("MOR_BATCHES", "6"))
+    upd_events = int(os.environ.get("MOR_UPDATE_EVENTS", "5000"))
+    n_events = n_keys + upd_batches * upd_events
+    events = cached_events(
+        f"{scratch}/bench_events_mor", n_keys, n_events, seed=42,
+        content_repeat_mean=CONTENT_REPEAT,
+        rows_per_batch=max(25_000, n_events // 64),
+    )
+    boundaries = [n_keys - 1] + [
+        n_keys - 1 + upd_events * i for i in range(1, upd_batches + 1)
+    ]
+    out = {}
+    for fmt in ("cow", "mor"):
+        lake = f"{scratch}/bench_lake_mor_{fmt}_{os.getpid()}"
+        shutil.rmtree(lake, ignore_errors=True)
+        cfg = repo_files_config(
+            num_partitions=NUM_PARTITIONS, merge_format=fmt,
+            mor_max_deltas=upd_batches + 2, mor_compact_ratio=1e9,
+        )
+        eng = CDCEngine(lake, cfg)
+        eng.replay(events, upto_seq=boundaries[0],
+                   override_num_blocks=NUM_BLOCKS)
+        base_bytes = sum(int(r.get("bytes", 0)) for r in eng.store.read_metrics())
+        t0 = time.monotonic()
+        for b in boundaries[1:]:
+            r = eng.replay(events, upto_seq=b, override_num_blocks=NUM_BLOCKS)
+            assert r["status"] == "committed", r
+        upd_sec = time.monotonic() - t0
+        upd_bytes = sum(
+            int(r.get("bytes", 0)) for r in eng.store.read_metrics()
+        ) - base_bytes
+        t0 = time.monotonic()
+        rows = eng.dataset().count()
+        read_sec = time.monotonic() - t0
+        out[fmt] = {
+            "update_sec": round(upd_sec, 3),
+            "update_bytes_written": upd_bytes,
+            "read_sec": round(read_sec, 3),
+            "final_rows": rows,
+        }
+        shutil.rmtree(lake, ignore_errors=True)
+    out["bytes_amplification_cow_over_mor"] = round(
+        out["cow"]["update_bytes_written"]
+        / max(1, out["mor"]["update_bytes_written"]), 2,
+    )
+    out["update_speedup_mor"] = round(
+        out["cow"]["update_sec"] / out["mor"]["update_sec"], 2
+    )
+    print(json.dumps({
+        "metric": "mor_write_amplification",
+        "keys": n_keys, "update_batches": upd_batches,
+        "update_events_per_batch": upd_events,
+        "num_partitions": NUM_PARTITIONS, "num_cpus": NUM_CPUS, **out,
+    }))
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
     elif "--skew" in sys.argv:
         skew()
+    elif "--mor" in sys.argv:
+        mor()
     else:
         if os.environ.get("BENCH_SKIP_QUERIES"):
             QUERY_NAMES = []

@@ -96,6 +96,9 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--to-partitions", type=int, required=True)
     sp = sub.add_parser("compact-history", help="fold history audit files")
     common(sp)
+    sp = sub.add_parser("compact", help="fold merge-on-read delta stacks into fresh base files (emits their deferred history)")
+    common(sp)
+    sp.add_argument("--pids", default=None, help="comma-separated partition ids (default: every stacked partition)")
     sp = sub.add_parser("replicate", help="copy committed lake to another root (DistCp analogue)")
     common(sp)
     sp.add_argument("--dest", required=True)
@@ -433,6 +436,18 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines.maintain import compact_history
 
         print(json.dumps(compact_history(eng)))
+    elif args.cmd == "compact":
+        from .pipelines.maintain import compact_deltas
+
+        pids = (
+            [int(p) for p in args.pids.split(",")] if args.pids else None
+        )
+        res = compact_deltas(eng, pids=pids)
+        print(json.dumps(res))
+        if not res["ok"]:
+            import ray as _r
+            _r.shutdown()
+            return 1
     elif args.cmd == "replicate":
         from .pipelines.maintain import replicate_lake
 

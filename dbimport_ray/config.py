@@ -64,6 +64,21 @@ class TableConfig:
     # column) instead of reaching the merge, and counted in the batch
     # metrics. None → zero overhead.
     constraints: list[dict] | None = None
+    # Merge format: "cow" (copy-on-write, default — every touched partition's
+    # base file is rewritten each batch) or "mor" (merge-on-read — each batch
+    # appends an immutable per-partition DELTA file of its LWW-reduced events
+    # and readers fold base ⊎ deltas through the same merge kernel;
+    # stages/mor.py). MOR bounds a batch's write cost by its event volume
+    # instead of the touched partitions' size — the right setting when
+    # micro-batches touch many partitions shallowly. Supported for MODE_CDC
+    # and MODE_APPEND; full loads rewrite everything by definition so COW is
+    # the only sensible format there.
+    merge_format: str = "cow"
+    # MOR compaction triggers: a partition folds its delta stack back into a
+    # new base when the stack would exceed ``mor_max_deltas`` files, or when
+    # accumulated delta bytes exceed ``mor_compact_ratio`` × base bytes.
+    mor_max_deltas: int = 8
+    mor_compact_ratio: float = 0.5
     # Commit-time version retention: every committed batch purges part
     # files/manifests older than this horizon (the per-commit
     # expire-snapshots analogue; ``vacuum`` prunes further on demand).
@@ -97,6 +112,21 @@ class TableConfig:
         overlap = set(self.pk) & set(self.value_columns)
         if overlap:
             raise ValueError(f"columns both PK and value: {overlap}")
+        if self.merge_format not in ("cow", "mor"):
+            raise ValueError(f"unknown merge_format {self.merge_format!r}")
+        if self.merge_format == "mor":
+            if self.mode not in (MODE_CDC, MODE_APPEND):
+                raise ValueError(
+                    "merge_format='mor' supports mode cdc/append only "
+                    "(full/truncate loads rewrite every partition by "
+                    "definition — use the default copy-on-write)"
+                )
+            if self.maintained_aggs:
+                raise ValueError(
+                    "maintained_aggs needs both partition images at merge "
+                    "time; merge-on-read defers that to compaction — use "
+                    "merge_format='cow' for tables with maintained aggregates"
+                )
 
 
 # The input_hint table (BASELINE.json): source-code repository files.

@@ -158,7 +158,7 @@ class MergeGroup:
         files = item["files"][0].as_py() if "files" in item.column_names else []
         return self._metrics_row(self.merge_one(pid, files))
 
-    def merge_one(self, pid: int, files: list[str]) -> dict:
+    def merge_one(self, pid: int, files: list[str], compact: str = "auto") -> dict:
         t0 = time.monotonic()
         # idempotent re-entry: task retry or mid-batch resume
         marker = self.store.read_marker(self.version, pid)
@@ -177,28 +177,66 @@ class MergeGroup:
             # cross-block LWW (map-side pre-reduce handled within-block dups)
             events = lww_dedup(events, self.cfg.pk, self.cfg.sequence_col)
 
-        old = None
         entry = (
             None
             if self.cfg.mode == MODE_TRUNCATE_INSERT  # replace-all: old is dead weight
             else self.partitions.get(str(pid))
         )
-        if entry is not None:
+        mor = self.cfg.merge_format == "mor"
+        if mor and compact != "force" and not self._mor_compact_due(entry, events):
+            return self._delta_one(pid, entry, events, events_in, max_seq, t0)
+
+        old = None
+        fold_hists: list[pa.Table] = []
+        fold = {"inserts": 0, "deletes": 0}
+        folded = bool(entry and entry.get("deltas"))
+        if folded:
+            # MOR compaction: replay the delta stack through the COW kernel
+            # (each delta with its own merge_ts) to rebuild the base image —
+            # history rows are produced here, bit-equal to what COW would
+            # have written per batch (stages/mor.py).
+            from ..stages.mor import fold_entry
+
+            fr = fold_entry(
+                self.store.root,
+                self.cfg,
+                entry,
+                self.tgt_schema,
+                self.renames,
+                collect_history=self.cfg.history,
+            )
+            old = fr.table
+            fold_hists = fr.history
+            fold = {"inserts": fr.inserts, "deletes": fr.deletes}
+        elif entry is not None and entry.get("file"):
             old = pq.read_table(self.store.abs_path(entry["file"]))
             old = align_to_schema(
                 old, self.tgt_schema, self.renames
             )  # old file may predate adds/renames/widens
 
         res = merge_partition(old, events, self.cfg, self.merge_ts)
+        if folded:
+            # driver-side ledger validation covers the plain path; the fold
+            # path validates here, where the per-step counts live
+            base_rows = int(entry.get("rows", 0)) if entry.get("file") else 0
+            hard = 0 if self.cfg.soft_delete else 1
+            expected = (
+                base_rows
+                + fold["inserts"] + res.inserts
+                - hard * (fold["deletes"] + res.deletes)
+            )
+            validate_exact(expected, res.table.num_rows, f"partition {pid} fold ledger")
 
         rel_file, nbytes = "", 0
         if res.table.num_rows:
             rel_file = self.store.part_file(pid, self.version)
             nbytes = self._write(res.table, rel_file)
-        rel_hist, hist_rows = "", res.history.num_rows
+        hist_tables = [h for h in fold_hists + [res.history] if h.num_rows]
+        hist_rows = sum(h.num_rows for h in hist_tables)
+        rel_hist = ""
         if self.cfg.history and hist_rows:
             rel_hist = self.store.history_file(pid, self.version)
-            self._write(res.history, rel_hist)
+            self._write(pa.concat_tables(hist_tables), rel_hist)
 
         m = {
             "pid": pid,
@@ -215,12 +253,80 @@ class MergeGroup:
             "hist_file": rel_hist,
             "hist_rows": hist_rows,
             "resumed": False,
+            "folded": folded,
             "zones": column_zones(res.table) if res.table.num_rows else {},
         }
         if self.cfg.maintained_aggs:
             from ..state.aggregates import agg_delta
 
             m["agg_delta"] = agg_delta(res.table, old, self.cfg.maintained_aggs)
+        self.store.write_marker(self.version, pid, m)
+        return m
+
+    # --- merge-on-read (stages/mor.py) ----------------------------------
+    def _mor_compact_due(self, entry: dict | None, events: pa.Table) -> bool:
+        """Fold the stack now? Stack depth past ``mor_max_deltas``, or
+        accumulated delta bytes past ``mor_compact_ratio`` × base bytes
+        (events.nbytes is the in-memory size — an overestimate vs the
+        compressed delta, i.e. biased toward compacting, the safe side)."""
+        stack = (entry or {}).get("deltas", [])
+        if len(stack) + 1 > self.cfg.mor_max_deltas:
+            return True
+        base_bytes = int(entry.get("bytes", 0)) if entry and entry.get("file") else 0
+        if base_bytes <= 0:
+            return False
+        delta_bytes = sum(int(d["bytes"]) for d in stack) + events.nbytes
+        return delta_bytes > self.cfg.mor_compact_ratio * base_bytes
+
+    def _delta_one(
+        self,
+        pid: int,
+        entry: dict | None,
+        events: pa.Table,
+        events_in: int,
+        max_seq: int,
+        t0: float,
+    ) -> dict:
+        """MOR fast path: land this batch's LWW-reduced slice as one
+        immutable delta file — no base read, write cost ∝ events."""
+        keep = self.cfg.pk + self.cfg.value_columns + [
+            self.cfg.op_col,
+            self.cfg.sequence_col,
+        ]
+        ev = events.select([c for c in keep if c in events.column_names])
+        rows = ev.num_rows
+        rel, nbytes = "", 0
+        if rows:
+            rel = self.store.delta_file(pid, self.version)
+            nbytes = self._write(ev, rel)
+        ops = {"I": 0, "U": 0, "D": 0}
+        if rows and self.cfg.op_col in ev.column_names:
+            import pyarrow.compute as pc
+
+            vc = pc.value_counts(ev[self.cfg.op_col])
+            for s in vc:
+                v = s["values"].as_py()
+                if v in ops:
+                    ops[v] = int(s["counts"].as_py())
+        m = {
+            "pid": pid,
+            "rows": rows,
+            "events_in": events_in,
+            # event-op counts, not effect counts (effects resolve at fold)
+            "inserts": ops["I"],
+            "updates": ops["U"],
+            "deletes": ops["D"],
+            "unchanged": 0,
+            "bytes": nbytes,
+            "max_seq": max_seq,
+            "duration_s": round(time.monotonic() - t0, 4),
+            "file": "",
+            "hist_file": "",
+            "hist_rows": 0,
+            "resumed": False,
+            "delta_file": rel,
+            "zones": column_zones(ev) if rows else {},
+        }
         self.store.write_marker(self.version, pid, m)
         return m
 
@@ -568,8 +674,13 @@ class CDCEngine:
                 return MergeGroup(**kw).merge_one(item["pid"], item["files"])
 
             # hot partitions merge via the salted split/sub-merge/combine
-            # DAG; the rest via one task each (see _skew_salt_for)
-            salt_plan = _skew_salt_for(items)
+            # DAG; the rest via one task each (see _skew_salt_for). Under
+            # merge-on-read the delta write is already O(staged bytes) —
+            # there is no base-sized straggler for salting to bound — and
+            # the split DAG doesn't understand delta stacks, so skip it.
+            salt_plan = (
+                {} if eff_cfg.merge_format == "mor" else _skew_salt_for(items)
+            )
             done_metrics, futs = [], []
             for it in items:
                 salt = salt_plan.get(it["pid"])
@@ -619,11 +730,36 @@ class CDCEngine:
         totals = {k: 0 for k in ("rows", "events_in", "inserts", "updates", "deletes", "unchanged", "bytes", "hist_rows")}
         for m in metrics:
             pid = str(m["pid"])
+            if m.get("delta_file") is not None:
+                # MOR delta append: the partition entry keeps its base file
+                # and grows its delta stack; effect-count validation is
+                # deferred to the fold (merge_one validates there).
+                if m["rows"] > 0:
+                    prev = new_m.partitions.get(pid)
+                    e = dict(prev) if prev else {
+                        "file": "", "rows": 0, "bytes": 0, "version": version,
+                    }
+                    e["deltas"] = list(e.get("deltas", [])) + [
+                        {
+                            "file": m["delta_file"],
+                            "rows": int(m["rows"]),
+                            "bytes": int(m["bytes"]),
+                            "version": version,
+                            "merge_ts": ts.isoformat(),
+                            "zones": m.get("zones", {}),
+                        }
+                    ]
+                    e["version"] = version
+                    new_m.partitions[pid] = e
+                for k in totals:
+                    totals[k] += int(m[k])
+                continue
             old_rows = 0 if truncate else manifest.partitions.get(pid, {}).get("rows", 0)
-            expected = old_rows + m["inserts"] - (
-                0 if self.cfg.soft_delete else m["deletes"]
-            )
-            validate_exact(expected, m["rows"], f"partition {pid} ledger")
+            if not m.get("folded"):
+                expected = old_rows + m["inserts"] - (
+                    0 if self.cfg.soft_delete else m["deletes"]
+                )
+                validate_exact(expected, m["rows"], f"partition {pid} ledger")
             if m["rows"] > 0:
                 new_m.partitions[pid] = {
                     "file": m["file"],

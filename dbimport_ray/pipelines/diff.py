@@ -36,18 +36,42 @@ def _encode_rows(t: pa.Table, cols: list[str]) -> np.ndarray:
     return _key_array(t, cols)
 
 
+def _read_image(root: str, side: dict | None) -> pa.Table | None:
+    """One version's partition image for the diff: plain file read for COW
+    entries, base ⊎ delta fold for merge-on-read entries (stages/mor.py)."""
+    if side is None:
+        return None
+    entry = side["entry"]
+    if not entry.get("deltas"):
+        return pq.read_table(os.path.join(root, entry["file"])) if entry.get("file") else None
+    from ..config import TableConfig
+    from ..stages.mor import fold_entry
+    from ..state.manifest import schema_from_json
+    from ..stages.merge import target_schema
+
+    from ..sources.lake import cfg_with_schema
+
+    cfg = TableConfig(**side["cfg"])
+    schema = schema_from_json(side["schema"])
+    cfg = cfg_with_schema(cfg, schema)
+    vtypes = {f.name: f.type for f in schema}
+    tgt = target_schema(cfg, vtypes)
+    return fold_entry(root, cfg, entry, tgt, side["renames"]).table
+
+
 @ray.remote
 def _diff_partition(
-    old_path: str | None,
-    new_path: str | None,
+    root: str,
+    side_old: dict | None,
+    side_new: dict | None,
     pk: list[str],
     cmp_cols: list[str],
     out_cols: list[str],
 ) -> pa.Table:
     from ..state.schema_evolution import align_to_schema
 
-    old = pq.read_table(old_path) if old_path else None
-    new = pq.read_table(new_path) if new_path else None
+    old = _read_image(root, side_old)
+    new = _read_image(root, side_new)
     ref = new if new is not None else old
     if old is not None and new is not None and old.schema != new.schema:
         old = align_to_schema(old, new.schema, {})  # old file may predate adds
@@ -116,17 +140,28 @@ def _diff_futures(
     vals = [n for n in (schema.names if schema else []) if n not in cfg.pk]
     cmp_cols = list(cfg.pk) + vals + [cfg.col_iud]
     out_cols = list(cfg.pk) + vals + [cfg.col_iud]
+    from dataclasses import asdict
+
+    def _side(m: Manifest, e: dict | None) -> dict | None:
+        if e is None:
+            return None
+        return {
+            "entry": e, "cfg": asdict(cfg),
+            "schema": m.schema, "renames": m.renames,
+        }
+
     futs = []
     total = len(set(m_old.partitions) | set(m_new.partitions))
     for pid in sorted(set(m_old.partitions) | set(m_new.partitions), key=int):
         e_old = m_old.partitions.get(pid)
         e_new = m_new.partitions.get(pid)
         if e_old == e_new:
-            continue  # identical entry → identical file → no change
+            continue  # identical entry → identical files → no change
         futs.append(
             _diff_partition.remote(
-                store.abs_path(e_old["file"]) if e_old else None,
-                store.abs_path(e_new["file"]) if e_new else None,
+                store.root,
+                _side(m_old, e_old),
+                _side(m_new, e_new),
                 list(cfg.pk),
                 cmp_cols,
                 out_cols,

@@ -136,11 +136,24 @@ def export_table(
     os.makedirs(out_dir, exist_ok=True)
     exported_rows = 0
     files = []
+    mor = any(e.get("deltas") for e in entries.values())
     if entries:
         import ray.data as rd
 
-        paths = [store.abs_path(e["file"]) for e in sorted(entries.values(), key=lambda e: e["file"])]
-        ds = rd.read_parquet(paths, columns=columns)
+        if mor:
+            # merge-on-read stacks fold inside the read tasks
+            from ..sources.lake import _mor_fold_dataset
+
+            ds = _mor_fold_dataset(
+                store, engine.cfg, manifest, columns=columns,
+                entries=sorted(
+                    entries.values(),
+                    key=lambda e: e.get("file") or e["deltas"][0]["file"],
+                ),
+            )
+        else:
+            paths = [store.abs_path(e["file"]) for e in sorted(entries.values(), key=lambda e: e["file"])]
+            ds = rd.read_parquet(paths, columns=columns)
         if not include_deleted:
             iud = engine.cfg.col_iud
             ds = ds.filter(expr=f"{iud} != 'D'")
@@ -151,7 +164,10 @@ def export_table(
             files = sorted(pads.dataset(out_dir).files)
             exported_rows = pads.dataset(files).count_rows()
 
-    if validate:
+    if validate and not mor:
+        # (MOR: entry["rows"] counts the base only — the exact live count
+        # exists only post-fold, which IS the export; nothing independent
+        # to band against. Run `compact` first for a ledger-checked export.)
         ledger_rows = sum(int(e["rows"]) for e in entries.values())
         if include_deleted:
             validate_row_count(ledger_rows, exported_rows, override=0, what="export")

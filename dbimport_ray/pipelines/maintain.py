@@ -39,8 +39,18 @@ def rehash_table(engine: CDCEngine, new_num_partitions: int) -> dict:
     if not manifest.partitions:
         raise ValueError("empty table")
     version = manifest.version + 1
-    paths = [store.abs_path(e["file"]) for e in manifest.partitions.values()]
-    ds = rd.read_parquet(paths)
+    from ..stages.mor import manifest_has_deltas
+
+    if manifest_has_deltas(manifest):
+        # merge-on-read stacks fold inside the read (one task/partition);
+        # the rewrite below lands plain base files, so a rehash doubles as
+        # a full compaction
+        from ..sources.lake import read_lake
+
+        ds = read_lake(store, engine.cfg)
+    else:
+        paths = [store.abs_path(e["file"]) for e in manifest.partitions.values()]
+        ds = rd.read_parquet(paths)
     pk = engine.cfg.pk
     ds = ds.map_batches(
         lambda t: add_partition_id(t, pk, new_num_partitions), batch_format="pyarrow"
@@ -84,10 +94,14 @@ def rehash_table(engine: CDCEngine, new_num_partitions: int) -> dict:
         for e in ray.get(futs)
     }
     shutil.rmtree(scratch, ignore_errors=True)
-    old_rows = manifest.total_rows()
     new_rows = sum(p["rows"] for p in new_parts.values())
-    if old_rows != new_rows:
-        raise RuntimeError(f"rehash row drift: {old_rows} → {new_rows}")
+    if not manifest_has_deltas(manifest):
+        old_rows = manifest.total_rows()
+        if old_rows != new_rows:
+            raise RuntimeError(f"rehash row drift: {old_rows} → {new_rows}")
+    # (MOR: the ledger knows base rows only — the exact live count first
+    # exists after the fold that feeds this rewrite, so there is nothing
+    # independent to check against; fsck's footer audit still applies.)
     new_m = Manifest(
         table=manifest.table,
         version=version,
@@ -105,6 +119,117 @@ def rehash_table(engine: CDCEngine, new_num_partitions: int) -> dict:
     # replays (it is part of the table's durable identity).
     engine.cfg.num_partitions = new_num_partitions
     return {"version": version, "partitions": len(new_parts), "rows": new_rows}
+
+
+def compact_deltas(engine: CDCEngine, pids: list[int] | None = None) -> dict:
+    """Fold merge-on-read delta stacks back into fresh base files.
+
+    Replay triggers compaction automatically per partition
+    (``mor_max_deltas`` / ``mor_compact_ratio``, pipelines/cdc.py); this
+    verb forces it offline — e.g. before a rehash, to cut read-side fold
+    cost during a query-heavy window, or to surface deferred history rows.
+    The fold replays each delta through the COW merge kernel with its own
+    recorded merge timestamp (stages/mor.py), so the resulting base — and
+    the history file it emits — is bit-identical to what copy-on-write
+    would have produced batch by batch. One Ray task per stacked
+    partition; untouched entries carry forward; same 2PC manifest swap as
+    a batch; the watermark does not move."""
+    with engine.store.writer_lock:
+        return _compact_deltas_locked(engine, pids)
+
+
+def _compact_deltas_locked(engine: CDCEngine, pids: list[int] | None) -> dict:
+    import ray
+
+    from dataclasses import asdict
+
+    from ..sources.lake import cfg_with_schema
+    from ..stages.mor import entry_has_deltas
+    from .cdc import MergeGroup, deterministic_merge_ts
+
+    store, cfg = engine.store, engine.cfg
+    if engine.ckpt.load().pending_seq is not None or store.load_pending_manifest():
+        return {
+            "ok": False,
+            "err": "batch in flight (pending checkpoint/manifest); "
+            "commit or abort before compact",
+        }
+    manifest = store.load_manifest()
+    engine._adopt_partition_modulus(manifest)
+    want = None if pids is None else {int(p) for p in pids}
+    todo = sorted(
+        (
+            pid for pid, e in manifest.partitions.items()
+            if entry_has_deltas(e) and (want is None or int(pid) in want)
+        ),
+        key=int,
+    )
+    if not todo:
+        return {
+            "ok": True, "status": "noop", "compacted": 0,
+            "version": manifest.version,
+        }
+    version = manifest.version + 1
+    eff = cfg_with_schema(cfg, manifest.arrow_schema())
+    ts = deterministic_merge_ts(max(manifest.committed_seq, 0))
+    kw_ref = ray.put(
+        dict(
+            table_root=store.root,
+            table=cfg.name,
+            cfg_dict=asdict(eff),
+            partitions=manifest.partitions,
+            renames=manifest.renames,
+            schema_json=manifest.schema,
+            version=version,
+            merge_ts_iso=ts.isoformat(),
+        )
+    )
+
+    @ray.remote
+    def _compact(pid: int, kw: dict) -> dict:
+        # zero staged events + compact="force" → pure fold of the stack
+        return MergeGroup(**kw).merge_one(pid, [], compact="force")
+
+    metrics = ray.get([_compact.remote(int(p), kw_ref) for p in todo])
+
+    new_m = Manifest(
+        table=cfg.name,
+        version=version,
+        committed_seq=manifest.committed_seq,
+        schema=manifest.schema,
+        renames=manifest.renames,
+        partitions=dict(manifest.partitions),
+        history_files=list(manifest.history_files),
+        num_partitions=manifest.num_partitions,
+        aggregates=dict(manifest.aggregates),
+    )
+    rows = 0
+    for m in metrics:
+        pid = str(m["pid"])
+        if m["rows"] > 0:
+            new_m.partitions[pid] = {
+                "file": m["file"],
+                "rows": int(m["rows"]),
+                "bytes": int(m["bytes"]),
+                "version": version,
+                "zones": m.get("zones", {}),
+            }
+        else:
+            new_m.partitions.pop(pid, None)
+        if m["hist_file"]:
+            new_m.history_files.append(m["hist_file"])
+        rows += int(m["rows"])
+    store.stage_manifest(new_m)
+    store.commit_manifest()
+    store.clear_markers(version)
+    store.append_metrics(
+        {"kind": "compact", "version": version, "partitions": len(metrics),
+         "rows": rows}
+    )
+    store.purge_old_versions(keep_versions=max(1, cfg.keep_versions))
+    return {
+        "ok": True, "compacted": len(metrics), "version": version, "rows": rows,
+    }
 
 
 def compact_history(engine: CDCEngine, target_file_rows: int = 1_000_000) -> dict:
@@ -218,6 +343,11 @@ def _align_schema_locked(engine: CDCEngine, dry_run: bool) -> dict:
 
     stale: list[tuple[str, dict]] = []
     for pid, e in manifest.partitions.items():
+        if e.get("deltas") or not e.get("file"):
+            # merge-on-read partitions: deltas are transient (the stack is
+            # bounded and folds at compaction, which rewrites under the
+            # current schema) — run `compact` to align these, not `align`
+            continue
         phys = pq.read_schema(store.abs_path(e["file"]))  # footer only
         if [(f.name, f.type) for f in phys] != [(f.name, f.type) for f in tgt]:
             stale.append((pid, e))
@@ -311,14 +441,17 @@ def replicate_lake(engine: CDCEngine, dest_root: str) -> dict:
 
 
 def _replicate_files(store, manifest, dest: str) -> dict:
+    from ..stages.mor import entry_files
+
     copied = 0
     for e in manifest.partitions.values():
-        src = store.abs_path(e["file"])
-        dst = os.path.join(dest, e["file"])
-        if not os.path.exists(dst) or os.path.getsize(dst) != os.path.getsize(src):
-            shutil.copy2(src, dst + ".tmp")
-            os.replace(dst + ".tmp", dst)
-            copied += 1
+        for rel in entry_files(e):  # base + any merge-on-read delta stack
+            src = store.abs_path(rel)
+            dst = os.path.join(dest, rel)
+            if not os.path.exists(dst) or os.path.getsize(dst) != os.path.getsize(src):
+                shutil.copy2(src, dst + ".tmp")
+                os.replace(dst + ".tmp", dst)
+                copied += 1
     for f in manifest.history_files:
         src, dst = store.abs_path(f), os.path.join(dest, f)
         if not os.path.exists(dst):
@@ -499,24 +632,35 @@ def fsck(engine: CDCEngine, deep: bool = False) -> dict:
     errors: list[str] = []
     checked = 0
     for pid, e in sorted(m.partitions.items(), key=lambda kv: int(kv[0])):
-        path = store.abs_path(e["file"])
         if int(pid) >= max(m.num_partitions, 1):
             errors.append(f"pid {pid} outside num_partitions={m.num_partitions}")
-        if not os.path.exists(path):
-            errors.append(f"missing file {e['file']}")
-            continue
-        checked += 1
-        md = pq.read_metadata(path)
-        if md.num_rows != e["rows"]:
-            errors.append(
-                f"pid {pid}: footer rows {md.num_rows} != manifest {e['rows']}"
-            )
-        if deep:
-            t = pq.read_table(path, columns=engine.cfg.pk)
-            pids = key_hash(t, engine.cfg.pk) % np.uint64(m.num_partitions)
-            bad = int((pids != np.uint64(int(pid))).sum())
-            if bad:
-                errors.append(f"pid {pid}: {bad} rows hashed to another partition")
+        # base file (may be absent for a never-compacted MOR partition)
+        # plus every delta: existence + footer-rows + placement checks
+        pieces = []
+        if e.get("file"):
+            pieces.append((e["file"], int(e["rows"])))
+        pieces += [(d["file"], int(d["rows"])) for d in e.get("deltas", ())]
+        if not pieces:
+            errors.append(f"pid {pid}: entry references no files")
+        for rel, rows in pieces:
+            path = store.abs_path(rel)
+            if not os.path.exists(path):
+                errors.append(f"missing file {rel}")
+                continue
+            checked += 1
+            md = pq.read_metadata(path)
+            if md.num_rows != rows:
+                errors.append(
+                    f"pid {pid}: footer rows {md.num_rows} != manifest {rows} ({rel})"
+                )
+            if deep:
+                t = pq.read_table(path, columns=engine.cfg.pk)
+                pids = key_hash(t, engine.cfg.pk) % np.uint64(m.num_partitions)
+                bad = int((pids != np.uint64(int(pid))).sum())
+                if bad:
+                    errors.append(
+                        f"pid {pid}: {bad} rows hashed to another partition ({rel})"
+                    )
     for f in m.history_files:
         if not os.path.exists(store.abs_path(f)):
             errors.append(f"missing history file {f}")
@@ -842,7 +986,24 @@ def _rescue_late_locked(
     for pid in pids:
         w = winners.filter(pc.equal(winners[PID_COL], pid)).drop_columns([PID_COL])
         entry = manifest.partitions.get(str(pid))
-        old = pq.read_table(store.abs_path(entry["file"])) if entry else None
+        fold_hists: list[pa.Table] = []
+        if entry is not None and entry.get("deltas"):
+            # merge-on-read stack: rescue works on the folded live image and
+            # writes a fresh base (an implicit compaction), carrying the
+            # stack's deferred history rows along so they aren't lost
+            from ..stages.mor import fold_entry
+            from ..stages.merge import target_schema as _tgt_schema
+
+            schema = manifest.arrow_schema()
+            vtypes = {f.name: f.type for f in schema}
+            fr = fold_entry(
+                store.root, cfg, entry,
+                _tgt_schema(cfg, vtypes), manifest.renames,
+                collect_history=cfg.history,
+            )
+            old, fold_hists = fr.table, fr.history
+        else:
+            old = pq.read_table(store.abs_path(entry["file"])) if entry else None
         if old is not None and old.num_rows:
             noop, j = _noop_mask(w, old)
             w = j.filter(pa.array(~noop)).select(w.column_names)
@@ -861,9 +1022,13 @@ def _rescue_late_locked(
             "version": version,
             "zones": column_zones(res.table),
         }
-        if cfg.history and res.history.num_rows:
+        hist_tbls = [h for h in fold_hists + [res.history] if h.num_rows]
+        if cfg.history and hist_tbls:
             hrel = store.history_file(pid, version)
-            pq.write_table(res.history, store.abs_path(hrel), compression="zstd")
+            pq.write_table(
+                pa.concat_tables(hist_tbls), store.abs_path(hrel),
+                compression="zstd",
+            )
             hist_files.append(hrel)
 
     if not touched:

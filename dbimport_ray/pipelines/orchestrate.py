@@ -240,9 +240,13 @@ def restore_savepoint(engines: list[CDCEngine], path: str) -> dict:
                 f"savepoint unrestorable: table {name} v{rec['version']} "
                 f"manifest GC'd ({e}); vacuumed past the savepoint horizon"
             ) from e
+        from ..stages.mor import entry_files
+
         gone = [
-            e["file"] for e in m.partitions.values()
-            if not os.path.exists(eng.store.abs_path(e["file"]))
+            f
+            for e in m.partitions.values()
+            for f in entry_files(e)
+            if not os.path.exists(eng.store.abs_path(f))
         ]
         if gone:
             raise FileNotFoundError(

@@ -125,15 +125,20 @@ def _derive_cdc_stream(sf_dir: str, out_dir: str) -> str:
     return sorted(glob.glob(os.path.join(out, "*.parquet")))
 
 
-def _cdc_replay(sf_dir: str, soft_delete: bool) -> pa.Table:
+def _cdc_replay(sf_dir: str, soft_delete: bool, merge_format: str = "cow") -> pa.Table:
     root = _scratch("cdc")
     stream = _derive_cdc_stream(sf_dir, root)
     cfg = TableConfig(
-        name="user_state",
+        name="user_state" if merge_format == "cow" else f"user_state_{merge_format}",
         pk=["user_id"],
         value_columns=["event_type", "value"],
         num_partitions=8,
         soft_delete=soft_delete,
+        merge_format=merge_format,
+        # keep both batches as live deltas so the READ-side fold is what
+        # the oracle checks (no compaction before the comparison)
+        mor_max_deltas=64,
+        mor_compact_ratio=1e9,
     )
     eng = CDCEngine(os.path.join(root, "lake"), cfg)
     mx = max_sequence(stream)
@@ -177,6 +182,19 @@ def q_cdc_merge_salted(sf_dir: str) -> pa.Table:
                 os.environ.pop(k, None)
             else:
                 os.environ[k] = v
+
+
+def q_cdc_merge_mor(sf_dir: str) -> pa.Table:
+    """The same two-batch soft-delete replay in MERGE-ON-READ format
+    (stages/mor.py): each batch lands per-partition delta files instead of
+    rewriting bases, and ``arrow()`` folds base ⊎ delta stack through the
+    merge kernel at read time. Checked against the identical SQL oracle as
+    ``cdc_merge_soft``, so the driver verifies the fold end-to-end. Write
+    cost per batch is O(events) instead of O(touched partitions) — the
+    write-amplification escape hatch for 10^10-event replays (reference
+    analogue: none; its merge is a full INSERT OVERWRITE per import,
+    etl_operations.py:148-298)."""
+    return _cdc_replay(sf_dir, soft_delete=True, merge_format="mor")
 
 
 def q_cdc_full_load(sf_dir: str) -> pa.Table:
@@ -3155,6 +3173,7 @@ SELECT event_type, n FROM (
 # the salted-merge replay answers the identical question as the soft merge —
 # same oracle, different execution path
 ORACLES["cdc_merge_salted"] = ORACLES["cdc_merge_soft"]
+ORACLES["cdc_merge_mor"] = ORACLES["cdc_merge_soft"]
 
 ORACLES["intersect_keys"] = """
 SELECT p_partkey AS partkey FROM part
@@ -4151,6 +4170,7 @@ GROUP BY text
 
 QUERIES = {
     # --- new in round 4 (oracle-backed) ---
+    "cdc_merge_mor": q_cdc_merge_mor,
     "funnel_events": q_funnel_events,
     "corr_lineitem": q_corr_lineitem,
     "sliding_count_events": q_sliding_count_events,

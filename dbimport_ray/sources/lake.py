@@ -33,8 +33,14 @@ def read_lake(
 ) -> rd.Dataset:
     """The committed table as a streaming Dataset (one block ≥ one partition
     file). Old-schema files are aligned per batch. ``version`` reads a
-    historical committed snapshot (time travel) while its files survive GC."""
+    historical committed snapshot (time travel) while its files survive GC.
+    Merge-on-read tables with live delta stacks fold base ⊎ deltas inside
+    one Ray task per partition (stages/mor.py)."""
+    from ..stages.mor import manifest_has_deltas
+
     m = store.load_manifest(version=version)
+    if manifest_has_deltas(m):
+        return _mor_fold_dataset(store, cfg, m, columns=columns)
     files = _committed_files(store, m)
     if not files:
         return rd.from_arrow(_empty(store, cfg))
@@ -50,6 +56,64 @@ def read_lake(
     return ds
 
 
+def _fold_ctx(store: TableStore, cfg: TableConfig, m: Manifest):
+    """(tgt schema, effective cfg) for folding this manifest's partitions."""
+    schema = m.arrow_schema()
+    vtypes = {f.name: f.type for f in schema}
+    eff = cfg_with_schema(cfg, schema)
+    return target_schema(eff, vtypes), eff
+
+
+def _mor_fold_dataset(
+    store: TableStore,
+    cfg: TableConfig,
+    m: Manifest,
+    columns: list[str] | None = None,
+    residual=None,
+    entries: list[dict] | None = None,
+) -> rd.Dataset:
+    """One Ray task per partition: read base + delta stack, fold through
+    the merge kernel, emit the live image (optionally column-pruned and
+    residual-filtered). Parallelism and peak task memory match the COW
+    read path (one partition per task); the extra cost is the fold's
+    per-delta hash join, bounded by ``mor_max_deltas``."""
+    import json
+    from dataclasses import asdict
+
+    from ..stages.mor import fold_entry
+
+    if entries is None:
+        entries = sorted(
+            m.partitions.values(),
+            key=lambda e: e.get("file") or e["deltas"][0]["file"],
+        )
+    tgt, eff = _fold_ctx(store, cfg, m)
+    if not entries:
+        base = pa.Table.from_pylist([], schema=tgt)
+        return rd.from_arrow(base if columns is None else base.select(columns))
+    root = store.root
+    cfg_d = asdict(eff)
+    renames = dict(m.renames)
+    items = [{"entry": json.dumps(e)} for e in entries]
+
+    def _fold(batch: pa.Table) -> pa.Table:
+        cfg2 = TableConfig(**cfg_d)
+        outs = []
+        for s in batch["entry"].to_pylist():
+            t = fold_entry(root, cfg2, json.loads(s), tgt, renames).table
+            if residual is not None:
+                t = t.filter(residual(t))
+            outs.append(t if columns is None else t.select(columns))
+        if not outs:
+            base = pa.Table.from_pylist([], schema=tgt)
+            return base if columns is None else base.select(columns)
+        return pa.concat_tables(outs)
+
+    return rd.from_items(items, override_num_blocks=len(items)).map_batches(
+        _fold, batch_format="pyarrow"
+    )
+
+
 def prune_partitions(
     m: Manifest, predicate: tuple[str, str, object]
 ) -> tuple[list[dict], int]:
@@ -58,11 +122,14 @@ def prune_partitions(
     entry count. No file or footer IO — at 10^5 files the manifest is the
     only thing read (state/zones.py; ref import_operations.py:1358-1380
     min/max split-boundary analogue on the read side)."""
-    from ..state.zones import zone_overlaps
+    from ..stages.mor import entry_zone_overlaps
 
     col, op, val = predicate
-    entries = sorted(m.partitions.values(), key=lambda e: e["file"])
-    kept = [e for e in entries if zone_overlaps(e.get("zones"), col, op, val)]
+    entries = sorted(
+        m.partitions.values(),
+        key=lambda e: e.get("file") or e["deltas"][0]["file"],
+    )
+    kept = [e for e in entries if entry_zone_overlaps(e, col, op, val)]
     return kept, len(entries)
 
 
@@ -98,6 +165,15 @@ def read_lake_pruned(
         if columns is not None:
             empty = empty.select(columns)
         return rd.from_arrow(empty)
+    from ..stages.mor import entry_has_deltas
+
+    if any(entry_has_deltas(e) for e in kept):
+        # MOR: fold each kept partition, then apply the exact residual
+        return _mor_fold_dataset(
+            store, cfg, m, columns=columns,
+            residual=lambda t: residual_mask(t, col, op, val),
+            entries=kept,
+        )
     vtypes = {f.name: f.type for f in schema}
     tgt = target_schema(cfg_with_schema(cfg, schema), vtypes)
     renames = m.renames
@@ -159,11 +235,20 @@ def lookup_rows(
         opened += 1
         sel = keys.filter(pa.array(pids == pid))
         first_vals = pc.unique(pc.cast(sel[cfg.pk[0]], pa.string()))
-        t = pq.read_table(
-            store.abs_path(entry["file"]),
-            filters=pc.field(cfg.pk[0]).cast(pa.string()).isin(first_vals),
-        )
-        t = align_to_schema(t, tgt, m.renames)
+        if entry.get("deltas"):
+            # MOR: fold base + stack restricted to the probed keys — the
+            # merge is per-key, so pre-filtering both sides is exact
+            from ..stages.mor import fold_entry
+
+            t = fold_entry(
+                store.root, cfg, entry, tgt, m.renames, key_vals=first_vals
+            ).table
+        else:
+            t = pq.read_table(
+                store.abs_path(entry["file"]),
+                filters=pc.field(cfg.pk[0]).cast(pa.string()).isin(first_vals),
+            )
+            t = align_to_schema(t, tgt, m.renames)
         probe = _key_array(t, cfg.pk)
         idx = np.searchsorted(wanted, probe)
         idx = np.minimum(idx, len(wanted) - 1)
@@ -182,7 +267,18 @@ def read_lake_arrow(
     store: TableStore, cfg: TableConfig, version: int | None = None
 ) -> pa.Table:
     """Whole table as one Arrow table — tests/small results only."""
+    from ..stages.mor import fold_entry, manifest_has_deltas
+
     m = store.load_manifest(version=version)
+    if manifest_has_deltas(m):
+        tgt, eff = _fold_ctx(store, cfg, m)
+        entries = sorted(
+            m.partitions.values(),
+            key=lambda e: e.get("file") or e["deltas"][0]["file"],
+        )
+        return pa.concat_tables(
+            [fold_entry(store.root, eff, e, tgt, m.renames).table for e in entries]
+        ) if entries else pa.Table.from_pylist([], schema=tgt)
     files = _committed_files(store, m)
     if not files:
         return _empty(store, cfg)

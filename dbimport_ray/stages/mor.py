@@ -1,0 +1,197 @@
+"""Merge-on-read partition folding — the write-amplification escape hatch.
+
+Copy-on-write (the default, ``TableConfig.merge_format == "cow"``) rewrites
+every touched partition's full base file each batch: at 10^10 events in many
+micro-batches the write cost per batch is ``touched_partitions × partition
+bytes`` even when the batch changes a few rows per partition. Merge-on-read
+(``merge_format == "mor"``) writes only the batch's LWW-reduced change slice
+as an immutable *delta* file per partition (cost ∝ events, not table) and
+defers the base rewrite: readers fold ``base ⊎ delta stack`` on the fly, and
+compaction folds the stack back into a new base — either automatically when
+a partition's stack grows past ``mor_max_deltas`` / ``mor_compact_ratio``,
+or via the offline ``compact`` verb (pipelines/maintain.py:compact_deltas).
+
+The fold is *iterative replay of the exact COW kernel*: each delta is the
+same post-LWW event table ``merge_one`` would have fed to
+``stages.merge.merge_partition``, stored with its batch's deterministic
+merge timestamp, so folding deltas in version order reproduces the
+copy-on-write partition image — and its history rows — bit for bit
+(asserted in tests/test_mor.py). This mirrors the log-structured
+base-plus-delta design of Hudi's merge-on-read tables and Apache Paimon's
+LSM changelog; DBImport itself has no analogue (its merge is a full Hive
+INSERT OVERWRITE per import, etl_operations.py:148-298 — the exact write
+amplification this mode removes).
+
+Manifest shape: a partition entry optionally carries
+``deltas: [{file, rows, bytes, version, merge_ts, zones}, ...]`` (version
+ascending). ``entry["file"]`` may be ``""`` for a partition born under MOR
+that was never compacted. All readers (sources/lake.py, pipelines/diff.py,
+export, rescue) route through :func:`fold_entry`; GC/rollback/fsck/
+replicate liveness routes through :func:`entry_files`.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..config import TableConfig
+from ..state.schema_evolution import align_to_schema
+from ..stages.merge import merge_partition, target_schema
+
+MERGE_FORMAT_COW = "cow"
+MERGE_FORMAT_MOR = "mor"
+
+
+# ---------------------------------------------------------------------------
+# manifest-entry helpers (shared by readers, GC, fsck, replicate, savepoints)
+# ---------------------------------------------------------------------------
+
+
+def entry_files(entry: dict) -> list[str]:
+    """Every data file (relative path) a partition entry references:
+    the base file (if any) plus its delta stack."""
+    out = []
+    if entry.get("file"):
+        out.append(entry["file"])
+    out.extend(d["file"] for d in entry.get("deltas", ()))
+    return out
+
+
+def entry_has_deltas(entry: dict) -> bool:
+    return bool(entry.get("deltas"))
+
+
+def manifest_has_deltas(m) -> bool:
+    return any(entry_has_deltas(e) for e in m.partitions.values())
+
+
+def entry_live_rows(entry: dict) -> int | None:
+    """Exact live row count when knowable without IO (no deltas → the
+    ledger-validated base count); None when a fold would be needed."""
+    return None if entry_has_deltas(entry) else int(entry.get("rows", 0))
+
+
+# ---------------------------------------------------------------------------
+# the fold
+# ---------------------------------------------------------------------------
+
+
+def event_schema(tgt: pa.Schema, cfg: TableConfig) -> pa.Schema:
+    """Schema of a delta file aligned to the CURRENT table schema: pk +
+    value columns (target types) + op + sequence."""
+    fields = [f for f in tgt if f.name not in set(cfg.system_columns)]
+    fields += [
+        pa.field(cfg.op_col, pa.string()),
+        pa.field(cfg.sequence_col, pa.int64()),
+    ]
+    return pa.schema(fields)
+
+
+def _first_key_filter(cfg: TableConfig, key_vals) -> object | None:
+    """Row-group/row filter on the first pk column (lookup fast path)."""
+    if key_vals is None:
+        return None
+    import pyarrow.compute as pc
+
+    return pc.field(cfg.pk[0]).cast(pa.string()).isin(key_vals)
+
+
+def fold_entry(
+    root: str,
+    cfg: TableConfig,
+    entry: dict | None,
+    tgt: pa.Schema,
+    renames: dict[str, str],
+    key_vals=None,
+    collect_history: bool = False,
+    extra_events: list[tuple[pa.Table, object]] | None = None,
+) -> "FoldResult":
+    """Materialize one partition's live image: read the base file, then
+    replay each delta through the COW merge kernel with that delta's own
+    merge timestamp. Pure function of files on disk — safe inside any Ray
+    task. ``key_vals`` (string-cast first-pk values) prunes both sides for
+    point lookups (merge semantics are per-key, so pre-filtering is exact).
+    ``extra_events`` appends in-memory (events, merge_ts) steps after the
+    stack — the compaction path folds the current batch this way."""
+    from datetime import datetime
+
+    cfg = _cfg_for_schema(cfg, tgt)
+    filt = _first_key_filter(cfg, key_vals)
+    acc: pa.Table | None = None
+    if entry and entry.get("file"):
+        acc = pq.read_table(os.path.join(root, entry["file"]), filters=filt)
+        acc = align_to_schema(acc, tgt, renames)
+    hists: list[pa.Table] = []
+    counts = {"inserts": 0, "updates": 0, "deletes": 0, "unchanged": 0}
+    ev_schema = event_schema(tgt, cfg)
+    steps: list[tuple[pa.Table, object]] = []
+    for d in (entry or {}).get("deltas", ()):
+        ev = pq.read_table(os.path.join(root, d["file"]), filters=filt)
+        ev = align_to_schema(
+            ev, ev_schema, renames, keep_extra=(cfg.op_col, cfg.sequence_col)
+        )
+        steps.append((ev, datetime.fromisoformat(d["merge_ts"])))
+    steps.extend(extra_events or ())
+    for ev, ts in steps:
+        res = merge_partition(acc, ev, cfg, ts)
+        acc = res.table
+        for k in counts:
+            counts[k] += getattr(res, k)
+        if collect_history and res.history.num_rows:
+            hists.append(res.history)
+    if acc is None:
+        vtypes = {f.name: f.type for f in tgt if f.name not in set(cfg.system_columns)}
+        from ..stages.merge import empty_target
+
+        acc = empty_target(cfg, vtypes)
+    return FoldResult(table=acc, history=hists, **counts)
+
+
+class FoldResult:
+    __slots__ = ("table", "history", "inserts", "updates", "deletes", "unchanged")
+
+    def __init__(self, table, history, inserts, updates, deletes, unchanged):
+        self.table = table
+        self.history = history
+        self.inserts = inserts
+        self.updates = updates
+        self.deletes = deletes
+        self.unchanged = unchanged
+
+
+def _cfg_for_schema(cfg: TableConfig, tgt: pa.Schema) -> TableConfig:
+    """Effective config whose value_columns track the (possibly evolved)
+    target schema."""
+    from dataclasses import replace
+
+    sysc = set(cfg.system_columns)
+    vals = [f.name for f in tgt if f.name not in cfg.pk and f.name not in sysc]
+    if vals == cfg.value_columns:
+        return cfg
+    return replace(cfg, value_columns=vals)
+
+
+# ---------------------------------------------------------------------------
+# zone pruning over base + delta stack
+# ---------------------------------------------------------------------------
+
+
+def entry_zone_overlaps(entry: dict, col: str, op: str, val) -> bool:
+    """A MOR partition can satisfy a predicate if its BASE zones overlap OR
+    any delta's zones overlap (a delta rewrites values, so its zones are an
+    independent evidence source). Missing zones → must keep."""
+    from ..state.zones import zone_overlaps
+
+    if entry.get("file") and zone_overlaps(entry.get("zones"), col, op, val):
+        return True
+    if not entry.get("file") and not entry.get("deltas"):
+        return True
+    for d in entry.get("deltas", ()):
+        if zone_overlaps(d.get("zones"), col, op, val):
+            return True
+    # base absent entirely → only deltas decide; base present and pruned +
+    # all deltas pruned → skip
+    return False

@@ -250,6 +250,11 @@ class TableStore:
     def history_file(self, pid: int, version: int) -> str:
         return f"history/hist-{pid:05d}-v{version:06d}.parquet"
 
+    def delta_file(self, pid: int, version: int) -> str:
+        """Merge-on-read delta slice (stages/mor.py): one immutable file of
+        the batch's LWW-reduced events for this partition."""
+        return f"data/delta-{pid:05d}-v{version:06d}.parquet"
+
     def staging_dir(self, version: int) -> str:
         """Per-batch hive-partitioned event staging (the import-phase
         landing zone — DBImport's Import/staging table, concept.rst
@@ -343,10 +348,14 @@ class TableStore:
         """Re-point the committed manifest at an earlier version (the
         purgeIcebergVersions-world rollback). Files must still exist —
         callers should rollback within the GC horizon."""
+        from ..stages.mor import entry_files
+
         m = self.load_manifest(version=to_version)
         missing = [
-            e["file"] for e in m.partitions.values()
-            if not os.path.exists(self.abs_path(e["file"]))
+            f
+            for e in m.partitions.values()
+            for f in entry_files(e)
+            if not os.path.exists(self.abs_path(f))
         ]
         if missing:
             raise FileNotFoundError(
@@ -401,6 +410,8 @@ class TableStore:
         (pipelines/cdc.py); ``pipelines/maintain.py:vacuum`` composes it
         with manifest/staging/marker/history retention for the offline
         verb. Returns {"files": [rel, ...], "bytes": reclaimed}."""
+        from ..stages.mor import entry_files
+
         m = self.load_manifest()
         live = set()
         for v in range(max(1, m.version - keep_versions + 1), m.version + 1):
@@ -408,8 +419,10 @@ class TableStore:
                 mv = self.load_manifest(version=v)
             except FileNotFoundError:
                 continue
-            live |= {p["file"] for p in mv.partitions.values()}
-        live |= {p["file"] for p in m.partitions.values()}
+            for p in mv.partitions.values():
+                live.update(entry_files(p))
+        for p in m.partitions.values():
+            live.update(entry_files(p))
         removed, nbytes = [], 0
         cutoff = m.version - keep_versions
         data_dir = os.path.join(self.root, "data")

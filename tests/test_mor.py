@@ -1,0 +1,301 @@
+"""Merge-on-read (stages/mor.py) — differential equivalence vs copy-on-write.
+
+The MOR contract is exact: because each delta file is the same post-LWW
+event table the COW path feeds to ``merge_partition``, stored with its
+batch's deterministic merge timestamp, folding the stack reproduces the COW
+partition image — system columns, tombstones, history rows and all — bit
+for bit. Every test here replays ONE event stream at IDENTICAL batch
+boundaries through both formats and asserts table equality (boundaries must
+match: batching itself changes LWW collapsing and merge timestamps).
+"""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from dbimport_ray.config import MODE_APPEND, TableConfig
+from dbimport_ray.pipelines.cdc import CDCEngine
+from dbimport_ray.pipelines.diff import changefeed, mirror_lake
+from dbimport_ray.pipelines.maintain import compact_deltas, fsck, rehash_table, vacuum
+
+BOUNDS = [500, 1100, 1700, 2300, 2800, 3000]
+
+
+@pytest.fixture(scope="module")
+def stream(tmp_path_factory):
+    """Deterministic 3000-event CDC stream over 400 keys with key-only
+    deletes (the MSSQL-CT shape) and ~55% updates."""
+    d = tmp_path_factory.mktemp("mor_events")
+    rng = np.random.default_rng(7)
+    n = BOUNDS[-1]
+    seqs = np.arange(1, n + 1)
+    keys = rng.integers(0, 400, n)
+    ops = np.where(
+        rng.random(n) < 0.15, "D", np.where(rng.random(n) < 0.5, "U", "I")
+    )
+    vals = [f"v{t}" for t in rng.integers(0, 10**6, n)]
+    t = pa.table(
+        {
+            "sequence_id": pa.array(seqs, pa.int64()),
+            "op": pa.array(ops),
+            "k": pa.array(keys, pa.int64()),
+            "v": pa.array(
+                [None if o == "D" else v for o, v in zip(ops, vals)], pa.string()
+            ),
+        }
+    )
+    pq.write_table(t, str(d / "e.parquet"))
+    return str(d)
+
+
+def _cfg(name: str, fmt: str, **kw) -> TableConfig:
+    return TableConfig(
+        name=name,
+        pk=["k"],
+        value_columns=["v"],
+        num_partitions=4,
+        soft_delete=kw.pop("soft", True),
+        history=kw.pop("history", True),
+        merge_format=fmt,
+        # defaults keep auto-compaction OFF so the delta path is exercised
+        mor_max_deltas=kw.pop("maxd", 100),
+        mor_compact_ratio=kw.pop("ratio", 1e9),
+        **kw,
+    )
+
+
+def _run(lake, stream, cfg, bounds=BOUNDS) -> CDCEngine:
+    eng = CDCEngine(lake, cfg)
+    for up in bounds:
+        eng.replay(stream, upto_seq=up)
+    return eng
+
+
+def _sorted(t: pa.Table) -> pa.Table:
+    return t.sort_by([(c, "ascending") for c in t.column_names])
+
+
+def _stack_sizes(eng) -> list[int]:
+    m = eng.store.load_manifest()
+    return [len(e.get("deltas", [])) for e in m.partitions.values()]
+
+
+@pytest.fixture(scope="module")
+def pair(stream, tmp_path_factory):
+    lake = str(tmp_path_factory.mktemp("mor_lake"))
+    cow = _run(lake, stream, _cfg("t_cow", "cow"))
+    mor = _run(lake, stream, _cfg("t_mor", "mor"))
+    return cow, mor
+
+
+def test_delta_path_taken_and_tables_equal(pair):
+    cow, mor = pair
+    assert sum(_stack_sizes(mor)) > 0, "MOR replay never wrote a delta"
+    assert _sorted(cow.arrow()).equals(_sorted(mor.arrow()))
+
+
+def test_mor_write_amplification_is_bounded(pair):
+    """The point of the mode: MOR batches write the event slice, COW
+    batches rewrite touched partitions. On this stream (400 hot keys ×
+    6 batches) COW's data bytes must be strictly larger."""
+    def data_bytes(eng):
+        total = 0
+        for rec in eng.store.read_metrics():
+            total += int(rec.get("bytes", 0))
+        return total
+
+    cow, mor = pair
+    assert data_bytes(mor) < data_bytes(cow)
+
+
+def test_lookup_and_pruned_read_fold(pair):
+    cow, mor = pair
+    keys = [{"k": 1}, {"k": 7}, {"k": 399}, {"k": 10_000}]
+    assert _sorted(cow.lookup(keys)).equals(_sorted(mor.lookup(keys)))
+    got = sorted(
+        (r["k"], r["v"]) for r in mor.dataset_where(("k", ">", 200)).take_all()
+    )
+    want = sorted(
+        (r["k"], r["v"]) for r in cow.dataset_where(("k", ">", 200)).take_all()
+    )
+    assert got == want
+
+
+def test_compact_verb_bit_equal_including_history(pair):
+    cow, mor = pair
+    res = compact_deltas(mor)
+    assert res["ok"] and res["compacted"] > 0
+    assert sum(_stack_sizes(mor)) == 0
+    assert _sorted(cow.arrow()).equals(_sorted(mor.arrow()))
+    # deferred history rows materialize at compaction, bit-equal to COW's
+    assert _sorted(cow.history()).equals(_sorted(mor.history()))
+    # idempotent
+    assert compact_deltas(mor)["status"] == "noop"
+
+
+def test_auto_compaction_bounds_the_stack(stream, tmp_path, pair):
+    cow, _ = pair
+    mor = _run(
+        str(tmp_path / "lake"), stream, _cfg("t_mor_auto", "mor", maxd=2)
+    )
+    assert max(_stack_sizes(mor)) <= 2
+    assert _sorted(cow.arrow()).equals(_sorted(mor.arrow()))
+
+
+def test_hard_delete_equivalence(stream, tmp_path):
+    lake = str(tmp_path / "lake")
+    cow = _run(lake, stream, _cfg("t_cow_h", "cow", soft=False))
+    mor = _run(lake, stream, _cfg("t_mor_h", "mor", soft=False))
+    assert _sorted(cow.arrow()).equals(_sorted(mor.arrow()))
+    compact_deltas(mor)
+    assert _sorted(cow.arrow()).equals(_sorted(mor.arrow()))
+
+
+def test_crash_resume_exactly_once(stream, tmp_path):
+    lake = str(tmp_path / "lake")
+    cow = CDCEngine(lake, _cfg("t_cow_r", "cow"))
+    cow.replay(stream, upto_seq=1500)
+    cow.replay(stream, upto_seq=3000)
+    mor = CDCEngine(lake, _cfg("t_mor_r", "mor"))
+    mor.replay(stream, upto_seq=1500)
+    with pytest.raises(RuntimeError, match="injected"):
+        mor.replay(stream, upto_seq=3000, fail_before_commit=True)
+    mor.replay(stream)  # resumes the pending batch; markers keep it idempotent
+    assert _sorted(cow.arrow()).equals(_sorted(mor.arrow()))
+
+
+def test_changefeed_and_mirror_over_stacked_source(pair, stream, tmp_path):
+    _, _ = pair
+    lake = str(tmp_path / "lake")
+    src = _run(lake, stream, _cfg("t_mor_feed", "mor"))
+    assert sum(_stack_sizes(src)) > 0
+    feed = changefeed(src, 0)  # full feed folds deltas inside diff tasks
+    # full feed = every physical row: live rows as I, tombstones as D events
+    assert feed.num_rows == src.arrow().num_rows
+    live = src.arrow()
+    live = live.filter(pc.not_equal(live["datalake_iud"], "D"))
+    rep = CDCEngine(lake, TableConfig(
+        name="t_replica", pk=["k"], value_columns=["v"], num_partitions=3
+    ))
+    mirror_lake(src, rep, scratch_dir=str(tmp_path / "scratch"))
+    rlive = rep.arrow()
+    rlive = rlive.filter(pc.not_equal(rlive["datalake_iud"], "D"))
+    assert _sorted(live.select(["k", "v"])).equals(_sorted(rlive.select(["k", "v"])))
+
+
+def test_fsck_vacuum_rollback_on_stacked_table(stream, tmp_path):
+    lake = str(tmp_path / "lake")
+    mor = _run(lake, stream, _cfg("t_mor_m", "mor", keep_versions=10))
+    before = _sorted(mor.arrow())
+    r = fsck(mor, deep=True)
+    assert r["ok"], r["errors"]
+    v = vacuum(mor, keep_versions=2)
+    assert v["ok"]
+    assert _sorted(mor.arrow()).equals(before)  # live deltas survive GC
+    # rollback one version: drops exactly the last batch's deltas
+    m = mor.store.load_manifest()
+    mor.rollback(m.version - 1)
+    cow = _run(
+        str(tmp_path / "lake2"), stream, _cfg("t_cow_m", "cow"),
+        bounds=BOUNDS[:-1],
+    )
+    assert _sorted(mor.arrow()).equals(_sorted(cow.arrow()))
+
+
+def test_rehash_folds_stack(stream, tmp_path):
+    lake = str(tmp_path / "lake")
+    mor = _run(lake, stream, _cfg("t_mor_rh", "mor"))
+    before = _sorted(mor.arrow())
+    res = rehash_table(mor, 7)
+    assert res["partitions"] <= 7
+    assert sum(_stack_sizes(mor)) == 0  # rehash writes plain bases
+    assert _sorted(mor.arrow()).equals(before)
+
+
+def test_schema_evolution_rides_the_stack(tmp_path):
+    """Batch 2 adds a column while batch 1's delta is still unfolded —
+    the fold aligns old deltas to the evolved schema on read."""
+    def write(name, cols):
+        p = str(tmp_path / name)
+        pq.write_table(pa.table(cols), p)
+        return p
+
+    b1 = write("b1.parquet", {
+        "sequence_id": pa.array([1, 2], pa.int64()),
+        "op": pa.array(["I", "I"]),
+        "k": pa.array([1, 2], pa.int64()),
+        "v": pa.array(["a", "b"]),
+    })
+    b2 = write("b2.parquet", {
+        "sequence_id": pa.array([3, 4], pa.int64()),
+        "op": pa.array(["U", "I"]),
+        "k": pa.array([1, 3], pa.int64()),
+        "v": pa.array(["a2", "c"]),
+        "extra": pa.array([10, 30], pa.int64()),
+    })
+    lake = str(tmp_path / "lake")
+    cow = CDCEngine(lake, _cfg("t_cow_se", "cow"))
+    mor = CDCEngine(lake, _cfg("t_mor_se", "mor"))
+    for eng in (cow, mor):
+        eng.replay(b1, upto_seq=2)
+        eng.replay([b1, b2], upto_seq=4)
+    assert sum(_stack_sizes(mor)) > 0
+    assert _sorted(cow.arrow()).equals(_sorted(mor.arrow()))
+    compact_deltas(mor)
+    assert _sorted(cow.arrow()).equals(_sorted(mor.arrow()))
+
+
+def test_append_mode_mor(tmp_path):
+    def write(name, seqs, keys):
+        p = str(tmp_path / name)
+        pq.write_table(pa.table({
+            "sequence_id": pa.array(seqs, pa.int64()),
+            "op": pa.array(["I"] * len(seqs)),
+            "k": pa.array(keys),
+            "v": pa.array([float(s) for s in seqs], pa.float64()),
+        }), p)
+        return p
+
+    b1 = write("b1.parquet", [1, 2, 3], ["a", "b", "a"])
+    b2 = write("b2.parquet", [4, 5], ["a", "c"])
+    lake = str(tmp_path / "lake")
+    for fmt in ("cow", "mor"):
+        cfg = TableConfig(
+            name=f"t_{fmt}", pk=["k"], value_columns=["v"], mode=MODE_APPEND,
+            num_partitions=4, merge_format=fmt, mor_max_deltas=100,
+            mor_compact_ratio=1e9,
+        )
+        eng = CDCEngine(lake, cfg)
+        eng.replay(b1, upto_seq=3)
+        eng.replay([b1, b2], upto_seq=5)
+    cow = CDCEngine(lake, TableConfig(
+        name="t_cow", pk=["k"], value_columns=["v"], mode=MODE_APPEND,
+        num_partitions=4,
+    ))
+    mor = CDCEngine(lake, TableConfig(
+        name="t_mor", pk=["k"], value_columns=["v"], mode=MODE_APPEND,
+        num_partitions=4, merge_format="mor",
+    ))
+    assert _sorted(cow.arrow()).equals(_sorted(mor.arrow()))
+    assert mor.arrow().num_rows == 5  # duplicates preserved
+
+
+def test_mor_config_validation():
+    with pytest.raises(ValueError, match="mode cdc/append"):
+        TableConfig(
+            name="t", pk=["k"], value_columns=["v"], mode="full",
+            merge_format="mor",
+        ).validate()
+    with pytest.raises(ValueError, match="maintained_aggs"):
+        TableConfig(
+            name="t", pk=["k"], value_columns=["v"], merge_format="mor",
+            maintained_aggs={"group_by": ["v"], "metrics": {"n": "count"}},
+        ).validate()
+    with pytest.raises(ValueError, match="merge_format"):
+        TableConfig(
+            name="t", pk=["k"], value_columns=["v"], merge_format="wat"
+        ).validate()
