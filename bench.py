@@ -92,6 +92,8 @@ QUERY_NAMES = [
     "secret_scrub_docs",
     "import_graph_docs",
     "heavy_hitters_tokens",
+    # round-4 session-8 additions
+    "cdc_merge_mor",
 ]
 
 

@@ -1277,6 +1277,14 @@ class CDCEngine:
             columns=columns, version=version, stats=stats,
         )
 
+    def join_bucketed(self, other: "CDCEngine", **kw) -> rd.Dataset:
+        """Zero-exchange equi-join with another lake table co-partitioned
+        on the same primary key (sources/lake.py:bucket_join_lakes) —
+        one Arrow hash join per partition class, no shuffle."""
+        from ..sources.lake import bucket_join_lakes
+
+        return bucket_join_lakes(self, other, **kw)
+
     def aggregates(self, version: int | None = None) -> pa.Table:
         """The maintained materialized aggregates as an Arrow table —
         manifest-only read, cost independent of table size. Versioned

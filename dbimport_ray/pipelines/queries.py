@@ -197,6 +197,64 @@ def q_cdc_merge_mor(sf_dir: str) -> pa.Table:
     return _cdc_replay(sf_dir, soft_delete=True, merge_format="mor")
 
 
+def q_lake_bucket_join(sf_dir: str) -> "rd.Dataset":
+    """Zero-exchange bucket join of two LAKE tables co-partitioned on the
+    same pk (sources/lake.py:bucket_join_lakes): the CDC-built user_state
+    table (P=8) inner-joins a per-user spend rollup table (P=4, built from
+    the raw events and replayed into its own lake). Because both layouts
+    derive from the same ``hash(pk) % P``, partition i of the finer table
+    joins partition i%4 of the coarser — one Arrow hash join per class,
+    no shuffle, no broadcast. ``live_only`` drops soft-delete tombstones
+    on both sides. Reference analogue: the generated Hive MERGE join
+    (etl_operations.py:148-298) — here the manifest layout IS the plan."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    root = _scratch("lbj")
+    stream = _derive_cdc_stream(sf_dir, root)
+    cfg_a = TableConfig(
+        name="user_state", pk=["user_id"],
+        value_columns=["event_type", "value"], num_partitions=8,
+    )
+    a = CDCEngine(os.path.join(root, "lake"), cfg_a)
+    mx = max_sequence(stream)
+    a.replay(stream, upto_seq=mx // 2)
+    a.replay(stream, upto_seq=mx)
+
+    spend = (
+        _read(sf_dir, "events", columns=["user_id", "value"])
+        .groupby("user_id")
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
+    )
+
+    def to_events(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t["user_id"], pa.int64())
+        return pa.table(
+            {
+                "sequence_id": uid,  # unique per key → valid LWW sequence
+                "op": pa.repeat(pa.scalar("I"), t.num_rows),
+                "user_id": t["user_id"],
+                "n_events": pc.cast(t["n_events"], pa.int64()),
+                "total_value": t["total_value"],
+            }
+        )
+
+    bev = os.path.join(root, "spend_events")
+    spend.map_batches(to_events, batch_format="pyarrow").write_parquet(bev)
+    cfg_b = TableConfig(
+        name="user_spend", pk=["user_id"],
+        value_columns=["n_events", "total_value"], num_partitions=4,
+    )
+    b = CDCEngine(os.path.join(root, "lake"), cfg_b)
+    b.replay(bev)
+    return a.join_bucketed(
+        b,
+        live_only=True,
+        columns_a=["user_id", "event_type", "value"],
+        columns_b=["n_events", "total_value"],
+    )
+
+
 def q_cdc_full_load(sf_dir: str) -> pa.Table:
     """FULL+MERGE over two customer snapshots: changed rows update, missing
     rows soft-delete via the anti-join (etl_operations.py:362-393)."""
@@ -3175,6 +3233,30 @@ SELECT event_type, n FROM (
 ORACLES["cdc_merge_salted"] = ORACLES["cdc_merge_soft"]
 ORACLES["cdc_merge_mor"] = ORACLES["cdc_merge_soft"]
 
+ORACLES["lake_bucket_join"] = _CDC_VIEW + """
+, final AS (
+  SELECT COALESCE(s1.user_id, l2.user_id) AS user_id,
+         CASE WHEN l2.user_id IS NULL OR l2.op = 'D' THEN s1.event_type
+              ELSE l2.event_type END AS event_type,
+         CASE WHEN l2.user_id IS NULL OR l2.op = 'D' THEN s1.value
+              ELSE l2.value END AS value,
+         CASE WHEN l2.user_id IS NULL THEN 'I'
+              WHEN l2.op = 'D' THEN 'D'
+              WHEN s1.user_id IS NULL THEN 'I'
+              ELSE 'U' END AS datalake_iud
+  FROM s1 FULL OUTER JOIN l2 ON s1.user_id = l2.user_id
+  WHERE NOT (l2.op = 'D' AND s1.user_id IS NULL)
+),
+spend AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         SUM(value) AS total_value
+  FROM events GROUP BY user_id
+)
+SELECT f.user_id, f.event_type, f.value, s.n_events, s.total_value
+FROM final f JOIN spend s ON f.user_id = s.user_id
+WHERE f.datalake_iud <> 'D'
+"""
+
 ORACLES["intersect_keys"] = """
 SELECT p_partkey AS partkey FROM part
 INTERSECT
@@ -4171,6 +4253,7 @@ GROUP BY text
 QUERIES = {
     # --- new in round 4 (oracle-backed) ---
     "cdc_merge_mor": q_cdc_merge_mor,
+    "lake_bucket_join": q_lake_bucket_join,
     "funnel_events": q_funnel_events,
     "corr_lineitem": q_corr_lineitem,
     "sliding_count_events": q_sliding_count_events,

@@ -263,6 +263,174 @@ def lookup_rows(
     return pa.concat_tables(out)
 
 
+def bucket_join_lakes(
+    engine_a,
+    engine_b,
+    join_type: str = "inner",
+    columns_a: list[str] | None = None,
+    columns_b: list[str] | None = None,
+    rsuffix: str = "_b",
+    live_only: bool = False,
+    version_a: int | None = None,
+    version_b: int | None = None,
+) -> rd.Dataset:
+    """ZERO-EXCHANGE equi-join of two lake tables co-partitioned on the
+    same primary key — the Hive SMB / Iceberg bucket-join shape, lake
+    native. Both tables were laid out by the same stable ``hash(pk) % P``
+    (stages/partitioning.py), so whenever the partition counts divide,
+    every key pair lives in ONE known partition pair: partition ``i`` of
+    the finer table joins partition ``i % P_coarse`` of the coarser one.
+    The join runs as one Ray task per coarse partition class (the coarse
+    file is read once, its finer-side partners folded in), each task an
+    Arrow hash join — no shuffle, no broadcast, cost ∝ the two tables.
+    The reference can only express this as a generated Hive JOIN
+    (etl_operations.py merge SQL); here the manifest layout IS the join
+    plan.
+
+    Merge-on-read entries fold inside the task (stages/mor.py). Reads are
+    snapshot-consistent per side (one manifest each; pass ``version_*``
+    for time travel).
+
+    ``join_type``: "inner" or "left" (all A rows kept). ``columns_a``
+    defaults to A's full target schema, ``columns_b`` to B's user value
+    columns (B's system columns always collide and are rarely wanted).
+    B output columns colliding with A's get ``rsuffix``. ``live_only``
+    drops soft-delete tombstones from BOTH sides before joining."""
+    import json
+    from dataclasses import asdict
+
+    from ..stages.mor import fold_entry
+
+    cfg_a, cfg_b = engine_a.cfg, engine_b.cfg
+    pk = list(cfg_a.pk)
+    if pk != list(cfg_b.pk):
+        raise ValueError(
+            f"bucket join needs identical pk columns: {cfg_a.pk} vs {cfg_b.pk}"
+        )
+    if join_type not in ("inner", "left"):
+        raise ValueError(f"join_type must be inner|left, got {join_type!r}")
+    store_a, store_b = engine_a.store, engine_b.store
+    m_a = store_a.load_manifest(version=version_a)
+    m_b = store_b.load_manifest(version=version_b)
+    pa_n = m_a.num_partitions or cfg_a.num_partitions
+    pb_n = m_b.num_partitions or cfg_b.num_partitions
+    if pa_n % pb_n and pb_n % pa_n:
+        raise ValueError(
+            f"partition counts must divide for co-partitioning: {pa_n} vs {pb_n}"
+        )
+    tgt_a, eff_a = _fold_ctx(store_a, cfg_a, m_a) if m_a.schema else (None, cfg_a)
+    tgt_b, eff_b = _fold_ctx(store_b, cfg_b, m_b) if m_b.schema else (None, cfg_b)
+
+    out_a = list(columns_a) if columns_a is not None else (
+        list(tgt_a.names) if tgt_a is not None else cfg_a.target_columns
+    )
+    vals_b = (
+        [n for n in (tgt_b.names if tgt_b is not None else [])
+         if n not in pk and n not in set(cfg_b.system_columns)]
+        or cfg_b.value_columns
+    )
+    out_b = list(columns_b) if columns_b is not None else vals_b
+    taken = set(out_a)
+    b_names = {c: (c + rsuffix if c in taken else c) for c in out_b}
+
+    # task unit = one COARSE partition class: coarse entry read once, the
+    # finer side's partners concatenated in
+    classes: dict[int, dict] = {}
+    for j in range(min(pa_n, pb_n)):
+        if pa_n >= pb_n:  # A finer: A pids {j, j+pb, ...} ↔ B pid j
+            ea = [
+                m_a.partitions[str(i)]
+                for i in range(j, pa_n, pb_n)
+                if str(i) in m_a.partitions
+            ]
+            eb = [m_b.partitions[str(j)]] if str(j) in m_b.partitions else []
+        else:  # B finer: A pid j ↔ B pids {j, j+pa, ...}
+            ea = [m_a.partitions[str(j)]] if str(j) in m_a.partitions else []
+            eb = [
+                m_b.partitions[str(i)]
+                for i in range(j, pb_n, pa_n)
+                if str(i) in m_b.partitions
+            ]
+        if not ea:
+            continue  # no A rows → nothing to emit for inner OR left
+        if not eb and join_type == "inner":
+            continue
+        classes[j] = {"a": ea, "b": eb}
+
+    # stable output schema (field order fixed driver-side)
+    def _typed(schema: pa.Schema | None, names: list[str], fallback) -> list[pa.Field]:
+        out = []
+        for n in names:
+            if schema is not None and n in schema.names:
+                out.append(pa.field(n, schema.field(n).type))
+            else:
+                out.append(pa.field(n, fallback.get(n, pa.string())))
+        return out
+
+    fb_a = {c: pa.string() for c in cfg_a.pk + cfg_a.value_columns}
+    fb_b = {c: pa.string() for c in cfg_b.pk + cfg_b.value_columns}
+    out_schema = pa.schema(
+        _typed(tgt_a, out_a, fb_a)
+        + [pa.field(b_names[c], f.type) for c, f in zip(out_b, _typed(tgt_b, out_b, fb_b))]
+    )
+    if not classes:
+        return rd.from_arrow(out_schema.empty_table())
+
+    root_a, root_b = store_a.root, store_b.root
+    cfg_ad, cfg_bd = asdict(eff_a), asdict(eff_b)
+    ren_a, ren_b = dict(m_a.renames), dict(m_b.renames)
+    iud_a, iud_b = cfg_a.col_iud, cfg_b.col_iud
+    if tgt_b is None:
+        # B never committed a schema (empty table, left join): a typed
+        # empty stand-in so the fold/filter/join path stays uniform
+        tgt_b = pa.schema(
+            [
+                pa.field(
+                    c,
+                    tgt_a.field(c).type
+                    if tgt_a is not None and c in tgt_a.names
+                    else pa.string(),
+                )
+                for c in pk
+            ]
+            + [pa.field(c, pa.string()) for c in out_b]
+            + [pa.field(iud_b, pa.string())]
+        )
+    items = [{"cls": json.dumps(v)} for _, v in sorted(classes.items())]
+
+    def _side(root, cfg_d, entries, tgt, renames) -> pa.Table:
+        cfg = TableConfig(**cfg_d)
+        tabs = [fold_entry(root, cfg, e, tgt, renames).table for e in entries]
+        return pa.concat_tables(tabs) if tabs else tgt.empty_table()
+
+    def _join(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        outs = []
+        for s in batch["cls"].to_pylist():
+            cls = json.loads(s)
+            ta = _side(root_a, cfg_ad, cls["a"], tgt_a, ren_a)
+            tb = _side(root_b, cfg_bd, cls["b"], tgt_b, ren_b)
+            if live_only:
+                ta = ta.filter(pc.fill_null(pc.not_equal(ta[iud_a], "D"), True))
+                tb = tb.filter(pc.fill_null(pc.not_equal(tb[iud_b], "D"), True))
+            ta = ta.select(list(dict.fromkeys(pk + out_a)))
+            tb = tb.select(list(dict.fromkeys(pk + out_b)))
+            tb = tb.rename_columns(
+                [b_names.get(c, c) if c not in pk else c for c in tb.column_names]
+            )
+            j = ta.join(
+                tb, keys=pk,
+                join_type="inner" if join_type == "inner" else "left outer",
+            )
+            outs.append(j.select(out_schema.names).cast(out_schema))
+        return pa.concat_tables(outs) if outs else out_schema.empty_table()
+
+    return rd.from_items(items, override_num_blocks=len(items)).map_batches(
+        _join, batch_format="pyarrow"
+    )
+
+
 def read_lake_arrow(
     store: TableStore, cfg: TableConfig, version: int | None = None
 ) -> pa.Table:

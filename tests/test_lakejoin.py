@@ -1,0 +1,146 @@
+"""Co-partitioned lake-to-lake bucket join (sources/lake.py:bucket_join_lakes).
+
+Both tables are laid out by the same stable hash(pk) % P, so the join needs
+no exchange — every test checks against a driver-side pyarrow join of the
+two full tables (the brute-force oracle)."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from dbimport_ray.config import TableConfig
+from dbimport_ray.pipelines.cdc import CDCEngine
+from dbimport_ray.sources.lake import bucket_join_lakes
+
+
+def _events(path, rows):
+    """rows: (seq, op, k, v)"""
+    pq.write_table(
+        pa.table(
+            {
+                "sequence_id": pa.array([r[0] for r in rows], pa.int64()),
+                "op": pa.array([r[1] for r in rows]),
+                "k": pa.array([r[2] for r in rows], pa.int64()),
+                "v": pa.array([r[3] for r in rows], pa.string()),
+            }
+        ),
+        path,
+    )
+    return path
+
+
+def _mk(lake, name, rows, p, fmt="cow", soft=True):
+    cfg = TableConfig(
+        name=name, pk=["k"], value_columns=["v"], num_partitions=p,
+        soft_delete=soft, merge_format=fmt,
+        mor_max_deltas=100, mor_compact_ratio=1e9,
+    )
+    eng = CDCEngine(lake, cfg)
+    ev = _events(os.path.join(lake, f"{name}.parquet"), rows)
+    eng.replay(ev)
+    return eng
+
+
+def _rows_a(n=200):
+    out = [(i + 1, "I", i % 97, f"a{i}") for i in range(n)]
+    out += [(n + 1 + i, "D", i * 5 % 97, None) for i in range(8)]  # tombstones
+    return out
+
+
+def _rows_b(n=60):
+    return [(i + 1, "I", i * 3 % 97, f"b{i}") for i in range(n)]
+
+
+def _oracle(a, b, join_type, live_only):
+    ta, tb = a.arrow(), b.arrow()
+    if live_only:
+        ta = ta.filter(pc.not_equal(ta["datalake_iud"], "D"))
+        tb = tb.filter(pc.not_equal(tb["datalake_iud"], "D"))
+    ta = ta.select(["k", "v"])
+    tb = tb.select(["k", "v"]).rename_columns(["k", "v_b"])
+    j = ta.join(tb, keys=["k"], join_type="inner" if join_type == "inner" else "left outer")
+    return sorted(zip(j["k"].to_pylist(), j["v"].to_pylist(), j["v_b"].to_pylist()))
+
+
+def _got(ds):
+    return sorted((r["k"], r["v"], r["v_b"]) for r in ds.take_all())
+
+
+@pytest.mark.parametrize("pa_n,pb_n", [(8, 8), (8, 4), (4, 8)])
+def test_bucket_join_partition_ratios(tmp_path, pa_n, pb_n):
+    lake = str(tmp_path / "lake")
+    a = _mk(lake, f"a{pa_n}", _rows_a(), pa_n)
+    b = _mk(lake, f"b{pb_n}", _rows_b(), pb_n)
+    ds = bucket_join_lakes(a, b, columns_a=["k", "v"], columns_b=["v"], rsuffix="_b")
+    assert _got(ds) == _oracle(a, b, "inner", False)
+
+
+def test_bucket_join_left_and_live_only(tmp_path):
+    lake = str(tmp_path / "lake")
+    a = _mk(lake, "a", _rows_a(), 8)
+    b = _mk(lake, "b", _rows_b(), 4)
+    ds = bucket_join_lakes(
+        a, b, join_type="left", live_only=True,
+        columns_a=["k", "v"], columns_b=["v"], rsuffix="_b",
+    )
+    assert _got(ds) == _oracle(a, b, "left", True)
+
+
+def test_bucket_join_mor_side_folds(tmp_path):
+    """One side merge-on-read with a live delta stack: the join folds it."""
+    lake = str(tmp_path / "lake")
+    a = _mk(lake, "a", _rows_a(), 8, fmt="mor")
+    # second batch leaves deltas stacked on a
+    _events(os.path.join(lake, "a2.parquet"),
+            [(300 + i, "U", i % 97, f"a2_{i}") for i in range(40)])
+    a.replay(os.path.join(lake, "a2.parquet"))
+    m = a.store.load_manifest()
+    assert any(e.get("deltas") for e in m.partitions.values())
+    b = _mk(lake, "b", _rows_b(), 4)
+    ds = bucket_join_lakes(a, b, columns_a=["k", "v"], columns_b=["v"], rsuffix="_b")
+    assert _got(ds) == _oracle(a, b, "inner", False)
+
+
+def test_bucket_join_empty_right_left_join(tmp_path):
+    lake = str(tmp_path / "lake")
+    a = _mk(lake, "a", _rows_a(40), 4)
+    cfg_b = TableConfig(name="b_empty", pk=["k"], value_columns=["v"], num_partitions=4)
+    b = CDCEngine(lake, cfg_b)  # never replayed: empty manifest
+    ds = bucket_join_lakes(
+        a, b, join_type="left", columns_a=["k", "v"], columns_b=["v"], rsuffix="_b"
+    )
+    got = _got(ds)
+    assert len(got) == a.arrow().num_rows
+    assert all(vb is None for _, _, vb in got)
+    # inner join against the empty table is the typed empty
+    inner = bucket_join_lakes(a, b, columns_a=["k", "v"], columns_b=["v"])
+    assert inner.count() == 0
+
+
+def test_bucket_join_validation(tmp_path):
+    lake = str(tmp_path / "lake")
+    a = _mk(lake, "a", _rows_a(20), 4)
+    b = _mk(lake, "b", _rows_b(20), 3)  # 4 % 3 and 3 % 4 both nonzero
+    with pytest.raises(ValueError, match="divide"):
+        bucket_join_lakes(a, b)
+    c = CDCEngine(lake, TableConfig(
+        name="c", pk=["other"], value_columns=["v"], num_partitions=4
+    ))
+    with pytest.raises(ValueError, match="identical pk"):
+        bucket_join_lakes(a, c)
+    with pytest.raises(ValueError, match="join_type"):
+        bucket_join_lakes(a, a, join_type="right")
+
+
+def test_bucket_join_collision_suffix(tmp_path):
+    """B's value column shares A's name → suffixed in the output."""
+    lake = str(tmp_path / "lake")
+    a = _mk(lake, "a", _rows_a(30), 4)
+    b = _mk(lake, "b", _rows_b(30), 4)
+    ds = bucket_join_lakes(a, b)  # defaults: A full target schema, B value cols
+    sch = ds.schema()
+    assert "v" in sch.names and "v_b" in sch.names
+    assert "datalake_iud" in sch.names  # A's system columns ride along
