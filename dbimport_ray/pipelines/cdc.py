@@ -1277,6 +1277,16 @@ class CDCEngine:
             columns=columns, version=version, stats=stats,
         )
 
+    def replay_dataset(self, ds: rd.Dataset, **kw) -> dict:
+        """Apply one micro-batch whose change events come from an
+        in-memory ``ray.data.Dataset`` (any upstream Ray pipeline)
+        instead of parquet files — same watermark, staging, merge and
+        2PC commit path via the EventSource adapter
+        (sources/events.py:DatasetEventSource)."""
+        from ..sources.events import DatasetEventSource
+
+        return self.replay(DatasetEventSource(ds), **kw)
+
     def join_bucketed(self, other: "CDCEngine", **kw) -> rd.Dataset:
         """Zero-exchange equi-join with another lake table co-partitioned
         on the same primary key (sources/lake.py:bucket_join_lakes) —

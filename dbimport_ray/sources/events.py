@@ -170,3 +170,48 @@ def read_events(
     return read_parquet_clean(
         keep, columns=columns, filter_columns=(seq_col,), filter=flt, **kwargs
     )
+
+
+class DatasetEventSource:
+    """Adapt an in-memory ``ray.data.Dataset`` to the EventSource protocol
+    (``max_sequence`` / ``read_range`` / ``schema`` — the same duck type
+    ``sources/sql.py``'s live-DB source implements), so ``replay()`` can
+    consume a change stream produced by ANY upstream Ray pipeline (a Kafka
+    poll mapped to batches, a transform of another lake's changefeed, a
+    synthetic generator) without a parquet round-trip.
+
+    The dataset is materialized once at construction: the engine probes
+    the watermark and then stages, and re-executing a lazy pipeline
+    between those two passes could observe different rows — the pin makes
+    the batch a snapshot (blocks live in the object store and spill;
+    callers size their micro-batch, exactly as they would a staged file
+    range). Rows must carry the table's pk + value columns + op +
+    sequence columns.
+    """
+
+    def __init__(self, ds: rd.Dataset):
+        self._ds = ds.materialize()
+
+    def schema(self) -> pa.Schema:
+        s = self._ds.schema()
+        return pa.schema(
+            [pa.field(n, t) for n, t in zip(s.names, s.types)]
+        )
+
+    def max_sequence(self, seq_col: str) -> int:
+        if self._ds.count() == 0:
+            return -1
+        return int(self._ds.max(seq_col))
+
+    def read_range(
+        self,
+        seq_col: str,
+        after_seq: int,
+        upto_seq: int,
+        override_num_blocks: int | None = None,
+    ) -> rd.Dataset:
+        # (override_num_blocks shapes file reads; an in-memory dataset
+        # keeps its own block structure)
+        return self._ds.filter(
+            expr=f"{seq_col} > {int(after_seq)} and {seq_col} <= {int(upto_seq)}"
+        )

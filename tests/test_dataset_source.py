@@ -1,0 +1,60 @@
+"""DatasetEventSource — replay straight from an in-memory Ray Dataset."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from dbimport_ray.config import TableConfig
+from dbimport_ray.pipelines.cdc import CDCEngine
+from dbimport_ray.sources.events import DatasetEventSource
+
+
+def _tbl():
+    return pa.table(
+        {
+            "sequence_id": pa.array(range(1, 11), pa.int64()),
+            "op": pa.array(["I"] * 5 + ["U", "U", "D", "I", "U"]),
+            "k": pa.array([1, 2, 3, 4, 5, 1, 2, 3, 6, 4], pa.int64()),
+            "v": pa.array(
+                ["a", "b", "c", "d", "e", "a2", "b2", None, "f", "d2"],
+                pa.string(),
+            ),
+        }
+    )
+
+
+def _cfg(name):
+    return TableConfig(name=name, pk=["k"], value_columns=["v"], num_partitions=4)
+
+
+def _sorted(t):
+    return t.sort_by([(c, "ascending") for c in t.column_names])
+
+
+def test_dataset_replay_equals_file_replay(tmp_path):
+    t = _tbl()
+    p = str(tmp_path / "ev.parquet")
+    pq.write_table(t, p)
+    lake = str(tmp_path / "lake")
+
+    file_eng = CDCEngine(lake, _cfg("t_file"))
+    file_eng.replay(p, upto_seq=5)
+    file_eng.replay(p, upto_seq=10)
+
+    ds_eng = CDCEngine(lake, _cfg("t_ds"))
+    src = DatasetEventSource(rd.from_arrow(t))
+    r1 = ds_eng.replay(src, upto_seq=5)
+    r2 = ds_eng.replay_dataset(rd.from_arrow(t))  # watermark resumes at 5
+    assert r1["status"] == r2["status"] == "committed"
+    assert _sorted(file_eng.arrow()).equals(_sorted(ds_eng.arrow()))
+    # consumed range → noop, same as the file path
+    assert ds_eng.replay_dataset(rd.from_arrow(t))["status"] == "noop"
+
+
+def test_dataset_source_protocol():
+    src = DatasetEventSource(rd.from_arrow(_tbl()))
+    assert src.max_sequence("sequence_id") == 10
+    assert src.read_range("sequence_id", 3, 7).count() == 4
+    assert "op" in src.schema().names
+    empty = DatasetEventSource(rd.from_arrow(_tbl().slice(0, 0)))
+    assert empty.max_sequence("sequence_id") == -1
