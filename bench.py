@@ -94,6 +94,7 @@ QUERY_NAMES = [
     "heavy_hitters_tokens",
     # round-4 session-8 additions
     "cdc_merge_mor",
+    "lake_bucket_join",
 ]
 
 

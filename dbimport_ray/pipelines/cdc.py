@@ -1144,6 +1144,7 @@ class CDCEngine:
         sleep=None,
         audit_every_polls: int | None = None,
         on_late=None,
+        compact_when_idle: bool = False,
     ) -> list[dict]:
         """Continuous change-event tail — the daemon shape of the
         reference's always-on server loop (bin/mainServer: poll sources,
@@ -1166,6 +1167,12 @@ class CDCEngine:
         fires ``on_late(audit)`` when the finding set CHANGES — a tailing
         daemon then notices a file that landed below its own watermark
         within N polls instead of at the next manual fsck.
+
+        ``compact_when_idle``: on a poll that found no new events, fold any
+        merge-on-read delta stacks (maintain.py:compact_deltas) before
+        sleeping — quiet stream time pays down read-side fold cost, busy
+        time never stalls behind a compaction. Noop (one manifest read)
+        for copy-on-write tables or empty stacks.
         """
         import os as _os
         import time as _time
@@ -1183,14 +1190,14 @@ class CDCEngine:
                 events_path, do_sleep, results, interval, polls, last_late,
                 poll_interval_s, max_interval_s, backoff, max_polls,
                 stop_after_batches, stop_file, on_batch,
-                audit_every_polls, on_late, _os,
+                audit_every_polls, on_late, _os, compact_when_idle,
             )
 
     def _tail_loop(
         self, events_path, do_sleep, results, interval, polls, last_late,
         poll_interval_s, max_interval_s, backoff, max_polls,
         stop_after_batches, stop_file, on_batch, audit_every_polls,
-        on_late, _os,
+        on_late, _os, compact_when_idle=False,
     ) -> list[dict]:
         while True:
             if stop_file is not None and _os.path.exists(stop_file):
@@ -1222,6 +1229,15 @@ class CDCEngine:
                 ):
                     break
             else:
+                if compact_when_idle and self.cfg.merge_format == "mor":
+                    # reentrant under the tail's writer lock; noop when
+                    # no partition has a delta stack
+                    from .maintain import compact_deltas
+
+                    # not appended to results (stop_after_batches counts
+                    # replays); the verb's own `kind: compact` metrics
+                    # ledger row is the record
+                    compact_deltas(self)
                 do_sleep(interval)
                 interval = min(interval * backoff, max_interval_s)
         return results

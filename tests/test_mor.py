@@ -299,3 +299,20 @@ def test_mor_config_validation():
         TableConfig(
             name="t", pk=["k"], value_columns=["v"], merge_format="wat"
         ).validate()
+
+
+def test_tail_compacts_when_idle(stream, tmp_path):
+    """A quiet poll folds the delta stack (tail(compact_when_idle=True))."""
+    lake = str(tmp_path / "lake")
+    mor = CDCEngine(lake, _cfg("t_mor_tail", "mor"))
+    mor.replay(stream, upto_seq=1500)
+    mor.replay(stream, upto_seq=3000)
+    assert sum(_stack_sizes(mor)) > 0
+    before = _sorted(mor.arrow())
+    # stream fully consumed → every poll is idle; 2 polls then stop
+    mor.tail(stream, max_polls=2, sleep=lambda s: None, compact_when_idle=True)
+    assert sum(_stack_sizes(mor)) == 0
+    assert _sorted(mor.arrow()).equals(before)
+    assert any(
+        r.get("kind") == "compact" for r in mor.store.read_metrics()
+    )
