@@ -95,6 +95,7 @@ QUERY_NAMES = [
     # round-4 session-8 additions
     "cdc_merge_mor",
     "lake_bucket_join",
+    "view_incremental",
 ]
 
 

@@ -41,3 +41,4 @@ _stabilize_fsspec_http()
 
 from .config import TableConfig, repo_files_config  # noqa: F401,E402
 from .pipelines.cdc import CDCEngine  # noqa: F401,E402
+from .pipelines.views import MaterializedView, create_view, open_view  # noqa: F401,E402

@@ -114,17 +114,20 @@ def _diff_partition(
     return pa.concat_tables([p for p in parts])
 
 
-def _diff_futures(
+def changed_partition_sides(
     store: TableStore,
     cfg: TableConfig,
     v_old: int,
     v_new: int | None = None,
     stats: dict | None = None,
-):
-    """Launch one :func:`_diff_partition` task per CHANGED partition and
-    return ``(futures, out_cols, schema)`` — the shared engine under
-    :func:`diff_versions` (driver gather) and the partitioned
-    :func:`changefeed` writer (no driver gather)."""
+) -> tuple[list[tuple[dict | None, dict | None]], pa.Schema | None]:
+    """Enumerate the partitions whose manifest entries DIFFER between two
+    committed versions, as ``(side_old, side_new)`` dicts consumable by
+    :func:`_read_image`, plus the unified schema. The shared front half of
+    every version-diff consumer — :func:`diff_versions` / the changefeed
+    writers (row-level diff kernel) and ``pipelines/views.py`` (per-group
+    aggregate-delta kernel). An identical entry means identical files,
+    so unchanged partitions are never read by anyone downstream."""
     if v_old == 0:
         # version 0 is the empty table (no stored manifest): a v0→vN
         # diff is the FULL feed — every live row surfaces as an insert
@@ -137,9 +140,6 @@ def _diff_futures(
         m_old = store.load_manifest(version=v_old)
     m_new: Manifest = store.load_manifest(version=v_new)
     schema = m_new.arrow_schema() or m_old.arrow_schema()
-    vals = [n for n in (schema.names if schema else []) if n not in cfg.pk]
-    cmp_cols = list(cfg.pk) + vals + [cfg.col_iud]
-    out_cols = list(cfg.pk) + vals + [cfg.col_iud]
     from dataclasses import asdict
 
     def _side(m: Manifest, e: dict | None) -> dict | None:
@@ -150,25 +150,40 @@ def _diff_futures(
             "schema": m.schema, "renames": m.renames,
         }
 
-    futs = []
+    sides = []
     total = len(set(m_old.partitions) | set(m_new.partitions))
     for pid in sorted(set(m_old.partitions) | set(m_new.partitions), key=int):
         e_old = m_old.partitions.get(pid)
         e_new = m_new.partitions.get(pid)
         if e_old == e_new:
             continue  # identical entry → identical files → no change
-        futs.append(
-            _diff_partition.remote(
-                store.root,
-                _side(m_old, e_old),
-                _side(m_new, e_new),
-                list(cfg.pk),
-                cmp_cols,
-                out_cols,
-            )
-        )
+        sides.append((_side(m_old, e_old), _side(m_new, e_new)))
     if stats is not None:
-        stats.update(partitions_read=len(futs), partitions_total=total)
+        stats.update(partitions_read=len(sides), partitions_total=total)
+    return sides, schema
+
+
+def _diff_futures(
+    store: TableStore,
+    cfg: TableConfig,
+    v_old: int,
+    v_new: int | None = None,
+    stats: dict | None = None,
+):
+    """Launch one :func:`_diff_partition` task per CHANGED partition and
+    return ``(futures, out_cols, schema)`` — the shared engine under
+    :func:`diff_versions` (driver gather) and the partitioned
+    :func:`changefeed` writer (no driver gather)."""
+    sides, schema = changed_partition_sides(store, cfg, v_old, v_new, stats)
+    vals = [n for n in (schema.names if schema else []) if n not in cfg.pk]
+    cmp_cols = list(cfg.pk) + vals + [cfg.col_iud]
+    out_cols = list(cfg.pk) + vals + [cfg.col_iud]
+    futs = [
+        _diff_partition.remote(
+            store.root, so, sn, list(cfg.pk), cmp_cols, out_cols,
+        )
+        for so, sn in sides
+    ]
     return futs, out_cols, schema
 
 

@@ -197,6 +197,45 @@ def q_cdc_merge_mor(sf_dir: str) -> pa.Table:
     return _cdc_replay(sf_dir, soft_delete=True, merge_format="mor")
 
 
+def q_view_incremental(sf_dir: str) -> pa.Table:
+    """Materialized aggregate view (pipelines/views.py) maintained at
+    DELTA cost from the source lake's version diff: the user_state table
+    is built in two CDC batches, and the view (count / sum(value) /
+    derived avg per event_type) is refreshed after EACH batch — the
+    second refresh reads only the partitions batch 2 changed, point-reads
+    the affected groups' committed view values, and replays the new
+    absolutes through the view's own exactly-once merge. Checked against
+    a from-scratch GROUP BY over the final live state, so the driver
+    verifies that incremental fold == full recompute end-to-end.
+    Reference analogue: none — DBImport re-scans for per-import stats
+    (import_config.py:3306); this is REFRESH MATERIALIZED VIEW for the
+    lake."""
+    from .views import create_view
+
+    root = _scratch("view")
+    stream = _derive_cdc_stream(sf_dir, root)
+    cfg = TableConfig(
+        name="user_state_vsrc",
+        pk=["user_id"],
+        value_columns=["event_type", "value"],
+        num_partitions=8,
+        soft_delete=True,
+        keep_versions=8,
+    )
+    eng = CDCEngine(os.path.join(root, "lake"), cfg)
+    view = create_view(
+        eng, "by_type", ["event_type"], {"cnt": "count", "total": "sum:value"}
+    )
+    mx = max_sequence(stream)
+    eng.replay(stream, upto_seq=mx // 2)
+    view.refresh()  # full fold of batch 1 (v0 → v1 diff = full feed)
+    eng.replay(stream, upto_seq=mx)
+    view.refresh()  # folds ONLY what batch 2 changed
+    t = view.arrow()
+    avg = pc.divide(t["total"], pc.cast(t["cnt"], pa.float64()))
+    return t.append_column("avg_value", avg)
+
+
 def q_lake_bucket_join(sf_dir: str) -> "rd.Dataset":
     """Zero-exchange bucket join of two LAKE tables co-partitioned on the
     same pk (sources/lake.py:bucket_join_lakes): the CDC-built user_state
@@ -3233,6 +3272,20 @@ SELECT event_type, n FROM (
 ORACLES["cdc_merge_salted"] = ORACLES["cdc_merge_soft"]
 ORACLES["cdc_merge_mor"] = ORACLES["cdc_merge_soft"]
 
+ORACLES["view_incremental"] = _CDC_VIEW + """
+, live AS (
+  SELECT COALESCE(s1.user_id, l2.user_id) AS user_id,
+         CASE WHEN l2.user_id IS NULL THEN s1.event_type
+              ELSE l2.event_type END AS event_type,
+         CASE WHEN l2.user_id IS NULL THEN s1.value ELSE l2.value END AS value
+  FROM s1 FULL OUTER JOIN l2 ON s1.user_id = l2.user_id
+  WHERE l2.op IS NULL OR l2.op <> 'D'
+)
+SELECT event_type, count(*) AS cnt, sum(value) AS total,
+       sum(value) / count(*) AS avg_value
+FROM live GROUP BY event_type
+"""
+
 ORACLES["lake_bucket_join"] = _CDC_VIEW + """
 , final AS (
   SELECT COALESCE(s1.user_id, l2.user_id) AS user_id,
@@ -4252,6 +4305,7 @@ GROUP BY text
 
 QUERIES = {
     # --- new in round 4 (oracle-backed) ---
+    "view_incremental": q_view_incremental,
     "cdc_merge_mor": q_cdc_merge_mor,
     "lake_bucket_join": q_lake_bucket_join,
     "funnel_events": q_funnel_events,

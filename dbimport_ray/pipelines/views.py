@@ -1,0 +1,483 @@
+"""Materialized aggregate VIEWS as lake tables, refreshed at delta cost.
+
+``state/aggregates.py`` maintains per-group stats INSIDE the manifest and
+explicitly restricts itself to bounded group domains ("unbounded domains
+belong in a stats TABLE, not the manifest"). This module is that stats
+table: a GROUP BY over a source lake table, materialized as its OWN lake
+table (pk = group keys, value columns = metric aliases) and maintained
+incrementally from the source's version diff — refresh cost is
+proportional to the partitions that CHANGED since the last refresh plus
+the groups they touched, never to the source table.
+
+Refresh pipeline (distributed end to end, no driver data gather):
+
+1. ``changed_partition_sides(last_v, src_v)`` (pipelines/diff.py): the
+   manifest diff names the partitions to read; an untouched partition is
+   provably unchanged and never opened.
+2. One ``_delta_partial`` task per changed partition: read both images,
+   drop tombstones, and partially aggregate ``agg(new_live) −
+   agg(old_live)`` per group — a Z-set-style weighted delta. Only group
+   keys + metric partials leave the task (maximal pre-aggregation before
+   any exchange), and all-zero groups are dropped at the source.
+3. ``from_arrow_refs(...).groupby(group_keys).sum(...)``: ONE hash
+   exchange of the pre-aggregated partials folds deltas across source
+   partitions (delta-sized, not table-sized).
+4. ``map_batches(_apply_deltas_batch)``: point-lookup the committed view
+   values for the affected groups (``lookup_rows`` hash-routes each key
+   to its single view partition file — no view scan), add the delta, and
+   emit replayable change events: op ``U`` carrying the new ABSOLUTE
+   metric values, or ``D`` when a group's count reaches zero.
+5. ``view_engine.replay_dataset(events, upto_seq=src_version)``: the
+   ordinary staged, partitioned, 2PC-committed merge writes the view.
+
+Exactly-once without a side ledger: refresh events all carry
+``sequence_id = src_version``. Each group appears at most once per
+refresh, so per-key LWW needs no finer ordering — and the view's
+committed watermark becomes literally "the last source version folded
+in". A re-run of the same refresh is a watermark noop, and a crash
+mid-refresh RESUMES the same pinned source version (the pending
+watermark) before any newer version may be targeted, so no version range
+can ever be skipped or double-applied.
+
+Caveats (documented contract):
+- The metric spec must include a ``count`` metric — a group is dropped
+  from the view exactly when its live count reaches zero, and retraction
+  needs the count to see that.
+- ``sum:`` metrics are null-as-zero (an all-null group sums to 0, where
+  SQL returns NULL); integer sums are bit-exact under incremental
+  folding, float sums carry the usual reassociation rounding.
+- Group keys must be non-null (they are the view table's primary key);
+  a null group key raises at refresh.
+- The source's ``keep_versions`` horizon must reach back to the last
+  refresh — size it to the refresh cadence (a vacuumed-past-horizon
+  refresh raises ``FileNotFoundError``; ``rebuild()`` recovers by
+  recomputing from version 0 into a FRESH view table).
+
+Reference analogue: none — DBImport re-scans the table for statistics
+after every import (import_config.py:3306 row-count reconciliation,
+common_config.py:1555 max-value probes); the view gives the lake
+``REFRESH MATERIALIZED VIEW`` semantics at delta cost instead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from ..config import TableConfig
+from ..state.aggregates import _metric_columns
+from ..state.manifest import TableStore
+from .diff import _read_image, changed_partition_sides
+
+VIEW_SPEC_FILE = "_view.json"
+
+
+def _alias_type(metric: str, src_schema: pa.Schema) -> pa.DataType:
+    """Accumulator type per metric: integer metrics fold bit-exactly in
+    int64; float sources accumulate in float64."""
+    if metric == "count" or metric.startswith("len_sum:"):
+        return pa.int64()
+    src = src_schema.field(metric[4:]).type
+    return pa.int64() if pa.types.is_integer(src) else pa.float64()
+
+
+def _delta_schema(spec: dict, src_schema: pa.Schema) -> pa.Schema:
+    return pa.schema(
+        [src_schema.field(c) for c in spec["group_by"]]
+        + [
+            pa.field(a, _alias_type(m, src_schema))
+            for a, m in spec["metrics"].items()
+        ]
+    )
+
+
+def _events_schema(cfg: TableConfig, delta_schema: pa.Schema) -> pa.Schema:
+    return pa.schema(
+        [
+            pa.field(cfg.sequence_col, pa.int64()),
+            pa.field(cfg.op_col, pa.string()),
+        ]
+        + list(delta_schema)
+    )
+
+
+def _need_schema(spec: dict, src_schema: pa.Schema, iud_col: str) -> pa.Schema:
+    """The source columns a refresh actually touches: group keys + metric
+    source columns + the tombstone flag — the alignment target for both
+    images (old files may predate renames/added columns) and the
+    projection that keeps everything else out of the delta kernel."""
+    names = list(spec["group_by"]) + [
+        m.split(":", 1)[1] for m in spec["metrics"].values() if ":" in m
+    ]
+    seen: list[pa.Field] = []
+    for n in dict.fromkeys(names):
+        seen.append(src_schema.field(n))
+    seen.append(pa.field(iud_col, pa.string()))
+    return pa.schema(seen)
+
+
+def _signed_agg(
+    root: str,
+    side: dict | None,
+    spec: dict,
+    iud_col: str,
+    need: pa.Schema,
+    out_schema: pa.Schema,
+    sign: int,
+) -> pa.Table | None:
+    """Per-group partial aggregate of one partition image's LIVE rows,
+    negated for the old image — the two halves of the Z-set delta."""
+    from ..state.schema_evolution import align_to_schema
+
+    t = _read_image(root, side)
+    if t is None or t.num_rows == 0:
+        return None
+    t = align_to_schema(t, need, side.get("renames", {}))
+    iud = pc.fill_null(pc.cast(t[iud_col], pa.string()), "")
+    t = t.filter(pc.not_equal(iud, "D"))
+    if t.num_rows == 0:
+        return None
+    gb = spec["group_by"]
+    for c in gb:
+        if t[c].null_count:
+            raise ValueError(
+                f"view group key {c!r} has null values — group keys are "
+                "the view table's primary key and must be non-null"
+            )
+    proj, aggs = _metric_columns(t, spec)
+    res = proj.group_by(gb).aggregate(aggs)
+    cols: dict[str, pa.ChunkedArray] = {c: res[c] for c in gb}
+    for alias, m in spec["metrics"].items():
+        src = "count_all" if m == "count" else f"{alias}_sum"
+        v = pc.cast(pc.fill_null(res[src], 0), out_schema.field(alias).type)
+        cols[alias] = pc.negate_checked(v) if sign < 0 else v
+    return pa.table({f.name: cols[f.name] for f in out_schema})
+
+
+@ray.remote
+def _delta_partial(
+    root: str,
+    side_old: dict | None,
+    side_new: dict | None,
+    spec: dict,
+    iud_col: str,
+    need: pa.Schema,
+    out_schema: pa.Schema,
+) -> pa.Table:
+    """agg(new_live) − agg(old_live) for ONE changed partition, folded to
+    one row per touched group; all-zero groups (rows moved, aggregates
+    unchanged) are dropped here so they never enter the exchange."""
+    parts = [
+        p
+        for p in (
+            _signed_agg(root, side_new, spec, iud_col, need, out_schema, +1),
+            _signed_agg(root, side_old, spec, iud_col, need, out_schema, -1),
+        )
+        if p is not None
+    ]
+    if not parts:
+        return out_schema.empty_table()
+    both = pa.concat_tables(parts)
+    gb = spec["group_by"]
+    aliases = list(spec["metrics"])
+    res = both.group_by(gb).aggregate([(a, "sum") for a in aliases])
+    cols = {c: res[c] for c in gb}
+    nonzero = None
+    for a in aliases:
+        v = pc.cast(pc.fill_null(res[f"{a}_sum"], 0), out_schema.field(a).type)
+        cols[a] = v
+        m = pc.not_equal(v, 0)
+        nonzero = m if nonzero is None else pc.or_(nonzero, m)
+    t = pa.table({f.name: cols[f.name] for f in out_schema})
+    return t.filter(nonzero) if t.num_rows else t
+
+
+def _apply_deltas_batch(
+    batch: pa.Table,
+    *,
+    view_root: str,
+    view_cfg: dict,
+    spec: dict,
+    src_version: int,
+    events_schema: pa.Schema,
+) -> pa.Table:
+    """Folded delta rows → change events with ABSOLUTE new values: the
+    committed view values for this batch's groups are point-read
+    (``lookup_rows`` opens only the partition files its keys hash to),
+    the delta is added, and groups whose live count reaches zero become
+    hard-delete events."""
+    from ..sources.lake import lookup_rows
+    from ..stages.joins import _key_array
+
+    cfg = TableConfig(**view_cfg)
+    store = TableStore(os.path.dirname(view_root), cfg.name)
+    gb = spec["group_by"]
+    aliases = list(spec["metrics"])
+    old = lookup_rows(store, cfg, batch.select(gb), columns=gb + aliases)
+
+    bk = _key_array(batch, gb)
+    ok = _key_array(old, gb)
+    order = np.argsort(ok, kind="stable")
+    ok_sorted = ok[order]
+    if len(ok_sorted):
+        pos = np.minimum(
+            np.searchsorted(ok_sorted, bk), len(ok_sorted) - 1
+        )
+        found = ok_sorted[pos] == bk
+    else:
+        pos = np.zeros(len(bk), dtype=np.int64)
+        found = np.zeros(len(bk), dtype=bool)
+
+    new_vals: dict[str, np.ndarray] = {}
+    for a in aliases:
+        d = batch[a].to_numpy(zero_copy_only=False)
+        base = np.zeros(len(bk), dtype=d.dtype)
+        if len(ok_sorted):
+            old_v = old[a].to_numpy(zero_copy_only=False)[order]
+            base[found] = old_v[pos[found]]
+        new_vals[a] = base + d
+
+    cnt_alias = next(a for a, m in spec["metrics"].items() if m == "count")
+    dead = new_vals[cnt_alias] == 0
+    cols: dict = {
+        cfg.sequence_col: pa.array(
+            np.full(batch.num_rows, src_version, dtype=np.int64)
+        ),
+        cfg.op_col: pa.array(np.where(dead, "D", "U")),
+    }
+    for c in gb:
+        cols[c] = batch[c]
+    for a in aliases:
+        cols[a] = pa.array(new_vals[a], type=events_schema.field(a).type)
+    return pa.table({f.name: cols[f.name] for f in events_schema})
+
+
+class MaterializedView:
+    """Handle pairing the view's own lake table with its source engine."""
+
+    def __init__(self, src, engine, spec: dict):
+        self.src = src
+        self.engine = engine
+        self.spec = spec
+
+    @property
+    def group_by(self) -> list[str]:
+        return list(self.spec["group_by"])
+
+    @property
+    def aliases(self) -> list[str]:
+        return list(self.spec["metrics"])
+
+    def refresh(self, **kw) -> dict:
+        return refresh_view(self, **kw)
+
+    def rebuild(self) -> dict:
+        return rebuild_view(self)
+
+    def last_src_version(self) -> int:
+        return max(self.engine.ckpt.load().committed_seq, 0)
+
+    def dataset(self) -> rd.Dataset:
+        cols = self.group_by + self.aliases
+        return self.engine.dataset(columns=cols)
+
+    def arrow(self) -> pa.Table:
+        return self.engine.arrow().select(self.group_by + self.aliases)
+
+
+def create_view(
+    src,
+    name: str,
+    group_by: list[str],
+    metrics: dict[str, str],
+    num_partitions: int = 8,
+    lake_root: str | None = None,
+) -> MaterializedView:
+    """Define a materialized view over ``src`` (a CDCEngine). ``metrics``
+    uses the ``state/aggregates.py`` spec forms — ``"count"``,
+    ``"sum:col"``, ``"len_sum:col"`` — and must include a count. The view
+    is created EMPTY at source version 0; the first ``refresh()`` folds
+    in the full live table (a v0→vN diff is the full feed), so creation
+    and catch-up share one code path."""
+    if not any(m == "count" for m in metrics.values()):
+        raise ValueError(
+            "view metrics must include a 'count' — group liveness "
+            "(drop-at-zero) is derived from it"
+        )
+    known = set(src.cfg.pk) | set(src.cfg.value_columns)
+    m = src.store.load_manifest()
+    if m.schema:
+        known |= set(m.arrow_schema().names)
+    needed = set(group_by) | {
+        mt.split(":", 1)[1] for mt in metrics.values() if ":" in mt
+    }
+    missing = needed - known
+    if missing:
+        raise ValueError(f"view columns not in source table: {sorted(missing)}")
+    collide = set(metrics) & set(group_by)
+    if collide:
+        raise ValueError(f"metric aliases collide with group keys: {collide}")
+
+    from .cdc import CDCEngine
+
+    root = lake_root or os.path.dirname(src.store.root)
+    cfg = TableConfig(
+        name=f"{src.cfg.name}__{name}",
+        pk=list(group_by),
+        value_columns=list(metrics),
+        num_partitions=num_partitions,
+        soft_delete=False,  # a dead group leaves the view, as in GROUP BY
+        history=False,
+    )
+    engine = CDCEngine(root, cfg)
+    spec = {"name": name, "group_by": list(group_by), "metrics": dict(metrics)}
+    doc = {
+        "spec": spec,
+        "view_cfg": asdict(cfg),
+        "src": {"lake_root": os.path.dirname(src.store.root),
+                "cfg": asdict(src.cfg)},
+    }
+    with open(os.path.join(engine.store.root, VIEW_SPEC_FILE), "w") as f:
+        json.dump(doc, f, indent=1)
+    return MaterializedView(src, engine, spec)
+
+
+def open_view(lake_root: str, table: str, src=None) -> MaterializedView:
+    """Reopen a view from its persisted ``_view.json``. ``src`` overrides
+    the recorded source engine (e.g. after the source lake moved)."""
+    with open(os.path.join(lake_root, table, VIEW_SPEC_FILE)) as f:
+        doc = json.load(f)
+    from .cdc import CDCEngine
+
+    engine = CDCEngine(lake_root, TableConfig(**doc["view_cfg"]))
+    if src is None:
+        src = CDCEngine(
+            doc["src"]["lake_root"], TableConfig(**doc["src"]["cfg"])
+        )
+    return MaterializedView(src, engine, doc["spec"])
+
+
+def refresh_view(view: MaterializedView, fail_before_commit: bool = False) -> dict:
+    """Fold the source's changes since the last refresh into the view.
+    Holds the view table's single-writer lock for the whole refresh
+    (lookup of committed values + replay) so concurrent refreshers
+    serialize; the inner replay re-enters the same lock."""
+    eng, src, spec = view.engine, view.src, view.spec
+    with eng.store.writer_lock:
+        cp = eng.ckpt.load()
+        if cp.pending_seq is not None:
+            # a crashed refresh pinned its target version; finish it first
+            src_v = int(cp.pending_seq)
+        else:
+            src_v = src.store.load_manifest().version
+        last = max(cp.committed_seq, 0)
+        if src_v <= last:
+            return {"status": "noop", "src_version": last}
+
+        stats: dict = {}
+        sides, src_schema = changed_partition_sides(
+            src.store, src.cfg, last, src_v, stats
+        )
+        if src_schema is None:
+            raise ValueError("source table has no committed schema")
+        d_schema = _delta_schema(spec, src_schema)
+        ev_schema = _events_schema(eng.cfg, d_schema)
+        need = _need_schema(spec, src_schema, src.cfg.col_iud)
+
+        futs = [
+            _delta_partial.remote(
+                src.store.root, so, sn, spec, src.cfg.col_iud, need, d_schema
+            )
+            for so, sn in sides
+        ]
+        groups_changed = 0
+        if futs:
+            from ray.data.aggregate import Sum
+
+            folded = (
+                rd.from_arrow_refs(futs)
+                .groupby(spec["group_by"])
+                .aggregate(*[Sum(a, alias_name=a) for a in view.aliases])
+                .materialize()  # delta-sized; pins the exchange result
+            )
+            groups_changed = folded.count()
+        if futs and groups_changed:
+            events = folded.map_batches(
+                _apply_deltas_batch,
+                batch_format="pyarrow",
+                batch_size=8192,
+                fn_kwargs=dict(
+                    view_root=eng.store.root,
+                    view_cfg=asdict(eng.cfg),
+                    spec=spec,
+                    src_version=src_v,
+                    events_schema=ev_schema,
+                ),
+            )
+        else:
+            # version advanced with no live aggregate change (maintenance
+            # bump, value-neutral churn): still commit the watermark
+            events = rd.from_arrow(ev_schema.empty_table())
+        r = eng.replay_dataset(
+            events, upto_seq=src_v, fail_before_commit=fail_before_commit
+        )
+        import time as _time
+
+        eng.store.append_metrics(
+            {
+                "kind": "view_refresh",
+                "src_table": src.cfg.name,
+                "from_version": last,
+                "src_version": src_v,
+                "groups_changed": int(groups_changed),
+                "src_partitions_read": stats.get("partitions_read", 0),
+                "src_partitions_total": stats.get("partitions_total", 0),
+                "ts": _time.time(),
+            }
+        )
+        return {
+            "status": r["status"],
+            "src_version": src_v,
+            "from_version": last,
+            "groups_changed": int(groups_changed),
+            "src_partitions_read": stats.get("partitions_read", 0),
+            "src_partitions_total": stats.get("partitions_total", 0),
+        }
+
+
+def rebuild_view(view: MaterializedView) -> dict:
+    """Recover a view whose source vacuumed past the refresh horizon:
+    drop the view table's state entirely and refresh from version 0 (a
+    full-feed diff needs only the source's CURRENT files). Incremental
+    refresh into the stale state would double-count — a fresh fold is
+    the only convergent repair."""
+    import shutil
+
+    eng = view.engine
+    with eng.store.writer_lock:
+        spec_path = os.path.join(eng.store.root, VIEW_SPEC_FILE)
+        spec_doc = None
+        if os.path.exists(spec_path):
+            with open(spec_path) as f:
+                spec_doc = f.read()
+        shutil.rmtree(eng.store.root, ignore_errors=True)
+        from .cdc import CDCEngine
+
+        view.engine = CDCEngine(
+            os.path.dirname(eng.store.root), eng.cfg
+        )
+        if spec_doc is not None:
+            with open(
+                os.path.join(view.engine.store.root, VIEW_SPEC_FILE), "w"
+            ) as f:
+                f.write(spec_doc)
+    r = refresh_view(view)
+    r["status"] = "rebuilt"
+    return r

@@ -1,0 +1,285 @@
+"""Materialized views (pipelines/views.py) — differential vs direct GROUP BY.
+
+Every test's oracle is a pandas groupby over the source table's LIVE rows
+at the moment of refresh: the view's whole contract is that the
+incrementally-folded table equals a from-scratch aggregation, batch after
+batch, through deletes, group extinction, value-neutral churn, crash
+resume, and vacuumed-horizon rebuild.
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from dbimport_ray.config import TableConfig
+from dbimport_ray.pipelines.cdc import CDCEngine
+from dbimport_ray.pipelines.views import create_view, open_view
+
+N_EVENTS = 3000
+N_KEYS = 400
+N_GROUPS = 37
+
+
+@pytest.fixture(scope="module")
+def stream(tmp_path_factory):
+    """CDC stream whose upserts carry a group column g, a float x and a
+    string s; deletes are key-only (null payload)."""
+    d = tmp_path_factory.mktemp("view_events")
+    rng = np.random.default_rng(11)
+    seqs = np.arange(1, N_EVENTS + 1)
+    keys = rng.integers(0, N_KEYS, N_EVENTS)
+    ops = np.where(
+        rng.random(N_EVENTS) < 0.18,
+        "D",
+        np.where(rng.random(N_EVENTS) < 0.5, "U", "I"),
+    )
+    g = rng.integers(0, N_GROUPS, N_EVENTS)
+    # dyadic values (n/8): float64 sums are EXACT, so a value-neutral
+    # churn batch provably produces an all-zero delta (non-representable
+    # values would leave ~1e-13 reassociation residue — documented)
+    x = rng.integers(0, 800, N_EVENTS) / 8.0
+    s = np.array([f"s{v}" for v in rng.integers(0, 10**5, N_EVENTS)])
+    is_d = ops == "D"
+    t = pa.table(
+        {
+            "sequence_id": pa.array(seqs, pa.int64()),
+            "op": pa.array(ops),
+            "k": pa.array(keys, pa.int64()),
+            "g": pa.array(
+                np.where(is_d, None, g), pa.int64()
+            ),
+            "x": pa.array(np.where(is_d, np.nan, x), pa.float64()),
+            "s": pa.array([None if d_ else v for d_, v in zip(is_d, s)]),
+        }
+    )
+    # null out delete payloads properly (np.where can't carry None for ints)
+    mask = pa.array(~is_d)
+    t = t.set_column(3, "g", pc.if_else(mask, t["g"], pa.scalar(None, pa.int64())))
+    t = t.set_column(4, "x", pc.if_else(mask, t["x"], pa.scalar(None, pa.float64())))
+    pq.write_table(t, str(d / "e.parquet"))
+    return str(d)
+
+
+def _cfg(name: str, **kw) -> TableConfig:
+    kw.setdefault("keep_versions", 16)
+    return TableConfig(
+        name=name,
+        pk=["k"],
+        value_columns=["g", "x", "s"],
+        num_partitions=4,
+        soft_delete=True,
+        **kw,
+    )
+
+
+METRICS = {"cnt": "count", "sx": "sum:x", "ls": "len_sum:s"}
+
+
+def _expected(eng: CDCEngine) -> pd.DataFrame:
+    t = eng.arrow()
+    live = t.filter(
+        pc.not_equal(pc.fill_null(pc.cast(t["datalake_iud"], pa.string()), ""), "D")
+    )
+    df = live.select(["g", "x", "s"]).to_pandas()
+    exp = (
+        df.assign(ls=df["s"].str.len().fillna(0).astype("int64"),
+                  sx=df["x"].fillna(0.0))
+        .groupby("g", as_index=False)
+        .agg(cnt=("g", "size"), sx=("sx", "sum"), ls=("ls", "sum"))
+    )
+    return exp.sort_values("g").reset_index(drop=True)
+
+
+def _got(view) -> pd.DataFrame:
+    df = view.arrow().to_pandas()
+    return (
+        df[["g", "cnt", "sx", "ls"]].sort_values("g").reset_index(drop=True)
+    )
+
+
+def _assert_equal(view, eng):
+    exp, got = _expected(eng), _got(view)
+    assert list(got["g"]) == list(exp["g"])
+    assert list(got["cnt"]) == list(exp["cnt"])
+    assert list(got["ls"]) == list(exp["ls"])
+    np.testing.assert_allclose(got["sx"], exp["sx"], rtol=1e-9)
+
+
+def test_view_incremental_equals_recompute(stream, tmp_path):
+    eng = CDCEngine(str(tmp_path / "lake"), _cfg("t_src"))
+    view = create_view(eng, "by_g", ["g"], METRICS)
+
+    eng.replay(stream, upto_seq=1000)
+    r1 = view.refresh()
+    assert r1["status"] == "committed" and r1["from_version"] == 0
+    _assert_equal(view, eng)
+
+    eng.replay(stream, upto_seq=2000)
+    eng.replay(stream, upto_seq=N_EVENTS)
+    r2 = view.refresh()  # folds versions 2..3 in one refresh
+    assert r2["from_version"] == 1 and r2["src_version"] == 3
+    _assert_equal(view, eng)
+
+    # exactly-once: same source version again → watermark noop
+    assert view.refresh()["status"] == "noop"
+    assert view.last_src_version() == 3
+
+
+def test_view_delta_proportional(stream, tmp_path):
+    """A refresh after touching ONE key reads only that key's source
+    partition, and changes only that key's group."""
+    eng = CDCEngine(str(tmp_path / "lake"), _cfg("t_delta"))
+    view = create_view(eng, "by_g", ["g"], METRICS)
+    eng.replay(stream, upto_seq=N_EVENTS)
+    view.refresh()
+
+    one = pa.table(
+        {
+            "sequence_id": pa.array([N_EVENTS + 1], pa.int64()),
+            "op": pa.array(["U"]),
+            "k": pa.array([7], pa.int64()),
+            "g": pa.array([99], pa.int64()),  # brand-new group
+            "x": pa.array([1.5], pa.float64()),
+            "s": pa.array(["zz"]),
+        }
+    )
+    p = str(tmp_path / "one.parquet")
+    pq.write_table(one, p)
+    eng.replay(p)
+    r = view.refresh()
+    assert r["src_partitions_read"] == 1
+    # key 7 left its old group and founded group 99 → at most 2 groups move
+    assert 1 <= r["groups_changed"] <= 2
+    _assert_equal(view, eng)
+    got = _got(view)
+    assert 99 in set(got["g"]) and int(got[got["g"] == 99]["cnt"].iloc[0]) == 1
+
+
+def test_view_group_extinction(stream, tmp_path):
+    """Deleting a group's last live row removes the group from the view."""
+    eng = CDCEngine(str(tmp_path / "lake"), _cfg("t_ext"))
+    view = create_view(eng, "by_g", ["g"], METRICS)
+    eng.replay(stream, upto_seq=N_EVENTS)
+    view.refresh()
+    live = eng.arrow()
+    live = live.filter(pc.not_equal(live["datalake_iud"], "D"))
+    df = live.select(["k", "g"]).to_pandas()
+    sizes = df.groupby("g")["k"].apply(list)
+    victim_g = sizes.index[sizes.str.len().argmin()]
+    ks = sizes.loc[victim_g]
+    dele = pa.table(
+        {
+            "sequence_id": pa.array(
+                np.arange(N_EVENTS + 1, N_EVENTS + 1 + len(ks)), pa.int64()
+            ),
+            "op": pa.array(["D"] * len(ks)),
+            "k": pa.array(ks, pa.int64()),
+            "g": pa.array([None] * len(ks), pa.int64()),
+            "x": pa.array([None] * len(ks), pa.float64()),
+            "s": pa.array([None] * len(ks), pa.string()),
+        }
+    )
+    p = str(tmp_path / "del.parquet")
+    pq.write_table(dele, p)
+    eng.replay(p)
+    view.refresh()
+    assert victim_g not in set(_got(view)["g"])
+    _assert_equal(view, eng)
+
+
+def test_view_value_neutral_churn(stream, tmp_path):
+    """Re-asserting identical values bumps the source version but changes
+    no aggregate: the refresh commits the watermark with zero groups."""
+    eng = CDCEngine(str(tmp_path / "lake"), _cfg("t_churn"))
+    view = create_view(eng, "by_g", ["g"], METRICS)
+    eng.replay(stream, upto_seq=N_EVENTS)
+    view.refresh()
+    live = eng.arrow()
+    live = live.filter(pc.not_equal(live["datalake_iud"], "D"))
+    sub = live.select(["k", "g", "x", "s"]).slice(0, 50)
+    churn = pa.table(
+        {
+            "sequence_id": pa.array(
+                np.arange(N_EVENTS + 1, N_EVENTS + 1 + sub.num_rows), pa.int64()
+            ),
+            "op": pa.array(["U"] * sub.num_rows),
+            "k": sub["k"],
+            "g": sub["g"],
+            "x": sub["x"],
+            "s": sub["s"],
+        }
+    )
+    p = str(tmp_path / "churn.parquet")
+    pq.write_table(churn, p)
+    eng.replay(p)
+    r = view.refresh()
+    assert r["status"] in ("committed", "noop")
+    assert r["groups_changed"] == 0
+    assert view.last_src_version() == 2
+    _assert_equal(view, eng)
+
+
+def test_view_crash_resume_pins_target(stream, tmp_path):
+    """A refresh that dies before commit leaves a pending watermark; the
+    next refresh MUST finish that pinned source version before a newer
+    one may be targeted — no version range is skipped."""
+    eng = CDCEngine(str(tmp_path / "lake"), _cfg("t_crash"))
+    view = create_view(eng, "by_g", ["g"], METRICS)
+    eng.replay(stream, upto_seq=1500)
+    with pytest.raises(RuntimeError):
+        view.refresh(fail_before_commit=True)
+    # source moves on while the view refresh is in flight
+    eng.replay(stream, upto_seq=N_EVENTS)
+    r1 = view.refresh()  # resumes the PINNED target (version 1), not head
+    assert r1["src_version"] == 1
+    r2 = view.refresh()  # then catches up to head
+    assert r2["src_version"] == 2
+    _assert_equal(view, eng)
+
+
+def test_view_open_and_reuse(stream, tmp_path):
+    eng = CDCEngine(str(tmp_path / "lake"), _cfg("t_open"))
+    create_view(eng, "by_g", ["g"], METRICS)
+    eng.replay(stream, upto_seq=N_EVENTS)
+    view = open_view(str(tmp_path / "lake"), "t_open__by_g")
+    view.refresh()
+    _assert_equal(view, eng)
+
+
+def test_view_rebuild_after_vacuumed_horizon(stream, tmp_path):
+    """Source GC'd past the last refresh → incremental raises, rebuild
+    recomputes from the current files into a fresh, correct view."""
+    eng = CDCEngine(str(tmp_path / "lake"), _cfg("t_vac", keep_versions=1))
+    view = create_view(eng, "by_g", ["g"], METRICS)
+    eng.replay(stream, upto_seq=800)
+    view.refresh()
+    eng.replay(stream, upto_seq=1600)
+    eng.replay(stream, upto_seq=2400)
+    eng.replay(stream, upto_seq=N_EVENTS)  # keep_versions=1 purged v1
+    with pytest.raises(FileNotFoundError):
+        view.refresh()
+    r = view.rebuild()
+    assert r["status"] == "rebuilt"
+    _assert_equal(view, eng)
+    assert view.refresh()["status"] == "noop"
+
+
+def test_view_spec_validation(stream, tmp_path):
+    eng = CDCEngine(str(tmp_path / "lake"), _cfg("t_val"))
+    with pytest.raises(ValueError, match="count"):
+        create_view(eng, "v1", ["g"], {"sx": "sum:x"})
+    with pytest.raises(ValueError, match="not in source"):
+        create_view(eng, "v2", ["nope"], {"cnt": "count"})
+    with pytest.raises(ValueError, match="collide"):
+        create_view(eng, "v3", ["g"], {"g": "count"})
+
+
+def test_view_refresh_before_any_source_commit(stream, tmp_path):
+    eng = CDCEngine(str(tmp_path / "lake"), _cfg("t_fresh"))
+    view = create_view(eng, "by_g", ["g"], METRICS)
+    assert view.refresh()["status"] == "noop"
