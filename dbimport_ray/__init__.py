@@ -41,4 +41,9 @@ _stabilize_fsspec_http()
 
 from .config import TableConfig, repo_files_config  # noqa: F401,E402
 from .pipelines.cdc import CDCEngine  # noqa: F401,E402
-from .pipelines.views import MaterializedView, create_view, open_view  # noqa: F401,E402
+from .pipelines.views import (  # noqa: F401,E402
+    MaterializedView,
+    create_view,
+    discover_views,
+    open_view,
+)

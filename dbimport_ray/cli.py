@@ -82,6 +82,37 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--max-polls", type=int, default=None)
     sp.add_argument("--stop-after-batches", type=int, default=None)
     sp.add_argument("--stop-file", default=None, help="touch this path to stop the loop")
+    sp.add_argument("--refresh-views", action="store_true",
+                    help="streaming materialized views: fold every "
+                         "co-located view of this table after each commit")
+
+    sp = sub.add_parser(
+        "view-create",
+        help="define a materialized aggregate view over a lake table "
+             "(refreshed at delta cost from the source's version diff)",
+    )
+    common(sp)
+    sp.add_argument("--name", required=True, help="view name (table dir becomes <table>__<name>)")
+    sp.add_argument("--group-by", required=True, help="comma-separated group key columns")
+    sp.add_argument("--metrics", required=True,
+                    help="comma-separated alias=spec pairs, e.g. "
+                         "cnt=count,tot=sum:x,chars=len_sum:s (must include a count)")
+    sp.add_argument("--view-partitions", type=int, default=8)
+    sp.add_argument("--refresh", action="store_true", help="fold the current table in immediately")
+
+    sp = sub.add_parser(
+        "view-refresh",
+        help="fold a view's source changes since its last refresh "
+             "(--rebuild recovers a vacuumed-past-horizon view from scratch)",
+    )
+    sp.add_argument("--lake", required=True)
+    sp.add_argument("--view-table", required=True, help="view table dir name, e.g. repo_files__by_lang")
+    sp.add_argument("--rebuild", action="store_true")
+
+    sp = sub.add_parser("views", help="list persisted views under the lake root")
+    sp.add_argument("--lake", required=True)
+    sp.add_argument("--table", default=None, help="filter to views of one source table")
+
     sp = sub.add_parser("export", help="export lake table to parquet")
     common(sp)
     sp.add_argument("--target", required=True)
@@ -403,6 +434,31 @@ def main(argv: list[str] | None = None) -> int:
         ), sort_keys=True))
         return 0
 
+    if args.cmd in ("view-refresh", "views"):
+        _init_ray()
+        from .pipelines.views import discover_views, open_view
+
+        if args.cmd == "views":
+            out = []
+            for vw in discover_views(args.lake, src_name=args.table):
+                out.append({
+                    "view": vw.name,
+                    "table": vw.engine.cfg.name,
+                    "src_table": vw.src.cfg.name,
+                    "group_by": vw.group_by,
+                    "metrics": vw.spec["metrics"],
+                    "last_src_version": vw.last_src_version(),
+                })
+            print(json.dumps(out, sort_keys=True))
+        else:
+            vw = open_view(args.lake, args.view_table)
+            r = vw.rebuild() if args.rebuild else vw.refresh()
+            print(json.dumps(r, sort_keys=True))
+        import ray
+
+        ray.shutdown()
+        return 0
+
     _init_ray()
     eng = _engine(args)
     if args.cmd == "replay":
@@ -418,7 +474,20 @@ def main(argv: list[str] | None = None) -> int:
             max_polls=args.max_polls,
             stop_after_batches=args.stop_after_batches,
             stop_file=args.stop_file,
+            refresh_views=args.refresh_views,
         )))
+    elif args.cmd == "view-create":
+        from .pipelines.views import create_view
+
+        metrics = dict(kv.split("=", 1) for kv in args.metrics.split(","))
+        vw = create_view(
+            eng, args.name, args.group_by.split(","), metrics,
+            num_partitions=args.view_partitions,
+        )
+        out = {"view": vw.name, "table": vw.engine.cfg.name}
+        if args.refresh:
+            out["refresh"] = vw.refresh()
+        print(json.dumps(out, sort_keys=True))
     elif args.cmd == "export":
         from .pipelines.export import export_table
 

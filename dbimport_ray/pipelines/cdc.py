@@ -1145,6 +1145,7 @@ class CDCEngine:
         audit_every_polls: int | None = None,
         on_late=None,
         compact_when_idle: bool = False,
+        refresh_views: bool = False,
     ) -> list[dict]:
         """Continuous change-event tail — the daemon shape of the
         reference's always-on server loop (bin/mainServer: poll sources,
@@ -1173,6 +1174,17 @@ class CDCEngine:
         sleeping — quiet stream time pays down read-side fold cost, busy
         time never stalls behind a compaction. Noop (one manifest read)
         for copy-on-write tables or empty stacks.
+
+        ``refresh_views``: streaming materialized views — after each
+        committed batch (and once per idle poll, as crash catch-up), fold
+        every persisted view of this table (pipelines/views.py,
+        discovered by ``_view.json`` under the lake root, so a view
+        created mid-tail joins the next cycle) up to the new source
+        version. Each batch result gains a ``views`` list with per-view
+        refresh stats; view exactly-once is the view table's own
+        watermark, so a daemon killed between source commit and view
+        refresh converges on the next poll. An up-to-date view costs one
+        checkpoint read per poll.
         """
         import os as _os
         import time as _time
@@ -1191,13 +1203,30 @@ class CDCEngine:
                 poll_interval_s, max_interval_s, backoff, max_polls,
                 stop_after_batches, stop_file, on_batch,
                 audit_every_polls, on_late, _os, compact_when_idle,
+                refresh_views,
             )
+
+    def _refresh_views(self, _os) -> list[dict]:
+        """One streaming-view maintenance cycle: fold every co-located
+        view of this table up to the current committed source version
+        (views.py refresh — noop when already current)."""
+        from .views import discover_views
+
+        out = []
+        for vw in discover_views(
+            _os.path.dirname(self.store.root), src_name=self.cfg.name,
+            src=self,
+        ):
+            r = vw.refresh()
+            r["view"] = vw.name
+            out.append(r)
+        return out
 
     def _tail_loop(
         self, events_path, do_sleep, results, interval, polls, last_late,
         poll_interval_s, max_interval_s, backoff, max_polls,
         stop_after_batches, stop_file, on_batch, audit_every_polls,
-        on_late, _os, compact_when_idle=False,
+        on_late, _os, compact_when_idle=False, refresh_views=False,
     ) -> list[dict]:
         while True:
             if stop_file is not None and _os.path.exists(stop_file):
@@ -1219,6 +1248,8 @@ class CDCEngine:
             if newest > cp.committed_seq or cp.pending_seq is not None:
                 r = self.replay(events_path)
                 if r["status"] != "noop":
+                    if refresh_views:
+                        r["views"] = self._refresh_views(_os)
                     results.append(r)
                     if on_batch is not None:
                         on_batch(r)
@@ -1229,6 +1260,11 @@ class CDCEngine:
                 ):
                     break
             else:
+                if refresh_views:
+                    # crash catch-up: a daemon killed between source
+                    # commit and view refresh converges here (noop —
+                    # one checkpoint read per view — when current)
+                    self._refresh_views(_os)
                 if compact_when_idle and self.cfg.merge_format == "mor":
                     # reentrant under the tail's writer lock; noop when
                     # no partition has a delta stack

@@ -268,6 +268,10 @@ class MaterializedView:
         self.spec = spec
 
     @property
+    def name(self) -> str:
+        return self.spec["name"]
+
+    @property
     def group_by(self) -> list[str]:
         return list(self.spec["group_by"])
 
@@ -362,6 +366,39 @@ def open_view(lake_root: str, table: str, src=None) -> MaterializedView:
             doc["src"]["lake_root"], TableConfig(**doc["src"]["cfg"])
         )
     return MaterializedView(src, engine, doc["spec"])
+
+
+def discover_views(
+    lake_root: str, src_name: str | None = None, src=None
+) -> list[MaterializedView]:
+    """Every persisted view under ``lake_root`` — the sibling table dirs
+    carrying a ``_view.json``. ``src_name`` filters to the views of one
+    source table; ``src`` supplies an already-open source engine for those
+    (so a tailing daemon's views share its handle instead of re-opening
+    one per refresh). Views created in a DIFFERENT lake root (the
+    ``lake_root=`` override of :func:`create_view`) are not discoverable
+    from the source's root — register those by path with
+    :func:`open_view`."""
+    views: list[MaterializedView] = []
+    try:
+        entries = sorted(os.listdir(lake_root))
+    except FileNotFoundError:
+        return views
+    for d in entries:
+        spec_path = os.path.join(lake_root, d, VIEW_SPEC_FILE)
+        if not os.path.exists(spec_path):
+            continue
+        with open(spec_path) as f:
+            doc = json.load(f)
+        if src_name is not None and doc["src"]["cfg"]["name"] != src_name:
+            continue
+        use_src = (
+            src
+            if src is not None and doc["src"]["cfg"]["name"] == src.cfg.name
+            else None
+        )
+        views.append(open_view(lake_root, d, src=use_src))
+    return views
 
 
 def refresh_view(view: MaterializedView, fail_before_commit: bool = False) -> dict:

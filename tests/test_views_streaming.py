@@ -1,0 +1,233 @@
+"""Streaming materialized views: tail(refresh_views=True) keeps every
+persisted view current with the committed source; views fold correctly
+over merge-on-read sources (the diff walks base+delta stacks); and a view
+is itself a lake table, so a second-order view (view over a view) chains
+through the same refresh protocol."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from dbimport_ray import CDCEngine, create_view, discover_views, open_view
+from dbimport_ray.config import TableConfig
+from dbimport_ray.datagen import generate_events
+
+
+def _cfg(name: str, **kw) -> TableConfig:
+    kw.setdefault("keep_versions", 16)
+    return TableConfig(
+        name=name,
+        pk=["repo", "path"],
+        value_columns=["commit", "lang", "content"],
+        num_partitions=4,
+        soft_delete=True,
+        **kw,
+    )
+
+
+def _expected_by_lang(eng: CDCEngine) -> pd.DataFrame:
+    t = eng.arrow()
+    live = t.filter(
+        pc.not_equal(pc.fill_null(pc.cast(t["datalake_iud"], pa.string()), ""), "D")
+    )
+    df = live.select(["lang", "content"]).to_pandas()
+    exp = (
+        df.assign(chars=df["content"].str.len().fillna(0).astype("int64"))
+        .groupby("lang", as_index=False, dropna=False)
+        .agg(cnt=("lang", "size"), chars=("chars", "sum"))
+    )
+    return exp.sort_values("lang").reset_index(drop=True)
+
+
+def _got(view) -> pd.DataFrame:
+    df = view.arrow().to_pandas()
+    return df[["lang", "cnt", "chars"]].sort_values("lang").reset_index(drop=True)
+
+
+def _assert_view_current(view, eng):
+    exp, got = _expected_by_lang(eng), _got(view)
+    assert list(got["lang"]) == list(exp["lang"])
+    assert list(got["cnt"]) == list(exp["cnt"])
+    assert list(got["chars"]) == list(exp["chars"])
+
+
+@pytest.fixture()
+def split_events(tmp_path):
+    src = str(tmp_path / "all.parquet")
+    generate_events(src, num_keys=300, num_events=2400, seed=29)
+    t = pq.read_table(src)
+    parts = []
+    for i, (lo, hi) in enumerate([(0, 800), (800, 1600), (1600, 2400)]):
+        part = t.filter(
+            (pc.field("sequence_id") >= lo) & (pc.field("sequence_id") < hi)
+        )
+        p = str(tmp_path / f"part{i}.parquet")
+        pq.write_table(part, p)
+        parts.append(p)
+    return parts
+
+
+METRICS = {"cnt": "count", "chars": "len_sum:content"}
+
+
+def test_tail_refreshes_views_per_batch(split_events, tmp_path):
+    """Every committed tail batch folds the view; a view created MID-TAIL
+    is discovered and catches up on the next cycle."""
+    parts = split_events
+    events_dir = str(tmp_path / "events")
+    os.makedirs(events_dir)
+    os.link(parts[0], os.path.join(events_dir, "p0.parquet"))
+
+    eng = CDCEngine(str(tmp_path / "lake"), _cfg("t_tailv"))
+    view = create_view(eng, "by_lang", ["lang"], METRICS)
+    per_batch_versions = []
+
+    def feeder(result):
+        # the view was folded BEFORE on_batch fired, to this batch's version
+        assert result["views"], "tail batch carried no view refresh"
+        vr = result["views"][0]
+        assert vr["status"] in ("committed", "noop")
+        per_batch_versions.append(
+            (result["version"], view.last_src_version())
+        )
+        i = len(per_batch_versions)
+        if i < len(parts):
+            os.link(parts[i], os.path.join(events_dir, f"p{i}.parquet"))
+        if i == 1:
+            # second view appears while the daemon is live
+            create_view(eng, "mid_tail", ["lang"], {"cnt": "count"})
+
+    eng.tail(
+        events_dir,
+        stop_after_batches=3,
+        max_polls=20,
+        sleep=lambda s: None,
+        on_batch=feeder,
+        refresh_views=True,
+    )
+    # view watermark tracked the source version at every commit
+    assert per_batch_versions == [(1, 1), (2, 2), (3, 3)]
+    _assert_view_current(view, eng)
+
+    # the mid-tail view exists, was discovered, and is current
+    found = {v.name: v for v in discover_views(str(tmp_path / "lake"))}
+    assert set(found) == {"by_lang", "mid_tail"}
+    assert found["mid_tail"].last_src_version() == 3
+    exp = _expected_by_lang(eng)
+    got2 = found["mid_tail"].arrow().to_pandas().sort_values("lang")
+    assert list(got2["cnt"]) == list(exp["cnt"])
+
+
+def test_idle_poll_converges_stale_view(split_events, tmp_path):
+    """A view left stale (daemon died between source commit and view
+    refresh) converges on the first idle poll of the next tail."""
+    parts = split_events
+    eng = CDCEngine(str(tmp_path / "lake"), _cfg("t_stale"))
+    eng.replay(parts[0])  # commit WITHOUT refreshing the view
+    view = create_view(eng, "by_lang", ["lang"], METRICS)
+    assert view.last_src_version() == 0
+    # no new events → the tail only idles, but refresh_views catches up
+    eng.tail(
+        parts[0],
+        max_polls=2,
+        sleep=lambda s: None,
+        refresh_views=True,
+    )
+    assert view.last_src_version() == 1
+    _assert_view_current(view, eng)
+
+
+def test_view_over_mor_source(split_events, tmp_path):
+    """The refresh diff folds merge-on-read delta stacks: batches 2-3 are
+    pure delta files, never compacted, and the view still equals a full
+    recompute of the folded live table."""
+    parts = split_events
+    cfg = _cfg("t_mor", merge_format="mor", mor_max_deltas=64,
+               mor_compact_ratio=1e9)
+    eng = CDCEngine(str(tmp_path / "lake"), cfg)
+    view = create_view(eng, "by_lang", ["lang"], METRICS)
+    for p in parts:
+        eng.replay(p)
+        view.refresh()
+    m = eng.store.load_manifest()
+    n_deltas = sum(len(e.get("deltas", [])) for e in m.partitions.values())
+    assert n_deltas > 0, "MOR source compacted — test premise broken"
+    _assert_view_current(view, eng)
+    assert view.refresh()["status"] == "noop"
+
+
+def test_view_chain(split_events, tmp_path):
+    """A view over a view: lang-level counts roll up into a histogram of
+    per-lang sizes (group by cnt), refreshed through the same protocol."""
+    parts = split_events
+    eng = CDCEngine(str(tmp_path / "lake"), _cfg("t_chain"))
+    v1 = create_view(eng, "by_lang", ["lang"], METRICS)
+    v2 = create_view(v1.engine, "size_hist", ["cnt"], {"n_langs": "count"})
+    for p in parts:
+        eng.replay(p)
+        v1.refresh()
+        v2.refresh()
+    _assert_view_current(v1, eng)
+    exp = (
+        _got(v1).groupby("cnt", as_index=False).agg(n_langs=("cnt", "size"))
+    )
+    got = (
+        v2.arrow().to_pandas()[["cnt", "n_langs"]]
+        .sort_values("cnt").reset_index(drop=True)
+    )
+    assert list(got["cnt"]) == list(exp["cnt"])
+    assert list(got["n_langs"]) == list(exp["n_langs"])
+    # the chained view is discoverable from ITS source's root too
+    names = {v.name for v in discover_views(str(tmp_path / "lake"))}
+    assert names == {"by_lang", "size_hist"}
+
+
+def test_view_cli_roundtrip(split_events, tmp_path, capsys):
+    """view-create / views / view-refresh / tail --refresh-views verbs."""
+    import json
+
+    from dbimport_ray.cli import main
+
+    parts = split_events
+    lake = str(tmp_path / "lake")
+    base = ["--lake", lake, "--table", "t_cli", "--pk", "repo,path",
+            "--values", "commit,lang,content", "--partitions", "4"]
+    assert main(["replay", *base, "--events", parts[0]]) == 0
+    assert main([
+        "view-create", *base, "--name", "by_lang",
+        "--group-by", "lang", "--metrics", "cnt=count,chars=len_sum:content",
+        "--refresh",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["table"] == "t_cli__by_lang"
+    assert out["refresh"]["status"] == "committed"
+
+    assert main(["views", "--lake", lake, "--table", "t_cli"]) == 0
+    listed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [v["view"] for v in listed] == ["by_lang"]
+    assert listed[0]["last_src_version"] == 1
+
+    assert main(["replay", *base, "--events", parts[1]]) == 0
+    capsys.readouterr()
+    assert main(["view-refresh", "--lake", lake,
+                 "--view-table", "t_cli__by_lang"]) == 0
+    r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r["status"] == "committed" and r["src_version"] == 2
+
+    # tail with --refresh-views folds batch 3 into the view
+    events_dir = str(tmp_path / "ev")
+    os.makedirs(events_dir)
+    os.link(parts[2], os.path.join(events_dir, "p2.parquet"))
+    assert main(["tail", *base, "--events", events_dir,
+                 "--stop-after-batches", "1", "--max-polls", "5",
+                 "--refresh-views"]) == 0
+    capsys.readouterr()
+    vw = open_view(lake, "t_cli__by_lang")
+    assert vw.last_src_version() == 3
+    eng = CDCEngine(lake, _cfg("t_cli"))
+    _assert_view_current(vw, eng)
