@@ -176,7 +176,61 @@ def read_lake_pruned(
         )
     vtypes = {f.name: f.type for f in schema}
     tgt = target_schema(cfg_with_schema(cfg, schema), vtypes)
+    if col not in tgt.names:
+        raise ValueError(
+            f"predicate column {col!r} is not in the physical table schema "
+            f"{tgt.names} — predicates run over STORED columns "
+            f"(source-stream fields like the sequence id are consumed by "
+            f"the merge, not persisted)"
+        )
     renames = m.renames
+    files = [store.abs_path(e["file"]) for e in kept]
+
+    # Row-group-level skipping INSIDE kept files: when every kept entry
+    # recorded a zone for the column (⇒ every physical file carries it
+    # under its current name — renamed/legacy files record the old one),
+    # push the predicate into the scan as a pyarrow dataset filter, so
+    # Parquet row-group statistics prune at ~1 MB granularity what the
+    # manifest zones pruned at file granularity, and late rows are
+    # filtered inside the read task (exact — same null semantics as the
+    # residual). Floats stay on the residual path: Parquet stats around
+    # NaN are writer-dependent, and zone_overlaps already refuses float
+    # "!=" for the same reason. At a 100 TB table this is the difference
+    # between reading a multi-GB partition file and reading the one row
+    # group a point-in-time watermark predicate actually touches.
+    ftype = tgt.field(col).type
+    pushdown = (
+        not pa.types.is_floating(ftype)
+        and all(col in (e.get("zones") or {}) for e in kept)
+    )
+    if stats is not None:
+        stats["pushdown"] = pushdown
+    if pushdown:
+        import pyarrow.dataset as pads
+
+        sval = val
+        if isinstance(val, str) and (
+            pa.types.is_timestamp(ftype) or pa.types.is_date(ftype)
+        ):
+            sval = pa.scalar(val).cast(ftype)
+        expr = {
+            ">": pads.field(col) > sval, ">=": pads.field(col) >= sval,
+            "<": pads.field(col) < sval, "<=": pads.field(col) <= sval,
+            "==": pads.field(col) == sval, "!=": pads.field(col) != sval,
+        }[op]
+
+        def _post(t: pa.Table) -> pa.Table:
+            if columns is None:
+                t = align_to_schema(t, tgt, renames)
+            return t.select(columns) if columns is not None else t
+
+        pd_cols = None
+        if columns is not None:
+            pd_cols = list(columns) + ([col] if col not in columns else [])
+        return rd.read_parquet(files, columns=pd_cols, filter=expr).map_batches(
+            _post, batch_format="pyarrow"
+        )
+
     read_cols = None
     if columns is not None:
         read_cols = list(columns) + ([col] if col not in columns else [])
@@ -187,7 +241,6 @@ def read_lake_pruned(
         t = t.filter(residual_mask(t, col, op, val))
         return t.select(columns) if columns is not None else t
 
-    files = [store.abs_path(e["file"]) for e in kept]
     return rd.read_parquet(files, columns=read_cols).map_batches(
         _filter, batch_format="pyarrow"
     )

@@ -121,3 +121,84 @@ def test_pruned_read_end_to_end(ray_session, tmp_path):
     kept, total = prune_partitions(m, ("datalake_update", ">", t_max1))
     assert len(kept) == total == 8  # conservative: nothing pruned
     shutil.rmtree(work, ignore_errors=True)
+
+
+def test_pushdown_fallback_and_equality(ray_session, tmp_path):
+    """Row-group pushdown (read_parquet filter) activates only when every
+    kept file physically carries the column: a partition written BEFORE a
+    schema-evolution column add has no zone for the new column, so the
+    read falls back to the residual path — and both paths return the same
+    rows as an unpruned full filter."""
+    import numpy as np
+
+    from dbimport_ray.config import TableConfig
+
+    work = str(tmp_path)
+    n = 4000
+    rng = np.random.default_rng(5)
+
+    def _events(seq0, nrows, with_extra):
+        cols = {
+            "sequence_id": pa.array(np.arange(seq0, seq0 + nrows), pa.int64()),
+            "op": pa.array(["I"] * nrows),
+            "k": pa.array(np.arange(seq0, seq0 + nrows), pa.int64()),
+            "v": pa.array(rng.integers(0, 1000, nrows), pa.int64()),
+        }
+        if with_extra:
+            cols["extra"] = pa.array(rng.integers(0, 50, nrows), pa.int64())
+        return pa.table(cols)
+
+    cfg = TableConfig(name="t_pd", pk=["k"], value_columns=["v"],
+                      num_partitions=4, soft_delete=True)
+    eng = CDCEngine(os.path.join(work, "lake"), cfg)
+    p1 = os.path.join(work, "e1.parquet")
+    pq.write_table(_events(0, n, with_extra=False), p1)
+    eng.replay(p1)
+
+    # evolve: add `extra`, but only SOME partitions get rewritten (two
+    # keys → their partitions carry zones for extra; the rest don't)
+    cfg2 = TableConfig(name="t_pd", pk=["k"], value_columns=["v", "extra"],
+                       num_partitions=4, soft_delete=True)
+    eng2 = CDCEngine(os.path.join(work, "lake"), cfg2)
+    p2 = os.path.join(work, "e2.parquet")
+    pq.write_table(_events(n, 2, with_extra=True), p2)
+    eng2.replay(p2)
+
+    # predicate on the NEW column: legacy files lack it → residual path
+    stats: dict = {}
+    got = eng2.dataset_where(("extra", ">=", 0), stats=stats).to_pandas()
+    assert stats["pushdown"] is False
+    full = eng2.arrow()
+    exp = full.filter(pc.greater_equal(full["extra"], 0)).to_pandas()
+    assert len(got) == len(exp) == 2
+
+    # predicate on a column every file has → pushdown active, and the
+    # result matches the residual-path product exactly (incl. many row
+    # groups per file: rewrite one partition file with tiny row groups)
+    stats2: dict = {}
+    ds = eng2.dataset_where(("v", "<", 100), stats=stats2)
+    assert stats2["pushdown"] is True
+    got2 = ds.to_pandas().sort_values("k").reset_index(drop=True)
+    exp2 = (
+        full.filter(pc.less(full["v"], 100)).to_pandas()
+        .sort_values("k").reset_index(drop=True)
+    )
+    assert list(got2["k"]) == list(exp2["k"])
+    assert list(got2["v"]) == list(exp2["v"])
+
+    # float predicate never pushes down (NaN-unsafe Parquet stats)
+    stats3: dict = {}
+    cfg3 = TableConfig(name="t_f", pk=["k"], value_columns=["x"],
+                       num_partitions=2, soft_delete=True)
+    engf = CDCEngine(os.path.join(work, "lakef"), cfg3)
+    pf = os.path.join(work, "ef.parquet")
+    pq.write_table(pa.table({
+        "sequence_id": pa.array([0, 1], pa.int64()),
+        "op": pa.array(["I", "I"]),
+        "k": pa.array([1, 2], pa.int64()),
+        "x": pa.array([1.5, float("nan")], pa.float64()),
+    }), pf)
+    engf.replay(pf)
+    gotf = engf.dataset_where(("x", "!=", 1.5), stats=stats3).to_pandas()
+    assert stats3["pushdown"] is False
+    assert len(gotf) == 1  # the NaN row: NaN != 1.5 is TRUE
