@@ -113,6 +113,16 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--lake", required=True)
     sp.add_argument("--table", default=None, help="filter to views of one source table")
 
+    sp = sub.add_parser(
+        "export-sql",
+        help="row-level incremental SQL export: ship only changed rows "
+             "since the last export as idempotent upserts + PK deletes",
+    )
+    common(sp)
+    sp.add_argument("--db", required=True, help="target database path")
+    sp.add_argument("--target-table", required=True)
+    sp.add_argument("--no-create", action="store_true")
+
     sp = sub.add_parser("export", help="export lake table to parquet")
     common(sp)
     sp.add_argument("--target", required=True)
@@ -488,6 +498,12 @@ def main(argv: list[str] | None = None) -> int:
         if args.refresh:
             out["refresh"] = vw.refresh()
         print(json.dumps(out, sort_keys=True))
+    elif args.cmd == "export-sql":
+        from .pipelines.export import export_changes_sql
+
+        print(json.dumps(export_changes_sql(
+            eng, args.db, args.target_table, create=not args.no_create,
+        )))
     elif args.cmd == "export":
         from .pipelines.export import export_table
 

@@ -1,0 +1,150 @@
+"""Row-level incremental SQL export (pipelines/export.py:export_changes_sql):
+the external table converges to the lake's live state through upserts +
+PK deletes shipped from the manifest diff — idempotent re-runs, per-target
+watermark, vacuumed-horizon full resync with truncate."""
+
+import os
+import sqlite3
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from dbimport_ray import CDCEngine
+from dbimport_ray.config import TableConfig
+from dbimport_ray.pipelines.export import export_changes_sql
+
+
+def _events(tmp_path, name, rows):
+    t = pa.table(
+        {
+            "sequence_id": pa.array([r[0] for r in rows], pa.int64()),
+            "op": pa.array([r[1] for r in rows]),
+            "k": pa.array([r[2] for r in rows]),
+            "v": pa.array([float(r[3]) for r in rows], pa.float64()),
+        }
+    )
+    p = str(tmp_path / name)
+    pq.write_table(t, p)
+    return p
+
+
+def _sql_state(db: str) -> dict:
+    conn = sqlite3.connect(db)
+    try:
+        return dict(conn.execute('SELECT "k", "v" FROM "ext" ORDER BY "k"'))
+    finally:
+        conn.close()
+
+
+def _live_state(eng: CDCEngine) -> dict:
+    import pyarrow.compute as pc
+
+    t = eng.arrow()
+    live = t.filter(
+        pc.not_equal(pc.fill_null(pc.cast(t["datalake_iud"], pa.string()), ""), "D")
+    )
+    return dict(zip(live["k"].to_pylist(), live["v"].to_pylist()))
+
+
+def test_incremental_sql_export_converges(tmp_path, ray_session):
+    cfg = TableConfig(name="t", pk=["k"], value_columns=["v"],
+                      num_partitions=4, soft_delete=True, keep_versions=8)
+    eng = CDCEngine(str(tmp_path / "lake"), cfg)
+    db = str(tmp_path / "ext.db")
+
+    b1 = _events(tmp_path, "b1.parquet",
+                 [(1, "I", "a", 1), (2, "I", "b", 2), (3, "I", "c", 3)])
+    eng.replay(b1, upto_seq=3)
+    r1 = export_changes_sql(eng, db, "ext")
+    assert r1["status"] == "exported" and r1["from_version"] == 0
+    assert r1["upserts"] == 3 and r1["deletes"] == 0
+    assert _sql_state(db) == _live_state(eng)
+
+    # noop: same version again
+    assert export_changes_sql(eng, db, "ext")["status"] == "noop"
+
+    # batch 2: update a, delete b, insert d → 2 upserts + 1 delete, NOT a
+    # partition re-dump
+    b2 = _events(tmp_path, "b2.parquet",
+                 [(4, "U", "a", 10), (5, "D", "b", 0), (6, "I", "d", 4)])
+    eng.replay([b1, b2], upto_seq=6)
+    r2 = export_changes_sql(eng, db, "ext")
+    assert r2["status"] == "exported" and r2["from_version"] == 1
+    assert r2["upserts"] == 2 and r2["deletes"] == 1
+    assert _sql_state(db) == _live_state(eng) == {"a": 10.0, "c": 3.0, "d": 4.0}
+
+    # idempotence: re-running the SAME range converges (simulate a crash
+    # after apply but before the watermark commit)
+    from dbimport_ray.pipelines.export import ExportState
+
+    st = ExportState(eng.store.root, filename="_export_sql_checkpoint.json")
+    s = st.load()
+    s["committed_version"] = 1  # wind the watermark back
+    import json
+
+    with open(st.path, "w") as f:
+        json.dump(s, f)
+    r3 = export_changes_sql(eng, db, "ext")
+    assert r3["status"] == "exported"
+    assert _sql_state(db) == _live_state(eng)
+
+
+def test_sql_export_intermediate_churn_collapses(tmp_path, ray_session):
+    """Five updates to one key between exports ship as ONE upsert."""
+    cfg = TableConfig(name="t", pk=["k"], value_columns=["v"],
+                      num_partitions=2, soft_delete=True, keep_versions=16)
+    eng = CDCEngine(str(tmp_path / "lake"), cfg)
+    db = str(tmp_path / "ext.db")
+    b1 = _events(tmp_path, "b1.parquet", [(1, "I", "a", 1), (2, "I", "b", 2)])
+    eng.replay(b1, upto_seq=2)
+    export_changes_sql(eng, db, "ext")
+    for i in range(5):
+        bi = _events(tmp_path, f"c{i}.parquet", [(3 + i, "U", "a", 100 + i)])
+        eng.replay([b1, bi], upto_seq=3 + i)
+    r = export_changes_sql(eng, db, "ext")
+    assert r["status"] == "exported"
+    assert r["upserts"] == 1 and r["deletes"] == 0
+    assert _sql_state(db)["a"] == 104.0
+
+
+def test_sql_export_vacuumed_horizon_full_resync(tmp_path, ray_session):
+    """Source GC'd past the last export → truncate + v0 full feed; rows
+    hard-deleted in the meantime vanish from the target too."""
+    cfg = TableConfig(name="t", pk=["k"], value_columns=["v"],
+                      num_partitions=2, soft_delete=False, keep_versions=1)
+    eng = CDCEngine(str(tmp_path / "lake"), cfg)
+    db = str(tmp_path / "ext.db")
+    b1 = _events(tmp_path, "b1.parquet", [(1, "I", "a", 1), (2, "I", "b", 2)])
+    eng.replay(b1, upto_seq=2)
+    export_changes_sql(eng, db, "ext")
+    # several versions, incl. a hard delete; keep_versions=1 GCs v1
+    b2 = _events(tmp_path, "b2.parquet", [(3, "D", "b", 0)])
+    eng.replay([b1, b2], upto_seq=3)
+    b3 = _events(tmp_path, "b3.parquet", [(4, "I", "e", 9)])
+    eng.replay([b1, b2, b3], upto_seq=4)
+    b4 = _events(tmp_path, "b4.parquet", [(5, "U", "a", 7)])
+    eng.replay([b1, b2, b3, b4], upto_seq=5)
+    r = export_changes_sql(eng, db, "ext")
+    assert r["status"] == "resynced" and r["from_version"] == 0
+    assert _sql_state(db) == _live_state(eng) == {"a": 7.0, "e": 9.0}
+    # metrics ledger recorded the resync
+    recs = [m for m in eng.store.read_metrics() if m.get("kind") == "export_sql"]
+    assert recs[-1]["full_resync"] is True
+
+
+def test_export_sql_cli(tmp_path, ray_session, capsys):
+    import json
+
+    from dbimport_ray.cli import main
+
+    lake = str(tmp_path / "lake")
+    base = ["--lake", lake, "--table", "t", "--pk", "k", "--values", "v",
+            "--partitions", "2"]
+    b1 = _events(tmp_path, "b1.parquet", [(1, "I", "a", 1), (2, "I", "b", 2)])
+    assert main(["replay", *base, "--events", b1]) == 0
+    db = str(tmp_path / "ext.db")
+    assert main(["export-sql", *base, "--db", db, "--target-table", "ext"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["status"] == "exported" and out["upserts"] == 2
+    assert _sql_state(db) == {"a": 1.0, "b": 2.0}
