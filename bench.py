@@ -96,6 +96,7 @@ QUERY_NAMES = [
     "cdc_merge_mor",
     "lake_bucket_join",
     "view_incremental",
+    "export_sql_roundtrip",
 ]
 
 

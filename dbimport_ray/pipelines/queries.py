@@ -236,6 +236,83 @@ def q_view_incremental(sf_dir: str) -> pa.Table:
     return t.append_column("avg_value", avg)
 
 
+def q_export_sql_roundtrip(sf_dir: str) -> pa.Table:
+    """Exactly-once external SQL sink (pipelines/export.py:
+    export_changes_sql): the user_state lake is built in two CDC batches
+    and row-level-exported to a sqlite target after EACH batch — the
+    second export ships only the rows batch 2 changed, as idempotent
+    keyed upserts + PK deletes under the per-target watermark. The
+    driver then hash-checks the TARGET DATABASE's contents against the
+    live-state SQL oracle, verifying the sink converged to the lake's
+    live state end-to-end. Reference analogue: incremental export +
+    export-temp-table merge (export_operations.py:420,440)."""
+    import sqlite3
+
+    from .export import export_changes_sql
+
+    root = _scratch("sqlx")
+    stream = _derive_cdc_stream(sf_dir, root)
+    cfg = TableConfig(
+        name="user_state_sqlx",
+        pk=["user_id"],
+        value_columns=["event_type", "value"],
+        num_partitions=8,
+        soft_delete=True,
+        keep_versions=8,
+    )
+    eng = CDCEngine(os.path.join(root, "lake"), cfg)
+    db = os.path.join(root, "target.db")
+    mx = max_sequence(stream)
+    eng.replay(stream, upto_seq=mx // 2)
+    export_changes_sql(eng, db, "user_state_ext")
+    eng.replay(stream, upto_seq=mx)
+    export_changes_sql(eng, db, "user_state_ext")
+    conn = sqlite3.connect(db)
+    try:
+        rows = conn.execute(
+            'SELECT "user_id", "event_type", "value" FROM "user_state_ext"'
+        ).fetchall()
+    finally:
+        conn.close()
+    return pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+        "value": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
+def q_where_pushdown(sf_dir: str) -> pa.Table:
+    """Zone-pruned predicate read with row-group pushdown
+    (sources/lake.py:read_lake_pruned): after the two-batch CDC replay,
+    read live 'purchase' rows via dataset_where — manifest zones prune
+    whole partition files, the pyarrow dataset filter prunes row groups
+    inside kept files, and the driver hash-checks the result against
+    the live-state SQL oracle."""
+    root = _scratch("wpd")
+    stream = _derive_cdc_stream(sf_dir, root)
+    cfg = TableConfig(
+        name="user_state_wpd",
+        pk=["user_id"],
+        value_columns=["event_type", "value"],
+        num_partitions=8,
+        soft_delete=True,
+    )
+    eng = CDCEngine(os.path.join(root, "lake"), cfg)
+    mx = max_sequence(stream)
+    eng.replay(stream, upto_seq=mx // 2)
+    eng.replay(stream, upto_seq=mx)
+    stats: dict = {}
+    ds = eng.dataset_where(("event_type", "==", "purchase"), stats=stats)
+    t = pa.concat_tables(
+        [b for b in ds.iter_batches(batch_format="pyarrow")]
+        or [eng.arrow().schema.empty_table()],
+        promote_options="permissive",
+    )
+    iud = pc.fill_null(pc.cast(t[cfg.col_iud], pa.string()), "")
+    t = t.filter(pc.not_equal(iud, "D"))
+    return t.select(["user_id", "event_type", "value"])
+
+
 def q_lake_bucket_join(sf_dir: str) -> "rd.Dataset":
     """Zero-exchange bucket join of two LAKE tables co-partitioned on the
     same pk (sources/lake.py:bucket_join_lakes): the CDC-built user_state
@@ -3286,6 +3363,25 @@ SELECT event_type, count(*) AS cnt, sum(value) AS total,
 FROM live GROUP BY event_type
 """
 
+_LIVE_STATE_SQL = _CDC_VIEW + """
+, live AS (
+  SELECT COALESCE(s1.user_id, l2.user_id) AS user_id,
+         CASE WHEN l2.user_id IS NULL THEN s1.event_type
+              ELSE l2.event_type END AS event_type,
+         CASE WHEN l2.user_id IS NULL THEN s1.value ELSE l2.value END AS value
+  FROM s1 FULL OUTER JOIN l2 ON s1.user_id = l2.user_id
+  WHERE l2.op IS NULL OR l2.op <> 'D'
+)
+"""
+
+ORACLES["export_sql_roundtrip"] = _LIVE_STATE_SQL + """
+SELECT user_id, event_type, value FROM live
+"""
+
+ORACLES["where_pushdown"] = _LIVE_STATE_SQL + """
+SELECT user_id, event_type, value FROM live WHERE event_type = 'purchase'
+"""
+
 ORACLES["lake_bucket_join"] = _CDC_VIEW + """
 , final AS (
   SELECT COALESCE(s1.user_id, l2.user_id) AS user_id,
@@ -4306,6 +4402,8 @@ GROUP BY text
 QUERIES = {
     # --- new in round 4 (oracle-backed) ---
     "view_incremental": q_view_incremental,
+    "export_sql_roundtrip": q_export_sql_roundtrip,
+    "where_pushdown": q_where_pushdown,
     "cdc_merge_mor": q_cdc_merge_mor,
     "lake_bucket_join": q_lake_bucket_join,
     "funnel_events": q_funnel_events,
