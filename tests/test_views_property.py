@@ -1,0 +1,92 @@
+"""Property-based conformance for incremental materialized views: on
+randomized event streams (arbitrary I/U/D interleavings — key-only
+deletes, delete-of-unknown-key, reinsert-after-delete, group migrations,
+value-neutral churn) split at random batch boundaries, refreshing after
+EVERY batch leaves the view identical to a from-scratch GROUP BY over the
+live table — including groups that die and are reborn across batches."""
+
+import os
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dbimport_ray import CDCEngine, create_view
+from dbimport_ray.config import TableConfig
+
+KEYS = ["a", "b", "c", "d", "e"]
+GROUPS = [0, 1, 2]
+
+event_strategy = st.tuples(
+    st.sampled_from(KEYS),
+    st.sampled_from(["I", "U", "D"]),
+    st.sampled_from(GROUPS),
+    st.integers(min_value=0, max_value=40),
+)
+
+
+def _write(path, events):
+    ks, ops, gs, vals, seqs = [], [], [], [], []
+    for i, (k, op, g, v) in enumerate(events):
+        ks.append(k)
+        ops.append(op)
+        gs.append(None if op == "D" else g)  # key-only deletes
+        # v/4 is dyadic → float sums fold bit-exactly, so == is fair
+        vals.append(None if op == "D" else v / 4.0)
+        seqs.append(i + 1)
+    pq.write_table(
+        pa.table(
+            {
+                "sequence_id": pa.array(seqs, pa.int64()),
+                "op": pa.array(ops, pa.string()),
+                "k": pa.array(ks, pa.string()),
+                "g": pa.array(gs, pa.int64()),
+                "x": pa.array(vals, pa.float64()),
+            }
+        ),
+        path,
+    )
+
+
+def _expected(eng):
+    import collections
+
+    agg = collections.defaultdict(lambda: [0, 0.0])
+    for r in eng.arrow().to_pylist():
+        if r["datalake_iud"] == "D":
+            continue
+        a = agg[r["g"]]
+        a[0] += 1
+        a[1] += r["x"] if r["x"] is not None else 0.0
+    return sorted((g, c, s) for g, (c, s) in agg.items())
+
+
+def _got(view):
+    return sorted(
+        (r["g"], r["cnt"], r["sx"]) for r in view.arrow().to_pylist()
+    )
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    events=st.lists(event_strategy, min_size=1, max_size=30),
+    cuts=st.lists(st.floats(min_value=0.05, max_value=0.95),
+                  min_size=1, max_size=3),
+)
+def test_view_refresh_equals_recompute_randomized(ray_session, events, cuts):
+    work = tempfile.mkdtemp(prefix="view_prop_")
+    ev = os.path.join(work, "ev.parquet")
+    _write(ev, events)
+    n = len(events)
+    bounds = sorted({max(1, min(n, int(round(f * n)))) for f in cuts} | {n})
+
+    cfg = TableConfig(name="t", pk=["k"], value_columns=["g", "x"],
+                      num_partitions=3, soft_delete=True, keep_versions=16)
+    eng = CDCEngine(os.path.join(work, "lake"), cfg)
+    view = create_view(eng, "by_g", ["g"], {"cnt": "count", "sx": "sum:x"})
+    for b in bounds:
+        eng.replay(ev, upto_seq=b)
+        view.refresh()
+        assert _got(view) == _expected(eng)
