@@ -42,7 +42,9 @@ _stabilize_fsspec_http()
 from .config import TableConfig, repo_files_config  # noqa: F401,E402
 from .pipelines.cdc import CDCEngine  # noqa: F401,E402
 from .pipelines.views import (  # noqa: F401,E402
+    JoinMaterializedView,
     MaterializedView,
+    create_join_view,
     create_view,
     discover_views,
     open_view,

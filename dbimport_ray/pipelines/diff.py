@@ -120,10 +120,10 @@ def changed_partition_sides(
     v_old: int,
     v_new: int | None = None,
     stats: dict | None = None,
-) -> tuple[list[tuple[dict | None, dict | None]], pa.Schema | None]:
+) -> tuple[list[tuple[str, dict | None, dict | None]], pa.Schema | None]:
     """Enumerate the partitions whose manifest entries DIFFER between two
-    committed versions, as ``(side_old, side_new)`` dicts consumable by
-    :func:`_read_image`, plus the unified schema. The shared front half of
+    committed versions, as ``(pid, side_old, side_new)`` tuples whose side
+    dicts are consumable by :func:`_read_image`, plus the unified schema. The shared front half of
     every version-diff consumer — :func:`diff_versions` / the changefeed
     writers (row-level diff kernel) and ``pipelines/views.py`` (per-group
     aggregate-delta kernel). An identical entry means identical files,
@@ -157,7 +157,7 @@ def changed_partition_sides(
         e_new = m_new.partitions.get(pid)
         if e_old == e_new:
             continue  # identical entry → identical files → no change
-        sides.append((_side(m_old, e_old), _side(m_new, e_new)))
+        sides.append((pid, _side(m_old, e_old), _side(m_new, e_new)))
     if stats is not None:
         stats.update(partitions_read=len(sides), partitions_total=total)
     return sides, schema
@@ -182,7 +182,7 @@ def _diff_futures(
         _diff_partition.remote(
             store.root, so, sn, list(cfg.pk), cmp_cols, out_cols,
         )
-        for so, sn in sides
+        for _pid, so, sn in sides
     ]
     return futs, out_cols, schema
 

@@ -236,6 +236,68 @@ def q_view_incremental(sf_dir: str) -> pa.Table:
     return t.append_column("avg_value", avg)
 
 
+def q_join_view_incremental(sf_dir: str) -> pa.Table:
+    """Materialized aggregate over a co-partitioned bucket JOIN
+    (pipelines/views.py:create_join_view): user_state (fact, 8
+    partitions) joins a user-segment dim table (4 partitions) on
+    user_id with ZERO exchange, and the per-segment count/sum view is
+    refreshed incrementally after each fact batch — only the partition
+    classes either source changed are re-joined, deltas fold through
+    the same Z-set pipeline as single-table views. Checked against a
+    from-scratch SQL join+GROUP BY over both live states."""
+    from .views import create_join_view
+
+    root = _scratch("jview")
+    stream = _derive_cdc_stream(sf_dir, root)
+    fact_cfg = TableConfig(
+        name="user_state_jv",
+        pk=["user_id"],
+        value_columns=["event_type", "value"],
+        num_partitions=8,
+        soft_delete=True,
+        keep_versions=8,
+    )
+    dim_cfg = TableConfig(
+        name="user_dim_jv",
+        pk=["user_id"],
+        value_columns=["segment"],
+        num_partitions=4,
+        soft_delete=True,
+        keep_versions=8,
+    )
+    fact = CDCEngine(os.path.join(root, "lake"), fact_cfg)
+    dim = CDCEngine(os.path.join(root, "lake"), dim_cfg)
+
+    # dim: one I event per distinct user, segment = 's' + (user_id % 4)
+    # (driver-side single-column read: the uid domain is tiny vs events)
+    uid_tab = pq.read_table(_p(sf_dir, "events"), columns=["user_id"])
+    uids = pc.cast(pc.unique(uid_tab["user_id"]), pa.int64())
+    seg = pc.binary_join_element_wise(
+        pa.array(["s"] * len(uids)),
+        pc.cast(pc.bit_wise_and(uids, 3), pa.string()),
+        "",
+    )
+    dim_ev = os.path.join(root, "dim.parquet")
+    pq.write_table(pa.table({
+        "sequence_id": pa.array(np.arange(1, len(uids) + 1), pa.int64()),
+        "op": pa.array(["I"] * len(uids)),
+        "user_id": pc.cast(uids, pa.int64()),
+        "segment": seg,
+    }), dim_ev)
+    dim.replay(dim_ev)
+
+    view = create_join_view(
+        fact, dim, "by_segment", ["segment"],
+        {"cnt": "count", "total": "sum:value"},
+    )
+    mx = max_sequence(stream)
+    fact.replay(stream, upto_seq=mx // 2)
+    view.refresh()  # batch-1 fold
+    fact.replay(stream, upto_seq=mx)
+    view.refresh()  # folds only what batch 2 + nothing on the dim changed
+    return view.arrow().select(["segment", "cnt", "total"])
+
+
 def q_export_sql_roundtrip(sf_dir: str) -> pa.Table:
     """Exactly-once external SQL sink (pipelines/export.py:
     export_changes_sql): the user_state lake is built in two CDC batches
@@ -3378,6 +3440,16 @@ ORACLES["export_sql_roundtrip"] = _LIVE_STATE_SQL + """
 SELECT user_id, event_type, value FROM live
 """
 
+ORACLES["join_view_incremental"] = _LIVE_STATE_SQL + """
+, dim AS (
+  SELECT DISTINCT user_id, 's' || CAST(user_id % 4 AS VARCHAR) AS segment
+  FROM events
+)
+SELECT d.segment, count(*) AS cnt, sum(l.value) AS total
+FROM live l JOIN dim d ON l.user_id = d.user_id
+GROUP BY d.segment
+"""
+
 ORACLES["where_pushdown"] = _LIVE_STATE_SQL + """
 SELECT user_id, event_type, value FROM live WHERE event_type = 'purchase'
 """
@@ -4402,6 +4474,7 @@ GROUP BY text
 QUERIES = {
     # --- new in round 4 (oracle-backed) ---
     "view_incremental": q_view_incremental,
+    "join_view_incremental": q_join_view_incremental,
     "export_sql_roundtrip": q_export_sql_roundtrip,
     "where_pushdown": q_where_pushdown,
     "cdc_merge_mor": q_cdc_merge_mor,

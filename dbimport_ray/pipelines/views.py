@@ -123,6 +123,58 @@ def _need_schema(spec: dict, src_schema: pa.Schema, iud_col: str) -> pa.Schema:
     return pa.schema(seen)
 
 
+def _agg_signed_table(
+    t: pa.Table, spec: dict, out_schema: pa.Schema, sign: int
+) -> pa.Table | None:
+    """Per-group partial aggregate of an already-LIVE row image, negated
+    for the old image — one half of the Z-set delta. Shared by the
+    single-table kernel (:func:`_signed_agg`) and the join-view kernel
+    (:func:`_join_delta_partial`)."""
+    if t.num_rows == 0:
+        return None
+    gb = spec["group_by"]
+    for c in gb:
+        if t[c].null_count:
+            raise ValueError(
+                f"view group key {c!r} has null values — group keys are "
+                "the view table's primary key and must be non-null "
+                "(for a left-join view, a right-side group key is null "
+                "for unmatched rows — use an inner join or a left-side key)"
+            )
+    proj, aggs = _metric_columns(t, spec)
+    res = proj.group_by(gb).aggregate(aggs)
+    cols: dict[str, pa.ChunkedArray] = {c: res[c] for c in gb}
+    for alias, m in spec["metrics"].items():
+        src = "count_all" if m == "count" else f"{alias}_sum"
+        v = pc.cast(pc.fill_null(res[src], 0), out_schema.field(alias).type)
+        cols[alias] = pc.negate_checked(v) if sign < 0 else v
+    return pa.table({f.name: cols[f.name] for f in out_schema})
+
+
+def _combine_signed(
+    parts: list[pa.Table | None], spec: dict, out_schema: pa.Schema
+) -> pa.Table:
+    """Fold ±signed per-group partials to one row per touched group;
+    all-zero groups (rows moved, aggregates unchanged) are dropped here
+    so they never enter the exchange."""
+    parts = [p for p in parts if p is not None]
+    if not parts:
+        return out_schema.empty_table()
+    both = pa.concat_tables(parts)
+    gb = spec["group_by"]
+    aliases = list(spec["metrics"])
+    res = both.group_by(gb).aggregate([(a, "sum") for a in aliases])
+    cols = {c: res[c] for c in gb}
+    nonzero = None
+    for a in aliases:
+        v = pc.cast(pc.fill_null(res[f"{a}_sum"], 0), out_schema.field(a).type)
+        cols[a] = v
+        m = pc.not_equal(v, 0)
+        nonzero = m if nonzero is None else pc.or_(nonzero, m)
+    t = pa.table({f.name: cols[f.name] for f in out_schema})
+    return t.filter(nonzero) if t.num_rows else t
+
+
 def _signed_agg(
     root: str,
     side: dict | None,
@@ -144,21 +196,7 @@ def _signed_agg(
     t = t.filter(pc.not_equal(iud, "D"))
     if t.num_rows == 0:
         return None
-    gb = spec["group_by"]
-    for c in gb:
-        if t[c].null_count:
-            raise ValueError(
-                f"view group key {c!r} has null values — group keys are "
-                "the view table's primary key and must be non-null"
-            )
-    proj, aggs = _metric_columns(t, spec)
-    res = proj.group_by(gb).aggregate(aggs)
-    cols: dict[str, pa.ChunkedArray] = {c: res[c] for c in gb}
-    for alias, m in spec["metrics"].items():
-        src = "count_all" if m == "count" else f"{alias}_sum"
-        v = pc.cast(pc.fill_null(res[src], 0), out_schema.field(alias).type)
-        cols[alias] = pc.negate_checked(v) if sign < 0 else v
-    return pa.table({f.name: cols[f.name] for f in out_schema})
+    return _agg_signed_table(t, spec, out_schema, sign)
 
 
 @ray.remote
@@ -174,29 +212,14 @@ def _delta_partial(
     """agg(new_live) − agg(old_live) for ONE changed partition, folded to
     one row per touched group; all-zero groups (rows moved, aggregates
     unchanged) are dropped here so they never enter the exchange."""
-    parts = [
-        p
-        for p in (
+    return _combine_signed(
+        [
             _signed_agg(root, side_new, spec, iud_col, need, out_schema, +1),
             _signed_agg(root, side_old, spec, iud_col, need, out_schema, -1),
-        )
-        if p is not None
-    ]
-    if not parts:
-        return out_schema.empty_table()
-    both = pa.concat_tables(parts)
-    gb = spec["group_by"]
-    aliases = list(spec["metrics"])
-    res = both.group_by(gb).aggregate([(a, "sum") for a in aliases])
-    cols = {c: res[c] for c in gb}
-    nonzero = None
-    for a in aliases:
-        v = pc.cast(pc.fill_null(res[f"{a}_sum"], 0), out_schema.field(a).type)
-        cols[a] = v
-        m = pc.not_equal(v, 0)
-        nonzero = m if nonzero is None else pc.or_(nonzero, m)
-    t = pa.table({f.name: cols[f.name] for f in out_schema})
-    return t.filter(nonzero) if t.num_rows else t
+        ],
+        spec,
+        out_schema,
+    )
 
 
 def _apply_deltas_batch(
@@ -365,6 +388,11 @@ def open_view(lake_root: str, table: str, src=None) -> MaterializedView:
         src = CDCEngine(
             doc["src"]["lake_root"], TableConfig(**doc["src"]["cfg"])
         )
+    if "src_b" in doc:
+        src_b = CDCEngine(
+            doc["src_b"]["lake_root"], TableConfig(**doc["src_b"]["cfg"])
+        )
+        return JoinMaterializedView(src, src_b, engine, doc["spec"])
     return MaterializedView(src, engine, doc["spec"])
 
 
@@ -390,8 +418,11 @@ def discover_views(
             continue
         with open(spec_path) as f:
             doc = json.load(f)
-        if src_name is not None and doc["src"]["cfg"]["name"] != src_name:
-            continue
+        src_names = {doc["src"]["cfg"]["name"]}
+        if "src_b" in doc:
+            src_names.add(doc["src_b"]["cfg"]["name"])
+        if src_name is not None and src_name not in src_names:
+            continue  # (a join view is discovered from EITHER side)
         use_src = (
             src
             if src is not None and doc["src"]["cfg"]["name"] == src.cfg.name
@@ -399,6 +430,49 @@ def discover_views(
         )
         views.append(open_view(lake_root, d, src=use_src))
     return views
+
+
+def _fold_deltas(
+    view, futs, ev_schema: pa.Schema, seq: int, fail_before_commit: bool
+) -> tuple[dict, int]:
+    """The shared back half of every view refresh: fold the per-partition
+    delta partials across partitions (ONE delta-sized hash exchange),
+    point-read the affected groups' committed values and emit replayable
+    absolute-value events (:func:`_apply_deltas_batch`), then run the
+    view table's ordinary exactly-once merge pinned at ``seq``."""
+    eng, spec = view.engine, view.spec
+    groups_changed = 0
+    if futs:
+        from ray.data.aggregate import Sum
+
+        folded = (
+            rd.from_arrow_refs(futs)
+            .groupby(spec["group_by"])
+            .aggregate(*[Sum(a, alias_name=a) for a in view.aliases])
+            .materialize()  # delta-sized; pins the exchange result
+        )
+        groups_changed = folded.count()
+    if futs and groups_changed:
+        events = folded.map_batches(
+            _apply_deltas_batch,
+            batch_format="pyarrow",
+            batch_size=8192,
+            fn_kwargs=dict(
+                view_root=eng.store.root,
+                view_cfg=asdict(eng.cfg),
+                spec=spec,
+                src_version=seq,
+                events_schema=ev_schema,
+            ),
+        )
+    else:
+        # version advanced with no live aggregate change (maintenance
+        # bump, value-neutral churn): still commit the watermark
+        events = rd.from_arrow(ev_schema.empty_table())
+    r = eng.replay_dataset(
+        events, upto_seq=seq, fail_before_commit=fail_before_commit
+    )
+    return r, groups_changed
 
 
 def refresh_view(view: MaterializedView, fail_before_commit: bool = False) -> dict:
@@ -432,38 +506,10 @@ def refresh_view(view: MaterializedView, fail_before_commit: bool = False) -> di
             _delta_partial.remote(
                 src.store.root, so, sn, spec, src.cfg.col_iud, need, d_schema
             )
-            for so, sn in sides
+            for _pid, so, sn in sides
         ]
-        groups_changed = 0
-        if futs:
-            from ray.data.aggregate import Sum
-
-            folded = (
-                rd.from_arrow_refs(futs)
-                .groupby(spec["group_by"])
-                .aggregate(*[Sum(a, alias_name=a) for a in view.aliases])
-                .materialize()  # delta-sized; pins the exchange result
-            )
-            groups_changed = folded.count()
-        if futs and groups_changed:
-            events = folded.map_batches(
-                _apply_deltas_batch,
-                batch_format="pyarrow",
-                batch_size=8192,
-                fn_kwargs=dict(
-                    view_root=eng.store.root,
-                    view_cfg=asdict(eng.cfg),
-                    spec=spec,
-                    src_version=src_v,
-                    events_schema=ev_schema,
-                ),
-            )
-        else:
-            # version advanced with no live aggregate change (maintenance
-            # bump, value-neutral churn): still commit the watermark
-            events = rd.from_arrow(ev_schema.empty_table())
-        r = eng.replay_dataset(
-            events, upto_seq=src_v, fail_before_commit=fail_before_commit
+        r, groups_changed = _fold_deltas(
+            view, futs, ev_schema, src_v, fail_before_commit
         )
         import time as _time
 
@@ -515,6 +561,328 @@ def rebuild_view(view: MaterializedView) -> dict:
                 os.path.join(view.engine.store.root, VIEW_SPEC_FILE), "w"
             ) as f:
                 f.write(spec_doc)
-    r = refresh_view(view)
+    r = view.refresh()  # dispatches to the join refresh for join views
     r["status"] = "rebuilt"
     return r
+
+
+# ---------------------------------------------------------------------------
+# JOIN VIEWS: incremental aggregates over a co-partitioned bucket join
+# ---------------------------------------------------------------------------
+
+_SEQ_BASE = 2**31  # composite watermark: seq = vA * 2^31 + vB
+
+
+def _encode_pair(va: int, vb: int) -> int:
+    if vb >= _SEQ_BASE:
+        raise ValueError("source B version overflow")
+    return va * _SEQ_BASE + vb
+
+
+def _decode_pair(seq: int) -> tuple[int, int]:
+    return seq // _SEQ_BASE, seq % _SEQ_BASE
+
+
+def _manifest_at(store, cfg, version: int):
+    """Manifest at ``version``; version 0 is the empty table (the v0
+    convention of pipelines/diff.py — a 0→vN diff is the full feed)."""
+    from ..state.manifest import Manifest
+
+    if version == 0:
+        return Manifest(
+            table=cfg.name, version=0, committed_seq=-1, schema=None,
+            renames={}, partitions={}, history_files=[],
+            num_partitions=cfg.num_partitions, aggregates={},
+        )
+    return store.load_manifest(version=version)
+
+
+def _side_of(m, cfg, e: dict | None) -> dict | None:
+    if e is None:
+        return None
+    return {
+        "entry": e, "cfg": asdict(cfg),
+        "schema": m.schema, "renames": m.renames,
+    }
+
+
+@ray.remote
+def _join_delta_partial(
+    root_a: str,
+    root_b: str,
+    a_old: list,
+    a_new: list,
+    b_old: list,
+    b_new: list,
+    spec: dict,
+    pk: list[str],
+    iud_a: str,
+    iud_b: str,
+    need_a: pa.Schema,
+    need_b: pa.Schema,
+    out_schema: pa.Schema,
+) -> pa.Table:
+    """agg(join(A_new, B_new)) − agg(join(A_old, B_old)) for ONE coarse
+    partition class. Co-partitioning makes the join local: every key pair
+    of this class lives entirely inside the listed partition images, so
+    the delta is exact with zero exchange. Unchanged sides are passed as
+    the same list and read once."""
+    from ..state.schema_evolution import align_to_schema
+
+    how = "inner" if spec["join"]["how"] == "inner" else "left outer"
+
+    def _img(root, sides, need, iud):
+        tabs = []
+        for s in sides:
+            t = _read_image(root, s)
+            if t is None or t.num_rows == 0:
+                continue
+            t = align_to_schema(t, need, s.get("renames", {}))
+            flag = pc.fill_null(pc.cast(t[iud], pa.string()), "")
+            live = t.filter(pc.not_equal(flag, "D"))
+            if live.num_rows:
+                # drop the iud flag before the join: both sides carry the
+                # same system column names and the view only needs data
+                tabs.append(live.drop_columns([iud]))
+        data = pa.schema([f for f in need if f.name != iud])
+        return pa.concat_tables(tabs) if tabs else data.empty_table()
+
+    ao = _img(root_a, a_old, need_a, iud_a)
+    an = ao if a_new is a_old or a_new == a_old else _img(root_a, a_new, need_a, iud_a)
+    bo = _img(root_b, b_old, need_b, iud_b)
+    bn = bo if b_new is b_old or b_new == b_old else _img(root_b, b_new, need_b, iud_b)
+
+    j_old = ao.join(bo, keys=pk, join_type=how)
+    j_new = an.join(bn, keys=pk, join_type=how)
+    return _combine_signed(
+        [
+            _agg_signed_table(j_new, spec, out_schema, +1),
+            _agg_signed_table(j_old, spec, out_schema, -1),
+        ],
+        spec,
+        out_schema,
+    )
+
+
+class JoinMaterializedView(MaterializedView):
+    """A materialized aggregate over ``bucket_join_lakes(src, src_b)``,
+    maintained incrementally from BOTH sources' version diffs."""
+
+    def __init__(self, src, src_b, engine, spec: dict):
+        super().__init__(src, engine, spec)
+        self.src_b = src_b
+
+    def refresh(self, **kw) -> dict:
+        return refresh_join_view(self, **kw)
+
+    def last_src_version(self) -> tuple[int, int]:
+        return _decode_pair(max(self.engine.ckpt.load().committed_seq, 0))
+
+
+def create_join_view(
+    src,
+    src_b,
+    name: str,
+    group_by: list[str],
+    metrics: dict[str, str],
+    how: str = "inner",
+    num_partitions: int = 8,
+    lake_root: str | None = None,
+) -> JoinMaterializedView:
+    """Define a materialized aggregate view over the zero-exchange bucket
+    join of two lake tables co-partitioned on the same pk
+    (sources/lake.py:bucket_join_lakes). Group keys and metric source
+    columns may come from either side (non-pk column names must be
+    disjoint between the sides); refresh cost is proportional to the
+    partition classes EITHER source changed since the last refresh —
+    the incremental-view-maintenance answer to ``CREATE MATERIALIZED
+    VIEW … FROM a JOIN b GROUP BY …``."""
+    if not any(m == "count" for m in metrics.values()):
+        raise ValueError("view metrics must include a 'count'")
+    if list(src.cfg.pk) != list(src_b.cfg.pk):
+        raise ValueError(
+            f"join view needs identical pk columns: {src.cfg.pk} vs {src_b.cfg.pk}"
+        )
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    pa_n, pb_n = src.cfg.num_partitions, src_b.cfg.num_partitions
+    if pa_n % pb_n and pb_n % pa_n:
+        raise ValueError(
+            f"partition counts must divide for co-partitioning: {pa_n} vs {pb_n}"
+        )
+    pk = set(src.cfg.pk)
+    cols_a = set(src.cfg.value_columns) | pk
+    cols_b = set(src_b.cfg.value_columns) | pk
+    ma, mb = src.store.load_manifest(), src_b.store.load_manifest()
+    if ma.schema:
+        cols_a |= set(ma.arrow_schema().names)
+    if mb.schema:
+        cols_b |= set(mb.arrow_schema().names)
+    overlap = (cols_a - pk) & (cols_b - pk)
+    if overlap:
+        raise ValueError(
+            f"join-view sides share non-pk column names {sorted(overlap)} — "
+            "rename one side's columns (the view has no rsuffix)"
+        )
+    needed = set(group_by) | {
+        mt.split(":", 1)[1] for mt in metrics.values() if ":" in mt
+    }
+    missing = needed - cols_a - cols_b
+    if missing:
+        raise ValueError(f"view columns not in either source: {sorted(missing)}")
+    collide = set(metrics) & set(group_by)
+    if collide:
+        raise ValueError(f"metric aliases collide with group keys: {collide}")
+
+    from .cdc import CDCEngine
+
+    root = lake_root or os.path.dirname(src.store.root)
+    cfg = TableConfig(
+        name=f"{src.cfg.name}__{name}",
+        pk=list(group_by),
+        value_columns=list(metrics),
+        num_partitions=num_partitions,
+        soft_delete=False,
+        history=False,
+    )
+    engine = CDCEngine(root, cfg)
+    spec = {
+        "name": name, "group_by": list(group_by), "metrics": dict(metrics),
+        "join": {"how": how, "src_b": src_b.cfg.name},
+    }
+    doc = {
+        "spec": spec,
+        "view_cfg": asdict(cfg),
+        "src": {"lake_root": os.path.dirname(src.store.root),
+                "cfg": asdict(src.cfg)},
+        "src_b": {"lake_root": os.path.dirname(src_b.store.root),
+                  "cfg": asdict(src_b.cfg)},
+    }
+    with open(os.path.join(engine.store.root, VIEW_SPEC_FILE), "w") as f:
+        json.dump(doc, f, indent=1)
+    return JoinMaterializedView(src, src_b, engine, spec)
+
+
+def refresh_join_view(
+    view: JoinMaterializedView, fail_before_commit: bool = False
+) -> dict:
+    """Fold both sources' changes since the last refresh into the join
+    view. Watermark = the composite (vA, vB) pair, so exactly-once and
+    crash pinning work exactly as single-table views: a crashed refresh
+    resumes its pinned version pair before any newer pair may be
+    targeted."""
+    eng, a, b, spec = view.engine, view.src, view.src_b, view.spec
+    with eng.store.writer_lock:
+        cp = eng.ckpt.load()
+        if cp.pending_seq is not None:
+            va, vb = _decode_pair(int(cp.pending_seq))
+        else:
+            va = a.store.load_manifest().version
+            vb = b.store.load_manifest().version
+        la, lb = _decode_pair(max(cp.committed_seq, 0))
+        if va <= la and vb <= lb:
+            return {"status": "noop", "src_versions": [la, lb]}
+        seq = _encode_pair(va, vb)
+
+        ma_old = _manifest_at(a.store, a.cfg, la)
+        ma_new = _manifest_at(a.store, a.cfg, va)
+        mb_old = _manifest_at(b.store, b.cfg, lb)
+        mb_new = _manifest_at(b.store, b.cfg, vb)
+        sch_a = ma_new.arrow_schema()
+        sch_b = mb_new.arrow_schema()
+        if sch_a is None:
+            raise ValueError("source A has no committed schema")
+        pk = list(a.cfg.pk)
+        if sch_b is None:
+            # B never committed: typed-from-A pk + string value columns
+            sch_b = pa.schema(
+                [pa.field(c, sch_a.field(c).type) for c in pk]
+                + [pa.field(c, pa.string()) for c in b.cfg.value_columns]
+            )
+
+        pa_n = ma_new.num_partitions or a.cfg.num_partitions
+        pb_n = mb_new.num_partitions or b.cfg.num_partitions
+        pc_n = min(pa_n, pb_n)
+
+        def _changed(m_old, m_new) -> set[int]:
+            pids = set(m_old.partitions) | set(m_new.partitions)
+            return {
+                int(p) for p in pids
+                if m_old.partitions.get(p) != m_new.partitions.get(p)
+            }
+
+        classes = sorted(
+            {p % pc_n for p in _changed(ma_old, ma_new)}
+            | {p % pc_n for p in _changed(mb_old, mb_new)}
+        )
+
+        # column split: group keys / metric sources resolved per side
+        names_b = {f.name for f in sch_b if f.name not in pk}
+        used = list(dict.fromkeys(
+            spec["group_by"]
+            + [m.split(":", 1)[1] for m in spec["metrics"].values() if ":" in m]
+        ))
+        used_a = [c for c in used if c not in names_b]
+        used_b = [c for c in used if c in names_b]
+        need_a = pa.schema(
+            [sch_a.field(c) for c in pk]
+            + [sch_a.field(c) for c in used_a if c not in pk]
+            + [pa.field(a.cfg.col_iud, pa.string())]
+        )
+        need_b = pa.schema(
+            [pa.field(c, sch_a.field(c).type) for c in pk]
+            + [sch_b.field(c) for c in used_b]
+            + [pa.field(b.cfg.col_iud, pa.string())]
+        )
+        combined = pa.schema(
+            list(sch_a) + [sch_b.field(n) for n in sorted(names_b)]
+        )
+        d_schema = _delta_schema(spec, combined)
+        ev_schema = _events_schema(eng.cfg, d_schema)
+
+        def _class_sides(m, cfg, p_n: int, cls: int) -> list:
+            if p_n == pc_n:
+                member = [cls]
+            else:  # finer side: pids ≡ cls (mod pc_n)
+                member = list(range(cls, p_n, pc_n))
+            out = []
+            for i in member:
+                e = m.partitions.get(str(i))
+                if e is not None:
+                    out.append(_side_of(m, cfg, e))
+            return out
+
+        futs = []
+        for cls in classes:
+            ao = _class_sides(ma_old, a.cfg, pa_n, cls)
+            an = _class_sides(ma_new, a.cfg, pa_n, cls)
+            bo = _class_sides(mb_old, b.cfg, pb_n, cls)
+            bn = _class_sides(mb_new, b.cfg, pb_n, cls)
+            futs.append(_join_delta_partial.remote(
+                a.store.root, b.store.root, ao, an, bo, bn,
+                spec, pk, a.cfg.col_iud, b.cfg.col_iud,
+                need_a, need_b, d_schema,
+            ))
+
+        r, groups_changed = _fold_deltas(
+            view, futs, ev_schema, seq, fail_before_commit
+        )
+        import time as _time
+
+        eng.store.append_metrics({
+            "kind": "view_refresh", "src_table": a.cfg.name,
+            "src_table_b": b.cfg.name,
+            "from_versions": [la, lb], "src_versions": [va, vb],
+            "groups_changed": int(groups_changed),
+            "classes_read": len(classes),
+            "classes_total": pc_n,
+            "ts": _time.time(),
+        })
+        return {
+            "status": r["status"],
+            "src_versions": [va, vb],
+            "from_versions": [la, lb],
+            "groups_changed": int(groups_changed),
+            "classes_read": len(classes),
+            "classes_total": pc_n,
+        }

@@ -1,0 +1,237 @@
+"""Join views (pipelines/views.py:create_join_view): an aggregate over
+the zero-exchange bucket join of two co-partitioned lake tables,
+maintained incrementally from BOTH sources' version diffs. Oracle: a
+from-scratch pandas join+groupby over the two live tables at every
+refresh point."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from dbimport_ray import CDCEngine, create_join_view, discover_views, open_view
+from dbimport_ray.config import TableConfig
+
+N_KEYS = 120
+
+
+def _orders_cfg(parts=4, **kw):
+    kw.setdefault("keep_versions", 16)
+    return TableConfig(name="jorders", pk=["uid"], value_columns=["amount"],
+                       num_partitions=parts, soft_delete=True, **kw)
+
+
+def _users_cfg(parts=4, **kw):
+    kw.setdefault("keep_versions", 16)
+    return TableConfig(name="jusers", pk=["uid"], value_columns=["segment"],
+                       num_partitions=parts, soft_delete=True, **kw)
+
+
+def _write(path, rows, cols):
+    """rows: list of (seq, op, uid, value); cols: name of the value col."""
+    is_d = [r[1] == "D" for r in rows]
+    t = pa.table({
+        "sequence_id": pa.array([r[0] for r in rows], pa.int64()),
+        "op": pa.array([r[1] for r in rows]),
+        "uid": pa.array([r[2] for r in rows], pa.int64()),
+        cols: pa.array(
+            [None if d else r[3] for d, r in zip(is_d, rows)]
+        ),
+    })
+    pq.write_table(t, path)
+    return path
+
+
+def _live_df(eng, cols):
+    t = eng.arrow()
+    live = t.filter(
+        pc.not_equal(pc.fill_null(pc.cast(t["datalake_iud"], pa.string()), ""), "D")
+    )
+    return live.select(["uid"] + cols).to_pandas()
+
+
+def _expected(orders, users, how="inner"):
+    o = _live_df(orders, ["amount"])
+    u = _live_df(users, ["segment"])
+    j = o.merge(u, on="uid", how=how)
+    exp = j.groupby("segment", as_index=False, dropna=False).agg(
+        cnt=("uid", "size"), total=("amount", "sum"))
+    return exp.sort_values("segment").reset_index(drop=True)
+
+
+def _got(view):
+    df = view.arrow().to_pandas()[["segment", "cnt", "total"]]
+    return df.sort_values("segment").reset_index(drop=True)
+
+
+def _assert_equal(view, orders, users):
+    exp, got = _expected(orders, users), _got(view)
+    assert list(got["segment"]) == list(exp["segment"])
+    assert list(got["cnt"]) == list(exp["cnt"])
+    np.testing.assert_allclose(got["total"], exp["total"], rtol=1e-9)
+
+
+def _streams(tmp_path, rng):
+    """Two change streams: orders (fact) and users (dim), three batches
+    each — inserts, then churn on both sides, then deletes + segment
+    migrations (the dim-side change that re-groups fact rows)."""
+    uids = np.arange(N_KEYS)
+    segs = ["s0", "s1", "s2", "s3"]
+    o_rows, u_rows = [], []
+    seq = 0
+    for uid in uids:
+        seq += 1
+        u_rows.append((seq, "I", uid, segs[uid % 4]))
+        seq += 1
+        o_rows.append((seq, "I", uid, float(rng.integers(1, 80)) / 4.0))
+    b1 = seq
+    for uid in rng.choice(uids, 40, replace=False):
+        seq += 1
+        o_rows.append((seq, "U", uid, float(rng.integers(1, 80)) / 4.0))
+    for uid in rng.choice(uids, 25, replace=False):
+        seq += 1
+        u_rows.append((seq, "U", uid, segs[int(rng.integers(0, 4))]))
+    b2 = seq
+    for uid in rng.choice(uids, 15, replace=False):
+        seq += 1
+        o_rows.append((seq, "D", uid, None))
+    for uid in rng.choice(uids, 10, replace=False):
+        seq += 1
+        u_rows.append((seq, "D", uid, None))
+    for uid in rng.choice(uids, 12, replace=False):
+        seq += 1
+        u_rows.append((seq, "U", uid, segs[int(rng.integers(0, 4))]))
+    b3 = seq
+    po = _write(str(tmp_path / "orders.parquet"), o_rows, "amount")
+    pu = _write(str(tmp_path / "users.parquet"), u_rows, "segment")
+    return po, pu, [b1, b2, b3]
+
+
+def test_join_view_incremental_equals_recompute(tmp_path, ray_session):
+    rng = np.random.default_rng(17)
+    po, pu, bounds = _streams(tmp_path, rng)
+    orders = CDCEngine(str(tmp_path / "lake"), _orders_cfg())
+    users = CDCEngine(str(tmp_path / "lake"), _users_cfg())
+    view = create_join_view(
+        orders, users, "rev_by_segment", ["segment"],
+        {"cnt": "count", "total": "sum:amount"},
+    )
+    for b in bounds:
+        orders.replay(po, upto_seq=b)
+        users.replay(pu, upto_seq=b)
+        r = view.refresh()
+        assert r["status"] == "committed"
+        _assert_equal(view, orders, users)
+    # exactly-once: same version pair again → noop
+    assert view.refresh()["status"] == "noop"
+    assert view.last_src_version() == (3, 3)
+
+
+def test_join_view_one_sided_change(tmp_path, ray_session):
+    """A dim-side-only change refreshes through the SAME protocol and
+    reads only the classes the dim change touched."""
+    rng = np.random.default_rng(23)
+    po, pu, bounds = _streams(tmp_path, rng)
+    orders = CDCEngine(str(tmp_path / "lake"), _orders_cfg())
+    users = CDCEngine(str(tmp_path / "lake"), _users_cfg())
+    view = create_join_view(
+        orders, users, "rev2", ["segment"],
+        {"cnt": "count", "total": "sum:amount"},
+    )
+    orders.replay(po, upto_seq=bounds[-1])
+    users.replay(pu, upto_seq=bounds[0])
+    view.refresh()
+    _assert_equal(view, orders, users)
+    # one user (with a LIVE order) flips segment: only users advances
+    live_uid = int(_live_df(orders, ["amount"])["uid"].iloc[0])
+    pq.write_table(pa.table({
+        "sequence_id": pa.array([bounds[-1] + 1], pa.int64()),
+        "op": pa.array(["U"]),
+        "uid": pa.array([live_uid], pa.int64()),
+        "segment": pa.array(["s9"]),
+    }), str(tmp_path / "flip.parquet"))
+    users.replay(str(tmp_path / "flip.parquet"))
+    r = view.refresh()
+    assert r["classes_read"] == 1  # one partition class touched
+    _assert_equal(view, orders, users)
+    got = _got(view)
+    assert "s9" in set(got["segment"])
+
+
+def test_join_view_mixed_partition_counts(tmp_path, ray_session):
+    """Fact at 8 partitions, dim at 4: classes fold the finer side's
+    partner partitions; result equals the recompute."""
+    rng = np.random.default_rng(31)
+    po, pu, bounds = _streams(tmp_path, rng)
+    orders = CDCEngine(str(tmp_path / "lake"), _orders_cfg(parts=8))
+    users = CDCEngine(str(tmp_path / "lake"), _users_cfg(parts=4))
+    view = create_join_view(
+        orders, users, "rev8x4", ["segment"],
+        {"cnt": "count", "total": "sum:amount"},
+    )
+    for b in bounds:
+        orders.replay(po, upto_seq=b)
+        users.replay(pu, upto_seq=b)
+        view.refresh()
+        _assert_equal(view, orders, users)
+
+
+def test_join_view_crash_resume_and_reopen(tmp_path, ray_session):
+    rng = np.random.default_rng(41)
+    po, pu, bounds = _streams(tmp_path, rng)
+    orders = CDCEngine(str(tmp_path / "lake"), _orders_cfg())
+    users = CDCEngine(str(tmp_path / "lake"), _users_cfg())
+    view = create_join_view(
+        orders, users, "revcr", ["segment"],
+        {"cnt": "count", "total": "sum:amount"},
+    )
+    orders.replay(po, upto_seq=bounds[0])
+    users.replay(pu, upto_seq=bounds[0])
+    with pytest.raises(RuntimeError):
+        view.refresh(fail_before_commit=True)
+    # both sources move on while the refresh is in flight
+    orders.replay(po, upto_seq=bounds[-1])
+    users.replay(pu, upto_seq=bounds[-1])
+    r1 = view.refresh()  # resumes the PINNED pair (1, 1), not head
+    assert r1["src_versions"] == [1, 1]
+    r2 = view.refresh()  # then catches up
+    assert r2["src_versions"] == [2, 2]
+    _assert_equal(view, orders, users)
+
+    # reopen from disk resolves both sources; discovery sees it from
+    # EITHER side
+    vo = open_view(str(tmp_path / "lake"), "jorders__revcr")
+    assert vo.refresh()["status"] == "noop"
+    names_a = {v.name for v in discover_views(str(tmp_path / "lake"),
+                                              src_name="jorders")}
+    names_b = {v.name for v in discover_views(str(tmp_path / "lake"),
+                                              src_name="jusers")}
+    assert "revcr" in names_a and "revcr" in names_b
+
+
+def test_join_view_validation(tmp_path, ray_session):
+    orders = CDCEngine(str(tmp_path / "lake"), _orders_cfg())
+    users = CDCEngine(str(tmp_path / "lake"), _users_cfg())
+    with pytest.raises(ValueError, match="count"):
+        create_join_view(orders, users, "v", ["segment"], {"t": "sum:amount"})
+    with pytest.raises(ValueError, match="not in either source"):
+        create_join_view(orders, users, "v", ["nope"], {"cnt": "count"})
+    bad = CDCEngine(str(tmp_path / "lake"),
+                    TableConfig(name="jbad", pk=["other"],
+                                value_columns=["x"], num_partitions=4))
+    with pytest.raises(ValueError, match="identical pk"):
+        create_join_view(orders, bad, "v", ["segment"], {"cnt": "count"})
+    odd = CDCEngine(str(tmp_path / "lake"),
+                    TableConfig(name="jodd", pk=["uid"],
+                                value_columns=["segment2"], num_partitions=3))
+    with pytest.raises(ValueError, match="divide"):
+        create_join_view(orders, odd, "v", ["segment2"], {"cnt": "count"})
+    clash = CDCEngine(str(tmp_path / "lake"),
+                      TableConfig(name="jclash", pk=["uid"],
+                                  value_columns=["amount"], num_partitions=4))
+    with pytest.raises(ValueError, match="share non-pk column"):
+        create_join_view(orders, clash, "v", ["amount"], {"cnt": "count"})
