@@ -97,6 +97,7 @@ QUERY_NAMES = [
     "lake_bucket_join",
     "view_incremental",
     "export_sql_roundtrip",
+    "join_view_incremental",
 ]
 
 
