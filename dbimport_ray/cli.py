@@ -114,6 +114,19 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--table", default=None, help="filter to views of one source table")
 
     sp = sub.add_parser(
+        "expire",
+        help="TTL/retention: delete every live row matching a predicate "
+             "(zone-pruned read, delete events through the ordinary merge)",
+    )
+    common(sp)
+    sp.add_argument("--col", required=True)
+    sp.add_argument("--op", required=True,
+                    choices=[">", ">=", "<", "<=", "==", "!="])
+    sp.add_argument("--value", required=True,
+                    help="JSON literal (number/bool/string); plain strings ok")
+    sp.add_argument("--dry-run", action="store_true")
+
+    sp = sub.add_parser(
         "export-sql",
         help="row-level incremental SQL export: ship only changed rows "
              "since the last export as idempotent upserts + PK deletes",
@@ -498,6 +511,16 @@ def main(argv: list[str] | None = None) -> int:
         if args.refresh:
             out["refresh"] = vw.refresh()
         print(json.dumps(out, sort_keys=True))
+    elif args.cmd == "expire":
+        from .pipelines.maintain import expire_rows
+
+        try:
+            val = json.loads(args.value)
+        except json.JSONDecodeError:
+            val = args.value
+        print(json.dumps(expire_rows(
+            eng, (args.col, args.op, val), dry_run=args.dry_run,
+        )))
     elif args.cmd == "export-sql":
         from .pipelines.export import export_changes_sql
 

@@ -1127,3 +1127,62 @@ def drift_report(engine: CDCEngine, window: int = 10) -> dict:
                     "window_mad": mad,
                 })
     return {"ok": not findings, "batches": len(recs), "findings": findings}
+
+
+def expire_rows(
+    engine: CDCEngine, predicate: tuple[str, str, object],
+    dry_run: bool = False,
+) -> dict:
+    """TTL / retention deletion: every LIVE row matching ``(col, op,
+    value)`` — e.g. ``("datalake_update", "<", cutoff)`` or a business
+    column — becomes a key-only delete change event replayed through the
+    ordinary merge, so expiry inherits everything the engine already
+    guarantees: soft/hard delete per table config, history, exactly-once
+    2PC commit, quarantine exemption, MOR delta stacking. The candidate
+    read is the zone-pruned + row-group-pushdown path
+    (``dataset_where``), so a time-based TTL over a mostly-cold table
+    opens only the partition files whose max timestamp reaches the
+    cutoff. Returns ``{matched, files_kept, files_total, status}``;
+    ``dry_run`` counts without deleting. Reference analogue: none —
+    DBImport truncates or full-loads; row-range retention is manual
+    Hive DDL there."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cfg = engine.cfg
+    cp = engine.ckpt.load()
+    seq = int(cp.committed_seq) + 1
+    stats: dict = {}
+    ds = engine.dataset_where(predicate, stats=stats)
+    pk = list(cfg.pk)
+    seq_col, op_col, iud = cfg.sequence_col, cfg.op_col, cfg.col_iud
+
+    def _to_deletes(t: pa.Table) -> pa.Table:
+        flag = pc.fill_null(pc.cast(t[iud], pa.string()), "")
+        live = t.filter(pc.not_equal(flag, "D"))
+        n = live.num_rows
+        cols = {
+            seq_col: pa.array([seq] * n, pa.int64()),
+            op_col: pa.array(["D"] * n, pa.string()),
+        }
+        for k in pk:
+            cols[k] = live[k]
+        return pa.table(cols)
+
+    events = ds.map_batches(_to_deletes, batch_format="pyarrow").materialize()
+    matched = events.count()
+    out = {
+        "matched": int(matched),
+        "files_kept": stats.get("files_kept"),
+        "files_total": stats.get("files_total"),
+    }
+    if dry_run or matched == 0:
+        out["status"] = "dry_run" if dry_run else "noop"
+        return out
+    r = engine.replay_dataset(events, upto_seq=seq)
+    engine.store.append_metrics({
+        "kind": "expire", "predicate": list(map(str, predicate)),
+        "matched": int(matched), "seq": seq,
+    })
+    out["status"] = r["status"]
+    return out

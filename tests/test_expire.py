@@ -1,0 +1,79 @@
+"""TTL / retention deletion (maintain.py:expire_rows): predicate-matched
+live rows become delete events through the ordinary merge — soft/hard per
+config, zone-pruned candidate read, exactly-once, noop re-run."""
+
+import json
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from dbimport_ray import CDCEngine
+from dbimport_ray.config import TableConfig
+from dbimport_ray.pipelines.maintain import expire_rows
+
+
+def _seed(tmp_path, soft=True):
+    cfg = TableConfig(name="t", pk=["k"], value_columns=["age", "s"],
+                      num_partitions=4, soft_delete=soft)
+    eng = CDCEngine(str(tmp_path / ("lake_s" if soft else "lake_h")), cfg)
+    n = 200
+    p = str(tmp_path / f"ev_{soft}.parquet")
+    pq.write_table(pa.table({
+        "sequence_id": pa.array(range(1, n + 1), pa.int64()),
+        "op": pa.array(["I"] * n),
+        "k": pa.array(range(n), pa.int64()),
+        "age": pa.array([i % 10 for i in range(n)], pa.int64()),
+        "s": pa.array([f"r{i}" for i in range(n)]),
+    }), p)
+    eng.replay(p)
+    return eng
+
+
+def _live(eng):
+    t = eng.arrow()
+    return t.filter(
+        pc.not_equal(pc.fill_null(pc.cast(t["datalake_iud"], pa.string()), ""), "D")
+    )
+
+
+def test_expire_soft_and_rerun_noop(tmp_path, ray_session):
+    eng = _seed(tmp_path, soft=True)
+    r = expire_rows(eng, ("age", ">=", 8))
+    assert r["status"] == "committed" and r["matched"] == 40
+    live = _live(eng)
+    assert live.num_rows == 160
+    assert pc.max(live["age"]).as_py() == 7
+    # tombstones kept (soft delete), history of the expiry preserved
+    assert eng.arrow().num_rows == 200
+    # re-run: nothing left to expire
+    assert expire_rows(eng, ("age", ">=", 8))["status"] == "noop"
+    # ledger row
+    recs = [m for m in eng.store.read_metrics() if m.get("kind") == "expire"]
+    assert recs and recs[-1]["matched"] == 40
+
+
+def test_expire_hard_and_dry_run(tmp_path, ray_session):
+    eng = _seed(tmp_path, soft=False)
+    d = expire_rows(eng, ("age", "==", 0), dry_run=True)
+    assert d["status"] == "dry_run" and d["matched"] == 20
+    assert _live(eng).num_rows == 200  # dry run touched nothing
+    r = expire_rows(eng, ("age", "==", 0))
+    assert r["matched"] == 20
+    t = eng.arrow()
+    assert t.num_rows == 180  # hard delete: rows physically gone
+    assert 0 not in pc.unique(t["age"]).to_pylist()
+
+
+def test_expire_cli(tmp_path, ray_session, capsys):
+    from dbimport_ray.cli import main
+
+    eng = _seed(tmp_path, soft=True)
+    lake = str(tmp_path / "lake_s")
+    base = ["--lake", lake, "--table", "t", "--pk", "k",
+            "--values", "age,s", "--partitions", "4"]
+    assert main(["expire", *base, "--col", "age", "--op", "<",
+                 "--value", "2"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["status"] == "committed" and out["matched"] == 40
+    assert _live(eng).num_rows == 160
