@@ -236,6 +236,40 @@ def q_view_incremental(sf_dir: str) -> pa.Table:
     return t.append_column("avg_value", avg)
 
 
+def q_view_minmax(sf_dir: str) -> pa.Table:
+    """Partition-summary view (pipelines/views.py:PartitionSummaryView):
+    min/max are not subtractable, so the view stores per-(group,
+    source-partition) ABSOLUTE summaries and a retraction re-summarizes
+    only the partitions the batch touched; the folded read (Sum/Min/Max
+    over the summary rows) is hash-checked against a from-scratch
+    GROUP BY with min/max over the live state — batch 2's deletes move
+    group minima, the case a Z-set delta cannot express."""
+    from .views import create_view
+
+    root = _scratch("vmm")
+    stream = _derive_cdc_stream(sf_dir, root)
+    cfg = TableConfig(
+        name="user_state_vmm",
+        pk=["user_id"],
+        value_columns=["event_type", "value"],
+        num_partitions=8,
+        soft_delete=True,
+        keep_versions=8,
+    )
+    eng = CDCEngine(os.path.join(root, "lake"), cfg)
+    view = create_view(
+        eng, "mm_by_type", ["event_type"],
+        {"cnt": "count", "mn": "min:value", "mx": "max:value",
+         "total": "sum:value"},
+    )
+    mx = max_sequence(stream)
+    eng.replay(stream, upto_seq=mx // 2)
+    view.refresh()
+    eng.replay(stream, upto_seq=mx)
+    view.refresh()
+    return view.arrow().select(["event_type", "cnt", "mn", "mx", "total"])
+
+
 def q_join_view_incremental(sf_dir: str) -> pa.Table:
     """Materialized aggregate over a co-partitioned bucket JOIN
     (pipelines/views.py:create_join_view): user_state (fact, 8
@@ -3440,6 +3474,12 @@ ORACLES["export_sql_roundtrip"] = _LIVE_STATE_SQL + """
 SELECT user_id, event_type, value FROM live
 """
 
+ORACLES["view_minmax"] = _LIVE_STATE_SQL + """
+SELECT event_type, count(*) AS cnt, min(value) AS mn, max(value) AS mx,
+       sum(value) AS total
+FROM live GROUP BY event_type
+"""
+
 ORACLES["join_view_incremental"] = _LIVE_STATE_SQL + """
 , dim AS (
   SELECT DISTINCT user_id, 's' || CAST(user_id % 4 AS VARCHAR) AS segment
@@ -4474,6 +4514,7 @@ GROUP BY text
 QUERIES = {
     # --- new in round 4 (oracle-backed) ---
     "view_incremental": q_view_incremental,
+    "view_minmax": q_view_minmax,
     "join_view_incremental": q_join_view_incremental,
     "export_sql_roundtrip": q_export_sql_roundtrip,
     "where_pushdown": q_where_pushdown,

@@ -329,11 +329,16 @@ def create_view(
 ) -> MaterializedView:
     """Define a materialized view over ``src`` (a CDCEngine). ``metrics``
     uses the ``state/aggregates.py`` spec forms — ``"count"``,
-    ``"sum:col"``, ``"len_sum:col"`` — and must include a count. The view
-    is created EMPTY at source version 0; the first ``refresh()`` folds
-    in the full live table (a v0→vN diff is the full feed), so creation
-    and catch-up share one code path."""
-    if not any(m == "count" for m in metrics.values()):
+    ``"sum:col"``, ``"len_sum:col"``, plus ``"min:col"`` / ``"max:col"``.
+    Subtractable metric sets fold as Z-set deltas and must include a
+    count (group liveness); a min/max anywhere switches the view to the
+    partition-summary layout (:class:`PartitionSummaryView` — per-(group,
+    source-partition) absolutes, retraction-exact, no count needed). The
+    view is created EMPTY at source version 0; the first ``refresh()``
+    folds in the full live table (a v0→vN diff is the full feed), so
+    creation and catch-up share one code path."""
+    psummary = _has_nonsubtractable(metrics)
+    if not psummary and not any(m == "count" for m in metrics.values()):
         raise ValueError(
             "view metrics must include a 'count' — group liveness "
             "(drop-at-zero) is derived from it"
@@ -357,7 +362,7 @@ def create_view(
     root = lake_root or os.path.dirname(src.store.root)
     cfg = TableConfig(
         name=f"{src.cfg.name}__{name}",
-        pk=list(group_by),
+        pk=list(group_by) + ([SRC_PID_COL] if psummary else []),
         value_columns=list(metrics),
         num_partitions=num_partitions,
         soft_delete=False,  # a dead group leaves the view, as in GROUP BY
@@ -365,6 +370,8 @@ def create_view(
     )
     engine = CDCEngine(root, cfg)
     spec = {"name": name, "group_by": list(group_by), "metrics": dict(metrics)}
+    if psummary:
+        spec["layout"] = "psummary"
     doc = {
         "spec": spec,
         "view_cfg": asdict(cfg),
@@ -373,6 +380,8 @@ def create_view(
     }
     with open(os.path.join(engine.store.root, VIEW_SPEC_FILE), "w") as f:
         json.dump(doc, f, indent=1)
+    if psummary:
+        return PartitionSummaryView(src, engine, spec)
     return MaterializedView(src, engine, spec)
 
 
@@ -393,6 +402,8 @@ def open_view(lake_root: str, table: str, src=None) -> MaterializedView:
             doc["src_b"]["lake_root"], TableConfig(**doc["src_b"]["cfg"])
         )
         return JoinMaterializedView(src, src_b, engine, doc["spec"])
+    if doc["spec"].get("layout") == "psummary":
+        return PartitionSummaryView(src, engine, doc["spec"])
     return MaterializedView(src, engine, doc["spec"])
 
 
@@ -885,4 +896,263 @@ def refresh_join_view(
             "groups_changed": int(groups_changed),
             "classes_read": len(classes),
             "classes_total": pc_n,
+        }
+
+
+# ---------------------------------------------------------------------------
+# PARTITION-SUMMARY VIEWS: min/max (non-subtractable) aggregates
+# ---------------------------------------------------------------------------
+
+SRC_PID_COL = "_src_pid"
+
+
+def _has_nonsubtractable(metrics: dict) -> bool:
+    return any(m.split(":", 1)[0] in ("min", "max") for m in metrics.values())
+
+
+def _summary_alias_type(metric: str, src_schema: pa.Schema) -> pa.DataType:
+    kind = metric.split(":", 1)[0]
+    if kind == "count" or kind == "len_sum":
+        return pa.int64()
+    src = src_schema.field(metric.split(":", 1)[1]).type
+    if kind in ("min", "max"):
+        return src
+    return pa.int64() if pa.types.is_integer(src) else pa.float64()
+
+
+def _summary_agg(t: pa.Table, spec: dict, out_types: dict) -> pa.Table:
+    """ABSOLUTE per-group stats of one partition image's live rows —
+    unlike the Z-set kernel there is no sign: min/max are not
+    subtractable, so the summary view stores per-(group, partition)
+    absolutes and retracts by replacing the whole summary row."""
+    gb = spec["group_by"]
+    for c in gb:
+        if t[c].null_count:
+            raise ValueError(
+                f"view group key {c!r} has null values — group keys are "
+                "the view table's primary key and must be non-null"
+            )
+    cols: dict = {c: t[c] for c in gb}
+    aggs: list = []
+    counted = False
+    for alias, m in spec["metrics"].items():
+        kind = m.split(":", 1)[0]
+        if kind == "count":
+            if not counted:
+                aggs.append(([], "count_all"))
+                counted = True
+        elif kind == "sum":
+            cols[alias] = t[m.split(":", 1)[1]]
+            aggs.append((alias, "sum"))
+        elif kind == "len_sum":
+            cols[alias] = pc.cast(pc.utf8_length(t[m.split(":", 1)[1]]), pa.int64())
+            aggs.append((alias, "sum"))
+        elif kind in ("min", "max"):
+            cols[alias] = t[m.split(":", 1)[1]]
+            aggs.append((alias, kind))
+        else:
+            raise ValueError(f"unknown metric {m!r}")
+    res = pa.table(cols).group_by(gb).aggregate(aggs)
+    out: dict = {c: res[c] for c in gb}
+    for alias, m in spec["metrics"].items():
+        kind = m.split(":", 1)[0]
+        src = "count_all" if kind == "count" else f"{alias}_{'sum' if kind in ('sum', 'len_sum') else kind}"
+        v = res[src]
+        if kind in ("count", "sum", "len_sum"):
+            v = pc.fill_null(v, 0)
+        out[alias] = pc.cast(v, out_types[alias])
+    return pa.table(out)
+
+
+@ray.remote
+def _psummary_partial(
+    root: str,
+    pid: str,
+    side_old: dict | None,
+    side_new: dict | None,
+    spec: dict,
+    iud_col: str,
+    need: pa.Schema,
+    ev_schema: pa.Schema,
+    src_version: int,
+) -> pa.Table:
+    """Replayable summary events for ONE changed partition: op U rows
+    carrying the new image's absolute per-group stats, op D rows for
+    groups that vanished from this partition. No exchange follows —
+    the events are complete as emitted."""
+    from ..state.schema_evolution import align_to_schema
+
+    gb = spec["group_by"]
+    aliases = list(spec["metrics"])
+    out_types = {a: ev_schema.field(a).type for a in aliases}
+
+    def _live(side):
+        t = _read_image(root, side)
+        if t is None or t.num_rows == 0:
+            return None
+        t = align_to_schema(t, need, side.get("renames", {}))
+        flag = pc.fill_null(pc.cast(t[iud_col], pa.string()), "")
+        t = t.filter(pc.not_equal(flag, "D"))
+        return t if t.num_rows else None
+
+    new = _live(side_new)
+    old = _live(side_old)
+    seq_col, op_col = ev_schema.names[0], ev_schema.names[1]
+    parts = []
+    if new is not None:
+        s = _summary_agg(new, spec, out_types)
+        n = s.num_rows
+        cols = {
+            seq_col: pa.array(np.full(n, src_version, dtype=np.int64)),
+            op_col: pa.array(["U"] * n),
+            SRC_PID_COL: pa.array(np.full(n, int(pid), dtype=np.int64)),
+        }
+        for c in gb:
+            cols[c] = s[c]
+        for a in aliases:
+            cols[a] = s[a]
+        parts.append(pa.table({f.name: cols[f.name] for f in ev_schema}))
+    # groups present in the old image but absent from the new one
+    if old is not None:
+        from ..stages.joins import _key_array
+
+        o = _summary_agg(old, spec, out_types)
+        if new is not None and parts:
+            ok = _key_array(o, gb)
+            nk = np.sort(_key_array(parts[0], gb))
+            if len(nk):
+                pos = np.minimum(np.searchsorted(nk, ok), len(nk) - 1)
+                gone = nk[pos] != ok
+            else:
+                gone = np.ones(len(ok), dtype=bool)
+            o = o.filter(pa.array(gone))
+        n = o.num_rows
+        if n:
+            cols = {
+                seq_col: pa.array(np.full(n, src_version, dtype=np.int64)),
+                op_col: pa.array(["D"] * n),
+                SRC_PID_COL: pa.array(np.full(n, int(pid), dtype=np.int64)),
+            }
+            for c in gb:
+                cols[c] = o[c]
+            for a in aliases:
+                cols[a] = pa.nulls(n, type=out_types[a])
+            parts.append(pa.table({f.name: cols[f.name] for f in ev_schema}))
+    if not parts:
+        return ev_schema.empty_table()
+    return pa.concat_tables(parts)
+
+
+class PartitionSummaryView(MaterializedView):
+    """View layout for non-subtractable aggregates (min/max): the lake
+    table stores per-(group, source-partition) ABSOLUTE summaries (pk =
+    group keys + _src_pid), refreshed by recomputing only the changed
+    partitions' summaries — a retraction anywhere in partition p costs
+    exactly p's image, never the table. Reads fold the summaries per
+    group: Sum for count/sum/len_sum, Min/Max for min/max — a
+    view-sized aggregate."""
+
+    def refresh(self, **kw) -> dict:
+        return refresh_summary_view(self, **kw)
+
+    def _fold(self, ds: rd.Dataset) -> rd.Dataset:
+        from ray.data.aggregate import Max, Min, Sum
+
+        aggs = []
+        for a, m in self.spec["metrics"].items():
+            kind = m.split(":", 1)[0]
+            cls = Min if kind == "min" else Max if kind == "max" else Sum
+            aggs.append(cls(a, alias_name=a))
+        return ds.groupby(self.group_by).aggregate(*aggs)
+
+    def dataset(self) -> rd.Dataset:
+        return self._fold(
+            self.engine.dataset(columns=self.group_by + self.aliases)
+        )
+
+    def arrow(self) -> pa.Table:
+        # Ray's sort-based groupby emits zero-column blocks for empty key
+        # ranges (the documented benign class) — skip them before select
+        tabs = [
+            t for t in ray.get(self.dataset().to_arrow_refs())
+            if t.num_rows and t.num_columns
+        ]
+        cols = self.group_by + self.aliases
+        if not tabs:
+            sch = self.engine.arrow().select(
+                [c for c in cols]
+            ).schema
+            return sch.empty_table()
+        return pa.concat_tables(
+            [t.select(cols) for t in tabs], promote_options="permissive"
+        )
+
+
+def refresh_summary_view(
+    view: PartitionSummaryView, fail_before_commit: bool = False
+) -> dict:
+    """Changed source partitions → absolute summary events → the view's
+    ordinary exactly-once merge. Same watermark/pinning protocol as
+    Z-set views; no exchange at all (events are final as emitted)."""
+    eng, src, spec = view.engine, view.src, view.spec
+    with eng.store.writer_lock:
+        cp = eng.ckpt.load()
+        if cp.pending_seq is not None:
+            src_v = int(cp.pending_seq)
+        else:
+            src_v = src.store.load_manifest().version
+        last = max(cp.committed_seq, 0)
+        if src_v <= last:
+            return {"status": "noop", "src_version": last}
+
+        stats: dict = {}
+        sides, src_schema = changed_partition_sides(
+            src.store, src.cfg, last, src_v, stats
+        )
+        if src_schema is None:
+            raise ValueError("source table has no committed schema")
+        need = _need_schema(spec, src_schema, src.cfg.col_iud)
+        ev_schema = pa.schema(
+            [
+                pa.field(eng.cfg.sequence_col, pa.int64()),
+                pa.field(eng.cfg.op_col, pa.string()),
+                pa.field(SRC_PID_COL, pa.int64()),
+            ]
+            + [src_schema.field(c) for c in spec["group_by"]]
+            + [
+                pa.field(a, _summary_alias_type(m, src_schema))
+                for a, m in spec["metrics"].items()
+            ]
+        )
+        futs = [
+            _psummary_partial.remote(
+                src.store.root, pid, so, sn, spec, src.cfg.col_iud,
+                need, ev_schema, src_v,
+            )
+            for pid, so, sn in sides
+        ]
+        events = (
+            rd.from_arrow_refs(futs)
+            if futs
+            else rd.from_arrow(ev_schema.empty_table())
+        )
+        r = eng.replay_dataset(
+            events, upto_seq=src_v, fail_before_commit=fail_before_commit
+        )
+        import time as _time
+
+        eng.store.append_metrics({
+            "kind": "view_refresh", "layout": "psummary",
+            "src_table": src.cfg.name,
+            "from_version": last, "src_version": src_v,
+            "src_partitions_read": stats.get("partitions_read", 0),
+            "src_partitions_total": stats.get("partitions_total", 0),
+            "ts": _time.time(),
+        })
+        return {
+            "status": r["status"],
+            "src_version": src_v,
+            "from_version": last,
+            "src_partitions_read": stats.get("partitions_read", 0),
+            "src_partitions_total": stats.get("partitions_total", 0),
         }
