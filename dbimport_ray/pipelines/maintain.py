@@ -594,6 +594,26 @@ def _vacuum_locked(
             ]
             _atomic_write_json(store.manifest_path, asdict(current))
 
+    # advisory: co-located materialized views whose last-refreshed source
+    # version fell below the new horizon can no longer refresh
+    # incrementally (their next refresh raises FileNotFoundError) — they
+    # need rebuild(). Vacuum proceeds regardless; the report names them.
+    views_at_risk = []
+    try:
+        from .views import discover_views
+
+        for vw in discover_views(
+            os.path.dirname(store.root), src_name=engine.cfg.name
+        ):
+            last = vw.last_src_version()
+            vals = last if isinstance(last, tuple) else (last,)
+            # a never-refreshed view (0) rebuilds from the full feed —
+            # not at risk; one refreshed below the horizon is
+            if any(0 < v < horizon for v in vals):
+                views_at_risk.append(vw.engine.cfg.name)
+    except Exception:
+        pass  # view discovery must never fail a vacuum
+
     return {
         "ok": True,
         "horizon": horizon,
@@ -602,6 +622,7 @@ def _vacuum_locked(
         "history_files_deleted": hist_deleted,
         "manifests_deleted": manifests_deleted,
         "bytes_reclaimed": reclaimed,
+        "views_need_rebuild": views_at_risk,
     }
 
 

@@ -39,10 +39,19 @@ mid-refresh RESUMES the same pinned source version (the pending
 watermark) before any newer version may be targeted, so no version range
 can ever be skipped or double-applied.
 
+Three layouts share the refresh protocol (watermark, crash pinning,
+rebuild, discovery, tail streaming): Z-set delta views (subtractable
+metrics — this module's main pipeline), partition-summary views
+(:class:`PartitionSummaryView` — min/max store per-(group, src-partition)
+absolutes; read-time fold is view×P-sized), and join views
+(:class:`JoinMaterializedView` — aggregates over the co-partitioned
+bucket join, composite (vA, vB) watermark).
+
 Caveats (documented contract):
-- The metric spec must include a ``count`` metric — a group is dropped
-  from the view exactly when its live count reaches zero, and retraction
-  needs the count to see that.
+- A Z-set metric spec must include a ``count`` metric — a group is
+  dropped from the view exactly when its live count reaches zero, and
+  retraction needs the count to see that. (Partition-summary views
+  don't need one: retraction is presence-based per partition.)
 - ``sum:`` metrics are null-as-zero (an all-null group sums to 0, where
   SQL returns NULL); integer sums are bit-exact under incremental
   folding, float sums carry the usual reassociation rounding.

@@ -77,3 +77,40 @@ def test_expire_cli(tmp_path, ray_session, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["status"] == "committed" and out["matched"] == 40
     assert _live(eng).num_rows == 160
+
+
+def test_vacuum_reports_stale_views(tmp_path, ray_session):
+    """Vacuuming past a view's last-refreshed version names the view in
+    views_need_rebuild; rebuild() then recovers it."""
+    from dbimport_ray import create_view
+    from dbimport_ray.pipelines.maintain import vacuum
+
+    cfg = TableConfig(name="t", pk=["k"], value_columns=["age", "s"],
+                      num_partitions=2, soft_delete=True, keep_versions=99)
+    eng = CDCEngine(str(tmp_path / "lakev"), cfg)
+    ps = []
+    for b in range(4):
+        p = str(tmp_path / f"vb{b}.parquet")
+        pq.write_table(pa.table({
+            "sequence_id": pa.array([b * 10 + 1], pa.int64()),
+            "op": pa.array(["I"]),
+            "k": pa.array([b], pa.int64()),
+            "age": pa.array([b], pa.int64()),
+            "s": pa.array([f"x{b}"]),
+        }), p)
+        ps.append(p)
+    eng.replay(ps[0])
+    view = create_view(eng, "by_age", ["age"], {"cnt": "count"})
+    view.refresh()  # view watermark = 1
+    for p in ps[1:]:
+        eng.replay(ps[: ps.index(p) + 1])
+    r = vacuum(eng, keep_versions=1)  # horizon > 1 → view can't refresh
+    assert r["views_need_rebuild"] == ["t__by_age"]
+    import pytest as _pt
+
+    with _pt.raises(FileNotFoundError):
+        view.refresh()
+    assert view.rebuild()["status"] == "rebuilt"
+    assert view.refresh()["status"] == "noop"
+    # current view no longer at risk
+    assert vacuum(eng, keep_versions=1)["views_need_rebuild"] == []
