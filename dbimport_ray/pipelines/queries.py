@@ -270,6 +270,37 @@ def q_view_minmax(sf_dir: str) -> pa.Table:
     return view.arrow().select(["event_type", "cnt", "mn", "mx", "total"])
 
 
+def q_view_approx_distinct(sf_dir: str) -> pa.Table:
+    """approx_distinct view metric (rows-only — HLL estimator, sketch
+    error ≈1.6% at p=12, so no exact SQL hash match; the estimator is
+    pytest-verified against exact nunique with retractions in
+    tests/test_summary_views.py): per-(group, partition) HLL register
+    blobs maintained incrementally, max-merged + estimated at read."""
+    from .views import create_view
+
+    root = _scratch("vad")
+    stream = _derive_cdc_stream(sf_dir, root)
+    cfg = TableConfig(
+        name="user_state_vad",
+        pk=["user_id"],
+        value_columns=["event_type", "value"],
+        num_partitions=8,
+        soft_delete=True,
+        keep_versions=8,
+    )
+    eng = CDCEngine(os.path.join(root, "lake"), cfg)
+    view = create_view(
+        eng, "ad_by_type", ["event_type"],
+        {"cnt": "count", "approx_users": "approx_distinct:user_id"},
+    )
+    mx = max_sequence(stream)
+    eng.replay(stream, upto_seq=mx // 2)
+    view.refresh()
+    eng.replay(stream, upto_seq=mx)
+    view.refresh()
+    return view.arrow().select(["event_type", "cnt", "approx_users"])
+
+
 def q_join_view_incremental(sf_dir: str) -> pa.Table:
     """Materialized aggregate over a co-partitioned bucket JOIN
     (pipelines/views.py:create_join_view): user_state (fact, 8
@@ -4640,6 +4671,7 @@ QUERIES = {
     "import_graph_docs": q_import_graph_docs,
     "heavy_hitters_tokens": q_heavy_hitters_tokens,
     # --- rows-only (no SQL-expressible oracle; pytest-verified) ---
+    "view_approx_distinct": q_view_approx_distinct,
     "cluster_split_docs": q_cluster_split_docs,
     "approx_quantiles_docs": q_approx_quantiles_docs,
     "approx_distinct_by_type": q_approx_distinct_by_type,

@@ -915,18 +915,52 @@ def refresh_join_view(
 SRC_PID_COL = "_src_pid"
 
 
+HLL_P = 12  # 4 KiB registers per (group, partition); std err ≈ 1.6%
+
+
 def _has_nonsubtractable(metrics: dict) -> bool:
-    return any(m.split(":", 1)[0] in ("min", "max") for m in metrics.values())
+    return any(
+        m.split(":", 1)[0] in ("min", "max", "approx_distinct")
+        for m in metrics.values()
+    )
 
 
 def _summary_alias_type(metric: str, src_schema: pa.Schema) -> pa.DataType:
     kind = metric.split(":", 1)[0]
     if kind == "count" or kind == "len_sum":
         return pa.int64()
+    if kind == "approx_distinct":
+        return pa.binary()  # stored form: HLL register blob
     src = src_schema.field(metric.split(":", 1)[1]).type
     if kind in ("min", "max"):
         return src
     return pa.int64() if pa.types.is_integer(src) else pa.float64()
+
+
+def _group_hll_blobs(
+    gcodes: np.ndarray, n_groups: int, values, p: int = HLL_P
+) -> list[bytes]:
+    """Per-group HLL register blobs in ONE vectorized pass: hash the
+    column (pandas hash_array handles any dtype), flatten (group, slot)
+    into one index space, and a single ``np.maximum.at`` fills every
+    group's registers."""
+    import pandas as pd
+
+    from ..stages.stats import _clz64, _splitmix64
+
+    m = 1 << p
+    vals = values.to_numpy(zero_copy_only=False)
+    null_mask = pd.isna(vals)
+    keep = ~null_mask
+    regs = np.zeros(n_groups * m, dtype=np.uint8)
+    if keep.any():
+        h = _splitmix64(pd.util.hash_array(vals[keep]).astype(np.uint64))
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        w = h << np.uint64(p)
+        rank = np.minimum(_clz64(w) + 1, 64 - p + 1).astype(np.uint8)
+        flat = gcodes[keep] * m + idx
+        np.maximum.at(regs, flat, rank)
+    return [regs[g * m:(g + 1) * m].tobytes() for g in range(n_groups)]
 
 
 def _summary_agg(t: pa.Table, spec: dict, out_types: dict) -> pa.Table:
@@ -944,6 +978,7 @@ def _summary_agg(t: pa.Table, spec: dict, out_types: dict) -> pa.Table:
     cols: dict = {c: t[c] for c in gb}
     aggs: list = []
     counted = False
+    hll_aliases = []
     for alias, m in spec["metrics"].items():
         kind = m.split(":", 1)[0]
         if kind == "count":
@@ -959,18 +994,42 @@ def _summary_agg(t: pa.Table, spec: dict, out_types: dict) -> pa.Table:
         elif kind in ("min", "max"):
             cols[alias] = t[m.split(":", 1)[1]]
             aggs.append((alias, kind))
+        elif kind == "approx_distinct":
+            hll_aliases.append(alias)  # computed below, outside group_by
         else:
             raise ValueError(f"unknown metric {m!r}")
+    if hll_aliases and not counted:
+        aggs.append(([], "count_all"))  # anchor a row per group
+        counted = True
     res = pa.table(cols).group_by(gb).aggregate(aggs)
     out: dict = {c: res[c] for c in gb}
+    if hll_aliases:
+        # map every input row to its output-group row, one searchsorted
+        from ..stages.joins import _key_array
+
+        rk = _key_array(res, gb)
+        order = np.argsort(rk, kind="stable")
+        ik = _key_array(t, gb)
+        pos = np.searchsorted(rk[order], ik)
+        gcodes = order[pos].astype(np.int64)
+        for alias in hll_aliases:
+            col = spec["metrics"][alias].split(":", 1)[1]
+            out[alias] = pa.array(
+                _group_hll_blobs(gcodes, res.num_rows, t[col]),
+                type=pa.binary(),
+            )
     for alias, m in spec["metrics"].items():
         kind = m.split(":", 1)[0]
+        if kind == "approx_distinct":
+            continue
         src = "count_all" if kind == "count" else f"{alias}_{'sum' if kind in ('sum', 'len_sum') else kind}"
         v = res[src]
         if kind in ("count", "sum", "len_sum"):
             v = pc.fill_null(v, 0)
         out[alias] = pc.cast(v, out_types[alias])
-    return pa.table(out)
+    return pa.table(
+        {c: out[c] for c in gb} | {a: out[a] for a in spec["metrics"]}
+    )
 
 
 @ray.remote
@@ -1065,14 +1124,56 @@ class PartitionSummaryView(MaterializedView):
         return refresh_summary_view(self, **kw)
 
     def _fold(self, ds: rd.Dataset) -> rd.Dataset:
-        from ray.data.aggregate import Max, Min, Sum
+        spec = self.spec
+        gb = self.group_by
+        if not any(
+            m.startswith("approx_distinct") for m in spec["metrics"].values()
+        ):
+            from ray.data.aggregate import Max, Min, Sum
 
-        aggs = []
-        for a, m in self.spec["metrics"].items():
-            kind = m.split(":", 1)[0]
-            cls = Min if kind == "min" else Max if kind == "max" else Sum
-            aggs.append(cls(a, alias_name=a))
-        return ds.groupby(self.group_by).aggregate(*aggs)
+            aggs = []
+            for a, m in spec["metrics"].items():
+                kind = m.split(":", 1)[0]
+                cls = Min if kind == "min" else Max if kind == "max" else Sum
+                aggs.append(cls(a, alias_name=a))
+            return ds.groupby(gb).aggregate(*aggs)
+
+        # HLL blobs need a custom merge (elementwise register max →
+        # estimate); the group fold is a view-sized map_groups kernel
+        metrics = dict(spec["metrics"])
+
+        def _kernel(t: pa.Table) -> pa.Table:
+            from ..stages.stats import hll_estimate
+
+            out: dict = {c: t[c].slice(0, 1) for c in gb}
+            for a, m in metrics.items():
+                kind = m.split(":", 1)[0]
+                if kind in ("count", "sum", "len_sum"):
+                    out[a] = pa.array([pc.sum(t[a]).as_py() or 0],
+                                      type=t.schema.field(a).type)
+                elif kind == "min":
+                    out[a] = pa.array([pc.min(t[a]).as_py()],
+                                      type=t.schema.field(a).type)
+                elif kind == "max":
+                    out[a] = pa.array([pc.max(t[a]).as_py()],
+                                      type=t.schema.field(a).type)
+                else:  # approx_distinct: max-merge registers, estimate
+                    blobs = [b for b in t[a].to_pylist() if b]
+                    if not blobs:
+                        out[a] = pa.array([0.0], pa.float64())
+                    else:
+                        merged = np.frombuffer(blobs[0], dtype=np.uint8).copy()
+                        for b in blobs[1:]:
+                            np.maximum(
+                                merged, np.frombuffer(b, dtype=np.uint8),
+                                out=merged,
+                            )
+                        out[a] = pa.array(
+                            [float(hll_estimate(merged))], pa.float64()
+                        )
+            return pa.table(out)
+
+        return ds.groupby(gb).map_groups(_kernel, batch_format="pyarrow")
 
     def dataset(self) -> rd.Dataset:
         return self._fold(

@@ -142,3 +142,46 @@ def test_minmax_crash_resume(tmp_path, ray_session):
     assert r1["src_version"] == 1  # pinned target first
     view.refresh()
     _assert_equal(view, eng)
+
+
+def test_approx_distinct_metric(tmp_path, ray_session):
+    """approx_distinct:col — per-(group, partition) HLL registers merged
+    at read time; estimate within HLL error of the exact distinct count,
+    and retraction-exact through partition re-summaries (deleting every
+    row carrying a value removes it from the sketch)."""
+    eng = CDCEngine(str(tmp_path / "lake"), _cfg("t_hll"))
+    view = create_view(
+        eng, "ad", ["g"], {"cnt": "count", "users": "approx_distinct:x"})
+    assert isinstance(view, PartitionSummaryView)
+
+    rng = np.random.default_rng(7)
+    # x values deliberately repeat: distinct-per-group << row count
+    rows = [(i + 1, "I", i, int(i % 4), float(rng.integers(0, 50)))
+            for i in range(2000)]
+    eng.replay(_write(tmp_path, "h1.parquet", rows))
+    view.refresh()
+    got = view.arrow().to_pandas().set_index("g")
+    t = eng.arrow()
+    live = t.filter(pc.not_equal(t["datalake_iud"], "D")).to_pandas()
+    exact = live.groupby("g")["x"].nunique()
+    for g in exact.index:
+        est = got.loc[g, "users"]
+        assert abs(est - exact[g]) <= max(3, 0.1 * exact[g]), (g, est, exact[g])
+
+    # retraction: delete EVERY row of group 0 whose x == its max value →
+    # the re-summarized sketch must drop that value
+    g0 = live[live["g"] == 0]
+    vmax = g0["x"].max()
+    ks = g0[g0["x"] == vmax]["k"].astype(int).tolist()
+    dele = [(2001 + i, "D", k, None, None) for i, k in enumerate(ks)]
+    eng.replay([_write(tmp_path, "h1.parquet", rows),
+                _write(tmp_path, "h2.parquet", dele)])
+    view.refresh()
+    got2 = view.arrow().to_pandas().set_index("g")
+    t2 = eng.arrow()
+    live2 = t2.filter(pc.not_equal(t2["datalake_iud"], "D")).to_pandas()
+    exact2 = live2.groupby("g")["x"].nunique()
+    assert exact2[0] == exact[0] - 1
+    est2 = got2.loc[0, "users"]
+    assert abs(est2 - exact2[0]) <= max(3, 0.1 * exact2[0])
+    assert est2 < got.loc[0, "users"] + 1e-9  # sketch actually shrank
