@@ -11,6 +11,13 @@ verbs (SURVEY.md §3) over the Ray-native engine.
                                        import_operations.py:3276)
     python -m dbimport_ray clear-stage --lake L --table T
                                       (manage --clearImportStage)
+    python -m dbimport_ray view-create --lake L ... --name V --group-by g
+                                      --metrics cnt=count,mn=min:x [--refresh]
+    python -m dbimport_ray view-refresh --lake L --view-table T__V [--rebuild]
+    python -m dbimport_ray views --lake L [--table T]
+    python -m dbimport_ray export-sql --lake L ... --db DB --target-table X
+                                      (row-level incremental, exactly-once)
+    python -m dbimport_ray expire --lake L ... --col c --op "<" --value 5
 
 Owns its Ray session (guarded init) — library code never calls ray.init.
 """

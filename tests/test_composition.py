@@ -1,0 +1,111 @@
+"""Cross-feature composition: a materialized view is an ordinary lake
+table, so every downstream surface composes with it — the incremental
+chain source → view → external SQL target moves only deltas at every
+hop, and a view changefeed replays into a replica lake."""
+
+import sqlite3
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from dbimport_ray import CDCEngine, create_view
+from dbimport_ray.config import TableConfig
+from dbimport_ray.pipelines.diff import mirror_lake
+from dbimport_ray.pipelines.export import export_changes_sql
+
+
+def _cfg(name):
+    return TableConfig(name=name, pk=["k"], value_columns=["g", "x"],
+                       num_partitions=4, soft_delete=True, keep_versions=16)
+
+
+def _write(tmp_path, name, rows):
+    is_d = [r[1] == "D" for r in rows]
+    t = pa.table({
+        "sequence_id": pa.array([r[0] for r in rows], pa.int64()),
+        "op": pa.array([r[1] for r in rows]),
+        "k": pa.array([r[2] for r in rows], pa.int64()),
+        "g": pa.array([None if d else r[3] for d, r in zip(is_d, rows)], pa.int64()),
+        "x": pa.array([None if d else float(r[4]) for d, r in zip(is_d, rows)], pa.float64()),
+    })
+    p = str(tmp_path / name)
+    pq.write_table(t, p)
+    return p
+
+
+def _expected_groups(eng):
+    t = eng.arrow()
+    live = t.filter(pc.not_equal(
+        pc.fill_null(pc.cast(t["datalake_iud"], pa.string()), ""), "D"))
+    df = live.select(["g", "x"]).to_pandas()
+    return (
+        df.assign(sx=df["x"].fillna(0.0))
+        .groupby("g").agg(cnt=("g", "size"), sx=("sx", "sum"))
+        .sort_index()
+    )
+
+
+def test_source_to_view_to_sql_chain(tmp_path, ray_session):
+    """Every hop incremental: batch 2 touches one key → the view refresh
+    reads one source partition, and the SQL export ships only the groups
+    that key moved (not the whole view)."""
+    eng = CDCEngine(str(tmp_path / "lake"), _cfg("t_chain"))
+    view = create_view(eng, "by_g", ["g"], {"cnt": "count", "sx": "sum:x"})
+    db = str(tmp_path / "serving.db")
+
+    rows = [(i + 1, "I", i, int(i % 6), float(i)) for i in range(240)]
+    eng.replay(_write(tmp_path, "c1.parquet", rows))
+    view.refresh()
+    r1 = export_changes_sql(view.engine, db, "agg_serving")
+    assert r1["status"] == "exported" and r1["upserts"] == 6
+
+    # batch 2: ONE key migrates group 0 → 99
+    eng.replay([_write(tmp_path, "c1.parquet", rows),
+                _write(tmp_path, "c2.parquet", [(241, "U", 0, 99, 5.5)])])
+    r2 = view.refresh()
+    assert r2["src_partitions_read"] == 1  # delta-sized hop 1
+    r3 = export_changes_sql(view.engine, db, "agg_serving")
+    assert r3["status"] == "exported"
+    assert r3["upserts"] + r3["deletes"] <= 3  # delta-sized hop 2 (g0, g99)
+
+    conn = sqlite3.connect(db)
+    got = {g: (c, s) for g, c, s in conn.execute(
+        'SELECT "g", "cnt", "sx" FROM "agg_serving"')}
+    conn.close()
+    exp = _expected_groups(eng)
+    assert set(got) == set(exp.index)
+    for g, row in exp.iterrows():
+        assert got[g][0] == row["cnt"]
+        np.testing.assert_allclose(got[g][1], row["sx"], rtol=1e-9)
+
+
+def test_view_mirrors_to_replica_lake(tmp_path, ray_session):
+    """The view's lake table rides the logical-replication surface: a
+    replica lake (different partition count) mirrors the view's live
+    state via its changefeed."""
+    eng = CDCEngine(str(tmp_path / "lake"), _cfg("t_mir"))
+    view = create_view(eng, "by_g", ["g"], {"cnt": "count", "sx": "sum:x"})
+    rows = [(i + 1, "I", i, int(i % 5), float(i)) for i in range(150)]
+    eng.replay(_write(tmp_path, "m1.parquet", rows))
+    view.refresh()
+
+    rep_cfg = TableConfig(name="view_replica", pk=["g"],
+                          value_columns=["cnt", "sx"], num_partitions=2,
+                          soft_delete=False)
+    rep = CDCEngine(str(tmp_path / "replica"), rep_cfg)
+    mirror_lake(view.engine, rep, scratch_dir=str(tmp_path / "scr"))
+    a = view.arrow().sort_by([("g", "ascending")])
+    b = rep.arrow().select(["g", "cnt", "sx"]).sort_by([("g", "ascending")])
+    assert a.select(["g", "cnt", "sx"]).equals(b)
+
+    # source moves; view refresh + second mirror converge the replica
+    eng.replay([_write(tmp_path, "m1.parquet", rows),
+                _write(tmp_path, "m2.parquet",
+                       [(151, "D", 3, None, None), (152, "U", 4, 77, 1.0)])])
+    view.refresh()
+    mirror_lake(view.engine, rep, scratch_dir=str(tmp_path / "scr"))
+    a2 = view.arrow().select(["g", "cnt", "sx"]).sort_by([("g", "ascending")])
+    b2 = rep.arrow().select(["g", "cnt", "sx"]).sort_by([("g", "ascending")])
+    assert a2.equals(b2)
