@@ -92,6 +92,10 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--refresh-views", action="store_true",
                     help="streaming materialized views: fold every "
                          "co-located view of this table after each commit")
+    sp.add_argument("--export-db", default=None,
+                    help="streaming external sink: row-level incremental "
+                         "SQL export after each commit (needs --export-table)")
+    sp.add_argument("--export-table", default=None)
 
     sp = sub.add_parser(
         "view-create",
@@ -505,6 +509,10 @@ def main(argv: list[str] | None = None) -> int:
             stop_after_batches=args.stop_after_batches,
             stop_file=args.stop_file,
             refresh_views=args.refresh_views,
+            export_sql=(
+                (args.export_db, args.export_table)
+                if args.export_db and args.export_table else None
+            ),
         )))
     elif args.cmd == "view-create":
         from .pipelines.views import create_view

@@ -1146,6 +1146,7 @@ class CDCEngine:
         on_late=None,
         compact_when_idle: bool = False,
         refresh_views: bool = False,
+        export_sql: tuple | None = None,
     ) -> list[dict]:
         """Continuous change-event tail — the daemon shape of the
         reference's always-on server loop (bin/mainServer: poll sources,
@@ -1185,6 +1186,16 @@ class CDCEngine:
         watermark, so a daemon killed between source commit and view
         refresh converges on the next poll. An up-to-date view costs one
         checkpoint read per poll.
+
+        ``export_sql=(db_or_factory, table)``: streaming external sink —
+        after each committed batch (and once per idle poll, as crash
+        catch-up), run the row-level incremental SQL export
+        (pipelines/export.py:export_changes_sql) so the target database
+        continuously tracks the lake's live state; exactly-once is the
+        export's own per-target watermark. Batch results gain an
+        ``export_sql`` entry. Combined with ``refresh_views``, one tail
+        process maintains the whole chain source → lake → views →
+        external DB, every hop delta-sized.
         """
         import os as _os
         import time as _time
@@ -1203,7 +1214,7 @@ class CDCEngine:
                 poll_interval_s, max_interval_s, backoff, max_polls,
                 stop_after_batches, stop_file, on_batch,
                 audit_every_polls, on_late, _os, compact_when_idle,
-                refresh_views,
+                refresh_views, export_sql,
             )
 
     def _refresh_views(self, _os) -> list[dict]:
@@ -1227,6 +1238,7 @@ class CDCEngine:
         poll_interval_s, max_interval_s, backoff, max_polls,
         stop_after_batches, stop_file, on_batch, audit_every_polls,
         on_late, _os, compact_when_idle=False, refresh_views=False,
+        export_sql=None,
     ) -> list[dict]:
         while True:
             if stop_file is not None and _os.path.exists(stop_file):
@@ -1250,6 +1262,12 @@ class CDCEngine:
                 if r["status"] != "noop":
                     if refresh_views:
                         r["views"] = self._refresh_views(_os)
+                    if export_sql is not None:
+                        from .export import export_changes_sql
+
+                        r["export_sql"] = export_changes_sql(
+                            self, export_sql[0], export_sql[1]
+                        )
                     results.append(r)
                     if on_batch is not None:
                         on_batch(r)
@@ -1265,6 +1283,12 @@ class CDCEngine:
                     # commit and view refresh converges here (noop —
                     # one checkpoint read per view — when current)
                     self._refresh_views(_os)
+                if export_sql is not None:
+                    # same catch-up for the external sink (noop when the
+                    # export watermark already matches the lake head)
+                    from .export import export_changes_sql
+
+                    export_changes_sql(self, export_sql[0], export_sql[1])
                 if compact_when_idle and self.cfg.merge_format == "mor":
                     # reentrant under the tail's writer lock; noop when
                     # no partition has a delta stack

@@ -231,3 +231,49 @@ def test_view_cli_roundtrip(split_events, tmp_path, capsys):
     assert vw.last_src_version() == 3
     eng = CDCEngine(lake, _cfg("t_cli"))
     _assert_view_current(vw, eng)
+
+
+def test_tail_streaming_sql_sink(split_events, tmp_path):
+    """tail(export_sql=...) keeps an external database tracking the
+    lake's live state batch by batch — one daemon maintains the chain
+    source → lake → view → SQL target, every hop delta-sized."""
+    import sqlite3
+
+    parts = split_events
+    events_dir = str(tmp_path / "events")
+    os.makedirs(events_dir)
+    os.link(parts[0], os.path.join(events_dir, "p0.parquet"))
+
+    eng = CDCEngine(str(tmp_path / "lake"), _cfg("t_sink"))
+    create_view(eng, "by_lang", ["lang"], METRICS)
+    db = str(tmp_path / "serving.db")
+    seen = []
+
+    def feeder(result):
+        assert result["export_sql"]["status"] in ("exported", "resynced")
+        # the sink converged to THIS batch's live state before on_batch
+        conn = sqlite3.connect(db)
+        n = conn.execute('SELECT count(*) FROM "t_sink_ext"').fetchone()[0]
+        conn.close()
+        t = eng.arrow()
+        live = t.filter(pc.not_equal(
+            pc.fill_null(pc.cast(t["datalake_iud"], pa.string()), ""), "D"))
+        assert n == live.num_rows
+        seen.append(n)
+        if len(seen) < len(parts):
+            os.link(parts[len(seen)],
+                    os.path.join(events_dir, f"p{len(seen)}.parquet"))
+
+    eng.tail(
+        events_dir,
+        stop_after_batches=3,
+        max_polls=20,
+        sleep=lambda s: None,
+        on_batch=feeder,
+        refresh_views=True,
+        export_sql=(db, "t_sink_ext"),
+    )
+    assert len(seen) == 3
+    # and the view rode along
+    vw = discover_views(str(tmp_path / "lake"), src_name="t_sink")[0]
+    assert vw.last_src_version() == 3
