@@ -110,6 +110,14 @@ def main(argv: list[str] | None = None) -> int:
                          "cnt=count,tot=sum:x,chars=len_sum:s (must include a count)")
     sp.add_argument("--view-partitions", type=int, default=8)
     sp.add_argument("--refresh", action="store_true", help="fold the current table in immediately")
+    sp.add_argument("--join-table", default=None,
+                    help="second co-partitioned lake table: the view "
+                         "aggregates over the zero-exchange bucket join")
+    sp.add_argument("--join-values", default="",
+                    help="comma-separated value columns of the join table")
+    sp.add_argument("--join-partitions", type=int, default=None,
+                    help="join table's partition count (default: --partitions)")
+    sp.add_argument("--join-how", default="inner", choices=["inner", "left"])
 
     sp = sub.add_parser(
         "view-refresh",
@@ -475,13 +483,21 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "views":
             out = []
             for vw in discover_views(args.lake, src_name=args.table):
+                last = vw.last_src_version()
                 out.append({
                     "view": vw.name,
                     "table": vw.engine.cfg.name,
                     "src_table": vw.src.cfg.name,
+                    "src_table_b": getattr(
+                        getattr(vw, "src_b", None), "cfg", None
+                    ) and vw.src_b.cfg.name,
+                    "layout": vw.spec.get("layout")
+                    or ("join" if "join" in vw.spec else "zset"),
                     "group_by": vw.group_by,
                     "metrics": vw.spec["metrics"],
-                    "last_src_version": vw.last_src_version(),
+                    "last_src_version": (
+                        list(last) if isinstance(last, tuple) else last
+                    ),
                 })
             print(json.dumps(out, sort_keys=True))
         else:
@@ -515,14 +531,34 @@ def main(argv: list[str] | None = None) -> int:
             ),
         )))
     elif args.cmd == "view-create":
-        from .pipelines.views import create_view
+        from .pipelines.views import create_join_view, create_view
 
         metrics = dict(kv.split("=", 1) for kv in args.metrics.split(","))
-        vw = create_view(
-            eng, args.name, args.group_by.split(","), metrics,
-            num_partitions=args.view_partitions,
-        )
-        out = {"view": vw.name, "table": vw.engine.cfg.name}
+        if args.join_table:
+            from .config import TableConfig as _TC
+            from .pipelines.cdc import CDCEngine as _Eng
+
+            b_cfg = _TC(
+                name=args.join_table,
+                pk=args.pk.split(","),
+                value_columns=(
+                    args.join_values.split(",") if args.join_values else []
+                ),
+                num_partitions=args.join_partitions or args.partitions,
+                soft_delete=not args.hard_delete,
+            )
+            src_b = _Eng(args.lake, b_cfg)
+            vw = create_join_view(
+                eng, src_b, args.name, args.group_by.split(","), metrics,
+                how=args.join_how, num_partitions=args.view_partitions,
+            )
+        else:
+            vw = create_view(
+                eng, args.name, args.group_by.split(","), metrics,
+                num_partitions=args.view_partitions,
+            )
+        layout = vw.spec.get("layout") or ("join" if "join" in vw.spec else "zset")
+        out = {"view": vw.name, "table": vw.engine.cfg.name, "layout": layout}
         if args.refresh:
             out["refresh"] = vw.refresh()
         print(json.dumps(out, sort_keys=True))

@@ -235,3 +235,62 @@ def test_join_view_validation(tmp_path, ray_session):
                                   value_columns=["amount"], num_partitions=4))
     with pytest.raises(ValueError, match="share non-pk column"):
         create_join_view(orders, clash, "v", ["amount"], {"cnt": "count"})
+
+
+def test_join_view_mor_side(tmp_path, ray_session):
+    """The dim side is a merge-on-read table with a live delta stack:
+    _read_image folds base ⊎ deltas inside the class task, and the view
+    still equals the recompute."""
+    rng = np.random.default_rng(53)
+    po, pu, bounds = _streams(tmp_path, rng)
+    orders = CDCEngine(str(tmp_path / "lake"), _orders_cfg())
+    users = CDCEngine(
+        str(tmp_path / "lake"),
+        _users_cfg(merge_format="mor", mor_max_deltas=64,
+                   mor_compact_ratio=1e9),
+    )
+    view = create_join_view(
+        orders, users, "revmor", ["segment"],
+        {"cnt": "count", "total": "sum:amount"},
+    )
+    for b in bounds:
+        orders.replay(po, upto_seq=b)
+        users.replay(pu, upto_seq=b)
+        view.refresh()
+        _assert_equal(view, orders, users)
+    m = users.store.load_manifest()
+    assert sum(len(e.get("deltas", [])) for e in m.partitions.values()) > 0
+
+
+def test_join_view_cli(tmp_path, ray_session, capsys):
+    import json
+
+    from dbimport_ray.cli import main
+
+    rng = np.random.default_rng(61)
+    po, pu, bounds = _streams(tmp_path, rng)
+    lake = str(tmp_path / "lake")
+    base_o = ["--lake", lake, "--table", "jorders", "--pk", "uid",
+              "--values", "amount", "--partitions", "4"]
+    base_u = ["--lake", lake, "--table", "jusers", "--pk", "uid",
+              "--values", "segment", "--partitions", "4"]
+    assert main(["replay", *base_o, "--events", po]) == 0
+    assert main(["replay", *base_u, "--events", pu]) == 0
+    capsys.readouterr()
+    assert main([
+        "view-create", *base_o, "--name", "rev_cli", "--group-by", "segment",
+        "--metrics", "cnt=count,total=sum:amount",
+        "--join-table", "jusers", "--join-values", "segment", "--refresh",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["layout"] == "join"
+    assert out["refresh"]["status"] == "committed"
+    assert main(["views", "--lake", lake, "--table", "jusers"]) == 0
+    listed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [v["view"] for v in listed] == ["rev_cli"]
+    assert listed[0]["layout"] == "join"
+    assert listed[0]["src_table_b"] == "jusers"
+    orders = CDCEngine(lake, _orders_cfg())
+    users = CDCEngine(lake, _users_cfg())
+    vo = open_view(lake, "jorders__rev_cli")
+    _assert_equal(vo, orders, users)

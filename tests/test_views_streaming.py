@@ -277,3 +277,25 @@ def test_tail_streaming_sql_sink(split_events, tmp_path):
     # and the view rode along
     vw = discover_views(str(tmp_path / "lake"), src_name="t_sink")[0]
     assert vw.last_src_version() == 3
+
+
+def test_tail_refreshes_summary_view(split_events, tmp_path):
+    """A partition-summary (min/max) view rides the same tail discovery
+    and converges per poll."""
+    parts = split_events
+    eng = CDCEngine(str(tmp_path / "lake"), _cfg("t_sumv"))
+    eng.replay(parts[0])
+    view = create_view(eng, "mm", ["lang"],
+                       {"cnt": "count", "mx": "max:commit"})
+    eng.tail(parts[0], max_polls=2, sleep=lambda s: None, refresh_views=True)
+    assert view.last_src_version() == 1
+    t = eng.arrow()
+    live = t.filter(pc.not_equal(
+        pc.fill_null(pc.cast(t["datalake_iud"], pa.string()), ""), "D"))
+    exp = (live.select(["lang", "commit"]).to_pandas()
+           .groupby("lang", as_index=False)
+           .agg(cnt=("lang", "size"), mx=("commit", "max"))
+           .sort_values("lang").reset_index(drop=True))
+    got = (view.arrow().to_pandas()[["lang", "cnt", "mx"]]
+           .sort_values("lang").reset_index(drop=True))
+    assert got.astype(exp.dtypes.to_dict()).equals(exp)
