@@ -72,6 +72,13 @@ def main(argv: list[str] | None = None) -> int:
     common(sp)
     sp.add_argument("--events", required=True)
     sp.add_argument("--upto", type=int, default=None)
+    sp.add_argument("--format", default="parquet", choices=["parquet", "jsonl"],
+                    help="jsonl = Debezium/WAL envelopes (op c/u/r/d, "
+                         "before/after images); decoded vectorized into "
+                         "canonical events (sources/envelope.py)")
+    sp.add_argument("--seq-path", default=None,
+                    help="dotted envelope path of the sequence carrier "
+                         "(default: source.lsn/scn/sequence/pos, ts_ms)")
     sp = sub.add_parser("stream", help="pipelined multi-batch replay")
     common(sp)
     sp.add_argument("--events", required=True)
@@ -512,7 +519,14 @@ def main(argv: list[str] | None = None) -> int:
     _init_ray()
     eng = _engine(args)
     if args.cmd == "replay":
-        print(json.dumps(eng.replay(args.events, upto_seq=args.upto)))
+        src = args.events
+        if getattr(args, "format", "parquet") == "jsonl":
+            from .sources.envelope import envelope_event_source
+
+            src = envelope_event_source(
+                args.events, eng.cfg, seq_path=args.seq_path
+            )
+        print(json.dumps(eng.replay(src, upto_seq=args.upto)))
     elif args.cmd == "stream":
         bounds = [int(b) for b in args.boundaries.split(",")]
         print(json.dumps(eng.replay_stream(args.events, bounds)))

@@ -720,6 +720,89 @@ def _events_duckdb(sf_dir: str) -> str:
     return db
 
 
+def _events_envelope_jsonl(sf_dir: str) -> str:
+    """Deterministic Debezium-style JSONL mirror of the events table
+    (cached per content identity, tmp→rename) — fixture for the envelope
+    decode contract (sources/envelope.py). op by event_id % 10:
+    0→d (key-only delete), 1/2→u (before carries keys), 5→r (snapshot
+    read), else c. Per-row json.dumps is fixture scaffolding, not the
+    data plane — the DECODER under test is vectorized."""
+    import hashlib
+    import json
+
+    path = _p(sf_dir, "events")
+    st = os.stat(path)
+    tag = hashlib.sha1(
+        f"{os.path.abspath(path)}|{st.st_mtime_ns}|{st.st_size}|env1".encode()
+    ).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"dbimport_ray_env_{tag}.jsonl")
+    if os.path.exists(out):
+        return out
+    t = pq.read_table(
+        path, columns=["event_id", "user_id", "event_type", "value"]
+    )
+    tmp = out + f".build-{os.getpid()}"
+    with open(tmp, "w") as f:
+        for r in t.to_pylist():
+            m = r["event_id"] % 10
+            image = {
+                "event_id": r["event_id"],
+                "user_id": r["user_id"],
+                "event_type": r["event_type"],
+                "value": r["value"],
+            }
+            if m == 0:
+                env = {"op": "d", "before": image, "after": None}
+            elif m in (1, 2):
+                env = {
+                    "op": "u",
+                    "before": {"event_id": r["event_id"]},
+                    "after": image,
+                }
+            elif m == 5:
+                env = {"op": "r", "before": None, "after": image}
+            else:
+                env = {"op": "c", "before": None, "after": image}
+            env["source"] = {"lsn": r["event_id"]}
+            f.write(json.dumps(env) + "\n")
+    os.replace(tmp, out)
+    return out
+
+
+def q_envelope_decode(sf_dir: str) -> rd.Dataset:
+    """Log-based CDC envelope ingestion (sources/envelope.py): Debezium-
+    style JSONL (op c/u/r/d, before/after row images, source.lsn order)
+    decoded into canonical flat change events — pyarrow's C++ JSON reader
+    per batch plus pure Arrow struct_field/coalesce/take kernels, the
+    binlog/WAL-tail front door of ``replay()``. Deletes decode key-only
+    (the MSSQL-CT shape the merge kernel applies as J6).
+
+    Reference analogue: the CDC carrier-column decode —
+    /root/reference/bin/DBImportConfig/import_config.py:3218-3247
+    (Oracle flashback operation/startscn) and :2519-2566 (MSSQL
+    CHANGETABLE version/operation)."""
+    from ..sources.envelope import read_envelope_jsonl
+
+    ds = read_envelope_jsonl(
+        _events_envelope_jsonl(sf_dir),
+        pk=["event_id"],
+        value_columns=["user_id", "event_type", "value"],
+    )
+    want = pa.schema(
+        [
+            ("sequence_id", pa.int64()),
+            ("op", pa.string()),
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+        ]
+    )
+    return ds.map_batches(
+        lambda t: t.cast(want), batch_format="pyarrow"
+    )
+
+
 def q_sql_read_duckdb(sf_dir: str) -> rd.Dataset:
     """The sharded incremental connector against the SECOND dialect: the
     same (committed, pending] watermark range read as
@@ -4275,6 +4358,22 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 
 ORACLES["window_lag_scan"] = ORACLES["window_lag"]
 ORACLES["sql_read_duckdb"] = ORACLES["sql_incremental_read"]
+
+# Envelope roundtrip: the oracle states what the Debezium encode of the
+# events table must decode back to — op mapping c/r→I, u→U, d→D; deletes
+# key-only (values NULL); sequence = source.lsn = event_id.
+ORACLES["envelope_decode"] = """
+SELECT CAST(event_id AS BIGINT) AS sequence_id,
+       CASE WHEN event_id % 10 = 0 THEN 'D'
+            WHEN event_id % 10 IN (1, 2) THEN 'U'
+            ELSE 'I' END AS op,
+       CAST(event_id AS BIGINT) AS event_id,
+       CASE WHEN event_id % 10 = 0 THEN NULL
+            ELSE CAST(user_id AS BIGINT) END AS user_id,
+       CASE WHEN event_id % 10 = 0 THEN NULL ELSE event_type END AS event_type,
+       CASE WHEN event_id % 10 = 0 THEN NULL ELSE value END AS value
+FROM events
+"""
 ORACLES["window_cumsum_scan"] = ORACLES["window_cumsum"]
 ORACLES["rolling_mean_scan"] = ORACLES["rolling_mean"]
 
@@ -4544,6 +4643,7 @@ GROUP BY text
 
 QUERIES = {
     # --- new in round 4 (oracle-backed) ---
+    "envelope_decode": q_envelope_decode,
     "view_incremental": q_view_incremental,
     "view_minmax": q_view_minmax,
     "join_view_incremental": q_join_view_incremental,

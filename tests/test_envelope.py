@@ -1,0 +1,210 @@
+"""Debezium/WAL envelope decode (sources/envelope.py): roundtrip equality
+with the canonical event schema, replay equivalence through the full merge
+path, Kafka-value-column decode, tombstone/op-code/sequence-carrier edges."""
+
+import json
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from dbimport_ray.config import TableConfig
+from dbimport_ray.datagen import generate_events
+from dbimport_ray.pipelines.cdc import CDCEngine
+from dbimport_ray.sources.envelope import (
+    decode_envelope_column,
+    decode_envelope_table,
+    encode_envelope_lines,
+    envelope_event_source,
+    parse_json_lines,
+    read_envelope_jsonl,
+)
+
+PK = ["repo", "path"]
+VALS = ["commit", "lang", "content"]
+
+
+def _events(tmp_path, n=400, keys=60) -> pa.Table:
+    p = str(tmp_path / "ev.parquet")
+    generate_events(p, keys, n, seed=7)
+    return pq.read_table(p)
+
+
+def _sorted(t: pa.Table) -> pa.Table:
+    return t.sort_by([(c, "ascending") for c in sorted(t.column_names)])
+
+
+@pytest.mark.parametrize("wrap", [False, True])
+def test_roundtrip_decode_equals_source(tmp_path, wrap):
+    ev = _events(tmp_path)
+    lines = encode_envelope_lines(ev, pk=PK, value_columns=VALS,
+                                  wrap_payload=wrap)
+    path = tmp_path / f"env{int(wrap)}.jsonl"
+    path.write_text("\n".join(lines) + "\n")
+    got = (
+        read_envelope_jsonl(str(path), pk=PK, value_columns=VALS)
+        .take_all()
+    )
+    got_t = pa.Table.from_pylist(got)
+    want = ev.select(["sequence_id", "op"] + PK + VALS)
+    assert _sorted(got_t.select(want.column_names).cast(want.schema)).equals(
+        _sorted(want)
+    )
+
+
+def test_envelope_replay_equals_parquet_replay(tmp_path):
+    ev = _events(tmp_path, n=300, keys=40)
+    pq_path = str(tmp_path / "events.parquet")
+    pq.write_table(ev, pq_path)
+    lines = encode_envelope_lines(ev, pk=PK, value_columns=VALS)
+    jl = tmp_path / "stream.jsonl"
+    jl.write_text("\n".join(lines) + "\n")
+
+    cfg = lambda name: TableConfig(  # noqa: E731
+        name=name, pk=PK, value_columns=VALS, num_partitions=4
+    )
+    a = CDCEngine(str(tmp_path / "lake"), cfg("t_pq"))
+    a.replay(pq_path)
+    b = CDCEngine(str(tmp_path / "lake"), cfg("t_env"))
+    b.replay(envelope_event_source(str(jl), b.cfg))
+    ta, tb = a.arrow(), b.arrow()
+    assert _sorted(ta.select(sorted(ta.column_names))).equals(
+        _sorted(tb.select(sorted(ta.column_names)))
+    )
+
+
+def test_decode_column_kafka_shape():
+    # Kafka-style: envelopes land as a string column, with tombstone
+    # frames (null value / empty string) interleaved; snapshot reads 'r'
+    # decode as inserts; deletes are key-only.
+    frames = [
+        json.dumps({"op": "r", "before": None,
+                    "after": {"repo": "r1", "path": "a", "commit": "c1",
+                              "lang": "py", "content": "x"},
+                    "source": {"lsn": 1}}),
+        None,
+        "",
+        json.dumps({"op": "u",
+                    "before": {"repo": "r1", "path": "a"},
+                    "after": {"repo": "r1", "path": "a", "commit": "c2",
+                              "lang": "py", "content": "y"},
+                    "source": {"lsn": 2}}),
+        json.dumps({"op": "d",
+                    "before": {"repo": "r1", "path": "a", "commit": "c2",
+                               "lang": "py", "content": "y"},
+                    "after": None, "source": {"lsn": 3}}),
+    ]
+    t = pa.table({"value": pa.array(frames, pa.string())})
+    out = decode_envelope_column(t, "value", pk=PK, value_columns=VALS)
+    assert out.num_rows == 3
+    assert out["op"].to_pylist() == ["I", "U", "D"]
+    assert out["sequence_id"].to_pylist() == [1, 2, 3]
+    # delete keeps keys, nulls values (the MSSQL-CT key-only shape)
+    assert out["repo"].to_pylist()[2] == "r1"
+    assert out["commit"].to_pylist()[2] is None
+    # all-tombstone batch → typed empty table
+    empty = decode_envelope_column(
+        pa.table({"value": pa.array([None, ""], pa.string())}),
+        "value", pk=PK, value_columns=VALS)
+    assert empty.num_rows == 0 and "sequence_id" in empty.column_names
+
+
+def test_seq_carrier_fallback_and_override():
+    env = {"op": "c", "before": None,
+           "after": {"repo": "r", "path": "p", "commit": "c",
+                     "lang": "py", "content": "z"},
+           "ts_ms": 77}
+    parsed = parse_json_lines(pa.array([json.dumps(env)]))
+    out = decode_envelope_table(parsed, pk=PK, value_columns=VALS)
+    assert out["sequence_id"].to_pylist() == [77]  # ts_ms fallback
+
+    env2 = dict(env, source={"pos": 5, "lsn": 9})
+    parsed2 = parse_json_lines(pa.array([json.dumps(env2)]))
+    assert decode_envelope_table(
+        parsed2, pk=PK, value_columns=VALS
+    )["sequence_id"].to_pylist() == [9]  # lsn preferred
+    assert decode_envelope_table(
+        parsed2, pk=PK, value_columns=VALS, seq_path="source.pos"
+    )["sequence_id"].to_pylist() == [5]  # explicit override
+
+
+def test_unknown_op_and_missing_pk_raise():
+    bad_op = parse_json_lines(pa.array([json.dumps(
+        {"op": "x", "after": {"repo": "r", "path": "p"}, "ts_ms": 1})]))
+    with pytest.raises(ValueError, match="unknown CDC op"):
+        decode_envelope_table(bad_op, pk=PK, value_columns=VALS)
+    no_pk = parse_json_lines(pa.array([json.dumps(
+        {"op": "c", "after": {"commit": "c"}, "ts_ms": 1})]))
+    with pytest.raises(ValueError, match="absent from both"):
+        decode_envelope_table(no_pk, pk=PK, value_columns=VALS)
+    with pytest.raises(ValueError, match="no sequence carrier"):
+        decode_envelope_table(
+            parse_json_lines(pa.array([json.dumps(
+                {"op": "c", "after": {"repo": "r", "path": "p"}})])),
+            pk=PK, value_columns=VALS)
+
+
+def test_absent_value_column_is_typed_null():
+    # a stream that predates a column: decode still emits the full event
+    # schema; schema evolution downstream aligns it
+    parsed = parse_json_lines(pa.array([json.dumps(
+        {"op": "c", "after": {"repo": "r", "path": "p", "commit": "c"},
+         "ts_ms": 4})]))
+    out = decode_envelope_table(parsed, pk=PK, value_columns=VALS)
+    assert out["lang"].to_pylist() == [None]
+    assert out.schema.field("lang").type == pa.string()
+
+
+def test_cli_replay_jsonl(tmp_path, ray_session):
+    import io
+    from contextlib import redirect_stdout
+
+    from dbimport_ray.cli import main
+
+    ev = _events(tmp_path, n=120, keys=20)
+    lines = encode_envelope_lines(ev, pk=PK, value_columns=VALS)
+    jl = tmp_path / "wal.jsonl"
+    jl.write_text("\n".join(lines) + "\n")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main([
+            "replay", "--lake", str(tmp_path / "lake"), "--table", "t_cli",
+            "--pk", "repo,path", "--values", "commit,lang,content",
+            "--partitions", "4", "--events", str(jl), "--format", "jsonl",
+        ])
+    assert rc == 0
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["status"] == "committed"
+    eng = CDCEngine(str(tmp_path / "lake"),
+                    TableConfig(name="t_cli", pk=PK, value_columns=VALS,
+                                num_partitions=4))
+    assert eng.arrow().num_rows > 0
+
+
+def test_envelope_source_watermark_resume(tmp_path):
+    ev = _events(tmp_path, n=200, keys=30)
+    lines = encode_envelope_lines(ev, pk=PK, value_columns=VALS)
+    jl = tmp_path / "s.jsonl"
+    jl.write_text("\n".join(lines) + "\n")
+    eng = CDCEngine(str(tmp_path / "lake"),
+                    TableConfig(name="t_wm", pk=PK, value_columns=VALS,
+                                num_partitions=4))
+    src = envelope_event_source(str(jl), eng.cfg)
+    mid = int(ev["sequence_id"][ev.num_rows // 2].as_py())
+    assert eng.replay(src, upto_seq=mid)["status"] == "committed"
+    assert eng.replay(envelope_event_source(str(jl), eng.cfg))["status"] == "committed"
+    # fully consumed → noop
+    assert eng.replay(envelope_event_source(str(jl), eng.cfg))["status"] == "noop"
+    want = CDCEngine(str(tmp_path / "lake"),
+                     TableConfig(name="t_ref", pk=PK, value_columns=VALS,
+                                 num_partitions=4))
+    p2 = str(tmp_path / "e2.parquet")
+    pq.write_table(ev, p2)
+    # split at the same watermark: batch boundaries are semantic (a key
+    # inserted in batch 1 and updated in batch 2 carries iud='U'; one
+    # batch LWW-collapses it to a single 'I')
+    want.replay(p2, upto_seq=mid)
+    want.replay(p2)
+    assert _sorted(want.arrow().select(sorted(want.arrow().column_names))).equals(
+        _sorted(eng.arrow().select(sorted(want.arrow().column_names))))
