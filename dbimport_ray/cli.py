@@ -103,6 +103,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="streaming external sink: row-level incremental "
                          "SQL export after each commit (needs --export-table)")
     sp.add_argument("--export-table", default=None)
+    sp.add_argument("--format", default="parquet", choices=["parquet", "jsonl"],
+                    help="jsonl = tail a directory of Debezium/WAL envelope "
+                         "segments (incremental per-segment probe cache)")
+    sp.add_argument("--seq-path", default=None,
+                    help="dotted envelope path of the sequence carrier")
 
     sp = sub.add_parser(
         "view-create",
@@ -531,8 +536,15 @@ def main(argv: list[str] | None = None) -> int:
         bounds = [int(b) for b in args.boundaries.split(",")]
         print(json.dumps(eng.replay_stream(args.events, bounds)))
     elif args.cmd == "tail":
+        tail_src = args.events
+        if getattr(args, "format", "parquet") == "jsonl":
+            from .sources.envelope import EnvelopeTailSource
+
+            tail_src = EnvelopeTailSource(
+                args.events, eng.cfg, seq_path=args.seq_path
+            )
         print(json.dumps(eng.tail(
-            args.events,
+            tail_src,
             poll_interval_s=args.interval,
             max_interval_s=args.max_interval,
             max_polls=args.max_polls,

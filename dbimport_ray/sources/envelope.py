@@ -268,6 +268,126 @@ def envelope_event_source(
     )
 
 
+class EnvelopeTailSource:
+    """Incremental WAL-topic tail over a directory (or single file) of
+    envelope JSONL segments — the EventSource shape ``CDCEngine.tail``
+    can poll forever (``tail(EnvelopeTailSource(dir, cfg))``).
+
+    JSONL has no footer statistics, so the probe parses each segment once
+    (pyarrow C++ ``read_json``, driver-side) and caches
+    ``(min_seq, max_seq, schema)`` keyed on ``(mtime_ns, size)``:
+    immutable closed segments never re-parse; a growing head segment
+    re-parses when it grows. ``read_range`` then ships only segments
+    whose cached range intersects ``(after, upto]`` to the distributed
+    decode — per-poll read cost ∝ new data, matching the parquet path's
+    footer pruning. The cache is in-process; a restarted daemon re-probes
+    each segment once.
+
+    Ordering contract (same as the parquet tail): a row appended to a
+    segment AFTER the probe that fixed ``upto`` must carry seq > upto.
+    WAL shippers append in log order, so this holds; anything else is
+    late data (the parquet path surfaces it via late_audit; a JSONL
+    topic re-dump should land as NEW segment files).
+    """
+
+    def __init__(self, path, cfg, seq_path: str | None = None):
+        self._path = path
+        self._cfg = cfg
+        self._seq_path = seq_path
+        self._cache: dict[str, dict] = {}
+
+    # -- segment inventory -------------------------------------------------
+    def _files(self) -> list[str]:
+        import glob
+        import os
+
+        p = self._path
+        if isinstance(p, str) and os.path.isdir(p):
+            return sorted(
+                f
+                for pat in ("*.jsonl", "*.ndjson", "*.json")
+                for f in glob.glob(os.path.join(p, pat))
+            )
+        return [p] if isinstance(p, str) else sorted(p)
+
+    def _probe(self, f: str) -> dict:
+        import os
+
+        st = os.stat(f)
+        key = (st.st_mtime_ns, st.st_size)
+        hit = self._cache.get(f)
+        if hit is not None and hit["key"] == key:
+            return hit
+        entry: dict = {"key": key, "min": None, "max": None, "schema": None}
+        if st.st_size > 0:
+            ev = decode_envelope_table(
+                pj.read_json(f),
+                pk=list(self._cfg.pk),
+                value_columns=list(self._cfg.value_columns),
+                sequence_col=self._cfg.sequence_col,
+                op_col=self._cfg.op_col,
+                seq_path=self._seq_path,
+            )
+            entry["schema"] = ev.schema
+            if ev.num_rows:
+                seq = ev[self._cfg.sequence_col]
+                entry["min"] = pc.min(seq).as_py()
+                entry["max"] = pc.max(seq).as_py()
+        self._cache[f] = entry
+        return entry
+
+    def _probed(self) -> list[tuple[str, dict]]:
+        return [(f, self._probe(f)) for f in self._files()]
+
+    def _default_schema(self) -> pa.Schema:
+        return _empty_events(
+            list(self._cfg.pk),
+            list(self._cfg.value_columns),
+            self._cfg.sequence_col,
+            self._cfg.op_col,
+        ).schema
+
+    # -- EventSource protocol ----------------------------------------------
+    def max_sequence(self, seq_col: str) -> int:
+        maxes = [e["max"] for _, e in self._probed() if e["max"] is not None]
+        return max(maxes) if maxes else -1
+
+    def schema(self) -> pa.Schema:
+        schemas = [e["schema"] for _, e in self._probed() if e["schema"]]
+        return pa.unify_schemas(schemas) if schemas else self._default_schema()
+
+    def read_range(
+        self,
+        seq_col: str,
+        after_seq: int,
+        upto_seq: int,
+        override_num_blocks: int | None = None,
+    ) -> rd.Dataset:
+        keep = [
+            f
+            for f, e in self._probed()
+            if e["max"] is not None
+            and e["max"] > after_seq
+            and e["min"] <= upto_seq
+        ]
+        if not keep:
+            return rd.from_arrow(self.schema().empty_table())
+        kw = {}
+        if override_num_blocks is not None:
+            kw["override_num_blocks"] = override_num_blocks
+        return read_envelope_jsonl(
+            keep,
+            pk=list(self._cfg.pk),
+            value_columns=list(self._cfg.value_columns),
+            sequence_col=self._cfg.sequence_col,
+            op_col=self._cfg.op_col,
+            seq_path=self._seq_path,
+            **kw,
+        ).filter(
+            expr=f"{seq_col} > {int(after_seq)} and {seq_col} <= {int(upto_seq)}"
+        )
+
+
 def encode_envelope_lines(
     events: pa.Table,
     *,

@@ -156,6 +156,120 @@ def test_absent_value_column_is_typed_null():
     assert out.schema.field("lang").type == pa.string()
 
 
+def _segments(tmp_path, ev: pa.Table, bounds: list[tuple[int, int]],
+              subdir="wal") -> str:
+    """Split events into WAL segment files [lo, hi) per bound."""
+    import pyarrow.compute as pc
+
+    d = tmp_path / subdir
+    d.mkdir(exist_ok=True)
+    for i, (lo, hi) in enumerate(bounds):
+        part = ev.filter(
+            (pc.field("sequence_id") >= lo) & (pc.field("sequence_id") < hi)
+        )
+        (d / f"seg{i:03d}.jsonl").write_text(
+            "\n".join(encode_envelope_lines(part, pk=PK, value_columns=VALS))
+            + "\n"
+        )
+    return str(d)
+
+
+def test_tail_source_daemon_loop(tmp_path):
+    """EnvelopeTailSource drives CDCEngine.tail: segments landing mid-loop
+    commit exactly once; final state equals the parquet replay at the
+    same boundaries."""
+    from dbimport_ray.sources.envelope import EnvelopeTailSource
+
+    ev = _events(tmp_path, n=900, keys=80)
+    seg_dir = _segments(tmp_path, ev, [(0, 300)])
+    all_segments = {
+        1: encode_envelope_lines(
+            ev.filter(pa.compute.field("sequence_id") >= 300)
+            .filter(pa.compute.field("sequence_id") < 600),
+            pk=PK, value_columns=VALS),
+        2: encode_envelope_lines(
+            ev.filter(pa.compute.field("sequence_id") >= 600),
+            pk=PK, value_columns=VALS),
+    }
+    cfg = TableConfig(name="t_tail", pk=PK, value_columns=VALS,
+                      num_partitions=4)
+    eng = CDCEngine(str(tmp_path / "lake"), cfg)
+    src = EnvelopeTailSource(seg_dir, cfg)
+    state = {"next": 1}
+
+    def feeder(result):
+        i = state["next"]
+        if i in all_segments:
+            import os
+            with open(os.path.join(seg_dir, f"seg{i:03d}.jsonl"), "w") as f:
+                f.write("\n".join(all_segments[i]) + "\n")
+            state["next"] += 1
+
+    results = eng.tail(src, stop_after_batches=3, max_polls=20,
+                       sleep=lambda s: None, on_batch=feeder)
+    assert [r["status"] for r in results] == ["committed"] * 3
+    # exactly-once ledger: strictly advancing commits, no range twice
+    seqs = [r["committed_seq"] for r in results]
+    assert seqs == sorted(set(seqs))
+
+    ref = CDCEngine(str(tmp_path / "ref"),
+                    TableConfig(name="t_ref", pk=PK, value_columns=VALS,
+                                num_partitions=4))
+    p = str(tmp_path / "all.parquet")
+    pq.write_table(ev, p)
+    for r in results:
+        ref.replay(p, upto_seq=r["committed_seq"])
+    cols = sorted(ref.arrow().column_names)
+    assert _sorted(ref.arrow().select(cols)).equals(
+        _sorted(eng.arrow().select(cols)))
+
+
+def test_tail_source_probe_cache_and_pruning(tmp_path, monkeypatch):
+    """Closed segments parse once (probe cache on mtime+size); read_range
+    ships only segments intersecting the watermark window."""
+    import dbimport_ray.sources.envelope as envmod
+    from dbimport_ray.sources.envelope import EnvelopeTailSource
+
+    ev = _events(tmp_path, n=600, keys=50)
+    seg_dir = _segments(tmp_path, ev, [(0, 200), (200, 400), (400, 600)])
+    cfg = TableConfig(name="t_probe", pk=PK, value_columns=VALS,
+                      num_partitions=4)
+    src = EnvelopeTailSource(seg_dir, cfg)
+
+    calls = {"n": 0}
+    real = envmod.pj.read_json
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(envmod.pj, "read_json", counting)
+    mx = src.max_sequence("sequence_id")
+    assert mx == int(pa.compute.max(ev["sequence_id"]).as_py())
+    assert calls["n"] == 3  # one parse per segment
+    assert src.max_sequence("sequence_id") == mx
+    assert calls["n"] == 3  # cache hit — closed segments never re-parse
+
+    shipped = {}
+    real_read = envmod.read_envelope_jsonl
+
+    def capture(paths, **kw):
+        shipped["paths"] = paths
+        return real_read(paths, **kw)
+
+    monkeypatch.setattr(envmod, "read_envelope_jsonl", capture)
+    # window inside segment 1 only → exactly one file ships
+    ds = src.read_range("sequence_id", 250, 350)
+    assert [p.endswith("seg001.jsonl") for p in shipped["paths"]] == [True]
+    got = ds.take_all()
+    assert all(250 < r["sequence_id"] <= 350 for r in got)
+    # empty window past the head → typed empty dataset, nothing ships
+    shipped.clear()
+    empty = src.read_range("sequence_id", mx, mx + 10)
+    assert "paths" not in shipped and empty.count() == 0
+    assert "sequence_id" in empty.schema().names
+
+
 def test_cli_replay_jsonl(tmp_path, ray_session):
     import io
     from contextlib import redirect_stdout
