@@ -594,10 +594,29 @@ def funnel_steps(
     # min ignores nulls, and stage-i entities are a subset of stage-1's,
     # so the union collapses back to exactly the stage-1 entity set.
 
+    # Aggregate over the int64 VIEW of the timestamps: Ray's aggregate
+    # accumulators build blocks from Python scalars, and a [datetime,
+    # None] mix trips its datetime-precision probe into a pickled-object
+    # fallback block; int64 (zero-copy cast of timestamp[us]) with nulls
+    # stays native Arrow end to end. Cast back after the grouped min.
+    ts_is_temporal = pa.types.is_timestamp(ts_type) or pa.types.is_date(ts_type)
+    agg_type = pa.int64() if ts_is_temporal else ts_type
+
     def pad(t: pa.Table, have: str) -> pa.Table:
         cols = {key: t[key]}
         for o in outs:
-            cols[o] = t[have] if o == have else pa.nulls(len(t), ts_type)
+            if o == have:
+                col = t[have]
+                if ts_is_temporal:
+                    # normalize the unit first: Ray's aggregate rebuilds
+                    # timestamp blocks at a data-dependent precision
+                    # (seconds when no value has sub-second parts), so
+                    # the raw int view is only meaningful after casting
+                    # back to the declared source unit
+                    col = col.cast(ts_type).cast(agg_type)
+                cols[o] = col
+            else:
+                cols[o] = pa.nulls(len(t), agg_type)
         return pa.table(cols)
 
     padded = [
@@ -607,7 +626,17 @@ def funnel_steps(
     unioned = padded[0]
     for p in padded[1:]:
         unioned = unioned.union(p)
-    return grouped_agg(
+    agged = grouped_agg(
         unioned, [key], [(o, "min", o) for o in outs],
         shuffle_blocks=num_partitions,
     )
+    if not ts_is_temporal:
+        return agged
+
+    def retype(t: pa.Table) -> pa.Table:
+        for o in outs:
+            i = t.schema.get_field_index(o)
+            t = t.set_column(i, o, pc.cast(t[o], ts_type))
+        return t
+
+    return agged.map_batches(retype, batch_format="pyarrow")
