@@ -98,6 +98,8 @@ QUERY_NAMES = [
     "view_incremental",
     "export_sql_roundtrip",
     "join_view_incremental",
+    # round-4 session-10 additions
+    "envelope_decode",
 ]
 
 
