@@ -72,13 +72,17 @@ def main(argv: list[str] | None = None) -> int:
     common(sp)
     sp.add_argument("--events", required=True)
     sp.add_argument("--upto", type=int, default=None)
-    sp.add_argument("--format", default="parquet", choices=["parquet", "jsonl"],
+    sp.add_argument("--format", default="parquet",
+                    choices=["parquet", "jsonl", "wal2json", "maxwell"],
                     help="jsonl = Debezium/WAL envelopes (op c/u/r/d, "
-                         "before/after images); decoded vectorized into "
-                         "canonical events (sources/envelope.py)")
+                         "before/after images); wal2json = Postgres logical "
+                         "decoding format-version 2; maxwell = MySQL binlog "
+                         "JSON; all decoded vectorized into canonical "
+                         "events (sources/envelope.py)")
     sp.add_argument("--seq-path", default=None,
                     help="dotted envelope path of the sequence carrier "
-                         "(default: source.lsn/scn/sequence/pos, ts_ms)")
+                         "(default: source.lsn/scn/sequence/pos, ts_ms; "
+                         "wal2json: lsn; maxwell: xid/ts)")
     sp = sub.add_parser("stream", help="pipelined multi-batch replay")
     common(sp)
     sp.add_argument("--events", required=True)
@@ -103,9 +107,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="streaming external sink: row-level incremental "
                          "SQL export after each commit (needs --export-table)")
     sp.add_argument("--export-table", default=None)
-    sp.add_argument("--format", default="parquet", choices=["parquet", "jsonl"],
-                    help="jsonl = tail a directory of Debezium/WAL envelope "
-                         "segments (incremental per-segment probe cache)")
+    sp.add_argument("--format", default="parquet",
+                    choices=["parquet", "jsonl", "wal2json", "maxwell"],
+                    help="jsonl/wal2json/maxwell = tail a directory of CDC "
+                         "envelope segments in that dialect (incremental "
+                         "per-segment probe cache)")
     sp.add_argument("--seq-path", default=None,
                     help="dotted envelope path of the sequence carrier")
 
@@ -525,11 +531,13 @@ def main(argv: list[str] | None = None) -> int:
     eng = _engine(args)
     if args.cmd == "replay":
         src = args.events
-        if getattr(args, "format", "parquet") == "jsonl":
+        fmt = getattr(args, "format", "parquet")
+        if fmt != "parquet":
             from .sources.envelope import envelope_event_source
 
             src = envelope_event_source(
-                args.events, eng.cfg, seq_path=args.seq_path
+                args.events, eng.cfg, seq_path=args.seq_path,
+                format="debezium" if fmt == "jsonl" else fmt,
             )
         print(json.dumps(eng.replay(src, upto_seq=args.upto)))
     elif args.cmd == "stream":
@@ -537,11 +545,13 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(eng.replay_stream(args.events, bounds)))
     elif args.cmd == "tail":
         tail_src = args.events
-        if getattr(args, "format", "parquet") == "jsonl":
+        fmt = getattr(args, "format", "parquet")
+        if fmt != "parquet":
             from .sources.envelope import EnvelopeTailSource
 
             tail_src = EnvelopeTailSource(
-                args.events, eng.cfg, seq_path=args.seq_path
+                args.events, eng.cfg, seq_path=args.seq_path,
+                format="debezium" if fmt == "jsonl" else fmt,
             )
         print(json.dumps(eng.tail(
             tail_src,

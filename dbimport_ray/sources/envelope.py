@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import io
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.json as pj
@@ -198,6 +199,291 @@ def _empty_events(
     return pa.schema(fs).empty_table()
 
 
+# ------------------------------------------------------------------------
+# Alternative log-shipper envelope dialects. Same contract as the Debezium
+# decoder: one parsed-JSON batch in, the canonical flat event table out,
+# every step a pyarrow.compute kernel. The engine's dialect surface for
+# log-based CDC mirrors how DBImport keeps per-RDBMS carrier handling in
+# its dialect layer (reference: import_config.py:1318-1420 — per-dialect
+# typemaps feeding one shared merge), so wal2json (Postgres logical
+# decoding, format-version 2) and Maxwell (MySQL binlog) streams feed the
+# same replay()/tail() path as Debezium with only the decode swapped.
+# ------------------------------------------------------------------------
+
+_W2J_ROW_ACTIONS = pa.array(["I", "U", "D"], pa.string())
+#: frames legal in a wal2json v2 stream that carry no row image
+_W2J_FRAME_ACTIONS = ("B", "C", "M")
+
+
+def _lsn_to_int(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Postgres LSN strings ``"X/Y"`` (hex hi/lo words) → int64
+    ``(X << 32) | Y``, fully vectorized: lpad both halves to 8 hex chars,
+    join per row, concatenate the column into one buffer, and fold nibbles
+    via a numpy LUT + power dot — no per-row Python. Values ≥ 2**63 (an
+    impossible 8 EB of WAL) would wrap; real LSNs sit far below."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = arr.cast(pa.string())
+    ok = pc.match_substring_regex(arr, r"^[0-9A-Fa-f]{1,8}/[0-9A-Fa-f]{1,8}$")
+    if not pc.all(pc.fill_null(ok, False)).as_py():
+        bad = pc.unique(arr.filter(pc.invert(pc.fill_null(ok, False)))).to_pylist()
+        raise ValueError(f"malformed wal2json lsn values: {bad[:5]}")
+    parts = pc.split_pattern(arr, "/")
+    fixed = pc.binary_join_element_wise(
+        pc.utf8_lpad(pc.list_element(parts, 0), 8, "0"),
+        pc.utf8_lpad(pc.list_element(parts, 1), 8, "0"),
+        "",
+    )
+    n = len(fixed)
+    joined = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array([0, n], pa.int32()), fixed), ""
+    )
+    buf = np.frombuffer(joined[0].as_py().encode(), np.uint8).reshape(n, 16)
+    lut = np.zeros(256, np.uint64)
+    lut[ord("0") : ord("9") + 1] = np.arange(10, dtype=np.uint64)
+    lut[ord("a") : ord("f") + 1] = np.arange(10, 16, dtype=np.uint64)
+    lut[ord("A") : ord("F") + 1] = np.arange(10, 16, dtype=np.uint64)
+    powers = np.uint64(16) ** np.arange(15, -1, -1, dtype=np.uint64)
+    return pa.array((lut[buf] * powers).sum(axis=1).astype(np.int64))
+
+
+def _kv_lookup(listcol, n: int):
+    """wal2json's column image shape — ``list<struct{name, type, value}>``
+    — as a name→per-row-array getter. One flatten + parent-indices pass
+    serves every requested column; per column the scatter back to row
+    order is ``index_in`` over the row ids + ``take`` (null where the row
+    carries no image, e.g. deletes have no ``columns`` list)."""
+    if listcol is None:
+        return lambda k: None
+    lc = (
+        listcol.combine_chunks()
+        if isinstance(listcol, pa.ChunkedArray)
+        else listcol
+    )
+    if pa.types.is_null(lc.type) or not pa.types.is_list(lc.type):
+        return lambda k: None
+    st = lc.type.value_type
+    if (
+        not pa.types.is_struct(st)
+        or st.get_field_index("name") < 0
+        or st.get_field_index("value") < 0
+    ):
+        return lambda k: None
+    flat = pc.list_flatten(lc)
+    par = pc.list_parent_indices(lc)
+    knames = pc.struct_field(flat, "name")
+    kvals = pc.struct_field(flat, "value")
+    rows = pa.array(np.arange(n), pa.int64())
+
+    def get(k: str):
+        m = pc.fill_null(pc.equal(knames, k), False)
+        if not pc.any(m).as_py():
+            return None
+        return pc.take(
+            kvals.filter(m), pc.index_in(rows, value_set=par.filter(m))
+        )
+
+    return get
+
+
+def decode_wal2json_table(
+    parsed: pa.Table,
+    *,
+    pk: list[str],
+    value_columns: list[str],
+    sequence_col: str = "sequence_id",
+    op_col: str = "op",
+    seq_path: str | None = None,
+) -> pa.Table:
+    """wal2json **format-version 2** (one JSON object per change line:
+    ``action`` I/U/D, ``columns`` new image as name/value structs,
+    ``identity`` old-key image, ``lsn``) → canonical flat events.
+
+    - B(egin)/C(ommit)/M(essage) frames drop — they carry no row image.
+    - T(runcate) raises: truncation is a table-level operation; replay it
+      as a full load (``MODE_FULL``), the same split DBImport makes
+      between incremental CDC and ``truncate_insert`` loads.
+    - keys come from ``columns`` when present else ``identity`` — so a
+      pk-update keys by its NEW identity (matching the Debezium path) and
+      deletes (no ``columns``) key from ``identity``.
+    - value columns come from ``columns`` only ⇒ key-only deletes.
+    - the sequence defaults to the decoded ``lsn``; ``seq_path`` overrides
+      (e.g. a producer-side counter column).
+    """
+    names = set(parsed.column_names)
+    if "action" not in names:
+        raise ValueError(
+            "not a wal2json v2 stream: no 'action' field (format-version 2 "
+            f"emits one object per change; columns: {sorted(names)})"
+        )
+    action = parsed.column("action").combine_chunks().cast(pa.string())
+    if pc.any(pc.fill_null(pc.equal(action, "T"), False)).as_py():
+        raise ValueError(
+            "wal2json TRUNCATE frame in the stream: replay truncations as "
+            "a full load (MODE_FULL / truncate_insert), not through CDC"
+        )
+    legal = pa.array(list("IUD") + list(_W2J_FRAME_ACTIONS), pa.string())
+    unknown = pc.unique(
+        action.filter(pc.invert(pc.fill_null(pc.is_in(action, value_set=legal), False)))
+    ).to_pylist()
+    if unknown:
+        raise ValueError(f"unknown wal2json action codes: {unknown}")
+    keep = pc.fill_null(pc.is_in(action, value_set=_W2J_ROW_ACTIONS), False)
+    if not pc.all(keep).as_py():
+        parsed = parsed.filter(keep)
+    n = parsed.num_rows
+    op = parsed.column("action").combine_chunks().cast(pa.string())
+
+    new_img = _kv_lookup(
+        parsed.column("columns") if "columns" in names else None, n
+    )
+    old_img = _kv_lookup(
+        parsed.column("identity") if "identity" in names else None, n
+    )
+
+    if seq_path:
+        fields = {c: parsed.column(c) for c in parsed.column_names}
+        seq = _resolve_seq(fields, seq_path)
+    else:
+        if "lsn" not in names:
+            raise ValueError(
+                "wal2json stream has no 'lsn' field (enable include-lsn) "
+                "and no seq_path= was given"
+            )
+        lsn = parsed.column("lsn").combine_chunks()
+        if pc.any(pc.is_null(lsn)).as_py():
+            raise ValueError("null lsn in wal2json stream; pass seq_path=")
+        seq = _lsn_to_int(lsn)
+
+    cols: list = [seq, op]
+    out_names: list[str] = [sequence_col, op_col]
+    for k in pk:
+        a, b = new_img(k), old_img(k)
+        if a is None and b is None:
+            raise ValueError(f"pk column {k!r} absent from both row images")
+        cols.append(a if b is None else b if a is None else pc.coalesce(a, b))
+        out_names.append(k)
+    for v in value_columns:
+        a = new_img(v)
+        cols.append(pa.nulls(n, pa.string()) if a is None else a)
+        out_names.append(v)
+    return pa.table(dict(zip(out_names, cols)))
+
+
+_MAXWELL_CODES = pa.array(
+    ["insert", "bootstrap-insert", "update", "delete"], pa.string()
+)
+_MAXWELL_IUD = pa.array(["I", "I", "U", "D"], pa.string())
+#: Maxwell frames that carry no row image and drop silently
+_MAXWELL_FRAMES = pa.array(["bootstrap-start", "bootstrap-complete"], pa.string())
+
+
+def decode_maxwell_table(
+    parsed: pa.Table,
+    *,
+    pk: list[str],
+    value_columns: list[str],
+    sequence_col: str = "sequence_id",
+    op_col: str = "op",
+    seq_path: str | None = None,
+) -> pa.Table:
+    """Maxwell (MySQL binlog JSON: ``type`` insert/update/delete, ``data``
+    full row image, ``old`` prior values of changed columns, ``ts``/
+    ``xid``/``xoffset`` ordering) → canonical flat events.
+
+    - insert / bootstrap-insert → I, update → U, delete → D;
+      bootstrap-start/-complete frames drop; unknown types raise.
+    - Maxwell's ``data`` is the FULL new image on every type (deletes
+      included); keys read from ``data`` (fallback ``old`` — a pk-update
+      keys by its NEW pk like the other decoders) and value columns are
+      nulled on deletes so the merge sees the same key-only delete shape
+      every envelope dialect produces.
+    - sequence: MySQL binlogs have no LSN, so the default carrier is the
+      InnoDB transaction id — ``xid * 2**16 + xoffset`` (xoffset breaks
+      intra-transaction ties; monotone per server) — falling back to
+      ``ts`` (coarse, second-resolution) when xid is absent. ``seq_path``
+      overrides either.
+    """
+    names = set(parsed.column_names)
+    if "type" not in names or "data" not in names:
+        raise ValueError(
+            "not a Maxwell stream: need 'type' and 'data' fields "
+            f"(columns: {sorted(names)})"
+        )
+    typ = parsed.column("type").combine_chunks().cast(pa.string())
+    keep = pc.invert(pc.fill_null(pc.is_in(typ, value_set=_MAXWELL_FRAMES), True))
+    if not pc.all(keep).as_py():
+        parsed = parsed.filter(keep)
+        typ = parsed.column("type").combine_chunks().cast(pa.string())
+    n = parsed.num_rows
+    idx = pc.index_in(typ, value_set=_MAXWELL_CODES)
+    if n and not pc.all(pc.is_valid(idx)).as_py():
+        bad = pc.unique(typ.filter(pc.is_null(idx))).to_pylist()
+        raise ValueError(f"unknown Maxwell type codes: {bad}")
+    op = pc.take(_MAXWELL_IUD, idx)
+    is_del = pc.equal(op, "D")
+
+    data = parsed.column("data") if "data" in names else None
+    old = parsed.column("old") if "old" in names else None
+
+    if seq_path:
+        fields = {c: parsed.column(c) for c in parsed.column_names}
+        seq = _resolve_seq(fields, seq_path)
+    elif "xid" in names and not pa.types.is_null(parsed.schema.field("xid").type):
+        xid = pc.cast(parsed.column("xid").combine_chunks(), pa.int64())
+        xoff = (
+            pc.fill_null(
+                pc.cast(parsed.column("xoffset").combine_chunks(), pa.int64()), 0
+            )
+            if "xoffset" in names
+            and not pa.types.is_null(parsed.schema.field("xoffset").type)
+            else pa.array(np.zeros(n, np.int64))
+        )
+        seq = pc.add(pc.multiply(xid, pa.scalar(65536, pa.int64())), xoff)
+    elif "ts" in names:
+        seq = pc.cast(parsed.column("ts").combine_chunks(), pa.int64())
+    else:
+        raise ValueError(
+            "no sequence carrier found (tried xid, ts); pass seq_path="
+        )
+
+    cols: list = [seq, op]
+    out_names: list[str] = [sequence_col, op_col]
+    for k in pk:
+        a = _struct_child(data, k)
+        b = _struct_child(old, k)
+        if a is None and b is None:
+            raise ValueError(f"pk column {k!r} absent from both row images")
+        cols.append(a if b is None else b if a is None else pc.coalesce(a, b))
+        out_names.append(k)
+    for v in value_columns:
+        a = _struct_child(data, v)
+        if a is None:
+            cols.append(pa.nulls(n, pa.string()))
+        else:
+            cols.append(pc.if_else(is_del, pa.nulls(n, a.type), a))
+        out_names.append(v)
+    return pa.table(dict(zip(out_names, cols)))
+
+
+#: envelope dialect registry — every decoder maps one parsed-JSON batch to
+#: the canonical flat event schema with identical semantics
+DECODERS = {
+    "debezium": decode_envelope_table,
+    "wal2json": decode_wal2json_table,
+    "maxwell": decode_maxwell_table,
+}
+
+
+def envelope_decoder(format: str):
+    try:
+        return DECODERS[format]
+    except KeyError:
+        raise ValueError(
+            f"unknown envelope format {format!r} (have {sorted(DECODERS)})"
+        ) from None
+
+
 def decode_envelope_column(
     t: pa.Table,
     column: str,
@@ -207,13 +493,14 @@ def decode_envelope_column(
     sequence_col: str = "sequence_id",
     op_col: str = "op",
     seq_path: str | None = None,
+    format: str = "debezium",
 ) -> pa.Table:
     """Decode a JSON-string column (e.g. Kafka message values landed as a
     string field) — one parse + one mapping per batch."""
     parsed = parse_json_lines(t.column(column))
     if parsed is None:
         return _empty_events(pk, value_columns, sequence_col, op_col)
-    return decode_envelope_table(
+    return envelope_decoder(format)(
         parsed, pk=pk, value_columns=value_columns,
         sequence_col=sequence_col, op_col=op_col, seq_path=seq_path,
     )
@@ -227,17 +514,20 @@ def read_envelope_jsonl(
     sequence_col: str = "sequence_id",
     op_col: str = "op",
     seq_path: str | None = None,
+    format: str = "debezium",
     **read_kwargs,
 ) -> rd.Dataset:
-    """Streamed decode of Debezium-style JSONL files into canonical change
-    events: ``ray.data.read_json`` (pyarrow C++ parse, file-parallel) →
-    one vectorized ``map_batches`` mapping. Composes with the whole
-    engine via ``CDCEngine.replay_dataset`` / ``DatasetEventSource``."""
+    """Streamed decode of CDC envelope JSONL files (Debezium, wal2json v2
+    or Maxwell — pick with ``format``) into canonical change events:
+    ``ray.data.read_json`` (pyarrow C++ parse, file-parallel) → one
+    vectorized ``map_batches`` mapping. Composes with the whole engine
+    via ``CDCEngine.replay_dataset`` / ``DatasetEventSource``."""
+    decode = envelope_decoder(format)
 
     def _decode(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return _empty_events(pk, value_columns, sequence_col, op_col)
-        return decode_envelope_table(
+        return decode(
             batch, pk=pk, value_columns=value_columns,
             sequence_col=sequence_col, op_col=op_col, seq_path=seq_path,
         )
@@ -248,7 +538,12 @@ def read_envelope_jsonl(
 
 
 def envelope_event_source(
-    paths: str | list[str], cfg, *, seq_path: str | None = None, **read_kwargs
+    paths: str | list[str],
+    cfg,
+    *,
+    seq_path: str | None = None,
+    format: str = "debezium",
+    **read_kwargs,
 ):
     """EventSource over a directory of envelope JSONL files — drop-in for
     ``CDCEngine.replay(source)``; the table's pk/value/sequence/op names
@@ -263,6 +558,7 @@ def envelope_event_source(
             sequence_col=cfg.sequence_col,
             op_col=cfg.op_col,
             seq_path=seq_path,
+            format=format,
             **read_kwargs,
         )
     )
@@ -290,10 +586,14 @@ class EnvelopeTailSource:
     topic re-dump should land as NEW segment files).
     """
 
-    def __init__(self, path, cfg, seq_path: str | None = None):
+    def __init__(
+        self, path, cfg, seq_path: str | None = None, format: str = "debezium"
+    ):
         self._path = path
         self._cfg = cfg
         self._seq_path = seq_path
+        self._format = format
+        envelope_decoder(format)  # fail fast on an unknown dialect
         self._cache: dict[str, dict] = {}
 
     # -- segment inventory -------------------------------------------------
@@ -320,7 +620,7 @@ class EnvelopeTailSource:
             return hit
         entry: dict = {"key": key, "min": None, "max": None, "schema": None}
         if st.st_size > 0:
-            ev = decode_envelope_table(
+            ev = envelope_decoder(self._format)(
                 pj.read_json(f),
                 pk=list(self._cfg.pk),
                 value_columns=list(self._cfg.value_columns),
@@ -382,6 +682,7 @@ class EnvelopeTailSource:
             sequence_col=self._cfg.sequence_col,
             op_col=self._cfg.op_col,
             seq_path=self._seq_path,
+            format=self._format,
             **kw,
         ).filter(
             expr=f"{seq_col} > {int(after_seq)} and {seq_col} <= {int(upto_seq)}"
@@ -420,4 +721,79 @@ def encode_envelope_lines(
         env["source"] = {"lsn": int(r[sequence_col])}
         env["ts_ms"] = int(r[sequence_col])
         out.append(json.dumps({"payload": env} if wrap_payload else env))
+    return out
+
+
+def encode_wal2json_lines(
+    events: pa.Table,
+    *,
+    pk: list[str],
+    value_columns: list[str],
+    sequence_col: str = "sequence_id",
+    op_col: str = "op",
+    with_tx_frames: bool = False,
+) -> list[str]:
+    """Tests/fixtures ONLY: canonical events → wal2json format-version-2
+    JSONL. Sequence → lsn ``"X/Y"`` hex words; I → columns image only,
+    U → columns + identity keys, D → identity keys only.
+    ``with_tx_frames`` wraps each change in B(egin)/C(ommit) frames, which
+    the decoder must drop."""
+    import json
+
+    def _cols(r, names):
+        return [{"name": c, "type": "text", "value": r[c]} for c in names]
+
+    out: list[str] = []
+    for r in events.to_pylist():
+        seq = int(r[sequence_col])
+        lsn = f"{seq >> 32:X}/{seq & 0xFFFFFFFF:X}"
+        op = r[op_col]
+        env: dict = {"action": op, "schema": "public", "table": "t", "lsn": lsn}
+        if op == "I":
+            env["columns"] = _cols(r, pk + value_columns)
+        elif op == "U":
+            env["columns"] = _cols(r, pk + value_columns)
+            env["identity"] = _cols(r, pk)
+        elif op == "D":
+            env["identity"] = _cols(r, pk)
+        else:
+            raise ValueError(f"unknown op {op!r}")
+        if with_tx_frames:
+            out.append(json.dumps({"action": "B", "lsn": lsn}))
+        out.append(json.dumps(env))
+        if with_tx_frames:
+            out.append(json.dumps({"action": "C", "lsn": lsn}))
+    return out
+
+
+def encode_maxwell_lines(
+    events: pa.Table,
+    *,
+    pk: list[str],
+    value_columns: list[str],
+    sequence_col: str = "sequence_id",
+    op_col: str = "op",
+) -> list[str]:
+    """Tests/fixtures ONLY: canonical events → Maxwell JSONL. Sequence →
+    ``xid`` (so the decoder's default ``xid * 2**16`` carrier preserves
+    the total order); ``data`` carries the full image on every type —
+    including deletes, Maxwell's real behavior the decoder must null
+    out."""
+    import json
+
+    typ = {"I": "insert", "U": "update", "D": "delete"}
+    out: list[str] = []
+    for r in events.to_pylist():
+        env = {
+            "database": "db",
+            "table": "t",
+            "type": typ[r[op_col]],
+            "ts": int(r[sequence_col]) // 1000 + 1_700_000_000,
+            "xid": int(r[sequence_col]),
+            "commit": True,
+            "data": {c: r[c] for c in pk + value_columns},
+        }
+        if r[op_col] == "U":
+            env["old"] = {c: r[c] for c in pk}
+        out.append(json.dumps(env))
     return out
