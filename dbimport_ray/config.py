@@ -86,6 +86,19 @@ class TableConfig:
     # (pipelines/orchestrate.py) only reach back this far — widen it for
     # savepoint/rollback workflows that must span more batches.
     keep_versions: int = 2
+    # Write clustering (the OPTIMIZE/Z-ORDER analogue, done as a plain
+    # sort because zone maps + Parquet row-group stats prune 1-D ranges):
+    # each partition BASE file is sorted by these columns as it is
+    # (re)written — at merge, salted combine, MOR compaction. Predicates
+    # on a cluster column then skip at ROW-GROUP granularity inside the
+    # files the manifest zones kept (read_lake_pruned's pushdown), not
+    # just at file granularity. Purely physical: merge semantics, zones
+    # and aggregates are order-invariant. None → insertion order.
+    cluster_by: list[str] | None = None
+    # Max rows per row group in partition files — the pruning granule.
+    # None → pyarrow's default (1Mi rows); set a few tens of thousands
+    # when cluster_by is on so a selective predicate reads a sliver.
+    row_group_rows: int | None = None
 
     @property
     def system_columns(self) -> list[str]:
@@ -112,6 +125,14 @@ class TableConfig:
         overlap = set(self.pk) & set(self.value_columns)
         if overlap:
             raise ValueError(f"columns both PK and value: {overlap}")
+        if self.cluster_by:
+            bad = set(self.cluster_by) - set(self.target_columns)
+            if bad:
+                raise ValueError(
+                    f"cluster_by names columns not in the table: {sorted(bad)}"
+                )
+        if self.row_group_rows is not None and self.row_group_rows < 1:
+            raise ValueError("row_group_rows must be >= 1")
         if self.merge_format not in ("cow", "mor"):
             raise ValueError(f"unknown merge_format {self.merge_format!r}")
         if self.merge_format == "mor":

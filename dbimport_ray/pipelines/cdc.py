@@ -227,6 +227,10 @@ class MergeGroup:
             )
             validate_exact(expected, res.table.num_rows, f"partition {pid} fold ledger")
 
+        if self.cfg.cluster_by:
+            from ..stages.merge import cluster_table
+
+            res.table = cluster_table(res.table, self.cfg.cluster_by)
         rel_file, nbytes = "", 0
         if res.table.num_rows:
             rel_file = self.store.part_file(pid, self.version)
@@ -333,7 +337,10 @@ class MergeGroup:
     def _write(self, table: pa.Table, rel: str) -> int:
         abs_path = self.store.abs_path(rel)
         tmp = abs_path + f".attempt-{os.getpid()}"
-        pq.write_table(table, tmp, compression="zstd")
+        kw = {}
+        if self.cfg.row_group_rows is not None:
+            kw["row_group_size"] = self.cfg.row_group_rows
+        pq.write_table(table, tmp, compression="zstd", **kw)
         os.replace(tmp, abs_path)  # atomic on same fs → retry-safe
         return os.path.getsize(abs_path)
 
@@ -441,6 +448,10 @@ def _salt_finalize(kw: dict, pid: int, sub_refs: list, meta_refs: list) -> dict:
     metas = ray.get(list(meta_refs))
     table = pa.concat_tables([r["table"] for r in subs])
     history = pa.concat_tables([r["history"] for r in subs])
+    if mg.cfg.cluster_by:
+        from ..stages.merge import cluster_table
+
+        table = cluster_table(table, mg.cfg.cluster_by)
     rel_file, nbytes = "", 0
     if table.num_rows:
         rel_file = mg.store.part_file(pid, mg.version)

@@ -440,6 +440,40 @@ def q_where_pushdown(sf_dir: str) -> pa.Table:
     return t.select(["user_id", "event_type", "value"])
 
 
+def q_cluster_pushdown(sf_dir: str) -> pa.Table:
+    """Write clustering (TableConfig.cluster_by, stages/merge.py:
+    cluster_table): the same two-batch CDC replay as ``where_pushdown``
+    but with the lake clustered on the predicate column at write time
+    (sort per partition file + bounded row groups), so the pushdown read
+    skips at row-group granularity. Must hash-match the identical live-
+    state oracle — clustering is purely physical."""
+    root = _scratch("clp")
+    stream = _derive_cdc_stream(sf_dir, root)
+    cfg = TableConfig(
+        name="user_state_clp",
+        pk=["user_id"],
+        value_columns=["event_type", "value"],
+        num_partitions=8,
+        soft_delete=True,
+        cluster_by=["event_type"],
+        row_group_rows=4096,
+    )
+    eng = CDCEngine(os.path.join(root, "lake"), cfg)
+    mx = max_sequence(stream)
+    eng.replay(stream, upto_seq=mx // 2)
+    eng.replay(stream, upto_seq=mx)
+    stats: dict = {}
+    ds = eng.dataset_where(("event_type", "==", "purchase"), stats=stats)
+    t = pa.concat_tables(
+        [b for b in ds.iter_batches(batch_format="pyarrow")]
+        or [eng.arrow().schema.empty_table()],
+        promote_options="permissive",
+    )
+    iud = pc.fill_null(pc.cast(t[cfg.col_iud], pa.string()), "")
+    t = t.filter(pc.not_equal(iud, "D"))
+    return t.select(["user_id", "event_type", "value"])
+
+
 def q_lake_bucket_join(sf_dir: str) -> "rd.Dataset":
     """Zero-exchange bucket join of two LAKE tables co-partitioned on the
     same pk (sources/lake.py:bucket_join_lakes): the CDC-built user_state
@@ -3608,6 +3642,9 @@ ORACLES["where_pushdown"] = _LIVE_STATE_SQL + """
 SELECT user_id, event_type, value FROM live WHERE event_type = 'purchase'
 """
 
+# clustering is purely physical ⇒ identical oracle to the unclustered read
+ORACLES["cluster_pushdown"] = ORACLES["where_pushdown"]
+
 ORACLES["lake_bucket_join"] = _CDC_VIEW + """
 , final AS (
   SELECT COALESCE(s1.user_id, l2.user_id) AS user_id,
@@ -4770,6 +4807,7 @@ QUERIES = {
     "license_detect_docs": q_license_detect_docs,
     "import_graph_docs": q_import_graph_docs,
     "heavy_hitters_tokens": q_heavy_hitters_tokens,
+    "cluster_pushdown": q_cluster_pushdown,
     # --- rows-only (no SQL-expressible oracle; pytest-verified) ---
     "view_approx_distinct": q_view_approx_distinct,
     "cluster_split_docs": q_cluster_split_docs,

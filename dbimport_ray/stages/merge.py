@@ -95,6 +95,21 @@ def _nulls(n: int, typ: pa.DataType) -> pa.Array:
     return pa.nulls(n, type=typ)
 
 
+def cluster_table(table: pa.Table, cluster_by: list[str] | None) -> pa.Table:
+    """Physical write clustering: sort a partition image by the config's
+    ``cluster_by`` columns so Parquet row-group statistics become
+    selective for those columns (read-side row-group pushdown). Pure
+    reorder — merge semantics, zones and aggregates are order-invariant.
+    Columns an old file predates are skipped (they sort once the schema
+    catches up)."""
+    if not cluster_by or table.num_rows <= 1:
+        return table
+    cols = [c for c in cluster_by if c in table.column_names]
+    if not cols:
+        return table
+    return table.sort_by([(c, "ascending") for c in cols])
+
+
 def merge_partition(
     old: pa.Table | None,
     events: pa.Table,

@@ -1,0 +1,113 @@
+"""Write clustering (TableConfig.cluster_by + row_group_rows): physical
+row-group layout becomes selective for the cluster column while the logical
+table state is bit-identical to the unclustered merge."""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from dbimport_ray.config import TableConfig, repo_files_config
+from dbimport_ray.datagen import generate_events
+from dbimport_ray.pipelines.cdc import CDCEngine
+from dbimport_ray.sources.lake import read_lake_pruned
+
+
+def _sorted(t: pa.Table) -> pa.Table:
+    return t.sort_by([("repo", "ascending"), ("path", "ascending")])
+
+
+def test_cluster_by_validation():
+    with pytest.raises(ValueError, match="cluster_by"):
+        repo_files_config(cluster_by=["nope"]).validate()
+    with pytest.raises(ValueError, match="row_group_rows"):
+        repo_files_config(row_group_rows=0).validate()
+    repo_files_config(cluster_by=["lang"], row_group_rows=100).validate()
+    # system columns are clusterable (e.g. changed-since reads)
+    repo_files_config(cluster_by=["datalake_update"]).validate()
+
+
+def test_clustered_replay_state_and_layout(tmp_path, ray_session):
+    ev = str(tmp_path / "events.parquet")
+    generate_events(ev, num_keys=2500, num_events=12000, seed=5)
+
+    plain = CDCEngine(
+        str(tmp_path / "lake"), repo_files_config(num_partitions=4)
+    )
+    plain.replay(ev)
+    clus = CDCEngine(
+        str(tmp_path / "lake"),
+        repo_files_config(
+            name="repo_files_c", num_partitions=4,
+            cluster_by=["lang"], row_group_rows=128,
+        ),
+    )
+    clus.replay(ev)
+
+    # logical state identical — clustering is purely physical
+    ta, tb = plain.arrow(), clus.arrow()
+    assert _sorted(ta).equals(_sorted(tb.select(ta.column_names)))
+
+    # physical layout: every partition file is sorted by lang, row groups
+    # carry disjoint-or-touching lang ranges, and the small row_group_rows
+    # took effect (multiple groups per file)
+    m = clus.store.load_manifest()
+    saw_multi = False
+    for e in m.partitions.values():
+        f = pq.ParquetFile(clus.store.abs_path(e["file"]))
+        li = f.schema_arrow.names.index("lang")
+        stats = [
+            f.metadata.row_group(i).column(li).statistics
+            for i in range(f.metadata.num_row_groups)
+        ]
+        assert all(s is not None and s.has_min_max for s in stats)
+        for a, b in zip(stats, stats[1:]):
+            assert a.max <= b.min  # sorted run ⇒ monotone group ranges
+        if f.metadata.num_row_groups > 1:
+            saw_multi = True
+    assert saw_multi
+
+    # pruned read on the cluster column: exact rows, pushdown on, and the
+    # predicate matches only a subset of row groups in at least one file
+    st = {}
+    got = read_lake_pruned(
+        clus.store, clus.cfg, ("lang", "==", "py"), stats=st
+    ).take_all()
+    want = tb.filter(pc.equal(tb["lang"], "py"))
+    assert st["pushdown"] is True
+    assert len(got) == want.num_rows
+    skipped_somewhere = False
+    for e in m.partitions.values():
+        f = pq.ParquetFile(clus.store.abs_path(e["file"]))
+        li = f.schema_arrow.names.index("lang")
+        hit = sum(
+            1
+            for i in range(f.metadata.num_row_groups)
+            if (s := f.metadata.row_group(i).column(li).statistics)
+            and s.min <= "py" <= s.max
+        )
+        if hit < f.metadata.num_row_groups:
+            skipped_somewhere = True
+    assert skipped_somewhere
+
+
+def test_clustering_survives_incremental_batches(tmp_path, ray_session):
+    ev = str(tmp_path / "events.parquet")
+    generate_events(ev, num_keys=800, num_events=6000, seed=11)
+    cfg = repo_files_config(
+        num_partitions=4, cluster_by=["lang"], row_group_rows=64
+    )
+    eng = CDCEngine(str(tmp_path / "lake"), cfg)
+    for b in (1999, 3999, 5999):
+        eng.replay(ev, upto_seq=b)
+    seq = CDCEngine(str(tmp_path / "lake"), repo_files_config(
+        name="repo_files_seq", num_partitions=4))
+    for b in (1999, 3999, 5999):
+        seq.replay(ev, upto_seq=b)
+    assert _sorted(seq.arrow()).equals(
+        _sorted(eng.arrow().select(seq.arrow().column_names))
+    )
+    m = eng.store.load_manifest()
+    for e in m.partitions.values():
+        t = pq.read_table(eng.store.abs_path(e["file"]), columns=["lang"])
+        assert t["lang"].to_pylist() == sorted(t["lang"].to_pylist())
