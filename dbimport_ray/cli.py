@@ -40,6 +40,11 @@ def _engine(args):
         mode=args.mode,
         num_partitions=args.partitions,
         soft_delete=not args.hard_delete,
+        cluster_by=(
+            args.cluster_by.split(",")
+            if getattr(args, "cluster_by", None) else None
+        ),
+        row_group_rows=getattr(args, "row_group_rows", None),
     )
     return CDCEngine(args.lake, cfg)
 
@@ -67,6 +72,13 @@ def main(argv: list[str] | None = None) -> int:
             sp.add_argument("--mode", default="cdc", choices=["cdc", "full", "append", "truncate_insert"])
             sp.add_argument("--partitions", type=int, default=16)
             sp.add_argument("--hard-delete", action="store_true")
+            sp.add_argument("--cluster-by", default=None,
+                            help="comma-separated write-clustering columns "
+                                 "(partition files sorted at write; enables "
+                                 "row-group pruning on these columns)")
+            sp.add_argument("--row-group-rows", type=int, default=None,
+                            help="max rows per parquet row group in "
+                                 "partition files (pruning granule)")
 
     sp = sub.add_parser("replay", help="apply one event micro-batch")
     common(sp)
@@ -206,6 +218,10 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("align", help="force-rewrite partition files whose physical schema lags the manifest (pay down cast-on-read debt)")
     common(sp)
     sp.add_argument("--dry-run", action="store_true", help="report stale partitions without rewriting")
+    sp = sub.add_parser("recluster", help="rewrite partition files not in cluster_by order (OPTIMIZE/Z-ORDER analogue; needs --cluster-by)")
+    common(sp)
+    sp.add_argument("--pids", default=None, help="comma-separated partition ids (default: all)")
+    sp.add_argument("--dry-run", action="store_true", help="report layout debt without rewriting")
     sp = sub.add_parser("late-audit", help="detect source files the watermark protocol will never apply (late arrivals)")
     common(sp)
     sp.add_argument("--events", required=True, help="event parquet file/dir to audit against the consumed-input ledger")
@@ -672,6 +688,16 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines.maintain import align_schema
 
         res = align_schema(eng, dry_run=args.dry_run)
+        print(json.dumps(res))
+        if not res["ok"]:
+            import ray as _r
+            _r.shutdown()
+            return 1
+    elif args.cmd == "recluster":
+        from .pipelines.maintain import recluster
+
+        pids = [int(p) for p in args.pids.split(",")] if args.pids else None
+        res = recluster(eng, pids=pids, dry_run=args.dry_run)
         print(json.dumps(res))
         if not res["ok"]:
             import ray as _r

@@ -420,6 +420,143 @@ def _align_schema_locked(engine: CDCEngine, dry_run: bool) -> dict:
     }
 
 
+def recluster(
+    engine: CDCEngine, pids: list[int] | None = None, dry_run: bool = False
+) -> dict:
+    """OPTIMIZE for a table that adopted ``cluster_by`` after data landed
+    (or whose layout drifted through pre-clustering versions): rewrite
+    every partition base file whose rows are not already in cluster
+    order, through the same 2PC manifest swap as a batch (the Delta
+    ``OPTIMIZE ZORDER`` / Iceberg ``rewrite_data_files(sort)`` analogue).
+
+    The merge path keeps newly TOUCHED partitions clustered
+    (stages/merge.py:cluster_table); this verb pays the debt on the cold
+    ones. Cost model: a column-pruned sortedness probe per partition
+    (reads only the cluster columns), then one Ray rewrite task per
+    unsorted partition — already-sorted partitions move no bytes and
+    carry forward. Merge-on-read stacks are skipped (run ``compact``
+    first; its fold rewrites through the clustering write path). The
+    watermark does not move. ``dry_run`` reports layout debt without
+    rewriting."""
+    with engine.store.writer_lock:
+        return _recluster_locked(engine, pids, dry_run)
+
+
+def _recluster_locked(
+    engine: CDCEngine, pids: list[int] | None, dry_run: bool
+) -> dict:
+    import ray
+
+    store, cfg = engine.store, engine.cfg
+    if not cfg.cluster_by:
+        raise ValueError("recluster requires TableConfig.cluster_by")
+    if engine.ckpt.load().pending_seq is not None or store.load_pending_manifest():
+        return {
+            "ok": False,
+            "err": "batch in flight (pending checkpoint/manifest); "
+            "commit or abort before recluster",
+        }
+    manifest = store.load_manifest()
+    engine._adopt_partition_modulus(manifest)
+    want = None if pids is None else {int(p) for p in pids}
+    candidates = [
+        (pid, e)
+        for pid, e in manifest.partitions.items()
+        if e.get("file") and not e.get("deltas")
+        and (want is None or int(pid) in want)
+    ]
+    mor_pids = sorted(
+        int(p) for p, e in manifest.partitions.items() if e.get("deltas")
+    )
+    version = manifest.version + 1
+    root, table = engine.lake_root, cfg.name
+    cluster_cols = list(cfg.cluster_by)
+    rgr = cfg.row_group_rows
+
+    @ray.remote
+    def _job(pid: str, rel_old: str, do_write: bool) -> dict:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        from ..stages.merge import cluster_table
+        from ..state.manifest import TableStore
+
+        st = TableStore(root, table)
+        path = st.abs_path(rel_old)
+        cols = [c for c in cluster_cols if c in pq.read_schema(path).names]
+        if not cols:  # file predates the cluster columns; align/merge first
+            return {"pid": pid, "sorted": True}
+        probe = pq.read_table(path, columns=cols)  # column-pruned probe
+        idx = pc.sort_indices(
+            probe, sort_keys=[(c, "ascending") for c in cols]
+        ).to_numpy()
+        # sort_indices is stable ⇒ identity permutation iff already in
+        # cluster order
+        if bool((idx == np.arange(len(probe))).all()):
+            return {"pid": pid, "sorted": True}
+        if not do_write:
+            return {"pid": pid, "sorted": False}
+        t = cluster_table(pq.read_table(path), cluster_cols)
+        rel = st.part_file(int(pid), version)
+        abs_path = st.abs_path(rel)
+        tmp = abs_path + f".attempt-{os.getpid()}"
+        kw = {"row_group_size": rgr} if rgr else {}
+        pq.write_table(t, tmp, compression="zstd", **kw)
+        os.replace(tmp, abs_path)
+        return {
+            "pid": pid, "sorted": False, "file": rel, "rows": t.num_rows,
+            "bytes": os.path.getsize(abs_path),
+            "zones": column_zones(t) if t.num_rows else {},
+        }
+
+    results = ray.get(
+        [_job.remote(pid, e["file"], not dry_run) for pid, e in candidates]
+    )
+    unsorted = sorted(int(r["pid"]) for r in results if not r["sorted"])
+    rewritten = [r for r in results if r.get("file")]
+    if dry_run or not rewritten:
+        return {
+            "ok": True, "unsorted": len(unsorted), "rewritten": 0,
+            "version": manifest.version, "unsorted_pids": unsorted,
+            "mor_pids": mor_pids,
+        }
+
+    new_parts = dict(manifest.partitions)
+    for r in rewritten:
+        old = manifest.partitions[str(r["pid"])]
+        if r["rows"] != old["rows"]:  # a resort never changes row counts
+            raise RuntimeError(
+                f"recluster row drift pid {r['pid']}: "
+                f"{old['rows']} → {r['rows']}"
+            )
+        new_parts[str(r["pid"])] = {
+            "file": r["file"], "rows": r["rows"], "bytes": r["bytes"],
+            "version": version, "zones": r["zones"],
+        }
+    new_m = Manifest(
+        table=manifest.table,
+        version=version,
+        committed_seq=manifest.committed_seq,
+        schema=manifest.schema,
+        renames=manifest.renames,
+        partitions=new_parts,
+        history_files=list(manifest.history_files),
+        num_partitions=manifest.num_partitions,
+        aggregates=dict(manifest.aggregates),
+    )
+    store.stage_manifest(new_m)
+    store.commit_manifest()
+    store.append_metrics(
+        {"kind": "recluster", "version": version,
+         "rewritten": len(rewritten), "unsorted": len(unsorted)}
+    )
+    store.purge_old_versions(keep_versions=max(1, cfg.keep_versions))
+    return {
+        "ok": True, "unsorted": len(unsorted), "rewritten": len(rewritten),
+        "version": version, "unsorted_pids": unsorted, "mor_pids": mor_pids,
+    }
+
+
 def replicate_lake(engine: CDCEngine, dest_root: str) -> dict:
     """Copy the committed table (files + manifest) to another lake root —
     the DistCp multi-cluster copy phase (copy_operations.py:278), commit

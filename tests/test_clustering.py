@@ -91,6 +91,68 @@ def test_clustered_replay_state_and_layout(tmp_path, ray_session):
     assert skipped_somewhere
 
 
+def test_recluster_pays_layout_debt(tmp_path, ray_session):
+    from dbimport_ray.pipelines.maintain import recluster
+
+    ev = str(tmp_path / "events.parquet")
+    generate_events(ev, num_keys=1500, num_events=9000, seed=3)
+    # data lands UNclustered (no cluster_by on the writing config)...
+    plain = CDCEngine(
+        str(tmp_path / "lake"), repo_files_config(num_partitions=4)
+    )
+    plain.replay(ev)
+    before = _sorted(plain.arrow())
+    v0 = plain.store.load_manifest().version
+
+    # ...then the table adopts cluster_by: recluster pays the debt
+    clus = CDCEngine(
+        str(tmp_path / "lake"),
+        repo_files_config(num_partitions=4, cluster_by=["lang"],
+                          row_group_rows=128),
+    )
+    dr = recluster(clus, dry_run=True)
+    assert dr["ok"] and dr["rewritten"] == 0 and dr["unsorted"] > 0
+    assert clus.store.load_manifest().version == v0  # dry run commits nothing
+
+    r = recluster(clus)
+    assert r["ok"] and r["rewritten"] == dr["unsorted"]
+    assert r["version"] == v0 + 1
+
+    # logical state unchanged, physical order now clustered
+    assert _sorted(clus.arrow()).equals(before)
+    m = clus.store.load_manifest()
+    for e in m.partitions.values():
+        t = pq.read_table(clus.store.abs_path(e["file"]), columns=["lang"])
+        assert t["lang"].to_pylist() == sorted(t["lang"].to_pylist())
+
+    # idempotent: a second run probes but rewrites nothing
+    r2 = recluster(clus)
+    assert r2["ok"] and r2["rewritten"] == 0 and r2["unsorted"] == 0
+
+    # without cluster_by the verb refuses
+    with pytest.raises(ValueError, match="cluster_by"):
+        recluster(plain)
+
+
+def test_recluster_cli(tmp_path, ray_session):
+    from dbimport_ray.cli import main
+
+    ev = str(tmp_path / "events.parquet")
+    generate_events(ev, num_keys=400, num_events=2500, seed=9)
+    lake = str(tmp_path / "lake")
+    base = ["--lake", lake, "--table", "repo_files",
+            "--pk", "repo,path", "--values", "commit,lang,content",
+            "--partitions", "4"]
+    assert main(["replay", *base, "--events", ev]) == 0
+    assert main(["recluster", *base, "--cluster-by", "lang",
+                 "--row-group-rows", "64"]) == 0
+    eng = CDCEngine(lake, repo_files_config(num_partitions=4))
+    m = eng.store.load_manifest()
+    for e in m.partitions.values():
+        t = pq.read_table(eng.store.abs_path(e["file"]), columns=["lang"])
+        assert t["lang"].to_pylist() == sorted(t["lang"].to_pylist())
+
+
 def test_clustering_survives_incremental_batches(tmp_path, ray_session):
     ev = str(tmp_path / "events.parquet")
     generate_events(ev, num_keys=800, num_events=6000, seed=11)
