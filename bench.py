@@ -472,6 +472,78 @@ def mor() -> None:
     ray.shutdown()
 
 
+def cluster() -> None:
+    """Read-side A/B for write clustering (TableConfig.cluster_by +
+    row_group_rows): the SAME replay lands once in insertion order and
+    once clustered on ``lang``, both with identical bounded row groups,
+    then a selective predicate read (`dataset_where(("lang","==",X))`,
+    zone prune + row-group pushdown) runs over each. The only delta is
+    physical row ORDER, so the gap isolates what row-group statistics
+    are worth once the rows inside kept files are sorted. Results are
+    oracle-equal by construction (cluster_pushdown vs where_pushdown
+    share one DuckDB oracle)."""
+    import ray
+
+    from dbimport_ray.config import repo_files_config
+    from dbimport_ray.datagen import cached_events
+    from dbimport_ray.pipelines.cdc import CDCEngine
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    n_keys = int(os.environ.get("CLUSTER_KEYS", "300000"))
+    reps = int(os.environ.get("CLUSTER_REPS", "3"))
+    rgr = int(os.environ.get("CLUSTER_ROW_GROUP_ROWS", "4096"))
+    events = cached_events(
+        f"{scratch}/bench_events_cluster", n_keys, n_keys, seed=42,
+        content_repeat_mean=CONTENT_REPEAT,
+        rows_per_batch=max(25_000, n_keys // 64),
+    )
+    out = {}
+    for variant, cluster_by in (("plain", None), ("clustered", ["lang"])):
+        lake = f"{scratch}/bench_lake_cluster_{variant}_{os.getpid()}"
+        shutil.rmtree(lake, ignore_errors=True)
+        cfg = repo_files_config(
+            num_partitions=NUM_PARTITIONS, cluster_by=cluster_by,
+            row_group_rows=rgr,
+        )
+        eng = CDCEngine(lake, cfg)
+        eng.replay(events, override_num_blocks=NUM_BLOCKS)
+        # pick the rarest lang so the predicate is selective
+        import pyarrow.compute as pc
+
+        langs = pc.value_counts(eng.arrow().column("lang"))
+        target = min(
+            ((s["counts"].as_py(), s["values"].as_py()) for s in langs),
+        )[1] if len(langs) else "py"
+        times = []
+        rows = None
+        for _ in range(reps):
+            t0 = time.monotonic()
+            rows = eng.dataset_where(("lang", "==", target)).count()
+            times.append(time.monotonic() - t0)
+        out[variant] = {
+            "read_sec_median": round(sorted(times)[len(times) // 2], 3),
+            "read_secs": [round(t, 3) for t in times],
+            "rows": rows,
+            "target_lang": target,
+        }
+        shutil.rmtree(lake, ignore_errors=True)
+    out["read_speedup_clustered"] = round(
+        out["plain"]["read_sec_median"]
+        / max(1e-9, out["clustered"]["read_sec_median"]), 2,
+    )
+    print(json.dumps({
+        "metric": "cluster_read_pruning",
+        "keys": n_keys, "row_group_rows": rgr,
+        "num_partitions": NUM_PARTITIONS, "num_cpus": NUM_CPUS, **out,
+    }))
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
@@ -479,6 +551,8 @@ if __name__ == "__main__":
         skew()
     elif "--mor" in sys.argv:
         mor()
+    elif "--cluster" in sys.argv:
+        cluster()
     else:
         if os.environ.get("BENCH_SKIP_QUERIES"):
             QUERY_NAMES = []
