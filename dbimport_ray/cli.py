@@ -44,6 +44,7 @@ def _engine(args):
             args.cluster_by.split(",")
             if getattr(args, "cluster_by", None) else None
         ),
+        cluster_order=getattr(args, "cluster_order", "linear") or "linear",
         row_group_rows=getattr(args, "row_group_rows", None),
     )
     return CDCEngine(args.lake, cfg)
@@ -79,6 +80,11 @@ def main(argv: list[str] | None = None) -> int:
             sp.add_argument("--row-group-rows", type=int, default=None,
                             help="max rows per parquet row group in "
                                  "partition files (pruning granule)")
+            sp.add_argument("--cluster-order", default="linear",
+                            choices=["linear", "zorder"],
+                            help="linear = lexicographic sort (best on the "
+                                 "leading column); zorder = Morton interleave "
+                                 "(balanced pruning on every cluster column)")
 
     sp = sub.add_parser("replay", help="apply one event micro-batch")
     common(sp)

@@ -95,6 +95,11 @@ class TableConfig:
     # just at file granularity. Purely physical: merge semantics, zones
     # and aggregates are order-invariant. None → insertion order.
     cluster_by: list[str] | None = None
+    # How cluster_by orders rows: "linear" (lexicographic sort — perfect
+    # pruning on the LEADING column) or "zorder" (Morton interleave of
+    # per-file dense ranks — balanced pruning on EVERY cluster column;
+    # ≤4 columns). Ignored with a single cluster column (identical).
+    cluster_order: str = "linear"
     # Max rows per row group in partition files — the pruning granule.
     # None → pyarrow's default (1Mi rows); set a few tens of thousands
     # when cluster_by is on so a selective predicate reads a sliver.
@@ -131,6 +136,10 @@ class TableConfig:
                 raise ValueError(
                     f"cluster_by names columns not in the table: {sorted(bad)}"
                 )
+        if self.cluster_order not in ("linear", "zorder"):
+            raise ValueError(f"unknown cluster_order {self.cluster_order!r}")
+        if self.cluster_order == "zorder" and self.cluster_by and len(self.cluster_by) > 4:
+            raise ValueError("zorder supports at most 4 cluster columns")
         if self.row_group_rows is not None and self.row_group_rows < 1:
             raise ValueError("row_group_rows must be >= 1")
         if self.merge_format not in ("cow", "mor"):

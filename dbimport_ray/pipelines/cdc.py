@@ -230,7 +230,9 @@ class MergeGroup:
         if self.cfg.cluster_by:
             from ..stages.merge import cluster_table
 
-            res.table = cluster_table(res.table, self.cfg.cluster_by)
+            res.table = cluster_table(
+                res.table, self.cfg.cluster_by, self.cfg.cluster_order
+            )
         rel_file, nbytes = "", 0
         if res.table.num_rows:
             rel_file = self.store.part_file(pid, self.version)
@@ -451,7 +453,7 @@ def _salt_finalize(kw: dict, pid: int, sub_refs: list, meta_refs: list) -> dict:
     if mg.cfg.cluster_by:
         from ..stages.merge import cluster_table
 
-        table = cluster_table(table, mg.cfg.cluster_by)
+        table = cluster_table(table, mg.cfg.cluster_by, mg.cfg.cluster_order)
     rel_file, nbytes = "", 0
     if table.num_rows:
         rel_file = mg.store.part_file(pid, mg.version)

@@ -471,6 +471,7 @@ def _recluster_locked(
     version = manifest.version + 1
     root, table = engine.lake_root, cfg.name
     cluster_cols = list(cfg.cluster_by)
+    cluster_order = cfg.cluster_order
     rgr = cfg.row_group_rows
 
     @ray.remote
@@ -478,7 +479,7 @@ def _recluster_locked(
         import numpy as np
         import pyarrow.compute as pc
 
-        from ..stages.merge import cluster_table
+        from ..stages.merge import cluster_table, zorder_key
         from ..state.manifest import TableStore
 
         st = TableStore(root, table)
@@ -487,16 +488,19 @@ def _recluster_locked(
         if not cols:  # file predates the cluster columns; align/merge first
             return {"pid": pid, "sorted": True}
         probe = pq.read_table(path, columns=cols)  # column-pruned probe
-        idx = pc.sort_indices(
-            probe, sort_keys=[(c, "ascending") for c in cols]
-        ).to_numpy()
+        if cluster_order == "zorder" and len(cols) > 1:
+            idx = pc.sort_indices(zorder_key(probe, cols)).to_numpy()
+        else:
+            idx = pc.sort_indices(
+                probe, sort_keys=[(c, "ascending") for c in cols]
+            ).to_numpy()
         # sort_indices is stable ⇒ identity permutation iff already in
         # cluster order
         if bool((idx == np.arange(len(probe))).all()):
             return {"pid": pid, "sorted": True}
         if not do_write:
             return {"pid": pid, "sorted": False}
-        t = cluster_table(pq.read_table(path), cluster_cols)
+        t = cluster_table(pq.read_table(path), cluster_cols, cluster_order)
         rel = st.part_file(int(pid), version)
         abs_path = st.abs_path(rel)
         tmp = abs_path + f".attempt-{os.getpid()}"

@@ -95,18 +95,69 @@ def _nulls(n: int, typ: pa.DataType) -> pa.Array:
     return pa.nulls(n, type=typ)
 
 
-def cluster_table(table: pa.Table, cluster_by: list[str] | None) -> pa.Table:
-    """Physical write clustering: sort a partition image by the config's
-    ``cluster_by`` columns so Parquet row-group statistics become
-    selective for those columns (read-side row-group pushdown). Pure
-    reorder — merge semantics, zones and aggregates are order-invariant.
-    Columns an old file predates are skipped (they sort once the schema
-    catches up)."""
+def _zorder_ranks(col: pa.ChunkedArray | pa.Array, bits: int):
+    """Per-file dense rank of a column scaled to ``bits`` bits — the
+    numeric normalization Z-ordering interleaves. Order-preserving for
+    any comparable type: dictionary-encode, sort the dictionary once,
+    remap indices through the rank LUT (all vectorized; nulls rank
+    first)."""
+    import numpy as np
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    enc = pc.dictionary_encode(col)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    d = enc.dictionary
+    order = pc.sort_indices(d).to_numpy(zero_copy_only=False).astype(np.int64)
+    rank_of = np.empty(len(d), np.int64)
+    rank_of[order] = np.arange(len(d))
+    idx = enc.indices.fill_null(-1).to_numpy(zero_copy_only=False)
+    idx = idx.astype(np.int64)
+    ranks = np.where(idx < 0, 0, rank_of[np.maximum(idx, 0)])  # nulls first
+    hi = max(1, len(d) - 1)
+    return (ranks.astype(np.uint64) * ((1 << bits) - 1) // hi)
+
+
+def zorder_key(table: pa.Table, cols: list[str]):
+    """Morton (Z-order) key over up to 4 columns: each column's per-file
+    dense rank is scaled to 64//k bits and the bits interleave, so rows
+    close in EVERY dimension land close in the sort — row-group min/max
+    stay selective on each cluster column instead of only the first.
+    One numpy pass per bit (≤16 iterations of vector ops)."""
+    import numpy as np
+
+    k = len(cols)
+    if k > 4:
+        raise ValueError("zorder supports at most 4 cluster columns")
+    bits = 64 // k if k < 3 else 16  # 32/32, 16×3, 16×4
+    parts = [_zorder_ranks(table.column(c), bits) for c in cols]
+    z = np.zeros(table.num_rows, np.uint64)
+    for b in range(bits):
+        for j, p in enumerate(parts):
+            z |= ((p >> np.uint64(b)) & np.uint64(1)) << np.uint64(b * k + j)
+    return pa.array(z)
+
+
+def cluster_table(
+    table: pa.Table, cluster_by: list[str] | None, order: str = "linear"
+) -> pa.Table:
+    """Physical write clustering: reorder a partition image so Parquet
+    row-group statistics become selective for the ``cluster_by`` columns
+    (read-side row-group pushdown). ``order="linear"`` is a plain
+    lexicographic sort (perfect pruning on the leading column);
+    ``order="zorder"`` sorts by a Morton key over the columns' per-file
+    dense ranks (balanced pruning on EVERY cluster column — the Delta
+    OPTIMIZE ZORDER layout). Pure reorder — merge semantics, zones and
+    aggregates are order-invariant. Columns an old file predates are
+    skipped (they sort once the schema catches up)."""
     if not cluster_by or table.num_rows <= 1:
         return table
     cols = [c for c in cluster_by if c in table.column_names]
     if not cols:
         return table
+    if order == "zorder" and len(cols) > 1:
+        return table.take(pc.sort_indices(zorder_key(table, cols)))
     return table.sort_by([(c, "ascending") for c in cols])
 
 

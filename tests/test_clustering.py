@@ -153,6 +153,95 @@ def test_recluster_cli(tmp_path, ray_session):
         assert t["lang"].to_pylist() == sorted(t["lang"].to_pylist())
 
 
+def _groups_matching(store, entry, col, val) -> tuple[int, int]:
+    """(row groups whose [min,max] contains val, total row groups)."""
+    f = pq.ParquetFile(store.abs_path(entry["file"]))
+    li = f.schema_arrow.names.index(col)
+    hit = total = 0
+    for i in range(f.metadata.num_row_groups):
+        s = f.metadata.row_group(i).column(li).statistics
+        total += 1
+        if s is None or not s.has_min_max or s.min <= val <= s.max:
+            hit += 1
+    return hit, total
+
+
+def test_zorder_key_properties():
+    from dbimport_ray.stages.merge import zorder_key
+
+    t = pa.table({
+        "a": ["x", "y", None, "x", "z"] * 20,
+        "b": [5, 1, 3, None, 2] * 20,
+    })
+    z = zorder_key(t, ["a", "b"])
+    assert len(z) == t.num_rows and z.null_count == 0
+    # deterministic and permutation-covariant: shuffling rows permutes keys
+    idx = list(reversed(range(t.num_rows)))
+    z2 = zorder_key(t.take(pa.array(idx)), ["a", "b"])
+    assert z2.to_pylist() == [z.to_pylist()[i] for i in idx]
+    with pytest.raises(ValueError, match="at most 4"):
+        zorder_key(t, ["a", "b", "a", "b", "a"])
+
+
+def test_zorder_balances_pruning_across_columns(tmp_path, ray_session):
+    ev = str(tmp_path / "events.parquet")
+    generate_events(ev, num_keys=4000, num_events=16000, seed=13)
+
+    def build(name, order):
+        cfg = repo_files_config(
+            name=name, num_partitions=2, cluster_by=["lang", "commit"],
+            cluster_order=order, row_group_rows=128,
+        )
+        e = CDCEngine(str(tmp_path / "lake"), cfg)
+        e.replay(ev)
+        return e
+
+    lin = build("t_lin", "linear")
+    zo = build("t_zo", "zorder")
+
+    # identical logical state — ordering is physical only
+    assert _sorted(lin.arrow()).equals(_sorted(zo.arrow()))
+
+    # pick a mid-range commit value present in the data
+    some = lin.arrow()["commit"].to_pylist()
+    val = sorted(some)[len(some) // 2]
+
+    frac = {}
+    for tag, eng in (("lin", lin), ("zo", zo)):
+        hit = tot = 0
+        for e in eng.store.load_manifest().partitions.values():
+            h, t = _groups_matching(eng.store, e, "commit", val)
+            hit += h
+            tot += t
+        frac[tag] = hit / tot
+    # linear order by (lang, commit) leaves commit interleaved across
+    # groups (every lang run spans the full commit range) ⇒ ~all groups
+    # match; zorder keeps commit ranges tight in every group
+    assert frac["zo"] < frac["lin"]
+    assert frac["zo"] < 0.5 < frac["lin"]
+
+
+def test_recluster_zorder_idempotent(tmp_path, ray_session):
+    from dbimport_ray.pipelines.maintain import recluster
+
+    ev = str(tmp_path / "events.parquet")
+    generate_events(ev, num_keys=1200, num_events=7000, seed=17)
+    plain = CDCEngine(
+        str(tmp_path / "lake"), repo_files_config(num_partitions=4)
+    )
+    plain.replay(ev)
+    zo = CDCEngine(
+        str(tmp_path / "lake"),
+        repo_files_config(num_partitions=4, cluster_by=["lang", "commit"],
+                          cluster_order="zorder", row_group_rows=128),
+    )
+    r = recluster(zo)
+    assert r["ok"] and r["rewritten"] > 0
+    r2 = recluster(zo)
+    assert r2["ok"] and r2["rewritten"] == 0 and r2["unsorted"] == 0
+    assert _sorted(zo.arrow()).equals(_sorted(plain.arrow()))
+
+
 def test_clustering_survives_incremental_batches(tmp_path, ray_session):
     ev = str(tmp_path / "events.parquet")
     generate_events(ev, num_keys=800, num_events=6000, seed=11)
