@@ -228,6 +228,13 @@ def main(argv: list[str] | None = None) -> int:
     common(sp)
     sp.add_argument("--pids", default=None, help="comma-separated partition ids (default: all)")
     sp.add_argument("--dry-run", action="store_true", help="report layout debt without rewriting")
+    sp = sub.add_parser("redrive", help="dead-letter redrive: re-admit quarantined events that pass the CURRENT constraints (exact recompute of affected keys)")
+    common(sp)
+    sp.add_argument("--events", required=True, help="the complete source event path (recompute reads it at original sequences)")
+    sp.add_argument("--constraints", default=None,
+                    help="JSON list of constraint rules to apply NOW "
+                         "(defaults to none, i.e. everything passes)")
+    sp.add_argument("--dry-run", action="store_true", help="report the pass/fail split without touching anything")
     sp = sub.add_parser("late-audit", help="detect source files the watermark protocol will never apply (late arrivals)")
     common(sp)
     sp.add_argument("--events", required=True, help="event parquet file/dir to audit against the consumed-input ledger")
@@ -704,6 +711,17 @@ def main(argv: list[str] | None = None) -> int:
 
         pids = [int(p) for p in args.pids.split(",")] if args.pids else None
         res = recluster(eng, pids=pids, dry_run=args.dry_run)
+        print(json.dumps(res))
+        if not res["ok"]:
+            import ray as _r
+            _r.shutdown()
+            return 1
+    elif args.cmd == "redrive":
+        from .pipelines.maintain import redrive_quarantine
+
+        if args.constraints:
+            eng.cfg.constraints = json.loads(args.constraints)
+        res = redrive_quarantine(eng, args.events, dry_run=args.dry_run)
         print(json.dumps(res))
         if not res["ok"]:
             import ray as _r

@@ -1037,6 +1037,153 @@ def rescue_late(engine: CDCEngine, events_path, findings: list[dict] | None = No
         return _rescue_late_locked(engine, events_path, findings)
 
 
+def _apply_key_winners(
+    engine: CDCEngine, winners: "pa.Table", committed: int, n_keys: int,
+    label: str = "rescue",
+) -> dict:
+    """Shared incident-repair apply (rescue_late, redrive_quarantine):
+    given the LWW winners — the TRUE final image of every affected key,
+    recomputed from the complete source at original sequence numbers —
+    rewrite only the partitions holding those keys through one manifest
+    commit. No-op winners (image already correct) drop via a null-safe
+    value compare so untouched keys stay bit-identical; winner op 'D'
+    against a missing/tombstoned row drops as a no-op (batch-boundary
+    semantics preserved); MOR stacks fold (implicit compaction) with
+    their deferred history carried along. The watermark does not move."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..stages.merge import merge_partition
+    from ..stages.partitioning import PID_COL, add_partition_id
+    from .cdc import deterministic_merge_ts
+
+    cfg = engine.cfg
+    store = engine.store
+    manifest = store.load_manifest()
+    version = manifest.version + 1
+    winners = add_partition_id(winners, cfg.pk, manifest.num_partitions
+                               or cfg.num_partitions)
+    ts = deterministic_merge_ts(committed)
+
+    def _noop_mask(w: pa.Table, old: pa.Table):
+        """(mask, joined): mask is True where the winner would not change
+        the current image; downstream filters operate on the joined table
+        since the join may reorder rows."""
+        ow = old.rename_columns(
+            [c + "#o" for c in old.column_names]
+        )
+        j = w.join(ow, keys=cfg.pk, right_keys=[c + "#o" for c in cfg.pk],
+                   join_type="left outer")
+        exists = pc.is_valid(j[cfg.col_iud + "#o"]).to_numpy(zero_copy_only=False)
+        is_del = pc.equal(j[cfg.op_col], "D").to_numpy(zero_copy_only=False)
+        old_del = pc.fill_null(
+            pc.equal(j[cfg.col_iud + "#o"], "D"), False
+        ).to_numpy(zero_copy_only=False)
+        same = np.ones(j.num_rows, dtype=bool)
+        for c in cfg.value_columns:
+            a, b = j[c], j[c + "#o"]
+            eq = pc.fill_null(pc.equal(a, b), False).to_numpy(zero_copy_only=False)
+            both_null = pc.and_(
+                pc.is_null(a), pc.is_null(b)
+            ).to_numpy(zero_copy_only=False)
+            same &= eq | both_null
+        live_same = exists & ~old_del & ~is_del & same
+        dead_noop = is_del & (~exists | old_del)
+        return (live_same | dead_noop), j
+
+    touched: dict[int, dict] = {}
+    hist_files: list[str] = []
+    pids = sorted(set(winners[PID_COL].to_numpy(zero_copy_only=False).tolist()))
+    total_applied = 0
+    for pid in pids:
+        w = winners.filter(pc.equal(winners[PID_COL], pid)).drop_columns([PID_COL])
+        entry = manifest.partitions.get(str(pid))
+        fold_hists: list[pa.Table] = []
+        if entry is not None and entry.get("deltas"):
+            # merge-on-read stack: rescue works on the folded live image and
+            # writes a fresh base (an implicit compaction), carrying the
+            # stack's deferred history rows along so they aren't lost
+            from ..stages.mor import fold_entry
+            from ..stages.merge import target_schema as _tgt_schema
+
+            schema = manifest.arrow_schema()
+            vtypes = {f.name: f.type for f in schema}
+            fr = fold_entry(
+                store.root, cfg, entry,
+                _tgt_schema(cfg, vtypes), manifest.renames,
+                collect_history=cfg.history,
+            )
+            old, fold_hists = fr.table, fr.history
+        else:
+            old = pq.read_table(store.abs_path(entry["file"])) if entry else None
+        if old is not None and old.num_rows:
+            noop, j = _noop_mask(w, old)
+            w = j.filter(pa.array(~noop)).select(w.column_names)
+        if w.num_rows == 0:
+            continue
+        res = merge_partition(old, w, cfg, ts)
+        total_applied += w.num_rows
+        rel = store.part_file(pid, version)
+        tmp = store.abs_path(rel) + f".{label}-{os.getpid()}"
+        pq.write_table(res.table, tmp, compression="zstd")
+        os.replace(tmp, store.abs_path(rel))
+        touched[pid] = {
+            "file": rel,
+            "rows": res.table.num_rows,
+            "bytes": os.path.getsize(store.abs_path(rel)),
+            "version": version,
+            "zones": column_zones(res.table),
+        }
+        hist_tbls = [h for h in fold_hists + [res.history] if h.num_rows]
+        if cfg.history and hist_tbls:
+            hrel = store.history_file(pid, version)
+            pq.write_table(
+                pa.concat_tables(hist_tbls), store.abs_path(hrel),
+                compression="zstd",
+            )
+            hist_files.append(hrel)
+
+    if not touched:
+        status = {"status": "noop", f"{label}d_keys": 0,
+                  "note": "all winners already superseded"}
+    else:
+        new_parts = dict(manifest.partitions)
+        for pid, e in touched.items():
+            if e["rows"] > 0:
+                new_parts[str(pid)] = e
+            else:
+                new_parts.pop(str(pid), None)
+        new_m = Manifest(
+            table=manifest.table,
+            version=version,
+            committed_seq=manifest.committed_seq,
+            schema=manifest.schema,
+            renames=manifest.renames,
+            partitions=new_parts,
+            history_files=list(manifest.history_files) + hist_files,
+            num_partitions=manifest.num_partitions,
+            aggregates=dict(manifest.aggregates),
+        )
+        store.stage_manifest(new_m)
+        store.commit_manifest()
+        if cfg.maintained_aggs:
+            from ..state.aggregates import agg_table
+
+            m2 = store.load_manifest()
+            m2.aggregates = agg_table(engine.arrow(), cfg.maintained_aggs)
+            store.stage_manifest(m2)
+            store.commit_manifest()
+        status = {
+            "status": f"{label}d",
+            "version": version,
+            f"{label}d_keys": n_keys,
+            "applied_rows": int(total_applied),
+            "partitions_touched": len(touched),
+        }
+
+    return status
+
+
 def _rescue_late_locked(
     engine: CDCEngine, events_path, findings: list[dict] | None
 ) -> dict:
@@ -1109,128 +1256,19 @@ def _rescue_late_locked(
         pa.concat_tables(parts, promote_options="permissive"), cfg.pk, seq
     )
 
-    manifest = store.load_manifest()
-    version = manifest.version + 1
-    winners = add_partition_id(winners, cfg.pk, manifest.num_partitions
-                               or cfg.num_partitions)
-    ts = deterministic_merge_ts(committed)
+    return _apply_key_winners_and_ledger(
+        engine, winners, committed, int(len(keyset)), findings, seq
+    )
 
-    def _noop_mask(w: pa.Table, old: pa.Table):
-        """(mask, joined): mask is True where the winner would not change
-        the current image; downstream filters operate on the joined table
-        since the join may reorder rows."""
-        ow = old.rename_columns(
-            [c + "#o" for c in old.column_names]
-        )
-        j = w.join(ow, keys=cfg.pk, right_keys=[c + "#o" for c in cfg.pk],
-                   join_type="left outer")
-        exists = pc.is_valid(j[cfg.col_iud + "#o"]).to_numpy(zero_copy_only=False)
-        is_del = pc.equal(j[cfg.op_col], "D").to_numpy(zero_copy_only=False)
-        old_del = pc.fill_null(
-            pc.equal(j[cfg.col_iud + "#o"], "D"), False
-        ).to_numpy(zero_copy_only=False)
-        same = np.ones(j.num_rows, dtype=bool)
-        for c in cfg.value_columns:
-            a, b = j[c], j[c + "#o"]
-            eq = pc.fill_null(pc.equal(a, b), False).to_numpy(zero_copy_only=False)
-            both_null = pc.and_(
-                pc.is_null(a), pc.is_null(b)
-            ).to_numpy(zero_copy_only=False)
-            same &= eq | both_null
-        live_same = exists & ~old_del & ~is_del & same
-        dead_noop = is_del & (~exists | old_del)
-        return (live_same | dead_noop), j
 
-    touched: dict[int, dict] = {}
-    hist_files: list[str] = []
-    pids = sorted(set(winners[PID_COL].to_numpy(zero_copy_only=False).tolist()))
-    total_applied = 0
-    for pid in pids:
-        w = winners.filter(pc.equal(winners[PID_COL], pid)).drop_columns([PID_COL])
-        entry = manifest.partitions.get(str(pid))
-        fold_hists: list[pa.Table] = []
-        if entry is not None and entry.get("deltas"):
-            # merge-on-read stack: rescue works on the folded live image and
-            # writes a fresh base (an implicit compaction), carrying the
-            # stack's deferred history rows along so they aren't lost
-            from ..stages.mor import fold_entry
-            from ..stages.merge import target_schema as _tgt_schema
+def _apply_key_winners_and_ledger(
+    engine: CDCEngine, winners, committed, n_keys, findings, seq
+) -> dict:
+    from ..sources.events import file_seq_stats
 
-            schema = manifest.arrow_schema()
-            vtypes = {f.name: f.type for f in schema}
-            fr = fold_entry(
-                store.root, cfg, entry,
-                _tgt_schema(cfg, vtypes), manifest.renames,
-                collect_history=cfg.history,
-            )
-            old, fold_hists = fr.table, fr.history
-        else:
-            old = pq.read_table(store.abs_path(entry["file"])) if entry else None
-        if old is not None and old.num_rows:
-            noop, j = _noop_mask(w, old)
-            w = j.filter(pa.array(~noop)).select(w.column_names)
-        if w.num_rows == 0:
-            continue
-        res = merge_partition(old, w, cfg, ts)
-        total_applied += w.num_rows
-        rel = store.part_file(pid, version)
-        tmp = store.abs_path(rel) + f".rescue-{os.getpid()}"
-        pq.write_table(res.table, tmp, compression="zstd")
-        os.replace(tmp, store.abs_path(rel))
-        touched[pid] = {
-            "file": rel,
-            "rows": res.table.num_rows,
-            "bytes": os.path.getsize(store.abs_path(rel)),
-            "version": version,
-            "zones": column_zones(res.table),
-        }
-        hist_tbls = [h for h in fold_hists + [res.history] if h.num_rows]
-        if cfg.history and hist_tbls:
-            hrel = store.history_file(pid, version)
-            pq.write_table(
-                pa.concat_tables(hist_tbls), store.abs_path(hrel),
-                compression="zstd",
-            )
-            hist_files.append(hrel)
-
-    if not touched:
-        status = {"status": "noop", "rescued_keys": 0,
-                  "note": "all late rows already superseded"}
-    else:
-        new_parts = dict(manifest.partitions)
-        for pid, e in touched.items():
-            if e["rows"] > 0:
-                new_parts[str(pid)] = e
-            else:
-                new_parts.pop(str(pid), None)
-        new_m = Manifest(
-            table=manifest.table,
-            version=version,
-            committed_seq=manifest.committed_seq,
-            schema=manifest.schema,
-            renames=manifest.renames,
-            partitions=new_parts,
-            history_files=list(manifest.history_files) + hist_files,
-            num_partitions=manifest.num_partitions,
-            aggregates=dict(manifest.aggregates),
-        )
-        store.stage_manifest(new_m)
-        store.commit_manifest()
-        if cfg.maintained_aggs:
-            from ..state.aggregates import agg_table
-
-            m2 = store.load_manifest()
-            m2.aggregates = agg_table(engine.arrow(), cfg.maintained_aggs)
-            store.stage_manifest(m2)
-            store.commit_manifest()
-        status = {
-            "status": "rescued",
-            "version": version,
-            "rescued_keys": int(len(keyset)),
-            "applied_rows": int(total_applied),
-            "partitions_touched": len(touched),
-        }
-
+    store = engine.store
+    status = _apply_key_winners(engine, winners, committed, n_keys,
+                                label="rescue")
     # mark the flagged files consumed so the next audit is clean
     store.append_metrics({
         "rescue": True,
@@ -1289,6 +1327,166 @@ def drift_report(engine: CDCEngine, window: int = 10) -> dict:
                     "window_mad": mad,
                 })
     return {"ok": not findings, "batches": len(recs), "findings": findings}
+
+
+def redrive_quarantine(
+    engine: CDCEngine, events_path, dry_run: bool = False
+) -> dict:
+    """Dead-letter REDRIVE: re-admit quarantined change events whose rows
+    pass the CURRENT constraint set (the DLQ-redrive every production CDC
+    pipeline needs after a bad rule or an upstream fix).
+
+    Quarantined rows were EXCLUDED from their original batches, so simply
+    replaying them now would stomp newer images (the lake keeps no per-row
+    sequence). Exact semantics instead — the same recompute as
+    ``rescue_late``: for every key a now-passing quarantined row touches,
+    rebuild the TRUE final image from the complete source at ORIGINAL
+    sequence numbers with the CURRENT constraints applied inside the
+    pipeline (rows still violating stay out, newly-passing rows
+    participate), then rewrite only the partitions holding those keys.
+    Work ∝ incident: one key-filtered LWW pass over the source + |affected
+    pids| partition merges, never the table.
+
+    Still-violating rows are re-quarantined into one consolidated file and
+    the redriven files are deleted, so the DLQ shrinks and a second
+    redrive is a noop. ``dry_run`` reports the pass/fail split without
+    touching anything. The watermark does not move."""
+    with engine.store.writer_lock:
+        return _redrive_quarantine_locked(engine, events_path, dry_run)
+
+
+def _redrive_quarantine_locked(
+    engine: CDCEngine, events_path, dry_run: bool
+) -> dict:
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    from ..sources.events import read_events
+    from ..stages.joins import _key_array
+    from ..stages.lww import lww_dedup, make_lww_prereduce
+    from ..stages.validate import compile_rules, violation_stamp
+
+    cfg = engine.cfg
+    store = engine.store
+    seq = cfg.sequence_col
+    if engine.ckpt.load().pending_seq is not None or store.load_pending_manifest():
+        return {
+            "ok": False,
+            "err": "batch in flight (pending checkpoint/manifest); "
+            "commit or abort before redrive",
+        }
+    committed = engine.ckpt.load().committed_seq
+
+    files = []
+    for rec in store.read_metrics():
+        files.extend(rec.get("quarantine_files", []))
+    files = [f for f in dict.fromkeys(files)
+             if os.path.exists(store.abs_path(f))]
+    if not files:
+        return {"ok": True, "status": "noop", "note": "empty dead-letter queue"}
+    q = pa.concat_tables(
+        [pq.read_table(store.abs_path(f)) for f in files],
+        promote_options="permissive",
+    )
+    if "violation" in q.column_names:
+        q = q.drop_columns(["violation"])
+
+    compiled = compile_rules(cfg.constraints or [])
+    stamp = violation_stamp(q, compiled)
+    passing = q.filter(pc.is_null(stamp))
+    failing = q.filter(pc.is_valid(stamp)).append_column(
+        "violation", pc.drop_null(stamp)
+    )
+    by_rule: dict[str, int] = {}
+    for s in pc.value_counts(pc.drop_null(stamp)):
+        by_rule[s["values"].as_py()] = int(s["counts"].as_py())
+    base = {
+        "ok": True, "queued_rows": q.num_rows,
+        "passing_rows": passing.num_rows,
+        "still_failing_rows": failing.num_rows,
+        "still_failing_by_rule": by_rule,
+    }
+    if dry_run:
+        return {**base, "status": "dry_run"}
+    if passing.num_rows == 0:
+        return {**base, "status": "noop",
+                "note": "no quarantined row passes the current constraints"}
+
+    # completeness guard (same as rescue): the recompute must see the
+    # full consumed history or it could corrupt keys
+    missing = []
+    for rec in store.read_metrics():
+        for f in rec.get("inputs", []):
+            if not os.path.exists(f["path"]):
+                missing.append(f["path"])
+    if missing:
+        raise RuntimeError(
+            f"redrive refused: {len(missing)} ledger-recorded source files "
+            f"missing (e.g. {missing[0]}) — recompute would see partial "
+            "history"
+        )
+
+    keys = passing.select(cfg.pk).group_by(cfg.pk).aggregate([])
+    keyset = np.unique(_key_array(keys, cfg.pk))
+    kref = ray.put(keyset)
+    rules_ref = ray.put(compiled)
+
+    cols = cfg.pk + cfg.value_columns + [cfg.op_col, seq]
+    ds = read_events(events_path, seq, after_seq=-1, upto_seq=committed,
+                     columns=cols)
+
+    def keyed_and_screened(t: pa.Table) -> pa.Table:
+        ks = ray.get(kref)
+        enc = _key_array(t, cfg.pk)
+        pos = np.minimum(np.searchsorted(ks, enc), len(ks) - 1)
+        t = t.filter(pa.array(ks[pos] == enc))
+        # apply the CURRENT constraint set retroactively, exactly as the
+        # staging screen would have: still-violating rows stay out
+        v = violation_stamp(t, ray.get(rules_ref))
+        return t.filter(pc.is_null(v))
+
+    pre = (
+        ds.map_batches(keyed_and_screened, batch_format="pyarrow")
+        .map_batches(make_lww_prereduce(cfg.pk, seq), batch_format="pyarrow")
+        .materialize()
+    )
+    parts = [t for t in ray.get(pre.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        status: dict = {"status": "noop",
+                        "note": "passing rows vanished from the source"}
+    else:
+        winners = lww_dedup(
+            pa.concat_tables(parts, promote_options="permissive"),
+            cfg.pk, seq,
+        )
+        status = _apply_key_winners(
+            engine, winners, committed, int(len(keyset)), label="redrive"
+        )
+
+    # shrink the DLQ: consolidate still-failing rows into ONE file, drop
+    # the redriven ones; the ledger record supersedes the old file lists
+    new_files: list[str] = []
+    if failing.num_rows:
+        rel = f"quarantine/redrive-{store.load_manifest().version:06d}.parquet"
+        os.makedirs(os.path.dirname(store.abs_path(rel)), exist_ok=True)
+        tmp = store.abs_path(rel) + f".attempt-{os.getpid()}"
+        pq.write_table(failing, tmp, compression="zstd")
+        os.replace(tmp, store.abs_path(rel))
+        new_files = [rel]
+    for f in files:
+        if f not in new_files:
+            try:
+                os.unlink(store.abs_path(f))
+            except OSError:
+                pass
+    store.append_metrics({
+        "redrive": True,
+        "quarantine_files": new_files,
+        **base,
+        **{k: v for k, v in status.items() if k != "status"},
+    })
+    return {**base, **status}
 
 
 def expire_rows(

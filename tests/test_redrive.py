@@ -1,0 +1,141 @@
+"""Dead-letter redrive (pipelines/maintain.py:redrive_quarantine):
+constraint-rejected change events re-admitted under a relaxed rule set via
+the exact per-key recompute, DLQ consolidation, idempotence, CLI."""
+
+import json
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from dbimport_ray import CDCEngine
+from dbimport_ray.config import TableConfig
+from dbimport_ray.pipelines.maintain import redrive_quarantine
+
+
+def _opev(tmp_path, name, rows):
+    """rows: (seq, op, k, v) tuples; v None = null."""
+    t = pa.table({
+        "sequence_id": pa.array([r[0] for r in rows], pa.int64()),
+        "op": pa.array([r[1] for r in rows]),
+        "k": pa.array([r[2] for r in rows]),
+        "v": pa.array([r[3] for r in rows], pa.float64()),
+    })
+    p = str(tmp_path / name)
+    pq.write_table(t, p)
+    return p
+
+
+RANGE_RULE = [{"rule": "range", "col": "v", "lo": 0.0, "hi": 100.0}]
+
+
+def _build(tmp_path, constraints):
+    cfg = TableConfig(name="t", pk=["k"], value_columns=["v"],
+                      num_partitions=4, soft_delete=True,
+                      constraints=constraints)
+    eng = CDCEngine(str(tmp_path / "lake"), cfg)
+    evdir = tmp_path / "events"
+    evdir.mkdir(exist_ok=True)
+    _opev(evdir, "a.parquet", [
+        (10, "I", "k1", 1.0),
+        (20, "I", "k2", 999.0),   # violates the range rule → quarantined
+        (30, "I", "k3", 3.0),
+        (40, "I", "k4", -5.0),    # violates → quarantined
+    ])
+    _opev(evdir, "b.parquet", [
+        (110, "U", "k1", 11.0),
+        (120, "U", "k2", 500.0),  # violates → quarantined
+        (130, "U", "k4", 4.0),    # clean: k4 exists via this row only
+    ])
+    r = eng.replay(str(evdir))
+    assert r["status"] == "committed"
+    return eng, evdir
+
+
+def test_redrive_exact_recompute(tmp_path, ray_session):
+    eng, evdir = _build(tmp_path, RANGE_RULE)
+    assert eng.quarantine().num_rows == 3
+    before = {r["k"]: r for r in eng.arrow().to_pylist()}
+    assert "k2" not in before            # both k2 events were quarantined
+    assert before["k4"]["v"] == 4.0      # clean update applied
+
+    # dry run: reports the split under CURRENT (still strict) constraints
+    d = redrive_quarantine(eng, str(evdir), dry_run=True)
+    assert d["status"] == "dry_run" and d["passing_rows"] == 0
+    assert d["still_failing_rows"] == 3
+
+    # relax the rule and redrive: k2's LWW winner (seq 120, v=500) must
+    # land; k4's quarantined seq-40 row is SUPERSEDED by the applied
+    # seq-130 row, so k4 stays bit-identical
+    eng.cfg.constraints = [{"rule": "range", "col": "v",
+                            "lo": -1000.0, "hi": 1000.0}]
+    res = redrive_quarantine(eng, str(evdir))
+    assert res["status"] == "redrived" and res["passing_rows"] == 3
+    after = {r["k"]: r for r in eng.arrow().to_pylist()}
+    assert after["k2"]["v"] == 500.0 and after["k2"]["datalake_iud"] == "I"
+    assert after["k4"] == before["k4"]
+    assert after["k1"] == before["k1"]
+    assert after["k3"] == before["k3"]
+
+    # the DLQ is empty and a second redrive is a noop
+    assert eng.quarantine().num_rows == 0
+    res2 = redrive_quarantine(eng, str(evdir))
+    assert res2["status"] == "noop"
+
+    # watermark unmoved; later batches apply normally
+    assert eng.ckpt.load().committed_seq == 130
+    _opev(evdir, "c.parquet", [(200, "U", "k2", 7.0)])
+    assert eng.replay(str(evdir))["status"] == "committed"
+    assert {r["k"]: r for r in eng.arrow().to_pylist()}["k2"]["v"] == 7.0
+
+
+def test_redrive_partial_pass_consolidates_dlq(tmp_path, ray_session):
+    eng, evdir = _build(tmp_path, RANGE_RULE)
+    # widen the ceiling only: v=500/999 pass, v=-5 still fails
+    eng.cfg.constraints = [{"rule": "range", "col": "v",
+                            "lo": 0.0, "hi": 1000.0}]
+    res = redrive_quarantine(eng, str(evdir))
+    assert res["status"] == "redrived"
+    assert res["passing_rows"] == 2 and res["still_failing_rows"] == 1
+    assert res["still_failing_by_rule"] == {"range:v": 1}
+    q = eng.quarantine()
+    assert q.num_rows == 1 and q["k"].to_pylist() == ["k4"]
+    after = {r["k"]: r for r in eng.arrow().to_pylist()}
+    assert after["k2"]["v"] == 500.0
+    assert after["k4"]["v"] == 4.0  # seq-40 reject superseded anyway
+
+
+def test_redrive_winner_still_failing_keeps_state(tmp_path, ray_session):
+    """If the affected key's LWW winner STILL violates, the recompute
+    (which screens with the current rules) must not resurrect it: k2's
+    winner is seq 120 (v=500); with a ceiling of 600 the seq-20 row
+    (999) stays out, the winner lands."""
+    eng, evdir = _build(tmp_path, RANGE_RULE)
+    eng.cfg.constraints = [{"rule": "range", "col": "v",
+                            "lo": -1000.0, "hi": 600.0}]
+    res = redrive_quarantine(eng, str(evdir))
+    assert res["status"] == "redrived"
+    assert res["passing_rows"] == 2  # 500 and -5 pass; 999 still fails
+    after = {r["k"]: r for r in eng.arrow().to_pylist()}
+    assert after["k2"]["v"] == 500.0
+
+
+def test_redrive_refuses_mid_batch_and_cli(tmp_path, ray_session):
+    from dbimport_ray.cli import main
+
+    eng, evdir = _build(tmp_path, RANGE_RULE)
+    # CLI dry run, then CLI redrive with relaxed rules
+    base = ["--lake", str(tmp_path / "lake"), "--table", "t",
+            "--pk", "k", "--values", "v", "--partitions", "4"]
+    assert main(["redrive", *base, "--events", str(evdir),
+                 "--constraints", json.dumps(RANGE_RULE),
+                 "--dry-run"]) == 0
+    relaxed = [{"rule": "range", "col": "v", "lo": -1e6, "hi": 1e6}]
+    assert main(["redrive", *base, "--events", str(evdir),
+                 "--constraints", json.dumps(relaxed)]) == 0
+    eng2 = CDCEngine(str(tmp_path / "lake"),
+                     TableConfig(name="t", pk=["k"], value_columns=["v"],
+                                 num_partitions=4))
+    after = {r["k"]: r for r in eng2.arrow().to_pylist()}
+    assert after["k2"]["v"] == 500.0
+    assert eng2.quarantine().num_rows == 0
