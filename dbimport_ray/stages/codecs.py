@@ -1,12 +1,15 @@
-"""Pure-numpy media codecs — uncompressed containers plus PNG.
+"""Pure-numpy media codecs — uncompressed containers, PNG, baseline JPEG.
 
 The sandbox has no PIL/cv2/soundfile, but PPM (P6), BMP (24-bit
 uncompressed) and WAV (RIFF PCM16) are simple enough to decode with numpy
-alone, and PNG needs nothing beyond stdlib ``zlib`` for the IDAT inflate
-plus numpy unfiltering (filters 0-4) — so the multimodal stages
-(stages/multimodal.py) run a REAL decode → feature/resize kernel
-end-to-end instead of a stub. Only JPEG/MP3-class DCT codecs still route
-to the pluggable-decoder stub path.
+alone, PNG needs nothing beyond stdlib ``zlib`` for the IDAT inflate plus
+numpy unfiltering (filters 0-4), and baseline sequential JPEG (SOF0,
+4:4:4/grayscale, Annex-K tables, restart markers) is implemented here
+outright — vectorized DCT/quantization over all 8×8 blocks, bit-serial
+Huffman entropy layer — so the multimodal stages (stages/multimodal.py)
+run a REAL decode → feature/resize kernel end-to-end instead of a stub.
+Only exotic variants (progressive/subsampled/arithmetic JPEG, MP3-class
+audio) still route to the pluggable-decoder stub path.
 
 Everything here is deterministic and byte-precise: encoders exist so tests
 can synthesize payloads and round-trip them (encode → decode == identity).
@@ -289,6 +292,487 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
 
 
 # ----------------------------------------------------------------- helpers
+# -------------------------------------------------------------------- JPEG
+# Baseline sequential JFIF (ITU-T T.81): SOF0, 8-bit, 4:4:4 (or grayscale),
+# Annex-K quantization + Huffman tables with IJG quality scaling. The
+# DCT/quantization math is fully vectorized over all 8×8 blocks; only the
+# entropy (Huffman) layer walks symbols sequentially — inherent to the
+# format, and the stage runs it once per image inside an actor pool.
+
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], np.int64)
+
+_Q_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], np.int64).reshape(8, 8)
+
+_Q_CHROMA = np.array(
+    [17, 18, 24, 47, 99, 99, 99, 99,
+     18, 21, 26, 66, 99, 99, 99, 99,
+     24, 26, 56, 99, 99, 99, 99, 99,
+     47, 66, 99, 99, 99, 99, 99, 99] + [99] * 32,
+    np.int64,
+).reshape(8, 8)
+
+# Annex K Huffman specs: (bits[1..16], huffval)
+_DC_LUMA_SPEC = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+                 list(range(12)))
+_DC_CHROMA_SPEC = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                   list(range(12)))
+_AC_LUMA_SPEC = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+     0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+_AC_CHROMA_SPEC = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+     0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+     0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+     0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+     0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+     0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+     0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+     0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+     0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+     0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+
+# orthonormal 8-point DCT-II basis: forward coeffs = T @ block @ T.T
+_DCT_T = np.array([
+    [(np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8))
+     * np.cos((2 * x + 1) * u * np.pi / 16) for x in range(8)]
+    for u in range(8)
+])
+
+
+def _huff_codes(spec) -> dict[int, tuple[int, int]]:
+    """(bits, huffval) → {symbol: (code, length)} (canonical order)."""
+    bits, vals = spec
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    q = min(100, max(1, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    ql = np.clip((_Q_LUMA * scale + 50) // 100, 1, 255)
+    qc = np.clip((_Q_CHROMA * scale + 50) // 100, 1, 255)
+    return ql, qc
+
+
+def _blockify(plane: np.ndarray) -> np.ndarray:
+    """(H, W) with H, W multiples of 8 → (n_blocks, 8, 8) in raster MCU
+    order."""
+    H, W = plane.shape
+    return (plane.reshape(H // 8, 8, W // 8, 8)
+            .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
+
+
+def _quantized_blocks(img: np.ndarray, quality: int):
+    """Shared forward path (encoder + tests' reference reconstruction):
+    RGB → YCbCr, pad to 8, level shift, vectorized DCT over every block,
+    quantize. Returns (per-component int32 zigzagged coeff arrays,
+    padded dims, quant tables)."""
+    h, w = img.shape[:2]
+    H, W = (h + 7) & ~7, (w + 7) & ~7
+    rgb = np.pad(img.astype(np.float64), ((0, H - h), (0, W - w), (0, 0)),
+                 mode="edge")
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    comps = [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+    ]
+    ql, qc = _quality_tables(quality)
+    out = []
+    for ci, plane in enumerate(comps):
+        blocks = _blockify(plane - 128.0)
+        coeffs = np.einsum("ux,nxy,vy->nuv", _DCT_T, blocks, _DCT_T)
+        qt = ql if ci == 0 else qc
+        qz = np.round(coeffs / qt).astype(np.int32)
+        out.append(qz.reshape(-1, 64)[:, _ZIGZAG])
+    return out, (H, W), (ql, qc)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.put(0x7F, 8 - self.n)  # pad with 1-bits
+        return bytes(self.buf)
+
+    def flush_to_marker(self) -> bytes:
+        """Pad to a byte boundary WITHOUT consuming the buffer (the
+        caller appends a marker next); returns b'' for chaining."""
+        if self.n:
+            self.put(0x7F, 8 - self.n)
+        return b""
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """JPEG magnitude category + appended bits for a signed coeff."""
+    if v == 0:
+        return 0, 0
+    s = int(abs(v)).bit_length()
+    return s, v if v > 0 else v + (1 << s) - 1
+
+
+def encode_jpeg(
+    img: np.ndarray, quality: int = 90, restart_interval: int = 0
+) -> bytes:
+    """(h, w, 3) uint8 RGB → baseline sequential JFIF (SOF0, 4:4:4,
+    Annex-K tables at IJG ``quality`` scaling). Lossy by quantization
+    only — the entropy layer is exact, which the round-trip test pins.
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    N MCUs (resync points, like real encoders under error resilience)."""
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError("encode_jpeg expects (h, w, 3) uint8")
+    h, w = img.shape[:2]
+    comps, _, (ql, qc) = _quantized_blocks(img, quality)
+
+    dc_l, dc_c = _huff_codes(_DC_LUMA_SPEC), _huff_codes(_DC_CHROMA_SPEC)
+    ac_l, ac_c = _huff_codes(_AC_LUMA_SPEC), _huff_codes(_AC_CHROMA_SPEC)
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    n_blocks = comps[0].shape[0]
+    rst = 0
+    for bi in range(n_blocks):  # interleaved 4:4:4 MCUs: Y, Cb, Cr
+        if restart_interval and bi and bi % restart_interval == 0:
+            bw.buf.extend(bw.flush_to_marker())
+            bw.buf.extend((0xFF, 0xD0 + rst))
+            rst = (rst + 1) & 7
+            pred = [0, 0, 0]
+        for ci in range(3):
+            dct, act = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
+            zz = comps[ci][bi]
+            diff = int(zz[0]) - pred[ci]
+            pred[ci] = int(zz[0])
+            s, bits = _magnitude(diff)
+            c, ln = dct[s]
+            bw.put(c, ln)
+            if s:
+                bw.put(bits, s)
+            run = 0
+            last_nz = int(np.max(np.nonzero(zz[1:])[0])) + 1 \
+                if np.any(zz[1:]) else 0
+            for k in range(1, last_nz + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, ln = act[0xF0]  # ZRL
+                    bw.put(c, ln)
+                    run -= 16
+                s, bits = _magnitude(v)
+                c, ln = act[(run << 4) | s]
+                bw.put(c, ln)
+                bw.put(bits, s)
+                run = 0
+            if last_nz < 63:
+                c, ln = act[0x00]  # EOB
+                bw.put(c, ln)
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    def dqt(tid: int, q: np.ndarray) -> bytes:
+        return seg(0xDB, bytes([tid]) +
+                   bytes(int(x) for x in q.reshape(64)[_ZIGZAG]))
+
+    def dht(cls: int, tid: int, spec) -> bytes:
+        bits, vals = spec
+        return seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 3) +
+              b"".join(struct.pack(">BBB", i + 1, 0x11, 0 if i == 0 else 1)
+                       for i in range(3)))
+    sos = seg(0xDA, b"\x03" +
+              b"".join(struct.pack(">BB", i + 1,
+                                   0x00 if i == 0 else 0x11)
+                       for i in range(3)) + b"\x00\x3f\x00")
+    jfif = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dri = (seg(0xDD, struct.pack(">H", restart_interval))
+           if restart_interval else b"")
+    return (b"\xff\xd8" + jfif + dqt(0, ql) + dqt(1, qc) +
+            dht(0, 0, _DC_LUMA_SPEC) + dht(1, 0, _AC_LUMA_SPEC) +
+            dht(0, 1, _DC_CHROMA_SPEC) + dht(1, 1, _AC_CHROMA_SPEC) +
+            dri + sof + sos + scan + b"\xff\xd9")
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data with 0xFF00 unstuffing;
+    stops at any non-RST marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:  # RSTn: consumed by caller via sync()
+                raise _RestartMarker(nxt)
+            else:
+                raise ValueError("unexpected marker inside entropy data")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def sync_restart(self) -> None:
+        """Skip to just past the next RST marker, resetting bit state."""
+        d = self.data
+        i = self.pos
+        while not (d[i] == 0xFF and 0xD0 <= d[i + 1] <= 0xD7):
+            i += 1
+        self.pos = i + 2
+        self.acc = 0
+        self.n = 0
+
+
+class _RestartMarker(Exception):
+    def __init__(self, marker: int):
+        self.marker = marker
+
+
+def _huff_decoder(spec):
+    """(bits, huffval) → {(length, code): symbol} for bit-serial decode."""
+    table = {}
+    for sym, (code, ln) in _huff_codes(spec).items():
+        table[(ln, code)] = sym
+    return table
+
+
+def _read_symbol(br: _BitReader, table) -> int:
+    code, ln = 0, 0
+    while True:
+        code = (code << 1) | br.bit()
+        ln += 1
+        if (ln, code) in table:
+            return table[(ln, code)]
+        if ln > 16:
+            raise ValueError("corrupt JPEG: no Huffman code matches")
+
+
+def _extend(bits: int, s: int) -> int:
+    if s == 0:
+        return 0
+    return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline sequential JFIF → (h, w, 3) uint8 RGB. Supports SOF0,
+    8-bit, 4:4:4 or grayscale, restart intervals; progressive (SOF2),
+    subsampled or arithmetic streams raise ValueError (the multimodal
+    stage then falls back to its pluggable/stub path)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    try:
+        return _decode_jpeg(payload)
+    except (IndexError, struct.error) as ex:
+        raise ValueError(f"truncated or corrupt JPEG: {ex}") from ex
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    frame = None
+    restart = 0
+    while True:
+        if payload[pos] != 0xFF:
+            raise ValueError("corrupt JPEG: expected marker")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            raise ValueError("corrupt JPEG: EOI before scan")
+        ln = struct.unpack_from(">H", payload, pos)[0]
+        body = payload[pos + 2 : pos + ln]
+        pos += ln
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(body):
+                prec, tid = body[i] >> 4, body[i] & 0xF
+                if prec != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                z = np.frombuffer(body, np.uint8, 64, i + 1).astype(np.int64)
+                q = np.empty(64, np.int64)
+                q[_ZIGZAG] = z
+                qts[tid] = q.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nv])
+                (dc_tabs if cls == 0 else ac_tabs)[tid] = _huff_decoder(
+                    (bits, vals)
+                )
+                i += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8 or nc not in (1, 3):
+                raise ValueError("unsupported JPEG precision/components")
+            comps = []
+            for i in range(nc):
+                cid, samp, qid = struct.unpack_from(">BBB", body, 6 + 3 * i)
+                if samp != 0x11:
+                    raise ValueError(
+                        "subsampled JPEG unsupported (4:4:4 only)"
+                    )
+                comps.append((cid, qid))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xDD:  # DRI
+            restart = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("corrupt JPEG: SOS before SOF0")
+            ns = body[0]
+            scan_sel = [(body[1 + 2 * i], body[2 + 2 * i])
+                        for i in range(ns)]
+            break
+        # APPn / COM / anything else: skipped
+    h, w, comps = frame
+    H, W = (h + 7) & ~7, (w + 7) & ~7
+    nb = (H // 8) * (W // 8)
+    nc = len(comps)
+    coeffs = [np.zeros((nb, 64), np.int64) for _ in range(nc)]
+    sel = {cid: (dcid >> 4, dcid & 0xF) for cid, dcid in scan_sel}
+    br = _BitReader(payload, pos)
+    pred = [0] * nc
+    bi = 0
+    while bi < nb:
+        try:
+            for ci in range(nc):
+                cid, _ = comps[ci]
+                dct = dc_tabs[sel[cid][0]]
+                act = ac_tabs[sel[cid][1]]
+                s = _read_symbol(br, dct)
+                diff = _extend(br.bits(s), s) if s else 0
+                pred[ci] += diff
+                zz = coeffs[ci][bi]
+                zz[0] = pred[ci]
+                k = 1
+                while k <= 63:
+                    rs = _read_symbol(br, act)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("corrupt JPEG: AC overrun")
+                    zz[k] = _extend(br.bits(s), s)
+                    k += 1
+            bi += 1
+            if restart and bi < nb and bi % restart == 0:
+                br.sync_restart()
+                pred = [0] * nc
+        except _RestartMarker:
+            br.sync_restart()
+            pred = [0] * nc
+    planes = []
+    for ci in range(nc):
+        _, qid = comps[ci]
+        dez = np.zeros((nb, 64), np.float64)
+        dez[:, _ZIGZAG] = coeffs[ci] * qts[qid].reshape(64)[_ZIGZAG]
+        blocks = np.einsum(
+            "xu,nuv,yv->nxy", _DCT_T.T, dez.reshape(nb, 8, 8), _DCT_T.T
+        )
+        plane = (blocks.reshape(H // 8, W // 8, 8, 8)
+                 .transpose(0, 2, 1, 3).reshape(H, W)) + 128.0
+        planes.append(plane)
+    if nc == 1:
+        y = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)[:h, :w]
+        return np.repeat(y[:, :, None], 3, axis=2)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)[:h, :w]
+
+
 def sniff_format(payload: bytes) -> str | None:
     """Container format by magic bytes — routes real decode vs stub."""
     if payload[:2] == b"P6":
@@ -297,15 +781,18 @@ def sniff_format(payload: bytes) -> str | None:
         return "bmp"
     if payload[: len(_PNG_MAGIC)] == _PNG_MAGIC:
         return "png"
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     return None
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Decode any supported image container (PPM/BMP/PNG) to (h, w, 3)
-    uint8 RGB; raises ValueError on unknown magic (caller falls back to
-    its pluggable/stub path)."""
+    """Decode any supported image container (PPM/BMP/PNG/baseline JPEG)
+    to (h, w, 3) uint8 RGB; raises ValueError on unknown magic or an
+    unsupported JPEG variant (caller falls back to its pluggable/stub
+    path)."""
     kind = sniff_format(payload)
     if kind == "ppm":
         return decode_ppm(payload)
@@ -313,6 +800,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_bmp(payload)
     if kind == "png":
         return decode_png(payload)
+    if kind == "jpeg":
+        return decode_jpeg(payload)
     raise ValueError("unknown image container")
 
 

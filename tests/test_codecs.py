@@ -146,3 +146,101 @@ def test_image_features_shape_and_bounds(img):
     assert f.shape == (16,) and f.dtype == np.float32
     assert (f >= 0).all() and (f <= 1).all()
     assert abs(float(f[6:].sum()) - 1.0) < 1e-5  # histogram sums to 1
+
+
+# ---------------------------------------------------------------- JPEG
+def _quant_reference(img, quality):
+    """The decoder's exact expected output: forward quantize + inverse
+    pipeline with NO entropy layer (the entropy layer is lossless, so
+    decode_jpeg(encode_jpeg(img)) must match this bit-for-bit)."""
+    from dbimport_ray.stages.codecs import (
+        _DCT_T, _ZIGZAG, _quantized_blocks,
+    )
+
+    comps, (H, W), (ql, qc) = _quantized_blocks(img, quality)
+    h, w = img.shape[:2]
+    nb = comps[0].shape[0]
+    planes = []
+    for ci in range(3):
+        qt = (ql if ci == 0 else qc).reshape(64)
+        dez = np.zeros((nb, 64), np.float64)
+        dez[:, _ZIGZAG] = comps[ci] * qt[_ZIGZAG]
+        blocks = np.einsum(
+            "xu,nuv,yv->nxy", _DCT_T.T, dez.reshape(nb, 8, 8), _DCT_T.T
+        )
+        planes.append(
+            blocks.reshape(H // 8, W // 8, 8, 8)
+            .transpose(0, 2, 1, 3).reshape(H, W) + 128.0
+        )
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)[:h, :w]
+
+
+@pytest.mark.parametrize("shape", [(16, 16), (13, 17), (8, 8), (9, 25)])
+@pytest.mark.parametrize("quality", [50, 90])
+def test_jpeg_entropy_layer_is_lossless(shape, quality):
+    from dbimport_ray.stages.codecs import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    im = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+    got = decode_jpeg(encode_jpeg(im, quality=quality))
+    assert np.array_equal(got, _quant_reference(im, quality))
+
+
+def test_jpeg_quality_psnr_on_smooth_image():
+    from dbimport_ray.stages.codecs import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:32, 0:48]
+    im = np.stack([
+        (yy * 4) % 256, (xx * 3) % 256, ((yy + xx) * 2) % 256
+    ], axis=-1).astype(np.uint8)
+    got = decode_jpeg(encode_jpeg(im, quality=95))
+    mse = np.mean((got.astype(np.float64) - im) ** 2)
+    psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-9))
+    assert psnr > 28.0, psnr
+    # lower quality → smaller payload
+    b95 = len(encode_jpeg(im, quality=95))
+    b30 = len(encode_jpeg(im, quality=30))
+    assert b30 < b95
+
+
+def test_jpeg_restart_markers_roundtrip():
+    from dbimport_ray.stages.codecs import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(3)
+    im = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    plain = encode_jpeg(im, quality=75)
+    rst = encode_jpeg(im, quality=75, restart_interval=3)
+    assert b"\xff\xdd" in rst and b"\xff\xdd" not in plain  # DRI present
+    assert np.array_equal(decode_jpeg(rst), decode_jpeg(plain))
+
+
+def test_jpeg_sniff_dispatch_and_stage():
+    from dbimport_ray.stages.codecs import decode_image, encode_jpeg
+    from dbimport_ray.stages.multimodal import ImageDecodeFeatureStage
+
+    rng = np.random.default_rng(5)
+    im = rng.integers(0, 256, (11, 9, 3), dtype=np.uint8)
+    payload = encode_jpeg(im, quality=90)
+    assert sniff_format(payload) == "jpeg"
+    dec = decode_image(payload)
+    stage = ImageDecodeFeatureStage(feature_dim=16)  # no fake= needed
+    assert np.allclose(stage._decode(payload), image_features(dec, 16))
+
+
+def test_jpeg_unsupported_variants_raise():
+    from dbimport_ray.stages.codecs import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(9)
+    im = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    payload = bytearray(encode_jpeg(im))
+    i = payload.index(b"\xff\xc0")
+    payload[i + 1] = 0xC2  # pretend progressive
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(payload))
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x00\x01")
