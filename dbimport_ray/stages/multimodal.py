@@ -56,10 +56,12 @@ MEDIA_SCHEMA = pa.schema(
 
 def synthesize_media_table(n: int, seed: int = 5, real: bool = True) -> pa.Table:
     """Deterministic media rows (no external data). ``real=True`` emits
-    genuine container payloads — PPM/BMP images, RIFF/WAV audio — that the
-    pure-numpy codecs decode; video stays opaque bytes (no codec exists
-    here). ``real=False`` keeps every payload opaque, exercising the
-    stub/fallback path."""
+    genuine container payloads — PPM/BMP/PNG/baseline-JPEG images, RIFF/WAV
+    audio — that the pure-numpy codecs decode; video stays opaque bytes
+    (no codec exists here). ``real=False`` keeps every payload opaque,
+    exercising the stub/fallback path."""
+    from .codecs import encode_jpeg, encode_png
+
     rng = np.random.default_rng(seed)
     types = [("image", "audio", "video")[i % 3] for i in range(n)]
     payloads, widths, heights, durs = [], [], [], []
@@ -67,7 +69,9 @@ def synthesize_media_table(n: int, seed: int = 5, real: bool = True) -> pa.Table
         if t == "image" and real:
             w, h = 8 + i % 16, 6 + i % 12
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            payloads.append(encode_ppm(img) if i % 2 == 0 else encode_bmp(img))
+            enc = (encode_ppm, encode_bmp, encode_png,
+                   lambda x: encode_jpeg(x, quality=90))[(i // 3) % 4]
+            payloads.append(enc(img))
             widths.append(w); heights.append(h); durs.append(None)
         elif t == "audio" and real:
             ns = int(256 + (i * 37) % 512)
