@@ -46,6 +46,10 @@ def _engine(args):
         ),
         cluster_order=getattr(args, "cluster_order", "linear") or "linear",
         row_group_rows=getattr(args, "row_group_rows", None),
+        bloom_columns=(
+            args.bloom_columns.split(",")
+            if getattr(args, "bloom_columns", None) else None
+        ),
     )
     return CDCEngine(args.lake, cfg)
 
@@ -85,6 +89,10 @@ def main(argv: list[str] | None = None) -> int:
                             help="linear = lexicographic sort (best on the "
                                  "leading column); zorder = Morton interleave "
                                  "(balanced pruning on every cluster column)")
+            sp.add_argument("--bloom-columns", default=None,
+                            help="comma-separated columns to index with "
+                                 "per-file Bloom sidecars (equality file "
+                                 "pruning on hash-like columns)")
 
     sp = sub.add_parser("replay", help="apply one event micro-batch")
     common(sp)

@@ -104,6 +104,12 @@ class TableConfig:
     # None → pyarrow's default (1Mi rows); set a few tens of thousands
     # when cluster_by is on so a selective predicate reads a sliver.
     row_group_rows: int | None = None
+    # Per-file Bloom sidecars (state/bloomfilter.py) for these columns:
+    # equality predicates skip whole partition files that provably lack
+    # the value — the pruning zone maps can't do for hash-like columns
+    # whose min/max spans everything. ~1.2 bytes/row per column per file.
+    bloom_columns: list[str] | None = None
+    bloom_fpp: float = 0.01
 
     @property
     def system_columns(self) -> list[str]:
@@ -136,6 +142,14 @@ class TableConfig:
                 raise ValueError(
                     f"cluster_by names columns not in the table: {sorted(bad)}"
                 )
+        if self.bloom_columns:
+            bad = set(self.bloom_columns) - set(self.target_columns)
+            if bad:
+                raise ValueError(
+                    f"bloom_columns names columns not in the table: {sorted(bad)}"
+                )
+        if not (0.0 < self.bloom_fpp < 1.0):
+            raise ValueError("bloom_fpp must be in (0, 1)")
         if self.cluster_order not in ("linear", "zorder"):
             raise ValueError(f"unknown cluster_order {self.cluster_order!r}")
         if self.cluster_order == "zorder" and self.cluster_by and len(self.cluster_by) > 4:

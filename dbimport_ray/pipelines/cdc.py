@@ -237,6 +237,7 @@ class MergeGroup:
         if res.table.num_rows:
             rel_file = self.store.part_file(pid, self.version)
             nbytes = self._write(res.table, rel_file)
+        rel_bloom = self._write_bloom(res.table, rel_file)
         hist_tables = [h for h in fold_hists + [res.history] if h.num_rows]
         hist_rows = sum(h.num_rows for h in hist_tables)
         rel_hist = ""
@@ -261,6 +262,7 @@ class MergeGroup:
             "resumed": False,
             "folded": folded,
             "zones": column_zones(res.table) if res.table.num_rows else {},
+            "bloom": rel_bloom,
         }
         if self.cfg.maintained_aggs:
             from ..state.aggregates import agg_delta
@@ -345,6 +347,21 @@ class MergeGroup:
         pq.write_table(table, tmp, compression="zstd", **kw)
         os.replace(tmp, abs_path)  # atomic on same fs → retry-safe
         return os.path.getsize(abs_path)
+
+    def _write_bloom(self, table: pa.Table, rel_file: str) -> str:
+        """Bloom sidecar next to a base file (cfg.bloom_columns; '' when
+        not configured / empty partition / no covered columns)."""
+        if not rel_file or not table.num_rows or not self.cfg.bloom_columns:
+            return ""
+        cols = [c for c in self.cfg.bloom_columns if c in table.column_names]
+        if not cols:
+            return ""
+        from ..state.bloomfilter import write_sidecar
+
+        rel = rel_file + ".bloom"
+        write_sidecar(self.store.abs_path(rel), table, cols,
+                      self.cfg.bloom_fpp)
+        return rel
 
     def _metrics_row(self, m: dict) -> pa.Table:
         return pa.table(
@@ -458,6 +475,7 @@ def _salt_finalize(kw: dict, pid: int, sub_refs: list, meta_refs: list) -> dict:
     if table.num_rows:
         rel_file = mg.store.part_file(pid, mg.version)
         nbytes = mg._write(table, rel_file)
+    rel_bloom = mg._write_bloom(table, rel_file)
     rel_hist, hist_rows = "", history.num_rows
     if mg.cfg.history and hist_rows:
         rel_hist = mg.store.history_file(pid, mg.version)
@@ -478,6 +496,7 @@ def _salt_finalize(kw: dict, pid: int, sub_refs: list, meta_refs: list) -> dict:
         "hist_rows": hist_rows,
         "resumed": False,
         "zones": column_zones(table) if table.num_rows else {},
+        "bloom": rel_bloom,
     }
     if mg.cfg.maintained_aggs:
         from ..state.aggregates import fold
@@ -774,13 +793,16 @@ class CDCEngine:
                 )
                 validate_exact(expected, m["rows"], f"partition {pid} ledger")
             if m["rows"] > 0:
-                new_m.partitions[pid] = {
+                entry = {
                     "file": m["file"],
                     "rows": int(m["rows"]),
                     "bytes": int(m["bytes"]),
                     "version": version,
                     "zones": m.get("zones", {}),
                 }
+                if m.get("bloom"):
+                    entry["bloom"] = m["bloom"]
+                new_m.partitions[pid] = entry
             else:
                 new_m.partitions.pop(pid, None)
             if m["hist_file"]:

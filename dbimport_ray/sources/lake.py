@@ -152,10 +152,42 @@ def read_lake_pruned(
 
     m = store.load_manifest(version=version)
     kept, total = prune_partitions(m, predicate)
-    if stats is not None:
-        stats.update(files_kept=len(kept), files_total=total)
     col, op, val = predicate
     schema = m.arrow_schema()
+    bloom_dropped = 0
+    if op == "==" and kept and any(e.get("bloom") for e in kept):
+        # Bloom sidecars: drop zone-kept files that PROVABLY lack the
+        # value (the equality pruning zones can't do for hash-like
+        # columns). Strictly may-contain — missing/uncovered sidecars
+        # and MOR stacks keep their files.
+        from ..stages.mor import entry_has_deltas
+        from ..state.bloomfilter import sidecar_may_contain
+
+        vtype = None
+        if schema is not None and col in schema.names:
+            vtype = schema.field(col).type
+        if vtype is not None:
+            try:
+                sval = pa.scalar(val).cast(vtype).as_py()
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                sval = None
+            if sval is not None:
+                kept2 = []
+                for e in kept:
+                    if (
+                        e.get("bloom")
+                        and not entry_has_deltas(e)
+                        and not sidecar_may_contain(
+                            store.abs_path(e["bloom"]), col, sval, vtype
+                        )
+                    ):
+                        bloom_dropped += 1
+                    else:
+                        kept2.append(e)
+                kept = kept2
+    if stats is not None:
+        stats.update(files_kept=len(kept), files_total=total,
+                     bloom_dropped=bloom_dropped)
     if not kept:
         empty = (
             _empty(store, cfg)

@@ -52,10 +52,12 @@ MERGE_FORMAT_MOR = "mor"
 
 def entry_files(entry: dict) -> list[str]:
     """Every data file (relative path) a partition entry references:
-    the base file (if any) plus its delta stack."""
+    the base file (if any), its Bloom sidecar, plus its delta stack."""
     out = []
     if entry.get("file"):
         out.append(entry["file"])
+    if entry.get("bloom"):
+        out.append(entry["bloom"])
     out.extend(d["file"] for d in entry.get("deltas", ()))
     return out
 

@@ -1,0 +1,72 @@
+"""Per-file Bloom sidecars — equality file-pruning for HIGH-CARDINALITY
+columns where min/max zone maps are blind.
+
+Zone maps (state/zones.py) skip files whose [min, max] excludes the
+predicate value — perfect for timestamps and clustered columns, useless
+for hash-like values (a commit sha's range spans every file). A Bloom
+sidecar answers the other question: "might value X be IN this file at
+all?" at ~1.2 bytes per distinct value. ``TableConfig.bloom_columns``
+makes every merge write one sidecar per partition base file
+(``part-…​.parquet.bloom``, numpy .npz: per column the bitmap words +
+(m, k)); ``read_lake_pruned`` consults it for ``==`` predicates and drops
+whole files the zones kept — at a 100 TB table a point query on a sha
+column opens the handful of files that can contain it instead of every
+partition.
+
+Semantics are strictly may-contain: a missing/stale/unreadable sidecar,
+a column the sidecar doesn't cover, or a delta-stacked (MOR) entry keeps
+the file — pruning can only ever be a subset of the exact residual read.
+Maintenance rewrites (align/recluster/rehash) drop the ``bloom`` entry
+key rather than recompute it, falling back to zones-only pruning until
+the next merge touches the partition. Hashing reuses stages/bloom.py's
+pinned double-hash kernels so write and probe always agree.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from ..stages.bloom import _set_bits, _test_bits, bloom_params
+
+
+def write_sidecar(
+    path: str, table: pa.Table, columns: list[str], fpp: float = 0.01
+) -> None:
+    """Build one Bloom bitmap per column over ``table`` and write the
+    sidecar atomically (tmp → rename, like every data file)."""
+    arrays: dict[str, np.ndarray] = {}
+    for col in columns:
+        m, k = bloom_params(table.num_rows, fpp)
+        words = np.zeros(m // 64, dtype=np.uint64)
+        _set_bits(words, table.select([col]), [col], m, k)
+        arrays[f"{col}__words"] = words
+        arrays[f"{col}__mk"] = np.array([m, k], np.int64)
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    tmp = path + f".attempt-{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(buf.getvalue())
+    os.replace(tmp, path)
+
+
+def sidecar_may_contain(
+    path: str, col: str, value, value_type: pa.DataType
+) -> bool:
+    """True unless the sidecar PROVES the value is absent: any missing
+    file, missing column, or read error keeps the file (exactness never
+    depends on the sidecar)."""
+    try:
+        with np.load(path) as z:
+            wk, mk = f"{col}__words", f"{col}__mk"
+            if wk not in z or mk not in z:
+                return True
+            words = z[wk]
+            m, k = (int(x) for x in z[mk])
+        probe = pa.table({col: pa.array([value], type=value_type)})
+        return bool(_test_bits(words, probe, [col], m, k)[0])
+    except (OSError, ValueError, KeyError, pa.ArrowInvalid):
+        return True

@@ -1,0 +1,131 @@
+"""Per-file Bloom sidecars (state/bloomfilter.py + TableConfig.bloom_columns):
+equality file-pruning on hash-like columns, may-contain fallbacks, vacuum."""
+
+import os
+
+import numpy as np
+import pyarrow.compute as pc
+import pytest
+
+from dbimport_ray import CDCEngine
+from dbimport_ray.config import repo_files_config
+from dbimport_ray.datagen import generate_events
+from dbimport_ray.pipelines.cdc import CDCEngine as _E  # noqa: F401
+
+
+def _engine(tmp_path, **kw):
+    cfg = repo_files_config(num_partitions=8, bloom_columns=["commit"], **kw)
+    return CDCEngine(str(tmp_path / "lake"), cfg)
+
+
+def test_bloom_config_validation():
+    with pytest.raises(ValueError, match="bloom_columns"):
+        repo_files_config(bloom_columns=["nope"]).validate()
+    with pytest.raises(ValueError, match="bloom_fpp"):
+        repo_files_config(bloom_columns=["commit"], bloom_fpp=1.5).validate()
+    repo_files_config(bloom_columns=["commit", "lang"]).validate()
+
+
+def test_bloom_sidecars_written_and_prune_exactly(tmp_path, ray_session):
+    ev = str(tmp_path / "ev.parquet")
+    generate_events(ev, num_keys=3000, num_events=12000, seed=21)
+    eng = _engine(tmp_path)
+    eng.replay(ev)
+
+    m = eng.store.load_manifest()
+    assert all(e.get("bloom") for e in m.partitions.values())
+    assert all(
+        os.path.exists(eng.store.abs_path(e["bloom"]))
+        for e in m.partitions.values()
+    )
+
+    full = eng.arrow()
+    # a value present in exactly one partition: most files must drop
+    target = full["commit"][0].as_py()
+    st = {}
+    got = eng.dataset_where(("commit", "==", target), stats=st).take_all()
+    want = full.filter(pc.equal(full["commit"], target))
+    assert len(got) == want.num_rows > 0
+    assert st["bloom_dropped"] >= 1
+    assert st["files_kept"] + st["bloom_dropped"] <= st["files_total"]
+
+    # absent-but-in-range value (zones can't exclude it; only the blooms
+    # can): every file provably lacks it → typed empty, zero IO
+    present = set(full["commit"].to_pylist())
+    absent = target[:-1] + ("0" if target[-1] != "0" else "1")
+    while absent in present:
+        absent += "0"
+    st2 = {}
+    got2 = eng.dataset_where(("commit", "==", absent), stats=st2).take_all()
+    assert got2 == [] and st2["files_kept"] == 0
+    assert st2["bloom_dropped"] == len(m.partitions)
+
+    # non-equality ops ignore blooms (range semantics need zones)
+    st3 = {}
+    eng.dataset_where(("commit", ">", ""), stats=st3).count()
+    assert st3["bloom_dropped"] == 0
+
+
+def test_bloom_missing_sidecar_keeps_file(tmp_path, ray_session):
+    ev = str(tmp_path / "ev.parquet")
+    generate_events(ev, num_keys=500, num_events=2500, seed=3)
+    eng = _engine(tmp_path)
+    eng.replay(ev)
+    m = eng.store.load_manifest()
+    # sabotage one sidecar: exactness must not depend on it
+    victim = next(iter(m.partitions.values()))
+    os.unlink(eng.store.abs_path(victim["bloom"]))
+    full = eng.arrow()
+    target = full["commit"][0].as_py()
+    st = {}
+    got = eng.dataset_where(("commit", "==", target), stats=st).take_all()
+    assert len(got) == full.filter(pc.equal(full["commit"], target)).num_rows
+
+
+def test_bloom_survives_incremental_and_vacuum(tmp_path, ray_session):
+    from dbimport_ray.pipelines.maintain import vacuum
+
+    ev = str(tmp_path / "ev.parquet")
+    generate_events(ev, num_keys=800, num_events=6000, seed=9)
+    eng = _engine(tmp_path)
+    for b in (1999, 3999, 5999):
+        eng.replay(ev, upto_seq=b)
+    m = eng.store.load_manifest()
+    assert all(e.get("bloom") for e in m.partitions.values())
+
+    r = vacuum(eng, keep_versions=1)
+    assert r["ok"]
+    data = os.listdir(os.path.join(eng.store.root, "data"))
+    blooms = [f for f in data if f.endswith(".bloom")]
+    # every surviving sidecar is referenced by the live manifest
+    live = {os.path.basename(e["bloom"]) for e in m.partitions.values()}
+    assert set(blooms) == live
+
+    # pruned reads still exact after vacuum
+    full = eng.arrow()
+    target = full["commit"][-1].as_py()
+    got = eng.dataset_where(("commit", "==", target)).take_all()
+    assert len(got) == full.filter(pc.equal(full["commit"], target)).num_rows
+
+
+def test_bloom_false_positive_rate_sane(tmp_path):
+    """Driver-side kernel check: probe 2000 absent values, FPP ≈ target."""
+    import pyarrow as pa
+
+    from dbimport_ray.state.bloomfilter import (
+        sidecar_may_contain,
+        write_sidecar,
+    )
+
+    rng = np.random.default_rng(4)
+    vals = [f"present-{i}" for i in range(5000)]
+    t = pa.table({"commit": pa.array(vals)})
+    path = str(tmp_path / "t.bloom")
+    write_sidecar(path, t, ["commit"], fpp=0.01)
+    for v in rng.choice(vals, 50, replace=False):
+        assert sidecar_may_contain(path, "commit", str(v), pa.string())
+    fp = sum(
+        sidecar_may_contain(path, "commit", f"absent-{i}", pa.string())
+        for i in range(2000)
+    )
+    assert fp / 2000 < 0.03
