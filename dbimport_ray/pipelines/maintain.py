@@ -804,6 +804,11 @@ def fsck(engine: CDCEngine, deep: bool = False) -> dict:
         pieces += [(d["file"], int(d["rows"])) for d in e.get("deltas", ())]
         if not pieces:
             errors.append(f"pid {pid}: entry references no files")
+        # bloom sidecars are may-contain (a missing one only costs
+        # pruning), but a manifest that references a vanished sidecar
+        # still violates the commit invariant — report it
+        if e.get("bloom") and not os.path.exists(store.abs_path(e["bloom"])):
+            errors.append(f"missing bloom sidecar {e['bloom']}")
         for rel, rows in pieces:
             path = store.abs_path(rel)
             if not os.path.exists(path):

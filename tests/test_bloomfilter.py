@@ -81,6 +81,13 @@ def test_bloom_missing_sidecar_keeps_file(tmp_path, ray_session):
     got = eng.dataset_where(("commit", "==", target), stats=st).take_all()
     assert len(got) == full.filter(pc.equal(full["commit"], target)).num_rows
 
+    # fsck reports the dangling manifest reference
+    from dbimport_ray.pipelines.maintain import fsck
+
+    r = fsck(eng)
+    assert not r["ok"]
+    assert any("bloom sidecar" in e for e in r["errors"])
+
 
 def test_bloom_survives_incremental_and_vacuum(tmp_path, ray_session):
     from dbimport_ray.pipelines.maintain import vacuum
