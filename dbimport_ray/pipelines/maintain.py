@@ -19,6 +19,23 @@ from ..state.zones import column_zones
 from .cdc import CDCEngine
 
 
+def _maybe_sidecar(store, rel_file: str, t: pa.Table,
+                   bloom_cols: list[str], fpp: float) -> str:
+    """Bloom sidecar next to a maintenance-rewritten base file, matching
+    the merge path's cfg.bloom_columns behavior ('' when not configured /
+    empty / uncovered)."""
+    if not rel_file or not t.num_rows or not bloom_cols:
+        return ""
+    cols = [c for c in bloom_cols if c in t.column_names]
+    if not cols:
+        return ""
+    from ..state.bloomfilter import write_sidecar
+
+    rel = rel_file + ".bloom"
+    write_sidecar(store.abs_path(rel), t, cols, fpp)
+    return rel
+
+
 def rehash_table(engine: CDCEngine, new_num_partitions: int) -> dict:
     """Re-shard the table onto a new fixed partition count.
 
@@ -63,13 +80,19 @@ def rehash_table(engine: CDCEngine, new_num_partitions: int) -> dict:
     shutil.rmtree(scratch, ignore_errors=True)
     ds.write_parquet(scratch, partition_cols=[PID_COL])
 
+    cfg = engine.cfg
+
     @ray.remote
     def _compact_pid(pid_dir: str, pid: int, rel: str, abs_path: str) -> dict:
-        tbl = pq.read_table(pid_dir)
+        from ..stages.merge import cluster_table
+
+        tbl = cluster_table(pq.read_table(pid_dir), cfg.cluster_by,
+                            cfg.cluster_order)
         tmp = abs_path + f".attempt-{os.getpid()}"
-        pq.write_table(tbl, tmp, compression="zstd")
+        kw = {"row_group_size": cfg.row_group_rows} if cfg.row_group_rows else {}
+        pq.write_table(tbl, tmp, compression="zstd", **kw)
         os.replace(tmp, abs_path)
-        return {
+        entry = {
             "pid": pid,
             "file": rel,
             "rows": tbl.num_rows,
@@ -77,6 +100,13 @@ def rehash_table(engine: CDCEngine, new_num_partitions: int) -> dict:
             "version": version,
             "zones": column_zones(tbl),
         }
+        bcols = [c for c in (cfg.bloom_columns or []) if c in tbl.column_names]
+        if bcols and tbl.num_rows:
+            from ..state.bloomfilter import write_sidecar
+
+            write_sidecar(abs_path + ".bloom", tbl, bcols, cfg.bloom_fpp)
+            entry["bloom"] = rel + ".bloom"
+        return entry
 
     futs = []
     for d in sorted(os.listdir(scratch)):
@@ -207,13 +237,16 @@ def _compact_deltas_locked(engine: CDCEngine, pids: list[int] | None) -> dict:
     for m in metrics:
         pid = str(m["pid"])
         if m["rows"] > 0:
-            new_m.partitions[pid] = {
+            entry = {
                 "file": m["file"],
                 "rows": int(m["rows"]),
                 "bytes": int(m["bytes"]),
                 "version": version,
                 "zones": m.get("zones", {}),
             }
+            if m.get("bloom"):
+                entry["bloom"] = m["bloom"]
+            new_m.partitions[pid] = entry
         else:
             new_m.partitions.pop(pid, None)
         if m["hist_file"]:
@@ -366,6 +399,9 @@ def _align_schema_locked(engine: CDCEngine, dry_run: bool) -> dict:
     # Raw ray tasks, same rationale as the merge dispatch: ≤P tiny work
     # items known up front. tmp→rename per file keeps retries idempotent;
     # nothing is visible until the manifest swap below.
+    bloom_cols = list(cfg.bloom_columns or [])
+    bloom_fpp = cfg.bloom_fpp
+
     @ray.remote
     def _rewrite(pid: str, rel_old: str, tgt, renames) -> dict:
         from ..state.manifest import TableStore
@@ -378,11 +414,15 @@ def _align_schema_locked(engine: CDCEngine, dry_run: bool) -> dict:
         tmp = abs_path + f".attempt-{os.getpid()}"
         pq.write_table(t, tmp, compression="zstd")
         os.replace(tmp, abs_path)
-        return {
+        out = {
             "pid": pid, "file": rel, "rows": t.num_rows,
             "bytes": os.path.getsize(abs_path),
             "zones": column_zones(t) if t.num_rows else {},
         }
+        rb = _maybe_sidecar(st, rel, t, bloom_cols, bloom_fpp)
+        if rb:
+            out["bloom"] = rb
+        return out
 
     results = ray.get(
         [_rewrite.remote(pid, e["file"], tgt_ref, renames_ref) for pid, e in stale]
@@ -395,10 +435,13 @@ def _align_schema_locked(engine: CDCEngine, dry_run: bool) -> dict:
             raise RuntimeError(
                 f"align row drift pid {r['pid']}: {old['rows']} → {r['rows']}"
             )
-        new_parts[r["pid"]] = {
+        entry = {
             "file": r["file"], "rows": r["rows"], "bytes": r["bytes"],
             "version": version, "zones": r["zones"],
         }
+        if r.get("bloom"):
+            entry["bloom"] = r["bloom"]
+        new_parts[r["pid"]] = entry
     new_m = Manifest(
         table=manifest.table,
         version=version,
@@ -473,6 +516,8 @@ def _recluster_locked(
     cluster_cols = list(cfg.cluster_by)
     cluster_order = cfg.cluster_order
     rgr = cfg.row_group_rows
+    bloom_cols = list(cfg.bloom_columns or [])
+    bloom_fpp = cfg.bloom_fpp
 
     @ray.remote
     def _job(pid: str, rel_old: str, do_write: bool) -> dict:
@@ -507,10 +552,12 @@ def _recluster_locked(
         kw = {"row_group_size": rgr} if rgr else {}
         pq.write_table(t, tmp, compression="zstd", **kw)
         os.replace(tmp, abs_path)
+        rel_bloom = _maybe_sidecar(st, rel, t, bloom_cols, bloom_fpp)
         return {
             "pid": pid, "sorted": False, "file": rel, "rows": t.num_rows,
             "bytes": os.path.getsize(abs_path),
             "zones": column_zones(t) if t.num_rows else {},
+            "bloom": rel_bloom,
         }
 
     results = ray.get(
@@ -533,10 +580,13 @@ def _recluster_locked(
                 f"recluster row drift pid {r['pid']}: "
                 f"{old['rows']} → {r['rows']}"
             )
-        new_parts[str(r["pid"])] = {
+        entry = {
             "file": r["file"], "rows": r["rows"], "bytes": r["bytes"],
             "version": version, "zones": r["zones"],
         }
+        if r.get("bloom"):
+            entry["bloom"] = r["bloom"]
+        new_parts[str(r["pid"])] = entry
     new_m = Manifest(
         table=manifest.table,
         version=version,
@@ -1128,9 +1178,15 @@ def _apply_key_winners(
             continue
         res = merge_partition(old, w, cfg, ts)
         total_applied += w.num_rows
+        if cfg.cluster_by:
+            from ..stages.merge import cluster_table
+
+            res.table = cluster_table(res.table, cfg.cluster_by,
+                                      cfg.cluster_order)
         rel = store.part_file(pid, version)
         tmp = store.abs_path(rel) + f".{label}-{os.getpid()}"
-        pq.write_table(res.table, tmp, compression="zstd")
+        kw = {"row_group_size": cfg.row_group_rows} if cfg.row_group_rows else {}
+        pq.write_table(res.table, tmp, compression="zstd", **kw)
         os.replace(tmp, store.abs_path(rel))
         touched[pid] = {
             "file": rel,
@@ -1139,6 +1195,10 @@ def _apply_key_winners(
             "version": version,
             "zones": column_zones(res.table),
         }
+        rb = _maybe_sidecar(store, rel, res.table,
+                            list(cfg.bloom_columns or []), cfg.bloom_fpp)
+        if rb:
+            touched[pid]["bloom"] = rb
         hist_tbls = [h for h in fold_hists + [res.history] if h.num_rows]
         if cfg.history and hist_tbls:
             hrel = store.history_file(pid, version)

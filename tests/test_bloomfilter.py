@@ -115,6 +115,43 @@ def test_bloom_survives_incremental_and_vacuum(tmp_path, ray_session):
     assert len(got) == full.filter(pc.equal(full["commit"], target)).num_rows
 
 
+def test_bloom_survives_maintenance_rewrites(tmp_path, ray_session):
+    """recluster / rehash / compact regenerate sidecars instead of
+    dropping them, so point-lookup pruning keeps working after layout
+    maintenance."""
+    from dbimport_ray.pipelines.maintain import recluster, rehash_table
+
+    ev = str(tmp_path / "ev.parquet")
+    generate_events(ev, num_keys=1200, num_events=6000, seed=15)
+    eng = CDCEngine(
+        str(tmp_path / "lake"),
+        repo_files_config(num_partitions=4, bloom_columns=["commit"],
+                          cluster_by=["lang"]),
+    )
+    eng.replay(ev)
+
+    r = rehash_table(eng, 8)
+    assert r["rows"] > 0
+    m = eng.store.load_manifest()
+    assert all(e.get("bloom") for e in m.partitions.values())
+    full = eng.arrow()
+    target = full["commit"][3].as_py()
+    st = {}
+    got = eng.dataset_where(("commit", "==", target), stats=st).take_all()
+    assert len(got) == full.filter(pc.equal(full["commit"], target)).num_rows
+    assert st["bloom_dropped"] >= 1
+
+    # recluster keeps them too (force a rewrite by switching the order)
+    eng.cfg.cluster_by = ["commit"]
+    rc = recluster(eng)
+    assert rc["ok"] and rc["rewritten"] > 0
+    m2 = eng.store.load_manifest()
+    assert all(e.get("bloom") for e in m2.partitions.values())
+    st2 = {}
+    got2 = eng.dataset_where(("commit", "==", target), stats=st2).take_all()
+    assert len(got2) == len(got) and st2["bloom_dropped"] >= 1
+
+
 def test_bloom_false_positive_rate_sane(tmp_path):
     """Driver-side kernel check: probe 2000 absent values, FPP ≈ target."""
     import pyarrow as pa
