@@ -474,6 +474,35 @@ def q_cluster_pushdown(sf_dir: str) -> pa.Table:
     return t.select(["user_id", "event_type", "value"])
 
 
+def q_where_in_pushdown(sf_dir: str) -> pa.Table:
+    """IN-list predicate read (op="in": zone overlap on ANY value,
+    per-file Bloom probe on EVERY value, pyarrow isin row-group
+    pushdown) — hash-checked against the live-state SQL oracle."""
+    root = _scratch("win")
+    stream = _derive_cdc_stream(sf_dir, root)
+    cfg = TableConfig(
+        name="user_state_win",
+        pk=["user_id"],
+        value_columns=["event_type", "value"],
+        num_partitions=8,
+        soft_delete=True,
+        bloom_columns=["event_type"],
+    )
+    eng = CDCEngine(os.path.join(root, "lake"), cfg)
+    mx = max_sequence(stream)
+    eng.replay(stream, upto_seq=mx // 2)
+    eng.replay(stream, upto_seq=mx)
+    ds = eng.dataset_where(("event_type", "in", ["purchase", "refund"]))
+    t = pa.concat_tables(
+        [b for b in ds.iter_batches(batch_format="pyarrow")]
+        or [eng.arrow().schema.empty_table()],
+        promote_options="permissive",
+    )
+    iud = pc.fill_null(pc.cast(t[cfg.col_iud], pa.string()), "")
+    t = t.filter(pc.not_equal(iud, "D"))
+    return t.select(["user_id", "event_type", "value"])
+
+
 def q_lake_bucket_join(sf_dir: str) -> "rd.Dataset":
     """Zero-exchange bucket join of two LAKE tables co-partitioned on the
     same pk (sources/lake.py:bucket_join_lakes): the CDC-built user_state
@@ -3645,6 +3674,11 @@ SELECT user_id, event_type, value FROM live WHERE event_type = 'purchase'
 # clustering is purely physical ⇒ identical oracle to the unclustered read
 ORACLES["cluster_pushdown"] = ORACLES["where_pushdown"]
 
+ORACLES["where_in_pushdown"] = _LIVE_STATE_SQL + """
+SELECT user_id, event_type, value FROM live
+WHERE event_type IN ('purchase', 'refund')
+"""
+
 ORACLES["lake_bucket_join"] = _CDC_VIEW + """
 , final AS (
   SELECT COALESCE(s1.user_id, l2.user_id) AS user_id,
@@ -4808,6 +4842,7 @@ QUERIES = {
     "import_graph_docs": q_import_graph_docs,
     "heavy_hitters_tokens": q_heavy_hitters_tokens,
     "cluster_pushdown": q_cluster_pushdown,
+    "where_in_pushdown": q_where_in_pushdown,
     # --- rows-only (no SQL-expressible oracle; pytest-verified) ---
     "view_approx_distinct": q_view_approx_distinct,
     "cluster_split_docs": q_cluster_split_docs,

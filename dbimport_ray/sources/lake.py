@@ -155,11 +155,11 @@ def read_lake_pruned(
     col, op, val = predicate
     schema = m.arrow_schema()
     bloom_dropped = 0
-    if op == "==" and kept and any(e.get("bloom") for e in kept):
+    if op in ("==", "in") and kept and any(e.get("bloom") for e in kept):
         # Bloom sidecars: drop zone-kept files that PROVABLY lack the
-        # value (the equality pruning zones can't do for hash-like
-        # columns). Strictly may-contain — missing/uncovered sidecars
-        # and MOR stacks keep their files.
+        # value (every value, for an IN-list) — the equality pruning
+        # zones can't do for hash-like columns. Strictly may-contain —
+        # missing/uncovered sidecars and MOR stacks keep their files.
         from ..stages.mor import entry_has_deltas
         from ..state.bloomfilter import sidecar_may_contain
 
@@ -168,17 +168,23 @@ def read_lake_pruned(
             vtype = schema.field(col).type
         if vtype is not None:
             try:
-                sval = pa.scalar(val).cast(vtype).as_py()
+                svals = [
+                    pa.scalar(v).cast(vtype).as_py()
+                    for v in (val if op == "in" else [val])
+                ]
             except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
-                sval = None
-            if sval is not None:
+                svals = None
+            if svals is not None:
                 kept2 = []
                 for e in kept:
                     if (
                         e.get("bloom")
                         and not entry_has_deltas(e)
-                        and not sidecar_may_contain(
-                            store.abs_path(e["bloom"]), col, sval, vtype
+                        and not any(
+                            sidecar_may_contain(
+                                store.abs_path(e["bloom"]), col, sv, vtype
+                            )
+                            for sv in svals
                         )
                     ):
                         bloom_dropped += 1
@@ -240,16 +246,22 @@ def read_lake_pruned(
     if pushdown:
         import pyarrow.dataset as pads
 
-        sval = val
-        if isinstance(val, str) and (
-            pa.types.is_timestamp(ftype) or pa.types.is_date(ftype)
-        ):
-            sval = pa.scalar(val).cast(ftype)
-        expr = {
-            ">": pads.field(col) > sval, ">=": pads.field(col) >= sval,
-            "<": pads.field(col) < sval, "<=": pads.field(col) <= sval,
-            "==": pads.field(col) == sval, "!=": pads.field(col) != sval,
-        }[op]
+        def _coerce(v):
+            if isinstance(v, str) and (
+                pa.types.is_timestamp(ftype) or pa.types.is_date(ftype)
+            ):
+                return pa.scalar(v).cast(ftype)
+            return v
+
+        if op == "in":
+            expr = pads.field(col).isin([_coerce(v) for v in val])
+        else:
+            sval = _coerce(val)
+            expr = {
+                ">": pads.field(col) > sval, ">=": pads.field(col) >= sval,
+                "<": pads.field(col) < sval, "<=": pads.field(col) <= sval,
+                "==": pads.field(col) == sval, "!=": pads.field(col) != sval,
+            }[op]
 
         def _post(t: pa.Table) -> pa.Table:
             if columns is None:

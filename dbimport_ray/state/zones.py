@@ -27,7 +27,7 @@ import datetime as _dt
 import pyarrow as pa
 import pyarrow.compute as pc
 
-_OPS = (">", ">=", "<", "<=", "==", "!=")
+_OPS = (">", ">=", "<", "<=", "==", "!=", "in")
 
 
 def _encode(v):
@@ -76,6 +76,14 @@ def zone_overlaps(zones: dict | None, col: str, op: str, val) -> bool:
     if lo is None or hi is None:
         # all-null column: no row can satisfy a comparison predicate
         return False
+    if op == "in":  # IN-list: keep iff ANY value can sit in [lo, hi]
+        vals = [_encode(v) for v in val]
+        if not vals:
+            return False
+        try:
+            return any(lo <= v <= hi for v in vals)
+        except TypeError:
+            return True
     val = _encode(val)
     if op == "!=" and (isinstance(lo, float) or isinstance(hi, float)):
         # min_max skips NaN, so a float zone [3.0, 3.0] may hide NaN rows
@@ -104,6 +112,12 @@ def zone_overlaps(zones: dict | None, col: str, op: str, val) -> bool:
 def residual_mask(table: pa.Table, col: str, op: str, val) -> pa.Array:
     """Exact vectorized predicate for the rows of a kept file (zone maps
     only prune whole files; rows still need the real comparison)."""
+    if op == "in":
+        target = table[col]
+        vals = pa.array(list(val))
+        if vals.type != target.type:
+            vals = vals.cast(target.type)
+        return pc.is_in(target, value_set=vals)
     kernel = {
         ">": pc.greater, ">=": pc.greater_equal,
         "<": pc.less, "<=": pc.less_equal,

@@ -173,3 +173,34 @@ def test_bloom_false_positive_rate_sane(tmp_path):
         for i in range(2000)
     )
     assert fp / 2000 < 0.03
+
+
+def test_in_list_predicate_prunes_and_is_exact(tmp_path, ray_session):
+    """op="in": zones + blooms + row-group pushdown compose for IN-lists
+    (the CDC shape: re-read a subset of keys after an incident)."""
+    ev = str(tmp_path / "ev.parquet")
+    generate_events(ev, num_keys=3000, num_events=12000, seed=27)
+    eng = _engine(tmp_path)
+    eng.replay(ev)
+    full = eng.arrow()
+    uniq = sorted(set(full["commit"].to_pylist()))
+    # mid-range values spread across the key space, so every file's zone
+    # range overlaps the list and only the blooms can prune
+    targets = uniq[len(uniq) // 3 : len(uniq) // 3 + 3]
+    st = {}
+    got = eng.dataset_where(("commit", "in", targets), stats=st).take_all()
+    import pyarrow as pa
+
+    want = full.filter(pc.is_in(full["commit"], value_set=pa.array(targets)))
+    assert len(got) == want.num_rows > 0
+    assert st["bloom_dropped"] >= 1 and st["pushdown"] is True
+
+    # empty list → zero rows, everything pruned by zones
+    st2 = {}
+    got2 = eng.dataset_where(("commit", "in", []), stats=st2).take_all()
+    assert got2 == [] and st2["files_kept"] == 0
+
+    # range ops on the same engine untouched by the new path
+    n = eng.dataset_where(("lang", ">=", "")).count()
+    iud = pc.not_equal(pc.fill_null(full["datalake_iud"], ""), "D")
+    assert n == full.num_rows
