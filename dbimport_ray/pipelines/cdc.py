@@ -1347,7 +1347,7 @@ class CDCEngine:
 
     def dataset_where(
         self,
-        predicate: tuple[str, str, object],
+        predicate,
         columns: list[str] | None = None,
         version: int | None = None,
         stats: dict | None = None,
@@ -1355,7 +1355,9 @@ class CDCEngine:
         """Zone-map-pruned predicate read: opens only partition files whose
         manifest min/max can match (sources/lake.py:read_lake_pruned).
         ``("datalake_update", ">", T)`` = rows changed since T, touching
-        only partitions some merge has rewritten since then."""
+        only partitions some merge has rewritten since then. A LIST of
+        triples is a conjunction — zones/blooms/pushdown compose per term
+        and the read opens the intersection. Ops: > >= < <= == != in."""
         from ..sources.lake import read_lake_pruned
 
         return read_lake_pruned(

@@ -503,6 +503,38 @@ def q_where_in_pushdown(sf_dir: str) -> pa.Table:
     return t.select(["user_id", "event_type", "value"])
 
 
+def q_where_conj_pushdown(sf_dir: str) -> pa.Table:
+    """Conjunctive predicate read (a LIST of triples): zones prune on
+    every term, blooms drop on the equality term, pushdown-eligible
+    terms ride the scan and the float term applies as the exact
+    residual — hash-checked against the AND-ed live-state oracle."""
+    root = _scratch("wcj")
+    stream = _derive_cdc_stream(sf_dir, root)
+    cfg = TableConfig(
+        name="user_state_wcj",
+        pk=["user_id"],
+        value_columns=["event_type", "value"],
+        num_partitions=8,
+        soft_delete=True,
+        bloom_columns=["event_type"],
+    )
+    eng = CDCEngine(os.path.join(root, "lake"), cfg)
+    mx = max_sequence(stream)
+    eng.replay(stream, upto_seq=mx // 2)
+    eng.replay(stream, upto_seq=mx)
+    ds = eng.dataset_where(
+        [("event_type", "==", "purchase"), ("value", ">=", 50.0)]
+    )
+    t = pa.concat_tables(
+        [b for b in ds.iter_batches(batch_format="pyarrow")]
+        or [eng.arrow().schema.empty_table()],
+        promote_options="permissive",
+    )
+    iud = pc.fill_null(pc.cast(t[cfg.col_iud], pa.string()), "")
+    t = t.filter(pc.not_equal(iud, "D"))
+    return t.select(["user_id", "event_type", "value"])
+
+
 def q_lake_bucket_join(sf_dir: str) -> "rd.Dataset":
     """Zero-exchange bucket join of two LAKE tables co-partitioned on the
     same pk (sources/lake.py:bucket_join_lakes): the CDC-built user_state
@@ -3679,6 +3711,11 @@ SELECT user_id, event_type, value FROM live
 WHERE event_type IN ('purchase', 'refund')
 """
 
+ORACLES["where_conj_pushdown"] = _LIVE_STATE_SQL + """
+SELECT user_id, event_type, value FROM live
+WHERE event_type = 'purchase' AND value >= 50.0
+"""
+
 ORACLES["lake_bucket_join"] = _CDC_VIEW + """
 , final AS (
   SELECT COALESCE(s1.user_id, l2.user_id) AS user_id,
@@ -4843,6 +4880,7 @@ QUERIES = {
     "heavy_hitters_tokens": q_heavy_hitters_tokens,
     "cluster_pushdown": q_cluster_pushdown,
     "where_in_pushdown": q_where_in_pushdown,
+    "where_conj_pushdown": q_where_conj_pushdown,
     # --- rows-only (no SQL-expressible oracle; pytest-verified) ---
     "view_approx_distinct": q_view_approx_distinct,
     "cluster_split_docs": q_cluster_split_docs,

@@ -136,61 +136,79 @@ def prune_partitions(
 def read_lake_pruned(
     store: TableStore,
     cfg: TableConfig,
-    predicate: tuple[str, str, object],
+    predicate,
     columns: list[str] | None = None,
     version: int | None = None,
     stats: dict | None = None,
 ) -> rd.Dataset:
     """Predicate read that opens only partition files whose zone maps can
-    match ``(col, op, value)``; kept files still get the exact vectorized
-    residual filter per batch (zones prune whole files, not rows). The
-    CDC-relevant shape: ``("datalake_update", ">", T)`` reads only the
-    partitions some merge touched since T — downstream incremental
-    consumption without a change feed. Pass ``stats={}`` to receive
-    ``files_kept`` / ``files_total``."""
+    match — ``predicate`` is one ``(col, op, value)`` triple or a LIST of
+    triples (a conjunction). Per term: manifest zones prune whole files
+    (intersection across terms), per-file Bloom sidecars drop on ``==`` /
+    ``in`` terms, every pushdown-eligible term rides the Parquet scan as
+    a dataset filter (row-group statistics prune INSIDE kept files) and
+    the remaining terms apply as the exact vectorized residual. The
+    CDC-relevant shapes: ``("datalake_update", ">", T)`` reads only the
+    partitions some merge touched since T; add ``("lang", "==", "py")``
+    and the read opens the intersection. Pass ``stats={}`` to receive
+    ``files_kept`` / ``files_total`` / ``bloom_dropped`` / ``pushdown``."""
+    from ..stages.mor import entry_has_deltas, entry_zone_overlaps
     from ..state.zones import residual_mask
 
+    preds = (
+        [tuple(predicate)]
+        if isinstance(predicate[0], str)
+        else [tuple(p) for p in predicate]
+    )
+    if not preds:
+        raise ValueError("empty predicate list")
     m = store.load_manifest(version=version)
-    kept, total = prune_partitions(m, predicate)
-    col, op, val = predicate
+    kept, total = prune_partitions(m, preds[0])
+    for p in preds[1:]:  # conjunction: zone-prune on every term
+        kept = [e for e in kept if entry_zone_overlaps(e, *p)]
     schema = m.arrow_schema()
+
     bloom_dropped = 0
-    if op in ("==", "in") and kept and any(e.get("bloom") for e in kept):
+    eq_preds = [p for p in preds if p[1] in ("==", "in")]
+    if eq_preds and kept and any(e.get("bloom") for e in kept):
         # Bloom sidecars: drop zone-kept files that PROVABLY lack the
-        # value (every value, for an IN-list) — the equality pruning
-        # zones can't do for hash-like columns. Strictly may-contain —
-        # missing/uncovered sidecars and MOR stacks keep their files.
-        from ..stages.mor import entry_has_deltas
+        # value (every value, for an IN-list) of ANY equality term — the
+        # pruning zones can't do this for hash-like columns. Strictly
+        # may-contain: missing/uncovered sidecars and MOR stacks keep
+        # their files.
         from ..state.bloomfilter import sidecar_may_contain
 
-        vtype = None
-        if schema is not None and col in schema.names:
+        probes = []  # (col, [values], type)
+        for col, op, val in eq_preds:
+            if schema is None or col not in schema.names:
+                continue
             vtype = schema.field(col).type
-        if vtype is not None:
             try:
                 svals = [
                     pa.scalar(v).cast(vtype).as_py()
                     for v in (val if op == "in" else [val])
                 ]
             except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
-                svals = None
-            if svals is not None:
-                kept2 = []
-                for e in kept:
-                    if (
-                        e.get("bloom")
-                        and not entry_has_deltas(e)
-                        and not any(
-                            sidecar_may_contain(
-                                store.abs_path(e["bloom"]), col, sv, vtype
-                            )
+                continue
+            probes.append((col, svals, vtype))
+        if probes:
+            kept2 = []
+            for e in kept:
+                drop = False
+                if e.get("bloom") and not entry_has_deltas(e):
+                    path = store.abs_path(e["bloom"])
+                    drop = any(
+                        not any(
+                            sidecar_may_contain(path, col, sv, vtype)
                             for sv in svals
                         )
-                    ):
-                        bloom_dropped += 1
-                    else:
-                        kept2.append(e)
-                kept = kept2
+                        for col, svals, vtype in probes
+                    )
+                if drop:
+                    bloom_dropped += 1
+                else:
+                    kept2.append(e)
+            kept = kept2
     if stats is not None:
         stats.update(files_kept=len(kept), files_total=total,
                      bloom_dropped=bloom_dropped)
@@ -203,50 +221,65 @@ def read_lake_pruned(
         if columns is not None:
             empty = empty.select(columns)
         return rd.from_arrow(empty)
-    from ..stages.mor import entry_has_deltas
+
+    def _residual_all(t: pa.Table, which) -> pa.Table:
+        mask = None
+        for col, op, val in which:
+            mk = residual_mask(t, col, op, val)
+            mask = mk if mask is None else pc.and_kleene(mask, mk)
+        return t.filter(mask) if mask is not None else t
 
     if any(entry_has_deltas(e) for e in kept):
         # MOR: fold each kept partition, then apply the exact residual
         return _mor_fold_dataset(
             store, cfg, m, columns=columns,
-            residual=lambda t: residual_mask(t, col, op, val),
+            residual=lambda t: pc.and_kleene(
+                *[residual_mask(t, *p) for p in preds]
+            ) if len(preds) > 1 else residual_mask(t, *preds[0]),
             entries=kept,
         )
     vtypes = {f.name: f.type for f in schema}
     tgt = target_schema(cfg_with_schema(cfg, schema), vtypes)
-    if col not in tgt.names:
-        raise ValueError(
-            f"predicate column {col!r} is not in the physical table schema "
-            f"{tgt.names} — predicates run over STORED columns "
-            f"(source-stream fields like the sequence id are consumed by "
-            f"the merge, not persisted)"
-        )
+    for col, _, _ in preds:
+        if col not in tgt.names:
+            raise ValueError(
+                f"predicate column {col!r} is not in the physical table "
+                f"schema {tgt.names} — predicates run over STORED columns "
+                f"(source-stream fields like the sequence id are consumed "
+                f"by the merge, not persisted)"
+            )
     renames = m.renames
     files = [store.abs_path(e["file"]) for e in kept]
 
-    # Row-group-level skipping INSIDE kept files: when every kept entry
-    # recorded a zone for the column (⇒ every physical file carries it
-    # under its current name — renamed/legacy files record the old one),
-    # push the predicate into the scan as a pyarrow dataset filter, so
-    # Parquet row-group statistics prune at ~1 MB granularity what the
-    # manifest zones pruned at file granularity, and late rows are
-    # filtered inside the read task (exact — same null semantics as the
-    # residual). Floats stay on the residual path: Parquet stats around
-    # NaN are writer-dependent, and zone_overlaps already refuses float
-    # "!=" for the same reason. At a 100 TB table this is the difference
-    # between reading a multi-GB partition file and reading the one row
-    # group a point-in-time watermark predicate actually touches.
-    ftype = tgt.field(col).type
-    pushdown = (
-        not pa.types.is_floating(ftype)
-        and all(col in (e.get("zones") or {}) for e in kept)
-    )
-    if stats is not None:
-        stats["pushdown"] = pushdown
-    if pushdown:
-        import pyarrow.dataset as pads
+    # Row-group-level skipping INSIDE kept files: a term pushes into the
+    # scan as a pyarrow dataset filter when every kept entry recorded a
+    # zone for its column (⇒ every physical file carries it under its
+    # current name — renamed/legacy files record the old one), so Parquet
+    # row-group statistics prune at ~1 MB granularity what the manifest
+    # zones pruned at file granularity; late rows filter inside the read
+    # task (exact — same null semantics as the residual). Floats stay on
+    # the residual path: Parquet stats around NaN are writer-dependent,
+    # and zone_overlaps already refuses float "!=" for the same reason.
+    # Non-eligible terms apply as the exact residual after the scan.
+    import pyarrow.dataset as pads
 
-        def _coerce(v):
+    def _eligible(col: str) -> bool:
+        return (
+            not pa.types.is_floating(tgt.field(col).type)
+            and all(col in (e.get("zones") or {}) for e in kept)
+        )
+
+    pushed, resid = [], []
+    for p in preds:
+        (pushed if _eligible(p[0]) else resid).append(p)
+    if stats is not None:
+        stats["pushdown"] = bool(pushed) and not resid
+
+    expr = None
+    for col, op, val in pushed:
+        ftype = tgt.field(col).type
+
+        def _coerce(v, ftype=ftype):
             if isinstance(v, str) and (
                 pa.types.is_timestamp(ftype) or pa.types.is_date(ftype)
             ):
@@ -254,39 +287,33 @@ def read_lake_pruned(
             return v
 
         if op == "in":
-            expr = pads.field(col).isin([_coerce(v) for v in val])
+            e = pads.field(col).isin([_coerce(v) for v in val])
         else:
             sval = _coerce(val)
-            expr = {
+            e = {
                 ">": pads.field(col) > sval, ">=": pads.field(col) >= sval,
                 "<": pads.field(col) < sval, "<=": pads.field(col) <= sval,
                 "==": pads.field(col) == sval, "!=": pads.field(col) != sval,
             }[op]
-
-        def _post(t: pa.Table) -> pa.Table:
-            if columns is None:
-                t = align_to_schema(t, tgt, renames)
-            return t.select(columns) if columns is not None else t
-
-        pd_cols = None
-        if columns is not None:
-            pd_cols = list(columns) + ([col] if col not in columns else [])
-        return rd.read_parquet(files, columns=pd_cols, filter=expr).map_batches(
-            _post, batch_format="pyarrow"
-        )
+        expr = e if expr is None else expr & e
 
     read_cols = None
     if columns is not None:
-        read_cols = list(columns) + ([col] if col not in columns else [])
+        extra = [p[0] for p in preds if p[0] not in columns]
+        read_cols = list(columns) + list(dict.fromkeys(extra))
 
-    def _filter(t: pa.Table) -> pa.Table:
+    def _finish(t: pa.Table) -> pa.Table:
         if columns is None:  # full reads align legacy files (as read_lake)
             t = align_to_schema(t, tgt, renames)
-        t = t.filter(residual_mask(t, col, op, val))
+        if resid:
+            t = _residual_all(t, resid)
         return t.select(columns) if columns is not None else t
 
-    return rd.read_parquet(files, columns=read_cols).map_batches(
-        _filter, batch_format="pyarrow"
+    kw = {"columns": read_cols} if read_cols is not None else {}
+    if expr is not None:
+        kw["filter"] = expr
+    return rd.read_parquet(files, **kw).map_batches(
+        _finish, batch_format="pyarrow"
     )
 
 

@@ -204,3 +204,46 @@ def test_in_list_predicate_prunes_and_is_exact(tmp_path, ray_session):
     n = eng.dataset_where(("lang", ">=", "")).count()
     iud = pc.not_equal(pc.fill_null(full["datalake_iud"], ""), "D")
     assert n == full.num_rows
+
+
+def test_conjunction_predicates(tmp_path, ray_session):
+    """A list of predicate triples reads the intersection: zones prune on
+    every term, blooms drop on the equality term, and the result is
+    exactly the AND of the residuals."""
+    import pyarrow as pa
+
+    ev = str(tmp_path / "ev.parquet")
+    generate_events(ev, num_keys=2500, num_events=10000, seed=33)
+    eng = _engine(tmp_path)
+    eng.replay(ev)
+    full = eng.arrow()
+    target = full["commit"][7].as_py()
+
+    st = {}
+    got = eng.dataset_where(
+        [("commit", "==", target), ("lang", ">=", "")], stats=st
+    ).take_all()
+    want = full.filter(
+        pc.and_kleene(
+            pc.equal(full["commit"], target),
+            pc.greater_equal(full["lang"], ""),
+        )
+    )
+    assert len(got) == want.num_rows > 0
+    assert st["bloom_dropped"] >= 1  # the equality term still blooms
+
+    # a term whose zone range excludes everything empties the whole read
+    st2 = {}
+    got2 = eng.dataset_where(
+        [("commit", "==", target), ("lang", "<", "")], stats=st2
+    ).take_all()
+    assert got2 == [] and st2["files_kept"] == 0
+
+    # column-pruned conjunction: predicate columns read internally but
+    # dropped from the output
+    got3 = eng.dataset_where(
+        [("commit", "==", target), ("lang", ">=", "")],
+        columns=["repo", "path"],
+    ).take_all()
+    assert len(got3) == want.num_rows
+    assert set(got3[0].keys()) == {"repo", "path"}
