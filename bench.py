@@ -100,6 +100,8 @@ QUERY_NAMES = [
     "join_view_incremental",
     # round-4 session-10 additions
     "envelope_decode",
+    "cluster_pushdown",
+    "where_in_pushdown",
 ]
 
 
