@@ -19,11 +19,12 @@ from ..state.zones import column_zones
 from .cdc import CDCEngine
 
 
-def _maybe_sidecar(store, rel_file: str, t: pa.Table,
+def _maybe_sidecar(store_or_path, rel_file: str, t: pa.Table,
                    bloom_cols: list[str], fpp: float) -> str:
     """Bloom sidecar next to a maintenance-rewritten base file, matching
     the merge path's cfg.bloom_columns behavior ('' when not configured /
-    empty / uncovered)."""
+    empty / uncovered). ``store_or_path`` is a TableStore or the base
+    file's ABSOLUTE path (for call sites that precomputed it)."""
     if not rel_file or not t.num_rows or not bloom_cols:
         return ""
     cols = [c for c in bloom_cols if c in t.column_names]
@@ -32,7 +33,12 @@ def _maybe_sidecar(store, rel_file: str, t: pa.Table,
     from ..state.bloomfilter import write_sidecar
 
     rel = rel_file + ".bloom"
-    write_sidecar(store.abs_path(rel), t, cols, fpp)
+    abs_path = (
+        store_or_path + ".bloom"
+        if isinstance(store_or_path, str)
+        else store_or_path.abs_path(rel)
+    )
+    write_sidecar(abs_path, t, cols, fpp)
     return rel
 
 
@@ -100,12 +106,10 @@ def rehash_table(engine: CDCEngine, new_num_partitions: int) -> dict:
             "version": version,
             "zones": column_zones(tbl),
         }
-        bcols = [c for c in (cfg.bloom_columns or []) if c in tbl.column_names]
-        if bcols and tbl.num_rows:
-            from ..state.bloomfilter import write_sidecar
-
-            write_sidecar(abs_path + ".bloom", tbl, bcols, cfg.bloom_fpp)
-            entry["bloom"] = rel + ".bloom"
+        rb = _maybe_sidecar(abs_path, rel, tbl,
+                            list(cfg.bloom_columns or []), cfg.bloom_fpp)
+        if rb:
+            entry["bloom"] = rb
         return entry
 
     futs = []
@@ -636,8 +640,10 @@ def _replicate_files(store, manifest, dest: str) -> dict:
 
     copied = 0
     for e in manifest.partitions.values():
-        for rel in entry_files(e):  # base + any merge-on-read delta stack
+        for rel in entry_files(e):  # base + delta stack + bloom sidecar
             src = store.abs_path(rel)
+            if rel == e.get("bloom") and not os.path.exists(src):
+                continue  # advisory: replica just loses pruning there
             dst = os.path.join(dest, rel)
             if not os.path.exists(dst) or os.path.getsize(dst) != os.path.getsize(src):
                 shutil.copy2(src, dst + ".tmp")

@@ -245,7 +245,7 @@ def restore_savepoint(engines: list[CDCEngine], path: str) -> dict:
         gone = [
             f
             for e in m.partitions.values()
-            for f in entry_files(e)
+            for f in entry_files(e, advisory=False)
             if not os.path.exists(eng.store.abs_path(f))
         ]
         if gone:

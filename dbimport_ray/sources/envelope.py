@@ -332,6 +332,10 @@ def decode_wal2json_table(
     if not pc.all(keep).as_py():
         parsed = parsed.filter(keep)
     n = parsed.num_rows
+    if n == 0:
+        # frames-only batch (e.g. an empty transaction's B/C pair, the
+        # shape a table-filtered slot emits constantly) — typed empty
+        return _empty_events(pk, value_columns, sequence_col, op_col)
     op = parsed.column("action").combine_chunks().cast(pa.string())
 
     new_img = _kv_lookup(
@@ -399,10 +403,12 @@ def decode_maxwell_table(
       nulled on deletes so the merge sees the same key-only delete shape
       every envelope dialect produces.
     - sequence: MySQL binlogs have no LSN, so the default carrier is the
-      InnoDB transaction id — ``xid * 2**16 + xoffset`` (xoffset breaks
-      intra-transaction ties; monotone per server) — falling back to
-      ``ts`` (coarse, second-resolution) when xid is absent. ``seq_path``
-      overrides either.
+      InnoDB transaction id — ``xid * 2**32 + xoffset`` (xoffset breaks
+      intra-transaction ties; monotone per server, exact for
+      transactions under 2**32 rows and xids under 2**31) — falling
+      back to ``ts`` (coarse, second-resolution) when the xid column is
+      absent entirely; a stream MIXING xid and null-xid rows raises
+      (pick an explicit order via ``seq_path``, e.g. ``"ts"``).
     """
     names = set(parsed.column_names)
     if "type" not in names or "data" not in names:
@@ -416,6 +422,8 @@ def decode_maxwell_table(
         parsed = parsed.filter(keep)
         typ = parsed.column("type").combine_chunks().cast(pa.string())
     n = parsed.num_rows
+    if n == 0:  # bootstrap-markers-only batch → typed empty
+        return _empty_events(pk, value_columns, sequence_col, op_col)
     idx = pc.index_in(typ, value_set=_MAXWELL_CODES)
     if n and not pc.all(pc.is_valid(idx)).as_py():
         bad = pc.unique(typ.filter(pc.is_null(idx))).to_pylist()
@@ -431,6 +439,14 @@ def decode_maxwell_table(
         seq = _resolve_seq(fields, seq_path)
     elif "xid" in names and not pa.types.is_null(parsed.schema.field("xid").type):
         xid = pc.cast(parsed.column("xid").combine_chunks(), pa.int64())
+        if pc.any(pc.is_null(xid)).as_py():
+            # mixed stream (e.g. bootstrap rows lack xid): a silent null
+            # sequence would drop those rows at the watermark filter —
+            # make the caller pick an explicit total order instead
+            raise ValueError(
+                "null xid in Maxwell stream (bootstrap rows?); pass "
+                "seq_path= (e.g. seq_path='ts')"
+            )
         xoff = (
             pc.fill_null(
                 pc.cast(parsed.column("xoffset").combine_chunks(), pa.int64()), 0
@@ -439,7 +455,7 @@ def decode_maxwell_table(
             and not pa.types.is_null(parsed.schema.field("xoffset").type)
             else pa.array(np.zeros(n, np.int64))
         )
-        seq = pc.add(pc.multiply(xid, pa.scalar(65536, pa.int64())), xoff)
+        seq = pc.add(pc.multiply(xid, pa.scalar(1 << 32, pa.int64())), xoff)
     elif "ts" in names:
         seq = pc.cast(parsed.column("ts").combine_chunks(), pa.int64())
     else:
@@ -775,7 +791,7 @@ def encode_maxwell_lines(
     op_col: str = "op",
 ) -> list[str]:
     """Tests/fixtures ONLY: canonical events → Maxwell JSONL. Sequence →
-    ``xid`` (so the decoder's default ``xid * 2**16`` carrier preserves
+    ``xid`` (so the decoder's default ``xid * 2**32`` carrier preserves
     the total order); ``data`` carries the full image on every type —
     including deletes, Maxwell's real behavior the decoder must null
     out."""

@@ -176,7 +176,7 @@ def read_lake_pruned(
         # pruning zones can't do this for hash-like columns. Strictly
         # may-contain: missing/uncovered sidecars and MOR stacks keep
         # their files.
-        from ..state.bloomfilter import sidecar_may_contain
+        from ..state.bloomfilter import bitmap_may_contain, load_sidecar
 
         probes = []  # (col, [values], type)
         for col, op, val in eq_preds:
@@ -196,10 +196,10 @@ def read_lake_pruned(
             for e in kept:
                 drop = False
                 if e.get("bloom") and not entry_has_deltas(e):
-                    path = store.abs_path(e["bloom"])
-                    drop = any(
+                    sc = load_sidecar(store.abs_path(e["bloom"]))
+                    drop = sc is not None and any(
                         not any(
-                            sidecar_may_contain(path, col, sv, vtype)
+                            bitmap_may_contain(sc, col, sv, vtype)
                             for sv in svals
                         )
                         for col, svals, vtype in probes
@@ -230,12 +230,14 @@ def read_lake_pruned(
         return t.filter(mask) if mask is not None else t
 
     if any(entry_has_deltas(e) for e in kept):
+        from functools import reduce
+
         # MOR: fold each kept partition, then apply the exact residual
         return _mor_fold_dataset(
             store, cfg, m, columns=columns,
-            residual=lambda t: pc.and_kleene(
-                *[residual_mask(t, *p) for p in preds]
-            ) if len(preds) > 1 else residual_mask(t, *preds[0]),
+            residual=lambda t: reduce(
+                pc.and_kleene, [residual_mask(t, *p) for p in preds]
+            ),
             entries=kept,
         )
     vtypes = {f.name: f.type for f in schema}

@@ -50,13 +50,18 @@ MERGE_FORMAT_MOR = "mor"
 # ---------------------------------------------------------------------------
 
 
-def entry_files(entry: dict) -> list[str]:
-    """Every data file (relative path) a partition entry references:
-    the base file (if any), its Bloom sidecar, plus its delta stack."""
+def entry_files(entry: dict, advisory: bool = True) -> list[str]:
+    """Every file (relative path) a partition entry references: the base
+    file (if any), its delta stack, and — with ``advisory=True`` — the
+    Bloom sidecar. Existence HARD-CHECKS (rollback, savepoint restore)
+    pass ``advisory=False``: a vanished sidecar only costs pruning
+    (state/bloomfilter.py is strictly may-contain) and must never block
+    an otherwise-valid recovery; GC liveness and replication keep the
+    default so sidecars survive and ship with their data."""
     out = []
     if entry.get("file"):
         out.append(entry["file"])
-    if entry.get("bloom"):
+    if advisory and entry.get("bloom"):
         out.append(entry["bloom"])
     out.extend(d["file"] for d in entry.get("deltas", ()))
     return out

@@ -15,10 +15,12 @@ partition.
 
 Semantics are strictly may-contain: a missing/stale/unreadable sidecar,
 a column the sidecar doesn't cover, or a delta-stacked (MOR) entry keeps
-the file — pruning can only ever be a subset of the exact residual read.
-Maintenance rewrites (align/recluster/rehash) drop the ``bloom`` entry
-key rather than recompute it, falling back to zones-only pruning until
-the next merge touches the partition. Hashing reuses stages/bloom.py's
+the file — pruning can only ever be a subset of the exact residual read,
+and existence hard-checks (rollback, savepoint restore) exclude sidecars
+(``entry_files(advisory=False)``). Maintenance rewrites (rehash / align /
+recluster / rescue / redrive) REGENERATE the sidecar for every file they
+rewrite (``maintain.py:_maybe_sidecar``), so pruning never silently
+degrades after layout maintenance. Hashing reuses stages/bloom.py's
 pinned double-hash kernels so write and probe always agree.
 """
 
@@ -53,20 +55,41 @@ def write_sidecar(
     os.replace(tmp, path)
 
 
+def load_sidecar(path: str) -> dict | None:
+    """{col: (words, m, k)} from one sidecar file — ONE open/parse per
+    file however many values get probed; None when missing/unreadable
+    (callers keep the file: exactness never depends on the sidecar)."""
+    try:
+        out: dict[str, tuple] = {}
+        with np.load(path) as z:
+            for key in z.files:
+                if key.endswith("__words"):
+                    col = key[: -len("__words")]
+                    if f"{col}__mk" in z.files:
+                        mk = z[f"{col}__mk"]
+                        out[col] = (z[key], int(mk[0]), int(mk[1]))
+        return out
+    except (OSError, ValueError, KeyError):
+        return None
+
+
+def bitmap_may_contain(
+    sidecar: dict | None, col: str, value, value_type: pa.DataType
+) -> bool:
+    """True unless the loaded sidecar PROVES the value is absent (missing
+    sidecar / uncovered column ⇒ keep)."""
+    if not sidecar or col not in sidecar:
+        return True
+    words, m, k = sidecar[col]
+    try:
+        probe = pa.table({col: pa.array([value], type=value_type)})
+        return bool(_test_bits(words, probe, [col], m, k)[0])
+    except (ValueError, pa.ArrowInvalid):
+        return True
+
+
 def sidecar_may_contain(
     path: str, col: str, value, value_type: pa.DataType
 ) -> bool:
-    """True unless the sidecar PROVES the value is absent: any missing
-    file, missing column, or read error keeps the file (exactness never
-    depends on the sidecar)."""
-    try:
-        with np.load(path) as z:
-            wk, mk = f"{col}__words", f"{col}__mk"
-            if wk not in z or mk not in z:
-                return True
-            words = z[wk]
-            m, k = (int(x) for x in z[mk])
-        probe = pa.table({col: pa.array([value], type=value_type)})
-        return bool(_test_bits(words, probe, [col], m, k)[0])
-    except (OSError, ValueError, KeyError, pa.ArrowInvalid):
-        return True
+    """One-shot convenience over load_sidecar + bitmap_may_contain."""
+    return bitmap_may_contain(load_sidecar(path), col, value, value_type)

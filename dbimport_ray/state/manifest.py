@@ -354,7 +354,7 @@ class TableStore:
         missing = [
             f
             for e in m.partitions.values()
-            for f in entry_files(e)
+            for f in entry_files(e, advisory=False)
             if not os.path.exists(self.abs_path(f))
         ]
         if missing:

@@ -247,3 +247,47 @@ def test_conjunction_predicates(tmp_path, ray_session):
     ).take_all()
     assert len(got3) == want.num_rows
     assert set(got3[0].keys()) == {"repo", "path"}
+
+
+def test_rollback_tolerates_missing_sidecar(tmp_path, ray_session):
+    """A vanished sidecar only costs pruning — it must never block a
+    rollback (entry_files(advisory=False) on the hard-check path)."""
+    ev = str(tmp_path / "ev.parquet")
+    generate_events(ev, num_keys=400, num_events=2000, seed=19)
+    eng = _engine(tmp_path)
+    eng.replay(ev, upto_seq=999)
+    eng.replay(ev)
+    m = eng.store.load_manifest()
+    assert m.version == 2
+    # sabotage a v1 sidecar, then roll back to v1
+    m1 = eng.store.load_manifest(version=1)
+    victim = next(e for e in m1.partitions.values() if e.get("bloom"))
+    os.unlink(eng.store.abs_path(victim["bloom"]))
+    rb = eng.store.rollback(1)
+    assert rb.version == 1
+    # reads after rollback stay exact (missing sidecar keeps its file)
+    full = eng.arrow()
+    target = full["commit"][0].as_py()
+    got = eng.dataset_where(("commit", "==", target)).take_all()
+    assert len(got) == full.filter(pc.equal(full["commit"], target)).num_rows
+
+
+def test_mor_conjunction_residual(tmp_path, ray_session):
+    """Three-term conjunction over a delta-stacked MOR table exercises
+    the reduce()d residual inside the fold path."""
+    ev = str(tmp_path / "ev.parquet")
+    generate_events(ev, num_keys=600, num_events=3000, seed=23)
+    cfg = repo_files_config(num_partitions=4, merge_format="mor",
+                            mor_max_deltas=16, mor_compact_ratio=1e9)
+    eng = CDCEngine(str(tmp_path / "lake"), cfg)
+    for b in (999, 1999, 2999):
+        eng.replay(ev, upto_seq=b)
+    m = eng.store.load_manifest()
+    assert any(e.get("deltas") for e in m.partitions.values())
+    full = eng.arrow()
+    target = full["lang"][0].as_py()
+    got = eng.dataset_where([
+        ("lang", "==", target), ("commit", ">=", ""), ("repo", ">=", ""),
+    ]).take_all()
+    want = full.filter(pc.equal(full["lang"], target))
+    assert len(got) == want.num_rows > 0

@@ -161,9 +161,9 @@ def test_maxwell_roundtrip_and_seq_carrier(tmp_path):
         _parse(encode_maxwell_lines(ev, pk=PK, value_columns=VALS)),
         pk=PK, value_columns=VALS,
     )
-    # default carrier: xid * 2**16 (+ xoffset) — order-preserving
+    # default carrier: xid * 2**32 (+ xoffset) — order-preserving
     assert got["sequence_id"].to_pylist() == [
-        s * 65536 for s in ev["sequence_id"].to_pylist()
+        s << 32 for s in ev["sequence_id"].to_pylist()
     ]
     is_del = pc.equal(ev["op"], "D")
     for v in VALS:
@@ -213,7 +213,7 @@ def test_maxwell_frames_drop_unknown_raises():
     ]
     got = decode_maxwell_table(_parse(frames), pk=PK, value_columns=VALS)
     assert got.num_rows == 1 and got.to_pylist()[0]["op"] == "I"
-    assert got.to_pylist()[0]["sequence_id"] == 9 * 65536
+    assert got.to_pylist()[0]["sequence_id"] == 9 << 32
     with pytest.raises(ValueError, match="unknown Maxwell type"):
         decode_maxwell_table(
             _parse([json.dumps({"database": "d", "table": "t",
@@ -258,3 +258,39 @@ def test_read_envelope_jsonl_maxwell(tmp_path, ray_session):
         str(jl), pk=PK, value_columns=VALS, format="maxwell"
     ).take_all()
     assert len(got) == ev.num_rows
+
+
+def test_frames_only_batches_decode_empty():
+    """Empty transactions (wal2json B/C pairs from a table-filtered slot)
+    and bootstrap-marker-only Maxwell batches must decode to a TYPED
+    empty table, not raise — the tail probe decodes each segment alone."""
+    w2j = [json.dumps({"action": a, "lsn": "0/10"}) for a in ("B", "C")]
+    got = decode_wal2json_table(_parse(w2j), pk=PK, value_columns=VALS)
+    assert got.num_rows == 0 and "sequence_id" in got.column_names
+    mx = [json.dumps({"database": "d", "table": "t", "type": ty,
+                      "ts": 1, "data": {}})
+          for ty in ("bootstrap-start", "bootstrap-complete")]
+    got2 = decode_maxwell_table(_parse(mx), pk=PK, value_columns=VALS)
+    assert got2.num_rows == 0 and "op" in got2.column_names
+
+
+def test_maxwell_mixed_null_xid_raises():
+    """A stream mixing xid and null-xid rows must raise toward seq_path
+    instead of silently producing null sequence ids (which the watermark
+    filter would drop — bootstrap data loss)."""
+    rows = [
+        json.dumps({"database": "d", "table": "t", "type": "insert",
+                    "ts": 5, "xid": 9,
+                    "data": {"repo": "r", "path": "p", "commit": "c",
+                             "lang": "py", "content": "x"}}),
+        json.dumps({"database": "d", "table": "t", "type": "bootstrap-insert",
+                    "ts": 6,
+                    "data": {"repo": "r2", "path": "p2", "commit": "c",
+                             "lang": "py", "content": "x"}}),
+    ]
+    with pytest.raises(ValueError, match="null xid"):
+        decode_maxwell_table(_parse(rows), pk=PK, value_columns=VALS)
+    # explicit order restores the rows
+    got = decode_maxwell_table(_parse(rows), pk=PK, value_columns=VALS,
+                               seq_path="ts")
+    assert got["sequence_id"].to_pylist() == [5, 6]
