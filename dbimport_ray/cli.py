@@ -102,9 +102,13 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["parquet", "jsonl", "wal2json", "maxwell"],
                     help="jsonl = Debezium/WAL envelopes (op c/u/r/d, "
                          "before/after images); wal2json = Postgres logical "
-                         "decoding format-version 2; maxwell = MySQL binlog "
-                         "JSON; all decoded vectorized into canonical "
-                         "events (sources/envelope.py)")
+                         "decoding format-version 2 (source must use "
+                         "REPLICA IDENTITY FULL or include-unchanged-toast: "
+                         "U rows apply as full-image replacements, so "
+                         "omitted TOAST values would overwrite with null); "
+                         "maxwell = MySQL binlog JSON; all decoded "
+                         "vectorized into canonical events "
+                         "(sources/envelope.py)")
     sp.add_argument("--seq-path", default=None,
                     help="dotted envelope path of the sequence carrier "
                          "(default: source.lsn/scn/sequence/pos, ts_ms; "

@@ -309,6 +309,13 @@ def decode_wal2json_table(
     - value columns come from ``columns`` only ⇒ key-only deletes.
     - the sequence defaults to the decoded ``lsn``; ``seq_path`` overrides
       (e.g. a producer-side counter column).
+
+    .. warning:: **TOAST columns.** wal2json omits unchanged TOASTed
+       (large) values from UPDATE images by default; they decode as null
+       here, and the engine applies U rows as full-image replacements —
+       so an unchanged large value would be overwritten with null.
+       Configure the source with ``REPLICA IDENTITY FULL`` or wal2json's
+       ``include-unchanged-toast`` so every U carries the complete image.
     """
     names = set(parsed.column_names)
     if "action" not in names:
@@ -455,7 +462,20 @@ def decode_maxwell_table(
             and not pa.types.is_null(parsed.schema.field("xoffset").type)
             else pa.array(np.zeros(n, np.int64))
         )
-        seq = pc.add(pc.multiply(xid, pa.scalar(1 << 32, pa.int64())), xoff)
+        # checked arithmetic: InnoDB xids on a long-lived server DO
+        # exceed 2**31, and an unchecked multiply would wrap int64 into
+        # negative/non-monotone sequences that silently corrupt LWW
+        # ordering and the watermark filter. Fail loudly instead.
+        try:
+            seq = pc.add_checked(
+                pc.multiply_checked(xid, pa.scalar(1 << 32, pa.int64())), xoff
+            )
+        except pa.ArrowInvalid as e:
+            raise ValueError(
+                "Maxwell xid out of range for the default (xid<<32)+xoffset "
+                "sequence (xid must fit in 31 bits); pass seq_path= to pick "
+                "an explicit sequence carrier (e.g. seq_path='ts')"
+            ) from e
     elif "ts" in names:
         seq = pc.cast(parsed.column("ts").combine_chunks(), pa.int64())
     else:

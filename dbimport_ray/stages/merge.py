@@ -109,6 +109,10 @@ def _zorder_ranks(col: pa.ChunkedArray | pa.Array, bits: int):
     if isinstance(enc, pa.ChunkedArray):
         enc = enc.combine_chunks()
     d = enc.dictionary
+    if len(d) == 0:
+        # all-null column: every row ranks first (rank 0) — the fancy
+        # index below would fault on an empty LUT
+        return np.zeros(len(col), np.uint64)
     order = pc.sort_indices(d).to_numpy(zero_copy_only=False).astype(np.int64)
     rank_of = np.empty(len(d), np.int64)
     rank_of[order] = np.arange(len(d))

@@ -64,6 +64,17 @@ def column_zones(table: pa.Table) -> dict[str, list]:
     return zones
 
 
+def _check_in_list(val) -> None:
+    """``in`` takes a list/tuple/set of values. A bare string would
+    silently iterate as characters — ('lang','in','py') matching rows
+    equal to 'p' or 'y' — so reject str/bytes loudly."""
+    if isinstance(val, (str, bytes)):
+        raise ValueError(
+            "op 'in' requires a list/tuple of values, got a bare "
+            f"{type(val).__name__} {val!r} — wrap it: ('col', 'in', [{val!r}])"
+        )
+
+
 def zone_overlaps(zones: dict | None, col: str, op: str, val) -> bool:
     """Conservative: True unless the file's [lo, hi] range for ``col``
     provably contains no row satisfying ``col <op> val``. Missing zones
@@ -77,6 +88,7 @@ def zone_overlaps(zones: dict | None, col: str, op: str, val) -> bool:
         # all-null column: no row can satisfy a comparison predicate
         return False
     if op == "in":  # IN-list: keep iff ANY value can sit in [lo, hi]
+        _check_in_list(val)
         vals = [_encode(v) for v in val]
         if not vals:
             return False
@@ -113,6 +125,7 @@ def residual_mask(table: pa.Table, col: str, op: str, val) -> pa.Array:
     """Exact vectorized predicate for the rows of a kept file (zone maps
     only prune whole files; rows still need the real comparison)."""
     if op == "in":
+        _check_in_list(val)
         target = table[col]
         vals = pa.array(list(val))
         if vals.type != target.type:

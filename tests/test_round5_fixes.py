@@ -1,0 +1,105 @@
+"""Round-5 regression tests for the advisor's round-4 findings.
+
+1. ``_zorder_ranks`` faulted (IndexError) when a cluster column was
+   entirely null in a partition — the dictionary is empty, so the rank
+   LUT has size 0 but ``np.where`` eagerly evaluates the fancy index.
+   ``cluster_table(..., order='zorder')`` runs inside merge/recluster/
+   rescue writes, so one all-null partition failed the whole batch.
+2. The zone-map ``'in'`` op accepted a bare string and silently iterated
+   its characters as the IN-list: ('lang','in','py') matched rows equal
+   to 'p' or 'y'. Now both ``zone_overlaps`` and ``residual_mask``
+   reject str/bytes values loudly.
+3. The Maxwell default sequence ``(xid<<32)+xoffset`` used unchecked
+   arithmetic: xid >= 2**31 silently wrapped int64 into negative /
+   non-monotone sequences, corrupting LWW ordering. Now checked, with a
+   pointer to ``seq_path=``.
+"""
+
+import json
+
+import pyarrow as pa
+import pytest
+
+from dbimport_ray.sources.envelope import decode_maxwell_table, parse_json_lines
+from dbimport_ray.stages.merge import cluster_table, zorder_key
+from dbimport_ray.state.zones import residual_mask, zone_overlaps
+
+PK = ["repo", "path"]
+VALS = ["commit", "lang", "content"]
+
+
+# ------------------------------------------------------------- zorder nulls
+def test_zorder_all_null_cluster_column():
+    t = pa.table(
+        {
+            "a": pa.nulls(6, pa.string()),
+            "b": pa.array([3, 1, 2, 6, 5, 4], pa.int64()),
+            "v": pa.array(list("abcdef")),
+        }
+    )
+    out = cluster_table(t, ["a", "b"], order="zorder")
+    assert out.num_rows == 6
+    # with 'a' all-null (constant rank 0), the order is b's order
+    assert out["b"].to_pylist() == [1, 2, 3, 4, 5, 6]
+    assert sorted(out["v"].to_pylist()) == list("abcdef")
+
+
+def test_zorder_key_all_columns_null():
+    t = pa.table(
+        {"a": pa.nulls(4, pa.int64()), "b": pa.nulls(4, pa.string())}
+    )
+    z = zorder_key(t, ["a", "b"])
+    assert z.to_pylist() == [0, 0, 0, 0]
+
+
+# --------------------------------------------------------- 'in' op footgun
+def test_zone_in_op_rejects_bare_string():
+    zones = {"lang": ["go", "rs"]}
+    with pytest.raises(ValueError, match="list/tuple"):
+        zone_overlaps(zones, "lang", "in", "py")
+    # the documented list form still works
+    assert zone_overlaps(zones, "lang", "in", ["py"]) is True
+    assert zone_overlaps(zones, "lang", "in", ["aa"]) is False
+
+
+def test_residual_in_op_rejects_bare_string():
+    t = pa.table({"lang": ["py", "p", "y", "go"]})
+    with pytest.raises(ValueError, match="list/tuple"):
+        residual_mask(t, "lang", "in", "py")
+    mask = residual_mask(t, "lang", "in", ["py"])
+    assert mask.to_pylist() == [True, False, False, False]
+
+
+# ------------------------------------------------------ maxwell xid overflow
+def _mx_line(xid: int) -> str:
+    return json.dumps(
+        {
+            "database": "db",
+            "table": "t",
+            "type": "insert",
+            "ts": 5,
+            "xid": xid,
+            "data": {
+                "repo": "r",
+                "path": "p",
+                "commit": "c",
+                "lang": "py",
+                "content": "x",
+            },
+        }
+    )
+
+
+def test_maxwell_xid_overflow_raises_with_pointer():
+    parsed = parse_json_lines(pa.array([_mx_line(2**40)], pa.string()))
+    with pytest.raises(ValueError, match="seq_path"):
+        decode_maxwell_table(parsed, pk=PK, value_columns=VALS)
+    # seq_path= escape hatch still decodes the same stream
+    got = decode_maxwell_table(parsed, pk=PK, value_columns=VALS, seq_path="xid")
+    assert got["sequence_id"].to_pylist() == [2**40]
+
+
+def test_maxwell_xid_in_range_unchanged():
+    parsed = parse_json_lines(pa.array([_mx_line(9)], pa.string()))
+    got = decode_maxwell_table(parsed, pk=PK, value_columns=VALS)
+    assert got["sequence_id"].to_pylist() == [9 << 32]
