@@ -389,12 +389,15 @@ class DedupIndex:
     everything ever admitted.
 
     Scale notes: the on-disk index is append-only narrow parquet (8
-    B/row + encoding). Filtering uses the broadcast-anti-join pattern with
-    a guarded collect (``max_index_rows``); beyond that, swap in the
-    engine's bloom prefilter + hash anti join (stages/bloom.py) — the
-    index layout (plain hash column) feeds either probe unchanged. The
-    in-batch winner pick is the same narrow (hash, id) groupby-min as
-    ``exact_dedup``.
+    B/row + encoding). Filtering picks its probe by index size
+    (parquet-footer row counts, no data read): up to ``max_index_rows``
+    it uses the broadcast-anti-join pattern (one sorted hash array in
+    plasma, searchsorted per batch); past that it switches automatically
+    to the engine's bloom prefilter + exact hash anti join
+    (``stages/bloom.py:bloom_anti_join``) with the index directory read
+    as a streaming Dataset — perpetual ingest degrades, it never stops.
+    The in-batch winner pick is the same narrow (hash, id) groupby-min
+    as ``exact_dedup``.
     """
 
     def __init__(self, index_dir: str, max_index_rows: int = 50_000_000):
@@ -409,6 +412,11 @@ class DedupIndex:
             if f.endswith(".parquet")
         )
 
+    def index_rows(self) -> int:
+        """Total indexed hashes, from parquet footers only (no data
+        read) — the probe-path selector for ``filter_and_update``."""
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in self._files())
+
     def known_hashes(self) -> np.ndarray:
         files = self._files()
         if not files:
@@ -417,7 +425,8 @@ class DedupIndex:
         if tbl.num_rows > self.max_index_rows:
             raise ValueError(
                 f"dedup index too large for broadcast probe ({tbl.num_rows} "
-                f"rows); use the bloom prefilter path"
+                f"rows); use the bloom prefilter path "
+                f"(filter_and_update switches to it automatically)"
             )
         return np.unique(tbl["content_hash"].to_numpy(zero_copy_only=False))
 
@@ -425,26 +434,44 @@ class DedupIndex:
         self, ds: rd.Dataset, text_col: str, id_col: str, num_partitions: int = 8
     ) -> rd.Dataset:
         """Returns the batch's survivor rows (novel content, min id per
-        within-batch duplicate group) and persists their hashes."""
+        within-batch duplicate group) and persists their hashes.
+
+        Probe path is picked by on-disk index size: broadcast searchsorted
+        up to ``max_index_rows``, bloom prefilter + exact hash anti join
+        beyond it (the streaming path — the index never loads whole)."""
         from ray.data.aggregate import Min
 
         from ..stages.joins import compact_sparse, hash_join
         from .dedup import add_content_hash
 
-        known = self.known_hashes()
-        known_ref = ray.put(known)
-
-        def drop_known(t: pa.Table) -> pa.Table:
-            idx = np.asarray(ray.get(known_ref))
-            h = t["content_hash"].to_numpy(zero_copy_only=False)
-            if len(idx) == 0:
-                return t
-            pos = np.minimum(np.searchsorted(idx, h), len(idx) - 1)
-            return t.filter(pa.array(idx[pos] != h))
-
         hashed = ds.map_batches(
             lambda t: add_content_hash(t, text_col), batch_format="pyarrow"
-        ).map_batches(drop_known, batch_format="pyarrow")
+        )
+        n_index = self.index_rows()
+        if 0 < n_index <= self.max_index_rows:
+            known = self.known_hashes()
+            known_ref = ray.put(known)
+
+            def drop_known(t: pa.Table) -> pa.Table:
+                idx = np.asarray(ray.get(known_ref))
+                h = t["content_hash"].to_numpy(zero_copy_only=False)
+                if len(idx) == 0:
+                    return t
+                pos = np.minimum(np.searchsorted(idx, h), len(idx) - 1)
+                return t.filter(pa.array(idx[pos] != h))
+
+            hashed = hashed.map_batches(drop_known, batch_format="pyarrow")
+        elif n_index > self.max_index_rows:
+            # index outgrew the broadcast budget: stream it as a Dataset
+            # through the bloom prefilter + exact anti join — same
+            # survivors, no driver-side concat of the index
+            from ..stages.bloom import bloom_anti_join
+
+            index_ds = rd.read_parquet(self._files(), columns=["content_hash"])
+            hashed = bloom_anti_join(
+                hashed, index_ds, on=["content_hash"],
+                num_partitions=num_partitions,
+            )
         winners = (
             hashed.select_columns(["content_hash", id_col])
             .groupby("content_hash")

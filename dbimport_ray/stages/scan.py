@@ -228,25 +228,35 @@ def rank_features(
     key: str,
     order_cols: list[str],
     ntile_buckets: int = 4,
+    large_domain: bool = False,
+    num_partitions: int = 16,
 ) -> rd.Dataset:
     """SQL rank normalizations per key — ``percent_rank`` (pct_rank),
     ``cume_dist`` and exact ``NTILE(b)`` (tile, first ``n % b`` buckets
     one row larger, per the standard) — skew-safe: row numbers come from
     the carry-chain scan, per-key totals from a map-side partial count
     whose exchange carries only the key domain, broadcast back into the
-    stream with zero further shuffle. Assumes the key domain fits the
-    broadcast guard (collect_small, 5M rows); beyond that compose
-    ``row_number_scan`` with ``joins.hash_join`` instead.
+    stream with zero further shuffle. The broadcast assumes the key
+    domain fits the broadcast guard (collect_small, 5M rows); pass
+    ``large_domain=True`` when it does not — the per-key totals then
+    reach the stream through a partitioned ``joins.hash_join`` (one
+    extra narrow exchange, no driver/worker-heap collect), identical
+    output.
 
     Ordering must be unique per row (tie columns included in
     ``order_cols``) — with ties, percent_rank/cume_dist need rank()
     semantics these row numbers don't provide."""
-    from .joins import broadcast_lookup_join
+    from .joins import broadcast_lookup_join, hash_join
     from .stats import grouped_agg
 
     rn_ds = row_number_scan(ds, key, order_cols, out="rn")
     counts = grouped_agg(rn_ds, [key], [(None, "count", "_n_key")])
-    out = broadcast_lookup_join(rn_ds, counts, [key], ["_n_key"])
+    if large_domain:
+        out = hash_join(
+            rn_ds, counts, on=(key,), num_partitions=num_partitions
+        )
+    else:
+        out = broadcast_lookup_join(rn_ds, counts, [key], ["_n_key"])
 
     b = int(ntile_buckets)
 

@@ -28,13 +28,34 @@ from ray.data.aggregate import Count
 
 
 def exact_quantiles(
-    ds: rd.Dataset, col: str, qs: list[float], count_col: str = "cnt"
+    ds: rd.Dataset, col: str, qs: list[float], count_col: str = "cnt",
+    max_distinct: int = 5_000_000,
 ) -> pa.Table:
     """Exact ``quantile_disc``-style quantiles (value at index
     ``ceil(q*n)-1`` of the sorted column, i.e. inverted-CDF). Returns a
     table with columns ``q`` (float64) and ``value`` (the column's type).
+
+    The value-counts collect is guarded: the aggregate output (one row
+    per DISTINCT value) is counted before it ships to the driver, and
+    a domain larger than ``max_distinct`` raises toward
+    :func:`approx_quantiles` — a near-unique column (float measurements,
+    ids) would otherwise grow the collect to ~the row count and OOM the
+    driver at scale.
     """
-    counts = ds.groupby(col).aggregate(Count(alias_name=count_col)).take_all()
+    counts_ds = (
+        ds.groupby(col).aggregate(Count(alias_name=count_col)).materialize()
+    )
+    n_distinct = counts_ds.count()
+    if n_distinct > max_distinct:
+        raise ValueError(
+            f"exact_quantiles: {n_distinct} distinct values of {col!r} "
+            f"exceed max_distinct={max_distinct} — the driver-side "
+            "value-counts collect would scale with the domain. Use "
+            "approx_quantiles (mergeable-histogram, exchange bounded by "
+            "bins × blocks) for continuous/near-unique columns, or raise "
+            "max_distinct if the driver can hold the domain."
+        )
+    counts = counts_ds.take_all()
     # quantile_disc semantics ignore NULLs; a null group would also break
     # argsort over the mixed object array below
     counts = [r for r in counts if r[col] is not None]

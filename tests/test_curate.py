@@ -238,6 +238,35 @@ def test_dedup_index_guard():
         idx.known_hashes()
 
 
+def test_dedup_index_bloom_path_identical_survivors(monkeypatch):
+    """Crossing max_index_rows switches filter_and_update to the bloom
+    prefilter + exact anti join — same survivors as the broadcast path,
+    no raise. DBIMPORT_RAY_BLOOM_BROADCAST_MAX=1 pins the REAL bloom
+    build (not bloom_anti_join's small-side broadcast shortcut)."""
+    monkeypatch.setenv("DBIMPORT_RAY_BLOOM_BROADCAST_MAX", "1")
+    runs = [
+        [(0, "aaa bbb"), (1, "ccc ddd"), (2, "aaa bbb")],
+        [(3, "aaa bbb"), (4, "eee fff"), (5, "eee fff")],
+        [(6, "eee fff"), (7, "ggg hhh"), (8, "ccc ddd"), (9, "iii jjj")],
+    ]
+
+    def ids(ds):
+        return sorted(r["doc_id"] for r in _as_rows(ds))
+
+    # reference: broadcast path (index always fits)
+    ref = DedupIndex(tempfile.mkdtemp(prefix="dedupidx_", dir="/tmp"))
+    want = [ids(ref.filter_and_update(_docs_ds(r), "text", "doc_id")) for r in runs]
+    assert want == [[0, 1], [4], [7, 9]]
+
+    # bloom path: index crosses max_index_rows=1 after run 1
+    small = DedupIndex(
+        tempfile.mkdtemp(prefix="dedupidx_", dir="/tmp"), max_index_rows=1
+    )
+    got = [ids(small.filter_and_update(_docs_ds(r), "text", "doc_id")) for r in runs]
+    assert got == want
+    assert small.index_rows() > small.max_index_rows  # bloom path was live
+
+
 def test_pack_chunks_oracle():
     """Shard assignment vs a sequential oracle: global (doc_id, chunk_idx)
     order, shard = floor(tokens_before / budget); invariants — shards are

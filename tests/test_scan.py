@@ -446,6 +446,35 @@ def test_rank_features_oracle(ray_session):
     assert out[out["user_id"] == 3]["tile"].tolist() == [1, 2, 3]
 
 
+def test_rank_features_large_domain_equals_broadcast(ray_session):
+    """large_domain=True routes per-key totals through a partitioned
+    hash_join instead of the broadcast — identical output (the key
+    cardinality here is small; the flag only changes the exchange)."""
+    from dbimport_ray.stages.scan import rank_features
+
+    rng = np.random.default_rng(31)
+    keys = rng.integers(0, 40, 500).astype(np.int64)
+    t = pa.table(
+        {
+            "user_id": pa.array(keys),
+            "seq": pa.array(rng.permutation(500).astype(np.int64)),
+        }
+    )
+    cols = ["user_id", "seq", "rn", "pct_rank", "cume_dist", "tile"]
+
+    def run(**kw):
+        return (
+            rank_features(rd.from_arrow(t).repartition(5), "user_id", ["seq"], 4, **kw)
+            .to_pandas()[cols]
+            .sort_values(["user_id", "seq"])
+            .reset_index(drop=True)
+        )
+
+    a = run()
+    b = run(large_domain=True, num_partitions=4)
+    assert a.equals(b)
+
+
 def test_lag_scan_matches_map_groups(ray_session):
     from dbimport_ray.stages.window import window_lag
 

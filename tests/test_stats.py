@@ -29,6 +29,20 @@ def test_exact_quantiles_matches_numpy_inverted_cdf(ray_session):
         assert got[q] == s[max(int(np.ceil(q * len(s))), 1) - 1], q
 
 
+def test_exact_quantiles_max_distinct_guard(ray_session):
+    """A near-unique column past max_distinct raises toward
+    approx_quantiles instead of collecting the domain to the driver."""
+    import pytest
+
+    vals = np.arange(1000, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"x": vals}))
+    with pytest.raises(ValueError, match="approx_quantiles"):
+        exact_quantiles(ds, "x", [0.5], max_distinct=100)
+    # within the guard the result is unchanged
+    out = exact_quantiles(ds, "x", [0.5], max_distinct=1000)
+    assert out["value"].to_pylist() == [499]
+
+
 def test_exact_quantiles_single_value(ray_session):
     ds = rd.from_arrow(pa.table({"x": [7, 7, 7]}))
     out = exact_quantiles(ds, "x", [0.0, 0.5, 1.0])
