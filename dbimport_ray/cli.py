@@ -181,6 +181,19 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--table", default=None, help="filter to views of one source table")
 
     sp = sub.add_parser(
+        "lineage",
+        help="emit the lake's lineage graph as JSON: sources → tables → "
+             "views → exports/mirrors, plus per-table schema-change "
+             "history (Atlas-lineage / table_change_history analogue); "
+             "derived from committed manifests + the metrics ledger",
+    )
+    sp.add_argument("--lake", required=True)
+    sp.add_argument("--table", default=None,
+                    help="comma-separated table filter (default: all)")
+    sp.add_argument("--out", default=None,
+                    help="write the graph to this JSON file instead of stdout")
+
+    sp = sub.add_parser(
         "expire",
         help="TTL/retention: delete every live row matching a predicate "
              "(zone-pruned read, delete events through the ordinary merge)",
@@ -539,6 +552,25 @@ def main(argv: list[str] | None = None) -> int:
                 args.deny_licenses.split(",") if args.deny_licenses else None
             ),
         ), sort_keys=True))
+        return 0
+
+    if args.cmd == "lineage":
+        from .pipelines.lineage import lineage_graph
+
+        graph = lineage_graph(
+            args.lake,
+            tables=args.table.split(",") if args.table else None,
+        )
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(graph, f, indent=1, sort_keys=True)
+            print(json.dumps({
+                "out": args.out,
+                "nodes": len(graph["nodes"]),
+                "edges": len(graph["edges"]),
+            }))
+        else:
+            print(json.dumps(graph, indent=1, sort_keys=True))
         return 0
 
     if args.cmd in ("view-refresh", "views"):

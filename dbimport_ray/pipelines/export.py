@@ -182,6 +182,14 @@ def export_table(
             )
 
     st.commit()
+    # lineage ledger entry: which external target this table version fed
+    # (lineage.py builds the table→export edge from exactly this record)
+    store.append_metrics({
+        "kind": "export_parquet",
+        "dest": target_dir if sink is None else "sink",
+        "from_version": prev, "version": manifest.version,
+        "rows": exported_rows,
+    })
     return {
         "mode": "incremental" if incremental else "full",
         "rows": exported_rows,
@@ -319,7 +327,11 @@ def export_changes_sql(
 
     st.commit()
     store.append_metrics({
-        "kind": "export_sql", "table": table, "from_version": prev,
+        "kind": "export_sql", "table": table,
+        # lineage: the external target's identity (a path-like db string;
+        # connection FACTORIES have no stable serializable identity)
+        "db": db_or_factory if isinstance(db_or_factory, str) else "factory",
+        "from_version": prev,
         "version": m.version, "upserts": ups, "deletes": dels,
         "full_resync": full_resync,
     })

@@ -1,0 +1,287 @@
+"""Lineage-graph export — the queryable source → table → views → exports
+graph plus per-table schema-change history.
+
+Reference analogue: DBImport pushes import lineage into Apache Atlas
+(`atlas_operations.py:1566` ``updateAtlasWithImportLineage``, `:1127`
+``updateAtlasWithRDBMSdata``) and records schema changes in the
+``table_change_history`` config table (`configSchema.py:850`). This engine
+keeps all of that raw material in artifacts it already commits — the
+versioned manifests (``_manifests/v*.json``), the metrics ledger
+(``_metrics.jsonl`` with consumed-input provenance per batch), view specs
+(``_view.json``) and export checkpoints — so lineage is a pure *derivation*,
+not a second bookkeeping system that can drift from the data: the graph is
+rebuilt from the committed artifacts on every call.
+
+Output shape (JSON-serializable)::
+
+    {
+      "lake_root": ...,
+      "nodes": [{"id": "table:repo_files", "kind": "table", ...}, ...],
+      "edges": [{"src": "source:/in/ev.parquet", "dst": "table:repo_files",
+                 "kind": "ingest", "versions": [1, 2], "rows": 3964,
+                 "seq": [0, 19999]}, ...],
+      "schema_history": {"repo_files": [
+          {"version": 1, "change": "created", "columns": [...]},
+          {"version": 3, "change": "altered", "added": [...],
+           "removed": [...], "renamed": {...}, "retyped": [...]}]}
+    }
+
+Node kinds: ``source`` (consumed event files), ``table`` (lake tables),
+``view`` (materialized views — a table dir carrying ``_view.json``),
+``export`` (parquet landing zones / SQL sinks), ``mirror`` targets,
+``archive`` destinations, ``quarantine`` (the dead-letter ledger).
+Edge kinds mirror the ledger records that prove them: ``ingest``,
+``view_refresh``, ``export_parquet``, ``export_sql``, ``mirror``,
+``archive``, ``quarantine``, ``rescue``.
+
+Everything here is driver-side metadata work over JSON/JSONL files — no
+Ray Dataset is built; a 100-TB lake's lineage is a few KB of manifests.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from ..state.manifest import TableStore
+
+VIEW_SPEC_FILE = "_view.json"
+
+
+# ---------------------------------------------------------------------------
+# Schema-change history (table_change_history analogue)
+# ---------------------------------------------------------------------------
+
+def schema_history(store: TableStore) -> list[dict]:
+    """Per-version schema-change records derived by diffing consecutive
+    versioned manifests. Versioned manifests survive data-file GC, so the
+    history reaches back to v1 regardless of ``keep_versions``."""
+    mdir = os.path.join(store.root, "_manifests")
+    try:
+        files = sorted(f for f in os.listdir(mdir) if f.endswith(".json"))
+    except FileNotFoundError:
+        return []
+    out: list[dict] = []
+    prev_fields: dict[str, str] | None = None
+    prev_renames: dict[str, str] = {}
+    for fn in files:
+        with open(os.path.join(mdir, fn)) as f:
+            m = json.load(f)
+        fields = {c["name"]: c["type"] for c in m.get("schema", [])}
+        version = int(m.get("version", 0))
+        renames = dict(m.get("renames", {}))
+        if prev_fields is None:
+            out.append({
+                "version": version,
+                "change": "created",
+                "columns": [{"name": n, "type": t} for n, t in fields.items()],
+            })
+        else:
+            new_renames = {
+                k: v for k, v in renames.items() if prev_renames.get(k) != v
+            }
+            renamed_away = set(new_renames)
+            renamed_to = set(new_renames.values())
+            added = [
+                {"name": n, "type": t}
+                for n, t in fields.items()
+                if n not in prev_fields and n not in renamed_to
+            ]
+            removed = [
+                {"name": n, "type": t}
+                for n, t in prev_fields.items()
+                if n not in fields and n not in renamed_away
+            ]
+            retyped = [
+                {"name": n, "from": prev_fields[n], "to": t}
+                for n, t in fields.items()
+                if n in prev_fields and prev_fields[n] != t
+            ]
+            retyped += [
+                {"name": f"{old}→{new}", "from": prev_fields[old],
+                 "to": fields[new]}
+                for old, new in new_renames.items()
+                if old in prev_fields and new in fields
+                and prev_fields[old] != fields[new]
+            ]
+            if added or removed or new_renames or retyped:
+                out.append({
+                    "version": version,
+                    "change": "altered",
+                    "added": added,
+                    "removed": removed,
+                    "renamed": new_renames,
+                    "retyped": retyped,
+                })
+        prev_fields, prev_renames = fields, renames
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Graph assembly
+# ---------------------------------------------------------------------------
+
+def _discover_tables(lake_root: str) -> list[tuple[str, str]]:
+    """(name, kind) for every table dir under the lake root — kind is
+    ``view`` when the dir carries a view spec, else ``table``."""
+    out = []
+    try:
+        entries = sorted(os.listdir(lake_root))
+    except FileNotFoundError:
+        return out
+    for d in entries:
+        if not os.path.exists(os.path.join(lake_root, d, "_manifest.json")):
+            continue
+        kind = (
+            "view"
+            if os.path.exists(os.path.join(lake_root, d, VIEW_SPEC_FILE))
+            else "table"
+        )
+        out.append((d, kind))
+    return out
+
+
+class _Graph:
+    def __init__(self) -> None:
+        self.nodes: dict[str, dict] = {}
+        self.edges: dict[tuple[str, str, str], dict] = {}
+
+    def node(self, node_id: str, kind: str, **attrs: Any) -> str:
+        n = self.nodes.setdefault(node_id, {"id": node_id, "kind": kind})
+        for k, v in attrs.items():
+            if v is not None:
+                n[k] = v
+        return node_id
+
+    def edge(self, src: str, dst: str, kind: str, *, version=None,
+             rows=None, seq=None, **attrs: Any) -> None:
+        e = self.edges.setdefault(
+            (src, dst, kind), {"src": src, "dst": dst, "kind": kind}
+        )
+        if version is not None:
+            e.setdefault("versions", [])
+            if version not in e["versions"]:
+                e["versions"].append(version)
+        if rows is not None:
+            e["rows"] = int(e.get("rows", 0)) + int(rows)
+        if seq is not None:
+            lo, hi = seq
+            cur = e.get("seq")
+            e["seq"] = (
+                [min(lo, cur[0]), max(hi, cur[1])] if cur else [lo, hi]
+            )
+        for k, v in attrs.items():
+            if v is not None:
+                e[k] = v
+
+    def to_dict(self) -> dict:
+        return {
+            "nodes": sorted(self.nodes.values(), key=lambda n: n["id"]),
+            "edges": sorted(
+                self.edges.values(),
+                key=lambda e: (e["src"], e["dst"], e["kind"]),
+            ),
+        }
+
+
+def _table_edges(g: _Graph, lake_root: str, name: str, kind: str) -> None:
+    store = TableStore(lake_root, name)
+    m = store.load_manifest()
+    tid = g.node(
+        f"{kind}:{name}", kind,
+        version=m.version, rows=m.total_rows(),
+        partitions=len(m.partitions),
+        columns=[c["name"] for c in m.schema or []],
+    )
+    if kind == "view":
+        with open(os.path.join(store.root, VIEW_SPEC_FILE)) as f:
+            doc = json.load(f)
+        spec = doc.get("spec", {})
+        g.nodes[tid]["group_by"] = spec.get("group_by")
+        g.nodes[tid]["view_name"] = spec.get("name")  # dir is <src>__<name>
+        # the spec names the source(s) even before the first refresh runs
+        for side in ("src", "src_b"):
+            if side in doc:
+                src_name = doc[side]["cfg"]["name"]
+                g.edge(g.node(f"table:{src_name}", "table"), tid, "view_refresh")
+
+    for rec in store.read_metrics():
+        rk = rec.get("kind")
+        version = rec.get("version")
+        if "inputs" in rec and rk is None:
+            # replay / rescue commits: consumed-input provenance
+            ekind = "rescue" if rec.get("rescue") else "ingest"
+            for src in rec["inputs"]:
+                sid = g.node(
+                    f"source:{src['path']}", "source", path=src["path"]
+                )
+                g.edge(
+                    sid, tid, ekind, version=version, rows=src.get("rows"),
+                    seq=(src.get("min_seq", 0), src.get("max_seq", 0)),
+                )
+            if rec.get("quarantine_files"):
+                qid = g.node(f"quarantine:{name}", "quarantine")
+                g.edge(tid, qid, "quarantine", version=version,
+                       rows=rec.get("quarantined"))
+        elif rec.get("redrive"):
+            qid = g.node(f"quarantine:{name}", "quarantine")
+            g.edge(qid, tid, "redrive", rows=rec.get("passing_rows"))
+        elif rk == "view_refresh":
+            for key in ("src_table", "src_table_b"):
+                if key in rec:
+                    g.edge(
+                        g.node(f"table:{rec[key]}", "table"), tid,
+                        "view_refresh",
+                        version=rec.get("src_version"),
+                        rows=rec.get("groups_changed"),
+                    )
+        elif rk == "export_parquet":
+            did = g.node(f"export:parquet:{rec['dest']}", "export",
+                         format="parquet", dest=rec["dest"])
+            g.edge(tid, did, "export_parquet", version=version,
+                   rows=rec.get("rows"))
+        elif rk == "export_sql":
+            dest = f"{rec.get('db', 'factory')}:{rec['table']}"
+            did = g.node(f"export:sql:{dest}", "export", format="sql",
+                         dest=dest)
+            g.edge(tid, did, "export_sql", version=version,
+                   rows=int(rec.get("upserts", 0)) + int(rec.get("deletes", 0)))
+        elif rk == "mirror":
+            # recorded in the REPLICA's ledger: src_table → this table
+            g.edge(
+                g.node(f"table:{rec['src_table']}", "table"), tid, "mirror",
+                version=rec.get("src_version"), rows=rec.get("rows"),
+            )
+        elif rk == "archive":
+            did = g.node(f"archive:{rec['dest']}", "archive",
+                         dest=rec["dest"])
+            g.edge(tid, did, "archive", rows=rec.get("rows"))
+
+
+def lineage_graph(
+    lake_root: str, tables: list[str] | None = None
+) -> dict:
+    """Build the lineage graph for ``tables`` (default: every table and
+    view discovered under ``lake_root``). Pure metadata derivation —
+    reads manifests, ledgers and specs; touches no data files."""
+    discovered = _discover_tables(lake_root)
+    if tables:
+        wanted = set(tables)
+        discovered = [(n, k) for n, k in discovered if n in wanted]
+        missing = wanted - {n for n, _ in discovered}
+        if missing:
+            raise FileNotFoundError(
+                f"no such table(s) under {lake_root}: {sorted(missing)}"
+            )
+    g = _Graph()
+    hist: dict[str, list[dict]] = {}
+    for name, kind in discovered:
+        _table_edges(g, lake_root, name, kind)
+        h = schema_history(TableStore(lake_root, name))
+        if h:
+            hist[name] = h
+    out = g.to_dict()
+    out["lake_root"] = lake_root
+    out["schema_history"] = hist
+    return out

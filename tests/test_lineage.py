@@ -1,0 +1,144 @@
+"""Lineage-graph export (pipelines/lineage.py): the source → table → view
+→ export graph and the per-table schema-change history, derived purely
+from committed manifests + the metrics ledger.
+
+Reference analogue: Atlas import lineage (atlas_operations.py:1566) and
+the table_change_history config table (configSchema.py:850)."""
+
+import json
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from dbimport_ray import CDCEngine, create_view
+from dbimport_ray.config import TableConfig
+from dbimport_ray.pipelines.export import export_changes_sql, export_table
+from dbimport_ray.pipelines.lineage import lineage_graph, schema_history
+
+
+def _write(tmp_path, name, cols: dict):
+    p = str(tmp_path / name)
+    pq.write_table(pa.table(cols), p)
+    return p
+
+
+def _chain(tmp_path):
+    """replay(2 batches, schema evolves) → view refresh → parquet + SQL
+    export; returns (lake_root, engine, view_name, events_paths)."""
+    b1 = _write(tmp_path, "b1.parquet", {
+        "sequence_id": pa.array([1, 2, 3], pa.int64()),
+        "op": ["I", "I", "I"],
+        "k": ["a", "b", "c"], "lang": ["py", "go", "py"],
+        "v": pa.array([1.0, 2.0, 3.0]),
+    })
+    b2 = _write(tmp_path, "b2.parquet", {
+        "sequence_id": pa.array([4, 5], pa.int64()),
+        "op": ["U", "D"],
+        "k": ["a", "b"], "lang": ["py", "go"],
+        "v": pa.array([9.0, 0.0]),
+        "extra": ["hello", None],  # schema evolution: column add at v2
+    })
+    cfg = TableConfig(name="t", pk=["k"], value_columns=["lang", "v"],
+                      num_partitions=2, keep_versions=8)
+    eng = CDCEngine(str(tmp_path / "lake"), cfg)
+    eng.replay(b1, upto_seq=3)
+    eng.replay(b2, upto_seq=5)  # b2 alone so its added column evolves the schema
+    vw = create_view(eng, "by_lang", ["lang"], {"cnt": "count"})
+    vw.refresh()
+    export_table(eng, str(tmp_path / "out"))
+    export_changes_sql(eng, str(tmp_path / "ext.db"), "ext")
+    # lineage nodes key on the view's DIRECTORY name (<src>__<name>)
+    return str(tmp_path / "lake"), eng, f"t__{vw.name}", [b1, b2]
+
+
+def test_lineage_graph_replay_view_export_chain(tmp_path, ray_session):
+    lake, eng, view_name, (b1, b2) = _chain(tmp_path)
+    g = lineage_graph(lake)
+    nodes = {n["id"]: n for n in g["nodes"]}
+    edges = {(e["src"], e["dst"], e["kind"]): e for e in g["edges"]}
+
+    # nodes: both source files, the table, the view, both export targets
+    assert f"source:{b1}" in nodes and f"source:{b2}" in nodes
+    assert nodes["table:t"]["rows"] == eng.store.load_manifest().total_rows()
+    assert nodes["table:t"]["version"] == 2
+    assert nodes[f"view:{view_name}"]["kind"] == "view"
+    assert nodes[f"view:{view_name}"]["group_by"] == ["lang"]
+    pq_exports = [n for n in g["nodes"] if n["kind"] == "export"
+                  and n.get("format") == "parquet"]
+    sql_exports = [n for n in g["nodes"] if n["kind"] == "export"
+                   and n.get("format") == "sql"]
+    assert len(pq_exports) == 1 and len(sql_exports) == 1
+
+    # edges: ingest carries version + seq provenance per source file
+    # the ledger's provenance is per consumed range: each file credits
+    # only the batch whose (after, upto] range it fed rows into
+    e1 = edges[(f"source:{b1}", "table:t", "ingest")]
+    assert e1["versions"] == [1]
+    assert e1["seq"] == [1, 3]
+    e2 = edges[(f"source:{b2}", "table:t", "ingest")]
+    assert e2["versions"] == [2] and e2["seq"] == [4, 5]
+    assert ("table:t", f"view:{view_name}", "view_refresh") in edges
+    assert ("table:t", pq_exports[0]["id"], "export_parquet") in edges
+    esql = edges[("table:t", sql_exports[0]["id"], "export_sql")]
+    assert esql["rows"] == 3  # 2 upserts (a, c) + 1 delete (b) from the v0→v2 diff
+
+    # table filter raises on unknown names
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        lineage_graph(lake, tables=["nope"])
+
+
+def test_schema_history_records_column_add(tmp_path, ray_session):
+    lake, eng, _, _ = _chain(tmp_path)
+    hist = schema_history(eng.store)
+    assert hist[0]["change"] == "created" and hist[0]["version"] == 1
+    created_cols = [c["name"] for c in hist[0]["columns"]]
+    assert created_cols[:1] == ["k"] and "extra" not in created_cols
+    altered = [h for h in hist if h["change"] == "altered"]
+    assert len(altered) == 1 and altered[0]["version"] == 2
+    assert [c["name"] for c in altered[0]["added"]] == ["extra"]
+    assert altered[0]["removed"] == [] and altered[0]["renamed"] == {}
+
+
+def test_schema_history_records_rename(tmp_path, ray_session):
+    b1 = _write(tmp_path, "b1.parquet", {
+        "sequence_id": pa.array([1], pa.int64()), "op": ["I"],
+        "k": ["a"], "v": pa.array([1.0]),
+    })
+    b2 = _write(tmp_path, "b2.parquet", {
+        "sequence_id": pa.array([2], pa.int64()), "op": ["U"],
+        "k": ["a"], "v2": pa.array([5.0]),  # positional rename v -> v2
+    })
+    cfg = TableConfig(name="t", pk=["k"], value_columns=["v"],
+                      num_partitions=2, history=False, keep_versions=8)
+    eng = CDCEngine(str(tmp_path / "lake"), cfg)
+    eng.replay(b1, upto_seq=1)
+    eng.replay(b2, upto_seq=2)
+    hist = schema_history(eng.store)
+    altered = [h for h in hist if h["change"] == "altered"]
+    assert len(altered) == 1
+    assert altered[0]["renamed"] == {"v": "v2"}
+    assert altered[0]["added"] == [] and altered[0]["removed"] == []
+
+
+def test_lineage_cli_roundtrip(tmp_path, ray_session, capsys):
+    lake, _, view_name, _ = _chain(tmp_path)
+    from dbimport_ray.cli import main
+
+    out_path = str(tmp_path / "lineage.json")
+    rc = main(["lineage", "--lake", lake, "--out", out_path])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip())
+    assert summary["out"] == out_path
+    with open(out_path) as f:
+        g = json.load(f)
+    assert summary["nodes"] == len(g["nodes"])
+    assert "t" in g["schema_history"]
+
+    # stdout mode + table filter: only the view's subgraph
+    rc = main(["lineage", "--lake", lake, "--table", view_name])
+    assert rc == 0
+    g2 = json.loads(capsys.readouterr().out.strip())
+    kinds = {n["kind"] for n in g2["nodes"]}
+    assert kinds == {"table", "view"}  # spec edge names the source table
