@@ -349,6 +349,25 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--savepoint", required=True, help="savepoint JSON path")
 
     sp = sub.add_parser(
+        "emit-dag",
+        help="generate an Airflow DAG .py from a savepoint-style table "
+             "spec (generateImportDAG analogue): one replay task per "
+             "table with pool/priority_weight/retries, ShortCircuit "
+             "time-window gates; the artifact imports airflow, this "
+             "process never does",
+    )
+    sp.add_argument("--lake", required=True)
+    sp.add_argument("--spec", required=True,
+                    help='JSON file: {"tables": [{"name", "pk", "values", '
+                         '"events", optional "priority", "retries", '
+                         '"window_start"/"window_stop" HH:MM}, ...]}')
+    sp.add_argument("--out", required=True, help="DAG .py output path")
+    sp.add_argument("--dag-name", default="dbimport_ray")
+    sp.add_argument("--schedule", default="@hourly")
+    sp.add_argument("--table-concurrency", type=int, default=4)
+    sp.add_argument("--retries", type=int, default=0)
+
+    sp = sub.add_parser(
         "credential",
         help="encrypted credential store (manage --encryptCredentials analogue)",
     )
@@ -479,6 +498,20 @@ def main(argv: list[str] | None = None) -> int:
             except FileNotFoundError:
                 broken = False
             print(json.dumps({"broken": broken, "holder": info}))
+        return 0
+
+    if args.cmd == "emit-dag":
+        from .pipelines.orchestrate import emit_airflow_dag
+
+        with open(args.spec) as f:
+            spec = json.load(f)
+        res = emit_airflow_dag(
+            spec, args.lake, args.out,
+            dag_name=args.dag_name, schedule=args.schedule,
+            table_concurrency=args.table_concurrency,
+            default_retries=args.retries,
+        )
+        print(json.dumps(res, sort_keys=True))
         return 0
 
     if args.cmd in ("savepoint", "restore-savepoint"):

@@ -299,3 +299,179 @@ def mirror_tables(
 
     with ThreadPoolExecutor(max_workers=max(1, table_concurrency)) as pool:
         return list(pool.map(_one, pairs))
+
+
+# ---------------------------------------------------------------------------
+# Airflow DAG artifact generation (Schedule/Airflow.py:288 generateDAG,
+# :582 generateImportDAG)
+# ---------------------------------------------------------------------------
+# The orchestrator above IS the runtime semantics (pools, priorities,
+# time windows); this emits the equivalent scheduler ARTIFACT for shops
+# that drive the engine from an external Airflow deployment — the same
+# policy mapped onto Airflow primitives, exactly as the reference writes
+# BashOperator blocks per table:
+#
+#   table_concurrency      → DAG max_active_tasks + a named pool
+#   biggest-last-run-first → priority_weight = last recorded bytes
+#                            (airflow_priority / sqoop_last_mappers,
+#                            Airflow.py:697-700), weight_rule='absolute'
+#   time windows           → a ShortCircuitOperator gate per windowed
+#                            table (checkTimeWindow, common_config.py:487)
+#   retries                → per-task retries (configSchema.py:63)
+#
+# The generated file imports airflow AT ITS DEPLOYMENT SITE only; this
+# module never does (no airflow in this environment by design).
+
+def _task_id(name: str) -> str:
+    import re
+
+    tid = re.sub(r"\W", "_", name)
+    return tid if not tid[:1].isdigit() else f"t_{tid}"
+
+
+def _last_size_of(lake_root: str, table: str) -> int:
+    from ..state.manifest import TableStore
+
+    try:
+        mets = TableStore(lake_root, table).read_metrics()
+    except OSError:
+        return 0
+    return int(mets[-1].get("bytes", 0)) if mets else 0
+
+
+def emit_airflow_dag(
+    spec: dict,
+    lake_root: str,
+    out_path: str,
+    dag_name: str = "dbimport_ray",
+    schedule: str = "@hourly",
+    table_concurrency: int = 4,
+    default_retries: int = 0,
+    python: str = "python",
+) -> dict:
+    """Write an Airflow DAG .py that replays every table in ``spec`` (the
+    same ``{"tables": [...]}`` JSON the ``savepoint`` CLI verb takes;
+    per-table keys: ``name``, ``pk``, ``values``, ``events``, optional
+    ``partitions``, ``mode``, ``retries``, ``priority``,
+    ``window_start``/``window_stop`` "HH:MM" strings). One BashOperator
+    per table invokes the ``replay`` CLI verb; priority_weight comes from
+    the explicit ``priority`` else the table's last recorded batch bytes
+    (big tables first — the sqoop_last_mappers policy); a windowed table
+    gets a ShortCircuitOperator gate implementing the midnight-crossing
+    window check. Returns {path, tasks, pools}."""
+    tables = spec["tables"]
+    if not tables:
+        raise ValueError("spec.tables is empty")
+    pool = dag_name[:50]
+    lines: list[str] = [
+        '"""Generated by `dbimport_ray orchestrate emit-dag` — do not edit.',
+        "",
+        f"Register the pool before unpausing: airflow pools set {pool} "
+        f"{table_concurrency} 'dbimport_ray {dag_name}'",
+        '"""',
+        "",
+        "from datetime import datetime, time, timedelta",
+        "",
+        "from airflow import DAG",
+        "from airflow.operators.bash import BashOperator",
+        "from airflow.operators.empty import EmptyOperator",
+        "from airflow.operators.python import ShortCircuitOperator",
+        "",
+        f"DBIMPORT_POOLS = {{{pool!r}: {table_concurrency}}}",
+        "",
+        "default_args = {",
+        f"    'retries': {default_retries},",
+        "    'retry_delay': timedelta(minutes=5),",
+        "}",
+        "",
+        "dag = DAG(",
+        f"    dag_id={dag_name!r},",
+        f"    schedule={schedule!r},",
+        "    start_date=datetime(2026, 1, 1),",
+        "    catchup=False,",
+        f"    max_active_tasks={table_concurrency},",
+        "    default_args=default_args,",
+        "    tags=['dbimport_ray'],",
+        ")",
+        "",
+        "start = EmptyOperator(task_id='start', dag=dag)",
+        "stop = EmptyOperator(task_id='stop', dag=dag)",
+        "",
+    ]
+    task_ids: list[str] = []
+    for t in tables:
+        name = t["name"]
+        tid = _task_id(name)
+        pk = t["pk"] if isinstance(t["pk"], str) else ",".join(t["pk"])
+        vals = t.get("values", "")
+        if not isinstance(vals, str):
+            vals = ",".join(vals)
+        prio = int(
+            t.get("priority") or max(1, _last_size_of(lake_root, name))
+        )
+        retries = int(t.get("retries", default_retries))
+        cmd = (
+            f"{python} -m dbimport_ray replay --lake {lake_root} "
+            f"--table {name} --pk {pk}"
+        )
+        if vals:
+            cmd += f" --values {vals}"
+        if t.get("events"):
+            cmd += f" --events {t['events']}"
+        if t.get("partitions"):
+            cmd += f" --partitions {int(t['partitions'])}"
+        if t.get("mode"):
+            cmd += f" --mode {t['mode']}"
+        upstream = "start"
+        ws, wp = t.get("window_start"), t.get("window_stop")
+        if (ws is None) != (wp is None):
+            raise ValueError(
+                f"table {name}: time window needs both window_start and "
+                "window_stop (or neither)"
+            )
+        if ws is not None:
+            h1, m1 = map(int, ws.split(":"))
+            h2, m2 = map(int, wp.split(":"))
+            lines += [
+                f"def _window_{tid}():",
+                "    # checkTimeWindow: run only inside [start, stop); a",
+                "    # window crossing midnight (22:00-04:00) works",
+                f"    w0, w1 = time({h1}, {m1}), time({h2}, {m2})",
+                "    now = datetime.now().time()",
+                "    return (w0 <= now < w1) if w0 <= w1 else (now >= w0 or now < w1)",
+                "",
+                f"{tid}_window = ShortCircuitOperator(",
+                f"    task_id='{tid}_window',",
+                f"    python_callable=_window_{tid},",
+                "    dag=dag)",
+                "",
+                f"start.set_downstream({tid}_window)",
+            ]
+            upstream = f"{tid}_window"
+        lines += [
+            f"{tid}_replay = BashOperator(",
+            f"    task_id='{tid}_replay',",
+            f"    bash_command={cmd + ' '!r},",
+            f"    pool={pool!r},",
+            f"    priority_weight={prio},",
+            "    weight_rule='absolute',",
+            f"    retries={retries},",
+            "    dag=dag)",
+            "",
+            f"{upstream}.set_downstream({tid}_replay)"
+            if upstream != "start"
+            else f"start.set_downstream({tid}_replay)",
+            f"{tid}_replay.set_downstream(stop)",
+            "",
+        ]
+        task_ids.append(tid)
+    src = "\n".join(lines) + "\n"
+    import ast
+
+    ast.parse(src)  # refuse to write an artifact that doesn't parse
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    tmp = f"{out_path}.tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(src)
+    os.replace(tmp, out_path)
+    return {"path": out_path, "tasks": task_ids, "pools": {pool: table_concurrency}}

@@ -1,0 +1,146 @@
+"""Airflow DAG artifact generation (pipelines/orchestrate.py:
+emit_airflow_dag; Schedule/Airflow.py:582 generateImportDAG analogue).
+The generated file must round-trip through ast.parse and encode the
+orchestrator's policy — pool/priority/retries per table, ShortCircuit
+time-window gates, start→task→stop wiring — without this process ever
+importing airflow."""
+
+import ast
+import json
+
+import pytest
+
+from dbimport_ray.pipelines.orchestrate import emit_airflow_dag
+
+SPEC = {
+    "tables": [
+        {"name": "repo_files", "pk": "repo,path",
+         "values": "commit,lang,content", "events": "/data/ev",
+         "priority": 500, "retries": 2},
+        {"name": "repo_dim", "pk": ["repo", "path"], "values": ["tier"],
+         "events": "/data/dim", "partitions": 8,
+         "window_start": "22:00", "window_stop": "04:00"},
+    ]
+}
+
+
+def test_emit_dag_parses_and_encodes_policy(tmp_path):
+    out = str(tmp_path / "dags" / "imports.py")
+    res = emit_airflow_dag(
+        SPEC, "/data/lake", out, dag_name="nightly", schedule="@daily",
+        table_concurrency=3, default_retries=1,
+    )
+    assert res["tasks"] == ["repo_files", "repo_dim"]
+    assert res["pools"] == {"nightly": 3}
+    src = open(out).read()
+    tree = ast.parse(src)  # the artifact is valid Python
+
+    # task/operator inventory from the AST, not string luck
+    assigns = {
+        t.targets[0].id: t.value.func.id
+        for t in tree.body
+        if isinstance(t, ast.Assign)
+        and isinstance(t.value, ast.Call)
+        and isinstance(t.value.func, ast.Name)
+        and isinstance(t.targets[0], ast.Name)
+    }
+    assert assigns["repo_files_replay"] == "BashOperator"
+    assert assigns["repo_dim_replay"] == "BashOperator"
+    assert assigns["repo_dim_window"] == "ShortCircuitOperator"
+    assert "repo_files_window" not in assigns  # no window → no gate
+    assert assigns["start"] == "EmptyOperator"
+    assert assigns["stop"] == "EmptyOperator"
+
+    # policy knobs land in the operator kwargs
+    assert "priority_weight=500" in src  # explicit priority wins
+    assert "'retries': 1" in src  # DAG default
+    assert "retries=2" in src  # per-table override
+    assert "pool='nightly'" in src
+    assert "max_active_tasks=3" in src
+    assert "schedule='@daily'" in src
+    # the replay command carries the full table config
+    assert ("--lake /data/lake --table repo_files --pk repo,path "
+            "--values commit,lang,content --events /data/ev") in src
+    assert "--partitions 8" in src
+    # wiring: windowed table goes start → gate → replay → stop
+    assert "start.set_downstream(repo_dim_window)" in src
+    assert "repo_dim_window.set_downstream(repo_dim_replay)" in src
+    assert "repo_dim_replay.set_downstream(stop)" in src
+    assert "start.set_downstream(repo_files_replay)" in src
+    # the midnight-crossing window constants
+    assert "time(22, 0), time(4, 0)" in src
+
+
+def test_emit_dag_window_gate_is_executable(tmp_path):
+    """The emitted gate function implements the midnight-crossing check —
+    execute it standalone (no airflow import needed for the function)."""
+    out = str(tmp_path / "dag.py")
+    emit_airflow_dag(SPEC, "/lake", out)
+    src = open(out).read()
+    fn_src = src[src.index("def _window_repo_dim"):]
+    fn_src = fn_src[: fn_src.index("\n\n")]
+    import datetime as _dt
+
+    class _FakeDT:
+        _now = _dt.datetime(2026, 1, 1, 23, 30)
+
+        @classmethod
+        def now(cls):
+            return cls._now
+
+    ns: dict = {"datetime": _FakeDT, "time": _dt.time}
+    exec(fn_src, ns)  # noqa: S102 — artifact self-test
+    gate = ns["_window_repo_dim"]
+    assert gate() is True  # 23:30 inside 22:00→04:00
+    _FakeDT._now = _dt.datetime(2026, 1, 1, 12, 0)
+    assert gate() is False
+    _FakeDT._now = _dt.datetime(2026, 1, 1, 3, 59)
+    assert gate() is True
+
+
+def test_emit_dag_priority_defaults_to_last_bytes(tmp_path):
+    """Without explicit priority, priority_weight = the table's last
+    recorded batch bytes from its ledger (sqoop_last_mappers policy)."""
+    from dbimport_ray.state.manifest import TableStore
+
+    lake = str(tmp_path / "lake")
+    st = TableStore(lake, "t1")
+    st.append_metrics({"version": 1, "bytes": 12345})
+    out = str(tmp_path / "dag.py")
+    emit_airflow_dag(
+        {"tables": [{"name": "t1", "pk": "k", "values": "v"}]}, lake, out
+    )
+    src = open(out).read()
+    assert "priority_weight=12345" in src
+    # unknown table → floor of 1
+    emit_airflow_dag(
+        {"tables": [{"name": "nope", "pk": "k", "values": "v"}]}, lake, out
+    )
+    assert "priority_weight=1" in open(out).read()
+
+
+def test_emit_dag_validation(tmp_path):
+    out = str(tmp_path / "dag.py")
+    with pytest.raises(ValueError, match="empty"):
+        emit_airflow_dag({"tables": []}, "/lake", out)
+    with pytest.raises(ValueError, match="window_start"):
+        emit_airflow_dag(
+            {"tables": [{"name": "t", "pk": "k", "window_start": "22:00"}]},
+            "/lake", out,
+        )
+
+
+def test_emit_dag_cli(tmp_path, capsys):
+    from dbimport_ray.cli import main
+
+    spec_path = str(tmp_path / "spec.json")
+    with open(spec_path, "w") as f:
+        json.dump(SPEC, f)
+    out = str(tmp_path / "dag.py")
+    rc = main(["emit-dag", "--lake", "/lake", "--spec", spec_path,
+               "--out", out, "--dag-name", "imports",
+               "--table-concurrency", "2"])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip())
+    assert res["path"] == out and res["pools"] == {"imports": 2}
+    ast.parse(open(out).read())
