@@ -349,6 +349,20 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--savepoint", required=True, help="savepoint JSON path")
 
     sp = sub.add_parser(
+        "serve",
+        help="read-only JSON status endpoint over stdlib http.server "
+             "(restServer analogue): /tables /status/<t> /metrics/<t> "
+             "/drift/<t> /lineage — serves only committed artifacts, "
+             "takes no locks",
+    )
+    sp.add_argument("--lake", required=True)
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.add_argument("--port", type=int, default=8080,
+                    help="0 = OS-assigned (printed on stdout)")
+    sp.add_argument("--once", action="store_true",
+                    help="handle exactly one request, then exit")
+
+    sp = sub.add_parser(
         "emit-dag",
         help="generate an Airflow DAG .py from a savepoint-style table "
              "spec (generateImportDAG analogue): one replay task per "
@@ -498,6 +512,20 @@ def main(argv: list[str] | None = None) -> int:
             except FileNotFoundError:
                 broken = False
             print(json.dumps({"broken": broken, "holder": info}))
+        return 0
+
+    if args.cmd == "serve":
+        import sys
+
+        from .serve import serve as _serve
+
+        def _ready(host, port):
+            print(json.dumps({"serving": f"http://{host}:{port}",
+                              "lake": args.lake, "once": args.once}))
+            sys.stdout.flush()
+
+        _serve(args.lake, host=args.host, port=args.port,
+               once=args.once, ready=_ready)
         return 0
 
     if args.cmd == "emit-dag":

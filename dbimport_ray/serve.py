@@ -1,0 +1,147 @@
+"""Read-only operational status endpoint — the monitoring window the
+reference exposes as a REST server (`Server/restServer.py:1`, 632 LoC +
+webserver). SURVEY §2.10 maps the operational API to metrics JSONL by
+design; this serves exactly those committed artifacts over stdlib
+``http.server`` — no framework, no mutation, no data-plane IO:
+
+    GET /tables                   → discovered tables + views
+    GET /status/<table>           → watermark/version/rows/layout health
+    GET /metrics/<table>          → the table's ledger records (JSONL → list)
+    GET /drift/<table>[?window=N] → volume-drift screen over the ledger
+    GET /lineage[?table=a,b]      → the lineage graph (pipelines/lineage.py)
+
+Every byte served is derived from committed manifests/ledgers, so the
+endpoint is safe to point at a live lake: it takes no locks and can at
+worst observe a manifest mid-swap (atomic rename ⇒ it sees old or new,
+never a torn file). CLI: ``python -m dbimport_ray serve --lake L
+[--port 8080] [--once]``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from .state.checkpoint import CheckpointStore
+from .state.manifest import TableStore
+
+
+def table_status(lake_root: str, table: str) -> dict:
+    """The ``status`` verb's payload (cli.py) as a library call."""
+    store = TableStore(lake_root, table)
+    cp = CheckpointStore(store.root, table).load()
+    m = store.load_manifest()
+    parts = m.partitions.values()
+    return {
+        "table": table, "stage": cp.stage,
+        "committed_seq": cp.committed_seq, "pending_seq": cp.pending_seq,
+        "version": m.version, "rows": m.total_rows(),
+        "partitions": len(m.partitions),
+        "schema": [f["name"] for f in m.schema or []],
+        "bloom_sidecars": sum(1 for e in parts if e.get("bloom")),
+        "delta_stacked": sum(1 for e in parts if e.get("deltas")),
+        "delta_files": sum(len(e.get("deltas", ())) for e in parts),
+        "bytes": sum(int(e.get("bytes", 0)) for e in parts),
+    }
+
+
+class _DriftShim:
+    """drift_report reads only ``engine.store`` — serve it without
+    constructing a full engine (no TableConfig needed read-side)."""
+
+    def __init__(self, lake_root: str, table: str):
+        self.store = TableStore(lake_root, table)
+
+
+def _route(lake_root: str, path: str, query: dict) -> tuple[int, dict | list]:
+    from .pipelines.lineage import _discover_tables, lineage_graph
+
+    parts = [p for p in path.split("/") if p]
+    known = {n for n, _ in _discover_tables(lake_root)}
+
+    def _table_arg() -> str:
+        if len(parts) != 2:
+            raise KeyError("missing table")
+        if parts[1] not in known:
+            raise FileNotFoundError(parts[1])
+        return parts[1]
+
+    if not parts or parts[0] == "tables":
+        return 200, {
+            "lake_root": lake_root,
+            "tables": [
+                {"name": n, "kind": k} for n, k in _discover_tables(lake_root)
+            ],
+        }
+    if parts[0] == "status":
+        return 200, table_status(lake_root, _table_arg())
+    if parts[0] == "metrics":
+        return 200, TableStore(lake_root, _table_arg()).read_metrics()
+    if parts[0] == "drift":
+        from .pipelines.maintain import drift_report
+
+        window = int(query.get("window", ["10"])[0])
+        return 200, drift_report(_DriftShim(lake_root, _table_arg()), window)
+    if parts[0] == "lineage":
+        tables = query.get("table", [None])[0]
+        return 200, lineage_graph(
+            lake_root, tables=tables.split(",") if tables else None
+        )
+    raise KeyError(parts[0])
+
+
+def make_handler(lake_root: str):
+    class Handler(BaseHTTPRequestHandler):
+        server_version = "dbimport_ray"
+
+        def log_message(self, fmt, *args):  # quiet by default
+            if os.environ.get("DBIMPORT_RAY_SERVE_LOG"):
+                super().log_message(fmt, *args)
+
+        def do_GET(self):  # noqa: N802 — http.server API
+            u = urlparse(self.path)
+            try:
+                code, payload = _route(lake_root, u.path, parse_qs(u.query))
+            except FileNotFoundError as e:
+                code, payload = 404, {"error": f"no such table: {e}"}
+            except KeyError as e:
+                code, payload = 404, {
+                    "error": f"unknown route {e}",
+                    "routes": ["/tables", "/status/<t>", "/metrics/<t>",
+                               "/drift/<t>", "/lineage"],
+                }
+            except Exception as e:  # noqa: BLE001 — report, never crash the server
+                code, payload = 500, {"error": f"{type(e).__name__}: {e}"}
+            body = json.dumps(payload, sort_keys=True).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    return Handler
+
+
+def serve(
+    lake_root: str,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    once: bool = False,
+    ready=None,
+) -> None:
+    """Bind and serve. ``port=0`` takes an OS-assigned port; ``ready``
+    (if given) is called with the bound ``(host, port)`` before the first
+    request is accepted. ``once`` handles a single request then returns
+    (the curl-level test/probe mode)."""
+    srv = ThreadingHTTPServer((host, port), make_handler(lake_root))
+    try:
+        if ready is not None:
+            ready(*srv.server_address[:2])
+        if once:
+            srv.handle_request()
+        else:
+            srv.serve_forever()
+    finally:
+        srv.server_close()

@@ -1,0 +1,120 @@
+"""Read-only status endpoint (dbimport_ray/serve.py; restServer.py
+analogue): curl-level checks over a real lake — every byte served derives
+from committed manifests/ledgers, no locks, no data-plane IO."""
+
+import json
+import threading
+import urllib.request
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from dbimport_ray import CDCEngine
+from dbimport_ray.config import TableConfig
+from dbimport_ray.serve import serve, table_status
+
+
+@pytest.fixture(scope="module")
+def lake(tmp_path_factory, ray_session):
+    tmp = tmp_path_factory.mktemp("serve_lake")
+    ev = str(tmp / "ev.parquet")
+    pq.write_table(pa.table({
+        "sequence_id": pa.array([1, 2, 3], pa.int64()),
+        "op": ["I", "I", "D"],
+        "k": ["a", "b", "a"],
+        "v": pa.array([1.0, 2.0, 0.0]),
+    }), ev)
+    cfg = TableConfig(name="t", pk=["k"], value_columns=["v"], num_partitions=2)
+    eng = CDCEngine(str(tmp / "lake"), cfg)
+    eng.replay(ev, upto_seq=3)
+    return str(tmp / "lake")
+
+
+@pytest.fixture()
+def endpoint(lake):
+    bound = {}
+    ready = threading.Event()
+
+    def _ready(host, port):
+        bound["url"] = f"http://{host}:{port}"
+        ready.set()
+
+    t = threading.Thread(
+        target=serve, args=(lake,), kwargs={"port": 0, "ready": _ready},
+        daemon=True,
+    )
+    t.start()
+    assert ready.wait(10)
+    return bound["url"]
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_serve_routes(endpoint, lake):
+    code, tables = _get(endpoint + "/tables")
+    assert code == 200
+    assert {"name": "t", "kind": "table"} in tables["tables"]
+
+    code, st = _get(endpoint + "/status/t")
+    assert code == 200
+    assert st["committed_seq"] == 3 and st["version"] == 1
+    assert st["rows"] == 1  # b only: a's same-batch I…D collapses
+    assert st == table_status(lake, "t")
+
+    code, mets = _get(endpoint + "/metrics/t")
+    assert code == 200 and mets[0]["version"] == 1
+    assert mets[0]["inserts"] == 1 and mets[0]["events_in"] == 3
+
+    code, dr = _get(endpoint + "/drift/t?window=5")
+    assert code == 200 and dr["ok"] and dr["batches"] == 1
+
+    code, g = _get(endpoint + "/lineage")
+    assert code == 200
+    assert any(n["id"] == "table:t" for n in g["nodes"])
+    assert any(e["kind"] == "ingest" for e in g["edges"])
+
+
+def test_serve_errors(endpoint):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(endpoint + "/status/nope")
+    assert ei.value.code == 404
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(endpoint + "/frobnicate")
+    assert ei.value.code == 404
+    assert "routes" in json.loads(ei.value.read())
+
+
+def test_serve_cli_once(lake, capsys):
+    """--once: bind, answer exactly one request, exit — the probe mode."""
+    from dbimport_ray.cli import main
+
+    results = {}
+
+    def _run():
+        results["rc"] = main(
+            ["serve", "--lake", lake, "--port", "0", "--once"]
+        )
+
+    t = threading.Thread(target=_run, daemon=True)
+    # capsys can't capture across threads reliably; grab the ready line
+    # through a pipe-free route: patch the ready printer via stdout won't
+    # work here, so poll the CLI's printed line from capsys after start
+    t.start()
+    import time
+
+    url = None
+    for _ in range(100):
+        out = capsys.readouterr().out
+        if "serving" in out:
+            url = json.loads(out.strip().splitlines()[-1])["serving"]
+            break
+        time.sleep(0.05)
+    assert url, "serve --once never printed its ready line"
+    code, st = _get(url + "/status/t")
+    assert code == 200 and st["table"] == "t"
+    t.join(10)
+    assert not t.is_alive() and results["rc"] == 0
