@@ -785,6 +785,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "jpeg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "avi"
     return None
 
 
@@ -827,3 +829,148 @@ def image_features(img: np.ndarray, dim: int = 16) -> np.ndarray:
     hist, _ = np.histogram(gray, bins=bins, range=(0.0, 255.0))
     f[6:] = hist.astype(np.float32) / max(len(gray), 1)
     return f
+
+
+# ------------------------------------------------------- AVI (MJPEG video)
+# Motion-JPEG in a RIFF AVI container — public formats throughout (RIFF
+# chunking, the 56-byte AVIMAINHEADER/AVISTREAMHEADER and 40-byte
+# BITMAPINFOHEADER layouts from the Windows multimedia SDK). Each video
+# frame is an ordinary baseline JFIF payload handled by encode_jpeg/
+# decode_jpeg above, so the video path shares the image codec's math and
+# its byte-precision tests; the container layer below only frames bytes.
+
+_AVIF_HASINDEX = 0x10
+_AVIIF_KEYFRAME = 0x10
+
+
+def _riff_chunk(ckid: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) & 1 else b""  # RIFF chunks are word-aligned
+    return ckid + struct.pack("<I", len(body)) + body + pad
+
+
+def _riff_list(list_type: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", list_type + body)
+
+
+def encode_avi_mjpeg(
+    frames: list[np.ndarray], fps: int = 25, quality: int = 90
+) -> bytes:
+    """(h, w, 3) uint8 RGB frames → MJPEG-in-AVI bytes (one 00dc chunk
+    per frame, idx1 index, 'MJPG' fourcc). All frames must share one
+    shape. Deterministic: same frames/fps/quality → same bytes."""
+    if not frames:
+        raise ValueError("encode_avi_mjpeg needs at least one frame")
+    h, w = frames[0].shape[:2]
+    if any(f.shape[:2] != (h, w) for f in frames):
+        raise ValueError("all frames must share one (h, w)")
+    jpegs = [encode_jpeg(f, quality=quality) for f in frames]
+    max_size = max(len(j) for j in jpegs)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,            # dwMicroSecPerFrame
+        max_size * fps,              # dwMaxBytesPerSec (advisory)
+        0,                           # dwPaddingGranularity
+        _AVIF_HASINDEX,              # dwFlags
+        len(jpegs),                  # dwTotalFrames
+        0, 1,                        # dwInitialFrames, dwStreams
+        max_size,                    # dwSuggestedBufferSize
+        w, h, 0, 0, 0, 0,            # dwWidth, dwHeight, dwReserved[4]
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIiI4H",
+        b"vids", b"MJPG",
+        0, 0, 0, 0,                  # flags, priority, language, initFrames
+        1, fps,                      # dwScale / dwRate → fps
+        0, len(jpegs),               # dwStart, dwLength (frames)
+        max_size, -1, 0,             # bufSize, quality(-1=default), sampleSize
+        0, 0, w, h,                  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0,
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi_body = b"".join(_riff_chunk(b"00dc", j) for j in jpegs)
+    movi = _riff_list(b"movi", movi_body)
+    # idx1 offsets are relative to the start of the movi LIST's type word
+    idx_entries, off = [], 4
+    for j in jpegs:
+        idx_entries.append(
+            struct.pack("<4sIII", b"00dc", _AVIIF_KEYFRAME, off, len(j))
+        )
+        off += 8 + len(j) + (len(j) & 1)
+    idx1 = _riff_chunk(b"idx1", b"".join(idx_entries))
+    riff_body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def avi_frame_iter(payload: bytes):
+    """Container-level walk of an MJPEG AVI: yields ``(index, jpeg_bytes)``
+    per video frame WITHOUT pixel decoding — frame sampling reads only
+    the chunk layer, then pays JPEG decode for sampled frames only."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+
+    def walk(pos: int, end: int):
+        while pos + 8 <= end:
+            ckid = payload[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            body0 = pos + 8
+            if body0 + size > len(payload):
+                raise ValueError("truncated AVI chunk")
+            if ckid == b"LIST":
+                yield payload[body0 : body0 + 4], body0 + 4, body0 + size
+                yield from walk(body0 + 4, body0 + size)
+            else:
+                yield ckid, body0, body0 + size
+            pos = body0 + size + (size & 1)
+
+    i = 0
+    for ckid, b0, b1 in walk(12, 8 + struct.unpack_from("<I", payload, 4)[0]):
+        if ckid in (b"00dc", b"00db"):
+            yield i, payload[b0:b1]
+            i += 1
+
+
+def avi_info(payload: bytes) -> dict:
+    """Header metadata without decoding frames: {fps, n_frames, width,
+    height, duration_ms}."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    pos, end = 12, 8 + struct.unpack_from("<I", payload, 4)[0]
+    stack = [(pos, end)]
+    avih = None
+    while stack:
+        pos, end = stack.pop()
+        while pos + 8 <= end:
+            ckid = payload[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            body0 = pos + 8
+            if ckid == b"LIST":
+                stack.append((body0 + 4, body0 + size))
+            elif ckid == b"avih":
+                avih = struct.unpack_from("<14I", payload, body0)
+            pos = body0 + size + (size & 1)
+        if avih:
+            break
+    if avih is None:
+        raise ValueError("AVI without avih header")
+    usec, n = avih[0], avih[4]
+    fps = 1_000_000 / usec if usec else 0.0
+    return {
+        "fps": fps,
+        "n_frames": n,
+        "width": avih[8],
+        "height": avih[9],
+        "duration_ms": int(n * usec / 1000),
+    }
+
+
+def decode_avi_mjpeg(payload: bytes) -> list[np.ndarray]:
+    """Full pixel decode: every frame through decode_jpeg, in order."""
+    return [decode_jpeg(j) for _, j in avi_frame_iter(payload)]

@@ -1,10 +1,12 @@
 """Multimodal (image/audio/video) columns as opaque binary + typed metadata.
 
-Decode is REAL for uncompressed containers — PPM/BMP images and RIFF/WAV
-audio parse with pure numpy (stages/codecs.py), so the decode → feature /
-resize kernels run on genuine pixels and samples end-to-end. Compressed
-formats (JPEG/PNG/MP3; no PIL/cv2/soundfile in this environment) route to
-the pluggable stub path (deterministic fake or NotImplementedError); a
+Decode is REAL across all three modalities (stages/codecs.py, pure
+numpy/stdlib): PPM/BMP/PNG/baseline-JPEG images, RIFF/WAV audio, and
+MJPEG-in-AVI video (RIFF chunk walk + the JPEG decoder per frame), so the
+decode → feature / resize / frame-sample kernels run on genuine pixels and
+samples end-to-end. Only formats with no pure-python codec (MP3-class
+audio, non-MJPEG video, progressive/subsampled JPEG) route to the
+pluggable stub path (deterministic fake or NotImplementedError); a
 deployment swaps in a PIL/ffmpeg-backed decoder with the identical
 ``__call__`` contract. All the Ray-side plumbing is real and tested:
 schema contracts, small batch sizes for large payloads, actor-pool stage
@@ -57,9 +59,9 @@ MEDIA_SCHEMA = pa.schema(
 def synthesize_media_table(n: int, seed: int = 5, real: bool = True) -> pa.Table:
     """Deterministic media rows (no external data). ``real=True`` emits
     genuine container payloads — PPM/BMP/PNG/baseline-JPEG images, RIFF/WAV
-    audio — that the pure-numpy codecs decode; video stays opaque bytes
-    (no codec exists here). ``real=False`` keeps every payload opaque,
-    exercising the stub/fallback path."""
+    audio, MJPEG-in-AVI video — that the pure-numpy codecs decode.
+    ``real=False`` keeps every payload opaque, exercising the
+    stub/fallback path."""
     from .codecs import encode_jpeg, encode_png
 
     rng = np.random.default_rng(seed)
@@ -73,6 +75,20 @@ def synthesize_media_table(n: int, seed: int = 5, real: bool = True) -> pa.Table
                    lambda x: encode_jpeg(x, quality=90))[(i // 3) % 4]
             payloads.append(enc(img))
             widths.append(w); heights.append(h); durs.append(None)
+        elif t == "video" and real:
+            from .codecs import avi_info, encode_avi_mjpeg
+
+            w, h = 16 + 8 * (i % 2), 8 + 8 * (i % 2)
+            fps = (5, 10)[i % 2]
+            nf = 3 + i % 4
+            frames = [
+                rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                for _ in range(nf)
+            ]
+            avi = encode_avi_mjpeg(frames, fps=fps)
+            payloads.append(avi)
+            widths.append(w); heights.append(h)
+            durs.append(avi_info(avi)["duration_ms"])
         elif t == "audio" and real:
             ns = int(256 + (i * 37) % 512)
             samples = rng.integers(-32768, 32767, size=ns).astype(np.int16)
@@ -153,13 +169,35 @@ class ImageDecodeFeatureStage:
 
 
 class FrameSampleStage:
-    """Actor-pool stage contract for video frame sampling: emits one row
-    per sampled frame (flat_map shape). Decode is stubbed; the sampling
-    *schedule* (deterministic every-nth-ms) and output layout are real."""
+    """Actor-pool stage for video frame sampling: emits one row per
+    sampled frame (flat_map shape), every ``every_ms`` of media time.
+
+    Decode is REAL for MJPEG-in-AVI payloads (stages/codecs.py RIFF
+    parser + the pure-numpy JPEG decoder): fps/duration come from the
+    avih header, sampling walks the container's chunk layer only (no
+    pixel decode — JPEG bytes are hashed, not decompressed, so cost is
+    ∝ container size, not pixels), and each sampled row's ``frame_hash``
+    is the sha256 of that frame's actual JPEG bytes. Other containers
+    route to the pluggable stub path (``fake=True`` → deterministic
+    payload-derived hashes; else NotImplementedError), where a deployment
+    swaps in an ffmpeg-backed decoder with the identical contract."""
 
     def __init__(self, every_ms: int = 500, fake: bool = False):
         self.every_ms = every_ms
         self.fake = fake
+
+    def _sample_avi(self, mid, payload, ids, frame_ts, frame_hash) -> None:
+        from .codecs import avi_frame_iter, avi_info
+
+        info = avi_info(payload)
+        jpegs = [j for _, j in avi_frame_iter(payload)]
+        n, fps = len(jpegs), info["fps"]
+        dur = info["duration_ms"]
+        for ts in range(0, max(dur, 1), self.every_ms):
+            idx = min(int(ts * fps / 1000), n - 1)
+            ids.append(mid)
+            frame_ts.append(ts)
+            frame_hash.append(hashlib.sha256(jpegs[idx]).hexdigest()[:16])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, frame_ts, frame_hash = [], [], []
@@ -169,10 +207,18 @@ class FrameSampleStage:
             batch["duration_ms"].to_pylist(),
             batch["payload"].to_pylist(),
         ):
-            if mtype != "video" or dur is None:
+            if mtype != "video" or payload is None:
+                continue
+            if sniff_format(payload) == "avi":
+                self._sample_avi(mid, payload, ids, frame_ts, frame_hash)
+                continue
+            if dur is None:
                 continue
             if not self.fake:
-                raise NotImplementedError("video codec not available; use fake=True")
+                raise NotImplementedError(
+                    "no codec for this video container (AVI/MJPEG decodes "
+                    "for real); use fake=True for the deterministic stub"
+                )
             for ts in range(0, dur, self.every_ms):
                 ids.append(mid)
                 frame_ts.append(ts)

@@ -244,3 +244,69 @@ def test_jpeg_unsupported_variants_raise():
         decode_jpeg(bytes(payload))
     with pytest.raises(ValueError, match="not a JPEG"):
         decode_jpeg(b"\x00\x01")
+
+
+# ------------------------------------------------------------- AVI / MJPEG
+def test_avi_mjpeg_roundtrip_bit_exact():
+    """Container round-trip: decode(encode(frames)) equals the per-frame
+    JPEG quantize reference bit-for-bit (the entropy layer is exact, so
+    the ONLY loss is JPEG quantization — identical to the still path)."""
+    from dbimport_ray.stages.codecs import (
+        avi_info,
+        decode_avi_mjpeg,
+        decode_jpeg,
+        encode_avi_mjpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(17)
+    frames = [rng.integers(0, 256, (12, 20, 3), dtype=np.uint8) for _ in range(7)]
+    avi = encode_avi_mjpeg(frames, fps=10, quality=85)
+    assert sniff_format(avi) == "avi"
+    info = avi_info(avi)
+    assert info["n_frames"] == 7 and info["fps"] == 10.0
+    assert info["width"] == 20 and info["height"] == 12
+    assert info["duration_ms"] == 700
+    got = decode_avi_mjpeg(avi)
+    want = [decode_jpeg(encode_jpeg(f, quality=85)) for f in frames]
+    assert len(got) == 7
+    for g, w in zip(got, want):
+        assert (g == w).all()
+    # determinism: same input → same bytes
+    assert encode_avi_mjpeg(frames, fps=10, quality=85) == avi
+
+
+def test_avi_frame_iter_container_only():
+    """The chunk walk yields the exact JPEG payloads without decoding."""
+    from dbimport_ray.stages.codecs import (
+        avi_frame_iter,
+        encode_avi_mjpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(23)
+    frames = [rng.integers(0, 256, (8, 9, 3), dtype=np.uint8) for _ in range(3)]
+    avi = encode_avi_mjpeg(frames, fps=4)
+    got = list(avi_frame_iter(avi))
+    assert [i for i, _ in got] == [0, 1, 2]
+    for (_, j), f in zip(got, frames):
+        assert j == encode_jpeg(f, quality=90)
+    # odd-length JPEG payloads are word-padded in the container but
+    # yielded unpadded
+    assert all(j[:2] == b"\xff\xd8" and j[-2:] == b"\xff\xd9" for _, j in got)
+
+
+def test_avi_malformed_raises():
+    from dbimport_ray.stages.codecs import avi_frame_iter, avi_info, decode_avi_mjpeg
+
+    with pytest.raises(ValueError, match="not an AVI"):
+        list(avi_frame_iter(b"RIFF\x04\x00\x00\x00WAVE"))
+    with pytest.raises(ValueError, match="not an AVI"):
+        avi_info(b"junk")
+    # truncated chunk body
+    from dbimport_ray.stages.codecs import encode_avi_mjpeg
+
+    rng = np.random.default_rng(3)
+    avi = encode_avi_mjpeg([rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)])
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(avi[:60])

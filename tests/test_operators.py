@@ -367,6 +367,44 @@ def test_frame_sampling(ray_session):
     assert out.num_rows == expect
 
 
+def test_frame_sampling_real_avi():
+    """Real MJPEG-in-AVI sampling: timestamps follow the avih header's
+    fps, and every frame_hash is the sha256 of the sampled frame's ACTUAL
+    JPEG bytes from the container — verified per row against an
+    independent walk (no fake= needed)."""
+    import hashlib
+
+    from dbimport_ray.stages.codecs import avi_frame_iter, avi_info
+
+    t = synthesize_media_table(9)  # real=True → video rows are real AVI
+    out = FrameSampleStage(every_ms=150)(t)
+    rows = out.to_pylist()
+    assert rows, "no frames sampled"
+    vids = {
+        r["media_id"]: r["payload"]
+        for r in t.to_pylist()
+        if r["media_type"] == "video"
+    }
+    assert {r["media_id"] for r in rows} == set(vids)
+    for r in rows:
+        payload = vids[r["media_id"]]
+        info = avi_info(payload)
+        jpegs = [j for _, j in avi_frame_iter(payload)]
+        idx = min(int(r["frame_ts_ms"] * info["fps"] / 1000), len(jpegs) - 1)
+        assert r["frame_hash"] == hashlib.sha256(jpegs[idx]).hexdigest()[:16]
+    # sampling density: one row per every_ms tick of each video's duration
+    for mid, payload in vids.items():
+        dur = avi_info(payload)["duration_ms"]
+        n = sum(1 for r in rows if r["media_id"] == mid)
+        assert n == len(range(0, max(dur, 1), 150))
+
+
+def test_frame_sampling_non_avi_still_raises():
+    t = synthesize_media_table(9, real=False)  # opaque video bytes
+    with pytest.raises(NotImplementedError, match="AVI/MJPEG"):
+        FrameSampleStage(every_ms=400)(t)
+
+
 # --- validation band (import_config.py:2807) -------------------------------
 
 def test_allowed_diff_sqrt_band():
