@@ -99,14 +99,17 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--events", required=True)
     sp.add_argument("--upto", type=int, default=None)
     sp.add_argument("--format", default="parquet",
-                    choices=["parquet", "jsonl", "wal2json", "maxwell"],
+                    choices=["parquet", "jsonl", "wal2json", "maxwell", "mongostream"],
                     help="jsonl = Debezium/WAL envelopes (op c/u/r/d, "
                          "before/after images); wal2json = Postgres logical "
                          "decoding format-version 2 (source must use "
                          "REPLICA IDENTITY FULL or include-unchanged-toast: "
                          "U rows apply as full-image replacements, so "
                          "omitted TOAST values would overwrite with null); "
-                         "maxwell = MySQL binlog JSON; all decoded "
+                         "maxwell = MySQL binlog JSON; mongostream = MongoDB "
+                         "change-stream events (updates need the "
+                         "fullDocument post-image: updateLookup / "
+                         "changeStreamPostImages); all decoded "
                          "vectorized into canonical events "
                          "(sources/envelope.py)")
     sp.add_argument("--seq-path", default=None,
@@ -138,7 +141,7 @@ def main(argv: list[str] | None = None) -> int:
                          "SQL export after each commit (needs --export-table)")
     sp.add_argument("--export-table", default=None)
     sp.add_argument("--format", default="parquet",
-                    choices=["parquet", "jsonl", "wal2json", "maxwell"],
+                    choices=["parquet", "jsonl", "wal2json", "maxwell", "mongostream"],
                     help="jsonl/wal2json/maxwell = tail a directory of CDC "
                          "envelope segments in that dialect (incremental "
                          "per-segment probe cache)")

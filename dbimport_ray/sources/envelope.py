@@ -502,12 +502,177 @@ def decode_maxwell_table(
     return pa.table(dict(zip(out_names, cols)))
 
 
+_MONGO_OPTYPES = pa.array(["insert", "replace", "update", "delete"], pa.string())
+_MONGO_IUD = pa.array(["I", "I", "U", "D"], pa.string())
+#: collection-level events that invalidate incremental replay — the
+#: change-stream analogue of wal2json's TRUNCATE frame
+_MONGO_INVALIDATING = pa.array(
+    ["drop", "dropDatabase", "rename", "invalidate"], pa.string()
+)
+
+
+def decode_mongo_stream_table(
+    parsed: pa.Table,
+    *,
+    pk: list[str],
+    value_columns: list[str],
+    sequence_col: str = "sequence_id",
+    op_col: str = "op",
+    seq_path: str | None = None,
+) -> pa.Table:
+    """MongoDB **change stream** events (``operationType`` insert/replace/
+    update/delete, ``fullDocument`` post-image, ``documentKey``,
+    ``clusterTime`` BSON-Timestamp ordering — the watch() wire shape in
+    Extended-JSON/JSONL framing) → canonical flat events. This is the
+    log-based half of the reference's Mongo support (live collection
+    import: `import_operations.py:715-1020`; the document-shape
+    normalizers live in `stages/flatten.py`); tailing a change stream
+    feeds the ordinary ``replay()`` path like every other dialect.
+
+    - insert / replace → I; update → U; delete → D (key-only from
+      ``documentKey``, like the other dialects' delete shape).
+    - collection-invalidating events (drop / dropDatabase / rename /
+      invalidate) raise: replay the collection as a full load
+      (``MODE_FULL``) — the same split as wal2json TRUNCATE.
+    - **updates require the post-image** (``fullDocument`` non-null on U
+      rows — run watch() with ``fullDocument='updateLookup'`` or enable
+      collection ``changeStreamPostImages``): the engine applies U rows
+      as full-image replacements, so decoding only ``updateDescription``
+      deltas would overwrite unchanged columns with null. Unlike the
+      wal2json TOAST caveat this decoder REFUSES rather than nulling.
+    - keys come from ``fullDocument`` when present else ``documentKey``
+      (shard-key fields ride documentKey, so deletes key correctly).
+    - sequence: default carrier is ``clusterTime`` — a BSON Timestamp
+      ``{"t": seconds, "i": ordinal}`` decoded as ``t * 2**32 + i``
+      (exactly the BSON composition, monotone per oplog); checked
+      arithmetic, ``seq_path`` overrides (e.g. a producer-side counter).
+    """
+    names = set(parsed.column_names)
+    if "operationType" not in names:
+        raise ValueError(
+            "not a Mongo change stream: no 'operationType' field "
+            f"(columns: {sorted(names)})"
+        )
+    ot = parsed.column("operationType").combine_chunks().cast(pa.string())
+    if pc.any(
+        pc.fill_null(pc.is_in(ot, value_set=_MONGO_INVALIDATING), False)
+    ).as_py():
+        bad = pc.unique(
+            ot.filter(pc.fill_null(pc.is_in(ot, value_set=_MONGO_INVALIDATING), False))
+        ).to_pylist()
+        raise ValueError(
+            f"collection-invalidating change-stream event(s) {bad}: replay "
+            "the collection as a full load (MODE_FULL), not through CDC"
+        )
+    idx = pc.index_in(ot, value_set=_MONGO_OPTYPES)
+    if not pc.all(pc.is_valid(idx)).as_py():
+        bad = pc.unique(ot.filter(pc.is_null(idx))).to_pylist()
+        raise ValueError(f"unknown operationType codes: {bad}")
+    n = parsed.num_rows
+    if n == 0:
+        return _empty_events(pk, value_columns, sequence_col, op_col)
+    op = pc.take(_MONGO_IUD, idx)
+    is_del = pc.equal(op, "D")
+    is_upd = pc.equal(op, "U")
+
+    full = (
+        parsed.column("fullDocument").combine_chunks()
+        if "fullDocument" in names
+        else None
+    )
+    if full is not None and pa.types.is_null(full.type):
+        full = None
+    dockey = (
+        parsed.column("documentKey").combine_chunks()
+        if "documentKey" in names
+        else None
+    )
+    if dockey is not None and pa.types.is_null(dockey.type):
+        dockey = None
+
+    # post-image contract: every U row must carry fullDocument
+    if pc.any(is_upd).as_py():
+        missing = (
+            pc.any(pc.and_(is_upd, pc.is_null(full))).as_py()
+            if full is not None
+            else True
+        )
+        if missing:
+            raise ValueError(
+                "update event without a fullDocument post-image: run the "
+                "change stream with fullDocument='updateLookup' (or enable "
+                "changeStreamPostImages) — the engine applies U rows as "
+                "full-image replacements, so partial updateDescription "
+                "deltas would null unchanged columns"
+            )
+
+    if seq_path:
+        fields = {c: parsed.column(c).combine_chunks() for c in parsed.column_names}
+        seq = _resolve_seq(fields, seq_path)
+        if pc.any(pc.is_null(seq)).as_py():
+            raise ValueError(f"null sequence at seq_path={seq_path!r}")
+    elif "clusterTime" in names and not pa.types.is_null(
+        parsed.schema.field("clusterTime").type
+    ):
+        ct = parsed.column("clusterTime").combine_chunks()
+        t = _struct_child(ct, "t")
+        i = _struct_child(ct, "i")
+        if t is None:
+            raise ValueError(
+                "clusterTime without a 't' field; pass seq_path="
+            )
+        t64 = pc.cast(t, pa.int64())
+        i64 = (
+            pc.fill_null(pc.cast(i, pa.int64()), 0)
+            if i is not None
+            else pa.array(np.zeros(n, np.int64))
+        )
+        if pc.any(pc.is_null(t64)).as_py():
+            raise ValueError("null clusterTime in change stream; pass seq_path=")
+        try:
+            # BSON Timestamp IS (t << 32) | i — checked like Maxwell's xid
+            seq = pc.add_checked(
+                pc.multiply_checked(t64, pa.scalar(1 << 32, pa.int64())), i64
+            )
+        except pa.ArrowInvalid as e:
+            raise ValueError(
+                "clusterTime.t out of range for the (t<<32)+i sequence; "
+                "pass seq_path= to pick an explicit carrier"
+            ) from e
+    else:
+        raise ValueError(
+            "no sequence carrier found (tried clusterTime); pass seq_path="
+        )
+
+    cols: list = [seq, op]
+    out_names: list[str] = [sequence_col, op_col]
+    for k in pk:
+        a = _struct_child(full, k)
+        b = _struct_child(dockey, k)
+        if a is None and b is None:
+            raise ValueError(
+                f"pk column {k!r} absent from both fullDocument and "
+                "documentKey"
+            )
+        cols.append(a if b is None else b if a is None else pc.coalesce(a, b))
+        out_names.append(k)
+    for v in value_columns:
+        a = _struct_child(full, v)
+        if a is None:
+            cols.append(pa.nulls(n, pa.string()))
+        else:
+            cols.append(pc.if_else(is_del, pa.nulls(n, a.type), a))
+        out_names.append(v)
+    return pa.table(dict(zip(out_names, cols)))
+
+
 #: envelope dialect registry — every decoder maps one parsed-JSON batch to
 #: the canonical flat event schema with identical semantics
 DECODERS = {
     "debezium": decode_envelope_table,
     "wal2json": decode_wal2json_table,
     "maxwell": decode_maxwell_table,
+    "mongostream": decode_mongo_stream_table,
 }
 
 
@@ -831,5 +996,36 @@ def encode_maxwell_lines(
         }
         if r[op_col] == "U":
             env["old"] = {c: r[c] for c in pk}
+        out.append(json.dumps(env))
+    return out
+
+
+def encode_mongo_stream_lines(
+    events: pa.Table,
+    *,
+    pk: list[str],
+    value_columns: list[str],
+    sequence_col: str = "sequence_id",
+    op_col: str = "op",
+) -> list[str]:
+    """Tests/fixtures ONLY: canonical events → Mongo change-stream JSONL.
+    Sequence → ``clusterTime.t`` (so the decoder's default ``t * 2**32``
+    carrier preserves the total order); ``fullDocument`` carries the full
+    post-image on I/U and is ABSENT on deletes (the real watch() shape —
+    deletes carry only ``documentKey``)."""
+    import json
+
+    typ = {"I": "insert", "U": "update", "D": "delete"}
+    out: list[str] = []
+    for r in events.to_pylist():
+        env: dict = {
+            "_id": {"_data": f"82{int(r[sequence_col]):016x}"},
+            "operationType": typ[r[op_col]],
+            "clusterTime": {"t": int(r[sequence_col]), "i": 0},
+            "ns": {"db": "db", "coll": "c"},
+            "documentKey": {c: r[c] for c in pk},
+        }
+        if r[op_col] != "D":
+            env["fullDocument"] = {c: r[c] for c in pk + value_columns}
         out.append(json.dumps(env))
     return out

@@ -294,3 +294,120 @@ def test_maxwell_mixed_null_xid_raises():
     got = decode_maxwell_table(_parse(rows), pk=PK, value_columns=VALS,
                                seq_path="ts")
     assert got["sequence_id"].to_pylist() == [5, 6]
+
+
+# ------------------------------------------------------------- mongostream
+def test_mongostream_roundtrip_and_delete_shape(tmp_path):
+    from dbimport_ray.sources.envelope import (
+        decode_mongo_stream_table,
+        encode_mongo_stream_lines,
+    )
+
+    ev = _events(tmp_path)
+    got = decode_mongo_stream_table(
+        _parse(encode_mongo_stream_lines(ev, pk=PK, value_columns=VALS)),
+        pk=PK, value_columns=VALS,
+    )
+    # default carrier: clusterTime.t * 2**32 (+ i) — order-preserving
+    assert got["sequence_id"].to_pylist() == [
+        s << 32 for s in ev["sequence_id"].to_pylist()
+    ]
+    is_del = pc.equal(ev["op"], "D")
+    for v in VALS:
+        want = pc.if_else(
+            is_del, pa.nulls(len(ev), pa.string()), ev[v].combine_chunks()
+        )
+        assert got[v].to_pylist() == want.to_pylist()
+    # deletes key from documentKey alone (fullDocument absent on D rows)
+    for k in PK + ["op"]:
+        assert got[k].to_pylist() == ev[k].to_pylist()
+
+
+def test_mongostream_replay_equals_parquet_replay(tmp_path):
+    from dbimport_ray.sources.envelope import encode_mongo_stream_lines
+
+    ev = _events(tmp_path, n=300, keys=40)
+    pq_path = str(tmp_path / "events.parquet")
+    pq.write_table(ev, pq_path)
+    jl = tmp_path / "ms.jsonl"
+    jl.write_text(
+        "\n".join(encode_mongo_stream_lines(ev, pk=PK, value_columns=VALS)) + "\n"
+    )
+    cfg = lambda name: TableConfig(  # noqa: E731
+        name=name, pk=PK, value_columns=VALS, num_partitions=4
+    )
+    a = CDCEngine(str(tmp_path / "lake"), cfg("t_pq"))
+    a.replay(pq_path)
+    b = CDCEngine(str(tmp_path / "lake"), cfg("t_ms"))
+    # seq_path keeps the decoded sequence identical to the parquet stream
+    # (the default t*2**32 carrier preserves only the ORDER)
+    b.replay(
+        envelope_event_source(
+            str(jl), b.cfg, format="mongostream", seq_path="clusterTime.t"
+        )
+    )
+    ta, tb = a.arrow(), b.arrow()
+    cols = sorted(ta.column_names)
+    assert _sorted(ta.select(cols)).equals(_sorted(tb.select(cols)))
+
+
+def test_mongostream_update_without_postimage_raises():
+    from dbimport_ray.sources.envelope import decode_mongo_stream_table
+
+    line = json.dumps({
+        "operationType": "update",
+        "clusterTime": {"t": 5, "i": 0},
+        "documentKey": {"repo": "r", "path": "p"},
+        "updateDescription": {"updatedFields": {"lang": "go"},
+                              "removedFields": []},
+    })
+    with pytest.raises(ValueError, match="updateLookup"):
+        decode_mongo_stream_table(_parse([line]), pk=PK, value_columns=VALS)
+
+
+def test_mongostream_invalidating_and_unknown_raise():
+    from dbimport_ray.sources.envelope import decode_mongo_stream_table
+
+    base = {"clusterTime": {"t": 1, "i": 0},
+            "documentKey": {"repo": "r", "path": "p"}}
+    with pytest.raises(ValueError, match="full load"):
+        decode_mongo_stream_table(
+            _parse([json.dumps({"operationType": "drop", **base})]),
+            pk=PK, value_columns=VALS,
+        )
+    with pytest.raises(ValueError, match="unknown operationType"):
+        decode_mongo_stream_table(
+            _parse([json.dumps({"operationType": "shardCollection", **base})]),
+            pk=PK, value_columns=VALS,
+        )
+    with pytest.raises(ValueError, match="not a Mongo change stream"):
+        decode_mongo_stream_table(
+            _parse([json.dumps({"type": "insert"})]), pk=PK, value_columns=VALS
+        )
+
+
+def test_mongostream_clustertime_overflow_and_seqpath():
+    from dbimport_ray.sources.envelope import decode_mongo_stream_table
+
+    def line(t):
+        return json.dumps({
+            "operationType": "insert",
+            "clusterTime": {"t": t, "i": 3},
+            "documentKey": {"repo": "r", "path": "p"},
+            "fullDocument": {"repo": "r", "path": "p", "commit": "c",
+                             "lang": "py", "content": "x"},
+        })
+
+    got = decode_mongo_stream_table(
+        _parse([line(7)]), pk=PK, value_columns=VALS
+    )
+    assert got["sequence_id"].to_pylist() == [(7 << 32) + 3]
+    with pytest.raises(ValueError, match="seq_path"):
+        decode_mongo_stream_table(
+            _parse([line(2**40)]), pk=PK, value_columns=VALS
+        )
+    got = decode_mongo_stream_table(
+        _parse([line(2**40)]), pk=PK, value_columns=VALS,
+        seq_path="clusterTime.t",
+    )
+    assert got["sequence_id"].to_pylist() == [2**40]
