@@ -41,6 +41,7 @@ _stabilize_fsspec_http()
 
 from .config import TableConfig, repo_files_config  # noqa: F401,E402
 from .pipelines.cdc import CDCEngine  # noqa: F401,E402
+from .pipelines.lineage import lineage_graph, schema_history  # noqa: F401,E402
 from .pipelines.views import (  # noqa: F401,E402
     JoinMaterializedView,
     MaterializedView,

@@ -411,3 +411,23 @@ def test_mongostream_clustertime_overflow_and_seqpath():
         seq_path="clusterTime.t",
     )
     assert got["sequence_id"].to_pylist() == [2**40]
+
+
+def test_mongostream_tail_source_reads_range(tmp_path, ray_session):
+    from dbimport_ray.sources.envelope import encode_mongo_stream_lines
+
+    ev = _events(tmp_path, n=200, keys=30)
+    seg_dir = tmp_path / "oplog"
+    seg_dir.mkdir()
+    lines = encode_mongo_stream_lines(ev, pk=PK, value_columns=VALS)
+    half = len(lines) // 2
+    (seg_dir / "seg-0.jsonl").write_text("\n".join(lines[:half]) + "\n")
+    (seg_dir / "seg-1.jsonl").write_text("\n".join(lines[half:]) + "\n")
+    cfg = TableConfig(name="t", pk=PK, value_columns=VALS, num_partitions=4)
+    src = EnvelopeTailSource(
+        str(seg_dir), cfg, format="mongostream", seq_path="clusterTime.t"
+    )
+    hi = src.max_sequence("sequence_id")
+    assert hi == int(pc.max(ev["sequence_id"]).as_py())
+    got = src.read_range("sequence_id", -1, hi).take_all()
+    assert len(got) == ev.num_rows
