@@ -445,21 +445,11 @@ def main(argv: list[str] | None = None) -> int:
         store = TableStore(args.lake, args.table)
         ckpt = CheckpointStore(store.root, args.table)
         if args.cmd == "status":
-            cp = ckpt.load()
-            m = store.load_manifest()
-            parts = m.partitions.values()
-            print(json.dumps({
-                "table": args.table, "stage": cp.stage,
-                "committed_seq": cp.committed_seq, "pending_seq": cp.pending_seq,
-                "version": m.version, "rows": m.total_rows(),
-                "partitions": len(m.partitions),
-                "schema": [f["name"] for f in m.schema or []],
-                # physical-layout health: index coverage + MOR stack depth
-                "bloom_sidecars": sum(1 for e in parts if e.get("bloom")),
-                "delta_stacked": sum(1 for e in parts if e.get("deltas")),
-                "delta_files": sum(len(e.get("deltas", ())) for e in parts),
-                "bytes": sum(int(e.get("bytes", 0)) for e in parts),
-            }))
+            # single source of truth for the status payload — the serve
+            # endpoint's /status/<t> route prints the identical dict
+            from .serve import table_status
+
+            print(json.dumps(table_status(args.lake, args.table)))
         elif args.cmd == "metrics":
             for rec in store.read_metrics():
                 print(json.dumps(rec, sort_keys=True))

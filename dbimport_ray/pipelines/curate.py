@@ -446,7 +446,9 @@ class DedupIndex:
 
         hashed = ds.map_batches(
             lambda t: add_content_hash(t, text_col), batch_format="pyarrow"
-        )
+        ).materialize()  # consumed 2-4×: the index probe (bloom_anti_join
+        # scans its left side twice by design), the winners groupby and
+        # the survivor semi join would otherwise each re-hash the text
         n_index = self.index_rows()
         if 0 < n_index <= self.max_index_rows:
             known = self.known_hashes()

@@ -165,7 +165,9 @@ class _Graph:
                 e["versions"].append(version)
         if rows is not None:
             e["rows"] = int(e.get("rows", 0)) + int(rows)
-        if seq is not None:
+        if seq is not None and seq[0] is not None and seq[1] is not None:
+            # files without footer stats ship (None, None) — they still
+            # edge, they just carry no sequence provenance
             lo, hi = seq
             cur = e.get("seq")
             e["seq"] = (
@@ -218,7 +220,7 @@ def _table_edges(g: _Graph, lake_root: str, name: str, kind: str) -> None:
                 )
                 g.edge(
                     sid, tid, ekind, version=version, rows=src.get("rows"),
-                    seq=(src.get("min_seq", 0), src.get("max_seq", 0)),
+                    seq=(src.get("min_seq"), src.get("max_seq")),
                 )
             if rec.get("quarantine_files"):
                 qid = g.node(f"quarantine:{name}", "quarantine")
@@ -228,12 +230,16 @@ def _table_edges(g: _Graph, lake_root: str, name: str, kind: str) -> None:
             qid = g.node(f"quarantine:{name}", "quarantine")
             g.edge(qid, tid, "redrive", rows=rec.get("passing_rows"))
         elif rk == "view_refresh":
-            for key in ("src_table", "src_table_b"):
+            # join views carry PLURAL src_versions ([va, vb], one per
+            # side, views.py:892); single-source views carry src_version
+            versions = rec.get("src_versions") or [rec.get("src_version")] * 2
+            for key, ver in (("src_table", versions[0]),
+                             ("src_table_b", versions[-1])):
                 if key in rec:
                     g.edge(
                         g.node(f"table:{rec[key]}", "table"), tid,
                         "view_refresh",
-                        version=rec.get("src_version"),
+                        version=ver,
                         rows=rec.get("groups_changed"),
                     )
         elif rk == "export_parquet":

@@ -72,9 +72,20 @@ class JobResult:
     error: str | None = None
 
 
+def _last_batch_bytes(mets: list[dict]) -> int:
+    """Bytes of the most recent CDC COMMIT record. Only commit records
+    carry 'bytes' — export/compact/retry/archive records interleave in
+    the same ledger, so scan backwards for the last one that has it
+    (else the biggest-first policy would silently collapse to 1 after
+    any maintenance verb)."""
+    for rec in reversed(mets):
+        if "bytes" in rec:
+            return int(rec["bytes"])
+    return 0
+
+
 def _last_size(engine: CDCEngine) -> int:
-    mets = engine.store.read_metrics()
-    return int(mets[-1].get("bytes", 0)) if mets else 0
+    return _last_batch_bytes(engine.store.read_metrics())
 
 
 def run_tables(
@@ -336,7 +347,7 @@ def _last_size_of(lake_root: str, table: str) -> int:
         mets = TableStore(lake_root, table).read_metrics()
     except OSError:
         return 0
-    return int(mets[-1].get("bytes", 0)) if mets else 0
+    return _last_batch_bytes(mets)
 
 
 def emit_airflow_dag(
@@ -362,6 +373,18 @@ def emit_airflow_dag(
     tables = spec["tables"]
     if not tables:
         raise ValueError("spec.tables is empty")
+    # distinct names can sanitize to one task id ('a.b' vs 'a_b') —
+    # Airflow would reject the artifact at import (DuplicateTaskIdFound),
+    # long after ast.parse passed, so refuse at emit time
+    by_tid: dict[str, str] = {}
+    for t in tables:
+        tid = _task_id(t["name"])
+        if tid in by_tid:
+            raise ValueError(
+                f"tables {by_tid[tid]!r} and {t['name']!r} both sanitize "
+                f"to task id {tid!r}; rename one"
+            )
+        by_tid[tid] = t["name"]
     pool = dag_name[:50]
     lines: list[str] = [
         '"""Generated by `dbimport_ray orchestrate emit-dag` — do not edit.',

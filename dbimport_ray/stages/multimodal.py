@@ -192,6 +192,8 @@ class FrameSampleStage:
         info = avi_info(payload)
         jpegs = [j for _, j in avi_frame_iter(payload)]
         n, fps = len(jpegs), info["fps"]
+        if n == 0:
+            return  # header advertises frames but movi is empty — skip row
         dur = info["duration_ms"]
         for ts in range(0, max(dur, 1), self.every_ms):
             idx = min(int(ts * fps / 1000), n - 1)

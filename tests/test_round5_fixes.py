@@ -103,3 +103,140 @@ def test_maxwell_xid_in_range_unchanged():
     parsed = parse_json_lines(pa.array([_mx_line(9)], pa.string()))
     got = decode_maxwell_table(parsed, pk=PK, value_columns=VALS)
     assert got["sequence_id"].to_pylist() == [9 << 32]
+
+
+# ------------------------------------------------- review-pass regressions
+def test_lineage_ingest_edge_without_footer_stats(tmp_path):
+    """Consumed-input records may list files with min_seq/max_seq None
+    (no parquet footer stats); two such records on one edge must not
+    TypeError in the seq merge — the edge just carries no seq."""
+    from dbimport_ray.pipelines.lineage import lineage_graph
+    from dbimport_ray.state.manifest import TableStore
+
+    lake = str(tmp_path / "lake")
+    st = TableStore(lake, "t")
+    for v in (1, 2):
+        st.append_metrics({
+            "version": v, "bytes": 10,
+            "inputs": [{"path": "/ev/nostats.parquet", "rows": 5,
+                        "min_seq": None, "max_seq": None}],
+        })
+    import json, os
+    with open(os.path.join(st.root, "_manifest.json"), "w") as f:
+        json.dump({"table": "t", "version": 2, "committed_seq": 9,
+                   "schema": [], "renames": {}, "partitions": {},
+                   "history_files": [], "num_partitions": 1,
+                   "aggregates": {}}, f)
+    g = lineage_graph(lake)
+    e = [e for e in g["edges"] if e["kind"] == "ingest"]
+    assert len(e) == 1 and e[0]["versions"] == [1, 2]
+    assert "seq" not in e[0]
+
+
+def test_lineage_join_view_refresh_versions(tmp_path):
+    """Join-view ledger records carry PLURAL src_versions; the edges must
+    pick up per-side version provenance."""
+    import json, os
+
+    from dbimport_ray.pipelines.lineage import lineage_graph
+    from dbimport_ray.state.manifest import TableStore
+
+    lake = str(tmp_path / "lake")
+    st = TableStore(lake, "fact__by_tier")
+    st.append_metrics({
+        "kind": "view_refresh", "src_table": "fact", "src_table_b": "dim",
+        "from_versions": [0, 0], "src_versions": [3, 7],
+        "groups_changed": 4, "classes_read": 2, "classes_total": 4,
+    })
+    with open(os.path.join(st.root, "_manifest.json"), "w") as f:
+        json.dump({"table": "fact__by_tier", "version": 1,
+                   "committed_seq": 9, "schema": [], "renames": {},
+                   "partitions": {}, "history_files": [],
+                   "num_partitions": 1, "aggregates": {}}, f)
+    with open(os.path.join(st.root, "_view.json"), "w") as f:
+        json.dump({"spec": {"name": "by_tier", "group_by": ["tier"],
+                            "metrics": {"cnt": "count"}},
+                   "src": {"lake_root": lake, "cfg": {"name": "fact"}},
+                   "src_b": {"lake_root": lake, "cfg": {"name": "dim"}}}, f)
+    g = lineage_graph(lake, tables=["fact__by_tier"])
+    edges = {(e["src"], e["dst"]): e for e in g["edges"]}
+    assert edges[("table:fact", "view:fact__by_tier")]["versions"] == [3]
+    assert edges[("table:dim", "view:fact__by_tier")]["versions"] == [7]
+
+
+def test_last_batch_bytes_skips_maintenance_records():
+    from dbimport_ray.pipelines.orchestrate import _last_batch_bytes
+
+    mets = [
+        {"version": 1, "bytes": 999, "rows": 10},
+        {"kind": "export_parquet", "dest": "/out", "rows": 10},
+        {"kind": "retry", "attempt": 1},
+    ]
+    assert _last_batch_bytes(mets) == 999
+    assert _last_batch_bytes([{"kind": "compact", "rows": 1}]) == 0
+    assert _last_batch_bytes([]) == 0
+
+
+def test_emit_dag_task_id_collision_raises(tmp_path):
+    from dbimport_ray.pipelines.orchestrate import emit_airflow_dag
+
+    spec = {"tables": [{"name": "a.b", "pk": "k"}, {"name": "a_b", "pk": "k"}]}
+    with pytest.raises(ValueError, match="sanitize"):
+        emit_airflow_dag(spec, "/lake", str(tmp_path / "d.py"))
+
+
+def test_frame_sample_empty_movi_skips_row():
+    """An AVI whose avih advertises frames but whose movi list is empty
+    must skip the row, not IndexError the whole stage."""
+    import struct
+
+    import numpy as np
+
+    from dbimport_ray.stages.codecs import (
+        _riff_chunk,
+        _riff_list,
+        encode_avi_mjpeg,
+    )
+    from dbimport_ray.stages.multimodal import FrameSampleStage
+
+    rng = np.random.default_rng(2)
+    good = encode_avi_mjpeg(
+        [rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)], fps=5
+    )
+    avih = struct.pack("<14I", 200_000, 0, 0, 0x10, 3, 0, 1, 0, 8, 8, 0, 0, 0, 0)
+    hdrl = _riff_list(b"hdrl", _riff_chunk(b"avih", avih))
+    body = b"AVI " + hdrl + _riff_list(b"movi", b"")
+    empty = b"RIFF" + struct.pack("<I", len(body)) + body
+    batch = pa.table({
+        "media_id": pa.array([1, 2], pa.int64()),
+        "payload": pa.array([empty, good], pa.binary()),
+        "media_type": pa.array(["video", "video"]),
+        "duration_ms": pa.array([600, 200], pa.int32()),
+    })
+    out = FrameSampleStage(every_ms=100)(batch)
+    assert set(out["media_id"].to_pylist()) == {2}  # empty AVI skipped
+
+
+def test_cli_status_equals_serve_payload(tmp_path, capsys):
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from dbimport_ray import CDCEngine
+    from dbimport_ray.cli import main
+    from dbimport_ray.config import TableConfig
+    from dbimport_ray.serve import table_status
+
+    ev = str(tmp_path / "ev.parquet")
+    pq.write_table(pa.table({
+        "sequence_id": pa.array([1, 2], pa.int64()), "op": ["I", "I"],
+        "k": ["a", "b"], "v": pa.array([1.0, 2.0]),
+    }), ev)
+    cfg = TableConfig(name="t", pk=["k"], value_columns=["v"], num_partitions=2)
+    eng = CDCEngine(str(tmp_path / "lake"), cfg)
+    eng.replay(ev, upto_seq=2)
+    rc = main(["status", "--lake", str(tmp_path / "lake"), "--table", "t"])
+    assert rc in (0, None)
+    got = _json.loads(capsys.readouterr().out.strip())
+    assert got == table_status(str(tmp_path / "lake"), "t")
+    assert got["rows"] == 2 and got["committed_seq"] == 2
