@@ -142,9 +142,9 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--export-table", default=None)
     sp.add_argument("--format", default="parquet",
                     choices=["parquet", "jsonl", "wal2json", "maxwell", "mongostream"],
-                    help="jsonl/wal2json/maxwell = tail a directory of CDC "
-                         "envelope segments in that dialect (incremental "
-                         "per-segment probe cache)")
+                    help="jsonl/wal2json/maxwell/mongostream = tail a "
+                         "directory of CDC envelope segments in that "
+                         "dialect (incremental per-segment probe cache)")
     sp.add_argument("--seq-path", default=None,
                     help="dotted envelope path of the sequence carrier")
 
