@@ -331,6 +331,24 @@ def main(argv: list[str] | None = None) -> int:
                          "gpl-3.0 or gpl-3.0,unknown for permissive-only)")
 
     sp = sub.add_parser(
+        "dedup-index",
+        help="cross-run incremental exact dedup: filter a documents "
+             "parquet against a persisted content-hash index, write the "
+             "novel survivors as parquet, append their hashes (perpetual-"
+             "ingest dedup; probe auto-switches broadcast→bloom by index "
+             "size)",
+    )
+    sp.add_argument("--input", required=True, help="documents parquet file/dir")
+    sp.add_argument("--index", required=True, help="persisted index directory")
+    sp.add_argument("--out", required=True, help="survivor parquet output dir")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--partitions", type=int, default=8)
+    sp.add_argument("--max-index-rows", type=int, default=50_000_000,
+                    help="broadcast-probe ceiling; past it the bloom "
+                         "prefilter + exact anti join takes over")
+
+    sp = sub.add_parser(
         "savepoint",
         help="replay EVERY table in the spec to one global sequence "
              "barrier and record an atomic cross-table savepoint",
@@ -606,6 +624,31 @@ def main(argv: list[str] | None = None) -> int:
                 args.deny_licenses.split(",") if args.deny_licenses else None
             ),
         ), sort_keys=True))
+        return 0
+
+    if args.cmd == "dedup-index":
+        _init_ray()
+        import ray.data as rd
+
+        from .pipelines.curate import DedupIndex
+
+        idx = DedupIndex(args.index, max_index_rows=args.max_index_rows)
+        before = idx.index_rows()
+        ds = rd.read_parquet(args.input)
+        n_in = ds.count()
+        out = idx.filter_and_update(
+            ds, args.text_col, args.id_col, num_partitions=args.partitions
+        )
+        out.write_parquet(args.out)
+        survivors = idx.index_rows() - before
+        print(json.dumps({
+            "input_rows": n_in,
+            "survivors": survivors,
+            "dropped": n_in - survivors,
+            "index_rows": idx.index_rows(),
+            "probe": "bloom" if before > args.max_index_rows else "broadcast",
+            "out": args.out,
+        }, sort_keys=True))
         return 0
 
     if args.cmd == "lineage":

@@ -693,3 +693,42 @@ def test_curate_license_gate(tmp_path):
                            deny_licenses=["gpl-3.0", "unknown"])
     kept2 = pq.read_table(out2).column("doc_id").to_pylist()
     assert kept2 == [1]
+
+
+def test_dedup_index_cli(tmp_path, ray_session, capsys):
+    """dedup-index verb: two runs against one persisted index — run 2
+    drops everything run 1 admitted, survivors land as parquet."""
+    import json as _json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from dbimport_ray.cli import main
+
+    r1 = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                   "text": ["aaa bbb", "ccc ddd", "aaa bbb"]})
+    r2 = pa.table({"doc_id": pa.array([3, 4], pa.int64()),
+                   "text": ["aaa bbb", "eee fff"]})
+    p1, p2 = str(tmp_path / "r1.parquet"), str(tmp_path / "r2.parquet")
+    pq.write_table(r1, p1); pq.write_table(r2, p2)
+    idx_dir = str(tmp_path / "idx")
+
+    rc = main(["dedup-index", "--input", p1, "--index", idx_dir,
+               "--out", str(tmp_path / "out1")])
+    assert rc == 0
+    st1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st1["input_rows"] == 3 and st1["survivors"] == 2
+    assert st1["probe"] == "broadcast"
+
+    rc = main(["dedup-index", "--input", p2, "--index", idx_dir,
+               "--out", str(tmp_path / "out2")])
+    assert rc == 0
+    st2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st2["survivors"] == 1 and st2["dropped"] == 1
+    assert st2["index_rows"] == 3
+    import ray.data as rd
+
+    got = sorted(
+        r["doc_id"] for r in rd.read_parquet(str(tmp_path / "out2")).take_all()
+    )
+    assert got == [4]
