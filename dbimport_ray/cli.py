@@ -329,6 +329,13 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--deny-licenses", default="",
                     help="comma-separated license slugs to drop (e.g. "
                          "gpl-3.0 or gpl-3.0,unknown for permissive-only)")
+    sp.add_argument("--near-dedup", action="store_true",
+                    help="MinHash-LSH + exact-Jaccard-verified near-dedup "
+                         "after the exact pass (keeps one representative "
+                         "per verified cluster)")
+    sp.add_argument("--near-dedup-threshold", type=float, default=0.8,
+                    help="Jaccard similarity at/above which a candidate "
+                         "pair counts as a duplicate")
 
     sp = sub.add_parser(
         "dedup-index",
@@ -623,6 +630,8 @@ def main(argv: list[str] | None = None) -> int:
             deny_licenses=(
                 args.deny_licenses.split(",") if args.deny_licenses else None
             ),
+            near_dedup=args.near_dedup,
+            near_dedup_threshold=args.near_dedup_threshold,
         ), sort_keys=True))
         return 0
 

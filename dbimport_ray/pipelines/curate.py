@@ -763,10 +763,13 @@ def curate_to_shards(
     text_col: str = "text",
     scrub: bool = False,
     deny_licenses: list[str] | tuple[str, ...] | None = None,
+    near_dedup: bool = False,
+    near_dedup_threshold: float = 0.8,
 ) -> dict:
     """The curation chain as a PRODUCT surface: read a documents Parquet
     table (doc_id, source, text), run quality gate → exact dedup →
-    optional per-source cap → greedy whole-doc packing, and WRITE the
+    optional MinHash near-dedup → per-source cap → greedy whole-doc
+    packing, and WRITE the
     packed corpus as partitioned Parquet — one ``shard_dir=N`` directory
     per ``shard_id % shard_dirs`` bucket, so a downstream trainer (or a
     re-run) addresses output partition-by-partition instead of one giant
@@ -868,6 +871,26 @@ def curate_to_shards(
         "text", "doc_id",
         keep_cols=["doc_id", "source", "n_tokens", "text"],
     )
+    if near_dedup:
+        # MinHash LSH → exact-Jaccard verify → keep the cluster
+        # representative (rep == id; sub-threshold candidates were
+        # restored to their own cluster, so only VERIFIED near-dups
+        # drop). All exchanges carry (id, rep, hash) narrows — text
+        # moves only through the bounded pair-join of LSH candidates.
+        from ..stages.joins import compact_sparse, semi_join_sized
+        from .dedup import minhash_verified_clusters
+
+        cur = cur.materialize()  # consumed twice: cluster find + semi join
+        keep = (
+            minhash_verified_clusters(
+                cur, "text", "doc_id",
+                jaccard_threshold=near_dedup_threshold,
+            )
+            .filter(expr="doc_id == rep")
+            .select_columns(["doc_id"])
+        )
+        keep, nk = compact_sparse(keep, 16)
+        cur = semi_join_sized(cur, keep, ["doc_id"], nk, 16)
     if cap_per_source:
         cur = top_n_per_group(
             cur.map_batches(

@@ -732,3 +732,44 @@ def test_dedup_index_cli(tmp_path, ray_session, capsys):
         r["doc_id"] for r in rd.read_parquet(str(tmp_path / "out2")).take_all()
     )
     assert got == [4]
+
+
+def test_curate_to_shards_near_dedup(tmp_path, ray_session):
+    """near_dedup=True drops VERIFIED near-duplicates (one word changed)
+    that the exact pass keeps, while genuinely distinct docs survive."""
+    import pyarrow.parquet as pq
+
+    from dbimport_ray.pipelines.curate import curate_to_shards
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the quiet green forest before the sun sets")
+    near = base.replace("quiet", "silent")  # one-token change: near-dup
+    distinct = ("completely different text about databases and streams "
+                "where the engine merges change events into the lake "
+                "with exactly once semantics for every batch")
+    rows = [(1, "s0", base), (2, "s0", near), (3, "s0", distinct)]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "source": pa.array([r[1] for r in rows], pa.string()),
+        "text": pa.array([r[2] for r in rows], pa.string()),
+    })
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(t, src)
+
+    def surviving(out_dir, **kw):
+        st = curate_to_shards(src, out_dir, budget=512.0, shard_dirs=2,
+                              min_tokens=5, **kw)
+        assert st["status"] == "committed"
+        return sorted(
+            r["doc_id"]
+            for r in rd.read_parquet(out_dir, columns=["doc_id"]).take_all()
+        )
+
+    # exact-only: all three texts are distinct strings → all survive
+    assert surviving(str(tmp_path / "exact")) == [1, 2, 3]
+    # near-dedup: one changed word in 22 tokens = 3-gram Jaccard 0.75 —
+    # verified ≥ 0.7 vs doc 1 → dropped
+    assert surviving(str(tmp_path / "near"), near_dedup=True,
+                     near_dedup_threshold=0.7) == [1, 3]
+    # the 0.8 default is stricter than this pair's 0.75 → kept again
+    assert surviving(str(tmp_path / "strict"), near_dedup=True) == [1, 2, 3]
