@@ -1,9 +1,21 @@
+import os
+
+
 import pytest
 import ray
 
 
 @pytest.fixture(scope="session", autouse=True)
 def ray_session():
+    # Ray workers must be able to unpickle test-module-defined callables
+    # (e.g. the pymongo-compatible fake client factory): extend
+    # PYTHONPATH before the workers spawn so `import test_*` resolves
+    tests_dir = os.path.dirname(os.path.abspath(__file__))
+    existing = os.environ.get("PYTHONPATH", "")
+    if tests_dir not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{tests_dir}{os.pathsep}{existing}" if existing else tests_dir
+        )
     ray.init(
         address="local",
         num_cpus=4,

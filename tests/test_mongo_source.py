@@ -1,0 +1,185 @@
+"""Live Mongo collection source (sources/mongo.py; reference analogue:
+Mongo import, import_operations.py:715-1020). pymongo is absent in this
+environment, so a deterministic pymongo-compatible fake exercises the
+REAL plumbing: driver-side range planning, per-ReadTask worker clients,
+JSON landing, and the flatten composition into the ordinary pipeline.
+
+The fake must be picklable (ReadTasks ship to worker processes), so it
+is module-level classes over a plain list of dicts.
+"""
+
+import json
+
+import pyarrow as pa
+import pytest
+
+from dbimport_ray.sources.mongo import (
+    MongoCollectionDatasource,
+    mongo_split_boundaries,
+    pymongo_factory,
+    read_mongo_collection,
+)
+
+DOCS = [
+    {
+        "_id": f"id{i:04d}",
+        "repo": f"org{i % 3}/r{i % 5}",
+        "path": f"src/f{i}.py",
+        "meta": {"lang": "py", "stars": i % 7},
+        "n": i,
+    }
+    for i in range(97)
+]
+
+
+class FakeCursor:
+    def __init__(self, rows, projection=None):
+        self._rows = rows
+        self._proj = projection
+
+    def sort(self, key, direction=1):
+        return FakeCursor(
+            sorted(self._rows, key=lambda d: d[key], reverse=direction < 0),
+            self._proj,
+        )
+
+    def skip(self, n):
+        return FakeCursor(self._rows[n:], self._proj)
+
+    def limit(self, n):
+        return FakeCursor(self._rows[:n], self._proj)
+
+    def __iter__(self):
+        for d in self._rows:
+            if self._proj:
+                yield {k: d[k] for k in self._proj if k in d}
+            else:
+                yield dict(d)
+
+
+class FakeCollection:
+    def __init__(self, rows):
+        self._rows = rows
+
+    def count_documents(self, q):
+        return len(self._match(q))
+
+    def _match(self, q):
+        out = self._rows
+        for k, cond in (q or {}).items():
+            if isinstance(cond, dict):
+                if "$gt" in cond:
+                    out = [d for d in out if d[k] > cond["$gt"]]
+                if "$lte" in cond:
+                    out = [d for d in out if d[k] <= cond["$lte"]]
+            else:
+                out = [d for d in out if d.get(k) == cond]
+        return out
+
+    def find(self, q=None, projection=None):
+        return FakeCursor(self._match(q), projection)
+
+
+class FakeClient:
+    def __init__(self, rows):
+        self._rows = rows
+
+    def __getitem__(self, db):
+        return {"c": FakeCollection(self._rows)}  # db -> {coll: ...}
+
+    def close(self):
+        pass
+
+
+class Factory:
+    """Picklable client factory over a fixed document list."""
+
+    def __init__(self, rows):
+        self.rows = rows
+
+    def __call__(self):
+        return FakeClient(self.rows)
+
+
+def test_split_boundaries_cover_and_order():
+    f = Factory(DOCS)
+    bounds = mongo_split_boundaries(f, "db", "c", "_id", num_shards=4)
+    assert len(bounds) == 4
+    assert bounds[0][0] is None and bounds[-1][1] is None
+    inner = [b for _, b in bounds[:-1]]
+    assert inner == sorted(inner)
+    # ranges are (lo, hi]: every doc falls in exactly one shard
+    total = 0
+    for lo, hi in bounds:
+        total += sum(
+            1 for d in DOCS
+            if (lo is None or d["_id"] > lo) and (hi is None or d["_id"] <= hi)
+        )
+    assert total == len(DOCS)
+
+
+def test_read_raw_and_flattened(ray_session):
+    f = Factory(DOCS)
+    raw = read_mongo_collection(f, "db", "c", num_shards=4, flatten=False)
+    rows = raw.take_all()
+    assert len(rows) == len(DOCS)
+    docs = sorted(rows, key=lambda r: r["_id"])
+    assert docs[0]["_id"] == "id0000"
+    parsed = json.loads(docs[0]["doc"])
+    assert parsed["meta"]["stars"] == 0 and parsed["repo"] == "org0/r0"
+
+    flat = read_mongo_collection(f, "db", "c", num_shards=4).to_pandas()
+    assert len(flat) == len(DOCS)
+    # struct flattened with the engine's separator; scalars typed
+    assert "doc_meta_lang" in flat.columns or "meta_lang" in flat.columns
+    lang_col = "doc_meta_lang" if "doc_meta_lang" in flat.columns else "meta_lang"
+    assert set(flat[lang_col]) == {"py"}
+    n_col = "doc_n" if "doc_n" in flat.columns else "n"
+    assert sorted(flat[n_col]) == list(range(97))
+
+
+def test_read_with_filter_and_explicit_boundaries(ray_session):
+    f = Factory(DOCS)
+    # pre-split chunks (the splitVector path) + a server-side filter
+    bounds = [(None, "id0049"), ("id0049", None)]
+    ds = read_mongo_collection(
+        f, "db", "c", boundaries=bounds,
+        filter={"repo": "org0/r0"}, flatten=False,
+    )
+    got = sorted(r["_id"] for r in ds.take_all())
+    want = sorted(d["_id"] for d in DOCS if d["repo"] == "org0/r0")
+    assert got == want and len(got) > 0
+
+
+def test_empty_collection_and_hot_key_merge(ray_session):
+    assert read_mongo_collection(Factory([]), "db", "c").count() == 0
+    # every doc shares one shard-key value → duplicate boundaries merge
+    hot = [{"_id": "same", "n": i} for i in range(1)] + [
+        {"_id": f"z{i}", "n": i} for i in range(5)
+    ]
+    bounds = mongo_split_boundaries(Factory(hot), "db", "c", "_id", 6)
+    vals = [b for _, b in bounds[:-1]]
+    assert len(vals) == len(set(vals))  # no duplicate boundaries
+
+
+def test_pymongo_factory_gated():
+    with pytest.raises(ImportError):
+        pymongo_factory("mongodb://localhost")()
+
+
+def test_datasource_rows_land_in_range(ray_session):
+    import ray.data as rd
+
+    f = Factory(DOCS)
+    bounds = mongo_split_boundaries(f, "db", "c", "_id", 3)
+    src = MongoCollectionDatasource(f, "db", "c", bounds)
+    per_task = []
+    for task in src.get_read_tasks(3):
+        rows = [r for t in task.read_fn() for r in t.to_pylist() if r]
+        per_task.append({r["_id"] for r in rows})
+    # disjoint and complete
+    seen = set()
+    for s in per_task:
+        assert not (seen & s)
+        seen |= s
+    assert seen == {d["_id"] for d in DOCS}
