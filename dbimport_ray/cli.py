@@ -115,7 +115,8 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--seq-path", default=None,
                     help="dotted envelope path of the sequence carrier "
                          "(default: source.lsn/scn/sequence/pos, ts_ms; "
-                         "wal2json: lsn; maxwell: xid/ts)")
+                         "wal2json: lsn; maxwell: xid/ts; "
+                         "mongostream: clusterTime (t<<32)+i)")
     sp = sub.add_parser("stream", help="pipelined multi-batch replay")
     common(sp)
     sp.add_argument("--events", required=True)
