@@ -142,3 +142,45 @@ def test_lineage_cli_roundtrip(tmp_path, ray_session, capsys):
     g2 = json.loads(capsys.readouterr().out.strip())
     kinds = {n["kind"] for n in g2["nodes"]}
     assert kinds == {"table", "view"}  # spec edge names the source table
+
+
+def test_lineage_mirror_and_archive_edges(tmp_path, ray_session):
+    """The mirror (replica ledger) and archive (retention verb) branches
+    of the graph builder — driven by the real verbs, not synthetic
+    records."""
+    import os
+
+    from dbimport_ray.pipelines.diff import mirror_lake
+    from dbimport_ray.pipelines.maintain import archive_consumed
+
+    ev_dir = tmp_path / "events"
+    ev_dir.mkdir()
+    b1 = _write(ev_dir, "b1.parquet", {
+        "sequence_id": pa.array([1, 2], pa.int64()), "op": ["I", "I"],
+        "k": ["a", "b"], "v": pa.array([1.0, 2.0]),
+    })
+    cfg = TableConfig(name="src_t", pk=["k"], value_columns=["v"],
+                      num_partitions=2, keep_versions=8)
+    eng = CDCEngine(str(tmp_path / "lake"), cfg)
+    eng.replay(str(ev_dir), upto_seq=2)
+
+    rep_cfg = TableConfig(name="rep_t", pk=["k"], value_columns=["v"],
+                          num_partitions=2, keep_versions=8)
+    rep = CDCEngine(str(tmp_path / "lake"), rep_cfg)
+    assert mirror_lake(eng, rep, scratch_dir=str(tmp_path / "scratch"))[
+        "status"
+    ] in ("committed", "mirrored")
+
+    arch = str(tmp_path / "archive")
+    res = archive_consumed(eng, str(ev_dir), arch, dry_run=False)
+    assert res["ok"] and res["moved"]
+
+    g = lineage_graph(str(tmp_path / "lake"))
+    edges = {(e["src"], e["dst"], e["kind"]) for e in g["edges"]}
+    assert ("table:src_t", "table:rep_t", "mirror") in edges
+    assert ("table:src_t", f"archive:{arch}", "archive") in edges
+    kinds = {n["kind"] for n in g["nodes"]}
+    assert "archive" in kinds
+    # the archived source file's ingest edge survives (ledger, not disk)
+    assert any(s.startswith("source:") and k == "ingest"
+               for s, _, k in edges)
