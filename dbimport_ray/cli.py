@@ -55,10 +55,21 @@ def _engine(args):
 
 
 def _init_ray():
+    import os
+
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        # RAY_ADDRESS (set by `ray job submit` / `ray start` environments)
+        # wins so CLI verbs attach to a running cluster; without it —
+        # plain local invocation — force a fresh single-node instance.
+        # (address="local" unconditionally would IGNORE the job runtime
+        # and silently run the verb on one node.)
+        ray.init(
+            address=os.environ.get("RAY_ADDRESS", "local"),
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
@@ -646,10 +657,14 @@ def main(argv: list[str] | None = None) -> int:
         before = idx.index_rows()
         ds = rd.read_parquet(args.input)
         n_in = ds.count()
-        out = idx.filter_and_update(
-            ds, args.text_col, args.id_col, num_partitions=args.partitions
+        # survivors land via the sink BEFORE their hashes are admitted to
+        # the index — a failed write reruns cleanly instead of silently
+        # losing the batch (hashes present, documents nowhere)
+        idx.filter_and_update(
+            ds, args.text_col, args.id_col,
+            num_partitions=args.partitions,
+            sink=lambda surv: surv.write_parquet(args.out),
         )
-        out.write_parquet(args.out)
         survivors = idx.index_rows() - before
         print(json.dumps({
             "input_rows": n_in,

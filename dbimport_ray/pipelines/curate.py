@@ -431,14 +431,21 @@ class DedupIndex:
         return np.unique(tbl["content_hash"].to_numpy(zero_copy_only=False))
 
     def filter_and_update(
-        self, ds: rd.Dataset, text_col: str, id_col: str, num_partitions: int = 8
+        self, ds: rd.Dataset, text_col: str, id_col: str,
+        num_partitions: int = 8, sink=None,
     ) -> rd.Dataset:
         """Returns the batch's survivor rows (novel content, min id per
         within-batch duplicate group) and persists their hashes.
 
         Probe path is picked by on-disk index size: broadcast searchsorted
         up to ``max_index_rows``, bloom prefilter + exact hash anti join
-        beyond it (the streaming path — the index never loads whole)."""
+        beyond it (the streaming path — the index never loads whole).
+
+        ``sink(survivors_ds)``, when given, runs BEFORE the hashes are
+        appended to the index: if the sink fails (disk full, bad output
+        path), nothing was admitted and a rerun reprocesses the batch —
+        without this ordering a failed downstream write would leave the
+        batch's documents marked as ingested but landed nowhere."""
         from ray.data.aggregate import Min
 
         from ..stages.joins import compact_sparse, hash_join
@@ -491,6 +498,11 @@ class DedupIndex:
             hashed, winners, [id_col], n, num_partitions
         ).materialize()  # consumed twice: index append + caller read
 
+        drop = [c for c in ("content_hash",) if c in survivors.schema().names]
+        final = survivors.drop_columns(drop) if drop else survivors
+        if sink is not None:
+            sink(final)  # land output BEFORE admitting the hashes
+
         new_hashes = pa.concat_tables(
             [
                 pa.table(b).select(["content_hash"])
@@ -513,8 +525,7 @@ class DedupIndex:
                 ),
                 os.path.join(self.index_dir, f"part-{uuid.uuid4().hex}.parquet"),
             )
-        drop = [c for c in ("content_hash",) if c in survivors.schema().names]
-        return survivors.drop_columns(drop) if drop else survivors
+        return final
 
 
 # ---------------------------------------------------------------------------
@@ -873,24 +884,16 @@ def curate_to_shards(
     )
     if near_dedup:
         # MinHash LSH → exact-Jaccard verify → keep the cluster
-        # representative (rep == id; sub-threshold candidates were
-        # restored to their own cluster, so only VERIFIED near-dups
-        # drop). All exchanges carry (id, rep, hash) narrows — text
-        # moves only through the bounded pair-join of LSH candidates.
-        from ..stages.joins import compact_sparse, semi_join_sized
-        from .dedup import minhash_verified_clusters
+        # representative (only VERIFIED near-dups drop). All exchanges
+        # carry (id, rep, hash) narrows — text moves only through the
+        # bounded pair-join of LSH candidates.
+        from .dedup import minhash_verified_dedup
 
-        cur = cur.materialize()  # consumed twice: cluster find + semi join
-        keep = (
-            minhash_verified_clusters(
-                cur, "text", "doc_id",
-                jaccard_threshold=near_dedup_threshold,
-            )
-            .filter(expr="doc_id == rep")
-            .select_columns(["doc_id"])
+        cur = minhash_verified_dedup(
+            cur.materialize(),  # consumed twice: cluster find + semi join
+            "text", "doc_id",
+            jaccard_threshold=near_dedup_threshold,
         )
-        keep, nk = compact_sparse(keep, 16)
-        cur = semi_join_sized(cur, keep, ["doc_id"], nk, 16)
     if cap_per_source:
         cur = top_n_per_group(
             cur.map_batches(

@@ -372,20 +372,47 @@ def minhash_lsh_clusters(
     )
 
 
-def minhash_lsh_dedup(
-    ds: rd.Dataset, text_col: str, id_col: str, num_partitions: int = 16, **kw
+def _keep_cluster_reps(
+    ds: rd.Dataset, clusters: rd.Dataset, id_col: str, num_partitions: int
 ) -> rd.Dataset:
-    """Near-dedup: keep one doc (the min-id representative) per LSH cluster."""
-    from ..stages.joins import compact_sparse, hash_join
+    """Shared survivor join for every clustering-based dedup: rows of
+    ``ds`` whose id is its own cluster representative (rep == id) in
+    ``clusters`` — narrow keep-id compact + sized semi join."""
+    from ..stages.joins import compact_sparse, semi_join_sized
 
-    clusters = minhash_lsh_clusters(ds, text_col, id_col, **kw)
     survivors = clusters.filter(
         expr=f"{id_col} == rep"
     ).select_columns([id_col])
     survivors, n_keep = compact_sparse(survivors, num_partitions)
-    from ..stages.joins import semi_join_sized
-
     return semi_join_sized(ds, survivors, [id_col], n_keep, num_partitions)
+
+
+def minhash_lsh_dedup(
+    ds: rd.Dataset, text_col: str, id_col: str, num_partitions: int = 16, **kw
+) -> rd.Dataset:
+    """Near-dedup: keep one doc (the min-id representative) per LSH cluster."""
+    clusters = minhash_lsh_clusters(ds, text_col, id_col, **kw)
+    return _keep_cluster_reps(ds, clusters, id_col, num_partitions)
+
+
+def minhash_verified_dedup(
+    ds: rd.Dataset,
+    text_col: str,
+    id_col: str,
+    jaccard_threshold: float = 0.8,
+    num_partitions: int = 16,
+    **kw,
+) -> rd.Dataset:
+    """Near-dedup with the exact-Jaccard verify stage: LSH candidates
+    below ``jaccard_threshold`` are restored to their own cluster, so
+    only VERIFIED near-duplicates drop. ``ds`` is consumed twice
+    (cluster find + survivor join) — pass a materialized Dataset when
+    the upstream is expensive."""
+    clusters = minhash_verified_clusters(
+        ds, text_col, id_col, jaccard_threshold=jaccard_threshold,
+        num_partitions=num_partitions, **kw,
+    )
+    return _keep_cluster_reps(ds, clusters, id_col, num_partitions)
 
 
 # ---------------------------------------------------------------------------

@@ -135,11 +135,20 @@ class MongoCollectionDatasource(Datasource):
                         rng["$gt"] = lo
                     if hi is not None:
                         rng["$lte"] = hi
-                    q = dict(base_filter)
-                    if rng:
+                    if not rng:
+                        q = dict(base_filter)
+                    elif key in base_filter:
+                        # a user filter on the shard key must COMPOSE with
+                        # the task's range, never be clobbered by it
+                        q = {"$and": [dict(base_filter), {key: rng}]}
+                    else:
+                        q = dict(base_filter)
                         q[key] = rng
                     keys, docs = [], []
-                    for d in client[db][coll].find(q).sort(key, 1):
+                    # NOTE deliberately unsorted: downstream hash-partitions
+                    # and a server-side sort can abort on a non-indexed key
+                    # (32 MB blocking-sort limit); ranges bound rows, not order
+                    for d in client[db][coll].find(q):
                         keys.append(str(d.get(key)))
                         docs.append(_encode_doc(d))
                         if len(docs) >= rows_per_block:
@@ -197,10 +206,22 @@ def read_mongo_collection(
         )
     )
     if not bounds:
-        return rd.from_arrow(
-            pa.schema([(shard_key, pa.string()), ("doc", pa.string())])
-            .empty_table()
-        )
+        empty = pa.schema(
+            [(shard_key, pa.string()), ("doc", pa.string())]
+        ).empty_table()
+        if flatten and struct_type is not None:
+            # empty collection must still present the FLATTENED schema —
+            # a downstream select/union would otherwise break exactly
+            # when the collection is empty
+            from ..stages.flatten import (
+                flatten_struct_columns,
+                parse_json_column,
+            )
+
+            empty = flatten_struct_columns(
+                parse_json_column(empty, "doc", struct_type=struct_type)
+            )
+        return rd.from_arrow(empty)
     ds = rd.read_datasource(
         MongoCollectionDatasource(
             client_factory, db, coll, bounds, shard_key, filter

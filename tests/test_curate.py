@@ -773,3 +773,26 @@ def test_curate_to_shards_near_dedup(tmp_path, ray_session):
                      near_dedup_threshold=0.7) == [1, 3]
     # the 0.8 default is stricter than this pair's 0.75 → kept again
     assert surviving(str(tmp_path / "strict"), near_dedup=True) == [1, 2, 3]
+
+
+def test_dedup_index_sink_failure_does_not_admit_hashes(tmp_path, ray_session):
+    """filter_and_update(sink=...) lands output BEFORE appending hashes:
+    a failing sink leaves the index untouched and a rerun reprocesses
+    the batch instead of silently treating it as already ingested."""
+    idx = DedupIndex(tempfile.mkdtemp(prefix="dedupidx_", dir="/tmp"))
+    batch = _docs_ds([(0, "aaa bbb"), (1, "ccc ddd")])
+
+    with pytest.raises(RuntimeError, match="disk full"):
+        idx.filter_and_update(
+            batch, "text", "doc_id",
+            sink=lambda ds: (_ for _ in ()).throw(RuntimeError("disk full")),
+        )
+    assert idx.index_rows() == 0  # nothing admitted
+
+    landed = []
+    out = idx.filter_and_update(
+        batch, "text", "doc_id", sink=lambda ds: landed.append(ds.count())
+    )
+    assert landed == [2] and idx.index_rows() == 2
+    # sink sees the FINAL shape (hash column already dropped)
+    assert sorted(out.schema().names) == ["doc_id", "text"]

@@ -67,9 +67,14 @@ class FakeCollection:
     def _match(self, q):
         out = self._rows
         for k, cond in (q or {}).items():
-            if isinstance(cond, dict):
+            if k == "$and":
+                for sub in cond:
+                    out = [d for d in out if d in FakeCollection(out)._match(sub)]
+            elif isinstance(cond, dict):
                 if "$gt" in cond:
                     out = [d for d in out if d[k] > cond["$gt"]]
+                if "$gte" in cond:
+                    out = [d for d in out if d[k] >= cond["$gte"]]
                 if "$lte" in cond:
                     out = [d for d in out if d[k] <= cond["$lte"]]
             else:
@@ -160,6 +165,32 @@ def test_empty_collection_and_hot_key_merge(ray_session):
     bounds = mongo_split_boundaries(Factory(hot), "db", "c", "_id", 6)
     vals = [b for _, b in bounds[:-1]]
     assert len(vals) == len(set(vals))  # no duplicate boundaries
+
+
+def test_filter_on_shard_key_composes_with_ranges(ray_session):
+    """A user filter keyed on the shard key must COMPOSE with each
+    task's range predicate ($and), never be clobbered by it."""
+    f = Factory(DOCS)
+    ds = read_mongo_collection(
+        f, "db", "c", num_shards=4,
+        filter={"_id": {"$gte": "id0050"}}, flatten=False,
+    )
+    got = sorted(r["_id"] for r in ds.take_all())
+    want = sorted(d["_id"] for d in DOCS if d["_id"] >= "id0050")
+    assert got == want and 0 < len(got) < len(DOCS)
+
+
+def test_empty_collection_flattened_schema(ray_session):
+    """With struct_type given, an EMPTY collection still presents the
+    flattened schema — a downstream select/union must not break exactly
+    when the collection is empty."""
+    st = pa.struct([("_id", pa.string()), ("repo", pa.string()),
+                    ("n", pa.int64())])
+    ds = read_mongo_collection(Factory([]), "db", "c", struct_type=st)
+    names = ds.schema().names
+    assert ds.count() == 0
+    assert "doc_repo" in names or "repo" in names  # flattened, not raw
+    assert "doc" not in names
 
 
 def test_pymongo_factory_gated():
