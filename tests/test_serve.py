@@ -118,3 +118,67 @@ def test_serve_cli_once(lake, capsys):
     assert code == 200 and st["table"] == "t"
     t.join(10)
     assert not t.is_alive() and results["rc"] == 0
+
+
+def test_serve_concurrent_with_live_writer(tmp_path, ray_session):
+    """Hammer /status and /metrics while replays commit: every response
+    is valid JSON with a consistent watermark/version pair — the atomic
+    manifest rename means a reader sees old or new state, never torn."""
+    import threading
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dbimport_ray import CDCEngine
+    from dbimport_ray.config import TableConfig
+
+    n = 400
+    ev = str(tmp_path / "ev.parquet")
+    pq.write_table(pa.table({
+        "sequence_id": pa.array(range(1, n + 1), pa.int64()),
+        "op": ["I"] * n,
+        "k": [f"k{i % 50}" for i in range(n)],
+        "v": pa.array([float(i) for i in range(n)]),
+    }), ev)
+    cfg = TableConfig(name="t", pk=["k"], value_columns=["v"], num_partitions=2)
+    eng = CDCEngine(str(tmp_path / "lake"), cfg)
+    eng.replay(ev, upto_seq=50)
+
+    bound, ready = {}, threading.Event()
+
+    def _ready(host, port):
+        bound["url"] = f"http://{host}:{port}"
+        ready.set()
+
+    t = threading.Thread(target=serve, args=(str(tmp_path / "lake"),),
+                         kwargs={"port": 0, "ready": _ready}, daemon=True)
+    t.start()
+    assert ready.wait(10)
+    url = bound["url"]
+
+    results, stop = [], threading.Event()
+
+    def hammer():
+        while not stop.is_set():
+            code, st = _get(url + "/status/t")
+            results.append((code, st["version"], st["committed_seq"]))
+            _get(url + "/metrics/t")
+
+    readers = [threading.Thread(target=hammer, daemon=True) for _ in range(3)]
+    for r in readers:
+        r.start()
+    for upto in (100, 150, 200, 250, 300, 350, 400):
+        eng.replay(ev, upto_seq=upto)
+    stop.set()
+    for r in readers:
+        r.join(10)
+
+    assert results, "no concurrent reads completed"
+    assert all(code == 200 for code, _, _ in results)
+    # every observed (version, committed_seq) pair is a state the 2PC
+    # order actually passes through: manifest commits BEFORE the
+    # watermark promotes, so the manifest may read one step ahead of the
+    # checkpoint (seq = 50·(version−1)) but never behind it
+    for _, version, seq in results:
+        assert seq in (50 * version, 50 * (version - 1)), (version, seq)
+    assert len({v for _, v, _ in results}) >= 2, "readers saw no progress"
